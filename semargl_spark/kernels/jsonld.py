@@ -1,0 +1,591 @@
+"""JSON-LD → quads kernel.
+
+Reimplements what the reference's JSON-LD pipeline computes
+(/root/reference/jsonld/src/main/java/org/semarglproject/jsonld/
+JsonLdParser.java:41-423 — char-FSM tokenizer — and
+JsonLdContentHandler.java:32-383 + EvalContext.java:35-473 — context
+resolution and triple emission) as a recursive walk over ``json.loads``
+output. The reference's out-of-order machinery (deferral queues gated on
+an ``ID_DECLARED|CONTEXT_DECLARED|PARENT_SAFE`` bitmask,
+EvalContext.java:37-74,167-202) exists only because it is single-pass;
+holding the (small, per-turn) document lets us resolve in order and emit
+identical statements.
+
+Supported semantics (JsonLd.java:24-43 keyword surface):
+@context (term→IRI, @id/@type/@language/@container/@reverse term
+definitions, @vocab, @base, null resets, compact IRIs), @id, @type,
+@value, @language, @graph (named graphs), @list/@set (RDF collection
+construction, JsonLdContentHandler.java:114-139,275-282), @reverse
+(triple flip, EvalContext.java:275-294), @index containers (flattened),
+@language containers (language maps), scalar typing (bool/int/double →
+xsd, JsonLdContentHandler.java:301-338). Remote (string) contexts are
+rejected offline — executors must never fetch (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any
+
+from .iri import MalformedIriError, is_iri, is_urn, resolve_iri
+from .model import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    BnodeAllocator,
+    Triple,
+    non_literal,
+    plain_literal,
+    typed_literal,
+)
+
+KEYWORDS = {
+    "@context", "@id", "@type", "@value", "@language", "@container",
+    "@list", "@set", "@reverse", "@graph", "@base", "@vocab", "@index",
+}
+
+_TERM_RE = re.compile(r"[a-zA-Z0-9_-]+\Z")
+
+
+class _Float(float):
+    """Float preserving its JSON lexical form (to classify int vs double
+    the way the tokenizer does by lexical shape, JsonLdParser.java:203-207)."""
+
+    lexical: str
+
+    def __new__(cls, s: str):
+        obj = super().__new__(cls, s)
+        obj.lexical = s
+        return obj
+
+
+def _canon_double(v: float) -> str:
+    """Canonical xsd:double lexical form (matches the W3C toRdf expected
+    outputs, e.g. 1.1E1)."""
+    if math.isinf(v) or math.isnan(v):
+        return "INF" if v > 0 else ("-INF" if v < 0 else "NaN")
+    mantissa, exp = f"{v:1.15E}".split("E")
+    mantissa = mantissa.rstrip("0")
+    if mantissa.endswith("."):
+        mantissa += "0"
+    return f"{mantissa}E{int(exp)}"
+
+
+class _TermDef:
+    __slots__ = ("iri", "type_mapping", "language", "has_language", "container", "reverse")
+
+    def __init__(self, iri=None, type_mapping=None, language=None, has_language=False,
+                 container=None, reverse=False):
+        self.iri = iri
+        self.type_mapping = type_mapping
+        self.language = language
+        self.has_language = has_language
+        self.container = container
+        self.reverse = reverse
+
+
+class _Context:
+    __slots__ = ("terms", "vocab", "base", "language")
+
+    def __init__(self, base: str | None):
+        self.terms: dict[str, _TermDef] = {}
+        self.vocab: str | None = None
+        self.base = base
+        self.language: str | None = None
+
+    def copy(self) -> "_Context":
+        c = _Context(self.base)
+        c.terms = dict(self.terms)
+        c.vocab = self.vocab
+        c.language = self.language
+        return c
+
+
+class _State:
+    def __init__(self, base_uri: str, doc_key: str):
+        self.bnodes = BnodeAllocator(doc_key)
+        self.triples: list[Triple] = []
+        self.errors: list[str] = []
+        self.doc_base = base_uri
+
+
+def parse(
+    text: str, *, base_uri: str = "", doc_key: str = "", recover: bool = True
+) -> tuple[list[Triple], list[str]]:
+    """Parse a JSON-LD document into quads. Returns ``(triples, errors)``."""
+    st = _State(base_uri, doc_key)
+    try:
+        doc = json.loads(text, parse_float=_Float)
+    except Exception as exc:
+        st.errors.append(f"JSON parse error: {exc}")
+        return [], st.errors
+    ctx = _Context(base_uri)
+    try:
+        _walk_value(doc, ctx, None, st)
+    except RecursionError:
+        st.errors.append("JSON-LD nesting too deep")
+    return st.triples, st.errors
+
+
+# ---------------------------------------------------------------- context
+
+
+def _process_context(active: _Context, local: Any, st: _State) -> _Context:
+    ctx = active.copy()
+    items = local if isinstance(local, list) else [local]
+    for item in items:
+        if item is None:
+            fresh = _Context(st.doc_base)
+            ctx = fresh
+            continue
+        if isinstance(item, str):
+            # remote context: executors are offline by design
+            st.errors.append(f"remote @context not supported offline: {item}")
+            continue
+        if not isinstance(item, dict):
+            continue
+        if "@base" in item:
+            b = item["@base"]
+            ctx.base = st.doc_base if b is None else (
+                b if is_iri(b) or is_urn(b) else _try_resolve(ctx.base or st.doc_base, b)
+            )
+        if "@vocab" in item:
+            ctx.vocab = item["@vocab"]
+        if "@language" in item:
+            ctx.language = item["@language"]
+        for term, defn in item.items():
+            if term in ("@base", "@vocab", "@language") or term in KEYWORDS:
+                continue
+            ctx.terms[term] = _make_term_def(term, defn, item, ctx, st)
+    return ctx
+
+
+def _make_term_def(term: str, defn: Any, local: dict, ctx: _Context, st: _State) -> _TermDef:
+    td = _TermDef()
+    if defn is None:
+        return td  # explicit null → term dropped (onNull, JsonLdContentHandler.java:326)
+    if isinstance(defn, str):
+        td.iri = _expand_term_iri(defn, local, ctx, st)
+        return td
+    if not isinstance(defn, dict):
+        return td
+    if "@reverse" in defn:
+        td.iri = _expand_term_iri(defn["@reverse"], local, ctx, st)
+        td.reverse = True
+    if "@id" in defn and defn["@id"] is not None:
+        td.iri = _expand_term_iri(defn["@id"], local, ctx, st)
+    if td.iri is None and td.iri != "@type":
+        # term name itself may be a compact IRI / vocab word
+        td.iri = _expand_term_iri(term, local, ctx, st)
+    if "@type" in defn:
+        t = defn["@type"]
+        td.type_mapping = t if (isinstance(t, str) and t.startswith("@")) else _expand_term_iri(t, local, ctx, st)
+    if "@language" in defn:
+        td.language = defn["@language"]
+        td.has_language = True
+    if "@container" in defn:
+        c = defn["@container"]
+        td.container = c if isinstance(c, str) else (c[0] if isinstance(c, list) and c else None)
+    return td
+
+
+def _expand_term_iri(value: str | None, local: dict | None, ctx: _Context, st: _State,
+                     _seen: frozenset = frozenset()) -> str | None:
+    """Expand a term-definition IRI: keyword | term | compact IRI | vocab
+    word | absolute IRI (EvalContext.resolveMapping semantics,
+    jsonld/.../EvalContext.java:387-443)."""
+    if value is None or not isinstance(value, str):
+        return None
+    if value.startswith("@"):
+        return value if value in KEYWORDS else None
+    if value in _seen:
+        return None
+    td = ctx.terms.get(value)
+    if td is not None:
+        return td.iri
+    if local is not None and value in local and value not in _seen:
+        inner = local[value]
+        ref = inner if isinstance(inner, str) else (
+            inner.get("@id") if isinstance(inner, dict) else None
+        )
+        if isinstance(ref, str):
+            return _expand_term_iri(ref, local, ctx, st, _seen | {value})
+    if value.startswith("_:"):
+        return st.bnodes.rename(value)
+    if ":" in value:
+        prefix, _, suffix = value.partition(":")
+        ptd = ctx.terms.get(prefix)
+        if ptd is not None and ptd.iri:
+            return ptd.iri + suffix
+        if local is not None and prefix in local and prefix not in _seen:
+            base = _expand_term_iri(prefix, local, ctx, st, _seen | {prefix})
+            if base:
+                return base + suffix
+        if is_iri(value) or is_urn(value):
+            return value
+        return None
+    if ctx.vocab:
+        return ctx.vocab + value
+    return None
+
+
+# ---------------------------------------------------------------- expansion
+
+
+def _expand_pred(key: str, ctx: _Context, st: _State) -> str | None:
+    """Expand a node-object key into a predicate IRI, keyword, or None."""
+    if key.startswith("@") and key in KEYWORDS:
+        return key
+    td = ctx.terms.get(key)
+    if td is not None:
+        if td.iri is not None and td.iri.startswith("@"):
+            return td.iri  # keyword alias (JsonLdContentHandler.java:168-178)
+        return td.iri
+    if key.startswith("_:"):
+        return st.bnodes.rename(key)
+    if ":" in key:
+        prefix, _, suffix = key.partition(":")
+        ptd = ctx.terms.get(prefix)
+        if ptd is not None and ptd.iri:
+            return ptd.iri + suffix
+        if is_iri(key) or is_urn(key):
+            return key
+        return None
+    if ctx.vocab:
+        return ctx.vocab + key
+    return None
+
+
+def _expand_node_ref(value: str, ctx: _Context, st: _State) -> str | None:
+    """Expand an @id / node-reference string to an IRI or bnode label."""
+    if value.startswith("_:"):
+        return st.bnodes.rename(value)
+    td = ctx.terms.get(value)
+    if td is not None and td.iri and not td.iri.startswith("@"):
+        return td.iri
+    if ":" in value:
+        # CURIE prefix mappings take precedence over the opaque-IRI
+        # interpretation (EvalContext.resolveCurieOrIri semantics)
+        prefix, _, suffix = value.partition(":")
+        ptd = ctx.terms.get(prefix)
+        if ptd is not None and ptd.iri and not ptd.iri.startswith("@"):
+            return ptd.iri + suffix
+    if is_iri(value) or is_urn(value):
+        return value
+    base = ctx.base or st.doc_base
+    # bare words are never treated as terms in @id position: the reference
+    # forces "./"-prefixing before base resolution
+    # (JsonLdContentHandler.java:266-269)
+    ref = value
+    try:
+        return resolve_iri(base, ref)
+    except MalformedIriError:
+        return None
+
+
+def _expand_type(value: str, ctx: _Context, st: _State) -> str | None:
+    """@type values resolve vocab-style, then doc-relative."""
+    if value.startswith("_:"):
+        return st.bnodes.rename(value)
+    td = ctx.terms.get(value)
+    if td is not None and td.iri and not td.iri.startswith("@"):
+        return td.iri
+    if ":" in value:
+        prefix, _, suffix = value.partition(":")
+        ptd = ctx.terms.get(prefix)
+        if ptd is not None and ptd.iri:
+            return ptd.iri + suffix
+        if is_iri(value) or is_urn(value):
+            return value
+        return None
+    if ctx.vocab:
+        return ctx.vocab + value
+    return None
+
+
+def _try_resolve(base: str, ref: str) -> str | None:
+    try:
+        return resolve_iri(base, ref)
+    except MalformedIriError:
+        return None
+
+
+def _scalar_literal(value: Any, td: _TermDef | None, ctx: _Context):
+    """(content, lang, dtype) for a JSON scalar in object position."""
+    if isinstance(value, bool):
+        return ("true" if value else "false", None, XSD_BOOLEAN)
+    if isinstance(value, _Float):
+        lex = value.lexical
+        if re.fullmatch(r"-?\d+", lex):
+            return (lex, None, XSD_INTEGER)
+        if td is not None and td.type_mapping and not td.type_mapping.startswith("@"):
+            return (_canon_double(float(value)), None, td.type_mapping)
+        return (_canon_double(float(value)), None, XSD_DOUBLE)
+    if isinstance(value, int):
+        dt = XSD_INTEGER
+        if td is not None and td.type_mapping and not td.type_mapping.startswith("@"):
+            dt = td.type_mapping
+        return (str(value), None, dt)
+    # string
+    if td is not None and td.type_mapping and not td.type_mapping.startswith("@"):
+        return (value, None, td.type_mapping)
+    lang = None
+    if td is not None and td.has_language:
+        lang = td.language  # may be None (null override)
+    else:
+        lang = ctx.language
+    return (value, lang, None)
+
+
+def _is_value_object(obj: dict, ctx: _Context) -> bool:
+    return any(_aliases_to(k, "@value", ctx) for k in obj)
+
+
+def _aliases_to(key: str, keyword: str, ctx: _Context) -> bool:
+    if key == keyword:
+        return True
+    td = ctx.terms.get(key)
+    return td is not None and td.iri == keyword
+
+
+def _keyword_get(obj: dict, keyword: str, ctx: _Context):
+    for k, v in obj.items():
+        if _aliases_to(k, keyword, ctx):
+            return v
+    return None
+
+
+def _build_list(values: list, ctx: _Context, td: _TermDef | None, st: _State,
+                graph: str | None) -> str:
+    """RDF collection construction: rdf:first/rest/nil chain
+    (JsonLdContentHandler.java:275-282, EvalContext.java:205-247)."""
+    if not values:
+        return RDF_NIL
+    head = st.bnodes.fresh()
+    node = head
+    for i, v in enumerate(values):
+        term = _expand_value(v, ctx, td, st, graph)
+        if term is not None:
+            kind, *rest = term
+            if kind == "node":
+                st.triples.append(non_literal(node, RDF_FIRST, rest[0], graph))
+            else:
+                content, lang, dtype = rest
+                if dtype:
+                    st.triples.append(typed_literal(node, RDF_FIRST, content, dtype, graph))
+                else:
+                    st.triples.append(plain_literal(node, RDF_FIRST, content, lang, graph))
+        nxt = st.bnodes.fresh() if i < len(values) - 1 else RDF_NIL
+        st.triples.append(non_literal(node, RDF_REST, nxt, graph))
+        node = nxt
+    return head
+
+
+def _expand_value(value: Any, ctx: _Context, td: _TermDef | None, st: _State,
+                  graph: str | None):
+    """Expand one object-position value.
+
+    Returns ('node', id) | ('literal', content, lang, dtype) | None.
+    """
+    if value is None:
+        return None
+    if isinstance(value, (bool, int, float, str)):
+        if isinstance(value, str) and td is not None:
+            if td.type_mapping == "@id":
+                ref = _expand_node_ref(value, ctx, st)
+                if ref is not None:
+                    return ("node", ref)
+                return ("literal", value, ctx.language, None)
+            if td.type_mapping == "@vocab":
+                ref = _expand_type(value, ctx, st) or _expand_node_ref(value, ctx, st)
+                if ref is not None:
+                    return ("node", ref)
+        content, lang, dtype = _scalar_literal(value, td, ctx)
+        return ("literal", content, lang, dtype)
+    if isinstance(value, dict):
+        local_ctx = _keyword_get(value, "@context", ctx)
+        inner_ctx = _process_context(ctx, local_ctx, st) if local_ctx is not None or any(
+            _aliases_to(k, "@context", ctx) for k in value
+        ) else ctx
+        if _is_value_object(value, inner_ctx):
+            val = _keyword_get(value, "@value", inner_ctx)
+            if val is None:
+                return None
+            type_v = _keyword_get(value, "@type", inner_ctx)
+            lang_v = _keyword_get(value, "@language", inner_ctx)
+            if type_v is not None and isinstance(type_v, str):
+                dtype = _expand_type(type_v, inner_ctx, st)
+                if isinstance(val, bool):
+                    val = "true" if val else "false"
+                elif isinstance(val, _Float):
+                    val = val.lexical if re.fullmatch(r"-?\d+", val.lexical) else _canon_double(float(val))
+                return ("literal", str(val), None, dtype)
+            if isinstance(val, (bool, int, float)):
+                content, lang, dtype = _scalar_literal(val, None, _Context(None))
+                return ("literal", content, lang, dtype)
+            return ("literal", val, lang_v if lang_v is not None else None, None)
+        list_v = _keyword_get(value, "@list", inner_ctx)
+        if list_v is not None:
+            if not isinstance(list_v, list):
+                list_v = [list_v]
+            return ("node", _build_list(list_v, inner_ctx, td, st, graph))
+        set_v = _keyword_get(value, "@set", inner_ctx)
+        if set_v is not None:
+            # @set flattens: caller iterates; signal via special marker
+            return ("set", set_v, inner_ctx)
+        node_id = _walk_node(value, inner_ctx, graph, st, pre_ctx=True)
+        if node_id is None:
+            return None
+        return ("node", node_id)
+    return None
+
+
+def _attach(subj: str, pred: str, term, graph: str | None, st: _State,
+            reverse: bool = False) -> None:
+    if term is None:
+        return
+    kind = term[0]
+    if kind == "node":
+        if reverse:
+            st.triples.append(non_literal(term[1], pred, subj, graph))
+        else:
+            st.triples.append(non_literal(subj, pred, term[1], graph))
+    elif kind == "literal":
+        if reverse:
+            return  # literals cannot be reversed subjects
+        _, content, lang, dtype = term
+        if dtype:
+            st.triples.append(typed_literal(subj, pred, content, dtype, graph))
+        else:
+            st.triples.append(plain_literal(subj, pred, content, lang, graph))
+
+
+def _walk_value(doc: Any, ctx: _Context, graph: str | None, st: _State) -> None:
+    """Top-level dispatch: document may be a node object or an array."""
+    if isinstance(doc, list):
+        for item in doc:
+            _walk_value(item, ctx, graph, st)
+    elif isinstance(doc, dict):
+        _walk_node(doc, ctx, graph, st)
+
+
+def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
+               pre_ctx: bool = False) -> str | None:
+    """Process a node object; emit its triples; return its id."""
+    if not pre_ctx:
+        local_ctx = None
+        has_ctx = False
+        for k in obj:
+            if _aliases_to(k, "@context", ctx):
+                local_ctx = obj[k]
+                has_ctx = True
+                break
+        if has_ctx:
+            ctx = _process_context(ctx, local_ctx, st)
+
+    if _is_value_object(obj, ctx):
+        return None  # floating value object: dropped (JsonLdContentHandler.java:82)
+
+    # subject: @id else fresh bnode (EvalContext.java:90-101)
+    node_id: str | None = None
+    id_v = _keyword_get(obj, "@id", ctx)
+    if isinstance(id_v, str):
+        node_id = _expand_node_ref(id_v, ctx, st)
+    if node_id is None:
+        node_id = st.bnodes.fresh()
+
+    has_props = False
+    for key, value in obj.items():
+        pred = _expand_pred(key, ctx, st)
+        if pred is None:
+            continue
+        if pred in ("@context", "@id", "@index"):
+            continue
+        if pred == "@type":
+            values = value if isinstance(value, list) else [value]
+            for v in values:
+                if isinstance(v, str):
+                    t = _expand_type(v, ctx, st)
+                    if t:
+                        st.triples.append(non_literal(node_id, RDF_TYPE, t, graph))
+                        has_props = True
+            continue
+        if pred == "@graph":
+            # named graph when this node has an @id / is nested
+            # (JsonLdContentHandler.java:53-60)
+            inner_graph = node_id if (graph is not None or _has_non_graph_props(obj, ctx)) else graph
+            _walk_graph_value(value, ctx, inner_graph, st)
+            continue
+        if pred == "@reverse":
+            if isinstance(value, dict):
+                for rkey, rval in value.items():
+                    rpred = _expand_pred(rkey, ctx, st)
+                    if rpred is None or rpred.startswith("@"):
+                        continue
+                    rtd = ctx.terms.get(rkey)
+                    rvalues = rval if isinstance(rval, list) else [rval]
+                    for rv in rvalues:
+                        term = _expand_value(rv, ctx, rtd, st, graph)
+                        if term is not None and term[0] == "node":
+                            st.triples.append(non_literal(term[1], rpred, node_id, graph))
+                            has_props = True
+            continue
+        if pred.startswith("@"):
+            continue
+
+        td = ctx.terms.get(key)
+        reverse = td.reverse if td is not None else False
+        has_props = True
+
+        if td is not None and td.container == "@language" and isinstance(value, dict):
+            for lang_key, lv in value.items():
+                for s in lv if isinstance(lv, list) else [lv]:
+                    if isinstance(s, str):
+                        st.triples.append(plain_literal(node_id, pred, s, lang_key, graph))
+            continue
+        if td is not None and td.container == "@index" and isinstance(value, dict):
+            for _idx, iv in value.items():
+                for s in iv if isinstance(iv, list) else [iv]:
+                    term = _expand_value(s, ctx, td, st, graph)
+                    if term is not None and term[0] == "set":
+                        for sv in term[1]:
+                            _attach(node_id, pred, _expand_value(sv, term[2], td, st, graph), graph, st, reverse)
+                    else:
+                        _attach(node_id, pred, term, graph, st, reverse)
+            continue
+        if td is not None and td.container == "@list" and isinstance(value, list):
+            head = _build_list(value, ctx, td, st, graph)
+            st.triples.append(non_literal(node_id, pred, head, graph))
+            continue
+
+        values = value if isinstance(value, list) else [value]
+        for v in values:
+            term = _expand_value(v, ctx, td, st, graph)
+            if term is not None and term[0] == "set":
+                for sv in term[1]:
+                    _attach(node_id, pred, _expand_value(sv, term[2], td, st, graph), graph, st, reverse)
+            else:
+                _attach(node_id, pred, term, graph, st, reverse)
+
+    return node_id
+
+
+def _has_non_graph_props(obj: dict, ctx: _Context) -> bool:
+    for k in obj:
+        if not (_aliases_to(k, "@context", ctx) or _aliases_to(k, "@graph", ctx)):
+            return True
+    return False
+
+
+def _walk_graph_value(value: Any, ctx: _Context, graph: str | None, st: _State) -> None:
+    if isinstance(value, list):
+        for item in value:
+            _walk_graph_value(item, ctx, graph, st)
+    elif isinstance(value, dict):
+        _walk_node(value, ctx, graph, st)

@@ -1,0 +1,152 @@
+"""Triple-extraction stage: transcripts → statements DataFrame.
+
+This is the Spark analogue of the reference's StreamProcessor pipeline
+(/root/reference/core/src/main/java/org/semarglproject/source/
+StreamProcessor.java:35-106): one transcript turn = one document, the
+format column plays the MIME-type role
+(BaseStreamProcessor.processWithMime, BaseStreamProcessor.java:91-120),
+and the parser kernels run *vectorized* inside ``mapInPandas`` — Arrow
+batches in, Arrow batches out, no per-row Python UDFs, no shuffle
+(a narrow 1→N flatMap; SURVEY.md §2.2).
+
+Error handling follows the reference's ENABLE_ERROR_RECOVERY semantics
+(NTriplesParser.java:92-103): a malformed document yields zero triples
+plus processor-graph rows (obj_kind='error'), never a task failure
+(ProcessorGraphHandler.java:28-42).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import ntriples
+from ..schema import STATEMENTS_SCHEMA
+
+# per-format error class IRIs mirroring e.g. NTriplesParser.ERROR
+# (NTriplesParser.java:39)
+ERROR_CLASS = "http://semarglproject.org/{fmt}/Error"
+
+OUT_COLS = [f.name for f in STATEMENTS_SCHEMA.fields]
+
+
+def _parse_text(fmt: str):
+    """Lazy import of the format kernels so partially-built formats never
+    break the module import."""
+    if fmt == "ntriples":
+        return lambda text, base, key: ntriples.parse(text, doc_key=key)
+    if fmt == "nquads":
+        return lambda text, base, key: ntriples.parse_nquads(text, doc_key=key)
+    try:
+        if fmt == "jsonld":
+            from ..kernels import jsonld
+
+            return lambda text, base, key: jsonld.parse(text, base_uri=base, doc_key=key)
+        if fmt == "rdfa":
+            from ..kernels import rdfa
+
+            return lambda text, base, key: rdfa.parse(text, base_uri=base, doc_key=key)
+        if fmt == "rdfxml":
+            from ..kernels import rdfxml
+
+            return lambda text, base, key: rdfxml.parse(text, base_uri=base, doc_key=key)
+    except ImportError:  # format kernel not built yet
+        return None
+    return None
+
+
+_SNIFF_JSON = re.compile(r"\s*[{\[]")
+_SNIFF_RDFXML = re.compile(r"\s*(<\?xml[^>]*\?>\s*)?<rdf:RDF")
+_SNIFF_MARKUP = re.compile(r"\s*<[A-Za-z!?]")
+_SNIFF_NT = re.compile(r"\s*(#|<[^ >]+>\s+<)")
+
+
+def sniff_format(text: str) -> str:
+    """Heuristic format detection, the analogue of the reference's
+    MIME/extension sniffing (BaseStreamProcessor.java:91-120) plus RDFa's
+    document autodetection (rdfa/.../DocumentContext.java:74-118)."""
+    if _SNIFF_JSON.match(text):
+        return "jsonld"
+    if _SNIFF_RDFXML.match(text):
+        return "rdfxml"
+    if _SNIFF_NT.match(text):
+        return "ntriples"
+    if _SNIFF_MARKUP.match(text):
+        return "rdfa"
+    return "text"
+
+
+def doc_uri(conv_id: str, turn_idx: int) -> str:
+    return f"urn:transcript:{conv_id}:{turn_idx}"
+
+
+def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -> DataFrame:
+    """transcripts(conv_id, turn_idx, text[, fmt]) → statements.
+
+    Rows with obj_kind='error' are the processor-graph side channel; use
+    :func:`triples` / :func:`errors` to split. ``default_fmt`` overrides
+    the per-row fmt column; when both are absent the format is sniffed.
+    """
+    has_fmt = "fmt" in transcripts.columns
+    cols = ["conv_id", "turn_idx", "text"] + (["fmt"] if has_fmt else [])
+    src = transcripts.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernels: dict[str, Callable] = {}
+        for pdf in batches:
+            out: list[tuple] = []
+            fmts = pdf["fmt"] if has_fmt else None
+            for i, (conv, tix, text) in enumerate(
+                zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"])
+            ):
+                fmt = default_fmt or (fmts.iloc[i] if fmts is not None else None)
+                if fmt is None:
+                    fmt = sniff_format(text or "")
+                if fmt == "text" or not text:
+                    continue
+                if fmt not in kernels:
+                    kernels[fmt] = _parse_text(fmt)
+                kernel = kernels[fmt]
+                if kernel is None:
+                    continue
+                tix = int(tix)
+                base = doc_uri(conv, tix)
+                key = f"{conv}_{tix}"
+                try:
+                    stmts, errs = kernel(text, base, key)
+                except Exception as exc:  # never fail the task (E10)
+                    stmts, errs = [], [f"{type(exc).__name__}: {exc}"]
+                for t in stmts:
+                    out.append(
+                        (conv, tix, t.subj, t.pred, t.obj, t.obj_kind, t.lang, t.dtype, t.graph)
+                    )
+                err_class = ERROR_CLASS.format(fmt=fmt)
+                for msg in errs:
+                    out.append((conv, tix, base, err_class, msg, "error", None, None, None))
+            yield pd.DataFrame(out, columns=OUT_COLS)
+
+    return src.mapInPandas(run, schema=STATEMENTS_SCHEMA)
+
+
+def triples(statements: DataFrame) -> DataFrame:
+    """The output graph: non-error statements (E9 output-graph gate)."""
+    return statements.filter(F.col("obj_kind") != "error")
+
+
+def errors(statements: DataFrame) -> DataFrame:
+    """The processor graph: error side channel (E9/E10)."""
+    return statements.filter(F.col("obj_kind") == "error")
+
+
+def dedup_triples(statements: DataFrame) -> DataFrame:
+    """Graph set semantics: a model is a *set* of statements (reference
+    test oracle compares models as sets, SesameTestHelper.java:188-196).
+    Catalyst turns this into partial+final hash aggregation."""
+    return statements.dropDuplicates(
+        ["conv_id", "turn_idx", "subj", "pred", "obj", "obj_kind", "lang", "dtype", "graph"]
+    )

@@ -1,0 +1,261 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle that computes the *expected* result analytically.
+
+The synthetic transcripts are closed-form functions of (did, turn_idx)
+(sources/transcripts.py), so the oracles reconstruct the expected
+extraction output with plain SQL string building — the Spark side runs
+the real parsers; any semantic deviation shows up as a value-hash
+mismatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_statements, triples, errors
+from .sources.transcripts import synth_transcripts, entity_dictionary
+from .spark_util import ensure_py_files
+
+STMT_COLS = ["conv_id", "turn_idx", "subj", "pred", "obj", "obj_kind", "lang", "dtype"]
+
+# shared oracle scaffold: the turn seed set, replicated from documents
+_SEED = (
+    "WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix "
+    "FROM documents CROSS JOIN (SELECT unnest(generate_series(0,3)) AS tix)) "
+)
+
+_NT_NAME = (
+    "CASE WHEN did%10=0 THEN 'Entity \"'||did||'\"'||chr(10) "
+    "ELSE 'Entity '||did END"
+)
+
+_V = "CAST(NULL AS VARCHAR)"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _extract_single_fmt(fmt: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = synth_transcripts(spark, sf_dir, fmt=fmt)
+        cols = STMT_COLS + (["graph"] if fmt == "nquads" else [])
+        return triples(extract_statements(t)).select(*cols)
+
+    return q
+
+
+def q_extract_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: mixed-format corpus → all extracted triples."""
+    t = synth_transcripts(spark, sf_dir)
+    return triples(extract_statements(t)).select(*STMT_COLS)
+
+
+def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processor-graph side channel: malformed turns yield error rows,
+    never task failures (reference ENABLE_ERROR_RECOVERY,
+    NTriplesParser.java:92-103)."""
+    t = synth_transcripts(spark, sf_dir)
+    e = errors(extract_statements(t))
+    return e.groupBy("conv_id").agg(F.count("*").cast("long").alias("n_errors"))
+
+
+def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering window (north_rule): row_number over
+    (conv_id ⟶ turn_idx) — SURVEY.md §2.7."""
+    from pyspark.sql.window import Window
+
+    t = synth_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.row_number().over(w).cast("int").alias("turn_seq"),
+    )
+
+
+def q_entity_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entity_dictionary(spark, sf_dir)
+
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str) -> None:
+    ORACLES[name] = sql
+
+
+_oracle(
+    "extract_ntriples",
+    _SEED
+    + f"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS subj,
+       'urn:p:name' AS pred, {_NT_NAME} AS obj, 'literal' AS obj_kind,
+       {_V} AS lang, {_V} AS dtype FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+       'iri', {_V}, {_V} FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
+       'literal', {_V}, '{XSD}decimal' FROM t
+UNION ALL
+SELECT 'c'||did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label',
+       'turn '||tix, 'literal', 'en', {_V} FROM t
+""",
+)
+
+_oracle(
+    "extract_nquads",
+    _SEED
+    + f"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS subj,
+       'urn:p:name' AS pred, 'Entity '||did AS obj, 'literal' AS obj_kind,
+       {_V} AS lang, {_V} AS dtype, 'urn:g:'||(did%10) AS graph FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+       'iri', {_V}, {_V}, {_V} FROM t
+UNION ALL
+SELECT 'c'||did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label', 'g',
+       'literal', 'en', {_V}, 'urn:g:'||(did%10) FROM t
+""",
+)
+
+_JSONLD_ROWS = f"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'urn:t:Thing' AS obj, 'iri' AS obj_kind, {_V} AS lang, {_V} AS dtype FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:name', 'Entity '||did,
+       'literal', {_V}, {_V} FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+       'iri', {_V}, {_V} FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:score', CAST(did%50 AS VARCHAR),
+       'literal', {_V}, '{XSD}integer' FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:tag', 'a'||did,
+       'literal', {_V}, {_V} FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:tag', 'b',
+       'literal', {_V}, {_V} FROM t
+"""
+
+_oracle("extract_jsonld", _SEED + _JSONLD_ROWS)
+
+_RDFA_ROWS = f"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS subj,
+       'http://purl.org/dc/terms/title' AS pred, 'Turn '||tix AS obj,
+       'literal' AS obj_kind, {_V} AS lang, {_V} AS dtype FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'http://purl.org/dc/terms/relation',
+       'urn:e:'||(did+1), 'iri', {_V}, {_V} FROM t
+"""
+
+_oracle("extract_rdfa", _SEED + _RDFA_ROWS)
+
+_RDFXML_ROWS = f"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS subj,
+       'urn:p:name' AS pred, 'Entity '||did AS obj, 'literal' AS obj_kind,
+       {_V} AS lang, {_V} AS dtype FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+       'iri', {_V}, {_V} FROM t
+"""
+
+_oracle("extract_rdfxml", _SEED + _RDFXML_ROWS)
+
+# mixed corpus: per-kind filters on (did*7+tix)%5
+_oracle(
+    "extract_mixed",
+    _SEED
+    + f"""
+, nt AS (SELECT * FROM t WHERE (did*7+tix)%5 = 0)
+, jl AS (SELECT * FROM t WHERE (did*7+tix)%5 = 1)
+, ra AS (SELECT * FROM t WHERE (did*7+tix)%5 = 2)
+SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS subj,
+       'urn:p:name' AS pred, {_NT_NAME} AS obj, 'literal' AS obj_kind,
+       {_V} AS lang, {_V} AS dtype FROM nt
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+       'iri', {_V}, {_V} FROM nt
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
+       'literal', {_V}, '{XSD}decimal' FROM nt
+UNION ALL
+SELECT 'c'||did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label',
+       'turn '||tix, 'literal', 'en', {_V} FROM nt
+UNION ALL
+{_JSONLD_ROWS.replace(" FROM t", " FROM jl")}
+UNION ALL
+{_RDFA_ROWS.replace(" FROM t", " FROM ra")}
+""",
+)
+
+_oracle(
+    "extract_errors",
+    _SEED
+    + """
+SELECT 'c'||did AS conv_id, CAST(COUNT(*) AS BIGINT) AS n_errors
+FROM t WHERE (did*7+tix)%5 = 4 GROUP BY did
+""",
+)
+
+_oracle(
+    "turn_ordering",
+    _SEED
+    + """
+SELECT 'c'||did AS conv_id, tix AS turn_idx,
+       CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+            ELSE 'tool' END AS role,
+       CAST(ROW_NUMBER() OVER (PARTITION BY did ORDER BY tix) AS INT) AS turn_seq
+FROM t
+""",
+)
+
+_oracle(
+    "entity_dictionary",
+    """
+SELECT 'urn:e:'||CAST(doc_id AS INT) AS canonical_iri,
+       'entity '||CAST(doc_id AS INT) AS surface_form, 1.0 AS weight
+FROM documents
+UNION ALL
+SELECT 'urn:e:'||CAST(doc_id AS INT), 'ent '||CAST(doc_id AS INT), 0.5
+FROM documents
+""",
+)
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query so the package is shipped to executors first
+    (programmatic --py-files; see spark_util.ensure_py_files)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_py_files(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _shipped(fn) for name, fn in _registry().items()}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "extract_ntriples": _extract_single_fmt("ntriples"),
+        "extract_nquads": _extract_single_fmt("nquads"),
+        "extract_jsonld": _extract_single_fmt("jsonld"),
+        "extract_rdfa": _extract_single_fmt("rdfa"),
+        "extract_rdfxml": _extract_single_fmt("rdfxml"),
+        "extract_mixed": q_extract_mixed,
+        "extract_errors": q_extract_errors,
+        "turn_ordering": q_turn_ordering,
+        "entity_dictionary": q_entity_dictionary,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,212 @@
+r"""Deterministic synthetic transcripts source.
+
+Builds the BASELINE.json ``input_hint`` table
+
+    (conv_id:string, turn_idx:int, role:string, text:string,
+     tool:string, ts:timestamp)
+
+entirely with JVM-side Catalyst expressions (no Python UDFs, no driver
+loops) so generation itself scales linearly with the corpus: the seed set
+is the driver-provided ``documents`` table's ``doc_id`` column, each doc
+spawning ``turns_per_doc`` turns via ``explode(sequence(...))`` — a
+narrow, shuffle-free plan.
+
+Each turn's ``text`` embeds exactly one payload kind (FIXTURES.md §1):
+NTriples, JSON-LD, RDFa/XHTML, plain prose, or malformed markup. All
+payloads are **closed-form functions of (did, turn_idx)** so the DuckDB
+oracle can compute the *expected extraction output* analytically — any
+parser deviation shows up as a hash mismatch without the oracle needing
+an RDF parser (see __spark_entry__.py oracle_sql()).
+
+Payload kind for the mixed corpus: ``kind = (did*7 + turn_idx) % 5``:
+0=ntriples 1=jsonld 2=rdfa 3=prose 4=malformed-ntriples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+# the five payload builders, each a Column-valued function of (did, tix)
+
+
+def _nt_name_payload(did):
+    # every 10th doc exercises literal escapes: "Entity \"N\"\n"
+    return F.when(
+        did % 10 == 0, F.format_string('Entity \\"%d\\"\\n', did)
+    ).otherwise(F.format_string("Entity %d", did))
+
+
+def nt_text(did, tix):
+    return F.format_string(
+        "# turn %d\n"
+        '<urn:e:%d> <urn:p:name> "%s" .\n'
+        "<urn:e:%d> <urn:p:knows> <urn:e:%d> .\n"
+        '<urn:e:%d> <urn:p:score> "%d.5"^^<' + XSD_DECIMAL + "> .\n"
+        '_:a <urn:p:label> "turn %d"@en .\n',
+        tix, did, _nt_name_payload(did), did, did + 1, did, did % 100, tix,
+    )
+
+
+def nq_text(did, tix):
+    return F.format_string(
+        '<urn:e:%d> <urn:p:name> "Entity %d" <urn:g:%d> .\n'
+        "<urn:e:%d> <urn:p:knows> <urn:e:%d> .\n"
+        '_:x <urn:p:label> "g"@en <urn:g:%d> .\n',
+        did, did, did % 10, did, did + 1, did % 10,
+    )
+
+
+def jsonld_text(did, tix):
+    return F.format_string(
+        '{"@context": {"name": "urn:p:name", '
+        '"knows": {"@id": "urn:p:knows", "@type": "@id"}, '
+        '"score": {"@id": "urn:p:score", "@type": "' + XSD_INTEGER + '"}, '
+        '"tags": "urn:p:tag"}, '
+        '"@id": "urn:e:%d", "@type": "urn:t:Thing", '
+        '"name": "Entity %d", "knows": "urn:e:%d", '
+        '"score": %d, "tags": ["a%d", "b"]}',
+        did, did, did + 1, did % 50, did,
+    )
+
+
+def rdfa_text(did, tix):
+    return F.format_string(
+        '<div xmlns="http://www.w3.org/1999/xhtml" about="urn:e:%d">'
+        '<span property="http://purl.org/dc/terms/title">Turn %d</span>'
+        '<a rel="http://purl.org/dc/terms/relation" href="urn:e:%d">x</a>'
+        "</div>",
+        did, tix, did + 1,
+    )
+
+
+def rdfxml_text(did, tix):
+    return F.format_string(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:p="urn:p:">'
+        '<rdf:Description rdf:about="urn:e:%d">'
+        "<p:name>Entity %d</p:name>"
+        '<p:knows rdf:resource="urn:e:%d"/>'
+        "</rdf:Description></rdf:RDF>",
+        did, did, did + 1,
+    )
+
+
+def prose_text(did, tix):
+    return F.format_string(
+        "the quick brown fox jumps over turn %d of conversation %d", tix, did
+    )
+
+
+def malformed_text(did, tix):
+    return F.format_string('<urn:e:%d> <urn:p:name "broken turn %d', did, tix)
+
+
+_FMT_BUILDERS = {
+    "ntriples": nt_text,
+    "nquads": nq_text,
+    "jsonld": jsonld_text,
+    "rdfa": rdfa_text,
+    "rdfxml": rdfxml_text,
+    "text": prose_text,
+    "malformed": malformed_text,
+}
+
+
+def _seed_turns(spark: SparkSession, sf_dir: str, turns_per_doc: int) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("int").alias("did")
+    )
+    return docs.select(
+        "did",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(turns_per_doc - 1))
+        ).alias("turn_idx"),
+    )
+
+
+def _finish(turns: DataFrame) -> DataFrame:
+    did, tix = F.col("did"), F.col("turn_idx")
+    role = (
+        F.when(tix % 3 == 0, "user")
+        .when(tix % 3 == 1, "assistant")
+        .otherwise("tool")
+    )
+    return turns.select(
+        F.concat(F.lit("c"), did.cast("string")).alias("conv_id"),
+        tix.cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text"),
+        F.col("fmt"),
+        F.when(role == "tool", F.lit("rdf_extract")).otherwise(F.lit(None)).alias("tool"),
+        F.timestamp_seconds(F.lit(EPOCH_2024) + did * 3600 + tix * 60).alias("ts"),
+    )
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    sf_dir: str,
+    turns_per_doc: int = 4,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Mixed-format transcripts (fmt=None) or a single-format corpus.
+
+    Includes a ``fmt`` column carrying the payload format, playing the
+    role of the reference's MIME-type hint
+    (BaseStreamProcessor.processWithMime, BaseStreamProcessor.java:91-120).
+    """
+    turns = _seed_turns(spark, sf_dir, turns_per_doc)
+    did, tix = F.col("did"), F.col("turn_idx")
+    if fmt is not None:
+        builder = _FMT_BUILDERS[fmt]
+        out = turns.withColumn("text", builder(did, tix)).withColumn(
+            "fmt", F.lit("ntriples" if fmt == "malformed" else fmt)
+        )
+        return _finish(out)
+
+    kind = (did * 7 + tix) % 5
+    text = (
+        F.when(kind == 0, nt_text(did, tix))
+        .when(kind == 1, jsonld_text(did, tix))
+        .when(kind == 2, rdfa_text(did, tix))
+        .when(kind == 3, prose_text(did, tix))
+        .otherwise(malformed_text(did, tix))
+    )
+    fmt_col = (
+        F.when(kind == 0, "ntriples")
+        .when(kind == 1, "jsonld")
+        .when(kind == 2, "rdfa")
+        .when(kind == 3, "text")
+        .otherwise("ntriples")
+    )
+    out = turns.withColumn("text", text).withColumn("fmt", fmt_col)
+    return _finish(out)
+
+
+def entity_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcastable linking dictionary (FIXTURES.md §4).
+
+    Two deterministic surface forms per entity IRI: the normalized name
+    ("entity N", weight 1.0) and a truncated alias ("ent N", weight 0.5).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("int").alias("did")
+    )
+    iri = F.concat(F.lit("urn:e:"), F.col("did").cast("string"))
+    full = docs.select(
+        iri.alias("canonical_iri"),
+        F.format_string("entity %d", F.col("did")).alias("surface_form"),
+        F.lit(1.0).alias("weight"),
+    )
+    alias = docs.select(
+        iri.alias("canonical_iri"),
+        F.format_string("ent %d", F.col("did")).alias("surface_form"),
+        F.lit(0.5).alias("weight"),
+    )
+    return full.unionByName(alias)

@@ -1,0 +1,77 @@
+"""Session helpers: package shipping and tuned session construction.
+
+``ensure_py_files`` makes the ``semargl_spark`` package importable on
+executor Python workers regardless of the driver's cwd — the programmatic
+equivalent of ``spark-submit --py-files semargl_spark.zip`` (north_rule
+packaging). Without it, ``mapInPandas`` closures that reference kernel
+modules fail to unpickle on workers launched outside the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip the semargl_spark package for --py-files / addPyFile."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if dest is None:
+        dest = os.path.join(tempfile.gettempdir(), "semargl_spark_pyfiles.zip")
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if os.path.exists(dest) and os.path.getmtime(dest) >= src_mtime:
+        return dest
+    tmp = dest + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    os.replace(tmp, dest)
+    return dest
+
+
+def ensure_py_files(spark: SparkSession) -> None:
+    """Ship the package to executors once per application."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+    _SHIPPED.add(app_id)
+
+
+def tuned_session(
+    parallelism: int = 8,
+    app_name: str = "semargl-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Session with the scale-oriented defaults used by bench and jobs:
+    AQE on (runtime re-plan + skew-join), Arrow enabled, shuffle
+    partitions sized to the parallelism level."""
+    sp = shuffle_partitions if shuffle_partitions is not None else max(parallelism * 2, 8)
+    spark = (
+        SparkSession.builder.master(f"local[{parallelism}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .appName(app_name)
+        .getOrCreate()
+    )
+    ensure_py_files(spark)
+    return spark

@@ -1,0 +1,66 @@
+"""End-to-end extraction over Spark: generator → mapInPandas kernels →
+statements DataFrame (SURVEY.md §7.1 minimum slice)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semargl_spark.operators.extract import (
+    dedup_triples,
+    errors,
+    extract_statements,
+    sniff_format,
+    triples,
+)
+from semargl_spark.sources.transcripts import synth_transcripts
+
+from conftest import SF_DIR
+
+
+def test_ntriples_extraction_counts(spark):
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples")
+    n_turns = t.count()
+    st = extract_statements(t)
+    assert triples(st).count() == 4 * n_turns
+    assert errors(st).count() == 0
+
+
+def test_mixed_corpus_splits(spark):
+    t = synth_transcripts(spark, SF_DIR)
+    st = extract_statements(t).cache()
+    kinds = {r["obj_kind"] for r in st.select("obj_kind").distinct().collect()}
+    assert "error" in kinds and "literal" in kinds and "iri" in kinds
+    # malformed turns produce errors but never fail the job
+    assert errors(st).count() > 0
+    st.unpersist()
+
+
+def test_extraction_is_pure_per_turn(spark):
+    """per-turn text equality invariant: same (text, doc_uri) → same rows."""
+    t = synth_transcripts(spark, SF_DIR, fmt="jsonld").limit(10)
+    a = extract_statements(t).collect()
+    b = extract_statements(t).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dedup_triples(spark):
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(5)
+    st = extract_statements(t)
+    doubled = st.unionByName(st)
+    assert dedup_triples(doubled).count() == st.count()
+
+
+def test_sniffer():
+    assert sniff_format('{"@id": "x"}') == "jsonld"
+    assert sniff_format("<urn:a> <urn:b> <urn:c> .") == "ntriples"
+    assert sniff_format("# comment\n<urn:a> <urn:b> <urn:c> .") == "ntriples"
+    assert sniff_format('<?xml version="1.0"?><rdf:RDF>') == "rdfxml"
+    assert sniff_format('<div about="#x">hi</div>') == "rdfa"
+    assert sniff_format("plain prose here") == "text"
+
+
+def test_extraction_plan_is_narrow(spark):
+    """No shuffle in the extraction stage (SURVEY.md §4.2: the parse is
+    embarrassingly parallel; shuffles belong to linking/canon only)."""
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples")
+    plan = triples(extract_statements(t))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
