@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "triples_per_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed via a full materialization (count), which forces the
+extraction UDFs and any shuffles without driver-side transfer overhead.
+Scaling-efficiency numbers (N vs 4N cores) come from
+tools/bench_scaling.py and are recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    turns_per_doc = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "8"))
+
+    from semargl_spark.spark_util import tuned_session
+
+    spark = tuned_session(parallelism=cpus, app_name="semargl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from semargl_spark import queries as Q
+    from semargl_spark.operators.extract import extract_statements, triples
+    from semargl_spark.sources.transcripts import synth_transcripts
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name: str, df) -> None:
+        t0 = time.perf_counter()
+        counts[name] = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # warm the JVM + python workers once so per-query numbers measure the
+    # pipeline, not interpreter startup (reference benches also warm up,
+    # BenchmarkRdfa.java:86-92)
+    synth_transcripts(spark, sf_dir).limit(256).count()
+
+    # flagship: mixed-format corpus at bench turn multiplier
+    mixed = synth_transcripts(spark, sf_dir, turns_per_doc=turns_per_doc)
+    timed("extract_mixed", triples(extract_statements(mixed)))
+
+    registry = Q.registry()
+    for name in (
+        "extract_ntriples",
+        "extract_jsonld",
+        "extract_rdfa",
+        "extract_rdfxml",
+        "extract_nquads",
+        "turn_ordering",
+    ):
+        if name in registry:
+            try:
+                timed(name, registry[name](spark, sf_dir))
+            except Exception:
+                timings[name] = -1.0
+
+    for name in ("link_entities", "canonicalize", "kg_edges", "dedup_minhash",
+                 "ann_topk", "text_quality"):
+        if name in registry:
+            try:
+                timed(name, registry[name](spark, sf_dir))
+            except Exception:
+                timings[name] = -1.0
+
+    total_triples = counts.get("extract_mixed", 0)
+    wall = timings.get("extract_mixed", 1.0)
+    tps = round(total_triples / wall, 1) if wall > 0 else 0.0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "triples_per_sec",
+                "value": tps,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "counts": counts,
+                "cpus": cpus,
+                "turns_per_doc": turns_per_doc,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

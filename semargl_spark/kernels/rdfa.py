@@ -1,0 +1,1145 @@
+"""RDFa 1.0/1.1 parser kernel.
+
+Pure-Python reimplementation of the reference's RDFa processing sequence
+(/root/reference/rdfa/src/main/java/org/semarglproject/rdf/rdfa/
+RdfaParser.java:62-1355, EvalContext.java:31-351, DocumentContext.java:26-142):
+
+* format & version autodetection — svg/html4/html5/xml root + DOCTYPE +
+  @version (DocumentContext.java:74-118); RDFa 1.1 is the default
+  (RdfaParser.getRdfaVersion:1303-1308);
+* subject/object resolution by prioritized attribute coalescing over
+  @about/@resource/@href/@src/@data/@typeof-bnode/parent-object/base
+  (findSubjectAndObject:374-453, coalesce:472-503);
+* @rel/@rev including incomplete triples completed by child subjects
+  (processRels:511-539, processRevs:546-563,
+  processIncompleteTriples:791-808);
+* @property literal logic including @content, HTML5 @datetime/@value,
+  datatype resolution and temporal-shape autodetection
+  (parseLiteralObject:600-656, resolveLangOrDt:751-784);
+* @inlist RDF collections (processListMappings:953-984);
+* @typeof → rdf:type, @vocab → rdfa:usesVocabulary + term concat,
+  @prefix/xmlns CURIE mappings over the RDFa 1.1 initial context
+  (EvalContext.java:65-97), XHTML vocab terms (EvalContext.java:42-63);
+* @role (processRoleAttribute:344-363), XMLLiteral capture
+  (processXmlString:896-910), RDFa 1.1 @typeof="rdfa:Pattern" property
+  copying via rdfa:copy (endDocument:192-219, addNonLiteral:1169-1195);
+* SVG ``metadata`` containing inline RDF/XML delegated to the RDF/XML
+  kernel (:223-234).
+
+Vocabulary *expansion* (owl:equivalent*/rdfs:sub* closure) is off by
+default exactly like the reference (expandVocab=false, RdfaParser.java:165)
+and is provided Spark-side as a broadcast join (operators/vocab.py)
+because executors must never fetch vocabularies over HTTP.
+
+Two event front-ends: strict ``xml.sax`` for XHTML/XML/SVG and a lenient
+``html.parser`` fallback for HTML4/HTML5 tag soup.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.sax
+from html.parser import HTMLParser
+from html import unescape as html_unescape
+
+from .iri import MalformedIriError, is_absolute_iri, is_iri, resolve_iri
+from .model import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    RDF_XML_LITERAL,
+    XSD_DATE,
+    XSD_DATE_TIME,
+    XSD_DURATION,
+    XSD_G_YEAR,
+    XSD_G_YEAR_MONTH,
+    XSD_TIME,
+    Triple,
+    non_literal,
+    plain_literal,
+    typed_literal,
+)
+
+XHTML_VOCAB = "http://www.w3.org/1999/xhtml/vocab#"
+XHTML_NS = "http://www.w3.org/1999/xhtml"
+POWDER_DESCRIBED_BY = "http://www.w3.org/2007/05/powder-s#describedby"
+RDFA_NS = "http://www.w3.org/ns/rdfa#"
+RDFA_USES_VOCABULARY = RDFA_NS + "usesVocabulary"
+RDFA_PATTERN = RDFA_NS + "Pattern"
+RDFA_COPY = RDFA_NS + "copy"
+
+VERSION_10 = 10
+VERSION_11 = 11
+
+FORMAT_UNKNOWN = 0
+FORMAT_HTML4 = 1
+FORMAT_HTML5 = 2
+FORMAT_XML = 3
+FORMAT_SVG = 4
+
+_TERM_RE = re.compile(r"[a-zA-Z0-9_-]+\Z", re.DOTALL)
+_WS_SPLIT = re.compile(r"\s+")
+
+# RDFa 1.1 initial context (EvalContext.java:65-97)
+RDFA11_INITIAL_CONTEXT = {
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "rdfa": "http://www.w3.org/ns/rdfa#",
+    "xhv": "http://www.w3.org/1999/xhtml/vocab#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "grddl": "http://www.w3.org/2003/g/data-view#",
+    "ma": "http://www.w3.org/ns/ma-ont#",
+    "rif": "http://www.w3.org/2007/rif#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "skosxl": "http://www.w3.org/2008/05/skos-xl#",
+    "wdr": "http://www.w3.org/2007/05/powder#",
+    "void": "http://rdfs.org/ns/void#",
+    "wdrs": "http://www.w3.org/2007/05/powder-s#",
+    "xml": "http://www.w3.org/XML/1998/namespace",
+    "cc": "http://creativecommons.org/ns#",
+    "ctag": "http://commontag.org/ns#",
+    "dc": "http://purl.org/dc/terms/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "gr": "http://purl.org/goodrelations/v1#",
+    "ical": "http://www.w3.org/2002/12/cal/icaltzd#",
+    "og": "http://ogp.me/ns#",
+    "rev": "http://purl.org/stuff/rev#",
+    "sioc": "http://rdfs.org/sioc/ns#",
+    "v": "http://rdf.data-vocabulary.org/#",
+    "vcard": "http://www.w3.org/2006/vcard/ns#",
+    "schema": "http://schema.org/",
+}
+
+# XHTML metainformation vocabulary terms (EvalContext.java:42-63)
+XHTML_VOCAB_PROPS = {
+    t.lower(): t
+    for t in (
+        "alternate", "appendix", "bookmark", "cite", "chapter", "contents",
+        "copyright", "first", "glossary", "help", "icon", "index", "itsRules",
+        "last", "license", "meta", "next", "p3pv1", "prev", "previous", "role",
+        "section", "stylesheet", "subsection", "start", "top", "up",
+        "banner", "complementary", "contentinfo", "definition", "main",
+        "navigation", "note", "search",
+        "alert", "alertdialog", "application", "article", "button", "checkbox",
+        "columnheader", "combobox", "dialog", "directory", "document", "form",
+        "grid", "gridcell", "group", "heading", "img", "link", "list",
+        "listbox", "listitem", "log", "marquee", "math", "menu", "menubar",
+        "menuitem", "menuitemcheckbox", "menuitemradio", "option",
+        "presentation", "progressbar", "radio", "radiogroup", "region", "row",
+        "rowgroup", "rowheader", "scrollbar", "separator", "slider",
+        "spinbutton", "status", "tab", "tablist", "tabpanel", "textbox",
+        "timer", "toolbar", "tooltip", "tree", "treegrid", "treeitem",
+    )
+}
+
+AUTODETECT_DATE = object()  # sentinel (RdfaParser.AUTODETECT_DATE_DATATYPE)
+
+PLAIN = ""  # plain-literal datatype marker (RdfaParser.PLAIN_LITERAL)
+
+_DURATION_RE = re.compile(r"-?P\d+Y\d+M\d+DT\d+H\d+M\d+(\.\d+)?S\Z")
+_TZ = r"(Z|[+-]\d{2}:\d{2})?"
+_DATE_TIME_RE = re.compile(r"-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?" + _TZ + r"\Z")
+_TIME_RE = re.compile(r"\d{2}:\d{2}:\d{2}(\.\d+)?" + _TZ + r"\Z")
+_G_YEAR_RE = re.compile(r"-?\d{4,}\Z")
+_G_YEAR_MONTH_RE = re.compile(r"-?\d{4,}-(0[1-9]|1[0-2])\Z")
+_DATE_RE = re.compile(r"-?\d{4,}-\d{2}-\d{2}" + _TZ + r"\Z")
+
+
+class MalformedCurieError(MalformedIriError):
+    pass
+
+
+def _split(value: str | None) -> list[str]:
+    if not value:
+        return []
+    return [t for t in _WS_SPLIT.split(value.strip()) if t]
+
+
+class _Ctx:
+    __slots__ = (
+        "iri_mappings", "subject", "object", "incompl", "lang", "object_lit",
+        "object_lit_dt", "properties", "parsing_literal", "list_mapping", "vocab",
+    )
+
+    def __init__(self, lang, vocab):
+        self.iri_mappings: dict[str, str] = {}
+        self.subject = None
+        self.object = None
+        self.incompl: list = []
+        self.lang = lang
+        self.object_lit = None
+        self.object_lit_dt = None
+        self.properties: list[str] | None = None
+        self.parsing_literal = False
+        self.list_mapping: dict[str, list] = {}
+        self.vocab: str | None = vocab
+
+
+class _RdfaEngine:
+    """One document's RDFa evaluation (document = one transcript turn)."""
+
+    def __init__(self, base_uri: str, doc_key: str, rdfa_version: int | None = None):
+        self.triples: list[Triple] = []
+        self.errors: list[str] = []
+        self.warnings: list[str] = []
+
+        self.base = base_uri or ""
+        self.origin_uri = self.base
+        self.doc_key = doc_key
+        self.format = FORMAT_UNKNOWN
+        self.version = rdfa_version or VERSION_11
+        self._forced_version = rdfa_version is not None
+
+        self._next_bnode = 0
+        self._bnode_mapping: dict[str, str] = {}
+
+        root = _Ctx(None, None)
+        root.subject = self.base
+        root.iri_mappings = {"": XHTML_VOCAB}
+        self.stack: list[_Ctx] = [root]
+
+        self.xml_string: list[str] | None = None
+        self.xml_string_pred: list[str] | None = None
+        self.xml_string_subj: str | None = None
+
+        self.pattern_props: dict[str, list] = {}
+        self.copying_pairs: list[tuple[str, str]] = []
+
+        self.overwrite_mappings: dict[str, str] = {}
+
+        self.rdfxml_depth = 0
+        self.rdfxml_buf: list[str] | None = None
+
+    # ------------------------------------------------------------ bnodes
+
+    def create_bnode(self) -> str:
+        label = f"_:b{self.doc_key}_n{self._next_bnode}"
+        self._next_bnode += 1
+        return label
+
+    def resolve_bnode(self, value: str) -> str | None:
+        """@about/@resource blank-node syntax ``_:x`` / ``[_:x]``
+        (DocumentContext.resolveBNode:57-72)."""
+        name = None
+        if value.startswith("_:"):
+            name = value[2:]
+        elif value.startswith("[_:") and value.endswith("]"):
+            name = value[3:-1]
+        if name is None:
+            return None
+        if name not in self._bnode_mapping:
+            self._bnode_mapping[name] = self.create_bnode()
+        return self._bnode_mapping[name]
+
+    # ------------------------------------------------------------ resolution
+
+    def resolve_iri(self, iri: str) -> str:
+        return resolve_iri(self.base, iri)
+
+    def resolve_curie_or_iri(self, ctx: _Ctx, curie: str, ignore_rel_iri: bool) -> str:
+        """(EvalContext.resolveCurieOrIri:292-314)"""
+        if not ignore_rel_iri and not curie:
+            return self.resolve_iri(curie or "")
+        safe = curie.startswith("[") and curie.endswith("]")
+        if safe:
+            curie = curie[1:-1]
+        delim = curie.find(":")
+        if delim == -1:
+            if safe or ignore_rel_iri:
+                raise MalformedCurieError(f"CURIE with no prefix ({curie}) found")
+            return self.resolve_iri(curie)
+        prefix, local = curie[:delim], curie[delim + 1:]
+        if prefix == "_":
+            raise MalformedCurieError(f"CURIE with invalid prefix ({curie}) found")
+        if prefix not in ctx.iri_mappings:
+            if self.version > VERSION_10 and prefix in RDFA11_INITIAL_CONTEXT:
+                ns = RDFA11_INITIAL_CONTEXT[prefix]
+                ctx.iri_mappings[prefix] = ns
+                result = ns + local
+                if is_iri(result):
+                    return result
+                raise MalformedCurieError(f"Malformed CURIE ({curie})")
+            if not safe and is_iri(curie):
+                return curie
+            raise MalformedCurieError(f"CURIE with unresolvable prefix found ({curie})")
+        result = ctx.iri_mappings[prefix] + local
+        if is_iri(result):
+            return result
+        raise MalformedIriError(f"Malformed IRI: {curie}")
+
+    def resolve_term_or_curie_or_abs_iri(self, ctx: _Ctx, value: str) -> str:
+        """(EvalContext.resolveTermOrCurieOrAbsIri:265-283)"""
+        if _TERM_RE.match(value):
+            if ctx.vocab is None and self.version > VERSION_10 and value == "describedby":
+                return POWDER_DESCRIBED_BY
+            if ctx.vocab is not None:
+                term = ctx.vocab + value
+                if is_absolute_iri(term) or is_iri(term):
+                    return term
+                term = None
+            else:
+                canonical = XHTML_VOCAB_PROPS.get(value.lower())
+                term = XHTML_VOCAB + canonical if canonical else None
+            if term is None:
+                self.warnings.append(f"Can't resolve term {value}")
+                raise MalformedIriError(f"Can't resolve term {value}")
+            return term
+        return self.resolve_curie_or_iri(ctx, value, True)
+
+    def resolve_pred_or_datatype(self, ctx: _Ctx, value) -> str:
+        if value is None or value == "":
+            raise MalformedIriException_empty()
+        if value is AUTODETECT_DATE:
+            return AUTODETECT_DATE
+        return self.resolve_term_or_curie_or_abs_iri(ctx, value)
+
+    def resolve_about_or_resource(self, ctx: _Ctx, value: str) -> str:
+        result = self.resolve_bnode(value)
+        if result is not None:
+            return result
+        return self.resolve_curie_or_iri(ctx, value, False)
+
+    def resolve_role(self, ctx: _Ctx, value: str) -> str:
+        if _TERM_RE.match(value):
+            return XHTML_VOCAB + value
+        return self.resolve_curie_or_iri(ctx, value, True)
+
+    # ------------------------------------------------------------ sink (pattern/copy proxy)
+
+    def add_non_literal(self, subj, pred, obj):
+        """(RdfaParser.addNonLiteral:1169-1195, pattern-copy machinery)"""
+        if obj == RDFA_PATTERN:
+            self.pattern_props.setdefault(subj, [])
+            return
+        if pred == RDFA_COPY:
+            if obj in self.pattern_props:
+                self._copy_props(subj, self.pattern_props[obj])
+            else:
+                self.copying_pairs.append((subj, obj))
+            return
+        if subj in self.pattern_props:
+            self.pattern_props[subj].append((None, pred, obj))
+            return
+        self.triples.append(non_literal(subj, pred, obj))
+
+    def add_plain_literal(self, subj, pred, content, lang):
+        if subj in self.pattern_props:
+            self.pattern_props[subj].append((PLAIN, pred, content, lang))
+            return
+        self.triples.append(plain_literal(subj, pred, content, lang))
+
+    def add_typed_literal(self, subj, pred, content, dtype):
+        if subj in self.pattern_props:
+            self.pattern_props[subj].append((dtype, pred, content))
+            return
+        self.triples.append(typed_literal(subj, pred, content, dtype))
+
+    def add_literal_triple(self, subj, pred, content, lang_or_dt):
+        """(addLiteralTriple:1160-1166): short or colon-free → language."""
+        if lang_or_dt is None or len(lang_or_dt) < 6 or ":" not in lang_or_dt:
+            self.add_plain_literal(subj, pred, content, lang_or_dt or None)
+        else:
+            self.add_typed_literal(subj, pred, content, lang_or_dt)
+
+    def _copy_props(self, subj, props):
+        for p in props:
+            if p[0] is None:
+                self.triples.append(non_literal(subj, p[1], p[2]))
+            elif p[0] == PLAIN:
+                self.triples.append(plain_literal(subj, p[1], p[2], p[3]))
+            else:
+                self.triples.append(typed_literal(subj, p[1], p[2], p[0]))
+
+    # ------------------------------------------------------------ doc-level detection
+
+    def detect_format(self, lname: str, qname: str, version_attr: str | None):
+        if self.format == FORMAT_UNKNOWN:
+            if lname == "svg":
+                self.format = FORMAT_SVG
+            elif lname.lower() == "html":
+                self.format = FORMAT_HTML4
+            else:
+                self.format = FORMAT_XML
+        if qname.lower() == "html" and version_attr and "rdfa 1.0" in version_attr.lower():
+            if not self._forced_version:
+                self.version = VERSION_10
+
+    def process_dtd(self, name: str, public_id: str | None):
+        if public_id is None:
+            if name.lower() == "html":
+                self.format = FORMAT_HTML5
+        else:
+            pl = public_id.lower()
+            if "html" in pl:
+                self.format = FORMAT_HTML4
+            if "rdfa 1.0" in pl and not self._forced_version:
+                self.version = VERSION_10
+
+    def detect_base(self, qname: str, xml_base: str | None, href: str | None):
+        use_xml_base = self.format in (FORMAT_XML, FORMAT_SVG) and xml_base is not None
+        if use_xml_base or (qname.lower() == "base" and href is not None):
+            old = self.base
+            self.base = re.sub(r"#.*", "", xml_base if use_xml_base else href)
+            if old != self.base:
+                for ctx in self.stack:
+                    if ctx.object == old:
+                        ctx.object = self.base
+                    if ctx.subject == old:
+                        ctx.subject = self.base
+
+    # ------------------------------------------------------------ element processing
+
+    def start(self, qname: str, attrs: dict[str, str]):
+        lname = qname.rpartition(":")[2]
+
+        if self.rdfxml_buf is not None:
+            self.rdfxml_depth += 1
+            a = "".join(f' {k}="{v}"' for k, v in attrs.items())
+            self.rdfxml_buf.append(f"<{qname}{a}>")
+            return
+        if self.format == FORMAT_SVG and lname == "metadata":
+            self.rdfxml_buf = []
+            self.rdfxml_depth = 0
+            return
+
+        if len(self.stack) < 4:
+            self.detect_format(lname, qname, attrs.get("version"))
+            self.detect_base(qname, attrs.get("xml:base"), attrs.get("href"))
+
+        parent = self.stack[-1]
+        if parent.parsing_literal and self.xml_string is not None:
+            a = "".join(f' {k}="{v}"' for k, v in attrs.items())
+            self.xml_string.append(f"<{qname}{a}>")
+
+        # xmlns / @prefix mappings (startPrefixMapping:1014-1028 + :252-262)
+        self.overwrite_mappings.clear()
+        for k, v in attrs.items():
+            if k == "xmlns":
+                if v.lower() == XHTML_NS:
+                    self.overwrite_mappings[""] = XHTML_VOCAB
+                else:
+                    self.overwrite_mappings[""] = self._safe_ns(v)
+            elif k.startswith("xmlns:"):
+                ns = self._safe_ns(v)
+                if ns is not None:
+                    self.overwrite_mappings[k[6:]] = ns
+        if self.version > VERSION_10 and attrs.get("prefix") is not None:
+            toks = _split(attrs["prefix"])
+            i = 0
+            while i + 1 < len(toks) or (i < len(toks) and toks[i].endswith(":")):
+                p = toks[i]
+                if len(p) >= 2 and p.endswith(":") and i + 1 < len(toks):
+                    self.overwrite_mappings[p[:-1]] = toks[i + 1]
+                    i += 2
+                else:
+                    i += 1
+
+        lang = attrs.get("xml:lang")
+        if lang is None:
+            lang = attrs.get("lang")
+
+        current = self._init_child_context(parent, attrs.get("vocab"), lang)
+
+        skip_terms = (
+            self.version > VERSION_10
+            and attrs.get("property") is not None
+            and self.format in (FORMAT_HTML4, FORMAT_HTML5)
+        )
+        rels = self._rel_rev_list(attrs.get("rel"), skip_terms)
+        revs = self._rel_rev_list(attrs.get("rev"), skip_terms)
+        no_rels_and_revs = rels is None and revs is None
+
+        skip_element = self._find_subject_and_object(
+            qname, attrs, no_rels_and_revs, current, parent
+        )
+
+        if self.version > VERSION_10 and current.subject is not None and (
+            current.subject != parent.object
+            or (parent.subject is not None and parent.subject != parent.object)
+        ):
+            current.list_mapping = {}
+
+        self._process_rels(attrs, rels, current)
+        self._process_revs(revs, current)
+
+        if current.object is None and not no_rels_and_revs:
+            current.object = self.create_bnode()
+
+        self._process_property_attr(qname, attrs, current, parent, no_rels_and_revs)
+
+        if self.version > VERSION_10:
+            self._process_role(attrs.get("id"), attrs.get("role"), current)
+
+        if not skip_element:
+            self._process_incomplete_triples(current, parent)
+
+        self._push_context(current, parent, skip_element)
+
+    def _safe_ns(self, uri: str) -> str | None:
+        try:
+            return resolve_iri(self.origin_uri, uri)
+        except MalformedIriError:
+            return None
+
+    def _init_child_context(self, parent: _Ctx, vocab_attr, lang) -> _Ctx:
+        """(EvalContext.initChildContext:139-172)"""
+        current = _Ctx(parent.lang, parent.vocab)
+        current.list_mapping = parent.list_mapping
+        if not self.overwrite_mappings:
+            current.iri_mappings = parent.iri_mappings
+        else:
+            current.iri_mappings = dict(parent.iri_mappings)
+            current.iri_mappings.update(self.overwrite_mappings)
+            if self.version > VERSION_10:
+                for prefix, new in self.overwrite_mappings.items():
+                    std = RDFA11_INITIAL_CONTEXT.get(prefix)
+                    if std is not None and std != new:
+                        self.warnings.append(
+                            f"Standard prefix {prefix}: redefined to <{new}>"
+                        )
+        if self.version > VERSION_10 and vocab_attr is not None:
+            if vocab_attr == "":
+                current.vocab = None
+            else:
+                current.vocab = vocab_attr
+                self.add_non_literal(self.base, RDFA_USES_VOCABULARY, vocab_attr)
+        if lang is not None:
+            current.lang = lang
+        if current.lang == "":
+            current.lang = None
+        return current
+
+    def _rel_rev_list(self, value, skip_terms) -> list[str] | None:
+        if value is None:
+            return None
+        result = [p for p in _split(value) if not (skip_terms and ":" not in p)]
+        if skip_terms and not result:
+            return None
+        return result
+
+    def _coalesce(self, qname, attrs, parent, current, *attr_names):
+        """(coalesce:472-503)"""
+        for attr in attr_names:
+            if attr in ("about", "resource", "href", "src", "data", "__typeof__") and attrs.get(attr) is not None:
+                if attr in ("about", "resource"):
+                    val = attrs[attr]
+                    if val == "[]":
+                        continue
+                    try:
+                        return self.resolve_about_or_resource(current, val)
+                    except MalformedCurieError as e:
+                        self.warnings.append(str(e))
+                        return None
+                if attr in ("href", "src", "data"):
+                    return self.resolve_iri(attrs[attr])
+            elif attr == "__typeof__" and attrs.get("typeof") is not None:
+                return self.create_bnode()
+            elif attr == "__parent_object__":
+                if parent.object is not None:
+                    return parent.object
+            else:
+                is_head_or_body = qname in ("head", "body")
+                is_root = len(self.stack) == 1 or (
+                    attrs.get("typeof") is not None and is_head_or_body
+                )
+                if is_head_or_body and attr == "__base_if_head_or_body__":
+                    return self.base
+                if is_root and attr == "__base_if_root__":
+                    return self.base
+        return None
+
+    def _find_subject_and_object(self, qname, attrs, no_rel_and_rev, current, parent):
+        """(findSubjectAndObject:374-453)"""
+        new_subject = None
+        try:
+            if self.version > VERSION_10:
+                if no_rel_and_rev:
+                    if (
+                        attrs.get("property") is not None
+                        and attrs.get("content") is None
+                        and attrs.get("value") is None
+                        and attrs.get("datatype") is None
+                    ):
+                        current.subject = self._coalesce(
+                            qname, attrs, parent, current,
+                            "about", "__base_if_root__", "__parent_object__",
+                        )
+                        if attrs.get("typeof") is not None:
+                            current.object = self._coalesce(
+                                qname, attrs, parent, current,
+                                "about", "__base_if_root__", "resource", "data",
+                                "href", "src", "__typeof__",
+                            )
+                            new_subject = current.object
+                    else:
+                        current.subject = self._coalesce(
+                            qname, attrs, parent, current,
+                            "about", "resource", "data", "href", "src",
+                            "__base_if_root__", "__typeof__", "__parent_object__",
+                        )
+                        if attrs.get("typeof") is not None:
+                            new_subject = current.subject
+                else:
+                    current.object = self._coalesce(
+                        qname, attrs, parent, current, "resource", "data", "href", "src"
+                    )
+                    current.subject = self._coalesce(
+                        qname, attrs, parent, current,
+                        "about", "__base_if_root__", "__parent_object__",
+                    )
+                    if attrs.get("typeof") is not None:
+                        if attrs.get("about") is not None:
+                            new_subject = current.subject
+                        else:
+                            if current.object is None:
+                                current.object = self.create_bnode()
+                            new_subject = current.object
+            else:
+                if no_rel_and_rev:
+                    current.subject = self._coalesce(
+                        qname, attrs, parent, current,
+                        "about", "src", "resource", "href",
+                        "__base_if_head_or_body__", "__typeof__", "__parent_object__",
+                    )
+                else:
+                    current.subject = self._coalesce(
+                        qname, attrs, parent, current,
+                        "about", "src", "__base_if_head_or_body__", "__typeof__",
+                        "__parent_object__",
+                    )
+                    current.object = self._coalesce(
+                        qname, attrs, parent, current, "resource", "href"
+                    )
+                if attrs.get("typeof") is not None:
+                    new_subject = current.subject
+        except MalformedIriError as e:
+            self.warnings.append(str(e))
+            self._push_context_no_literal(current, parent)
+
+        if new_subject is not None:
+            for t in _split(attrs.get("typeof")):
+                try:
+                    iri = self.resolve_pred_or_datatype(current, t)
+                    self.add_non_literal(new_subject, RDF_TYPE, iri)
+                except MalformedIriError:
+                    pass
+
+        return (
+            no_rel_and_rev
+            and attrs.get("property") is None
+            and (
+                (current.subject is None and parent.object is None)
+                or (current.subject is not None and current.subject == parent.object)
+            )
+        )
+
+    def _process_rels(self, attrs, rels, current):
+        if rels is None:
+            return
+        in_list = self.version > VERSION_10 and attrs.get("inlist") is not None
+        for predicate in rels:
+            try:
+                iri = self.resolve_pred_or_datatype(current, predicate)
+            except MalformedIriError:
+                continue
+            if in_list:
+                lst = current.list_mapping.setdefault(iri, [])
+                if current.object is not None:
+                    lst.append(("res", current.object))
+                else:
+                    current.incompl.append(("list", lst))
+            else:
+                if current.object is not None:
+                    self.add_non_literal(current.subject, iri, current.object)
+                else:
+                    current.incompl.append(("fwd", iri))
+
+    def _process_revs(self, revs, current):
+        if revs is None:
+            return
+        for predicate in revs:
+            try:
+                iri = self.resolve_pred_or_datatype(current, predicate)
+            except MalformedIriError:
+                continue
+            if current.object is not None:
+                self.add_non_literal(current.object, iri, current.subject)
+            else:
+                current.incompl.append(("rev", iri))
+
+    def _process_property_attr(self, qname, attrs, current, parent, no_rels_and_revs):
+        if attrs.get("property") is None:
+            current.parsing_literal = False
+            return
+        self._parse_literal_object(qname, attrs, current, parent, no_rels_and_revs)
+        current.parsing_literal = current.object_lit_dt == RDF_XML_LITERAL
+        if current.properties is None:
+            current.object_lit_dt = None
+            current.parsing_literal = False
+
+    def _parse_content(self, attrs):
+        content = attrs.get("content")
+        if content is None and self.format == FORMAT_HTML5:
+            if attrs.get("value") is not None:
+                content = attrs["value"]
+            if attrs.get("datetime") is not None:
+                content = attrs["datetime"]
+        return content
+
+    def _parse_datatype(self, qname, attrs, current):
+        datatype = attrs.get("datatype")
+        if self.format == FORMAT_HTML5:
+            if attrs.get("datetime") is not None:
+                if datatype is None:
+                    datatype = AUTODETECT_DATE
+            elif qname == "time" and datatype is None:
+                datatype = AUTODETECT_DATE
+        try:
+            if datatype is not None and datatype != "":
+                datatype = self.resolve_pred_or_datatype(current, datatype)
+        except MalformedIriError:
+            datatype = None
+        return datatype
+
+    def _parse_literal_object(self, qname, attrs, current, parent, no_rels_and_revs):
+        """(parseLiteralObject:600-656)"""
+        content = self._parse_content(attrs)
+        lang_or_dt = self._parse_datatype(qname, attrs, current)
+
+        if lang_or_dt is not None and lang_or_dt != RDF_XML_LITERAL:
+            if content is not None:
+                lang_or_dt = self._resolve_lang_or_dt(content, lang_or_dt, current)
+            else:
+                current.object_lit_dt = lang_or_dt
+                lang_or_dt = None
+        elif content is not None:
+            lang_or_dt = current.lang
+        elif lang_or_dt is None and self.version > VERSION_10:
+            if attrs.get("content") is None and attrs.get("value") is None and no_rels_and_revs:
+                try:
+                    lang_or_dt = self._coalesce(
+                        qname, attrs, parent, current, "resource", "data", "href", "src"
+                    )
+                except MalformedIriError as e:
+                    self.warnings.append(str(e))
+                    self._push_context_no_literal(current, parent)
+            if lang_or_dt is None:
+                if attrs.get("about") is None and attrs.get("typeof") is not None:
+                    lang_or_dt = current.object
+                    if current.object is None:
+                        current.object_lit_dt = PLAIN
+                else:
+                    current.object_lit_dt = PLAIN
+        else:
+            if lang_or_dt is None or (isinstance(lang_or_dt, str) and len(lang_or_dt) > 0):
+                current.object_lit_dt = RDF_XML_LITERAL
+            else:
+                current.object_lit_dt = PLAIN
+            lang_or_dt = None
+
+        in_list = attrs.get("inlist") is not None
+        self._process_property_predicate(attrs, content, lang_or_dt, current, in_list)
+
+    def _process_property_predicate(self, attrs, content, lang_or_uri, current, in_list):
+        """(processPropertyPredicate:712-749)"""
+        for pred in _split(attrs.get("property")):
+            try:
+                iri = self.resolve_pred_or_datatype(current, pred)
+            except MalformedIriError:
+                continue
+            if content is not None or lang_or_uri is not None:
+                if self.version > VERSION_10 and in_list:
+                    lst = current.list_mapping.setdefault(iri, [])
+                    if content is not None:
+                        lst.append(("lit", content, lang_or_uri))
+                    else:
+                        lst.append(("res", lang_or_uri))
+                else:
+                    if content is not None:
+                        self.add_literal_triple(current.subject, iri, content, lang_or_uri)
+                    else:
+                        self.add_non_literal(current.subject, iri, lang_or_uri)
+            elif current.properties is None:
+                current.properties = []
+                if self.version > VERSION_10 and in_list:
+                    current.properties.append("__inlist__")
+                current.properties.append(iri)
+            else:
+                current.properties.append(iri)
+
+    def _resolve_lang_or_dt(self, content, dt, current):
+        """(resolveLangOrDt:751-784) incl. HTML5 temporal autodetection."""
+        if dt is None:
+            return current.lang
+        if dt is AUTODETECT_DATE:
+            if _DURATION_RE.match(content):
+                return XSD_DURATION
+            if ":" in content:
+                if "T" in content:
+                    return XSD_DATE_TIME if _DATE_TIME_RE.match(content) else current.lang
+                return XSD_TIME if _TIME_RE.match(content) else current.lang
+            if _G_YEAR_RE.match(content):
+                return XSD_G_YEAR
+            if _G_YEAR_MONTH_RE.match(content):
+                return XSD_G_YEAR_MONTH
+            if _DATE_RE.match(content):
+                return XSD_DATE
+            return current.lang
+        if ":" not in dt:
+            return current.lang
+        return dt
+
+    def _process_role(self, id_attr, role_val, current):
+        if role_val is None:
+            return
+        if id_attr is not None:
+            subject = f"{self.base}#{id_attr}"
+        else:
+            subject = self.create_bnode()
+        for token in _split(role_val):
+            try:
+                role = self.resolve_role(current, token)
+                self.add_non_literal(subject, XHTML_VOCAB + "role", role)
+            except MalformedIriError:
+                pass
+
+    def _process_incomplete_triples(self, current, parent):
+        """(processIncompleteTriples:791-808)"""
+        if current.subject is None:
+            return
+        subject = parent.subject
+        for item in parent.incompl:
+            kind, payload = item
+            if kind == "rev":
+                self.add_non_literal(current.subject, payload, subject)
+            elif kind == "fwd":
+                self.add_non_literal(subject, payload, current.subject)
+            else:  # list
+                payload.append(("res", current.subject))
+
+    def _push_context(self, current, parent, skip_element):
+        """(pushContext:815-835)"""
+        if current.parsing_literal:
+            self.xml_string = []
+            self.xml_string_pred = current.properties
+            self.xml_string_subj = current.subject if current.subject is not None else parent.subject
+        if current.parsing_literal or skip_element:
+            current.subject = parent.subject
+            current.object = parent.object
+            current.incompl = parent.incompl
+            current.object_lit = None
+            current.object_lit_dt = parent.object_lit_dt
+            if current.object_lit_dt is not None:
+                current.object_lit = ""
+            current.properties = None
+            self.stack.append(current)
+        else:
+            self._push_context_no_literal(current, parent)
+
+    def _push_context_no_literal(self, current, parent):
+        if current.subject is None:
+            current.subject = parent.subject
+        if current.object is None:
+            current.object = current.subject
+        if current.object_lit_dt is not None or parent.object_lit_dt is not None:
+            current.object_lit = ""
+        self.stack.append(current)
+
+    # ------------------------------------------------------------ end element
+
+    def end(self, qname: str):
+        if self.rdfxml_buf is not None:
+            lname = qname.rpartition(":")[2]
+            if self.rdfxml_depth == 0 and lname == "metadata":
+                self._flush_rdfxml()
+                return
+            self.rdfxml_depth -= 1
+            self.rdfxml_buf.append(f"</{qname}>")
+            return
+
+        if len(self.stack) <= 1:
+            return
+        current = self.stack.pop()
+        self._process_xml_string(current, qname)
+
+        if self.xml_string is not None:
+            self.xml_string.append(f"</{qname}>")
+
+        parent = self.stack[-1]
+        self._process_content(current, parent)
+
+        if parent.list_mapping is not current.list_mapping:
+            self._process_list_mappings(current)
+
+    def _flush_rdfxml(self):
+        from . import rdfxml as rdfxml_kernel
+
+        body = "".join(self.rdfxml_buf)
+        self.rdfxml_buf = None
+        ts, errs = rdfxml_kernel.parse(body, base_uri=self.base, doc_key=self.doc_key + "md")
+        self.triples.extend(ts)
+        self.errors.extend(errs)
+
+    def _process_xml_string(self, current, qname):
+        """(processXmlString:896-910)"""
+        if current.parsing_literal and self.xml_string is not None:
+            content = "".join(self.xml_string)
+            self.xml_string = None
+            if self.version == VERSION_10 and "<" not in content:
+                for pred in self.xml_string_pred:
+                    self.add_plain_literal(self.xml_string_subj, pred, content, current.lang)
+            else:
+                for pred in self.xml_string_pred:
+                    self.add_typed_literal(self.xml_string_subj, pred, content, RDF_XML_LITERAL)
+
+    def _process_content(self, current, parent):
+        """(processContent:917-947)"""
+        content = current.object_lit
+        if content is None:
+            return
+        if not parent.parsing_literal and parent.object_lit is not None:
+            parent.object_lit += content
+        if current.properties is None:
+            return
+        dt = current.object_lit_dt
+        props = current.properties
+        in_list = props and props[0] == "__inlist__"
+        if in_list:
+            lang_or_dt = self._resolve_lang_or_dt(content, dt if dt != PLAIN else None, current)
+            for pred_iri in props[1:]:
+                lst = current.list_mapping.setdefault(pred_iri, [])
+                lst.append(("lit", content, lang_or_dt))
+        else:
+            for pred_iri in props:
+                resolved = self._resolve_lang_or_dt(content, dt if dt != PLAIN else None, current)
+                self.add_literal_triple(current.subject, pred_iri, content, resolved)
+
+    def _process_list_mappings(self, current):
+        """(processListMappings:953-984)"""
+        for pred, items in current.list_mapping.items():
+            prev = None
+            start = None
+            for item in items:
+                child = self.create_bnode()
+                if item[0] == "lit":
+                    self.add_literal_triple(child, RDF_FIRST, item[1], item[2])
+                else:
+                    self.add_non_literal(child, RDF_FIRST, item[1])
+                if prev is None:
+                    start = child
+                else:
+                    self.add_non_literal(prev, RDF_REST, child)
+                prev = child
+            if start is None:
+                self.add_non_literal(current.subject, pred, RDF_NIL)
+            else:
+                self.add_non_literal(prev, RDF_REST, RDF_NIL)
+                self.add_non_literal(current.subject, pred, start)
+        current.list_mapping.clear()
+
+    # ------------------------------------------------------------ text + finish
+
+    def chars(self, content: str):
+        if self.rdfxml_buf is not None:
+            from .xmlutil import escape_attr
+
+            self.rdfxml_buf.append(
+                content.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            )
+            return
+        top = self.stack[-1]
+        if self.xml_string is not None:
+            self.xml_string.append(content)
+        if top.object_lit is not None:
+            top.object_lit += content
+
+    def finish(self):
+        """(endDocument:192-219): resolve rdfa:copy pairs, emit leftover
+        patterns as ordinary triples."""
+        for subj, pattern in self.copying_pairs:
+            if pattern in self.pattern_props:
+                self._copy_props(subj, self.pattern_props[pattern])
+        copied = {pattern for _s, pattern in self.copying_pairs}
+        for pattern, props in self.pattern_props.items():
+            if pattern in copied:
+                continue
+            self.triples.append(non_literal(pattern, RDF_TYPE, RDFA_PATTERN))
+            self._copy_props(pattern, props)
+
+
+def MalformedIriException_empty():
+    return MalformedIriError("Empty predicate or datatype found")
+
+
+# ---------------------------------------------------------------- front-ends
+
+
+class _SaxFrontend(xml.sax.ContentHandler):
+    def __init__(self, engine: _RdfaEngine):
+        super().__init__()
+        self.e = engine
+
+    def startElement(self, name, attrs):
+        adict = {}
+        for k in attrs.getNames():
+            key = k if k.startswith("xmlns") else k.lower()
+            adict[key] = attrs.getValue(k)
+        self.e.start(name, adict)
+
+    def endElement(self, name):
+        self.e.end(name)
+
+    def characters(self, content):
+        self.e.chars(content)
+
+    def ignorableWhitespace(self, whitespace):
+        self.e.chars(whitespace)
+
+
+class _SaxLexical:
+    def __init__(self, engine: _RdfaEngine):
+        self.e = engine
+
+    def startDTD(self, name, public_id, system_id):
+        self.e.process_dtd(name, public_id)
+
+    def endDTD(self):
+        pass
+
+    def comment(self, content):
+        pass
+
+    def startCDATA(self):
+        pass
+
+    def endCDATA(self):
+        pass
+
+    def startEntity(self, name):
+        pass
+
+    def endEntity(self, name):
+        pass
+
+
+_VOID_ELEMENTS = {
+    "area", "base", "br", "col", "command", "embed", "hr", "img", "input",
+    "keygen", "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+class _HtmlFrontend(HTMLParser):
+    """Lenient HTML4/HTML5 front-end (tag soup tolerated)."""
+
+    def __init__(self, engine: _RdfaEngine):
+        super().__init__(convert_charrefs=True)
+        self.e = engine
+        self.open_tags: list[str] = []
+
+    def handle_decl(self, decl):
+        m = re.match(r"DOCTYPE\s+(\S+)(.*)", decl, re.IGNORECASE | re.DOTALL)
+        if m:
+            name = m.group(1)
+            rest = m.group(2) or ""
+            pm = re.search(r'PUBLIC\s+"([^"]*)"', rest, re.IGNORECASE)
+            self.e.process_dtd(name, pm.group(1) if pm else None)
+
+    def handle_starttag(self, tag, attrs):
+        adict = {}
+        for k, v in attrs:
+            key = k if k.startswith("xmlns") else k.lower()
+            adict[key] = v if v is not None else ""
+        if tag in _VOID_ELEMENTS:
+            self.e.start(tag, adict)
+            self.e.end(tag)
+        else:
+            self.open_tags.append(tag)
+            self.e.start(tag, adict)
+
+    def handle_startendtag(self, tag, attrs):
+        adict = {k if k.startswith("xmlns") else k.lower(): (v or "") for k, v in attrs}
+        self.e.start(tag, adict)
+        self.e.end(tag)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_ELEMENTS:
+            return
+        # pop until matching tag to tolerate unclosed elements
+        if tag in self.open_tags:
+            while self.open_tags:
+                top = self.open_tags.pop()
+                self.e.end(top)
+                if top == tag:
+                    break
+
+    def handle_data(self, data):
+        self.e.chars(data)
+
+    def close(self):
+        super().close()
+        while self.open_tags:
+            self.e.end(self.open_tags.pop())
+
+
+_HTML_SNIFF = re.compile(r"\s*(<!DOCTYPE\s+html|<html)", re.IGNORECASE)
+_XML_DECL = re.compile(r"\s*<\?xml")
+
+
+def parse(
+    text: str,
+    *,
+    base_uri: str = "",
+    doc_key: str = "",
+    rdfa_version: int | None = None,
+    recover: bool = True,
+) -> tuple[list[Triple], list[str]]:
+    """Parse an (X)HTML/XML/SVG document with RDFa annotations.
+
+    Returns ``(triples, errors)``. Front-end choice: XML SAX for
+    well-formed XML; lenient HTML parsing otherwise (the reference relies
+    on a single SAX source, XmlSource.java:31-93, because its test corpus
+    is well-formed; real HTML is not, so the fallback widens coverage).
+    """
+    html_first = bool(_HTML_SNIFF.match(text)) and not _XML_DECL.match(text)
+
+    def run_sax():
+        engine = _RdfaEngine(base_uri, doc_key, rdfa_version)
+        parser = xml.sax.make_parser()
+        parser.setFeature(xml.sax.handler.feature_namespaces, False)
+        try:
+            parser.setFeature(xml.sax.handler.feature_external_ges, False)
+            parser.setFeature(xml.sax.handler.feature_external_pes, False)
+        except Exception:
+            pass
+        parser.setContentHandler(_SaxFrontend(engine))
+        try:
+            parser.setProperty(xml.sax.handler.property_lexical_handler, _SaxLexical(engine))
+        except Exception:
+            pass
+        import io
+
+        parser.parse(io.StringIO(text))
+        engine.finish()
+        return engine
+
+    def run_html():
+        engine = _RdfaEngine(base_uri, doc_key, rdfa_version)
+        fe = _HtmlFrontend(engine)
+        fe.feed(text)
+        fe.close()
+        engine.finish()
+        return engine
+
+    try:
+        engine = run_html() if html_first else run_sax()
+    except Exception as first_exc:
+        try:
+            engine = run_sax() if html_first else run_html()
+        except Exception as second_exc:
+            if not recover:
+                raise
+            return [], [f"RDFa parse error: {first_exc}; fallback: {second_exc}"]
+    return engine.triples, engine.errors + engine.warnings
