@@ -168,24 +168,27 @@ def _process_context(active: _Context, local: Any, st: _State) -> _Context:
 
 def _make_term_def(term: str, defn: Any, local: dict, ctx: _Context, st: _State) -> _TermDef:
     td = _TermDef()
+    seen = frozenset({term})  # a term definition never resolves through itself
     if defn is None:
         return td  # explicit null → term dropped (onNull, JsonLdContentHandler.java:326)
     if isinstance(defn, str):
-        td.iri = _expand_term_iri(defn, local, ctx, st)
+        td.iri = _expand_term_iri(defn, local, ctx, st, seen)
         return td
     if not isinstance(defn, dict):
         return td
     if "@reverse" in defn:
-        td.iri = _expand_term_iri(defn["@reverse"], local, ctx, st)
+        td.iri = _expand_term_iri(defn["@reverse"], local, ctx, st, seen)
         td.reverse = True
-    if "@id" in defn and defn["@id"] is not None:
-        td.iri = _expand_term_iri(defn["@id"], local, ctx, st)
+    if "@id" in defn:
+        if defn["@id"] is None:
+            return td  # explicit null @id → term maps to nothing (0072)
+        td.iri = _expand_term_iri(defn["@id"], local, ctx, st, seen)
     if td.iri is None and td.iri != "@type":
         # term name itself may be a compact IRI / vocab word
-        td.iri = _expand_term_iri(term, local, ctx, st)
+        td.iri = _expand_term_iri(term, local, ctx, st, seen)
     if "@type" in defn:
         t = defn["@type"]
-        td.type_mapping = t if (isinstance(t, str) and t.startswith("@")) else _expand_term_iri(t, local, ctx, st)
+        td.type_mapping = t if (isinstance(t, str) and t.startswith("@")) else _expand_term_iri(t, local, ctx, st, seen)
     if "@language" in defn:
         td.language = defn["@language"]
         td.has_language = True
@@ -204,11 +207,10 @@ def _expand_term_iri(value: str | None, local: dict | None, ctx: _Context, st: _
         return None
     if value.startswith("@"):
         return value if value in KEYWORDS else None
-    if value in _seen:
-        return None
-    td = ctx.terms.get(value)
-    if td is not None:
-        return td.iri
+    if value not in _seen:
+        td = ctx.terms.get(value)
+        if td is not None:
+            return td.iri
     if local is not None and value in local and value not in _seen:
         inner = local[value]
         ref = inner if isinstance(inner, str) else (
@@ -217,16 +219,17 @@ def _expand_term_iri(value: str | None, local: dict | None, ctx: _Context, st: _
         if isinstance(ref, str):
             return _expand_term_iri(ref, local, ctx, st, _seen | {value})
     if value.startswith("_:"):
-        return st.bnodes.rename(value)
+        return value  # raw label; renamed at use sites (cf. 0078 concat)
     if ":" in value:
         prefix, _, suffix = value.partition(":")
-        ptd = ctx.terms.get(prefix)
-        if ptd is not None and ptd.iri:
-            return ptd.iri + suffix
-        if local is not None and prefix in local and prefix not in _seen:
-            base = _expand_term_iri(prefix, local, ctx, st, _seen | {prefix})
-            if base:
-                return base + suffix
+        if not suffix.startswith("//"):  # '//'-suffixes are absolute IRIs (0107)
+            ptd = ctx.terms.get(prefix)
+            if ptd is not None and ptd.iri:
+                return ptd.iri + suffix
+            if local is not None and prefix in local and prefix not in _seen:
+                base = _expand_term_iri(prefix, local, ctx, st, _seen)
+                if base:
+                    return base + suffix
         if is_iri(value) or is_urn(value):
             return value
         return None
@@ -238,6 +241,12 @@ def _expand_term_iri(value: str | None, local: dict | None, ctx: _Context, st: _
 # ---------------------------------------------------------------- expansion
 
 
+def _rename_if_bnode(result: str | None, st: _State) -> str | None:
+    if result is not None and result.startswith("_:"):
+        return st.bnodes.rename(result)
+    return result
+
+
 def _expand_pred(key: str, ctx: _Context, st: _State) -> str | None:
     """Expand a node-object key into a predicate IRI, keyword, or None."""
     if key.startswith("@") and key in KEYWORDS:
@@ -246,14 +255,15 @@ def _expand_pred(key: str, ctx: _Context, st: _State) -> str | None:
     if td is not None:
         if td.iri is not None and td.iri.startswith("@"):
             return td.iri  # keyword alias (JsonLdContentHandler.java:168-178)
-        return td.iri
+        return _rename_if_bnode(td.iri, st)
     if key.startswith("_:"):
         return st.bnodes.rename(key)
     if ":" in key:
         prefix, _, suffix = key.partition(":")
-        ptd = ctx.terms.get(prefix)
-        if ptd is not None and ptd.iri:
-            return ptd.iri + suffix
+        if not suffix.startswith("//"):
+            ptd = ctx.terms.get(prefix)
+            if ptd is not None and ptd.iri:
+                return _rename_if_bnode(ptd.iri + suffix, st)
         if is_iri(key) or is_urn(key):
             return key
         return None
@@ -266,16 +276,16 @@ def _expand_node_ref(value: str, ctx: _Context, st: _State) -> str | None:
     """Expand an @id / node-reference string to an IRI or bnode label."""
     if value.startswith("_:"):
         return st.bnodes.rename(value)
-    td = ctx.terms.get(value)
-    if td is not None and td.iri and not td.iri.startswith("@"):
-        return td.iri
+    # bare words are never treated as terms in @id position
+    # (TERM_PATTERN "./"-forcing, JsonLdContentHandler.java:266-269 — 0088)
     if ":" in value:
         # CURIE prefix mappings take precedence over the opaque-IRI
         # interpretation (EvalContext.resolveCurieOrIri semantics)
         prefix, _, suffix = value.partition(":")
-        ptd = ctx.terms.get(prefix)
-        if ptd is not None and ptd.iri and not ptd.iri.startswith("@"):
-            return ptd.iri + suffix
+        if not suffix.startswith("//"):
+            ptd = ctx.terms.get(prefix)
+            if ptd is not None and ptd.iri and not ptd.iri.startswith("@"):
+                return _rename_if_bnode(ptd.iri + suffix, st)
     if is_iri(value) or is_urn(value):
         return value
     base = ctx.base or st.doc_base
@@ -295,18 +305,20 @@ def _expand_type(value: str, ctx: _Context, st: _State) -> str | None:
         return st.bnodes.rename(value)
     td = ctx.terms.get(value)
     if td is not None and td.iri and not td.iri.startswith("@"):
-        return td.iri
+        return _rename_if_bnode(td.iri, st)
     if ":" in value:
         prefix, _, suffix = value.partition(":")
-        ptd = ctx.terms.get(prefix)
-        if ptd is not None and ptd.iri:
-            return ptd.iri + suffix
+        if not suffix.startswith("//"):
+            ptd = ctx.terms.get(prefix)
+            if ptd is not None and ptd.iri:
+                return _rename_if_bnode(ptd.iri + suffix, st)
         if is_iri(value) or is_urn(value):
             return value
         return None
     if ctx.vocab:
         return ctx.vocab + value
-    return None
+    # vocab expansion for @type falls back to document-relative (0099/0100)
+    return _try_resolve(ctx.base or st.doc_base, value)
 
 
 def _try_resolve(base: str, ref: str) -> str | None:
@@ -316,25 +328,46 @@ def _try_resolve(base: str, ref: str) -> str | None:
         return None
 
 
-def _scalar_literal(value: Any, td: _TermDef | None, ctx: _Context):
+def _java_double_str(v: float) -> str:
+    """Java Double.toString-style lexical form — what the reference feeds
+    its sink for doubles (JsonLdContentHandler.onNumber:332-334)."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return _canon_double(v)
+    a = abs(v)
+    if 1e-3 <= a < 1e7 or v == 0:
+        s = repr(v)
+        return s if "." in s or "e" in s or "E" in s else s + ".0"
+    mantissa, exp = f"{v:1.16E}".split("E")
+    mantissa = mantissa.rstrip("0")
+    if mantissa.endswith("."):
+        mantissa += "0"
+    return f"{mantissa}E{int(exp)}"
+
+
+def _scalar_literal(value: Any, td: _TermDef | None, ctx: _Context, st: _State | None = None):
     """(content, lang, dtype) for a JSON scalar in object position."""
+    custom_dt = (
+        td.type_mapping
+        if td is not None and td.type_mapping and not td.type_mapping.startswith("@")
+        else None
+    )
+    if custom_dt is not None and custom_dt.startswith("_:") and st is not None:
+        custom_dt = st.bnodes.rename(custom_dt)
     if isinstance(value, bool):
-        return ("true" if value else "false", None, XSD_BOOLEAN)
+        return ("true" if value else "false", None, custom_dt or XSD_BOOLEAN)
     if isinstance(value, _Float):
         lex = value.lexical
         if re.fullmatch(r"-?\d+", lex):
-            return (lex, None, XSD_INTEGER)
-        if td is not None and td.type_mapping and not td.type_mapping.startswith("@"):
-            return (_canon_double(float(value)), None, td.type_mapping)
+            return (lex, None, custom_dt or XSD_INTEGER)
+        if custom_dt:
+            # coerced doubles keep the reference's Double.toString lexical
+            return (_java_double_str(float(value)), None, custom_dt)
         return (_canon_double(float(value)), None, XSD_DOUBLE)
     if isinstance(value, int):
-        dt = XSD_INTEGER
-        if td is not None and td.type_mapping and not td.type_mapping.startswith("@"):
-            dt = td.type_mapping
-        return (str(value), None, dt)
+        return (str(value), None, custom_dt or XSD_INTEGER)
     # string
-    if td is not None and td.type_mapping and not td.type_mapping.startswith("@"):
-        return (value, None, td.type_mapping)
+    if custom_dt is not None:
+        return (value, None, custom_dt)
     lang = None
     if td is not None and td.has_language:
         lang = td.language  # may be None (null override)
@@ -364,24 +397,28 @@ def _keyword_get(obj: dict, keyword: str, ctx: _Context):
 def _build_list(values: list, ctx: _Context, td: _TermDef | None, st: _State,
                 graph: str | None) -> str:
     """RDF collection construction: rdf:first/rest/nil chain
-    (JsonLdContentHandler.java:275-282, EvalContext.java:205-247)."""
-    if not values:
+    (JsonLdContentHandler.java:275-282, EvalContext.java:205-247).
+    Null entries (JSON null / null @value) contribute no cells."""
+    terms = []
+    for v in values:
+        term = _expand_value(v, ctx, td, st, graph)
+        if term is not None:
+            terms.append(term)
+    if not terms:
         return RDF_NIL
     head = st.bnodes.fresh()
     node = head
-    for i, v in enumerate(values):
-        term = _expand_value(v, ctx, td, st, graph)
-        if term is not None:
-            kind, *rest = term
-            if kind == "node":
-                st.triples.append(non_literal(node, RDF_FIRST, rest[0], graph))
+    for i, term in enumerate(terms):
+        kind, *rest = term
+        if kind == "node":
+            st.triples.append(non_literal(node, RDF_FIRST, rest[0], graph))
+        elif kind == "literal":
+            content, lang, dtype = rest
+            if dtype:
+                st.triples.append(typed_literal(node, RDF_FIRST, content, dtype, graph))
             else:
-                content, lang, dtype = rest
-                if dtype:
-                    st.triples.append(typed_literal(node, RDF_FIRST, content, dtype, graph))
-                else:
-                    st.triples.append(plain_literal(node, RDF_FIRST, content, lang, graph))
-        nxt = st.bnodes.fresh() if i < len(values) - 1 else RDF_NIL
+                st.triples.append(plain_literal(node, RDF_FIRST, content, lang, graph))
+        nxt = st.bnodes.fresh() if i < len(terms) - 1 else RDF_NIL
         st.triples.append(non_literal(node, RDF_REST, nxt, graph))
         node = nxt
     return head
@@ -397,6 +434,12 @@ def _expand_value(value: Any, ctx: _Context, td: _TermDef | None, st: _State,
         return None
     if isinstance(value, (bool, int, float, str)):
         if isinstance(value, str) and td is not None:
+            if td.reverse and td.type_mapping is None:
+                # reverse-property values are node references (0089)
+                ref = _expand_node_ref(value, ctx, st)
+                if ref is not None:
+                    return ("node", ref)
+                return None
             if td.type_mapping == "@id":
                 ref = _expand_node_ref(value, ctx, st)
                 if ref is not None:
@@ -406,7 +449,7 @@ def _expand_value(value: Any, ctx: _Context, td: _TermDef | None, st: _State,
                 ref = _expand_type(value, ctx, st) or _expand_node_ref(value, ctx, st)
                 if ref is not None:
                     return ("node", ref)
-        content, lang, dtype = _scalar_literal(value, td, ctx)
+        content, lang, dtype = _scalar_literal(value, td, ctx, st)
         return ("literal", content, lang, dtype)
     if isinstance(value, dict):
         local_ctx = _keyword_get(value, "@context", ctx)
@@ -472,11 +515,11 @@ def _walk_value(doc: Any, ctx: _Context, graph: str | None, st: _State) -> None:
         for item in doc:
             _walk_value(item, ctx, graph, st)
     elif isinstance(doc, dict):
-        _walk_node(doc, ctx, graph, st)
+        _walk_node(doc, ctx, graph, st, is_top=True)
 
 
 def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
-               pre_ctx: bool = False) -> str | None:
+               pre_ctx: bool = False, is_top: bool = False) -> str | None:
     """Process a node object; emit its triples; return its id."""
     if not pre_ctx:
         local_ctx = None
@@ -517,9 +560,14 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
                         has_props = True
             continue
         if pred == "@graph":
-            # named graph when this node has an @id / is nested
-            # (JsonLdContentHandler.java:53-60)
-            inner_graph = node_id if (graph is not None or _has_non_graph_props(obj, ctx)) else graph
+            # @graph names a graph after this node unless it is the
+            # top-level wrapper with no other properties
+            # (onObjectStart: contextStack.size() > 1 ||
+            # hasNonGraphContextProps, JsonLdContentHandler.java:53-60)
+            if is_top and not _has_non_graph_props(obj, ctx):
+                inner_graph = graph
+            else:
+                inner_graph = node_id
             _walk_graph_value(value, ctx, inner_graph, st)
             continue
         if pred == "@reverse":
@@ -529,11 +577,16 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
                     if rpred is None or rpred.startswith("@"):
                         continue
                     rtd = ctx.terms.get(rkey)
+                    double_reversed = rtd is not None and rtd.reverse
                     rvalues = rval if isinstance(rval, list) else [rval]
                     for rv in rvalues:
                         term = _expand_value(rv, ctx, rtd, st, graph)
                         if term is not None and term[0] == "node":
-                            st.triples.append(non_literal(term[1], rpred, node_id, graph))
+                            if double_reversed:
+                                # @reverse of a @reverse term → forward (0083)
+                                st.triples.append(non_literal(node_id, rpred, term[1], graph))
+                            else:
+                                st.triples.append(non_literal(term[1], rpred, node_id, graph))
                             has_props = True
             continue
         if pred.startswith("@"):
@@ -559,8 +612,13 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
                     else:
                         _attach(node_id, pred, term, graph, st, reverse)
             continue
-        if td is not None and td.container == "@list" and isinstance(value, list):
-            head = _build_list(value, ctx, td, st, graph)
+        if td is not None and td.container == "@list" and not (
+            isinstance(value, dict)
+        ):
+            # scalar values under a @list container wrap into a
+            # single-item list (JsonLdContentHandler.java:226-231,342-346)
+            items = value if isinstance(value, list) else [value]
+            head = _build_list(items, ctx, td, st, graph)
             st.triples.append(non_literal(node_id, pred, head, graph))
             continue
 

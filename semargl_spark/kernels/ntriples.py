@@ -96,7 +96,10 @@ def _scan(
         s_val, s_kind = terms[0][0], terms[0][1]
         p_kind = terms[1][1]
         o_val, o_kind, o_lang, o_dtype = terms[2]
-        if s_kind == "literal" or p_kind != "iri":
+        # the reference assigns S/P positionally without kind checks
+        # (onNonLiteral, NTriplesParser.java:243-255) — bnode predicates
+        # pass through; only literals are rejected in S/P position
+        if s_kind == "literal" or p_kind == "literal":
             return False
         graph = None
         if len(terms) == 4:

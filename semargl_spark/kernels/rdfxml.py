@@ -109,6 +109,7 @@ class _Handler(ContentHandler):
         self.reify: str | None = None
         self.capture_literal = False
         self.parse_depth = 0
+        self.root_seen = False
         self.buf: list[str] = []
         # pending property-attribute triples: (prop_res, attr_iri, value)
         self.pending: list[tuple[str | None, str, str]] = []
@@ -201,6 +202,9 @@ class _Handler(ContentHandler):
                 count += 1
         node_id = attrs.get((RDF_NS, "nodeID"))
         if node_id is not None:
+            if not is_valid_ncname(node_id):
+                self._error("Invalid nodeID")
+                return None
             result = self.bnodes.rename("_:" + node_id)
             count += 1
         if count == 0:
@@ -258,7 +262,16 @@ class _Handler(ContentHandler):
                     (attrs.getQNameByName(k) or self._qname(k[0], k[1]), attrs.getValue(k))
                     for k in attrs.getNames()
                 ]
-                self.buf.append(serialize_open_tag(qname, self.ns_mappings, attr_list))
+                mappings = dict(self.ns_mappings)
+                el_prefix = qname.partition(":")[0] if ":" in qname else ""
+                if ns_uri:
+                    mappings[el_prefix] = ns_uri
+                used = {el_prefix}
+                for aq, _v in attr_list:
+                    if ":" in aq and not aq.startswith("xmlns"):
+                        used.add(aq.partition(":")[0])
+                emit = {k: v for k, v in mappings.items() if k in used}
+                self.buf.append(serialize_open_tag(qname, emit, attr_list))
                 self.ns_mappings.clear()
                 return
 
@@ -268,7 +281,13 @@ class _Handler(ContentHandler):
         self._process_lang_and_base(attrs)
 
         iri = ns_uri + lname
-        if (self.subj is None and not ns_uri) or iri == RDF_RDF:
+        if iri == RDF_RDF:
+            if not self.root_seen and self.subj is None and not self.subj_stack:
+                self.root_seen = True
+                return  # document root
+            self._error(f"{qname} is not allowed here")
+            return
+        if self.subj is None and not ns_uri:
             return
         if not iri or iri in _FORBIDDEN_NODE_IRIS:
             self._error(f"{qname} is not allowed here")

@@ -8,12 +8,26 @@ import re
 
 XML_NS = "http://www.w3.org/XML/1998/namespace"
 
-# NCName per XML 1.0 (letter/underscore start; no colon)
-_NCNAME_RE = re.compile(r"[A-Za-z_À-￿][\w.\-·À-￿]*\Z")
+# NCName per XML 1.0 + Namespaces: start = letter | '_' (no digits, no
+# combining marks); rest adds digits, '.', '-', '·', combining marks
+_NCNAME_START_CATS = {"Ll", "Lu", "Lo", "Lt", "Nl"}
+_NCNAME_REST_CATS = _NCNAME_START_CATS | {"Mc", "Mn", "Nd", "Pc", "Cf"}
 
 
 def is_valid_ncname(value: str) -> bool:
-    return bool(value) and bool(_NCNAME_RE.match(value))
+    if not value:
+        return False
+    import unicodedata
+
+    first = value[0]
+    if first != "_" and unicodedata.category(first) not in _NCNAME_START_CATS:
+        return False
+    for ch in value[1:]:
+        if ch in "._-·":
+            continue
+        if unicodedata.category(ch) not in _NCNAME_REST_CATS:
+            return False
+    return True
 
 
 def escape_attr(value: str) -> str:

@@ -1,0 +1,193 @@
+"""Document deduplication operators for training-data pipelines.
+
+Beyond the reference's set-semantics triple dedup (SesameTestHelper
+model comparison), a 100 TB corpus pipeline needs document-level dedup:
+
+* exact        — hash-groupBy on a normalized body hash (one shuffle,
+                 map-side partial agg);
+* minhash LSH  — shingle → k minhashes → band buckets → candidate pairs
+                 only within buckets (never all-pairs);
+* simhash      — 64-bit fingerprint, near-dups share band keys;
+* n-gram Jaccard — verification kernel for candidate pairs.
+
+All hashing uses Spark's built-in xxhash64/hash/md5 so each stage is
+JVM-side whole-stage codegen; the only shuffles are the bucket
+groupBys, keyed on short hash values (uniform, skew-free by
+construction). Candidate-pair verification joins documents back by id —
+at scale that join is a shuffle join on doc_id, with AQE handling any
+residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic odd multipliers for minhash permutations (any fixed seeds)
+_MINHASH_SEEDS = [0x9E3779B1 + 2 * i + 1 for i in range(64)]
+
+
+def normalized_text(col="text"):
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Keep the minimum id per identical normalized body.
+
+    Returns (doc_id, keep_id, is_duplicate)."""
+    h = docs.select(
+        F.col(id_col),
+        F.xxhash64(normalized_text(text_col)).alias("body_hash"),
+    )
+    keepers = h.groupBy("body_hash").agg(F.min(id_col).alias("keep_id"))
+    return (
+        h.join(keepers, "body_hash")
+        .select(
+            id_col,
+            "keep_id",
+            (F.col(id_col) != F.col("keep_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, id_col="doc_id", text_col="text", k: int = 3) -> DataFrame:
+    """Word k-shingles as an array column (JVM-side: split + transform)."""
+    words = F.split(normalized_text(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return docs.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col="doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """k minhash values per doc: min over xxhash64(shingle, seed)."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, seed=seed: F.xxhash64(s, F.lit(seed)),
+                )
+            )
+            for seed in _MINHASH_SEEDS[:num_hashes]
+        ]
+    )
+    return sh.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Docs sharing any band of minhashes land in one bucket; pairs are
+    produced per bucket via a self-join on the band key — the shuffle is
+    keyed by (band, band_hash), uniform by construction.
+    Returns (doc_a, doc_b) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        shingles(docs, id_col, text_col), id_col, num_hashes
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        "band", "band_hash", F.col(id_col).alias("doc_a")
+    )
+    right = banded.select(
+        "band", "band_hash", F.col(id_col).alias("doc_b")
+    )
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    Returns (doc_a, doc_b, jaccard)."""
+    sh = shingles(docs, id_col, text_col, k)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        (inter / F.when(union == 0, F.lit(1)).otherwise(union)).alias("jaccard"),
+    )
+
+
+def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """64-bit SimHash over word tokens.
+
+    Each token votes ±1 on each bit of its xxhash64; the fingerprint
+    takes the sign. Near-duplicates differ in few bits. Pure JVM
+    (transform/aggregate over the token array; no UDF).
+    Returns (doc_id, simhash)."""
+    words = F.split(normalized_text(text_col), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def _vote(bit: int):
+        # signed 64-bit mask (bit 63 wraps negative)
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+
+        def fold(acc, h):
+            return acc + F.when(
+                h.bitwiseAND(F.lit(mask)) != 0, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), fold)
+
+    fingerprint = None
+    for bit in range(64):
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        term = F.when(_vote(bit) > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return docs.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def near_dedup_minhash(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify → pairs
+    over threshold. Returns (doc_a, doc_b, jaccard)."""
+    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands)
+    verified = ngram_jaccard_pairs(docs, cands, id_col, text_col)
+    return verified.filter(F.col("jaccard") >= threshold)

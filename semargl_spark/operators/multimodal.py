@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode step is STUBBED (the container ships no image/audio codecs) —
+``DecodeUnavailable`` is raised by the real path and a deterministic
+fake decoder stands in for tests — but the Spark-side machinery is real
+and exercised: schemas, Arrow-batched ``mapInPandas`` over binary
+columns, batch shapes, partitioning.
+
+Design for 100 TB of media:
+* binary payloads stay opaque to Catalyst (no JVM copies beyond the
+  scan); metadata columns (mime, width, height, duration) are normal
+  pruned/pushed-down columns;
+* decode/feature-extract runs per Arrow batch in ``mapInPandas`` —
+  batches bound peak memory (spark.sql.execution.arrow.maxRecordsPerBatch
+  should be lowered for large payloads);
+* frame sampling emits 1→N rows (video → frames) exactly like the
+  parser flatMap, keeping the stage narrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real decode path: codecs are not installed in this
+    environment. Wire an actual decoder (PIL/ffmpeg) here on a cluster
+    image that ships them."""
+
+
+def real_decode(payload: bytes, mime: str):
+    raise DecodeUnavailable(
+        f"no codec for {mime}: install PIL/ffmpeg in the cluster image"
+    )
+
+
+def fake_decode(payload: bytes, mime: str, dim: int = 8) -> list[float]:
+    """Deterministic stand-in decoder: sha256 of the payload folded into
+    a unit-scaled float vector. Same contract as a real embedding."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def synth_media(spark, sf_dir: str, turns_per_doc: int = 1) -> DataFrame:
+    """Deterministic synthetic media table derived from documents: the
+    payload is the utf-8 text (an opaque stand-in blob)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id").cast("int") % 3 == 0, "image/png")
+        .when(F.col("doc_id").cast("int") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        (F.col("doc_id").cast("int") % 10 * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def extract_features(
+    media: DataFrame, frames_per_video: int = 3, dim: int = 8, use_fake: bool = True
+) -> DataFrame:
+    """Decode/feature-extract per Arrow batch; videos fan out to
+    ``frames_per_video`` rows (frame sampling), others to one row."""
+    src = media.select("media_id", "mime", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = fake_decode if use_fake else real_decode
+        for pdf in batches:
+            out = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                blob = bytes(payload) if payload is not None else b""
+                n_frames = frames_per_video if mime.startswith("video/") else 1
+                for i in range(n_frames):
+                    vec = decode(blob + i.to_bytes(2, "big"), mime)
+                    out.append((mid, i, [float(x) for x in vec[:dim]]))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "feature"])
+
+    return src.mapInPandas(run, schema=FEATURES_SCHEMA)

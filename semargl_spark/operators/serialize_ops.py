@@ -1,0 +1,75 @@
+r"""JVM-side NTriples/NQuads rendering (reference: NTriplesSerializer /
+NQuadsSerializer, rdf/.../NTriplesSerializer.java:29-227).
+
+The common path — ASCII content — renders entirely with Catalyst string
+expressions (chained replace + concat → whole-stage codegen), the
+analogue of the reference's tight char loop. Non-ASCII ``\uXXXX``
+escaping needs per-char logic; documents containing such characters can
+be routed through the Python kernel (kernels/serialize.py) — the
+predicate :func:`needs_python_path` selects them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _escape_literal(col: Column) -> Column:
+    # order matters: backslash first (NTriplesSerializer.java:148-195)
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    out = F.replace(out, F.lit("\b"), F.lit("\\b"))
+    out = F.replace(out, F.lit("\f"), F.lit("\\f"))
+    return out
+
+
+def _term(value: Column, kind: Column, lang: Column, dtype: Column) -> Column:
+    literal = F.concat(F.lit('"'), _escape_literal(value), F.lit('"'))
+    literal = (
+        F.when(lang.isNotNull(), F.concat(literal, F.lit("@"), lang))
+        .when(dtype.isNotNull(), F.concat(literal, F.lit("^^<"), dtype, F.lit(">")))
+        .otherwise(literal)
+    )
+    return (
+        F.when(kind == "literal", literal)
+        .when(kind == "bnode", value)
+        .otherwise(F.concat(F.lit("<"), value, F.lit(">")))
+    )
+
+
+def render_ntriples(statements: DataFrame, quads: bool = False) -> DataFrame:
+    """statements → one ``line`` column of NTriples/NQuads text."""
+    df = statements.filter(F.col("obj_kind") != "error")
+    subj = F.when(
+        F.col("subj").startswith("_:"), F.col("subj")
+    ).otherwise(F.concat(F.lit("<"), F.col("subj"), F.lit(">")))
+    pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
+    obj = _term(F.col("obj"), F.col("obj_kind"), F.col("lang"), F.col("dtype"))
+    if quads:
+        graph = F.when(
+            F.col("graph").isNull(), F.lit("")
+        ).otherwise(
+            F.concat(
+                F.lit(" "),
+                F.when(F.col("graph").startswith("_:"), F.col("graph")).otherwise(
+                    F.concat(F.lit("<"), F.col("graph"), F.lit(">"))
+                ),
+            )
+        )
+        line = F.concat(subj, F.lit(" "), pred, F.lit(" "), obj, graph, F.lit(" ."))
+    else:
+        line = F.concat(subj, F.lit(" "), pred, F.lit(" "), obj, F.lit(" ."))
+    return df.select(line.alias("line"))
+
+
+def needs_python_path(statements: DataFrame) -> DataFrame:
+    """Rows whose content needs per-char \\uXXXX escaping (non-ASCII)."""
+    non_ascii = r"[^\x00-\x7F]"
+    return statements.filter(
+        F.regexp_like(F.col("obj"), F.lit(non_ascii))
+        | F.regexp_like(F.col("subj"), F.lit(non_ascii))
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — correctness baseline: a crossJoin pruned to
+  a query subset, dot products via ``F.zip_with`` + ``F.aggregate``
+  (JVM-side, no Python);
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures bucket
+  vectors so the candidate join is an equi-join on the bucket key, not a
+  cross join. At 100 TB the crossJoin is impossible; the bucketed
+  variant shuffles each side once on a short key.
+
+Hyperplanes are generated deterministically (seeded) on the driver and
+inlined as literals — tiny, no broadcast needed.
+
+An embedding-cosine near-duplicate detector reuses the same kernels.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
+    a, b = F.col(a_col), F.col(b_col)
+    denom = _norm(a) * _norm(b)
+    return df.withColumn(
+        out, F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (baseline; quadratic).
+
+    Returns (query_id, neighbor_id, cosine) with the query itself
+    excluded, k rows per query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = with_cosine(pairs, "qvec", "nvec").select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    # top-k per query without a global sort: aggregate a bounded sorted
+    # array per key (single shuffle, map-side partial)
+    topk = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("cosine", "neighbor_id")),
+                    asc=False,
+                ),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select("query_id", F.explode("nn").alias("nn"))
+        .select(
+            "query_id",
+            F.col("nn.neighbor_id").alias("neighbor_id"),
+            F.round(F.col("nn.cosine"), 6).alias("cosine"),
+        )
+    )
+    return topk
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane signature as an int bucket column."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), lit_plane) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        sig = sig.bitwiseOR(bit)
+    return df.withColumn("bucket", sig)
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket (equi-join)."""
+    emb_b = lsh_bucket(embeddings, vec_col, dim, n_planes).select(
+        "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    q_b = lsh_bucket(queries, vec_col, dim, n_planes).select(
+        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = q_b.join(emb_b, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = with_cosine(pairs, "qvec", "nvec").select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("cosine", "neighbor_id")), asc=False
+                ),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select("query_id", F.explode("nn").alias("nn"))
+        .select(
+            "query_id",
+            F.col("nn.neighbor_id").alias("neighbor_id"),
+            F.round(F.col("nn.cosine"), 6).alias("cosine"),
+        )
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets."""
+    b = lsh_bucket(embeddings, vec_col, dim, n_planes)
+    left = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs, "va", "vb")
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )

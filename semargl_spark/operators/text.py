@@ -1,0 +1,125 @@
+"""Text analysis operators for training-data curation.
+
+All pure JVM expressions (split/regexp/aggregate) — whole-stage codegen,
+shuffle-free projections over the documents table:
+
+* language-ID: stopword-hit heuristic over a small per-language lexicon
+  (inlined literal arrays; a production system would broadcast n-gram
+  models — the plumbing is identical);
+* quality score: length / punctuation / stopword / repetition ratios;
+* token counting: whitespace tokens + a BPE-ish subword estimate
+  (chars/4 heuristic blended with punctuation splits);
+* document fingerprint: polynomial rolling hash over word tokens
+  (order-sensitive, unlike the dedup shingle hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+}
+
+
+def _tokens(text_col="text"):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_count(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, n_subwords_est)."""
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars"),
+        F.ceil(n_chars / 4).cast("int").alias("n_subwords_est"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Stopword-vote language id → (doc_id, lang_pred, lang_score)."""
+    toks = _tokens(text_col)
+    hits = {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+            )
+        )
+        for lang, words in _STOPWORDS.items()
+    }
+    langs = list(hits)
+    scores = F.array(*[hits[lang] for lang in langs])
+    best_idx = F.array_position(scores, F.array_max(scores)) - 1
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    total = F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+    return docs.select(
+        F.col(id_col),
+        F.when(F.array_max(scores) == 0, F.lit("und"))
+        .otherwise(F.element_at(lang_arr, best_idx.cast("int") + 1))
+        .alias("lang_pred"),
+        F.round(F.array_max(scores) / total, 6).alias("lang_score"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Heuristic quality features + a blended [0,1] score.
+
+    (doc_id, len_score, punct_ratio, stopword_ratio, repetition_ratio,
+    quality)."""
+    text = F.col(text_col)
+    toks = _tokens(text_col)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(text), F.lit(1))
+
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    punct_ratio = n_punct / n_chars
+
+    all_stop = F.array(
+        *[F.lit(w) for ws in _STOPWORDS.values() for w in ws]
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(all_stop, t))
+    )
+    stopword_ratio = stop_hits / n_tokens
+
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    repetition_ratio = 1 - distinct_ratio
+
+    len_score = F.least(F.size(toks) / F.lit(64.0), F.lit(1.0))
+
+    quality = F.round(
+        (
+            len_score * 0.4
+            + F.least(stopword_ratio * 4, F.lit(1.0)) * 0.3
+            + distinct_ratio * 0.3
+        ),
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(repetition_ratio, 6).alias("repetition_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over word tokens:
+    h = Σ hash(tok_i)·31^(n-1-i) mod (2^31−1), kept in-range per step so
+    ANSI-mode long arithmetic never overflows."""
+    toks = _tokens(text_col)
+    m = F.lit((1 << 31) - 1).cast("long")
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), m), m),
+    )
+    return docs.select(F.col(id_col), rolled.alias("fingerprint"))

@@ -240,7 +240,12 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _shipped(fn) for name, fn in _registry().items()}
+    from . import queries_pipeline
+
+    merged = dict(_registry())
+    merged.update(queries_pipeline.registry())
+    ORACLES.update(queries_pipeline.ORACLES)
+    return {name: _shipped(fn) for name, fn in merged.items()}
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -258,4 +263,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracles() -> dict[str, str]:
-    return dict(ORACLES)
+    from . import queries_pipeline
+
+    merged = dict(ORACLES)
+    merged.update(queries_pipeline.ORACLES)
+    return merged

@@ -1,0 +1,375 @@
+r"""Pipeline + training-data query registry (linking, canonicalization,
+graph materialization, dedup, similarity, text analysis, multimodal) —
+each with a DuckDB oracle where the semantics are SQL-expressible.
+
+Split from queries.py (extraction) for readability; merged by
+queries.registry().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, materialize, similarity, text
+from .operators.canon import connected_components
+from .operators.extract import extract_statements, triples
+from .operators.link import link_entities
+from .operators.serialize_ops import render_ntriples
+from .sources.transcripts import synth_transcripts, entity_dictionary
+
+_SEED = (
+    "WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix "
+    "FROM documents CROSS JOIN (SELECT unnest(generate_series(0,3)) AS tix)) "
+)
+
+ORACLES: dict[str, str] = {}
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- KG stages
+
+
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    return link_entities(st, entity_dictionary(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "mention_node", "canonical_iri",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+ORACLES["entity_link"] = _SEED + """
+SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS mention_node,
+       'urn:e:'||did AS canonical_iri, 1.0 AS score
+FROM t WHERE did % 10 <> 0
+"""
+
+
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over knows-edges, chains broken every 16 ids
+    so components have bounded diameter (the oracle computes the block
+    structure in closed form)."""
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    knows = st.filter(F.col("pred") == "urn:p:knows")
+    src_id = F.regexp_extract("subj", r"urn:e:(\d+)", 1).cast("long")
+    edges = (
+        knows.filter(src_id % 16 != 15)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    return connected_components(edges)
+
+
+ORACLES["canonicalize"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+edges AS (SELECT did AS s, did+1 AS d FROM ids WHERE did % 16 <> 15),
+nds AS (SELECT DISTINCT id FROM (SELECT s AS id FROM edges UNION ALL SELECT d FROM edges)),
+blocks AS (SELECT id, id - (id % 16) AS blk FROM nds)
+SELECT 'urn:e:'||b.id AS node, m.root AS component
+FROM blocks b JOIN (SELECT blk, MIN('urn:e:'||id) AS root FROM blocks GROUP BY blk) m
+USING (blk)
+"""
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth_transcripts(spark, sf_dir)
+    st = triples(extract_statements(t))
+    return materialize.kg_edges(st)
+
+
+ORACLES["kg_edges"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents)
+SELECT 'urn:e:'||did AS src, 'urn:p:knows' AS pred, 'urn:e:'||(did+1) AS dst FROM ids
+UNION
+SELECT 'urn:e:'||did, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'urn:t:Thing' FROM ids WHERE did % 5 <> 1
+UNION
+SELECT 'urn:e:'||did, 'http://purl.org/dc/terms/relation', 'urn:e:'||(did+1)
+FROM ids WHERE did % 5 <> 4
+"""
+
+
+def q_render_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = extract_statements(t)
+    return render_ntriples(st)
+
+
+_BS = "chr(92)"  # backslash
+ORACLES["render_ntriples"] = _SEED + f"""
+SELECT '<urn:e:'||did||'> <urn:p:name> "'||
+       CASE WHEN did%10=0
+            THEN 'Entity '||{_BS}||'"'||did||{_BS}||'"'||{_BS}||'n'
+            ELSE 'Entity '||did END||'" .' AS line FROM t
+UNION ALL
+SELECT '<urn:e:'||did||'> <urn:p:knows> <urn:e:'||(did+1)||'> .' FROM t
+UNION ALL
+SELECT '<urn:e:'||did||'> <urn:p:score> "'||(did%100)||
+       '.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .' FROM t
+UNION ALL
+SELECT '_:bc'||did||'_'||tix||'_n0 <urn:p:label> "turn '||tix||'"@en .' FROM t
+"""
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"),
+        F.col("keep_id").cast("long"),
+        "is_duplicate",
+    )
+
+
+ORACLES["dedup_exact"] = r"""
+WITH n AS (SELECT doc_id,
+       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS body FROM documents)
+SELECT n.doc_id, k.keep_id, n.doc_id <> k.keep_id AS is_duplicate
+FROM n JOIN (SELECT body, MIN(doc_id) AS keep_id FROM n GROUP BY body) k
+USING (body)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between adjacent documents (deterministic
+    candidate set so the oracle can mirror it)."""
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(F.col("doc_id").alias("doc_a")).join(
+        docs.select(F.col("doc_id").alias("doc_b")),
+        F.col("doc_b") == F.col("doc_a") + 1,
+    )
+    out = dedup.ngram_jaccard_pairs(docs, pairs)
+    return out.select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+ORACLES["dedup_ngram_jaccard"] = r"""
+WITH t AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+sh AS (SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                                     i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+      FROM t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s)) /
+             greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over a corpus with planted duplicates
+    (each doc unioned with a lightly-perturbed copy). Non-SQL (xxhash64
+    seeds) → rows-only oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    return dedup.near_dedup_minhash(corpus, threshold=0.5).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (xxhash64-based → rows-only oracle)."""
+    return dedup.simhash(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "simhash"
+    )
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double precision end-to-end so the DuckDB oracle's arithmetic matches
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.brute_force_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine",
+    )
+
+
+ORACLES["ann_topk"] = """
+WITH q AS (SELECT * FROM embeddings WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS c
+  FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+ranked AS (SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, neighbor_id DESC) AS rn
+           FROM scored)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dups over a corpus with planted
+    duplicates (vectors unioned with themselves under shifted ids)."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    return similarity.embedding_near_dups(corpus, dim=64, threshold=0.999).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+    )
+
+
+ORACLES["embedding_near_dups"] = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------- text
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "n_tokens", "n_chars", "n_subwords_est"
+    )
+
+
+ORACLES["token_count"] = r"""
+SELECT doc_id,
+  CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INT) AS n_tokens,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(ceil(length(text) / 4) AS INT) AS n_subwords_est
+FROM documents
+"""
+
+_SW = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+}
+
+
+def _sql_list(words):
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "lang_pred", "lang_score"
+    )
+
+
+ORACLES["lang_id"] = rf"""
+WITH t AS (SELECT doc_id,
+        list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM documents),
+s AS (SELECT doc_id, w,
+  len(list_intersect(w, {_sql_list(_SW['en'])})) AS en,
+  len(list_intersect(w, {_sql_list(_SW['de'])})) AS de,
+  len(list_intersect(w, {_sql_list(_SW['es'])})) AS es,
+  len(list_intersect(w, {_sql_list(_SW['fr'])})) AS fr
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+       WHEN de >= es AND de >= fr THEN 'de'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  round(greatest(en, de, es, fr) / greatest(len(w), 1), 6) AS lang_score
+FROM s
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "len_score", "punct_ratio",
+        "stopword_ratio", "repetition_ratio", "quality",
+    )
+
+
+_ALL_SW = _sql_list([w for ws in _SW.values() for w in ws])
+ORACLES["quality_score"] = rf"""
+WITH t AS (SELECT doc_id, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+m AS (SELECT doc_id,
+  greatest(len(w), 1) AS n_tokens,
+  greatest(length(text), 1) AS n_chars,
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+  len(list_filter(w, x -> list_contains({_ALL_SW}, x))) AS stop_hits,
+  len(list_distinct(w)) AS n_distinct,
+  len(w) AS raw_tokens
+  FROM t)
+SELECT doc_id,
+  round(least(raw_tokens / 64.0, 1.0), 6) AS len_score,
+  round(n_punct / n_chars, 6) AS punct_ratio,
+  round(stop_hits / n_tokens, 6) AS stopword_ratio,
+  round(1 - (n_distinct / n_tokens), 6) AS repetition_ratio,
+  round(least(raw_tokens / 64.0, 1.0) * 0.4 +
+        least((stop_hits / n_tokens) * 4, 1.0) * 0.3 +
+        (n_distinct / n_tokens) * 0.3, 6) AS quality
+FROM m
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprints (xxhash64 → rows-only)."""
+    return text.fingerprint(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode/frame-sample plumbing (decoder stubbed with a
+    deterministic fake → rows-only oracle)."""
+    from .operators import multimodal
+
+    media = multimodal.synth_media(spark, sf_dir)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "frame_idx", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "entity_link": q_entity_link,
+        "canonicalize": q_canonicalize,
+        "kg_edges": q_kg_edges,
+        "render_ntriples": q_render_ntriples,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "media_features": q_media_features,
+    }
