@@ -27,6 +27,7 @@ class _BudgetExceeded(Exception):
     """Evaluation step budget exhausted — treat as no match."""
 
 _PREFIX_RE = re.compile(r"(?i)\bPREFIX\s+([\w-]*):\s*<([^>]*)>")
+_BASE_RE = re.compile(r"(?i)\bBASE\s*<([^>]*)>")
 _ASK_RE = re.compile(r"(?is)\bASK\s*(WHERE)?\s*\{(.*)\}\s*\Z")
 
 
@@ -83,7 +84,7 @@ class _Tokenizer:
         return False
 
     def read_until(self, stop_chars):
-        self.skip_ws()
+        # no skip_ws here: inside IRIREFs '#' is a fragment, not a comment
         start = self.pos
         while self.pos < len(self.text) and self.text[self.pos] not in stop_chars:
             self.pos += 1
@@ -102,8 +103,10 @@ def _unescape(s: str) -> str:
 
 
 class AskQuery:
-    def __init__(self, text: str):
+    def __init__(self, text: str, base: str | None = None):
         self.prefixes = dict(_PREFIX_RE.findall(text))
+        bm = _BASE_RE.search(text)
+        self.base = bm.group(1) if bm else base
         m = _ASK_RE.search(text)
         if not m:
             raise ValueError("not an ASK query")
@@ -111,55 +114,106 @@ class AskQuery:
             _Tokenizer(m.group(2))
         )
 
+    def _iri(self, ref: str) -> str:
+        if self.base and not re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", ref):
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, ref)
+        return ref
+
     # ------------------------------------------------------------ parsing
 
     _collection_n = 0
 
-    def _parse_term(self, tz: _Tokenizer):
+    @classmethod
+    def _fresh_bnode(cls) -> Term:
+        cls._collection_n += 1
+        return Term("bnode", f"__anon{cls._collection_n}")
+
+    def _parse_term(self, tz: _Tokenizer, patterns=None):
         ch = tz.peek()
         if ch == "(":
-            # RDF collection shorthand: expands to first/rest/nil chains
+            # RDF collection shorthand → first/rest/nil chain patterns
             tz.take()
             items = []
             while not tz.eof() and tz.peek() != ")":
-                items.append(self._parse_term(tz))
+                items.append(self._parse_term(tz, patterns))
             if tz.peek() == ")":
                 tz.take()
-            return ("collection", items)
+            rdf_ns = RDF_TYPE.rsplit("#", 1)[0] + "#"
+            first = Term("iri", rdf_ns + "first")
+            rest = Term("iri", rdf_ns + "rest")
+            nil = Term("iri", rdf_ns + "nil")
+            if not items:
+                return nil
+            head = self._fresh_bnode()
+            node = head
+            for i, item in enumerate(items):
+                if patterns is not None:
+                    patterns.append((node, first, item))
+                nxt = self._fresh_bnode() if i < len(items) - 1 else nil
+                if patterns is not None:
+                    patterns.append((node, rest, nxt))
+                node = nxt
+            return head
         if ch == "[":
-            # anonymous bnode [] (properties inside not supported; the
-            # suite only uses bare [])
+            # [ p o; p2 o2 ] anonymous bnode with property list
             tz.take()
+            anon = self._fresh_bnode()
+            last_p = None
+            while not tz.eof() and tz.peek() != "]":
+                if tz.peek() in ";,.":
+                    sep = tz.take()
+                    if sep == ";":
+                        last_p = None
+                    continue
+                pos0 = tz.pos
+                if last_p is None:
+                    p = self._parse_term(tz, patterns)
+                else:
+                    p = last_p
+                o = self._parse_term(tz, patterns)
+                if patterns is not None:
+                    patterns.append((anon, p, o))
+                last_p = p
+                if tz.pos == pos0:
+                    break
             if tz.peek() == "]":
                 tz.take()
-            AskQuery._collection_n += 1
-            return Term("bnode", f"__anon{AskQuery._collection_n}")
+            return anon
         if ch == "<":
             tz.take()
             iri = tz.read_until(">")
             tz.take()
-            return Term("iri", iri)
+            return Term("iri", self._iri(iri))
         if ch == "?" or ch == "$":
             tz.take()
             name = re.match(r"[\w]+", tz.text[tz.pos:]).group(0)
             tz.pos += len(name)
             return Term("var", name)
         if ch == '"':
-            tz.take()
-            # scan with escapes
-            buf = []
-            while tz.pos < len(tz.text):
-                c = tz.text[tz.pos]
-                if c == "\\":
-                    buf.append(tz.text[tz.pos : tz.pos + 2])
-                    tz.pos += 2
-                    continue
-                if c == '"':
+            if tz.peek(3) == '"""':
+                tz.take(3)
+                end = tz.text.find('"""', tz.pos)
+                content = tz.text[tz.pos : end if end >= 0 else len(tz.text)]
+                tz.pos = (end + 3) if end >= 0 else len(tz.text)
+                content = _unescape(content)
+            else:
+                tz.take()
+                # scan with escapes
+                buf = []
+                while tz.pos < len(tz.text):
+                    c = tz.text[tz.pos]
+                    if c == "\\":
+                        buf.append(tz.text[tz.pos : tz.pos + 2])
+                        tz.pos += 2
+                        continue
+                    if c == '"':
+                        tz.pos += 1
+                        break
+                    buf.append(c)
                     tz.pos += 1
-                    break
-                buf.append(c)
-                tz.pos += 1
-            content = _unescape("".join(buf))
+                content = _unescape("".join(buf))
             lang = dtype = None
             if tz.text[tz.pos : tz.pos + 1] == "@":
                 tz.pos += 1
@@ -218,20 +272,23 @@ class AskQuery:
                 continue
             pos_before = tz.pos
             if last_subj is None:
-                s = self._parse_term(tz)
-                p = self._parse_term(tz)
-                o = self._parse_term(tz)
+                s = self._parse_term(tz, patterns)
+                if tz.peek() in ".}" or tz.eof():
+                    # lone bnode-property-list statement "[ ... ] ."
+                    if tz.peek() == ".":
+                        tz.take()
+                    continue
+                p = self._parse_term(tz, patterns)
+                o = self._parse_term(tz, patterns)
             elif last_pred is None:
                 s = last_subj
-                p = self._parse_term(tz)
-                o = self._parse_term(tz)
+                p = self._parse_term(tz, patterns)
+                o = self._parse_term(tz, patterns)
             else:
                 s, p = last_subj, last_pred
-                o = self._parse_term(tz)
+                o = self._parse_term(tz, patterns)
             if tz.pos == pos_before:  # no progress → bail (malformed)
                 raise ValueError("ASK parse stalled")
-            s = self._expand_collection(s, patterns)
-            o = self._expand_collection(o, patterns)
             patterns.append((s, p, o))
             sep = tz.peek()
             if sep == ";":
@@ -246,31 +303,6 @@ class AskQuery:
             else:
                 last_subj = last_pred = None
         return patterns, optionals, filters
-
-    def _expand_collection(self, term, patterns):
-        """(a b c) → bnode chain patterns; returns the head term."""
-        if not isinstance(term, tuple) or term[0] != "collection":
-            return term
-        items = term[1]
-        rdf_first = Term("iri", RDF_TYPE.rsplit("#", 1)[0] + "#first")
-        rdf_rest = Term("iri", RDF_TYPE.rsplit("#", 1)[0] + "#rest")
-        rdf_nil = Term("iri", RDF_TYPE.rsplit("#", 1)[0] + "#nil")
-        if not items:
-            return rdf_nil
-        AskQuery._collection_n += 1
-        head = Term("bnode", f"__coll{AskQuery._collection_n}")
-        node = head
-        for i, item in enumerate(items):
-            item = self._expand_collection(item, patterns)
-            patterns.append((node, rdf_first, item))
-            if i < len(items) - 1:
-                AskQuery._collection_n += 1
-                nxt = Term("bnode", f"__coll{AskQuery._collection_n}")
-            else:
-                nxt = rdf_nil
-            patterns.append((node, rdf_rest, nxt))
-            node = nxt
-        return head
 
     def _read_filter(self, tz: _Tokenizer) -> str:
         tz.skip_ws()
@@ -337,12 +369,11 @@ class AskQuery:
                 return [(pat.value, fact)]
             return [] if self._terms_equal(bound, fact) else None
         if pat.kind == "bnode":
-            # query bnodes behave as scoped variables
+            # query bnodes are non-distinguished variables (SPARQL
+            # semantics): they match any RDF term
             key = "_:" + pat.value
             bound = binding.get(key)
             if bound is None:
-                if fact.kind != "bnode":
-                    return None
                 return [(key, fact)]
             return [] if self._terms_equal(bound, fact) else None
         return [] if self._terms_equal(pat, fact) else None

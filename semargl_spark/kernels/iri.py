@@ -66,6 +66,11 @@ def resolve_iri(base: str, iri: str | None) -> str | None:
         return base + iri
     try:
         result = urljoin(base, iri)
+        # urljoin drops empty fragments/queries; the reference keeps them
+        if iri.endswith("#") and not result.endswith("#"):
+            result += "#"
+        elif iri.endswith("?") and not result.endswith("?"):
+            result += "?"
     except ValueError:
         result = base + iri
     if is_iri(result):

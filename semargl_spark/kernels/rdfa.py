@@ -68,6 +68,12 @@ RDFA_NS = "http://www.w3.org/ns/rdfa#"
 RDFA_USES_VOCABULARY = RDFA_NS + "usesVocabulary"
 RDFA_PATTERN = RDFA_NS + "Pattern"
 RDFA_COPY = RDFA_NS + "copy"
+RDFA_CONTEXT = RDFA_NS + "context"
+RDFA_WARNING = RDFA_NS + "Warning"
+RDFA_ERROR = RDFA_NS + "Error"
+RDFA_UNRESOLVED_CURIE = RDFA_NS + "UnresolvedCURIE"
+RDFA_UNRESOLVED_TERM = RDFA_NS + "UnresolvedTerm"
+RDFA_PREFIX_REDEFINITION = RDFA_NS + "PrefixRedefinition"
 
 VERSION_10 = 10
 VERSION_11 = 11
@@ -162,9 +168,11 @@ class _Ctx:
     __slots__ = (
         "iri_mappings", "subject", "object", "incompl", "lang", "object_lit",
         "object_lit_dt", "properties", "parsing_literal", "list_mapping", "vocab",
+        "xmlns",
     )
 
     def __init__(self, lang, vocab):
+        self.xmlns: dict[str, str] = {}
         self.iri_mappings: dict[str, str] = {}
         self.subject = None
         self.object = None
@@ -209,9 +217,20 @@ class _RdfaEngine:
         self.copying_pairs: list[tuple[str, str]] = []
 
         self.overwrite_mappings: dict[str, str] = {}
+        self._pending_xmlns: dict[str, str] = {}
 
         self.rdfxml_depth = 0
         self.rdfxml_buf: list[str] | None = None
+
+    def warning(self, warning_class: str, message: str) -> None:
+        """Processor-graph record: a typed bnode + rdfa:context message
+        (addProcessorGraphRecord, RdfaParser.java:1121-1131). Emitted as
+        triples in RDFa 1.1 (sinkProcessorGraph defaults true)."""
+        self.warnings.append(message)
+        if self.version > VERSION_10:
+            node = self.create_bnode()
+            self.triples.append(non_literal(node, RDF_TYPE, warning_class))
+            self.triples.append(plain_literal(node, RDFA_CONTEXT, message, None))
 
     # ------------------------------------------------------------ bnodes
 
@@ -284,7 +303,7 @@ class _RdfaEngine:
                 canonical = XHTML_VOCAB_PROPS.get(value.lower())
                 term = XHTML_VOCAB + canonical if canonical else None
             if term is None:
-                self.warnings.append(f"Can't resolve term {value}")
+                self.warning(RDFA_UNRESOLVED_TERM, f"Can't resolve term {value}")
                 raise MalformedIriError(f"Can't resolve term {value}")
             return term
         return self.resolve_curie_or_iri(ctx, value, True)
@@ -403,6 +422,13 @@ class _RdfaEngine:
         if self.format == FORMAT_SVG and lname == "metadata":
             self.rdfxml_buf = []
             self.rdfxml_depth = 0
+            # inner RDF/XML inherits the outer document's prefix scope
+            self.rdfxml_ns = {
+                p: u for p, u in self.stack[-1].xmlns.items() if p
+            }
+            for k, v in attrs.items():
+                if k.startswith("xmlns:"):
+                    self.rdfxml_ns[k[6:]] = v
             return
 
         if len(self.stack) < 4:
@@ -411,18 +437,42 @@ class _RdfaEngine:
 
         parent = self.stack[-1]
         if parent.parsing_literal and self.xml_string is not None:
-            a = "".join(f' {k}="{v}"' for k, v in attrs.items())
-            self.xml_string.append(f"<{qname}{a}>")
+            a = "".join(
+                f' {k}="{v}"' for k, v in attrs.items() if not k.startswith("xmlns")
+            )
+            mappings = dict(parent.iri_mappings)
+            el_prefix = qname.partition(":")[0] if ":" in qname else ""
+            el_ns = parent.xmlns.get(el_prefix)
+            for k, v in attrs.items():
+                if k == "xmlns":
+                    el_ns = v if el_prefix == "" else el_ns
+                    mappings[""] = v
+                elif k.startswith("xmlns:"):
+                    mappings[k[6:]] = v
+            if el_ns:
+                mappings[el_prefix] = el_ns
+            if mappings.get("") == XHTML_VOCAB:
+                # the "" CURIE slot holds the xhv vocab (swapped at decl
+                # time); serialize the real XML namespace back out
+                mappings[""] = XHTML_NS
+            ns = "".join(
+                (f' xmlns="{u}"' if not p else f' xmlns:{p}="{u}"')
+                for p, u in sorted(mappings.items())
+            )
+            self.xml_string.append(f"<{qname}{a}{ns}>")
 
         # xmlns / @prefix mappings (startPrefixMapping:1014-1028 + :252-262)
         self.overwrite_mappings.clear()
+        self._pending_xmlns = {}
         for k, v in attrs.items():
             if k == "xmlns":
+                self._pending_xmlns[""] = v
                 if v.lower() == XHTML_NS:
                     self.overwrite_mappings[""] = XHTML_VOCAB
                 else:
                     self.overwrite_mappings[""] = self._safe_ns(v)
             elif k.startswith("xmlns:"):
+                self._pending_xmlns[k[6:]] = v
                 ns = self._safe_ns(v)
                 if ns is not None:
                     self.overwrite_mappings[k[6:]] = ns
@@ -432,7 +482,9 @@ class _RdfaEngine:
             while i + 1 < len(toks) or (i < len(toks) and toks[i].endswith(":")):
                 p = toks[i]
                 if len(p) >= 2 and p.endswith(":") and i + 1 < len(toks):
-                    self.overwrite_mappings[p[:-1]] = toks[i + 1]
+                    ns = self._safe_ns(toks[i + 1])
+                    if ns is not None:
+                        self.overwrite_mappings[p[:-1]] = ns
                     i += 2
                 else:
                     i += 1
@@ -487,6 +539,11 @@ class _RdfaEngine:
     def _init_child_context(self, parent: _Ctx, vocab_attr, lang) -> _Ctx:
         """(EvalContext.initChildContext:139-172)"""
         current = _Ctx(parent.lang, parent.vocab)
+        current.xmlns = parent.xmlns
+        if self._pending_xmlns:
+            current.xmlns = dict(parent.xmlns)
+            current.xmlns.update(self._pending_xmlns)
+            self._pending_xmlns = {}
         current.list_mapping = parent.list_mapping
         if not self.overwrite_mappings:
             current.iri_mappings = parent.iri_mappings
@@ -497,8 +554,9 @@ class _RdfaEngine:
                 for prefix, new in self.overwrite_mappings.items():
                     std = RDFA11_INITIAL_CONTEXT.get(prefix)
                     if std is not None and std != new:
-                        self.warnings.append(
-                            f"Standard prefix {prefix}: redefined to <{new}>"
+                        self.warning(
+                            RDFA_PREFIX_REDEFINITION,
+                            f"Standard prefix {prefix}: redefined to <{new}>",
                         )
         if self.version > VERSION_10 and vocab_attr is not None:
             if vocab_attr == "":
@@ -531,7 +589,7 @@ class _RdfaEngine:
                     try:
                         return self.resolve_about_or_resource(current, val)
                     except MalformedCurieError as e:
-                        self.warnings.append(str(e))
+                        self.warning(RDFA_UNRESOLVED_CURIE, str(e))
                         return None
                 if attr in ("href", "src", "data"):
                     return self.resolve_iri(attrs[attr])
@@ -616,7 +674,7 @@ class _RdfaEngine:
                 if attrs.get("typeof") is not None:
                     new_subject = current.subject
         except MalformedIriError as e:
-            self.warnings.append(str(e))
+            self.warning(RDFA_WARNING, str(e))
             self._push_context_no_literal(current, parent)
 
         if new_subject is not None:
@@ -680,12 +738,15 @@ class _RdfaEngine:
             current.object_lit_dt = None
             current.parsing_literal = False
 
-    def _parse_content(self, attrs):
+    def _parse_content(self, attrs, qname=""):
         content = attrs.get("content")
-        if content is None and self.format == FORMAT_HTML5:
-            if attrs.get("value") is not None:
+        if self.format == FORMAT_HTML5:
+            if attrs.get("value") is not None and (
+                content is None or qname == "data"
+            ):
+                # on the data element @value takes precedence
                 content = attrs["value"]
-            if attrs.get("datetime") is not None:
+            if attrs.get("datetime") is not None and content is None:
                 content = attrs["datetime"]
         return content
 
@@ -706,7 +767,7 @@ class _RdfaEngine:
 
     def _parse_literal_object(self, qname, attrs, current, parent, no_rels_and_revs):
         """(parseLiteralObject:600-656)"""
-        content = self._parse_content(attrs)
+        content = self._parse_content(attrs, qname)
         lang_or_dt = self._parse_datatype(qname, attrs, current)
 
         if lang_or_dt is not None and lang_or_dt != RDF_XML_LITERAL:
@@ -877,7 +938,10 @@ class _RdfaEngine:
     def _flush_rdfxml(self):
         from . import rdfxml as rdfxml_kernel
 
-        body = "".join(self.rdfxml_buf)
+        decls = " ".join(
+            f'xmlns:{p}="{u}"' for p, u in sorted(getattr(self, "rdfxml_ns", {}).items())
+        )
+        body = f"<mdwrap {decls}>" + "".join(self.rdfxml_buf) + "</mdwrap>"
         self.rdfxml_buf = None
         ts, errs = rdfxml_kernel.parse(body, base_uri=self.base, doc_key=self.doc_key + "md")
         self.triples.extend(ts)
@@ -1142,4 +1206,13 @@ def parse(
             if not recover:
                 raise
             return [], [f"RDFa parse error: {first_exc}; fallback: {second_exc}"]
+        if not html_first and engine.version > VERSION_10:
+            # an XML-primary document that failed strict parsing records
+            # a processor-graph error (processException → RDFa.ERROR,
+            # RdfaParser.java:1133-1142)
+            node = engine.create_bnode()
+            engine.triples.append(non_literal(node, RDF_TYPE, RDFA_ERROR))
+            engine.triples.append(
+                plain_literal(node, RDFA_CONTEXT, str(first_exc), None)
+            )
     return engine.triples, engine.errors + engine.warnings

@@ -1,5 +1,7 @@
 """RDFa kernel unit tests (processing sequence of rdfa/.../RdfaParser.java)."""
 
+import re
+
 from semargl_spark.kernels import rdfa
 from semargl_spark.kernels.model import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE
 
@@ -120,7 +122,10 @@ def test_xml_literal():
     )
     t = ts[0]
     assert t.dtype == "http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral"
-    assert "<b>bold</b>" in t.obj
+    # open tags carry the in-scope xmlns declarations
+    # (serializeOpenTag with all iriMappings, RdfaParser.java:249)
+    assert re.search(r"<b[^>]*>bold</b>", t.obj)
+    assert 'xmlns="http://www.w3.org/1999/xhtml"' in t.obj
 
 
 def test_html5_datetime_autodetect():

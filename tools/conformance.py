@@ -283,7 +283,7 @@ def run_rdfa(verbose=False, versions=("rdfa1.0", "rdfa1.1")):
                     _read(in_path), base_uri=base, doc_key="t", rdfa_version=vnum
                 )
                 try:
-                    q = AskQuery(_read(os.path.join(hdir, f)))
+                    q = AskQuery(_read(os.path.join(hdir, f)), base=base)
                     got = q.ask(triples)
                 except Exception as exc:
                     got = None
