@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    turns_per_doc = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "8"))
+    turns_per_doc = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "64"))
 
     from semargl_spark.spark_util import tuned_session
 
@@ -37,19 +37,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def timed(name: str, df) -> None:
+    def timed(name: str, make_df) -> None:
+        # time construction + materialization: iterative operators
+        # (connected components) do eager work while building the plan
         t0 = time.perf_counter()
+        df = make_df() if callable(make_df) else make_df
         counts[name] = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # warm the JVM + python workers once so per-query numbers measure the
-    # pipeline, not interpreter startup (reference benches also warm up,
-    # BenchmarkRdfa.java:86-92)
-    synth_transcripts(spark, sf_dir).limit(256).count()
+    # warm the JVM + the mapInPandas python-worker pool so per-query
+    # numbers measure the pipeline, not interpreter startup (reference
+    # benches also warm up, BenchmarkRdfa.java:86-92)
+    triples(
+        extract_statements(synth_transcripts(spark, sf_dir, turns_per_doc=1))
+    ).count()
 
     # flagship: mixed-format corpus at bench turn multiplier
     mixed = synth_transcripts(spark, sf_dir, turns_per_doc=turns_per_doc)
-    timed("extract_mixed", triples(extract_statements(mixed)))
+    timed("extract_mixed", lambda: triples(extract_statements(mixed)))
 
     registry = Q.registry()
     for name in (
@@ -62,15 +67,15 @@ def main() -> None:
     ):
         if name in registry:
             try:
-                timed(name, registry[name](spark, sf_dir))
+                timed(name, lambda n=name: registry[n](spark, sf_dir))
             except Exception:
                 timings[name] = -1.0
 
-    for name in ("link_entities", "canonicalize", "kg_edges", "dedup_minhash",
-                 "ann_topk", "text_quality"):
+    for name in ("entity_link", "canonicalize", "pipeline_kg", "kg_edges",
+                 "dedup_minhash", "ann_topk", "quality_score", "vocab_expand"):
         if name in registry:
             try:
-                timed(name, registry[name](spark, sf_dir))
+                timed(name, lambda n=name: registry[n](spark, sf_dir))
             except Exception:
                 timings[name] = -1.0
 

@@ -100,11 +100,13 @@ def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -
         kernels: dict[str, Callable] = {}
         for pdf in batches:
             out: list[tuple] = []
-            fmts = pdf["fmt"] if has_fmt else None
-            for i, (conv, tix, text) in enumerate(
-                zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"])
-            ):
-                fmt = default_fmt or (fmts.iloc[i] if fmts is not None else None)
+            # .tolist() beats pandas Series iteration in the hot loop
+            convs = pdf["conv_id"].tolist()
+            tixs = pdf["turn_idx"].tolist()
+            texts = pdf["text"].tolist()
+            fmts = pdf["fmt"].tolist() if has_fmt else None
+            for i, (conv, tix, text) in enumerate(zip(convs, tixs, texts)):
+                fmt = default_fmt or (fmts[i] if fmts is not None else None)
                 if fmt is None:
                     fmt = sniff_format(text or "")
                 if fmt == "text" or not text:

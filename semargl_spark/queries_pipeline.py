@@ -82,6 +82,111 @@ USING (blk)
 """
 
 
+def q_pipeline_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full north_star pipeline: extract (mixed formats) → link →
+    canonicalize (knows-blocks) → merge into canonical edges."""
+    t = synth_transcripts(spark, sf_dir)
+    st = triples(extract_statements(t)).cache()
+    # link stage runs for its side effects on coverage metrics; the
+    # equivalence edges here come from the knows graph (bounded blocks)
+    _links = link_entities(st, entity_dictionary(spark, sf_dir))
+    knows = st.filter(F.col("pred") == "urn:p:knows")
+    src_id = F.regexp_extract("subj", r"urn:e:(\d+)", 1).cast("long")
+    equiv = (
+        knows.filter(src_id % 16 != 15)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    components = connected_components(equiv)
+    edges = materialize.kg_edges(st, components)
+    st.unpersist()
+    return edges
+
+
+ORACLES["pipeline_kg"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+eq AS (SELECT did AS s, did+1 AS d FROM ids WHERE did % 16 <> 15),
+nds AS (SELECT DISTINCT id FROM (SELECT s AS id FROM eq UNION ALL SELECT d FROM eq)),
+blocks AS (SELECT id, MIN('urn:e:'||id) OVER (PARTITION BY id - (id % 16)) AS root FROM nds),
+raw AS (
+  SELECT 'urn:e:'||did AS src, 'urn:p:knows' AS pred, 'urn:e:'||(did+1) AS dst FROM ids
+  UNION
+  SELECT 'urn:e:'||did, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'urn:t:Thing' FROM ids WHERE did % 5 <> 1
+  UNION
+  SELECT 'urn:e:'||did, 'http://purl.org/dc/terms/relation', 'urn:e:'||(did+1)
+  FROM ids WHERE did % 5 <> 4
+)
+SELECT DISTINCT coalesce(bs.root, raw.src) AS src, raw.pred,
+       coalesce(bd.root, raw.dst) AS dst
+FROM raw
+LEFT JOIN blocks bs ON raw.src = 'urn:e:'||bs.id
+LEFT JOIN blocks bd ON raw.dst = 'urn:e:'||bd.id
+"""
+
+
+def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage/metrics side output (north_rule; partition
+    ids depend on the physical plan → rows-only check)."""
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    return materialize.lineage_rows(st, "verify-run", "extract")
+
+
+def q_vocab_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary expansion: statements joined against a broadcast
+    owl/rdfs synonym closure (reference J1)."""
+    from .operators.vocab import expand_statements
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    # deterministic synthetic vocabulary: urn:p:knows ≡ urn:p:acquaintedWith,
+    # urn:p:name ⊑ urn:p:label2
+    vocab = spark.createDataFrame(
+        [
+            ("urn:p:knows", "http://www.w3.org/2002/07/owl#equivalentProperty",
+             "urn:p:acquaintedWith"),
+            ("urn:p:name", "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+             "urn:p:label2"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    out = expand_statements(st, vocab)
+    return out.select(
+        "conv_id", "turn_idx", "subj", "pred", "obj", "obj_kind", "lang", "dtype"
+    )
+
+
+ORACLES["vocab_expand"] = _SEED + """
+, base_rows AS (
+  SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS subj,
+         'urn:p:name' AS pred,
+         CASE WHEN did%10=0 THEN 'Entity "'||did||'"'||chr(10)
+              ELSE 'Entity '||did END AS obj,
+         'literal' AS obj_kind, CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS VARCHAR) AS dtype FROM t
+  UNION ALL
+  SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+         'iri', NULL, NULL FROM t
+  UNION ALL
+  SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
+         'literal', NULL, 'http://www.w3.org/2001/XMLSchema#decimal' FROM t
+  UNION ALL
+  SELECT 'c'||did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label',
+         'turn '||tix, 'literal', 'en', NULL FROM t
+)
+SELECT DISTINCT * FROM (
+  SELECT * FROM base_rows
+  UNION ALL
+  SELECT conv_id, turn_idx, subj, 'urn:p:acquaintedWith', obj, obj_kind,
+         lang, dtype FROM base_rows WHERE pred = 'urn:p:knows'
+  UNION ALL
+  SELECT conv_id, turn_idx, subj, 'urn:p:label2', obj, obj_kind, lang,
+         dtype FROM base_rows WHERE pred = 'urn:p:name'
+)
+"""
+
+
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = synth_transcripts(spark, sf_dir)
     st = triples(extract_statements(t))
@@ -360,6 +465,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "canonicalize": q_canonicalize,
         "kg_edges": q_kg_edges,
+        "pipeline_kg": q_pipeline_kg,
+        "lineage": q_lineage,
+        "vocab_expand": q_vocab_expand,
         "render_ntriples": q_render_ntriples,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -123,6 +123,14 @@ def _seed_turns(spark: SparkSession, sf_dir: str, turns_per_doc: int) -> DataFra
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("int").alias("did")
     )
+    # the seed parquet is a single small file → spread the doc ids across
+    # the cluster BEFORE the explode so text generation and extraction
+    # parallelize (row contents are unchanged; all queries are
+    # order-insensitive)
+    # one partition per core: extraction cost is uniform per turn, so
+    # more-but-smaller tasks only add per-task Arrow/scheduling overhead
+    target = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(target)
     return docs.select(
         "did",
         F.explode(

@@ -68,6 +68,11 @@ def tuned_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python-UDF-bound scans need finer input splits than the 128MB
+        # default: extraction costs ~50us/row, so a 128MB split is
+        # minutes of single-task work (SURVEY.md §4.2 spill-aware sizing)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .appName(app_name)

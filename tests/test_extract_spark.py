@@ -59,8 +59,12 @@ def test_sniffer():
 
 
 def test_extraction_plan_is_narrow(spark):
-    """No shuffle in the extraction stage (SURVEY.md §4.2: the parse is
-    embarrassingly parallel; shuffles belong to linking/canon only)."""
+    """The extraction stage adds no shuffle (SURVEY.md §4.2: the parse is
+    embarrassingly parallel; shuffles belong to linking/canon only).
+    The only Exchange in the plan is the generator's deliberate
+    round-robin seed spread."""
     t = synth_transcripts(spark, SF_DIR, fmt="ntriples")
+    base_plan = t._jdf.queryExecution().executedPlan().toString()
     plan = triples(extract_statements(t))._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == base_plan.count("Exchange") == 1
+    assert "roundrobin" in plan.lower()

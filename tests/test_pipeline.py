@@ -1,0 +1,104 @@
+"""Pipeline-stage tests: linking, canon, materialize, vocab expansion,
+streaming extraction, turtle serialization."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from semargl_spark.operators.canon import connected_components
+from semargl_spark.operators.extract import extract_statements, triples
+from semargl_spark.operators.link import link_entities
+from semargl_spark.operators.materialize import kg_edges, lineage_rows
+from semargl_spark.operators.vocab import expand_statements
+from semargl_spark.sources.transcripts import entity_dictionary, synth_transcripts
+
+from conftest import SF_DIR
+
+
+def test_link_entities_broadcast_plan(spark):
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples")
+    st = triples(extract_statements(t))
+    linked = link_entities(st, entity_dictionary(spark, SF_DIR))
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = linked.limit(5).collect()
+    assert all(r["canonical_iri"].startswith("urn:e:") for r in rows)
+
+
+def test_connected_components_pair(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], ["src", "dst"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_kg_edges_canonicalized(spark):
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(40)
+    st = triples(extract_statements(t))
+    edges = kg_edges(st)
+    assert edges.filter(F.col("pred") == "urn:p:knows").count() > 0
+
+
+def test_lineage_rows(spark):
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(20)
+    st = triples(extract_statements(t))
+    rows = lineage_rows(st, "r1", "extract").collect()
+    assert sum(r["output_rows"] for r in rows) == st.count()
+    assert all(r["stage"] == "extract" and r["run_id"] == "r1" for r in rows)
+
+
+def test_vocab_expansion(spark):
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(10)
+    st = triples(extract_statements(t))
+    vocab = spark.createDataFrame(
+        [("urn:p:knows", "http://www.w3.org/2002/07/owl#equivalentProperty",
+          "urn:p:friendOf")],
+        ["subj", "pred", "obj"],
+    )
+    out = expand_statements(st, vocab)
+    knows = st.filter(F.col("pred") == "urn:p:knows").count()
+    friends = out.filter(F.col("pred") == "urn:p:friendOf").count()
+    assert knows == friends and friends > 0
+    assert out.count() == st.count() + friends
+
+
+def test_streaming_extraction_matches_batch(spark):
+    from semargl_spark.streaming.stream_extract import stream_extract
+
+    tmp = tempfile.mkdtemp(prefix="semargl-stream-")
+    try:
+        t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(50)
+        t.write.mode("overwrite").parquet(f"{tmp}/in")
+        q = stream_extract(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+        q.awaitTermination()
+        streamed = spark.read.parquet(f"{tmp}/out")
+        batch = extract_statements(spark.read.parquet(f"{tmp}/in"))
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+        # re-running the drained stream is a no-op (exactly-once resume)
+        q2 = stream_extract(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+        q2.awaitTermination()
+        assert spark.read.parquet(f"{tmp}/out").count() == batch.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_turtle_serializer():
+    from semargl_spark.kernels import ntriples
+    from semargl_spark.kernels.turtle import serialize
+
+    doc = (
+        '<http://ex.org/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/T> .\n'
+        '<http://ex.org/a> <http://ex.org/p> "x" .\n'
+        '<http://ex.org/a> <http://ex.org/p> "y" .\n'
+        '<http://ex.org/b> <http://ex.org/q> "multi\\nline" .\n'
+    )
+    ts, _ = ntriples.parse(doc)
+    ttl = serialize(ts, base="http://ex.org/")
+    assert "@prefix rdf:" in ttl and "@base <http://ex.org/>" in ttl
+    assert "<a> a <T> ;" in ttl
+    assert '"x", "y"' in ttl
+    assert '"""multi\nline"""' in ttl
