@@ -134,7 +134,8 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact shingle-set Jaccard.
 
     Returns (doc_a, doc_b, jaccard)."""
-    sh = shingles(docs, id_col, text_col, k)
+    # both join sides read the shingle table — persist to shingle once
+    sh = shingles(docs, id_col, text_col, k).persist()
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = candidates.join(a, "doc_a").join(b, "doc_b")

@@ -240,11 +240,13 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import queries_pipeline
+    from . import queries_events, queries_pipeline
 
     merged = dict(_registry())
     merged.update(queries_pipeline.registry())
+    merged.update(queries_events.registry())
     ORACLES.update(queries_pipeline.ORACLES)
+    ORACLES.update(queries_events.ORACLES)
     return {name: _shipped(fn) for name, fn in merged.items()}
 
 
@@ -263,8 +265,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracles() -> dict[str, str]:
-    from . import queries_pipeline
+    from . import queries_events, queries_pipeline
 
     merged = dict(ORACLES)
     merged.update(queries_pipeline.ORACLES)
+    merged.update(queries_events.ORACLES)
     return merged

@@ -1,0 +1,105 @@
+"""Event-stream queries over the driver-provided ``events`` table —
+the stable-ordering window and metrics aggregations of SURVEY.md §2.6-2.7
+exercised on a real timestamped stream (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ORACLES: dict[str, str] = {}
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable event ordering per user + 30-minute session ids — the
+    north_rule ordering window applied to event time."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: route through TIMESTAMP before the long cast
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("int").alias("seq"),
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int").alias("session_id"),
+    )
+
+
+ORACLES["events_sessionize"] = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, event_id, CAST(seq AS INT) AS seq,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+FROM w
+"""
+
+
+def q_events_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type metrics rollup (counts, value stats) — the metrics-table
+    aggregation shape of SURVEY.md §2.6."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+ORACLES["events_metrics"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(value), 4) AS sum_value,
+       round(MIN(value), 4) AS min_value,
+       round(MAX(value), 4) AS max_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (SURVEY.md §2.10 json family): extract the
+    props.k field and aggregate."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+ORACLES["events_props_json"] = """
+SELECT event_type,
+       CAST(COUNT(CAST(props->>'k' AS INT)) AS BIGINT) AS n_k,
+       CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def registry():
+    return {
+        "events_sessionize": q_events_sessionize,
+        "events_metrics": q_events_metrics,
+        "events_props_json": q_events_props_json,
+    }

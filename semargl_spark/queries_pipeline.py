@@ -139,7 +139,9 @@ def q_vocab_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.vocab import expand_statements
 
     t = synth_transcripts(spark, sf_dir, fmt="ntriples")
-    st = triples(extract_statements(t))
+    # expand_statements references the statements three times (original +
+    # pred/obj synonym joins) — persist so extraction runs once
+    st = triples(extract_statements(t)).persist()
     # deterministic synthetic vocabulary: urn:p:knows ≡ urn:p:acquaintedWith,
     # urn:p:name ⊑ urn:p:label2
     vocab = spark.createDataFrame(

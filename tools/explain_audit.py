@@ -1,0 +1,92 @@
+"""Physical-plan audit: capture .explain(formatted) for the key queries
+and assert the scale-critical properties (pushdown, broadcast, narrow
+extraction). Writes BENCH/plans.md for review.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from semargl_spark.spark_util import tuned_session
+
+    spark = tuned_session(parallelism=8, app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from semargl_spark.operators.extract import extract_statements, triples
+    from semargl_spark.operators.link import link_entities
+    from semargl_spark.sources.transcripts import entity_dictionary, synth_transcripts
+
+    sections = []
+    checks = []
+
+    # 1. extraction: narrow (only the generator's seed exchange)
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    ext = triples(extract_statements(t))
+    p = plan_of(ext)
+    sections.append(("extraction", p))
+    import re
+
+    def n_nodes(plan, name):
+        return len(re.findall(rf"^\(\d+\) {name}", plan, re.MULTILINE))
+
+    checks.append(("extraction has no shuffle beyond seed spread",
+                   n_nodes(p, "Exchange") == 1))
+
+    # 2. linking: broadcast join, no shuffle of the statements side
+    st = triples(extract_statements(t))
+    linked = link_entities(st, entity_dictionary(spark, sf_dir))
+    p = plan_of(linked)
+    sections.append(("entity_link", p))
+    checks.append(("linking uses BroadcastHashJoin", "BroadcastHashJoin" in p))
+
+    # 3. column pruning + filter pushdown on a parquet scan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pruned = docs.filter(F.col("lang") == "en").select("doc_id")
+    p = plan_of(pruned)
+    sections.append(("documents scan (pruning/pushdown)", p))
+    checks.append(("filter pushed to scan", "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p or "PushedFilters" in p and "lang" in p))
+    checks.append(("schema pruned to needed columns", "ReadSchema" in p and "text" not in p.split("ReadSchema")[1][:200]))
+
+    # 4. whole-stage codegen on the JVM-side text operators
+    from semargl_spark.operators.text import quality_score
+
+    p = plan_of(quality_score(docs))
+    sections.append(("quality_score", p))
+    # higher-order functions opt out of whole-stage codegen but stay
+    # JVM-side; the property that matters is: no Python in the plan
+    checks.append(("quality_score stays JVM-side (no Python eval)",
+                   "Python" not in p and "MapInPandas" not in p))
+
+    with open("/root/repo/BENCH/plans.md", "w") as f:
+        f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
+        f.write("## Checks\n\n")
+        for name, ok in checks:
+            f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
+        for name, plan in sections:
+            f.write(f"\n## {name}\n\n```\n{plan}\n```\n")
+    for name, ok in checks:
+        print(("PASS" if ok else "FAIL"), name)
+    spark.stop()
+    return 0 if all(ok for _n, ok in checks) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
