@@ -173,6 +173,10 @@ def _scan(
                     pos = error("Literal type can not be parsed")
                     continue
                 dtype = unescape(dm.group(1))
+                if dtype.startswith("_:"):
+                    # bnode datatype IRIs (nonstandard, used by the
+                    # json-ld-org goldens) share the document bnode scope
+                    dtype = bnodes.rename(dtype)
                 pos = dm.end()
             terms.append((content, "literal", lang, dtype))
         else:

@@ -32,10 +32,8 @@ def test_jsonld_suite():
     from tools.conformance import run_jsonld
 
     r = run_jsonld()
-    # toRdf-0078 (bnode-predicate/datatype torture case) is the single
-    # accepted miss; everything else must pass
-    assert r["passed"] >= r["total"] - 1, r["failed"][:5]
-    assert r["precision"] >= 0.94 and r["recall"] >= 0.94
+    assert r["passed"] == r["total"], r["failed"][:5]
+    assert r["precision"] >= 0.99 and r["recall"] >= 0.99
 
 
 def test_rdfxml_suite():
