@@ -1,0 +1,84 @@
+"""spark-submit entry point for the full KG-construction pipeline
+(north_rule: ``spark-submit --py-files semargl_spark.zip
+jobs/run_pipeline.py --input ... --output ...``).
+
+Stages: extract → link → canon → merge, with per-stage lineage rows and
+idempotent partitioned writes (checkpoint-resume: re-running overwrites
+only the partitions it produces; the lineage table records per-partition
+row counts + checksums for audit).
+
+Build the zip with:  python -c "from semargl_spark.spark_util import \
+build_pyfiles_zip; print(build_pyfiles_zip('semargl_spark.zip'))"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="transcripts parquet dir (conv_id, turn_idx, role, text, tool, ts[, fmt])")
+    ap.add_argument("--output", required=True, help="output dir for nodes/edges/lineage")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--dictionary", default=None,
+                    help="entity dictionary parquet (canonical_iri, surface_form, weight)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("semargl-kg-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from semargl_spark.operators.canon import connected_components
+    from semargl_spark.operators.extract import errors, extract_statements, triples
+    from semargl_spark.operators.link import link_entities
+    from semargl_spark.operators.materialize import (
+        lineage_rows,
+        materialize_kg,
+    )
+
+    run_id = args.run_id or f"run-{int(time.time())}"
+    transcripts = spark.read.parquet(args.input)
+
+    statements = extract_statements(transcripts).persist()
+    st = triples(statements)
+    err = errors(statements)
+
+    lineage = lineage_rows(st, run_id, "extract")
+    lineage.write.mode("append").parquet(f"{args.output}/lineage")
+
+    equiv = None
+    if args.dictionary:
+        dictionary = spark.read.parquet(args.dictionary)
+        links = link_entities(st, dictionary).persist()
+        links.write.mode("overwrite").parquet(f"{args.output}/links")
+        lineage_rows(links, run_id, "link").write.mode("append").parquet(
+            f"{args.output}/lineage"
+        )
+        equiv = links.select(
+            F.col("mention_node").alias("src"), F.col("canonical_iri").alias("dst")
+        ).distinct()
+
+    components = connected_components(equiv) if equiv is not None else None
+    if components is not None:
+        lineage_rows(components, run_id, "canon").write.mode("append").parquet(
+            f"{args.output}/lineage"
+        )
+
+    summary = materialize_kg(st, components, args.output, run_id)
+    summary["errors"] = err.count()
+    summary["statements"] = st.count()
+    print(json.dumps(summary))
+    statements.unpersist()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
