@@ -51,13 +51,22 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, id_col="doc_id", text_col="text", k: int = 3) -> DataFrame:
-    """Word k-shingles as an array column (JVM-side: split + transform)."""
+    """Word k-shingles as an array column.
+
+    Built with k-1 ``zip_with`` passes over shifted copies of the token
+    array — O(n) per row. (The per-index ``slice``+``concat_ws``
+    formulation is O(n·k) array copies and measured ~10× slower.)"""
     words = F.split(normalized_text(text_col), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
-    )
+    cnt = F.greatest(n - (k - 1), F.lit(1))
+    sh = F.slice(words, 1, cnt)
+    for off in range(1, k):
+        shifted = F.slice(words, off + 1, cnt)
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # n < k leaves trailing nulls from the short shifted arrays; emit the
+    # single truncated shingle the sequential formulation produced
+    short = F.array(F.concat_ws(" ", F.slice(words, 1, k)))
+    sh = F.when(n < k, short).otherwise(sh)
     return docs.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
 
 
@@ -85,6 +94,7 @@ def minhash_lsh_candidates(
     text_col="text",
     num_hashes: int = 16,
     bands: int = 4,
+    precomputed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -94,9 +104,13 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        shingles(docs, id_col, text_col), id_col, num_hashes
-    )
+    # persist the shingle arrays: projection collapse would otherwise
+    # inline the shingle expression into every one of the k minhash
+    # expressions (k× recompute per row)
+    sh = precomputed_shingles
+    if sh is None:
+        sh = shingles(docs, id_col, text_col).persist()
+    sigs = minhash_signatures(sh, id_col, num_hashes)
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -130,12 +144,15 @@ def ngram_jaccard_pairs(
     id_col="doc_id",
     text_col="text",
     k: int = 3,
+    precomputed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
     Returns (doc_a, doc_b, jaccard)."""
     # both join sides read the shingle table — persist to shingle once
-    sh = shingles(docs, id_col, text_col, k).persist()
+    sh = precomputed_shingles
+    if sh is None:
+        sh = shingles(docs, id_col, text_col, k).persist()
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = candidates.join(a, "doc_a").join(b, "doc_b")
@@ -152,31 +169,35 @@ def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """64-bit SimHash over word tokens.
 
     Each token votes ±1 on each bit of its xxhash64; the fingerprint
-    takes the sign. Near-duplicates differ in few bits. Pure JVM
-    (transform/aggregate over the token array; no UDF).
+    takes the sign. Near-duplicates differ in few bits.
+
+    Shape: explode tokens → one xxhash64 per row → 64 conditional-sum
+    aggregates in a single groupBy. One shuffle keyed by doc id (already
+    the natural partitioning), and the per-bit votes reference ONE hash
+    column — the array-fold formulation would inline the token-hash
+    array into all 64 bit expressions (64× recompute per row).
     Returns (doc_id, simhash)."""
     words = F.split(normalized_text(text_col), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    tokens = docs.select(F.col(id_col), F.explode(words).alias("tok"))
+    hashed = tokens.select(id_col, F.xxhash64("tok").alias("h"))
 
-    def _vote(bit: int):
-        # signed 64-bit mask (bit 63 wraps negative)
-        mask = (1 << bit) if bit < 63 else -(1 << 63)
+    def mask(bit: int) -> int:
+        return (1 << bit) if bit < 63 else -(1 << 63)
 
-        def fold(acc, h):
-            return acc + F.when(
-                h.bitwiseAND(F.lit(mask)) != 0, 1
-            ).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0), fold)
-
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
     fingerprint = None
-    for bit in range(64):
-        mask = (1 << bit) if bit < 63 else -(1 << 63)
-        term = F.when(_vote(bit) > 0, F.lit(mask).cast("long")).otherwise(
+    for b in range(64):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(mask(b)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
-    return docs.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
 def near_dedup_minhash(
@@ -189,6 +210,11 @@ def near_dedup_minhash(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify → pairs
     over threshold. Returns (doc_a, doc_b, jaccard)."""
-    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands)
-    verified = ngram_jaccard_pairs(docs, cands, id_col, text_col)
+    sh = shingles(docs, id_col, text_col).persist()
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes, bands, precomputed_shingles=sh
+    )
+    verified = ngram_jaccard_pairs(
+        docs, cands, id_col, text_col, precomputed_shingles=sh
+    )
     return verified.filter(F.col("jaccard") >= threshold)
