@@ -45,6 +45,31 @@ def _embeddings(spark, sf_dir):
 # ---------------------------------------------------------------- KG stages
 
 
+def q_turn_text_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text-equality invariant (BASELINE.json input_hint): the
+    md5 of every NTriples turn body under stable turn ordering. The
+    DuckDB oracle rebuilds the exact text byte-for-byte, so any drift in
+    the generator or in text handling (normalization, encoding) fails
+    the hash."""
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    return t.select("conv_id", "turn_idx", F.md5(F.col("text")).alias("text_md5"))
+
+
+ORACLES["turn_text_hash"] = _SEED + r"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx,
+  md5('# turn '||tix||chr(10)
+   ||'<urn:e:'||did||'> <urn:p:name> "'
+   ||CASE WHEN did%10=0 THEN 'Entity '||chr(92)||'"'||did||chr(92)||'"'||chr(92)||'n'
+          ELSE 'Entity '||did END
+   ||'" .'||chr(10)
+   ||'<urn:e:'||did||'> <urn:p:knows> <urn:e:'||(did+1)||'> .'||chr(10)
+   ||'<urn:e:'||did||'> <urn:p:score> "'||(did%100)
+   ||'.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .'||chr(10)
+   ||'_:a <urn:p:label> "turn '||tix||'"@en .'||chr(10)) AS text_md5
+FROM t
+"""
+
+
 def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = synth_transcripts(spark, sf_dir, fmt="ntriples")
     st = triples(extract_statements(t))
@@ -470,6 +495,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "turn_text_hash": q_turn_text_hash,
         "entity_link": q_entity_link,
         "canonicalize": q_canonicalize,
         "kg_edges": q_kg_edges,
