@@ -37,13 +37,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def timed(name: str, make_df) -> None:
+    def timed(name: str, make_df, runs: int = 2) -> None:
         # time construction + materialization: iterative operators
-        # (connected components) do eager work while building the plan
-        t0 = time.perf_counter()
-        df = make_df() if callable(make_df) else make_df
-        counts[name] = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # (connected components) do eager work while building the plan.
+        # best-of-N: the first run of each distinct plan shape absorbs
+        # JVM codegen/JIT compilation (~seconds) that a long-running
+        # cluster job pays once; warm numbers are the steady state
+        # (the reference benches warm up too, BenchmarkRdfa.java:86-92)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = make_df() if callable(make_df) else make_df
+            counts[name] = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # warm the JVM + the mapInPandas python-worker pool so per-query
     # numbers measure the pipeline, not interpreter startup (reference
@@ -56,9 +64,6 @@ def main() -> None:
     # (the first timed run still absorbs tail-end JIT/worker warmup)
     mixed = synth_transcripts(spark, sf_dir, turns_per_doc=turns_per_doc)
     timed("extract_mixed", lambda: triples(extract_statements(mixed)))
-    first = timings["extract_mixed"]
-    timed("extract_mixed", lambda: triples(extract_statements(mixed)))
-    timings["extract_mixed"] = min(first, timings["extract_mixed"])
 
     registry = Q.registry()
     for name in (

@@ -31,6 +31,28 @@ def normalized_text(col="text"):
     return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
 
 
+def md5_hash60(col, seed: int | None = None):
+    """60-bit hash = int(md5(s [+ '#seed'])[0:15], 16).
+
+    Exactly replicable in ANSI SQL / DuckDB (hex-digit fold over
+    ``md5``), unlike xxhash64 — used by the oracle-checked query
+    variants so the external gate recomputes identical fingerprints.
+    xxhash64 remains the fast default for production paths (single
+    JVM intrinsic vs md5 + string slicing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(c, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col, seed: int | None = None, method: str = "xxhash64"):
+    """Dispatch: 64-bit xxhash64 (fast path) or 60-bit md5 (oracle path)."""
+    if method == "md5":
+        return md5_hash60(col, seed)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c, F.lit(seed)) if seed is not None else F.xxhash64(c)
+
+
 def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Keep the minimum id per identical normalized body.
 
@@ -71,17 +93,20 @@ def shingles(docs: DataFrame, id_col="doc_id", text_col="text", k: int = 3) -> D
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col="doc_id", num_hashes: int = 16
+    sh: DataFrame, id_col="doc_id", num_hashes: int = 16,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """k minhash values per doc: min over xxhash64(shingle, seed)."""
+    """k minhash values per doc: min over hash(shingle, seed)."""
+
+    def seeded(seed: int):
+        # bind via closure factory: a `lambda s, seed=seed:` two-param
+        # lambda would be treated by F.transform as (element, index) and
+        # silently rebind `seed` to the array-index column
+        return lambda s: _hash64(s, seed, hash_method)
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, seed=seed: F.xxhash64(s, F.lit(seed)),
-                )
-            )
+            F.array_min(F.transform(F.col("shingles"), seeded(seed)))
             for seed in _MINHASH_SEEDS[:num_hashes]
         ]
     )
@@ -95,6 +120,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     precomputed_shingles: DataFrame | None = None,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -110,18 +136,20 @@ def minhash_lsh_candidates(
     sh = precomputed_shingles
     if sh is None:
         sh = shingles(docs, id_col, text_col).persist()
-    sigs = minhash_signatures(sh, id_col, num_hashes)
+    sigs = minhash_signatures(sh, id_col, num_hashes, hash_method)
+
+    def band_key(b: int):
+        sl = F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        if hash_method == "md5":
+            # oracle path: the band key must be SQL-replicable — a
+            # joined string of the minhash values (equality-only key)
+            return F.concat_ws(",", F.transform(sl, lambda v: v.cast("string")))
+        return F.hash(sl).cast("string")
+
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
     left = banded.select(
@@ -165,21 +193,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """64-bit SimHash over word tokens.
+def simhash(
+    docs: DataFrame, id_col="doc_id", text_col="text",
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over word tokens (64-bit xxhash64 / 60-bit md5).
 
-    Each token votes ±1 on each bit of its xxhash64; the fingerprint
-    takes the sign. Near-duplicates differ in few bits.
+    Each token votes ±1 on each bit of its hash; the fingerprint takes
+    the sign. Near-duplicates differ in few bits.
 
-    Shape: explode tokens → one xxhash64 per row → 64 conditional-sum
+    Shape: explode tokens → one hash per row → per-bit conditional-sum
     aggregates in a single groupBy. One shuffle keyed by doc id (already
     the natural partitioning), and the per-bit votes reference ONE hash
     column — the array-fold formulation would inline the token-hash
-    array into all 64 bit expressions (64× recompute per row).
+    array into all bit expressions (64× recompute per row).
     Returns (doc_id, simhash)."""
+    nbits = 60 if hash_method == "md5" else 64
     words = F.split(normalized_text(text_col), " ")
     tokens = docs.select(F.col(id_col), F.explode(words).alias("tok"))
-    hashed = tokens.select(id_col, F.xxhash64("tok").alias("h"))
+    hashed = tokens.select(id_col, _hash64("tok", None, hash_method).alias("h"))
 
     def mask(bit: int) -> int:
         return (1 << bit) if bit < 63 else -(1 << 63)
@@ -188,11 +220,11 @@ def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = hashed.groupBy(id_col).agg(*votes)
     fingerprint = None
-    for b in range(64):
+    for b in range(nbits):
         term = F.when(F.col(f"v{b}") > 0, F.lit(mask(b)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -207,12 +239,14 @@ def near_dedup_minhash(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify → pairs
     over threshold. Returns (doc_a, doc_b, jaccard)."""
     sh = shingles(docs, id_col, text_col).persist()
     cands = minhash_lsh_candidates(
-        docs, id_col, text_col, num_hashes, bands, precomputed_shingles=sh
+        docs, id_col, text_col, num_hashes, bands,
+        precomputed_shingles=sh, hash_method=hash_method,
     )
     verified = ngram_jaccard_pairs(
         docs, cands, id_col, text_col, precomputed_shingles=sh

@@ -111,15 +111,25 @@ def quality_score(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFram
     )
 
 
-def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+def fingerprint(
+    docs: DataFrame, id_col="doc_id", text_col="text",
+    hash_method: str = "xxhash64",
+) -> DataFrame:
     """Order-sensitive polynomial rolling hash over word tokens:
     h = Σ hash(tok_i)·31^(n-1-i) mod (2^31−1), kept in-range per step so
-    ANSI-mode long arithmetic never overflows."""
+    ANSI-mode long arithmetic never overflows.
+
+    ``hash_method="md5"`` swaps the token hash for the SQL-replicable
+    60-bit md5 fold so an external oracle can recompute fingerprints."""
+    from .dedup import _hash64
+
     toks = _tokens(text_col)
     m = F.lit((1 << 31) - 1).cast("long")
     rolled = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), m), m),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31).cast("long") + F.pmod(_hash64(t, None, hash_method), m), m
+        ),
     )
     return docs.select(F.col(id_col), rolled.alias("fingerprint"))

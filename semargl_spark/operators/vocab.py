@@ -49,10 +49,18 @@ def expansion_map(vocab_triples: DataFrame) -> DataFrame:
     return pairs
 
 
-def expand_statements(statements: DataFrame, vocab_triples: DataFrame) -> DataFrame:
+def expand_statements(
+    statements: DataFrame, vocab_triples: DataFrame, dedupe: bool = False
+) -> DataFrame:
     """statements ∪ pred-synonym rows ∪ obj-synonym rows (non-literal).
 
-    The expansion map is broadcast; both joins are BroadcastHashJoin."""
+    The expansion map is broadcast; both joins are BroadcastHashJoin, so
+    with ``dedupe=False`` (default) the whole stage is map-side only —
+    no shuffle, exactly like the reference, which emits original +
+    synonym triples without set-dedup (RdfaParser.java:1197-1217; model
+    set semantics are the downstream sink's job — here
+    ``dedup_triples``). ``dedupe=True`` adds a full-output ``distinct``
+    shuffle for callers that want model semantics in one call."""
     pairs = expansion_map(vocab_triples)
 
     pred_syn = (
@@ -70,4 +78,5 @@ def expand_statements(statements: DataFrame, vocab_triples: DataFrame) -> DataFr
         .withColumnRenamed("synonym", "obj")
         .select(*statements.columns)
     )
-    return statements.unionByName(pred_syn).unionByName(obj_syn).distinct()
+    out = statements.unionByName(pred_syn).unionByName(obj_syn)
+    return out.distinct() if dedupe else out

@@ -208,15 +208,13 @@ ORACLES["vocab_expand"] = _SEED + """
   SELECT 'c'||did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label',
          'turn '||tix, 'literal', 'en', NULL FROM t
 )
-SELECT DISTINCT * FROM (
-  SELECT * FROM base_rows
-  UNION ALL
-  SELECT conv_id, turn_idx, subj, 'urn:p:acquaintedWith', obj, obj_kind,
-         lang, dtype FROM base_rows WHERE pred = 'urn:p:knows'
-  UNION ALL
-  SELECT conv_id, turn_idx, subj, 'urn:p:label2', obj, obj_kind, lang,
-         dtype FROM base_rows WHERE pred = 'urn:p:name'
-)
+SELECT * FROM base_rows
+UNION ALL
+SELECT conv_id, turn_idx, subj, 'urn:p:acquaintedWith', obj, obj_kind,
+       lang, dtype FROM base_rows WHERE pred = 'urn:p:knows'
+UNION ALL
+SELECT conv_id, turn_idx, subj, 'urn:p:label2', obj, obj_kind, lang,
+       dtype FROM base_rows WHERE pred = 'urn:p:name'
 """
 
 
@@ -313,25 +311,100 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over a corpus with planted duplicates
-    (each doc unioned with a lightly-perturbed copy). Non-SQL (xxhash64
-    seeds) → rows-only oracle."""
+    (each doc unioned with a lightly-perturbed copy). Uses the
+    SQL-replicable md5 hash method so the DuckDB oracle recomputes the
+    full shingle→minhash→band→verify pipeline exactly."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     copies = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
     corpus = docs.unionByName(copies)
-    return dedup.near_dedup_minhash(corpus, threshold=0.5).select(
+    return dedup.near_dedup_minhash(
+        corpus, threshold=0.5, hash_method="md5"
+    ).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
         F.round("jaccard", 6).alias("jaccard"),
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (xxhash64-based → rows-only oracle)."""
-    return dedup.simhash(_docs(spark, sf_dir)).select(
+    """60-bit SimHash fingerprints (md5 hash method → exact oracle)."""
+    return dedup.simhash(_docs(spark, sf_dir), hash_method="md5").select(
         F.col("doc_id").cast("long"), "simhash"
     )
+
+
+def _h60(expr: str) -> str:
+    """DuckDB SQL for the 60-bit md5 hash (mirrors dedup.md5_hash60):
+    fold the top 15 hex digits of md5 into a BIGINT."""
+    return (
+        "list_reduce(list_transform(range(1,16), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 "
+        "AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
+_NORM_W = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
+ORACLES["simhash"] = rf"""
+WITH t AS (SELECT doc_id, {_NORM_W} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+h AS (SELECT doc_id, {_h60('tok')} AS h FROM tok),
+bits AS (SELECT doc_id, b,
+         CAST(SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         FROM h CROSS JOIN (SELECT unnest(range(0,60)) AS b) GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def _minhash_oracle() -> str:
+    from .operators.dedup import _MINHASH_SEEDS
+
+    seeds = _MINHASH_SEEDS[:16]
+    sig_cols = ", ".join(
+        "list_min(list_transform(s, x -> "
+        + _h60(f"x || '#{seed}'")
+        + f")) AS m{j}"
+        for j, seed in enumerate(seeds)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        f"array_to_string([m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}], ',') AS key "
+        "FROM sig"
+        for b in range(4)
+    )
+    return rf"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000, text || ' tail' FROM documents),
+t AS (SELECT doc_id, {_NORM_W} AS w FROM corpus),
+sh AS (SELECT doc_id,
+       list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w[1:3], ' ')]
+            ELSE list_transform(range(1, len(w)-1),
+                                i -> w[i]||' '||w[i+1]||' '||w[i+2]) END) AS s
+       FROM t),
+sig AS (SELECT doc_id, {sig_cols} FROM sh),
+banded AS (
+{bands}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b,
+      len(list_intersect(x.s, y.s)) /
+          greatest(len(list_distinct(list_concat(x.s, y.s))), 1) AS jac
+      FROM cand
+      JOIN sh x ON x.doc_id = cand.doc_a
+      JOIN sh y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+"""
+
+
+ORACLES["dedup_minhash"] = _minhash_oracle()
 
 
 # ---------------------------------------------------------------- similarity
@@ -472,10 +545,22 @@ FROM m
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprints (xxhash64 → rows-only)."""
-    return text.fingerprint(_docs(spark, sf_dir)).select(
+    """Order-sensitive rolling-hash fingerprints (md5 hash method →
+    exact oracle)."""
+    return text.fingerprint(_docs(spark, sf_dir), hash_method="md5").select(
         F.col("doc_id").cast("long"), "fingerprint"
     )
+
+
+ORACLES["fingerprint"] = rf"""
+WITH t AS (SELECT doc_id, {_NORM_W} AS w FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(w, tok -> {_h60('tok')} % 2147483647)),
+         (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+FROM t
+"""
 
 
 # ---------------------------------------------------------------- multimodal
