@@ -109,7 +109,9 @@ def extract_features(
                 blob = bytes(payload) if payload is not None else b""
                 n_frames = frames_per_video if mime.startswith("video/") else 1
                 for i in range(n_frames):
-                    vec = decode(blob + i.to_bytes(2, "big"), mime)
+                    # ASCII frame tag (not raw bytes) so external SQL
+                    # oracles can recompute the fake-decode digest
+                    vec = decode(blob + f"|f{i}".encode(), mime)
                     out.append((mid, i, [float(x) for x in vec[:dim]]))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "feature"])
 

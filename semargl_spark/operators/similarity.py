@@ -153,6 +153,131 @@ def ann_topk(
     )
 
 
+def _argbest(cents_col, vec_col):
+    """(cos, cid) struct of the nearest centroid — array_max over a
+    transform, so the whole argmax is one narrow JVM expression (ties
+    break to the larger cid, mirrored by the SQL oracle)."""
+    return F.array_max(
+        F.transform(
+            cents_col,
+            lambda c: F.struct(
+                F.when(
+                    (_norm(F.col(vec_col)) * _norm(c["cvec"])) == 0, F.lit(0.0)
+                )
+                .otherwise(
+                    _dot(F.col(vec_col), c["cvec"])
+                    / (_norm(F.col(vec_col)) * _norm(c["cvec"]))
+                )
+                .alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_every: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the scale path beyond LSH buckets.
+
+    * coarse quantizer: a deterministic centroid subset
+      (``vec_id % centroid_every == 0`` here so the oracle can mirror
+      it; k-means over a sample in production — the plumbing is
+      identical);
+    * centroids are collected into ONE array row and broadcast, so
+      cell assignment is a narrow per-row argmax (no shuffle, no
+      |V|×|C| expansion);
+    * each query probes its ``nprobe`` nearest cells; candidates are
+      fetched with an equi-join on the cell id — the only shuffle,
+      keyed by cell, touching ~nprobe/|C| of the corpus instead of a
+      cross join.
+
+    Returns (query_id, neighbor_id, cosine), ≤k rows per query."""
+    cents = embeddings.filter(F.col(id_col) % centroid_every == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    cent_row = cents.select(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+
+    # cell assignment: narrow argmax per vector
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cent_row))
+        .withColumn("best", _argbest(F.col("cents"), vec_col))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            F.col("best.cid").alias("cell"),
+        )
+    )
+
+    # query probes: top-nprobe cells per query
+    probes = (
+        queries.crossJoin(F.broadcast(cent_row))
+        .withColumn(
+            "probe",
+            F.slice(
+                F.sort_array(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            F.when(
+                                (_norm(F.col(vec_col)) * _norm(c["cvec"])) == 0,
+                                F.lit(0.0),
+                            )
+                            .otherwise(
+                                _dot(F.col(vec_col), c["cvec"])
+                                / (_norm(F.col(vec_col)) * _norm(c["cvec"]))
+                            )
+                            .alias("cos"),
+                            c["cid"].alias("cid"),
+                        ),
+                    ),
+                    asc=False,
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode("probe.cid").alias("cell"),
+        )
+    )
+
+    pairs = probes.join(assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = with_cosine(pairs, "qvec", "nvec").select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("cosine", "neighbor_id")), asc=False
+                ),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select("query_id", F.explode("nn").alias("nn"))
+        .select(
+            "query_id",
+            F.col("nn.neighbor_id").alias("neighbor_id"),
+            F.round(F.col("nn.cosine"), 6).alias("cosine"),
+        )
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     dim: int,

@@ -438,6 +438,50 @@ SELECT query_id, neighbor_id, round(c, 6) AS cosine FROM ranked WHERE rn <= 5
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path): deterministic coarse quantizer →
+    narrow cell assignment → nprobe probing → top-k within probed
+    cells. Exact DuckDB oracle mirrors the quantizer and tie-breaks."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_topk(
+        emb, queries, k=5, nprobe=2, centroid_every=50
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine",
+    )
+
+
+ORACLES["ann_ivf"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id % 50 = 0),
+asg AS (SELECT nid, nvec, cid AS cell FROM (
+    SELECT e.vec_id AS nid, e.v AS nvec, c.cid,
+           list_cosine_similarity(e.v, c.cvec) AS cos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+                                       c.cid DESC) AS rn
+    FROM e, c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 25 = 0),
+probes AS (SELECT qid, qvec, cid AS cell FROM (
+    SELECT q.qid, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC,
+                                       c.cid DESC) AS rn
+    FROM q, c) WHERE rn <= 2),
+cand AS (SELECT p.qid, a.nid, list_cosine_similarity(p.qvec, a.nvec) AS cos
+         FROM probes p JOIN asg a ON a.cell = p.cell WHERE a.nid <> p.qid),
+ranked AS (SELECT qid, nid, cos,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, nid DESC) AS rn FROM cand)
+SELECT qid AS query_id, nid AS neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rn <= 5
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dups over a corpus with planted
     duplicates (vectors unioned with themselves under shifted ids)."""
@@ -567,8 +611,10 @@ FROM t
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode/frame-sample plumbing (decoder stubbed with a
-    deterministic fake → rows-only oracle)."""
+    """Binary-column decode/frame-sample plumbing. The decoder is a
+    deterministic sha256 fake, so the DuckDB oracle recomputes the
+    digest and the exact value gate applies to the full mapInPandas
+    plumbing (schema, fan-out, batch shape)."""
     from .operators import multimodal
 
     media = multimodal.synth_media(spark, sf_dir)
@@ -578,8 +624,59 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLES["media_features"] = """
+WITH m AS (SELECT 'm'||CAST(doc_id AS INT) AS media_id,
+                  CAST(doc_id AS INT) % 3 AS k, text FROM documents),
+f AS (SELECT media_id,
+             unnest(CASE WHEN k = 2 THEN [0,1,2] ELSE [0] END) AS frame_idx,
+             text FROM m),
+h AS (SELECT media_id, frame_idx,
+             sha256(text || '|f' || frame_idx) AS hx FROM f)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       round(CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                  / 255.0 AS REAL), 6) AS f0
+FROM h
+"""
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming extraction (SURVEY.md §2.11): materialize the
+    ntriples transcript corpus to a landing dir, drain it with
+    ``trigger(availableNow=True)`` through the same mapInPandas stage as
+    batch (exactly-once via checkpoint), and return the sink table. The
+    oracle is the batch extract_ntriples oracle — streaming and batch
+    must agree exactly."""
+    import tempfile
+
+    from .streaming.stream_extract import stream_extract
+
+    base = tempfile.mkdtemp(prefix="semargl_q_stream_")
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    t.write.mode("overwrite").parquet(f"{base}/in")
+    q = stream_extract(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    st = spark.read.parquet(f"{base}/out")
+    return triples(st).select(
+        "conv_id", "turn_idx", "subj", "pred", "obj", "obj_kind", "lang", "dtype"
+    )
+
+
+def _register_stream_oracle() -> None:
+    # identical expected output to the batch ntriples extraction; the
+    # lazy import avoids a cycle (queries.py imports this module only
+    # inside registry()/oracles())
+    from .queries import ORACLES as _EXTRACT_ORACLES
+
+    ORACLES["stream_extract"] = _EXTRACT_ORACLES["extract_ntriples"]
+
+
+_register_stream_oracle()
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_extract": q_stream_extract,
         "turn_text_hash": q_turn_text_hash,
         "entity_link": q_entity_link,
         "canonicalize": q_canonicalize,
@@ -593,6 +690,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "token_count": q_token_count,
         "lang_id": q_lang_id,

@@ -102,3 +102,49 @@ def test_turtle_serializer():
     assert "<a> a <T> ;" in ttl
     assert '"x", "y"' in ttl
     assert '"""multi\nline"""' in ttl
+
+
+def test_minhash_md5_signature_matches_hashlib(spark):
+    """Regression for the F.transform two-param-lambda pitfall: a
+    `lambda s, seed=seed:` is treated as (element, index), silently
+    rebinding the seed to the array index — signatures must equal an
+    independent hashlib computation."""
+    import hashlib
+
+    from semargl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    sh = dedup.shingles(docs)
+    shl = sh.collect()[0].shingles
+    sig = dedup.minhash_signatures(sh, num_hashes=8, hash_method="md5").collect()[
+        0
+    ].signature
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = [
+        min(h60(f"{s}#{seed}") for s in shl)
+        for seed in dedup._MINHASH_SEEDS[:8]
+    ]
+    assert list(sig) == expected
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from semargl_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, nprobe=2, centroid_every=50)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a) == len(e)  # k rows per query from both
+    recall = len(e & a) / len(e)
+    # nprobe=2 of ~10 cells: well over half the true neighbors recalled
+    assert recall >= 0.5, recall
