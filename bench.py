@@ -81,7 +81,9 @@ def main() -> None:
                 timings[name] = -1.0
 
     for name in ("entity_link", "canonicalize", "pipeline_kg", "kg_edges",
-                 "dedup_minhash", "ann_topk", "quality_score", "vocab_expand"):
+                 "dedup_minhash", "simhash", "ann_topk", "ann_ivf",
+                 "quality_score", "fingerprint", "media_features",
+                 "vocab_expand"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -32,7 +32,12 @@ def expansion_map(vocab_triples: DataFrame) -> DataFrame:
     equivalent* is symmetric, rdfs:sub* points up only — exactly the
     reference's addExpansion calls (Vocabulary.java:128-139). Bnode
     terms are dropped like the reference does."""
-    v = vocab_triples.select("subj", "pred", "obj").filter(
+    # a vocabulary is small by definition (the reference holds it in one
+    # in-memory map, Vocabulary.java:110-123) — collapse to a single
+    # partition so the union/distinct/broadcast stages don't schedule
+    # dozens of near-empty tasks (createDataFrame spreads even 2 rows
+    # over defaultParallelism slices)
+    v = vocab_triples.select("subj", "pred", "obj").repartition(1).filter(
         ~F.col("subj").startswith("_:") & ~F.col("obj").startswith("_:")
     )
     equiv = v.filter(
