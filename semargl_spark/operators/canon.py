@@ -2,22 +2,27 @@
 (SURVEY.md §2.5 J4, north_star "canon" stage).
 
 Algorithm: min-label propagation with **pointer jumping** — each round
-every node takes the minimum label over its neighborhood, then labels
-are short-circuited through one indirection step (L(v) ← L(L(v))).
-Pointer jumping halves the remaining path length every round, giving
-O(log diameter) rounds like the large-star/small-star formulation
-(Kiveris et al., SoCC'14) while staying three shuffles per round, all
-JVM-side.
+every node takes the minimum label over its neighborhood (one join over
+a pre-materialized *bidirectional* edge list — half the edge-shuffle of
+the naive two-join formulation), then labels are short-circuited through
+two pointer-jump steps (L(v) ← L(L(v)), twice). Pointer jumping shrinks the
+remaining path length geometrically, giving O(log diameter) rounds like
+the large-star/small-star formulation (Kiveris et al., SoCC'14), all
+JVM-side. Round 0 (label(v) = min(v, neighbors)) is fused into the
+label-initialization groupBy, saving one full propagate round.
 
 Scale notes (10^12-turn corpus):
-* labels/edges shuffle on node id — AQE coalesces small partitions and
-  splits skewed hubs (skewJoin enabled in spark_util.tuned_session);
-  a celebrity sameAs hub converges in one round since all neighbors
-  adopt its minimum directly;
+* the dominant shuffle is the edges⋈labels join, shuffled on node id —
+  materializing edges bidirectionally once means each round shuffles the
+  label side only once; AQE coalesces small partitions and splits skewed
+  hubs (skewJoin enabled in spark_util.tuned_session); a celebrity
+  sameAs hub converges in one round since all neighbors adopt its
+  minimum directly;
 * per-round ``localCheckpoint`` truncates lineage so the plan stays flat
   across iterations (no exponential reoptimization);
-* convergence is detected with a single-row aggregate fingerprint, one
-  extra job per round, O(1) driver memory.
+* convergence is detected with a single-row aggregate fingerprint over
+  the already-checkpointed labels, one cheap job per round, O(1) driver
+  memory.
 """
 
 from __future__ import annotations
@@ -33,6 +38,19 @@ def _fingerprint(labels: DataFrame) -> int:
     return int(row["h"])
 
 
+def _jump(labels: DataFrame) -> DataFrame:
+    """One pointer-jump step: L(v) ← min(L(v), L(L(v)))."""
+    jump = labels.select(
+        F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+    )
+    return labels.join(jump, labels.component == jump.jnode, "left").select(
+        "node",
+        F.least(F.col("component"), F.coalesce("jcomp", "component")).alias(
+            "component"
+        ),
+    )
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(src, dst) → (node, component), component = min member id.
 
@@ -44,46 +62,39 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+    )
+    # materialize once in both directions: every subsequent round does a
+    # single equi-join instead of one join per direction
+    bidir = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # fused round 0: label(v) = min(v, min neighbor) straight off the
+    # edge list — no join needed for the first propagation. The lazy
+    # checkpoint is materialized by the fingerprint action, so each
+    # round costs exactly one Spark job.
     labels = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
+        bidir.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.min("src")).alias("component"))
+        .localCheckpoint(eager=False)
     )
 
     prev = _fingerprint(labels)
     for _round in range(max_iter):
-        # 1. neighbor-min: every edge endpoint proposes its label across
+        # 1. neighbor-min: every node proposes its label to its neighbors
         msgs = (
-            e.join(labels.withColumnRenamed("node", "src"), "src")
+            bidir.join(labels.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), "component")
-            .union(
-                e.join(labels.withColumnRenamed("node", "dst"), "dst")
-                .select(F.col("src").alias("node"), "component")
-            )
         )
         labels = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        # 2. pointer jump: follow the label's own label one step
-        jump = labels.select(
-            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
-        )
-        labels = (
-            labels.join(jump, labels.component == jump.jnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("jcomp", "component")
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        # 2. double pointer jump: follow the label chain two steps —
+        # node-sized self-joins, cheap next to the edge join, and each
+        # halves the remaining pointer-path length
+        labels = _jump(_jump(labels)).localCheckpoint(eager=False)
         cur = _fingerprint(labels)
         if cur == prev:
             break
