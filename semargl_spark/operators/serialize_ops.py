@@ -66,6 +66,45 @@ def render_ntriples(statements: DataFrame, quads: bool = False) -> DataFrame:
     return df.select(line.alias("line"))
 
 
+def render_turtle_docs(transcripts: DataFrame, fmt: str = "ntriples") -> DataFrame:
+    """One Turtle document per turn: parser → Turtle writer fused in a
+    single shuffle-free ``mapInPandas`` pass, the Spark analogue of the
+    reference's ``X.connect(TurtleSerializer.connect(sink))`` pipe chain
+    (rdfa/src/test/java/.../RdfaParserTest.java:61,
+    rdf/.../TurtleSerializer.java:32-238). Returns
+    (conv_id, turn_idx, turtle)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from ..kernels import turtle as turtle_kernel
+    from .extract import _parse_text, doc_uri
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("turtle", StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        kernel = _parse_text(fmt)
+        for pdf in batches:
+            rows = []
+            for conv, tix, text in zip(
+                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist()
+            ):
+                tix = int(tix)
+                try:
+                    stmts, _errs = kernel(text or "", doc_uri(conv, tix), f"{conv}_{tix}")
+                except Exception:  # error recovery: empty doc, never a task failure
+                    stmts = []
+                rows.append((conv, tix, turtle_kernel.serialize(stmts)))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "turtle"])
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(run, schema)
+
+
 def needs_python_path(statements: DataFrame) -> DataFrame:
     """Rows whose content needs per-char \\uXXXX escaping (non-ASCII)."""
     non_ascii = r"[^\x00-\x7F]"

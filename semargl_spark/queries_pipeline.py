@@ -258,6 +258,62 @@ SELECT '_:bc'||did||'_'||tix||'_n0 <urn:p:label> "turn '||tix||'"@en .' FROM t
 """
 
 
+def q_render_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle rendering (reference W3, TurtleSerializer.java:32-238):
+    same-subject ';' grouping, multiline literals as triple-quoted
+    strings, @prefix header. The oracle rebuilds the exact document text
+    byte-for-byte from the closed-form synthetic corpus."""
+    from .operators.serialize_ops import render_turtle_docs
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    return render_turtle_docs(t, fmt="ntriples")
+
+
+_NL = "chr(10)"
+_TQ = '"' * 3  # Turtle triple-quote, kept out of the f-string delimiter
+ORACLES["render_turtle"] = _SEED + f"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx,
+  '@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .'||{_NL}||{_NL}
+  ||'<urn:e:'||did||'> <urn:p:name> '
+  ||CASE WHEN did%10=0
+         THEN '{_TQ}Entity "'||did||'"'||{_NL}||'{_TQ}'
+         ELSE '"Entity '||did||'"' END||' ;'||{_NL}
+  ||'    <urn:p:knows> <urn:e:'||(did+1)||'> ;'||{_NL}
+  ||'    <urn:p:score> "'||(did%100)||'.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .'||{_NL}
+  ||'_:bc'||did||'_'||tix||'_n0 <urn:p:label> "turn '||tix||'"@en .'||{_NL}
+  AS turtle
+FROM t
+"""
+
+
+def q_model_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model set-difference (§2.9, SesameTestHelper.diff):
+    turn 0 vs turn 1 of every conversation, compared as statement sets
+    with canonical (per-document) bnode labels. The only difference is
+    the bnode's label literal — exactly two rows per conversation."""
+    from .operators.setops import model_diff
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t)).persist()
+    a = st.filter(F.col("turn_idx") == 0)
+    b = st.filter(F.col("turn_idx") == 1)
+    return model_diff(a, b, keys=["conv_id"])
+
+
+ORACLES["model_diff"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents)
+SELECT 'c'||did AS conv_id, '_:n0' AS subj, 'urn:p:label' AS pred,
+       'turn 0' AS obj, 'literal' AS obj_kind, 'en' AS lang,
+       CAST(NULL AS VARCHAR) AS dtype, CAST(NULL AS VARCHAR) AS graph,
+       'a' AS side
+FROM ids
+UNION ALL
+SELECT 'c'||did, '_:n0', 'urn:p:label', 'turn 1', 'literal', 'en',
+       NULL, NULL, 'b'
+FROM ids
+"""
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -685,6 +741,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage": q_lineage,
         "vocab_expand": q_vocab_expand,
         "render_ntriples": q_render_ntriples,
+        "render_turtle": q_render_turtle,
+        "model_diff": q_model_diff,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,

@@ -148,3 +148,38 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     recall = len(e & a) / len(e)
     # nprobe=2 of ~10 cells: well over half the true neighbors recalled
     assert recall >= 0.5, recall
+
+
+def test_model_diff_setops(spark):
+    from semargl_spark.operators.setops import model_diff
+
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").filter(
+        F.col("conv_id").isin("c0", "c1")
+    )
+    st = triples(extract_statements(t))
+    a = st.filter(F.col("turn_idx") == 0)
+    b = st.filter(F.col("turn_idx") == 1)
+    rows = model_diff(a, b, keys=["conv_id"]).collect()
+    # the only per-turn difference is the bnode label literal; bnode
+    # labels themselves canonicalize to _:n0 on both sides
+    assert len(rows) == 4
+    assert {(r["side"], r["obj"]) for r in rows} == {
+        ("a", "turn 0"), ("b", "turn 1"),
+    }
+    assert all(r["subj"] == "_:n0" for r in rows)
+    # identical models diff to empty
+    assert model_diff(a, a, keys=["conv_id"]).count() == 0
+
+
+def test_render_turtle_grouping(spark):
+    from semargl_spark.operators.serialize_ops import render_turtle_docs
+
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").filter(
+        (F.col("conv_id") == "c2") & (F.col("turn_idx") == 0)
+    )
+    doc = render_turtle_docs(t).collect()[0]["turtle"]
+    assert doc.startswith("@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .")
+    # same-subject grouping: urn:e:2 appears once as a subject line
+    assert doc.count("<urn:e:2> ") == 1
+    assert " ;\n    <urn:p:knows> <urn:e:3> ;" in doc
+    assert '_:bc2_0_n0 <urn:p:label> "turn 0"@en .' in doc
