@@ -11,8 +11,14 @@ Scale notes (100 TB corpus):
   BroadcastHashJoin so the triples side streams map-side only;
 * normalization is pure JVM (lower/trim/regexp) — whole-stage codegen,
   no Python in the hot path;
-* the argmax per mention uses a single aggregation keyed by the mention
-  key (max_by), not a window sort, so AQE can coalesce partitions.
+* the dictionary is argmax-reduced per surface form FIRST (on the
+  small side, where a sort-based aggregate costs nothing), so the join
+  emits at most one candidate per mention surface and the big-side
+  argmax only arbitrates between a node's different name predicates —
+  a near-unique-key aggregate. (A fully hash-based big-side argmax is
+  impossible here: HashAggregateExec needs fixed-width buffers, and the
+  payload is a string, so max(struct)/max_by compile to SortAggregate
+  — keeping the sorted volume minimal is the lever that matters.)
 """
 
 from __future__ import annotations
@@ -57,13 +63,27 @@ def link_entities(
         "canonical_iri",
         F.col("weight").cast("double").alias("weight"),
     )
-    joined = mentions.join(F.broadcast(dict_norm), "surface_norm", "inner")
+    # argmax-reduce the dictionary per surface form before broadcasting:
+    # the join then yields one candidate per mention surface
+    dict_best = (
+        dict_norm.groupBy("surface_norm")
+        .agg(F.max(F.struct("weight", "canonical_iri")).alias("b"))
+        .select(
+            "surface_norm",
+            F.col("b.canonical_iri").alias("canonical_iri"),
+            F.col("b.weight").alias("weight"),
+        )
+    )
+    joined = mentions.join(F.broadcast(dict_best), "surface_norm", "inner")
+    best = F.max(F.struct("weight", "canonical_iri")).alias("best")
     return (
         joined.groupBy("conv_id", "turn_idx", "mention_node")
-        .agg(
-            F.max_by("canonical_iri", F.struct("weight", "canonical_iri")).alias(
-                "canonical_iri"
-            ),
-            F.max("weight").alias("score"),
+        .agg(best)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "mention_node",
+            F.col("best.canonical_iri").alias("canonical_iri"),
+            F.col("best.weight").alias("score"),
         )
     )
