@@ -718,6 +718,50 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming (§2.11): per-conversation progress totals
+    accumulated across micro-batches with applyInPandasWithState.
+    maxFilesPerTrigger forces multiple micro-batches, so the state rows
+    genuinely carry across batches; update-mode emissions are monotone
+    and the final total per conversation is the max."""
+    import tempfile
+    import uuid
+
+    from .operators.extract import extract_statements
+    from .streaming.stateful import conversation_progress
+    from .streaming.stream_extract import read_transcript_stream
+
+    base = tempfile.mkdtemp(prefix="semargl_q_state_")
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    # one file per conv-bucket so maxFilesPerTrigger yields >1 batch
+    t.repartition(8, "conv_id").write.mode("overwrite").parquet(f"{base}/in")
+    stream = read_transcript_stream(spark, f"{base}/in")
+    progress = conversation_progress(extract_statements(stream))
+    sink = f"q_stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        progress.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table(sink)
+    return updates.groupBy("conv_id").agg(
+        F.max("statements").alias("statements"),
+        F.max("errors").alias("errors"),
+        F.max("last_turn").alias("last_turn"),
+    )
+
+
+ORACLES["stream_state"] = """
+SELECT 'c'||CAST(doc_id AS INT) AS conv_id, 16 AS statements,
+       0 AS errors, 3 AS last_turn
+FROM documents
+"""
+
+
 def _register_stream_oracle() -> None:
     # identical expected output to the batch ntriples extraction; the
     # lazy import avoids a cycle (queries.py imports this module only
@@ -733,6 +777,7 @@ _register_stream_oracle()
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_extract": q_stream_extract,
+        "stream_state": q_stream_state,
         "turn_text_hash": q_turn_text_hash,
         "entity_link": q_entity_link,
         "canonicalize": q_canonicalize,

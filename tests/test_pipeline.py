@@ -183,3 +183,37 @@ def test_render_turtle_grouping(spark):
     assert doc.count("<urn:e:2> ") == 1
     assert " ;\n    <urn:p:knows> <urn:e:3> ;" in doc
     assert '_:bc2_0_n0 <urn:p:label> "turn 0"@en .' in doc
+
+
+def test_stateful_conversation_progress(spark):
+    import tempfile
+
+    from semargl_spark.operators.extract import extract_statements
+    from semargl_spark.streaming.stateful import conversation_progress
+    from semargl_spark.streaming.stream_extract import read_transcript_stream
+
+    base = tempfile.mkdtemp(prefix="semargl_t_state_")
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").filter(
+        F.col("conv_id").isin("c0", "c1", "c2")
+    )
+    # several input files + maxFilesPerTrigger=4 → state spans batches
+    t.repartition(8).write.mode("overwrite").parquet(f"{base}/in")
+    stream = read_transcript_stream(spark, f"{base}/in")
+    q = (
+        conversation_progress(extract_statements(stream))
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table("t_state")
+        .groupBy("conv_id")
+        .agg(F.max("statements").alias("statements"), F.max("last_turn").alias("lt"))
+        .collect()
+    )
+    got = {r["conv_id"]: (r["statements"], r["lt"]) for r in final}
+    assert got == {"c0": (16, 3), "c1": (16, 3), "c2": (16, 3)}
