@@ -217,3 +217,32 @@ def test_stateful_conversation_progress(spark):
     )
     got = {r["conv_id"]: (r["statements"], r["lt"]) for r in final}
     assert got == {"c0": (16, 3), "c1": (16, 3), "c2": (16, 3)}
+
+
+def test_materialize_idempotent_rerun(spark):
+    import tempfile
+
+    from semargl_spark.operators.materialize import materialize_kg
+
+    out = tempfile.mkdtemp(prefix="semargl_t_merge_")
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(200)
+    st = triples(extract_statements(t)).persist()
+
+    s1 = materialize_kg(st, None, out, run_id="r1")
+    n1 = spark.read.parquet(f"{out}/nodes").count()
+    e1 = spark.read.parquet(f"{out}/edges").count()
+    assert (n1, e1) == (s1["nodes"], s1["edges"])
+
+    # checkpoint-resume: a full re-run dynamically overwrites the same
+    # buckets — counts must not grow
+    s2 = materialize_kg(st, None, out, run_id="r2")
+    assert spark.read.parquet(f"{out}/nodes").count() == n1
+    assert spark.read.parquet(f"{out}/edges").count() == e1
+    assert s2["edges"] == s1["edges"]
+
+    # lineage is append-only audit: both runs recorded
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert {r["run_id"] for r in lineage.select("run_id").distinct().collect()} == {
+        "r1", "r2",
+    }
+    st.unpersist()
