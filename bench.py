@@ -83,7 +83,7 @@ def main() -> None:
     for name in ("entity_link", "canonicalize", "pipeline_kg", "kg_edges",
                  "dedup_minhash", "simhash", "ann_topk", "ann_ivf",
                  "quality_score", "fingerprint", "media_features",
-                 "vocab_expand"):
+                 "vocab_expand", "render_turtle", "model_diff"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))
