@@ -135,6 +135,22 @@ def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -
     return src.mapInPandas(run, schema=STATEMENTS_SCHEMA)
 
 
+def reassemble_conversations(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation document reassembly (SURVEY.md §2.7): all turns
+    of a conversation concatenated in stable (conv_id ⟶ turn_idx) order
+    into ONE document, so author bnode labels unify across turns the way
+    they would inside a single reference document.
+
+    One hash aggregation: ``collect_list`` of (turn_idx, text) structs +
+    ``array_sort`` per group — a single shuffle keyed by conv_id with
+    map-side partial aggregation, instead of a window (which would sort
+    every partition globally)."""
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return transcripts.groupBy("conv_id").agg(
+        F.concat_ws("\n", F.transform(ordered, lambda s: s["text"])).alias("text"),
+    ).withColumn("turn_idx", F.lit(0).cast("int"))
+
+
 def triples(statements: DataFrame) -> DataFrame:
     """The output graph: non-error statements (E9 output-graph gate)."""
     return statements.filter(F.col("obj_kind") != "error")

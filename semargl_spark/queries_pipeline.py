@@ -314,6 +314,44 @@ FROM ids
 """
 
 
+def q_conv_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation reassembly (§2.7): turns concatenated in stable
+    order into one document per conversation, re-extracted as a single
+    parse — author bnode label ``_:a`` now unifies across the four
+    turns (one bnode per conversation carrying all four labels),
+    which per-turn extraction cannot produce."""
+    from .operators.extract import reassemble_conversations
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    docs = reassemble_conversations(t)
+    st = triples(extract_statements(docs, default_fmt="ntriples"))
+    return st.select(
+        "conv_id", "subj", "pred", "obj", "obj_kind", "lang", "dtype"
+    ).distinct()
+
+
+ORACLES["conv_reassemble"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+lbl AS (SELECT did, tix FROM ids
+        CROSS JOIN (SELECT unnest(generate_series(0,3)) AS tix))
+SELECT 'c'||did AS conv_id, 'urn:e:'||did AS subj, 'urn:p:name' AS pred,
+       CASE WHEN did%10=0 THEN 'Entity "'||did||'"'||chr(10)
+            ELSE 'Entity '||did END AS obj,
+       'literal' AS obj_kind, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS dtype
+FROM ids
+UNION ALL
+SELECT 'c'||did, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+       'iri', NULL, NULL FROM ids
+UNION ALL
+SELECT 'c'||did, 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
+       'literal', NULL, 'http://www.w3.org/2001/XMLSchema#decimal' FROM ids
+UNION ALL
+SELECT 'c'||did, '_:bc'||did||'_0_n0', 'urn:p:label', 'turn '||tix,
+       'literal', 'en', NULL FROM lbl
+"""
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -788,6 +826,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_ntriples": q_render_ntriples,
         "render_turtle": q_render_turtle,
         "model_diff": q_model_diff,
+        "conv_reassemble": q_conv_reassemble,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,

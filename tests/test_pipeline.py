@@ -246,3 +246,18 @@ def test_materialize_idempotent_rerun(spark):
         "r1", "r2",
     }
     st.unpersist()
+
+
+def test_reassemble_unifies_bnodes(spark):
+    from semargl_spark.operators.extract import reassemble_conversations
+
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").filter(
+        F.col("conv_id") == "c3"
+    )
+    st = triples(extract_statements(reassemble_conversations(t), "ntriples"))
+    labels = st.filter(F.col("pred") == "urn:p:label").collect()
+    # one document now: the author label _:a is a single bnode holding
+    # all four turn labels (per-turn extraction would mint four bnodes)
+    assert len(labels) == 4
+    assert {r["subj"] for r in labels} == {"_:bc3_0_n0"}
+    assert {r["obj"] for r in labels} == {f"turn {k}" for k in range(4)}
