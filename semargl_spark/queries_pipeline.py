@@ -314,6 +314,26 @@ FROM ids
 """
 
 
+def q_render_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NQuads rendering (reference W2, NQuadsSerializer.java:25-88):
+    the graph term appears before the terminating '.' only when the
+    statement carries one."""
+    t = synth_transcripts(spark, sf_dir, fmt="nquads")
+    st = extract_statements(t)
+    return render_ntriples(st, quads=True)
+
+
+ORACLES["render_nquads"] = _SEED + """
+SELECT '<urn:e:'||did||'> <urn:p:name> "Entity '||did||'" <urn:g:'
+       ||(did%10)||'> .' AS line FROM t
+UNION ALL
+SELECT '<urn:e:'||did||'> <urn:p:knows> <urn:e:'||(did+1)||'> .' FROM t
+UNION ALL
+SELECT '_:bc'||did||'_'||tix||'_n0 <urn:p:label> "g"@en <urn:g:'
+       ||(did%10)||'> .' FROM t
+"""
+
+
 def q_conv_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation reassembly (§2.7): turns concatenated in stable
     order into one document per conversation, re-extracted as a single
@@ -825,6 +845,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_expand": q_vocab_expand,
         "render_ntriples": q_render_ntriples,
         "render_turtle": q_render_turtle,
+        "render_nquads": q_render_nquads,
         "model_diff": q_model_diff,
         "conv_reassemble": q_conv_reassemble,
         "dedup_exact": q_dedup_exact,
