@@ -32,20 +32,34 @@ from semargl_spark.operators.extract import extract_statements, triples
 # small extraction so worker fork + Arrow init is out of the timing)
 triples(extract_statements(synth_transcripts(spark, sf_dir, turns_per_doc=1))).count()
 
+def read_steal():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]
+    return sum(vals), vals[7]  # total jiffies, steal jiffies
+
 t = synth_transcripts(spark, sf_dir, turns_per_doc=tpd)
 n_turns = t.count()
-# best of 3: the first trials still pay python-worker pool growth and
-# JVM JIT; steady state is what a long-running cluster job sees
+# best of 5: the first trials pay python-worker pool growth and JVM
+# JIT (C2 compilation of the codegen'd stages takes several runs at
+# low parallelism); steady state is what a long-running cluster job
+# sees. Hypervisor steal time is sampled around each run so noisy-
+# neighbor contamination is visible in the record.
 walls = []
+steals = []
 n_triples = 0
-for _ in range(3):
+for _ in range(5):
+    tot0, st0 = read_steal()
     t0 = time.perf_counter()
     n_triples = triples(extract_statements(t)).count()
     walls.append(time.perf_counter() - t0)
+    tot1, st1 = read_steal()
+    steals.append(round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1))
 wall = min(walls)
 print(json.dumps({"parallelism": par, "turns": n_turns,
                   "triples": n_triples, "wall_sec": round(wall, 2),
                   "walls": [round(w, 2) for w in walls],
+                  "steal_pct": steals,
                   "triples_per_sec": round(n_triples / wall, 1),
                   "turns_per_sec": round(n_turns / wall, 1)}))
 spark.stop()
