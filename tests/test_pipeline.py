@@ -261,3 +261,26 @@ def test_reassemble_unifies_bnodes(spark):
     assert len(labels) == 4
     assert {r["subj"] for r in labels} == {"_:bc3_0_n0"}
     assert {r["obj"] for r in labels} == {f"turn {k}" for k in range(4)}
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    import tempfile
+
+    from semargl_spark.operators.bucketing import read_bucketed, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="semargl_t_bucket_")
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples")
+    st = triples(extract_statements(t))
+    write_bucketed(
+        t.select("conv_id", "turn_idx", "text"), "t_turns", f"{base}/turns", buckets=8
+    )
+    write_bucketed(st, "t_stmts", f"{base}/stmts", buckets=8)
+
+    a = read_bucketed(spark, "t_turns")
+    b = read_bucketed(spark, "t_stmts")
+    joined = a.join(b.hint("merge"), "conv_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # bucketing-aware scans expose hash partitioning: no Exchange at all
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    assert joined.count() == st.count() * 4  # 4 turns join each statement's conv
