@@ -60,10 +60,11 @@ def main() -> None:
         extract_statements(synth_transcripts(spark, sf_dir, turns_per_doc=1))
     ).count()
 
-    # flagship: mixed-format corpus at bench turn multiplier; best of 2
-    # (the first timed run still absorbs tail-end JIT/worker warmup)
+    # flagship: mixed-format corpus at bench turn multiplier; best of 3
+    # (the first timed runs still absorb tail-end JIT/worker warmup, and
+    # the headline number should not ride on one noisy sample)
     mixed = synth_transcripts(spark, sf_dir, turns_per_doc=turns_per_doc)
-    timed("extract_mixed", lambda: triples(extract_statements(mixed)))
+    timed("extract_mixed", lambda: triples(extract_statements(mixed)), runs=3)
 
     registry = Q.registry()
     for name in (
