@@ -372,6 +372,40 @@ SELECT 'c'||did, '_:bc'||did||'_0_n0', 'urn:p:label', 'turn '||tix,
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling (north_rule): two-phase salted aggregation
+    over the statement predicates — four groups holding 8k rows is the
+    pathological all-hot-keys case; phase 1 shuffles uniformly on
+    (pred, salt), phase 2 merges 16 rows per key. The result is
+    salt-invariant, so the oracle is the plain aggregate."""
+    from .operators.skew import salted_agg
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    out = salted_agg(
+        st.select("pred", "subj"),
+        ["pred"],
+        {
+            "n": F.count(F.lit(1)),
+            "min_subj": F.min("subj"),
+            "max_subj": F.max("subj"),
+        },
+    )
+    return out.select("pred", F.col("n").cast("long"), "min_subj", "max_subj")
+
+
+ORACLES["skew_salted_agg"] = _SEED + """
+, st AS (
+  SELECT 'urn:p:name' AS pred, 'urn:e:'||did AS subj FROM t
+  UNION ALL SELECT 'urn:p:knows', 'urn:e:'||did FROM t
+  UNION ALL SELECT 'urn:p:score', 'urn:e:'||did FROM t
+  UNION ALL SELECT 'urn:p:label', '_:bc'||did||'_'||tix||'_n0' FROM t
+)
+SELECT pred, COUNT(*) AS n, MIN(subj) AS min_subj, MAX(subj) AS max_subj
+FROM st GROUP BY pred
+"""
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -848,6 +882,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_nquads": q_render_nquads,
         "model_diff": q_model_diff,
         "conv_reassemble": q_conv_reassemble,
+        "skew_salted_agg": q_skew_salted_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
