@@ -854,6 +854,64 @@ FROM documents
 """
 
 
+def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hour-windowed streaming aggregation (§2.11): events
+    drained through append mode — only windows the final watermark
+    (max ts − 1 h) has closed are emitted, which the oracle reproduces
+    with a plain filtered GROUP BY."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from .streaming.windowed import hourly_event_counts
+
+    base = tempfile.mkdtemp(prefix="semargl_q_wnd_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(f"{base}/in")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{base}/in")
+    )
+    sink = f"q_wnd_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "window_start", "event_type", F.col("n").cast("long"), "value_sum"
+    )
+
+
+ORACLES["events_stream_hourly"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS value_sum
+FROM events, wm
+GROUP BY 1, 2
+HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+"""
+
+
 def _register_stream_oracle() -> None:
     # identical expected output to the batch ntriples extraction; the
     # lazy import avoids a cycle (queries.py imports this module only
@@ -870,6 +928,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_extract": q_stream_extract,
         "stream_state": q_stream_state,
+        "events_stream_hourly": q_events_stream_hourly,
         "turn_text_hash": q_turn_text_hash,
         "entity_link": q_entity_link,
         "canonicalize": q_canonicalize,

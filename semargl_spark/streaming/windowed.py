@@ -1,0 +1,42 @@
+"""Watermarked event-time windowed aggregation (SURVEY.md §2.11 /
+task-spec streaming: watermarks + windowed aggs for late data).
+
+Append-mode emission: a window row is released only once the watermark
+(max event time − delay) passes its end, so late events inside the
+delay are still folded in and events later than the delay are dropped
+deterministically. State for closed windows is evicted — the property
+that makes hour-windowed aggregation over an unbounded 10^12-event
+stream run in bounded memory.
+
+Under ``trigger(availableNow=True)`` the final no-data micro-batch
+(``spark.sql.streaming.noDataMicroBatches.enabled``, on by default)
+advances the watermark to max(ts) − delay and flushes every window it
+closes, which makes the drained result exactly SQL-expressible: all
+hourly windows whose end ≤ max(ts) − delay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_counts(
+    events: DataFrame, delay: str = "1 hour", window_len: str = "1 hour"
+) -> DataFrame:
+    """Streaming events(ts, event_type, value) → per-hour per-type
+    counts and sums, watermarked by ``delay``."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
