@@ -30,14 +30,26 @@ def _tokens(text_col="text"):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+# GPT-2-style pretokenizer shape, restricted to constructs Java regex
+# and RE2-family engines treat identically (letters / digits / other
+# runs, each with an optional leading space) so external SQL oracles
+# can recount it
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_count(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """(doc_id, n_tokens, n_chars, n_subwords_est)."""
+    """(doc_id, n_tokens, n_chars, n_bpe_tokens, n_subwords_est):
+    whitespace tokens, a BPE-ish pretokenizer regex count, and the
+    chars/4 rule-of-thumb."""
     toks = _tokens(text_col)
     n_chars = F.length(F.col(text_col))
     return docs.select(
         F.col(id_col),
         F.size(toks).cast("int").alias("n_tokens"),
         n_chars.cast("int").alias("n_chars"),
+        F.regexp_count(F.col(text_col), F.lit(_BPE_PATTERN))
+        .cast("int")
+        .alias("n_bpe_tokens"),
         F.ceil(n_chars / 4).cast("int").alias("n_subwords_est"),
     )
 

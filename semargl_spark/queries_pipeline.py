@@ -653,7 +653,11 @@ SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine FROM embeddings
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_docs(spark, sf_dir)).select(
-        F.col("doc_id").cast("long"), "n_tokens", "n_chars", "n_subwords_est"
+        F.col("doc_id").cast("long"),
+        "n_tokens",
+        "n_chars",
+        "n_bpe_tokens",
+        "n_subwords_est",
     )
 
 
@@ -661,6 +665,7 @@ ORACLES["token_count"] = r"""
 SELECT doc_id,
   CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INT) AS n_tokens,
   CAST(length(text) AS INT) AS n_chars,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT) AS n_bpe_tokens,
   CAST(ceil(length(text) / 4) AS INT) AS n_subwords_est
 FROM documents
 """
