@@ -114,13 +114,14 @@ USING (blk)
 
 
 def q_pipeline_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full north_star pipeline: extract (mixed formats) → link →
-    canonicalize (knows-blocks) → merge into canonical edges."""
+    """North_star pipeline chain: extract (mixed formats) → canonicalize
+    (knows-block equivalences) → merge into canonical edges. The link
+    stage is exercised separately (`entity_link` query and the
+    spark-submit job): the synthetic dictionary maps mentions to their
+    own IRIs, so links contribute no equivalences here — the knows graph
+    supplies them instead."""
     t = synth_transcripts(spark, sf_dir)
     st = triples(extract_statements(t)).cache()
-    # link stage runs for its side effects on coverage metrics; the
-    # equivalence edges here come from the knows graph (bounded blocks)
-    _links = link_entities(st, entity_dictionary(spark, sf_dir))
     knows = st.filter(F.col("pred") == "urn:p:knows")
     src_id = F.regexp_extract("subj", r"urn:e:(\d+)", 1).cast("long")
     equiv = (
