@@ -57,10 +57,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Node ids compare lexicographically; the representative is the
     minimum id in the component (deterministic for the DuckDB oracle).
     """
+    # normalize to undirected BEFORE distinct: symmetric inputs (a
+    # sameAs feed carrying both (a,b) and (b,a)) would otherwise double
+    # every edge in the bidirectional list and with it the dominant
+    # per-round join shuffle
     e = (
         edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
         .distinct()
     )
     # materialize once in both directions: every subsequent round does a

@@ -30,26 +30,17 @@ from pyspark.sql import functions as F
 from ..kernels import ntriples
 from ..schema import STATEMENTS_SCHEMA
 
-ARROW_SCHEMA = pa.schema(
-    [
-        ("conv_id", pa.string()),
-        ("turn_idx", pa.int32()),
-        ("subj", pa.string()),
-        ("pred", pa.string()),
-        ("obj", pa.string()),
-        ("obj_kind", pa.string()),
-        ("lang", pa.string()),
-        ("dtype", pa.string()),
-        ("graph", pa.string()),
-    ]
-)
+def _arrow_schema() -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(STATEMENTS_SCHEMA)
+
+
+ARROW_SCHEMA = _arrow_schema()
 
 # per-format error class IRIs mirroring e.g. NTriplesParser.ERROR
 # (NTriplesParser.java:39)
 ERROR_CLASS = "http://semarglproject.org/{fmt}/Error"
-
-OUT_COLS = [f.name for f in STATEMENTS_SCHEMA.fields]
-
 
 def _parse_text(fmt: str):
     """Lazy import of the format kernels so partially-built formats never

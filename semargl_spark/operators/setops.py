@@ -19,8 +19,11 @@ from pyspark.sql import functions as F
 
 # extraction kernels label bnodes "_:b{conv}_{tix}_{local}" (globally
 # unique, SURVEY.md §1.2); stripping the document prefix recovers the
-# reference's per-document "_:{local}" sequence
-_DOC_PREFIX = r"^_:b[^_]*_\d+_"
+# reference's per-document "_:{local}" sequence. conv_id is free-form
+# and may itself contain underscores, so the prefix is matched greedily
+# up to the LAST "_{tix}_" whose remainder (the local label, always
+# "n<counter>") is underscore-free.
+_DOC_PREFIX = r"^_:b.*_\d+_(?=[^_]*$)"
 
 _MODEL_COLS = ["subj", "pred", "obj", "obj_kind", "lang", "dtype", "graph"]
 

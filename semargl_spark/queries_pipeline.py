@@ -295,7 +295,11 @@ def q_model_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.setops import model_diff
 
     t = synth_transcripts(spark, sf_dir, fmt="ntriples")
-    st = triples(extract_statements(t)).persist()
+    # localCheckpoint instead of persist: both sides of the diff read
+    # the statements twice, and the checkpointed RDD is reclaimed by the
+    # ContextCleaner once the result is dropped (a plain persist would
+    # pin executor storage for the session)
+    st = triples(extract_statements(t)).localCheckpoint(eager=False)
     a = st.filter(F.col("turn_idx") == 0)
     b = st.filter(F.col("turn_idx") == 1)
     return model_diff(a, b, keys=["conv_id"])
@@ -868,23 +872,23 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from pyspark.sql.types import (
-        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
-    )
-
     from .streaming.windowed import hourly_event_counts
 
     base = tempfile.mkdtemp(prefix="semargl_q_wnd_")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.repartition(8).write.mode("overwrite").parquet(f"{base}/in")
+    # derive the stream schema from the batch read, but promote
+    # TIMESTAMP_NTZ to TIMESTAMP — withWatermark only accepts the latter
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+
     schema = StructType(
         [
-            StructField("event_id", LongType()),
-            StructField("ts", TimestampType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
+            StructField(
+                f.name,
+                TimestampType() if isinstance(f.dataType, TimestampNTZType) else f.dataType,
+                f.nullable,
+            )
+            for f in ev.schema.fields
         ]
     )
     stream = (

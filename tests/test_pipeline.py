@@ -284,3 +284,21 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan
     assert joined.count() == st.count() * 4  # 4 turns join each statement's conv
+
+
+def test_canonical_bnodes_underscore_conv_ids(spark):
+    from semargl_spark.operators.setops import canonical_bnodes
+
+    st = spark.createDataFrame(
+        [
+            ("_:ba_b_3_n0", "urn:p:x", "_:bx_9_0_n1", "bnode", None, None, None),
+            ("urn:e:1", "urn:p:y", "lit", "literal", None, None, None),
+        ],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string, graph string",
+    )
+    rows = {r["subj"]: r["obj"] for r in canonical_bnodes(st).collect()}
+    # conv_ids containing underscores ('a_b', 'x_9') must still strip to
+    # the per-document label
+    assert "_:n0" in rows and rows["_:n0"] == "_:n1"
+    assert rows["urn:e:1"] == "lit"
