@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--dictionary", default=None,
                     help="entity dictionary parquet (canonical_iri, surface_form, weight)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages whose lineage rows for this run-id already "
+                         "exist (checkpoint-resume after a failed/killed run)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,34 +49,66 @@ def main(argv=None) -> int:
     run_id = args.run_id or f"run-{int(time.time())}"
     transcripts = spark.read.parquet(args.input)
 
+    # checkpoint-resume (north_rule): the lineage table doubles as the
+    # stage ledger — a stage whose lineage rows for this run_id are
+    # already recorded completed its (idempotent) write before the
+    # previous attempt died, so --resume skips it
+    done_stages: set[str] = set()
+    if args.resume:
+        try:
+            done_stages = {
+                r["stage"]
+                for r in spark.read.parquet(f"{args.output}/lineage")
+                .filter(F.col("run_id") == run_id)
+                .select("stage")
+                .distinct()
+                .collect()
+            }
+        except Exception:  # no lineage yet → fresh run
+            done_stages = set()
+
     statements = extract_statements(transcripts).persist()
     st = triples(statements)
     err = errors(statements)
 
-    lineage = lineage_rows(st, run_id, "extract")
-    lineage.write.mode("append").parquet(f"{args.output}/lineage")
+    resumed = sorted(done_stages)
+    if "extract" not in done_stages:
+        lineage_rows(st, run_id, "extract").write.mode("append").parquet(
+            f"{args.output}/lineage"
+        )
 
     equiv = None
     if args.dictionary:
         dictionary = spark.read.parquet(args.dictionary)
         links = link_entities(st, dictionary).persist()
-        links.write.mode("overwrite").parquet(f"{args.output}/links")
-        lineage_rows(links, run_id, "link").write.mode("append").parquet(
-            f"{args.output}/lineage"
-        )
+        if "link" not in done_stages:
+            links.write.mode("overwrite").parquet(f"{args.output}/links")
+            lineage_rows(links, run_id, "link").write.mode("append").parquet(
+                f"{args.output}/lineage"
+            )
         equiv = links.select(
             F.col("mention_node").alias("src"), F.col("canonical_iri").alias("dst")
         ).distinct()
 
     components = connected_components(equiv) if equiv is not None else None
-    if components is not None:
+    if components is not None and "canon" not in done_stages:
         lineage_rows(components, run_id, "canon").write.mode("append").parquet(
             f"{args.output}/lineage"
         )
 
-    summary = materialize_kg(st, components, args.output, run_id)
+    if "merge" in done_stages:
+        # whole run already completed: report from the materialized tables
+        summary = {
+            "run_id": run_id,
+            "nodes": spark.read.parquet(f"{args.output}/nodes").count(),
+            "edges": spark.read.parquet(f"{args.output}/edges").count(),
+        }
+    else:
+        summary = materialize_kg(st, components, args.output, run_id)
     summary["errors"] = err.count()
     summary["statements"] = st.count()
+    if resumed:
+        summary["resumed_stages"] = resumed
     print(json.dumps(summary))
     statements.unpersist()
     spark.stop()
