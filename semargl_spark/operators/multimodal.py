@@ -4,14 +4,14 @@ columns with typed metadata.
 The decode step is STUBBED (the container ships no image/audio codecs) —
 ``DecodeUnavailable`` is raised by the real path and a deterministic
 fake decoder stands in for tests — but the Spark-side machinery is real
-and exercised: schemas, Arrow-batched ``mapInPandas`` over binary
+and exercised: schemas, Arrow-batched ``mapInArrow`` over binary
 columns, batch shapes, partitioning.
 
 Design for 100 TB of media:
 * binary payloads stay opaque to Catalyst (no JVM copies beyond the
   scan); metadata columns (mime, width, height, duration) are normal
   pruned/pushed-down columns;
-* decode/feature-extract runs per Arrow batch in ``mapInPandas`` —
+* decode/feature-extract runs per Arrow record batch in ``mapInArrow`` —
   batches bound peak memory (spark.sql.execution.arrow.maxRecordsPerBatch
   should be lowered for large payloads);
 * frame sampling emits 1→N rows (video → frames) exactly like the
@@ -23,7 +23,6 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -95,16 +94,28 @@ def synth_media(spark, sf_dir: str, turns_per_doc: int = 1) -> DataFrame:
 def extract_features(
     media: DataFrame, frames_per_video: int = 3, dim: int = 8, use_fake: bool = True
 ) -> DataFrame:
-    """Decode/feature-extract per Arrow batch; videos fan out to
+    """Decode/feature-extract per Arrow record batch; videos fan out to
     ``frames_per_video`` rows (frame sampling), others to one row."""
-    src = media.select("media_id", "mime", "payload")
+    import pyarrow as pa
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    src = media.select("media_id", "mime", "payload")
+    arrow_schema = pa.schema(
+        [
+            ("media_id", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("feature", pa.list_(pa.float32())),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         decode = fake_decode if use_fake else real_decode
-        for pdf in batches:
-            out = []
+        for rb in batches:
+            names = rb.schema.names
+            mids_out, frames, feats = [], [], []
             for mid, mime, payload in zip(
-                pdf["media_id"], pdf["mime"], pdf["payload"]
+                rb.column(names.index("media_id")).to_pylist(),
+                rb.column(names.index("mime")).to_pylist(),
+                rb.column(names.index("payload")).to_pylist(),
             ):
                 blob = bytes(payload) if payload is not None else b""
                 n_frames = frames_per_video if mime.startswith("video/") else 1
@@ -112,7 +123,16 @@ def extract_features(
                     # ASCII frame tag (not raw bytes) so external SQL
                     # oracles can recompute the fake-decode digest
                     vec = decode(blob + f"|f{i}".encode(), mime)
-                    out.append((mid, i, [float(x) for x in vec[:dim]]))
-            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "feature"])
+                    mids_out.append(mid)
+                    frames.append(i)
+                    feats.append([float(x) for x in vec[:dim]])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids_out, pa.string()),
+                    pa.array(frames, pa.int32()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                schema=arrow_schema,
+            )
 
-    return src.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return src.mapInArrow(run, schema=FEATURES_SCHEMA)

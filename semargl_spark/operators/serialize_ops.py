@@ -68,12 +68,12 @@ def render_ntriples(statements: DataFrame, quads: bool = False) -> DataFrame:
 
 def render_turtle_docs(transcripts: DataFrame, fmt: str = "ntriples") -> DataFrame:
     """One Turtle document per turn: parser → Turtle writer fused in a
-    single shuffle-free ``mapInPandas`` pass, the Spark analogue of the
+    single shuffle-free ``mapInArrow`` pass, the Spark analogue of the
     reference's ``X.connect(TurtleSerializer.connect(sink))`` pipe chain
     (rdfa/src/test/java/.../RdfaParserTest.java:61,
     rdf/.../TurtleSerializer.java:32-238). Returns
     (conv_id, turn_idx, turtle)."""
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     from ..kernels import turtle as turtle_kernel
@@ -86,23 +86,36 @@ def render_turtle_docs(transcripts: DataFrame, fmt: str = "ntriples") -> DataFra
             StructField("turtle", StringType(), True),
         ]
     )
+    arrow_schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("turtle", pa.string())]
+    )
 
     def run(batches):
         kernel = _parse_text(fmt)
-        for pdf in batches:
-            rows = []
-            for conv, tix, text in zip(
-                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist()
-            ):
-                tix = int(tix)
+        for rb in batches:
+            names = rb.schema.names
+            convs = rb.column(names.index("conv_id")).to_pylist()
+            tixs = rb.column(names.index("turn_idx")).to_pylist()
+            texts = rb.column(names.index("text")).to_pylist()
+            docs = []
+            for conv, tix, text in zip(convs, tixs, texts):
                 try:
-                    stmts, _errs = kernel(text or "", doc_uri(conv, tix), f"{conv}_{tix}")
+                    stmts, _errs = kernel(
+                        text or "", doc_uri(conv, int(tix)), f"{conv}_{int(tix)}"
+                    )
                 except Exception:  # error recovery: empty doc, never a task failure
                     stmts = []
-                rows.append((conv, tix, turtle_kernel.serialize(stmts)))
-            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "turtle"])
+                docs.append(turtle_kernel.serialize(stmts))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(convs, pa.string()),
+                    pa.array(tixs, pa.int32()),
+                    pa.array(docs, pa.string()),
+                ],
+                schema=arrow_schema,
+            )
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(run, schema)
+    return transcripts.select("conv_id", "turn_idx", "text").mapInArrow(run, schema)
 
 
 def needs_python_path(statements: DataFrame) -> DataFrame:
