@@ -31,8 +31,7 @@ same per-document determinism, globally unique.
 
 from __future__ import annotations
 
-import xml.sax
-from xml.sax.handler import ContentHandler, feature_namespaces, property_lexical_handler
+from xml.sax.handler import ContentHandler
 
 from .iri import MalformedIriError, is_absolute_iri, is_iri, resolve_iri
 from .model import (
@@ -515,62 +514,72 @@ class _Handler(ContentHandler):
                 break
 
 
-class _LexicalHandler:
-    """Routes XML comments into XMLLiteral capture (comment(),
-    RdfXmlParser.java:649-656)."""
+class _ExpatAttrs:
+    """Minimal xml.sax AttributesNS facade over an expat attrs dict
+    keyed by (ns_uri_or_None, lname)."""
 
-    def __init__(self, handler: _Handler):
-        self.h = handler
+    __slots__ = ("d",)
 
-    def comment(self, content):
-        self.h._process_pending(True)
-        if self.h.parse_depth > 0 and self.h.mode == PARSE_TYPE_LITERAL:
-            self.h.buf.append(f"<!--{content}-->")
+    def __init__(self, d):
+        self.d = d
 
-    def startCDATA(self):
-        pass
+    def get(self, key, default=None):
+        return self.d.get(key, default)
 
-    def endCDATA(self):
-        pass
+    def getNames(self):
+        return list(self.d)
 
-    def startDTD(self, name, public_id, system_id):
-        pass
+    def getValue(self, key):
+        return self.d[key]
 
-    def endDTD(self):
-        pass
-
-    def startEntity(self, name):
-        pass
-
-    def endEntity(self, name):
-        pass
+    def getQNameByName(self, key):
+        # expat drops original qnames; the handler reconstructs them
+        # from its prefix-mapping stacks
+        return None
 
 
 def parse(
     text: str, *, base_uri: str = "", doc_key: str = "", recover: bool = True
 ) -> tuple[list[Triple], list[str]]:
-    """Parse an RDF/XML document. Returns ``(triples, errors)``."""
-    handler = _Handler(base_uri, doc_key)
-    parser = xml.sax.make_parser()
-    parser.setFeature(feature_namespaces, True)
-    try:  # qnames needed for XMLLiteral serialization
-        parser.setFeature(xml.sax.handler.feature_namespace_prefixes, True)
-    except Exception:
-        pass
-    try:  # external DTD loading disabled, like XmlSource.java:40-44
-        parser.setFeature(xml.sax.handler.feature_external_ges, False)
-        parser.setFeature(xml.sax.handler.feature_external_pes, False)
-    except Exception:
-        pass
-    parser.setContentHandler(handler)
-    try:
-        parser.setProperty(property_lexical_handler, _LexicalHandler(handler))
-    except Exception:
-        pass
-    import io
+    """Parse an RDF/XML document. Returns ``(triples, errors)``.
 
+    Direct pyexpat with namespace processing (the reference's SAX scan,
+    XmlSource.java:31-93) — no expatreader dispatch layers. Internal DTD
+    entities expand; external DTD/entity loading stays off (expat never
+    fetches unless enabled), matching XmlSource's disabled DTD fetch."""
+    from xml.parsers import expat
+
+    handler = _Handler(base_uri, doc_key)
+    parser = expat.ParserCreate(namespace_separator=" ")
+
+    def _split(n: str):
+        i = n.rfind(" ")
+        return (None, n) if i < 0 else (n[:i], n[i + 1:])
+
+    def _start(name, attrs):
+        handler.startElementNS(
+            _split(name), None, _ExpatAttrs({_split(k): v for k, v in attrs.items()})
+        )
+
+    def _end(name):
+        handler.endElementNS(_split(name), None)
+
+    def _comment(content):
+        handler._process_pending(True)
+        if handler.parse_depth > 0 and handler.mode == PARSE_TYPE_LITERAL:
+            handler.buf.append(f"<!--{content}-->")
+
+    parser.StartElementHandler = _start
+    parser.EndElementHandler = _end
+    parser.CharacterDataHandler = handler.characters
+    parser.StartNamespaceDeclHandler = lambda prefix, uri: handler.startPrefixMapping(
+        prefix, uri
+    )
+    parser.EndNamespaceDeclHandler = handler.endPrefixMapping
+    parser.CommentHandler = _comment
+    parser.ProcessingInstructionHandler = handler.processingInstruction
     try:
-        parser.parse(io.StringIO(text))
+        parser.Parse(text, True)
     except Exception as exc:
         handler.errors.append(f"XML parse error: {exc}")
         if not recover:
