@@ -136,7 +136,61 @@ def parse(
 # ---------------------------------------------------------------- context
 
 
+# processed-context cache: real corpora repeat a handful of @context
+# values across millions of documents (the reference caches vocabularies
+# per thread the same way, RdfaParser.java:96-101). A context is
+# cacheable when (a) the active context is pristine (top-level @context
+# over a fresh document context) and (b) processing cannot depend on
+# the per-document base: no "@base" entry and no null reset item —
+# term-IRI expansion never consults ctx.base (terms resolve via other
+# terms, compact IRIs, or @vocab only), so under (b) the resulting
+# terms/vocab/language are document-independent and only ``base`` is
+# re-stamped per document on a hit. Errors emitted during processing
+# are replayed on every hit. _TermDef values are immutable after
+# construction and _Context.copy() is shallow by design, so sharing
+# them across documents is safe.
+_CTX_CACHE: dict = {}
+_CTX_CACHE_MAX = 4096
+
+
+def _base_independent(local: Any) -> bool:
+    items = local if isinstance(local, list) else [local]
+    for item in items:
+        if item is None:
+            return False
+        if isinstance(item, dict) and "@base" in item:
+            return False
+    return True
+
+
 def _process_context(active: _Context, local: Any, st: _State) -> _Context:
+    cache_key = None
+    if (
+        not active.terms
+        and active.vocab is None
+        and active.language is None
+        and _base_independent(local)
+    ):
+        try:
+            cache_key = json.dumps(local, sort_keys=True)
+        except (TypeError, ValueError):
+            cache_key = None
+    if cache_key is not None:
+        hit = _CTX_CACHE.get(cache_key)
+        if hit is not None:
+            cached_ctx, cached_errors = hit
+            st.errors.extend(cached_errors)
+            out = cached_ctx.copy()
+            out.base = active.base
+            return out
+    pre_errors = len(st.errors)
+    ctx = _process_context_uncached(active, local, st)
+    if cache_key is not None and len(_CTX_CACHE) < _CTX_CACHE_MAX:
+        _CTX_CACHE[cache_key] = (ctx.copy(), tuple(st.errors[pre_errors:]))
+    return ctx
+
+
+def _process_context_uncached(active: _Context, local: Any, st: _State) -> _Context:
     ctx = active.copy()
     items = local if isinstance(local, list) else [local]
     for item in items:
