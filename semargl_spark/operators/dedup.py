@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 # deterministic odd multipliers for minhash permutations (any fixed seeds)
 _MINHASH_SEEDS = [0x9E3779B1 + 2 * i + 1 for i in range(64)]
 
+# affine permutation family for the single-base-hash minhash path:
+# h_i(x) = (A_i * base(x) + B_i) mod P — one expensive hash per shingle,
+# k cheap mixes (standard universal-hashing minhash construction)
+_MH_P = (1 << 31) - 1
+_MH_A = [(s % (_MH_P - 1)) + 1 for s in _MINHASH_SEEDS]
+_MH_B = [(s * 0x85EBCA6B) % _MH_P for s in _MINHASH_SEEDS]
+
 
 def normalized_text(col="text"):
     return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
@@ -96,7 +103,30 @@ def minhash_signatures(
     sh: DataFrame, id_col="doc_id", num_hashes: int = 16,
     hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """k minhash values per doc: min over hash(shingle, seed)."""
+    """k minhash values per doc.
+
+    xxhash64 path: min over xxhash64(shingle, seed) per row — the JVM
+    hash intrinsic is cheap enough to run k times per shingle.
+
+    md5 path (SQL-replicable, used by the oracle-gated queries): ONE
+    md5 per shingle (explode → hash → k affine mixes in a single
+    map-side-partial groupBy), because k md5+conv evaluations per
+    shingle dominate the stage. The affine family (A_i·h+B_i) mod P is
+    the standard universal-hashing minhash construction."""
+    if hash_method == "md5":
+        base = F.pmod(md5_hash60("s"), F.lit(_MH_P))
+        hashed = sh.select(
+            F.col(id_col), F.explode("shingles").alias("s")
+        ).select(id_col, base.alias("b"))
+        mins = [
+            F.min(
+                F.pmod(F.col("b") * F.lit(_MH_A[i]) + F.lit(_MH_B[i]), F.lit(_MH_P))
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        agg = hashed.groupBy(id_col).agg(*mins)
+        sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+        return agg.select(F.col(id_col), sig.alias("signature"))
 
     def seeded(seed: int):
         # bind via closure factory: a `lambda s, seed=seed:` two-param

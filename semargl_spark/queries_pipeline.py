@@ -515,14 +515,11 @@ FROM bits GROUP BY doc_id
 
 
 def _minhash_oracle() -> str:
-    from .operators.dedup import _MINHASH_SEEDS
+    from .operators.dedup import _MH_A, _MH_B, _MH_P
 
-    seeds = _MINHASH_SEEDS[:16]
     sig_cols = ", ".join(
-        "list_min(list_transform(s, x -> "
-        + _h60(f"x || '#{seed}'")
-        + f")) AS m{j}"
-        for j, seed in enumerate(seeds)
+        f"MIN(({_MH_A[j]} * b + {_MH_B[j]}) % {_MH_P}) AS m{j}"
+        for j in range(16)
     )
     bands = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
@@ -541,7 +538,9 @@ sh AS (SELECT doc_id,
             ELSE list_transform(range(1, len(w)-1),
                                 i -> w[i]||' '||w[i+1]||' '||w[i+2]) END) AS s
        FROM t),
-sig AS (SELECT doc_id, {sig_cols} FROM sh),
+shx AS (SELECT doc_id, unnest(s) AS x FROM sh),
+hh AS (SELECT doc_id, ({_h60('x')}) % {_MH_P} AS b FROM shx),
+sig AS (SELECT doc_id, {sig_cols} FROM hh GROUP BY doc_id),
 banded AS (
 {bands}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -125,9 +125,13 @@ def test_minhash_md5_signature_matches_hashlib(spark):
     def h60(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
+    # affine minhash family over one base hash per shingle
     expected = [
-        min(h60(f"{s}#{seed}") for s in shl)
-        for seed in dedup._MINHASH_SEEDS[:8]
+        min(
+            (dedup._MH_A[i] * (h60(s) % dedup._MH_P) + dedup._MH_B[i]) % dedup._MH_P
+            for s in shl
+        )
+        for i in range(8)
     ]
     assert list(sig) == expected
 
