@@ -63,14 +63,21 @@ def _hash64(col, seed: int | None = None, method: str = "xxhash64"):
 def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Keep the minimum id per identical normalized body.
 
+    Grouping is on TWO independent 64-bit hashes (128 bits effectively):
+    a single 64-bit key collides ~(N^2)/2^65 times — tens of thousands
+    of falsely-merged pairs at the 10^12-document target, each silently
+    deleting a unique document. At 128 bits the expectation is ~1e-15.
+
     Returns (doc_id, keep_id, is_duplicate)."""
+    body = normalized_text(text_col)
     h = docs.select(
         F.col(id_col),
-        F.xxhash64(normalized_text(text_col)).alias("body_hash"),
+        F.xxhash64(body).alias("h1"),
+        F.xxhash64(body, F.lit(0x5EED)).alias("h2"),
     )
-    keepers = h.groupBy("body_hash").agg(F.min(id_col).alias("keep_id"))
+    keepers = h.groupBy("h1", "h2").agg(F.min(id_col).alias("keep_id"))
     return (
-        h.join(keepers, "body_hash")
+        h.join(keepers, ["h1", "h2"])
         .select(
             id_col,
             "keep_id",
@@ -159,13 +166,23 @@ def minhash_lsh_candidates(
     keyed by (band, band_hash), uniform by construction.
     Returns (doc_a, doc_b) with doc_a < doc_b.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands}; "
+            f"trailing hashes would be silently ignored"
+        )
+    if num_hashes > len(_MINHASH_SEEDS):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(_MINHASH_SEEDS)} available seeds"
+        )
     rows_per_band = num_hashes // bands
-    # persist the shingle arrays: projection collapse would otherwise
+    # checkpoint the shingle arrays: projection collapse would otherwise
     # inline the shingle expression into every one of the k minhash
-    # expressions (k× recompute per row)
+    # expressions (k× recompute per row); localCheckpoint (not persist)
+    # so the ContextCleaner reclaims storage once the result is dropped
     sh = precomputed_shingles
     if sh is None:
-        sh = shingles(docs, id_col, text_col).persist()
+        sh = shingles(docs, id_col, text_col).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, id_col, num_hashes, hash_method)
 
     def band_key(b: int):
@@ -207,10 +224,10 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact shingle-set Jaccard.
 
     Returns (doc_a, doc_b, jaccard)."""
-    # both join sides read the shingle table — persist to shingle once
+    # both join sides read the shingle table — materialize shingling once
     sh = precomputed_shingles
     if sh is None:
-        sh = shingles(docs, id_col, text_col, k).persist()
+        sh = shingles(docs, id_col, text_col, k).localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = candidates.join(a, "doc_a").join(b, "doc_b")
@@ -273,7 +290,7 @@ def near_dedup_minhash(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify → pairs
     over threshold. Returns (doc_a, doc_b, jaccard)."""
-    sh = shingles(docs, id_col, text_col).persist()
+    sh = shingles(docs, id_col, text_col).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(
         docs, id_col, text_col, num_hashes, bands,
         precomputed_shingles=sh, hash_method=hash_method,

@@ -125,11 +125,18 @@ def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -
                 if fmt not in kernels:
                     kernels[fmt] = _parse_text(fmt)
                 kernel = kernels[fmt]
-                if kernel is None:
-                    continue
                 tix = int(tix)
                 base = doc_uri(conv, tix)
                 key = f"{conv}_{tix}"
+                if kernel is None:
+                    # an explicitly requested format we cannot parse is an
+                    # error, not a silent drop (E10: the corpus must never
+                    # shrink without a processor-graph signal)
+                    err_class = ERROR_CLASS.format(fmt=fmt)
+                    app[0](conv); app[1](tix); app[2](base); app[3](err_class)
+                    app[4](f"unsupported format: {fmt}"); app[5]("error")
+                    app[6](None); app[7](None); app[8](None)
+                    continue
                 try:
                     stmts, errs = kernel(text, base, key)
                 except Exception as exc:  # never fail the task (E10)

@@ -68,18 +68,31 @@ def kg_edges(triples: DataFrame, components: DataFrame | None = None) -> DataFra
 
 
 def lineage_rows(df: DataFrame, run_id: str, stage: str) -> DataFrame:
-    """Per-partition lineage/metrics (FIXTURES.md §5): one row per input
-    partition with row counts and an order-insensitive checksum."""
+    """Per-partition lineage/metrics (FIXTURES.md §5): one row per
+    partition with row counts and an order-insensitive checksum.
+
+    ``error_rows`` counts processor-graph rows when the frame carries an
+    ``obj_kind`` column (statements-shaped input), else 0. ``input_rows``
+    equals ``output_rows`` for these row-preserving audits — a stage
+    that filters should emit lineage on both sides. ``wall_ms`` is not
+    measured by this aggregate (0); the job-level summary carries wall
+    time."""
     cols = df.columns
+    err = (
+        F.when(F.col("obj_kind") == "error", 1).otherwise(0)
+        if "obj_kind" in cols
+        else F.lit(0)
+    )
     hashed = df.select(
         F.spark_partition_id().alias("partition_id"),
         F.hash(*cols).alias("h"),
-        (F.col(cols[0]).isNull()).alias("_nul"),
+        err.alias("is_err"),
     )
     return (
         hashed.groupBy("partition_id")
         .agg(
             F.count("*").cast("long").alias("output_rows"),
+            F.sum("is_err").cast("long").alias("error_rows"),
             F.format_string(
                 "%016x", F.coalesce(F.sum(F.col("h").cast("long")), F.lit(0))
             ).alias("checksum"),
@@ -90,7 +103,7 @@ def lineage_rows(df: DataFrame, run_id: str, stage: str) -> DataFrame:
             F.col("partition_id").cast("int"),
             F.col("output_rows").alias("input_rows"),
             "output_rows",
-            F.lit(0).cast("long").alias("error_rows"),
+            "error_rows",
             "checksum",
             F.lit(0).cast("long").alias("wall_ms"),
         )
@@ -115,10 +128,15 @@ def materialize_kg(
     out_dir: str,
     run_id: str | None = None,
 ) -> dict:
-    """merge stage: write nodes/edges/lineage; returns summary counts."""
+    """merge stage: write nodes/edges/lineage; returns summary counts.
+
+    nodes/edges are checkpointed before the writes: each is otherwise
+    recomputed (distinct shuffle included) for the write, the lineage
+    audit, and the count — and the lineage checksum must describe the
+    same materialization that was written."""
     run_id = run_id or f"run-{int(time.time())}"
-    nodes = kg_nodes(triples, components)
-    edges = kg_edges(triples, components)
+    nodes = kg_nodes(triples, components).localCheckpoint(eager=False)
+    edges = kg_edges(triples, components).localCheckpoint(eager=False)
     write_partitioned(nodes, f"{out_dir}/nodes", "node")
     write_partitioned(edges, f"{out_dir}/edges", "src")
     lineage = lineage_rows(edges, run_id, "merge")

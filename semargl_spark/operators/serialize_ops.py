@@ -119,9 +119,20 @@ def render_turtle_docs(transcripts: DataFrame, fmt: str = "ntriples") -> DataFra
 
 
 def needs_python_path(statements: DataFrame) -> DataFrame:
-    """Rows whose content needs per-char \\uXXXX escaping (non-ASCII)."""
+    """Rows whose content needs per-char \\uXXXX escaping (non-ASCII) —
+    checked across every rendered term, including predicate and graph."""
     non_ascii = r"[^\x00-\x7F]"
-    return statements.filter(
-        F.regexp_like(F.col("obj"), F.lit(non_ascii))
-        | F.regexp_like(F.col("subj"), F.lit(non_ascii))
-    )
+    cond = F.regexp_like(F.col("subj"), F.lit(non_ascii)) | F.regexp_like(
+        F.col("pred"), F.lit(non_ascii)
+    ) | F.regexp_like(F.col("obj"), F.lit(non_ascii))
+    if "dtype" in statements.columns:
+        cond = cond | (
+            F.col("dtype").isNotNull()
+            & F.regexp_like(F.col("dtype"), F.lit(non_ascii))
+        )
+    if "graph" in statements.columns:
+        cond = cond | (
+            F.col("graph").isNotNull()
+            & F.regexp_like(F.col("graph"), F.lit(non_ascii))
+        )
+    return statements.filter(cond)

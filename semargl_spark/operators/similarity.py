@@ -44,6 +44,40 @@ def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> D
     )
 
 
+def _cosine_struct(vec_col, cvec, cid):
+    """(cos, cid) struct for a candidate centroid — zero-norm guarded."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    denom = _norm(v) * _norm(cvec)
+    return F.struct(
+        F.when(denom == 0, F.lit(0.0)).otherwise(_dot(v, cvec) / denom).alias("cos"),
+        cid.alias("cid"),
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cosine) → top-k per query without a
+    global sort: a bounded sorted array per key (single shuffle,
+    map-side partial aggregation)."""
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("cosine", "neighbor_id")), asc=False
+                ),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select("query_id", F.explode("nn").alias("nn"))
+        .select(
+            "query_id",
+            F.col("nn.neighbor_id").alias("neighbor_id"),
+            F.round(F.col("nn.cosine"), 6).alias("cosine"),
+        )
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -65,28 +99,7 @@ def brute_force_topk(
     scored = with_cosine(pairs, "qvec", "nvec").select(
         "query_id", "neighbor_id", "cosine"
     )
-    # top-k per query without a global sort: aggregate a bounded sorted
-    # array per key (single shuffle, map-side partial)
-    topk = (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("cosine", "neighbor_id")),
-                    asc=False,
-                ),
-                1,
-                k,
-            ).alias("nn")
-        )
-        .select("query_id", F.explode("nn").alias("nn"))
-        .select(
-            "query_id",
-            F.col("nn.neighbor_id").alias("neighbor_id"),
-            F.round(F.col("nn.cosine"), 6).alias("cosine"),
-        )
-    )
-    return topk
+    return _topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -133,24 +146,7 @@ def ann_topk(
     scored = with_cosine(pairs, "qvec", "nvec").select(
         "query_id", "neighbor_id", "cosine"
     )
-    return (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("cosine", "neighbor_id")), asc=False
-                ),
-                1,
-                k,
-            ).alias("nn")
-        )
-        .select("query_id", F.explode("nn").alias("nn"))
-        .select(
-            "query_id",
-            F.col("nn.neighbor_id").alias("neighbor_id"),
-            F.round(F.col("nn.cosine"), 6).alias("cosine"),
-        )
-    )
+    return _topk(scored, k)
 
 
 def _argbest(cents_col, vec_col):
@@ -159,18 +155,7 @@ def _argbest(cents_col, vec_col):
     break to the larger cid, mirrored by the SQL oracle)."""
     return F.array_max(
         F.transform(
-            cents_col,
-            lambda c: F.struct(
-                F.when(
-                    (_norm(F.col(vec_col)) * _norm(c["cvec"])) == 0, F.lit(0.0)
-                )
-                .otherwise(
-                    _dot(F.col(vec_col), c["cvec"])
-                    / (_norm(F.col(vec_col)) * _norm(c["cvec"]))
-                )
-                .alias("cos"),
-                c["cid"].alias("cid"),
-            ),
+            cents_col, lambda c: _cosine_struct(vec_col, c["cvec"], c["cid"])
         )
     )
 
@@ -226,18 +211,7 @@ def ivf_topk(
                 F.sort_array(
                     F.transform(
                         "cents",
-                        lambda c: F.struct(
-                            F.when(
-                                (_norm(F.col(vec_col)) * _norm(c["cvec"])) == 0,
-                                F.lit(0.0),
-                            )
-                            .otherwise(
-                                _dot(F.col(vec_col), c["cvec"])
-                                / (_norm(F.col(vec_col)) * _norm(c["cvec"]))
-                            )
-                            .alias("cos"),
-                            c["cid"].alias("cid"),
-                        ),
+                        lambda c: _cosine_struct(vec_col, c["cvec"], c["cid"]),
                     ),
                     asc=False,
                 ),
@@ -258,24 +232,7 @@ def ivf_topk(
     scored = with_cosine(pairs, "qvec", "nvec").select(
         "query_id", "neighbor_id", "cosine"
     )
-    return (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("cosine", "neighbor_id")), asc=False
-                ),
-                1,
-                k,
-            ).alias("nn")
-        )
-        .select("query_id", F.explode("nn").alias("nn"))
-        .select(
-            "query_id",
-            F.col("nn.neighbor_id").alias("neighbor_id"),
-            F.round(F.col("nn.cosine"), 6).alias("cosine"),
-        )
-    )
+    return _topk(scored, k)
 
 
 def embedding_near_dups(

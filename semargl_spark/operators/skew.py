@@ -36,38 +36,55 @@ def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> Data
     )
 
 
+_MERGE_FNS = {
+    "sum": F.sum,
+    "count": F.sum,  # partial counts merge by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for hot group keys.
 
-    ``aggs`` maps output-column name → *partial* aggregate expression;
-    the final phase re-applies a merge appropriate for sum/count/min/max
-    (the caller picks decomposable aggregates). Phase 1 shuffles on
-    (key, salt) — uniform even when one key dominates; phase 2 shuffles
-    n_salts rows per key.
+    ``aggs`` maps output-column name → either a *partial* aggregate
+    expression whose merge is unambiguous (plain sum/count/min/max), or
+    an explicit ``(partial_expr, merge_fn)`` pair for anything else
+    (e.g. avg must be decomposed into sum+count by the caller;
+    count_distinct is NOT salt-decomposable at all). Unrecognized
+    partials without an explicit merge raise instead of silently
+    summing. Phase 1 shuffles on (key, salt) — uniform even when one
+    key dominates; phase 2 merges n_salts rows per key.
     """
+    partials: dict[str, Column] = {}
+    merges: list[Column] = []
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            expr, merge_fn = spec
+            partials[name] = expr
+            merges.append(merge_fn(name).alias(name))
+            continue
+        partials[name] = spec
+        full = spec._jc.toString().lower() if hasattr(spec, "_jc") else ""
+        head = full.split("(", 1)[0].strip()
+        if head not in _MERGE_FNS or "distinct" in full:
+            raise ValueError(
+                f"salted_agg cannot infer a merge for {name!r} ({full or 'unknown'}): "
+                "pass (partial_expr, merge_fn) explicitly; note count_distinct "
+                "does not decompose over salts"
+            )
+        merges.append(_MERGE_FNS[head](name).alias(name))
+
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*key_cols, "_salt").agg(
-        *[expr.alias(name) for name, expr in aggs.items()]
+        *[expr.alias(name) for name, expr in partials.items()]
     )
-    # merge phase: sums/counts re-sum; mins/maxes re-min/max. The caller
-    # communicates the merge via the partial expression's function name.
-    merged = []
-    for name, expr in aggs.items():
-        fn = expr._jc.toString().split("(")[0].lower() if hasattr(expr, "_jc") else ""
-        if fn.startswith("count") or fn.startswith("sum"):
-            merged.append(F.sum(name).alias(name))
-        elif fn.startswith("min"):
-            merged.append(F.min(name).alias(name))
-        elif fn.startswith("max"):
-            merged.append(F.max(name).alias(name))
-        else:
-            merged.append(F.sum(name).alias(name))
-    return partial.groupBy(*key_cols).agg(*merged)
+    return partial.groupBy(*key_cols).agg(*merges)
 
 
 def salted_join(

@@ -43,9 +43,14 @@ def token_count(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     chars/4 rule-of-thumb."""
     toks = _tokens(text_col)
     n_chars = F.length(F.col(text_col))
+    # split("") yields [''] — an empty/whitespace-only document has 0
+    # tokens, not 1 (keeps n_tokens consistent with n_bpe_tokens=0)
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
     return docs.select(
         F.col(id_col),
-        F.size(toks).cast("int").alias("n_tokens"),
+        n_tokens.cast("int").alias("n_tokens"),
         n_chars.cast("int").alias("n_chars"),
         F.regexp_count(F.col(text_col), F.lit(_BPE_PATTERN))
         .cast("int")

@@ -667,7 +667,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["token_count"] = r"""
 SELECT doc_id,
-  CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INT) AS n_tokens,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+       END AS INT) AS n_tokens,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT) AS n_bpe_tokens,
   CAST(ceil(length(text) / 4) AS INT) AS n_subwords_est
