@@ -29,8 +29,13 @@ def main(argv=None) -> int:
                     help="entity dictionary parquet (canonical_iri, surface_form, weight)")
     ap.add_argument("--resume", action="store_true",
                     help="skip stages whose lineage rows for this run-id already "
-                         "exist (checkpoint-resume after a failed/killed run)")
+                         "exist (checkpoint-resume after a failed/killed run); "
+                         "requires --run-id, the id of the run being resumed")
     args = ap.parse_args(argv)
+    if args.resume and not args.run_id:
+        # without the original run-id the lineage filter matches nothing
+        # and every stage silently re-runs — refuse instead
+        ap.error("--resume requires --run-id (the id of the run to resume)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

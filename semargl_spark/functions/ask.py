@@ -228,6 +228,9 @@ class AskQuery:
                     tz.take()
                 else:
                     pname = re.match(r"[\w-]*:[\w.\-]*", tz.text[tz.pos:]).group(0)
+                    # Turtle PN_LOCAL may contain dots but not end with
+                    # one — a trailing '.' is the statement terminator
+                    pname = pname.rstrip(".")
                     tz.pos += len(pname)
                     p, _, l = pname.partition(":")
                     dtype = self.prefixes.get(p, p + ":") + l
@@ -235,13 +238,20 @@ class AskQuery:
         if ch == "_" and tz.peek(2) == "_:":
             tz.take(2)
             m = re.match(r"[\w.\-]+", tz.text[tz.pos:])
-            name = m.group(0)
+            # same PN_LOCAL rule: '_:a.' is bnode 'a' + terminator '.'
+            name = m.group(0).rstrip(".")
             tz.pos += len(name)
             return Term("bnode", name)
         if tz.match_word("a"):
             return Term("iri", RDF_TYPE)
         # prefixed name or number
         tok = tz.read_until(" \t\r\n;,.{}()")
+        if re.fullmatch(r"[+-]?\d+", tok) and re.match(
+            r"\.\d", tz.text[tz.pos : tz.pos + 2]
+        ):
+            # read_until stops at '.', so reassemble 'digits . digits'
+            tz.pos += 1
+            tok = tok + "." + tz.read_until(" \t\r\n;,.{}()")
         if re.fullmatch(r"[+-]?\d+", tok):
             return Term("literal", tok, None, "http://www.w3.org/2001/XMLSchema#integer")
         if re.fullmatch(r"[+-]?\d*\.\d+", tok):
@@ -499,6 +509,10 @@ class AskQuery:
             if t is None:
                 raise ValueError("unbound")
             return t.value
+        m = re.fullmatch(r"([\w-]*):([\w.\-]*)", expr)
+        if m and m.group(1) in self.prefixes:
+            # prefixed name in value position (e.g. datatype(?v) = xsd:date)
+            return self.prefixes[m.group(1)] + m.group(2)
         return expr
 
 

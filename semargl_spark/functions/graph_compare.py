@@ -49,7 +49,9 @@ def normalize_literal(value: str, dtype: str | None) -> str:
                 return "INF" if f > 0 else "-INF"
             if math.isnan(f):
                 return "NaN"
-            mantissa, exp = f"{f:1.15E}".split("E")
+            # 17 significant digits round-trip IEEE doubles losslessly;
+            # fewer would collide distinct values to one canonical form
+            mantissa, exp = f"{f:1.16E}".split("E")
             mantissa = mantissa.rstrip("0")
             if mantissa.endswith("."):
                 mantissa += "0"

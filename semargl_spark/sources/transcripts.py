@@ -131,6 +131,10 @@ def _seed_turns(spark: SparkSession, sf_dir: str, turns_per_doc: int) -> DataFra
     # more-but-smaller tasks only add per-task Arrow/scheduling overhead
     target = spark.sparkContext.defaultParallelism
     docs = docs.repartition(target)
+    if turns_per_doc < 1:
+        # sequence(0, -1) would generate a DESCENDING [0, -1] pair, not
+        # an empty corpus — negative turn indices then corrupt doc URIs
+        raise ValueError(f"turns_per_doc must be >= 1, got {turns_per_doc}")
     return docs.select(
         "did",
         F.explode(

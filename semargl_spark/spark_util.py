@@ -19,19 +19,31 @@ _SHIPPED: set[str] = set()
 
 
 def build_pyfiles_zip(dest: str | None = None) -> str:
-    """Zip the semargl_spark package for --py-files / addPyFile."""
+    """Zip the semargl_spark package for --py-files / addPyFile.
+
+    Freshness is judged on the full (path, mtime) listing — max-mtime
+    alone would keep a stale zip alive after a module is deleted or
+    renamed — and the temp file is per-PID so concurrent sessions don't
+    race on the rename."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     if dest is None:
         dest = os.path.join(tempfile.gettempdir(), "semargl_spark_pyfiles.zip")
-    src_mtime = max(
-        os.path.getmtime(os.path.join(root, f))
+    listing = sorted(
+        (os.path.relpath(os.path.join(root, f), pkg_dir),
+         int(os.path.getmtime(os.path.join(root, f))))
         for root, _dirs, files in os.walk(pkg_dir)
         for f in files
         if f.endswith(".py")
     )
-    if os.path.exists(dest) and os.path.getmtime(dest) >= src_mtime:
-        return dest
-    tmp = dest + ".tmp"
+    import hashlib
+
+    manifest = hashlib.sha256(repr(listing).encode()).hexdigest()
+    stamp = dest + ".manifest"
+    if os.path.exists(dest) and os.path.exists(stamp):
+        with open(stamp) as fh:
+            if fh.read().strip() == manifest:
+                return dest
+    tmp = f"{dest}.{os.getpid()}.tmp"
     with zipfile.ZipFile(tmp, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:
@@ -41,6 +53,9 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
                 rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                 zf.write(full, rel)
     os.replace(tmp, dest)
+    with open(stamp + f".{os.getpid()}.tmp", "w") as fh:
+        fh.write(manifest)
+    os.replace(stamp + f".{os.getpid()}.tmp", stamp)
     return dest
 
 

@@ -4,7 +4,8 @@ parallelism levels (local[N] vs local[4N] standing in for N- vs
 
 Each level runs in its own subprocess (fresh JVM, no warm-cache
 bleed-through). Records throughput at both levels and the scaling
-efficiency into BENCH/scaling.json and updates BENCH/BASELINE.md.
+efficiency into BENCH/scaling.json (BENCH/BASELINE.md is then updated
+by hand from that record).
 
 Usage: python tools/bench_scaling.py [sf_dir] [turns_per_doc] [N]
 """

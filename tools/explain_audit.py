@@ -62,7 +62,12 @@ def main():
     pruned = docs.filter(F.col("lang") == "en").select("doc_id")
     p = plan_of(pruned)
     sections.append(("documents scan (pruning/pushdown)", p))
-    checks.append(("filter pushed to scan", "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p or "PushedFilters" in p and "lang" in p))
+    # non-empty PushedFilters mentioning the filter column — a plan with
+    # 'PushedFilters: []' must FAIL this check
+    pushed = re.search(r"PushedFilters: \[([^\]]+)\]", p)
+    checks.append(
+        ("filter pushed to scan", bool(pushed) and "lang" in pushed.group(1))
+    )
     checks.append(("schema pruned to needed columns", "ReadSchema" in p and "text" not in p.split("ReadSchema")[1][:200]))
 
     # 4. whole-stage codegen on the JVM-side text operators
