@@ -212,7 +212,11 @@ def _process_context_uncached(active: _Context, local: Any, st: _State) -> _Cont
         if "@vocab" in item:
             ctx.vocab = item["@vocab"]
         if "@language" in item:
-            ctx.language = item["@language"]
+            lv = item["@language"]
+            if lv is None or isinstance(lv, str):
+                ctx.language = lv
+            else:
+                st.errors.append("invalid @language in @context: non-string")
         for term, defn in item.items():
             if term in ("@base", "@vocab", "@language") or term in KEYWORDS:
                 continue
@@ -237,7 +241,7 @@ def _make_term_def(term: str, defn: Any, local: dict, ctx: _Context, st: _State)
         if defn["@id"] is None:
             return td  # explicit null @id → term maps to nothing (0072)
         td.iri = _expand_term_iri(defn["@id"], local, ctx, st, seen)
-    if td.iri is None and td.iri != "@type":
+    if td.iri is None:
         # term name itself may be a compact IRI / vocab word
         td.iri = _expand_term_iri(term, local, ctx, st, seen)
     if "@type" in defn:
@@ -514,8 +518,17 @@ def _expand_value(value: Any, ctx: _Context, td: _TermDef | None, st: _State,
             val = _keyword_get(value, "@value", inner_ctx)
             if val is None:
                 return None
+            if not isinstance(val, (bool, int, float, str)):
+                # non-scalar @value is invalid JSON-LD; dropping it with
+                # an error keeps Triple fields strictly strings (a list
+                # here would crash Arrow serialization task-side, E10)
+                st.errors.append("invalid @value: non-scalar")
+                return None
             type_v = _keyword_get(value, "@type", inner_ctx)
             lang_v = _keyword_get(value, "@language", inner_ctx)
+            if lang_v is not None and not isinstance(lang_v, str):
+                st.errors.append("invalid @language: non-string")
+                lang_v = None
             if type_v is not None and isinstance(type_v, str):
                 dtype = _expand_type(type_v, inner_ctx, st)
                 if isinstance(val, bool):

@@ -153,6 +153,48 @@ _G_YEAR_MONTH_RE = re.compile(r"-?\d{4,}-(0[1-9]|1[0-2])\Z")
 _DATE_RE = re.compile(r"-?\d{4,}-\d{2}-\d{2}" + _TZ + r"\Z")
 
 
+_DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _valid_ymd(y: int, mo: int, d: int) -> bool:
+    if not 1 <= mo <= 12:
+        return False
+    days = _DAYS_IN_MONTH[mo - 1]
+    if mo == 2 and (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)):
+        days = 29
+    return 1 <= d <= days
+
+
+def _valid_hms(h: int, mi: int, s: int) -> bool:
+    return h <= 23 and mi <= 59 and s <= 59
+
+
+def _valid_datetime(content: str) -> bool:
+    m = _DATE_TIME_RE.match(content)
+    if not m:
+        return False
+    date_part, time_part = content.split("T", 1)
+    y, mo, d = (int(x) for x in date_part.lstrip("-").split("-"))
+    h, mi, s = (int(x) for x in time_part[:8].split(":"))
+    return _valid_ymd(y, mo, d) and _valid_hms(h, mi, s)
+
+
+def _valid_time(content: str) -> bool:
+    m = _TIME_RE.match(content)
+    if not m:
+        return False
+    h, mi, s = (int(x) for x in content[:8].split(":"))
+    return _valid_hms(h, mi, s)
+
+
+def _valid_date(content: str) -> bool:
+    if not _DATE_RE.match(content):
+        return False
+    m = re.match(r"-?(\d{4,})-(\d{2})-(\d{2})", content)
+    y, mo, d = (int(x) for x in m.groups())
+    return _valid_ymd(y, mo, d)
+
+
 class MalformedCurieError(MalformedIriError):
     pass
 
@@ -835,17 +877,21 @@ class _RdfaEngine:
         if dt is None:
             return current.lang
         if dt is AUTODETECT_DATE:
+            # shape regex + calendar-field validation: the reference
+            # routes these through DatatypeConverter.parse*, which
+            # rejects digit-shaped nonsense like 2024-99-99T99:99:99
+            # (IllegalArgumentException → plain literal)
             if _DURATION_RE.match(content):
                 return XSD_DURATION
             if ":" in content:
                 if "T" in content:
-                    return XSD_DATE_TIME if _DATE_TIME_RE.match(content) else current.lang
-                return XSD_TIME if _TIME_RE.match(content) else current.lang
+                    return XSD_DATE_TIME if _valid_datetime(content) else current.lang
+                return XSD_TIME if _valid_time(content) else current.lang
             if _G_YEAR_RE.match(content):
                 return XSD_G_YEAR
             if _G_YEAR_MONTH_RE.match(content):
                 return XSD_G_YEAR_MONTH
-            if _DATE_RE.match(content):
+            if _valid_date(content):
                 return XSD_DATE
             return current.lang
         if ":" not in dt:
@@ -1007,8 +1053,6 @@ class _RdfaEngine:
 
     def chars(self, content: str):
         if self.rdfxml_buf is not None:
-            from .xmlutil import escape_attr
-
             self.rdfxml_buf.append(
                 content.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
             )

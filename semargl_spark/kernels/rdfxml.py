@@ -281,10 +281,9 @@ class _Handler(ContentHandler):
 
         iri = ns_uri + lname
         if iri == RDF_RDF:
-            if not self.root_seen and self.subj is None and not self.subj_stack:
-                self.root_seen = True
-                return  # document root
-            self._error(f"{qname} is not allowed here")
+            # any rdf:RDF element (root or nested wrapper) is ignored
+            # and its children processed (RdfXmlParser.java:162-164)
+            self.root_seen = True
             return
         if self.subj is None and not ns_uri:
             return

@@ -41,7 +41,11 @@ def _term(value: str, kind: str, lang, dtype, base) -> str:
     if kind == "iri":
         return _shorten(value, base)
     if any(c in value for c in _MULTILINE_CHARS):
-        body = '"""' + value.replace("\\", "\\\\").replace('"""', '\\"\\"\\"') + '"""'
+        # every quote escapes, exactly like the reference's addContent
+        # (TurtleSerializer.java:212-219) — escaping only triple-quote
+        # runs would leave a literal-final '"' adjacent to the closing
+        # delimiter, which is invalid Turtle
+        body = '"""' + value.replace("\\", "\\\\").replace('"', '\\"') + '"""'
     else:
         body = f'"{escape_literal(value)}"'
     if lang:

@@ -245,8 +245,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged = dict(_registry())
     merged.update(queries_pipeline.registry())
     merged.update(queries_events.registry())
-    ORACLES.update(queries_pipeline.ORACLES)
-    ORACLES.update(queries_events.ORACLES)
+    # NOTE: the merged oracle view comes from oracles(); registry() must
+    # not mutate the module-global ORACLES as a side effect
     return {name: _shipped(fn) for name, fn in merged.items()}
 
 

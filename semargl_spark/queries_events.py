@@ -21,8 +21,11 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     north_rule ordering window applied to event time."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ: route through TIMESTAMP before the long cast
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # ts is TIMESTAMP_NTZ: route through TIMESTAMP; the DOUBLE cast keeps
+    # sub-second precision — DuckDB's epoch() is fractional, and a
+    # second-truncated gap would classify exact-30-minute boundaries
+    # differently on the two sides
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return e.select(

@@ -277,7 +277,7 @@ SELECT 'c'||did AS conv_id, tix AS turn_idx,
   '@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .'||{_NL}||{_NL}
   ||'<urn:e:'||did||'> <urn:p:name> '
   ||CASE WHEN did%10=0
-         THEN '{_TQ}Entity "'||did||'"'||{_NL}||'{_TQ}'
+         THEN '{_TQ}Entity '||chr(92)||'"'||did||chr(92)||'"'||{_NL}||'{_TQ}'
          ELSE '"Entity '||did||'"' END||' ;'||{_NL}
   ||'    <urn:p:knows> <urn:e:'||(did+1)||'> ;'||{_NL}
   ||'    <urn:p:score> "'||(did%100)||'.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .'||{_NL}

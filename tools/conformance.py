@@ -212,7 +212,13 @@ def run_rdfxml(verbose=False):
             continue
         produced, errs = rdfxml.parse(_read(ipath), base_uri=input_uri, doc_key="t")
         if kind == "negative":
-            if errs:
+            # reference semantics (RdfXmlParserTest.runTest:94-112 +
+            # areModelsEqual vs a null expected model): a negative case
+            # passes when the produced model is EMPTY — either the parse
+            # errored (reference would have thrown ParseException) or the
+            # illegal construct was silently ignored (e.g. nested rdf:RDF,
+            # RdfXmlParser.java:162-164)
+            if errs or not produced:
                 passed += 1
             else:
                 failed.append(("neg", input_uri.rsplit("/", 2)[-2] + "/" + input_uri.rsplit("/", 1)[-1]))
