@@ -73,3 +73,44 @@ def test_nquads_roundtrip(ts, graph):
     assert [t.obj for t in parsed if t.obj_kind == "literal"] == [
         t.obj for t in ts if t.obj_kind == "literal"
     ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_triples(), min_size=1, max_size=8))
+def test_turtle_never_emits_bare_quad_quotes(ts):
+    """Multiline literals escape every inner quote (reference
+    addContent), so four adjacent quotes — invalid Turtle — can never
+    appear."""
+    from semargl_spark.kernels import turtle
+
+    doc = turtle.serialize(ts)
+    assert '""""' not in doc
+    # long-string bodies never contain an unescaped triple-quote
+    for chunk in doc.split('"""')[1:-1:2]:
+        assert not chunk.endswith("\\")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_triples(), min_size=1, max_size=6))
+def test_isomorphic_invariances(ts):
+    """Model isomorphism: invariant under bnode relabeling, broken by
+    dropping a statement (set semantics)."""
+    from semargl_spark.functions.graph_compare import isomorphic
+
+    def relabel(t):
+        s = "_:R" + t.subj[2:] if t.subj.startswith("_:") else t.subj
+        o = "_:R" + t.obj[2:] if t.obj_kind == "bnode" else t.obj
+        return t._replace(subj=s, obj=o)
+
+    assert isomorphic(ts, [relabel(t) for t in ts])
+
+    # drop one GROUND statement (bnode-free): strict subset of the set
+    # semantics must not be isomorphic
+    uniq = {(t.subj, t.pred, t.obj, t.obj_kind, t.lang, t.dtype): t for t in ts}
+    ground = [
+        t for t in uniq.values()
+        if not t.subj.startswith("_:") and t.obj_kind != "bnode"
+    ]
+    if ground and len(uniq) > 1:
+        dropped = [t for t in uniq.values() if t is not ground[0]]
+        assert not isomorphic(list(uniq.values()), dropped)
