@@ -165,6 +165,71 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize.lineage_rows(st, "verify-run", "extract")
 
 
+def q_lineage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked lineage audit: per-shard row counts and an
+    order-insensitive checksum over DETERMINISTIC shards (conv hash
+    buckets) with the SQL-replicable md5 fold — the external gate
+    recomputes the ledger exactly, which is what makes the
+    checkpoint-resume bookkeeping auditable. (The `lineage` query keeps
+    the physical-partition variant; its ids depend on the plan, hence
+    rows-only.)"""
+    from .operators.dedup import md5_hash60
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    shard = F.pmod(
+        F.regexp_extract("conv_id", r"(\d+)", 1).cast("long"), F.lit(8)
+    )
+    row_h = F.pmod(
+        md5_hash60(
+            F.concat_ws(
+                "\x1f", "conv_id", F.col("turn_idx").cast("string"),
+                "subj", "pred", "obj", "obj_kind",
+                F.coalesce("lang", F.lit("")), F.coalesce("dtype", F.lit("")),
+            )
+        ),
+        F.lit((1 << 31) - 1),
+    )
+    return (
+        st.select(shard.alias("shard"), row_h.alias("h"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("output_rows"),
+            F.sum("h").cast("long").alias("checksum"),
+        )
+    )
+
+
+ORACLES["lineage_exact"] = _SEED + r"""
+, st AS (
+  SELECT did, tix, 'urn:e:'||did AS subj, 'urn:p:name' AS pred,
+         CASE WHEN did%10=0 THEN 'Entity "'||did||'"'||chr(10)
+              ELSE 'Entity '||did END AS obj, 'literal' AS obj_kind,
+         '' AS lang, '' AS dtype FROM t
+  UNION ALL
+  SELECT did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+         'iri', '', '' FROM t
+  UNION ALL
+  SELECT did, tix, 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
+         'literal', '', 'http://www.w3.org/2001/XMLSchema#decimal' FROM t
+  UNION ALL
+  SELECT did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label',
+         'turn '||tix, 'literal', 'en', '' FROM t
+), h AS (
+  SELECT did % 8 AS shard,
+    (list_reduce(list_transform(range(1,16), i ->
+       CAST(strpos('0123456789abcdef',
+            substr(md5('c'||did||chr(31)||tix||chr(31)||subj||chr(31)||pred
+                       ||chr(31)||obj||chr(31)||obj_kind||chr(31)||lang
+                       ||chr(31)||dtype), i, 1)) - 1 AS BIGINT)),
+       (a,b) -> a*16+b)) % 2147483647 AS hv
+  FROM st
+)
+SELECT shard, COUNT(*) AS output_rows, CAST(SUM(hv) AS BIGINT) AS checksum
+FROM h GROUP BY shard
+"""
+
+
 def q_vocab_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary expansion: statements joined against a broadcast
     owl/rdfs synonym closure (reference J1)."""
@@ -946,6 +1011,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "pipeline_kg": q_pipeline_kg,
         "lineage": q_lineage,
+        "lineage_exact": q_lineage_exact,
         "vocab_expand": q_vocab_expand,
         "render_ntriples": q_render_ntriples,
         "render_turtle": q_render_turtle,
