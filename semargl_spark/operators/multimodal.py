@@ -91,6 +91,35 @@ def synth_media(spark, sf_dir: str, turns_per_doc: int = 1) -> DataFrame:
     )
 
 
+def resize_media(
+    media: DataFrame, width: int, height: int, use_fake: bool = True
+) -> DataFrame:
+    """Resize stage: (media_id, mime, payload, w, h) → resized payload +
+    updated dimensions.
+
+    The real path decodes/resizes/re-encodes per Arrow batch exactly
+    like :func:`extract_features` (PIL/ffmpeg in the cluster image —
+    stubbed here). The deterministic fake used in this sandbox is a
+    sha256 content stamp over (payload ‖ resize tag) — notably it stays
+    a pure Catalyst expression (whole-stage codegen, zero Python), so
+    the *pipeline* shape (schema, partitioning, pushdown) is exercised
+    for real."""
+    if not use_fake:
+        raise DecodeUnavailable(
+            "no codecs: install PIL/ffmpeg in the cluster image"
+        )
+    tag = F.encode(F.lit(f"|resize:{width}x{height}"), "utf-8")
+    stamped = F.encode(F.sha2(F.concat(F.col("payload"), tag), 256), "utf-8")
+    return media.select(
+        "media_id",
+        "mime",
+        stamped.alias("payload"),
+        F.lit(width).cast("int").alias("width"),
+        F.lit(height).cast("int").alias("height"),
+        "duration_ms",
+    )
+
+
 def extract_features(
     media: DataFrame, frames_per_video: int = 3, dim: int = 8, use_fake: bool = True
 ) -> DataFrame:

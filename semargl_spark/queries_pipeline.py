@@ -834,6 +834,36 @@ FROM t
 # ---------------------------------------------------------------- multimodal
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary media columns: deterministic sha256
+    content stamp stands in for the codec (pure Catalyst expression —
+    the real decoder slots into the same mapInArrow shape as
+    media_features); dimensions update, payload digest verified
+    byte-for-byte by the oracle."""
+    from .operators import multimodal
+
+    media = multimodal.synth_media(spark, sf_dir)
+    out = multimodal.resize_media(media, 32, 32)
+    return out.select(
+        "media_id",
+        "mime",
+        F.decode("payload", "utf-8").alias("digest"),
+        "width",
+        "height",
+    )
+
+
+ORACLES["media_resize"] = """
+SELECT 'm'||CAST(doc_id AS INT) AS media_id,
+       CASE WHEN CAST(doc_id AS INT) % 3 = 0 THEN 'image/png'
+            WHEN CAST(doc_id AS INT) % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       sha256(text || '|resize:32x32') AS digest,
+       32 AS width, 32 AS height
+FROM documents
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode/frame-sample plumbing. The decoder is a
     deterministic sha256 fake, so the DuckDB oracle recomputes the
@@ -1031,4 +1061,5 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
     }
