@@ -84,6 +84,57 @@ def lang_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
+# distinctive character trigrams per language (derived from common
+# function words, space-padded so word boundaries count) — a real system
+# broadcasts trained profiles; the plumbing is identical
+_TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing",
+           "ng ", " to", "to ", " is", "is ", "ion", "at "],
+    "de": [" de", "der", "er ", " di", "die", "ie ", "und", " un", "nd ",
+           "ein", " ei", "ich", "ch ", "sch", " ni", "cht"],
+    "es": [" de", "de ", " la", "la ", "que", " qu", "ue ", " el", "el ",
+           " en", "en ", "los", " lo", "ión", "ar ", " po"],
+    "fr": [" de", "de ", " le", "le ", "les", "es ", " et", "et ", "une",
+           " un", "ent", "nt ", " qu", "que", "ait", " pa"],
+}
+
+
+def lang_id_ngram(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Character-trigram language ID (the classic n-gram heuristic):
+    score(lang) = occurrences of the language's distinctive trigrams in
+    the space-padded lowercased text, normalized by trigram count.
+    Entirely JVM-side: one trigram explode per document via a
+    higher-order transform, then per-language membership counts.
+    Returns (doc_id, lang_pred, lang_score)."""
+    padded = F.concat(F.lit(" "), F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), F.lit(" "))
+    t = docs.withColumn("_pt", padded)
+    tris = F.expr("transform(sequence(1, greatest(length(_pt) - 2, 1)), i -> substr(_pt, i, 3))")
+    t = t.withColumn("_tris", tris)
+    langs = list(_TRIGRAM_PROFILES)
+    hits = {
+        lang: F.size(
+            F.filter(
+                F.col("_tris"),
+                lambda x: F.array_contains(
+                    F.array(*[F.lit(g) for g in _TRIGRAM_PROFILES[lang]]), x
+                ),
+            )
+        )
+        for lang in langs
+    }
+    scores = F.array(*[hits[lang] for lang in langs])
+    best_idx = F.array_position(scores, F.array_max(scores))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    total = F.greatest(F.size(F.col("_tris")), F.lit(1))
+    return t.select(
+        F.col(id_col),
+        F.when(F.array_max(scores) == 0, F.lit("und"))
+        .otherwise(F.element_at(lang_arr, best_idx.cast("int")))
+        .alias("lang_pred"),
+        F.round(F.array_max(scores) / total, 6).alias("lang_score"),
+    )
+
+
 def quality_score(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Heuristic quality features + a blended [0,1] score.
 

@@ -812,6 +812,46 @@ FROM m
 """
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (the n-gram heuristic variant of
+    lang_id) — one trigram expansion per document, JVM-side."""
+    return text.lang_id_ngram(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "lang_pred", "lang_score"
+    )
+
+
+def _lang_id_ngram_oracle() -> str:
+    from .operators.text import _TRIGRAM_PROFILES
+
+    langs = list(_TRIGRAM_PROFILES)
+
+    def lst(lang):
+        inner = ", ".join("'" + g.replace("'", "''") + "'" for g in _TRIGRAM_PROFILES[lang])
+        return f"[{inner}]"
+
+    score_exprs = ", ".join(
+        f"len(list_filter(tris, x -> list_contains({lst(lang)}, x)))" for lang in langs
+    )
+    lang_list = "[" + ", ".join(f"'{lang}'" for lang in langs) + "]"
+    return rf"""
+WITH t AS (SELECT doc_id,
+       ' '||regexp_replace(lower(trim(text)), '\s+', ' ', 'g')||' ' AS pt
+       FROM documents),
+g AS (SELECT doc_id,
+       list_transform(range(1, greatest(length(pt)-2, 1)+1),
+                      i -> substr(pt, CAST(i AS INT), 3)) AS tris FROM t),
+s AS (SELECT doc_id, tris, [{score_exprs}] AS scores FROM g)
+SELECT doc_id,
+       CASE WHEN list_max(scores) = 0 THEN 'und'
+            ELSE {lang_list}[list_position(scores, list_max(scores))] END AS lang_pred,
+       round(CAST(list_max(scores) AS DOUBLE) / greatest(len(tris), 1), 6) AS lang_score
+FROM s
+"""
+
+
+ORACLES["lang_id_ngram"] = _lang_id_ngram_oracle()
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprints (md5 hash method →
     exact oracle)."""
@@ -1058,6 +1098,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "media_features": q_media_features,
