@@ -88,6 +88,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
     prev = _fingerprint(labels)
+    converged = False
     for _round in range(max_iter):
         # 1. neighbor-min: every node proposes its label to its neighbors
         msgs = (
@@ -105,9 +106,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = _jump(_jump(labels)).localCheckpoint(eager=False)
         cur = _fingerprint(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
 
+    if not converged:
+        # pointer jumping covers diameter ~2^max_iter, so hitting the cap
+        # means something is structurally wrong — returning partial
+        # components would silently merge/split entities downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(pointer jumping covers diameter ~2^{max_iter}); raise max_iter"
+        )
     return labels
 
 
