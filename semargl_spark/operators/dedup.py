@@ -11,11 +11,12 @@ model comparison), a 100 TB corpus pipeline needs document-level dedup:
 * n-gram Jaccard — verification kernel for candidate pairs.
 
 All hashing uses Spark's built-in xxhash64/hash/md5 so each stage is
-JVM-side whole-stage codegen; the only shuffles are the bucket
-groupBys, keyed on short hash values (uniform, skew-free by
-construction). Candidate-pair verification joins documents back by id —
-at scale that join is a shuffle join on doc_id, with AQE handling any
-residual skew.
+JVM-side whole-stage codegen; the shuffles are the band-bucket groupBys
+(keyed on short hash values — uniform, skew-free by construction) plus,
+on the md5 path, one doc-keyed signature groupBy (the price of hashing
+each shingle once instead of k times). Candidate-pair verification
+joins documents back by id — at scale that join is a shuffle join on
+doc_id, with AQE handling any residual skew.
 """
 
 from __future__ import annotations
