@@ -112,8 +112,13 @@ class _Handler(ContentHandler):
         self.buf: list[str] = []
         # pending property-attribute triples: (prop_res, attr_iri, value)
         self.pending: list[tuple[str | None, str, str]] = []
-        # expat reports no qnames; rebuild them from prefix-mapping events
+        # expat reports no qnames; rebuild them from prefix-mapping events.
+        # ns_prefixes (uri → prefix stack) answers "what prefix renders
+        # this uri"; prefix_scopes (prefix → uri stack) owns the scope
+        # bookkeeping so shadowed prefixes (outer p→u1, inner p→u2)
+        # unwind innermost-first
         self.ns_prefixes: dict[str, list[str]] = {}
+        self.prefix_scopes: dict[str, list[str]] = {}
 
     def _qname(self, ns_uri: str | None, lname: str) -> str:
         if not ns_uri:
@@ -502,14 +507,22 @@ class _Handler(ContentHandler):
             self.buf.append(f"<?{target} {data}?>")
 
     def startPrefixMapping(self, prefix, uri):
-        self.ns_prefixes.setdefault(uri, []).append(prefix or "")
+        p = prefix or ""
+        self.prefix_scopes.setdefault(p, []).append(uri)
+        self.ns_prefixes.setdefault(uri, []).append(p)
         if self.mode == PARSE_TYPE_LITERAL:
-            self.ns_mappings[prefix or ""] = uri
+            self.ns_mappings[p] = uri
 
     def endPrefixMapping(self, prefix):
-        for uri, stack in self.ns_prefixes.items():
-            if stack and stack[-1] == (prefix or ""):
-                stack.pop()
+        p = prefix or ""
+        scopes = self.prefix_scopes.get(p)
+        if not scopes:
+            return
+        uri = scopes.pop()  # the innermost binding of this prefix
+        stack = self.ns_prefixes.get(uri, [])
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] == p:
+                del stack[i]
                 break
 
 

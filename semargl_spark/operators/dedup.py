@@ -69,12 +69,19 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     of falsely-merged pairs at the 10^12-document target, each silently
     deleting a unique document. At 128 bits the expectation is ~1e-15.
 
+    Independence caveat: Spark's multi-column ``xxhash64(a, b)`` chains
+    each column's hash as the *seed* for the next, so
+    ``xxhash64(body, lit(salt))`` is a pure function of
+    ``xxhash64(body)`` — any h1 collision would also collide h2. The
+    salt therefore goes FIRST (perturbing the seed entering the body
+    bytes), which makes h2 genuinely independent of h1.
+
     Returns (doc_id, keep_id, is_duplicate)."""
     body = normalized_text(text_col)
     h = docs.select(
         F.col(id_col),
         F.xxhash64(body).alias("h1"),
-        F.xxhash64(body, F.lit(0x5EED)).alias("h2"),
+        F.xxhash64(F.lit(0x5EED), body).alias("h2"),
     )
     keepers = h.groupBy("h1", "h2").agg(F.min(id_col).alias("keep_id"))
     return (

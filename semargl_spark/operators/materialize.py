@@ -67,7 +67,13 @@ def kg_edges(triples: DataFrame, components: DataFrame | None = None) -> DataFra
     return edges.distinct()
 
 
-def lineage_rows(df: DataFrame, run_id: str, stage: str) -> DataFrame:
+def lineage_rows(
+    df: DataFrame,
+    run_id: str,
+    stage: str,
+    shard=None,
+    row_hash=None,
+) -> DataFrame:
     """Per-partition lineage/metrics (FIXTURES.md §5): one row per
     partition with row counts and an order-insensitive checksum.
 
@@ -76,7 +82,15 @@ def lineage_rows(df: DataFrame, run_id: str, stage: str) -> DataFrame:
     equals ``output_rows`` for these row-preserving audits — a stage
     that filters should emit lineage on both sides. ``wall_ms`` is not
     measured by this aggregate (0); the job-level summary carries wall
-    time."""
+    time.
+
+    By default the shard key is the *physical* partition id
+    (``spark_partition_id``) and the row hash Spark's murmur3 — fastest,
+    but plan-dependent, so the ledger is only self-consistent. Passing a
+    deterministic ``shard`` Column (e.g. a key-hash bucket) and an
+    externally replicable ``row_hash`` Column makes the ledger
+    value-auditable by systems outside Spark — that is what the
+    correctness gate's `lineage` query does."""
     cols = df.columns
     err = (
         F.when(F.col("obj_kind") == "error", 1).otherwise(0)
@@ -84,8 +98,8 @@ def lineage_rows(df: DataFrame, run_id: str, stage: str) -> DataFrame:
         else F.lit(0)
     )
     hashed = df.select(
-        F.spark_partition_id().alias("partition_id"),
-        F.hash(*cols).alias("h"),
+        (F.spark_partition_id() if shard is None else shard).alias("partition_id"),
+        (F.hash(*cols) if row_hash is None else row_hash).alias("h"),
         err.alias("is_err"),
     )
     return (

@@ -24,6 +24,8 @@ edges — which is exactly the salted-join case below.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +44,32 @@ _MERGE_FNS = {
     "min": F.min,
     "max": F.max,
 }
+
+
+def _describe_agg(name: str, spec: Column) -> tuple[str, bool]:
+    """(function_name, is_distinct) for a plain aggregate Column.
+
+    Inspects the column's expression tree structurally
+    (``UnresolvedFunction.functionName/isDistinct``) rather than parsing
+    ``toString()`` — Spark 4 stringifies ``count(DISTINCT v)`` as plain
+    ``count(v)``, so a textual check would silently sum partial distinct
+    counts into a wrong total. Falls back to the expression string (with
+    a token-level DISTINCT test, so a column *named* distinct_id does
+    not false-positive) when the node API is unavailable, and raises
+    under Spark Connect where no expression is inspectable at all."""
+    if not hasattr(spec, "_jc"):
+        raise ValueError(
+            f"salted_agg cannot infer a merge for {name!r}: the Column "
+            "exposes no inspectable expression (Spark Connect); pass an "
+            "explicit (partial_expr, merge_fn) tuple"
+        )
+    try:
+        node = spec._jc.node()
+        return node.functionName().lower(), bool(node.isDistinct())
+    except Exception:
+        full = spec._jc.toString().lower()
+        head = full.split("(", 1)[0].strip()
+        return head, re.search(r"\bdistinct\b", full) is not None
 
 
 def salted_agg(
@@ -70,12 +98,12 @@ def salted_agg(
             merges.append(merge_fn(name).alias(name))
             continue
         partials[name] = spec
-        full = spec._jc.toString().lower() if hasattr(spec, "_jc") else ""
-        head = full.split("(", 1)[0].strip()
-        if head not in _MERGE_FNS or "distinct" in full:
+        head, is_distinct = _describe_agg(name, spec)
+        if head not in _MERGE_FNS or is_distinct:
             raise ValueError(
-                f"salted_agg cannot infer a merge for {name!r} ({full or 'unknown'}): "
-                "pass (partial_expr, merge_fn) explicitly; note count_distinct "
+                f"salted_agg cannot infer a merge for {name!r} "
+                f"({'DISTINCT ' if is_distinct else ''}{head}): pass "
+                "(partial_expr, merge_fn) explicitly; note count_distinct "
                 "does not decompose over salts"
             )
         merges.append(_MERGE_FNS[head](name).alias(name))

@@ -96,6 +96,8 @@ class StreamProcessor:
         Returns a DataFrame (statements or rendered lines). With error
         recovery disabled, raises :class:`ParseError` if any document
         produced processor-graph errors (one eager count)."""
+        if self._output == "turtle":
+            self._check_turtle_props()
         st = extract_statements(transcripts, default_fmt=fmt)
 
         if not self._props[self.ENABLE_ERROR_RECOVERY]:
@@ -133,3 +135,26 @@ class StreamProcessor:
         from .operators.serialize_ops import render_turtle_docs
 
         return render_turtle_docs(transcripts, fmt=fmt or "ntriples")
+
+    def _check_turtle_props(self) -> None:
+        """Turtle renders per-document via the fused parse→serialize
+        pass, which bypasses the gated/expanded statements pipeline. The
+        reference contract is "setProperty consumed ⟹ takes effect"
+        (Pipe.setProperty walks the chain), so properties this sink
+        cannot honor must fail loudly instead of being silently
+        ignored."""
+        incompatible = [
+            key
+            for key, required in (
+                (self.ENABLE_OUTPUT_GRAPH, True),
+                (self.ENABLE_PROCESSOR_GRAPH, False),
+                (self.ENABLE_VOCAB_EXPANSION, False),
+            )
+            if bool(self._props[key]) is not required
+        ]
+        if incompatible:
+            raise ValueError(
+                "the turtle sink renders documents directly and cannot "
+                f"honor non-default settings for: {incompatible}; use "
+                "output='statements'/'ntriples' for gated/expanded graphs"
+            )

@@ -158,11 +158,74 @@ LEFT JOIN blocks bd ON raw.dst = 'urn:e:'||bd.id
 
 
 def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition lineage/metrics side output (north_rule; partition
-    ids depend on the physical plan → rows-only check)."""
+    """Per-partition lineage/metrics side output (north_rule): the full
+    8-column ledger row shape over 32 DETERMINISTIC shards (conv-id hash
+    buckets) with the SQL-replicable md5 row hash, so every column —
+    counts AND checksums — is value-checked by the external gate.
+    (`lineage_exact` keeps the narrower closed-form audit; the physical
+    ``spark_partition_id`` default of ``lineage_rows`` remains available
+    for in-Spark self-consistency ledgers.)"""
+    from .operators.dedup import md5_hash60
+
     t = synth_transcripts(spark, sf_dir, fmt="ntriples")
     st = triples(extract_statements(t))
-    return materialize.lineage_rows(st, "verify-run", "extract")
+    shard = F.pmod(
+        F.regexp_extract("conv_id", r"(\d+)", 1).cast("long"), F.lit(32)
+    ).cast("int")
+    row_h = F.pmod(
+        md5_hash60(
+            F.concat_ws(
+                "\x1f", "conv_id", F.col("turn_idx").cast("string"),
+                "subj", "pred", "obj", "obj_kind",
+                F.coalesce("lang", F.lit("")), F.coalesce("dtype", F.lit("")),
+            )
+        ),
+        F.lit((1 << 31) - 1),
+    )
+    return materialize.lineage_rows(
+        st, "verify-run", "extract", shard=shard, row_hash=row_h
+    )
+
+
+def _lineage_oracle() -> str:
+    """The ledger reconstructed closed-form: same st/hv scaffold as
+    lineage_exact, over 32 shards, with every lineage_rows column."""
+    return _SEED + r"""
+, st AS (
+  SELECT did, tix, 'urn:e:'||did AS subj, 'urn:p:name' AS pred,
+         CASE WHEN did%10=0 THEN 'Entity "'||did||'"'||chr(10)
+              ELSE 'Entity '||did END AS obj, 'literal' AS obj_kind,
+         '' AS lang, '' AS dtype FROM t
+  UNION ALL
+  SELECT did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+         'iri', '', '' FROM t
+  UNION ALL
+  SELECT did, tix, 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
+         'literal', '', 'http://www.w3.org/2001/XMLSchema#decimal' FROM t
+  UNION ALL
+  SELECT did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label',
+         'turn '||tix, 'literal', 'en', '' FROM t
+), h AS (
+  SELECT did % 32 AS shard,
+    (list_reduce(list_transform(range(1,16), i ->
+       CAST(strpos('0123456789abcdef',
+            substr(md5('c'||did||chr(31)||tix||chr(31)||subj||chr(31)||pred
+                       ||chr(31)||obj||chr(31)||obj_kind||chr(31)||lang
+                       ||chr(31)||dtype), i, 1)) - 1 AS BIGINT)),
+       (a,b) -> a*16+b)) % 2147483647 AS hv
+  FROM st
+)
+SELECT 'verify-run' AS run_id, 'extract' AS stage,
+       CAST(shard AS INT) AS partition_id,
+       COUNT(*) AS input_rows, COUNT(*) AS output_rows,
+       CAST(0 AS BIGINT) AS error_rows,
+       printf('%016x', CAST(SUM(hv) AS BIGINT)) AS checksum,
+       CAST(0 AS BIGINT) AS wall_ms
+FROM h GROUP BY shard
+"""
+
+
+ORACLES["lineage"] = _lineage_oracle()
 
 
 def q_lineage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,6 +762,64 @@ FROM ranked WHERE rn <= 5
 """
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (the mid-tier scale path, operators/
+    similarity.py ann_topk): deterministic seeded hyperplanes → 8-bit
+    signature buckets → candidate equi-join on the bucket key → top-k.
+    The oracle inlines the same hyperplanes as literals and replicates
+    the signature with the same left-fold dot product, so bucket
+    membership — the approximation itself — is value-checked, not just
+    the final cosines."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ann_topk(emb, queries, dim=64, k=5, n_planes=8).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine",
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    """Mirror lsh_bucket: bit i set iff dot(v, plane_i) >= 0, where the
+    dot is the same left fold Spark's F.aggregate performs (0.0+p1==p1,
+    so list_reduce's first-element start is bit-identical)."""
+    planes = similarity._hyperplanes(64, 8, seed=42)
+    rows = ",\n".join(
+        f"  ({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pid, p) AS (VALUES
+{rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT e.vec_id,
+        CAST(SUM(CASE WHEN list_reduce(
+               list_transform(range(1, 65), j -> e.v[j] * planes.p[j]),
+               (a, x) -> a + x) >= 0
+             THEN (1 << pid) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes GROUP BY e.vec_id),
+q AS (SELECT b.vec_id AS query_id, b.bucket, e.v AS qvec
+      FROM b JOIN e USING (vec_id) WHERE vec_id % 25 = 0),
+c AS (SELECT b.vec_id AS neighbor_id, b.bucket, e.v AS nvec
+      FROM b JOIN e USING (vec_id)),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_cosine_similarity(q.qvec, c.nvec) AS cos
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id DESC) AS rn
+           FROM scored)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rn <= 5
+"""
+
+
+ORACLES["ann_lsh"] = _ann_lsh_oracle()
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dups over a corpus with planted
     duplicates (vectors unioned with themselves under shifted ids)."""
@@ -1095,6 +1216,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
         "token_count": q_token_count,
         "lang_id": q_lang_id,

@@ -36,6 +36,22 @@ def test_rendered_sinks(spark):
     assert ttl.columns == ["conv_id", "turn_idx", "turtle"]
 
 
+def test_turtle_sink_rejects_unhonorable_properties(spark):
+    """setProperty consumed ⟹ takes effect (reference Pipe.setProperty
+    contract): the per-document turtle sink cannot apply vocab expansion
+    or graph gating, so non-default settings must raise, not silently
+    no-op."""
+    for key, value in [
+        (StreamProcessor.ENABLE_VOCAB_EXPANSION, True),
+        (StreamProcessor.ENABLE_PROCESSOR_GRAPH, True),
+        (StreamProcessor.ENABLE_OUTPUT_GRAPH, False),
+    ]:
+        sp = StreamProcessor(output="turtle")
+        assert sp.setProperty(key, value)
+        with pytest.raises(ValueError, match="turtle"):
+            sp.process(_t(spark), fmt="ntriples")
+
+
 def test_error_recovery_disabled_raises(spark):
     bad = spark.createDataFrame(
         [("cX", 0, "<urn:a> <urn:b> !!malformed")],

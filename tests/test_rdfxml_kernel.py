@@ -105,6 +105,24 @@ def test_parse_type_literal_xml():
     assert "<b>bold</b> text" in t.obj
 
 
+def test_parse_type_literal_shadowed_prefix():
+    """Shadowed prefix inside an XMLLiteral: the inner q→urn:u2: scope
+    must pop ITS OWN binding on close, leaving the outer q→urn:u1: in
+    force for the following sibling's qname reconstruction."""
+    ts, _ = p(
+        '<rdf:Description rdf:about="http://ex.org/a" xmlns:q="urn:u1:">'
+        '<ex:x rdf:parseType="Literal">'
+        '<q:inner xmlns:q="urn:u2:">x</q:inner><q:outer>y</q:outer>'
+        "</ex:x></rdf:Description>"
+    )
+    t = ts[0]
+    assert t.dtype == RDF_NS + "XMLLiteral"
+    assert '<q:inner xmlns:q="urn:u2:">x</q:inner>' in t.obj
+    # before the fix the inner close popped u1's stack, so q:outer lost
+    # its prefix entirely; now it keeps q and re-declares the u1 binding
+    assert '<q:outer xmlns:q="urn:u1:">y</q:outer>' in t.obj
+
+
 def test_reification():
     ts, _ = p(
         '<rdf:Description rdf:about="http://ex.org/a">'

@@ -46,6 +46,26 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
+def test_salted_agg_distinct_column_name_ok(spark):
+    """A column literally named *distinct_id* must not trip the
+    DISTINCT-aggregate guard (token match, not substring)."""
+    df = _skewed_df(spark).withColumnRenamed("v", "distinct_id")
+    out = salted_agg(df, ["k"], {"mn": F.min("distinct_id")})
+    plain = {
+        (r["k"], r["mn"])
+        for r in df.groupBy("k").agg(F.min("distinct_id").alias("mn")).collect()
+    }
+    assert {(r["k"], r["mn"]) for r in out.collect()} == plain
+
+
+def test_salted_agg_rejects_distinct_aggregate(spark):
+    import pytest
+
+    df = _skewed_df(spark, n=100)
+    with pytest.raises(ValueError, match="decompose"):
+        salted_agg(df, ["k"], {"d": F.count_distinct("v")})
+
+
 def test_salt_is_deterministic(spark):
     df = _skewed_df(spark, n=100)
     a = sorted(map(tuple, with_salt(df).collect()))
