@@ -20,6 +20,10 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 BNODE_PREFIX = "_:"
+# marker for auto-generated bnodes that are never referenced by name in
+# the source, so a Turtle writer may inline them as [...] (reference:
+# RDF.SHORTENABLE_BNODE_SUFFIX, core/.../vocab/RDF.java:26)
+SHORTENABLE_BNODE_SUFFIX = "sbl"
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_TYPE = RDF_NS + "type"
@@ -85,10 +89,18 @@ class BnodeAllocator:
     across the corpus, so distributed extraction needs no coordination.
     """
 
-    def __init__(self, doc_key: str = ""):
-        self._prefix = f"{BNODE_PREFIX}b{doc_key}_n" if doc_key else f"{BNODE_PREFIX}n"
+    def __init__(self, doc_key: str = "", name_keyed: bool = False):
+        self._base = f"{BNODE_PREFIX}b{doc_key}_" if doc_key else f"{BNODE_PREFIX}"
+        self._prefix = self._base + "n"
         self._next = 0
         self._renames: dict[str, str] = {}
+        # name-keyed mode: author labels map to a pure function of their
+        # NAME (not appearance order), so two chunks of one oversized
+        # document parsed independently under the same doc_key produce
+        # identical labels — the unification contract of chunked
+        # conversation reassembly. The 'x' marker keeps the name-keyed
+        # namespace disjoint from generated '_n<counter>' labels.
+        self._name_keyed = name_keyed
 
     def fresh(self) -> str:
         label = f"{self._prefix}{self._next}"
@@ -97,6 +109,8 @@ class BnodeAllocator:
 
     def rename(self, author_label: str) -> str:
         """Map an author-written ``_:name`` to a document-unique label."""
+        if self._name_keyed:
+            return f"{self._base}x{author_label[len(BNODE_PREFIX):]}"
         got = self._renames.get(author_label)
         if got is None:
             got = self.fresh()

@@ -70,8 +70,9 @@ def _scan(
     quads: bool,
     doc_key: str,
     recover: bool,
+    name_keyed: bool = False,
 ) -> tuple[list[Triple], list[str]]:
-    bnodes = BnodeAllocator(doc_key)
+    bnodes = BnodeAllocator(doc_key, name_keyed=name_keyed)
     triples: list[Triple] = []
     errors: list[str] = []
     n = len(text)
@@ -199,18 +200,25 @@ def _scan(
 
 
 def parse(
-    text: str, *, doc_key: str = "", recover: bool = True
+    text: str, *, doc_key: str = "", recover: bool = True, name_keyed: bool = False
 ) -> tuple[list[Triple], list[str]]:
     """Parse an NTriples document. Returns ``(triples, errors)``.
 
     With ``recover=False`` the first error raises ParseError
     (reference: ENABLE_ERROR_RECOVERY disabled, StreamProcessor.java:47-48).
+    ``name_keyed`` switches bnode relabeling from appearance-order
+    counters to a pure function of the author name, so independently
+    parsed chunks of one document unify (see BnodeAllocator).
     """
-    return _scan(text, quads=False, doc_key=doc_key, recover=recover)
+    return _scan(
+        text, quads=False, doc_key=doc_key, recover=recover, name_keyed=name_keyed
+    )
 
 
 def parse_nquads(
-    text: str, *, doc_key: str = "", recover: bool = True
+    text: str, *, doc_key: str = "", recover: bool = True, name_keyed: bool = False
 ) -> tuple[list[Triple], list[str]]:
     """Parse an NQuads document; 4th non-literal term = graph label."""
-    return _scan(text, quads=True, doc_key=doc_key, recover=recover)
+    return _scan(
+        text, quads=True, doc_key=doc_key, recover=recover, name_keyed=name_keyed
+    )

@@ -48,6 +48,7 @@ from .model import (
     RDF_REST,
     RDF_TYPE,
     RDF_XML_LITERAL,
+    SHORTENABLE_BNODE_SUFFIX,
     XSD_DATE,
     XSD_DATE_TIME,
     XSD_DURATION,
@@ -269,14 +270,20 @@ class _RdfaEngine:
         triples in RDFa 1.1 (sinkProcessorGraph defaults true)."""
         self.warnings.append(message)
         if self.version > VERSION_10:
-            node = self.create_bnode()
+            node = self.create_bnode(True)  # RdfaParser.java:1123
             self.triples.append(non_literal(node, RDF_TYPE, warning_class))
             self.triples.append(plain_literal(node, RDFA_CONTEXT, message, None))
 
     # ------------------------------------------------------------ bnodes
 
-    def create_bnode(self) -> str:
-        label = f"_:b{self.doc_key}_n{self._next_bnode}"
+    def create_bnode(self, shortenable: bool = False) -> str:
+        """Fresh document-scoped bnode. ``shortenable`` marks labels a
+        Turtle writer may inline as ``[...]`` — mirrored from the
+        reference's createBnode(boolean) flag
+        (rdfa/.../DocumentContext.java:97-102): True exactly where the
+        node can never be referenced again by name."""
+        sbl = SHORTENABLE_BNODE_SUFFIX if shortenable else ""
+        label = f"_:b{self.doc_key}_n{self._next_bnode}{sbl}"
         self._next_bnode += 1
         return label
 
@@ -694,7 +701,9 @@ class _RdfaEngine:
                             new_subject = current.subject
                         else:
                             if current.object is None:
-                                current.object = self.create_bnode()
+                                # shortenable iff no rel/rev will refer
+                                # to it again (RdfaParser.java:412)
+                                current.object = self.create_bnode(no_rel_and_rev)
                             new_subject = current.object
             else:
                 if no_rel_and_rev:
@@ -904,7 +913,7 @@ class _RdfaEngine:
         if id_attr is not None:
             subject = f"{self.base}#{id_attr}"
         else:
-            subject = self.create_bnode()
+            subject = self.create_bnode(True)  # RdfaParser.java:352
         for token in _split(role_val):
             try:
                 role = self.resolve_role(current, token)
@@ -1214,7 +1223,7 @@ def parse(
             # an XML-primary document that failed strict parsing records
             # a processor-graph error (processException → RDFa.ERROR,
             # RdfaParser.java:1133-1142)
-            node = engine.create_bnode()
+            node = engine.create_bnode(True)  # via addProcessorGraphRecord
             engine.triples.append(non_literal(node, RDF_TYPE, RDFA_ERROR))
             engine.triples.append(
                 plain_literal(node, RDFA_CONTEXT, str(first_exc), None)

@@ -11,9 +11,19 @@ TurtleSerializer.java:32-238):
 * IRIs inside the rdf: namespace shortened to ``rdf:local`` and IRIs
   under the base shortened to relative form (:194-204);
 * literals containing newlines use ``\"\"\"`` quoting (:212-219);
-* blank-node labels pass through (``[...]`` inlining applies only to
-  the reference's internal "shortenable" bnodes, which our statement
-  model does not mark — labels keep graph isomorphism intact).
+* "shortenable" bnodes — labels carrying the generated-and-never-
+  referenced ``sbl`` marker (RDF.java:26, stamped by the RDFa kernel's
+  create_bnode mirroring DocumentContext.createBnode(boolean)) — inline
+  as ``[...]`` via the same open/close stack discipline as the
+  reference (openBnode/closeBnode/startTriple:149-236, including the
+  namedBnodes guard); other bnode labels pass through.
+
+Formatting stays in this kernel's compact style (objects grouped on one
+line with ``, ``; single space between terms) rather than replicating
+the reference's raw char stream (which double-spaces after IRI objects
+and puts each ``,``-grouped object on its own line) — the structure,
+grouping, and inlining semantics match, and output re-parses to an
+isomorphic graph (property-tested).
 
 The kernel is pure (list of statements → text); the Spark operator
 groups per subject with ``collect_list`` over the stable turn ordering.
@@ -21,7 +31,15 @@ groups per subject with ``collect_list`` over the stable turn ordering.
 
 from __future__ import annotations
 
-from .model import BNODE_PREFIX, RDF_NS, RDF_TYPE, Triple
+from collections import deque
+
+from .model import (
+    BNODE_PREFIX,
+    RDF_NS,
+    RDF_TYPE,
+    SHORTENABLE_BNODE_SUFFIX,
+    Triple,
+)
 from .serialize import escape_iri, escape_literal
 
 _MULTILINE_CHARS = ("\n", "\r")
@@ -55,36 +73,92 @@ def _term(value: str, kind: str, lang, dtype, base) -> str:
     return body
 
 
+def _is_bnode(value: str, kind: str) -> bool:
+    return kind == "bnode" or (kind != "literal" and value.startswith(BNODE_PREFIX))
+
+
 def serialize(triples: list[Triple], base: str | None = None) -> str:
-    """Statements → Turtle document (grouped, header included)."""
-    out: list[str] = []
+    """Statements → Turtle document (grouped, header included,
+    shortenable bnodes inlined as ``[...]``).
+
+    State machine mirroring the reference's TurtleSerializer: the bnode
+    stack opens on a shortenable object/subject bnode
+    (openBnode:221-226), closes when a triple arrives whose subject is
+    not the innermost open bnode (startTriple:159-163), and namedBnodes
+    suppresses inlining for a bnode already written by label
+    (addNonLiteral:73-77). The reference keeps its stack in a FIFO Queue
+    (offer/poll), which only matters past nesting depth 1 — mirrored
+    verbatim for parity."""
+    w: list[str] = []
     if base:
-        out.append(f"@base <{escape_iri(base)}> .")
-    out.append(f"@prefix rdf: <{RDF_NS}> .")
-    out.append("")
+        w.append(f"@base <{escape_iri(base)}> .\n")
+    w.append(f"@prefix rdf: <{RDF_NS}> .\n\n")
 
-    prev_subj = None
-    prev_pred = None
-    line: list[str] = []
+    prev_subj: str | None = None
+    prev_pred: str | None = None
+    stack: deque[str] = deque()
+    named: set[str] = set()
 
-    def flush_line(terminator: str):
-        if line:
-            out.append("".join(line) + terminator)
-            line.clear()
+    def write_pred(pred: str) -> None:
+        w.append("a " if pred == RDF_TYPE else _shorten(pred, base) + " ")
+
+    def open_bnode(label: str) -> None:
+        nonlocal prev_subj, prev_pred
+        w.append("[ ")
+        stack.append(label)
+        prev_subj, prev_pred = label, None
+
+    def close_bnode() -> None:
+        nonlocal prev_subj, prev_pred
+        w.append(" ]")
+        stack.popleft()  # reference Queue.poll (FIFO) — see docstring
+        prev_subj = stack[0] if stack else None
+        prev_pred = None
+        if prev_subj is None:
+            w.append(" .\n")
+
+    def start_triple(subj: str, pred: str) -> None:
+        nonlocal prev_subj, prev_pred
+        if subj == prev_subj:
+            if pred == prev_pred:
+                w.append(", ")
+                return  # same predicate: object list continues
+            if prev_pred is not None:
+                w.append(" ;\n" + "    " * (len(stack) + 1))
+            write_pred(pred)
+        else:
+            if stack:
+                close_bnode()
+                start_triple(subj, pred)
+                return
+            if prev_subj is not None:
+                w.append(" .\n")
+            if subj.startswith(BNODE_PREFIX):
+                if subj.endswith(SHORTENABLE_BNODE_SUFFIX) and subj not in named:
+                    open_bnode(subj)
+                else:
+                    w.append(subj + " ")
+                    named.add(subj)
+            else:
+                w.append(_shorten(subj, base) + " ")
+            write_pred(pred)
+        prev_subj, prev_pred = subj, pred
 
     for t in triples:
-        subj = t.subj if t.subj.startswith(BNODE_PREFIX) else _shorten(t.subj, base)
-        pred = "a" if t.pred == RDF_TYPE else _shorten(t.pred, base)
-        obj = _term(t.obj, t.obj_kind, t.lang, t.dtype, base)
-        if t.subj == prev_subj:
-            if t.pred == prev_pred:
-                line.append(f", {obj}")
+        start_triple(t.subj, t.pred)
+        if _is_bnode(t.obj, t.obj_kind):
+            if (
+                t.obj not in named
+                and t.obj.endswith(SHORTENABLE_BNODE_SUFFIX)
+            ):
+                open_bnode(t.obj)
             else:
-                flush_line(" ;")
-                line.append(f"    {pred} {obj}")
+                w.append(t.obj)
         else:
-            flush_line(" .")
-            line.append(f"{subj} {pred} {obj}")
-        prev_subj, prev_pred = t.subj, t.pred
-    flush_line(" .")
-    return "\n".join(out) + "\n"
+            w.append(_term(t.obj, t.obj_kind, t.lang, t.dtype, base))
+
+    while stack:
+        close_bnode()
+    if prev_pred is not None:
+        w.append(" .\n")
+    return "".join(w)

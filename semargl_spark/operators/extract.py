@@ -42,13 +42,22 @@ ARROW_SCHEMA = _arrow_schema()
 # (NTriplesParser.java:39)
 ERROR_CLASS = "http://semarglproject.org/{fmt}/Error"
 
-def _parse_text(fmt: str):
+def _parse_text(fmt: str, name_keyed: bool = False):
     """Lazy import of the format kernels so partially-built formats never
-    break the module import."""
+    break the module import.
+
+    ``name_keyed`` applies to the line-oriented formats whose documents
+    survive text-level chunking (NTriples/NQuads): author bnode labels
+    relabel as a pure function of their name so chunks of one document
+    parsed independently under a shared doc_key unify."""
     if fmt == "ntriples":
-        return lambda text, base, key: ntriples.parse(text, doc_key=key)
+        return lambda text, base, key: ntriples.parse(
+            text, doc_key=key, name_keyed=name_keyed
+        )
     if fmt == "nquads":
-        return lambda text, base, key: ntriples.parse_nquads(text, doc_key=key)
+        return lambda text, base, key: ntriples.parse_nquads(
+            text, doc_key=key, name_keyed=name_keyed
+        )
     try:
         if fmt == "jsonld":
             from ..kernels import jsonld
@@ -100,7 +109,16 @@ def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -
     the per-row fmt column; when both are absent the format is sniffed.
     """
     has_fmt = "fmt" in transcripts.columns
-    cols = ["conv_id", "turn_idx", "text"] + (["fmt"] if has_fmt else [])
+    # an explicit doc_key column (emitted by chunked reassembly) scopes
+    # bnode labels to the ORIGINAL document, not the chunk, and switches
+    # the line-oriented kernels to name-keyed bnode relabeling so labels
+    # unify across independently parsed chunks
+    has_key = "doc_key" in transcripts.columns
+    cols = (
+        ["conv_id", "turn_idx", "text"]
+        + (["fmt"] if has_fmt else [])
+        + (["doc_key"] if has_key else [])
+    )
     src = transcripts.select(*cols)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -116,6 +134,7 @@ def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -
             tixs = rb.column(names.index("turn_idx")).to_pylist()
             texts = rb.column(names.index("text")).to_pylist()
             fmts = rb.column(names.index("fmt")).to_pylist() if has_fmt else None
+            keys = rb.column(names.index("doc_key")).to_pylist() if has_key else None
             for i, (conv, tix, text) in enumerate(zip(convs, tixs, texts)):
                 fmt = default_fmt or (fmts[i] if fmts is not None else None)
                 if fmt is None:
@@ -123,11 +142,11 @@ def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -
                 if fmt == "text" or not text:
                     continue
                 if fmt not in kernels:
-                    kernels[fmt] = _parse_text(fmt)
+                    kernels[fmt] = _parse_text(fmt, name_keyed=has_key)
                 kernel = kernels[fmt]
                 tix = int(tix)
                 base = doc_uri(conv, tix)
-                key = f"{conv}_{tix}"
+                key = keys[i] if keys is not None else f"{conv}_{tix}"
                 if kernel is None:
                     # an explicitly requested format we cannot parse is an
                     # error, not a silent drop (E10: the corpus must never
@@ -161,20 +180,65 @@ def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -
     return src.mapInArrow(run, schema=STATEMENTS_SCHEMA)
 
 
-def reassemble_conversations(transcripts: DataFrame) -> DataFrame:
+def reassemble_conversations(
+    transcripts: DataFrame, max_bytes: int | None = None
+) -> DataFrame:
     """Per-conversation document reassembly (SURVEY.md §2.7): all turns
     of a conversation concatenated in stable (conv_id ⟶ turn_idx) order
     into ONE document, so author bnode labels unify across turns the way
     they would inside a single reference document.
 
-    One hash aggregation: ``collect_list`` of (turn_idx, text) structs +
-    ``array_sort`` per group — a single shuffle keyed by conv_id with
-    map-side partial aggregation, instead of a window (which would sort
-    every partition globally)."""
+    Default path — one hash aggregation: ``collect_list`` of
+    (turn_idx, text) structs + ``array_sort`` per group — a single
+    shuffle keyed by conv_id with map-side partial aggregation, instead
+    of a window (which would sort every partition globally).
+
+    ``max_bytes`` enables the overflow-safe path: a pathological
+    conversation (10^6 long turns) would otherwise hit Spark's 2 GB
+    single-row ceiling inside ``collect_list``. Turns are assigned a
+    ``part`` by their running byte offset (window cumulative sum — this
+    path pays a per-conversation sort, the price of bounded rows) and
+    each part aggregates separately: (conv_id, turn_idx=part_idx, text,
+    doc_key=conv_id). A part holds the turns whose prefix offset falls
+    in [k·max_bytes, (k+1)·max_bytes), so it exceeds max_bytes by at
+    most one turn's length, and a single turn larger than the budget
+    occupies a part alone. The emitted ``doc_key`` column makes
+    downstream extraction scope bnodes to the CONVERSATION and relabel
+    author bnodes by NAME (see :func:`extract_statements`), so labels
+    still unify across parts exactly as in the single-document path."""
+    if max_bytes is None:
+        ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+        return transcripts.groupBy("conv_id").agg(
+            F.concat_ws("\n", F.transform(ordered, lambda s: s["text"])).alias("text"),
+        ).withColumn("turn_idx", F.lit(0).cast("int"))
+
+    if max_bytes < 1:
+        raise ValueError(f"max_bytes must be >= 1, got {max_bytes}")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.octet_length("text") + F.lit(1)).over(w), F.lit(0)
+    )
+    part = F.floor(cum_before / F.lit(max_bytes)).cast("int")
     ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
-    return transcripts.groupBy("conv_id").agg(
-        F.concat_ws("\n", F.transform(ordered, lambda s: s["text"])).alias("text"),
-    ).withColumn("turn_idx", F.lit(0).cast("int"))
+    return (
+        transcripts.withColumn("_part", part)
+        .groupBy("conv_id", "_part")
+        .agg(
+            F.concat_ws("\n", F.transform(ordered, lambda s: s["text"])).alias("text"),
+        )
+        .select(
+            "conv_id",
+            F.col("_part").alias("turn_idx"),
+            "text",
+            F.col("conv_id").alias("doc_key"),
+        )
+    )
 
 
 def triples(statements: DataFrame) -> DataFrame:

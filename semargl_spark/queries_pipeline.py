@@ -415,6 +415,31 @@ FROM t
 """
 
 
+def q_render_turtle_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle shortenable-bnode inlining (reference W3,
+    TurtleSerializer.java:170-176,221-236 + RDF.java:26): the RDFa
+    @role element without @id yields a generated never-named bnode
+    (createBnode(true), RdfaParser.java:352) which the serializer
+    inlines as ``[...]`` instead of a label. Oracle rebuilds the exact
+    document text byte-for-byte, inlined bracket included."""
+    from .operators.serialize_ops import render_turtle_docs
+
+    t = synth_transcripts(spark, sf_dir, fmt="rdfa_role")
+    return render_turtle_docs(t, fmt="rdfa")
+
+
+_XV = "http://www.w3.org/1999/xhtml/vocab#"
+ORACLES["render_turtle_inline"] = _SEED + f"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx,
+  '@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .'||{_NL}||{_NL}
+  ||'<urn:e:'||did||'> <http://purl.org/dc/terms/title> "Turn '||tix||'" ;'||{_NL}
+  ||'    <http://purl.org/dc/terms/relation> <urn:e:'||(did+1)||'> .'||{_NL}
+  ||'[ <{_XV}role> <{_XV}note> ] .'||{_NL}
+  AS turtle
+FROM t
+"""
+
+
 def q_model_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed model set-difference (§2.9, SesameTestHelper.diff):
     turn 0 vs turn 1 of every conversation, compared as statement sets
@@ -501,6 +526,45 @@ SELECT 'c'||did, 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
        'literal', NULL, 'http://www.w3.org/2001/XMLSchema#decimal' FROM ids
 UNION ALL
 SELECT 'c'||did, '_:bc'||did||'_0_n0', 'urn:p:label', 'turn '||tix,
+       'literal', 'en', NULL FROM lbl
+"""
+
+
+def q_conv_reassemble_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overflow-safe reassembly: same semantics as conv_reassemble but
+    through the byte-budgeted chunking path (each conversation splits
+    into ~2 parts at this budget). The author bnode ``_:a`` must STILL
+    unify across parts — one bnode per conversation carrying all four
+    turn labels — via conversation-scoped doc_key + name-keyed
+    relabeling; the oracle checks the exact unified label."""
+    from .operators.extract import reassemble_conversations
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    docs = reassemble_conversations(t, max_bytes=256)
+    st = triples(extract_statements(docs, default_fmt="ntriples"))
+    return st.select(
+        "conv_id", "subj", "pred", "obj", "obj_kind", "lang", "dtype"
+    ).distinct()
+
+
+ORACLES["conv_reassemble_chunked"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+lbl AS (SELECT did, tix FROM ids
+        CROSS JOIN (SELECT unnest(generate_series(0,3)) AS tix))
+SELECT 'c'||did AS conv_id, 'urn:e:'||did AS subj, 'urn:p:name' AS pred,
+       CASE WHEN did%10=0 THEN 'Entity "'||did||'"'||chr(10)
+            ELSE 'Entity '||did END AS obj,
+       'literal' AS obj_kind, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS dtype
+FROM ids
+UNION ALL
+SELECT 'c'||did, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+       'iri', NULL, NULL FROM ids
+UNION ALL
+SELECT 'c'||did, 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
+       'literal', NULL, 'http://www.w3.org/2001/XMLSchema#decimal' FROM ids
+UNION ALL
+SELECT 'c'||did, '_:bc'||did||'_xa', 'urn:p:label', 'turn '||tix,
        'literal', 'en', NULL FROM lbl
 """
 
@@ -1206,9 +1270,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_expand": q_vocab_expand,
         "render_ntriples": q_render_ntriples,
         "render_turtle": q_render_turtle,
+        "render_turtle_inline": q_render_turtle_inline,
         "render_nquads": q_render_nquads,
         "model_diff": q_model_diff,
         "conv_reassemble": q_conv_reassemble,
+        "conv_reassemble_chunked": q_conv_reassemble_chunked,
         "skew_salted_agg": q_skew_salted_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

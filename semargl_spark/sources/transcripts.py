@@ -85,6 +85,20 @@ def rdfa_text(did, tix):
     )
 
 
+def rdfa_role_text(did, tix):
+    """RDFa payload whose @role element (no @id) yields a generated,
+    never-named bnode — the reference marks exactly these 'shortenable'
+    (RdfaParser.java:352), so Turtle rendering inlines them as [...]."""
+    return F.format_string(
+        '<div xmlns="http://www.w3.org/1999/xhtml" about="urn:e:%d">'
+        '<span property="http://purl.org/dc/terms/title">Turn %d</span>'
+        '<a rel="http://purl.org/dc/terms/relation" href="urn:e:%d">x</a>'
+        '<span role="note">r%d</span>'
+        "</div>",
+        did, tix, did + 1, did,
+    )
+
+
 def rdfxml_text(did, tix):
     return F.format_string(
         '<?xml version="1.0"?>\n'
@@ -113,10 +127,14 @@ _FMT_BUILDERS = {
     "nquads": nq_text,
     "jsonld": jsonld_text,
     "rdfa": rdfa_text,
+    "rdfa_role": rdfa_role_text,
     "rdfxml": rdfxml_text,
     "text": prose_text,
     "malformed": malformed_text,
 }
+
+# builder name → the parser format its payload carries
+_FMT_ALIASES = {"malformed": "ntriples", "rdfa_role": "rdfa"}
 
 
 def _seed_turns(spark: SparkSession, sf_dir: str, turns_per_doc: int) -> DataFrame:
@@ -178,7 +196,7 @@ def synth_transcripts(
     if fmt is not None:
         builder = _FMT_BUILDERS[fmt]
         out = turns.withColumn("text", builder(did, tix)).withColumn(
-            "fmt", F.lit("ntriples" if fmt == "malformed" else fmt)
+            "fmt", F.lit(_FMT_ALIASES.get(fmt, fmt))
         )
         return _finish(out)
 

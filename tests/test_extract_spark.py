@@ -68,3 +68,75 @@ def test_extraction_plan_is_narrow(spark):
     plan = triples(extract_statements(t))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == base_plan.count("Exchange") == 1
     assert "roundrobin" in plan.lower()
+
+
+def test_chunked_reassembly_ultra_long_conversation(spark):
+    """A conversation far past any sane single-row budget must split
+    into byte-bounded parts, and a shared author bnode must still unify
+    across every part (name-keyed relabeling under the conversation
+    doc_key)."""
+    from semargl_spark.operators.extract import reassemble_conversations
+
+    n_turns, budget = 200, 4096
+    filler = "x" * 900  # ~1 KB turns → ~200 KB conversation
+    rows = [
+        (
+            "cbig",
+            i,
+            f'<urn:e:{i}> <urn:p:pad> "{filler}" .\n'
+            f'_:shared <urn:p:label> "turn {i}"@en .\n'
+            f'_:t{i} <urn:p:local> "only {i}" .\n',
+        )
+        for i in range(n_turns)
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+    docs = reassemble_conversations(t, max_bytes=budget).persist()
+    parts = docs.collect()
+    assert len(parts) > 10  # genuinely chunked
+    per_turn = max(len(r[2]) for r in rows) + 1
+    assert all(len(p["text"].encode()) <= budget + per_turn for p in parts)
+    assert {p["doc_key"] for p in parts} == {"cbig"}
+    # parts partition the turns: total payload preserved
+    assert sum(p["text"].count("<urn:p:pad>") for p in parts) == n_turns
+
+    st = triples(extract_statements(docs, default_fmt="ntriples"))
+    shared = st.filter(F.col("pred") == "urn:p:label")
+    # one unified bnode carrying all turn labels
+    assert shared.select("subj").distinct().count() == 1
+    assert shared.count() == n_turns
+    assert shared.first()["subj"] == "_:bcbig_xshared"
+    # per-turn bnodes stay distinct
+    local = st.filter(F.col("pred") == "urn:p:local")
+    assert local.select("subj").distinct().count() == n_turns
+    docs.unpersist()
+
+
+def test_chunked_reassembly_matches_unchunked_semantics(spark):
+    """Chunked extraction must produce the same graph as the one-row
+    path up to bnode labels: compare with labels normalized away."""
+    from semargl_spark.operators.extract import reassemble_conversations
+
+    t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(40)
+
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "conv_id",
+                F.regexp_replace("subj", r"^_:.*", "_:B").alias("subj"),
+                "pred",
+                "obj",
+                "obj_kind",
+            ).collect()
+        }
+
+    whole = triples(
+        extract_statements(reassemble_conversations(t), default_fmt="ntriples")
+    )
+    chunked = triples(
+        extract_statements(
+            reassemble_conversations(t, max_bytes=200), default_fmt="ntriples"
+        )
+    )
+    assert norm(whole) == norm(chunked)

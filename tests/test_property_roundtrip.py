@@ -114,3 +114,177 @@ def test_isomorphic_invariances(ts):
     if ground and len(uniq) > 1:
         dropped = [t for t in uniq.values() if t is not ground[0]]
         assert not isomorphic(list(uniq.values()), dropped)
+
+
+_named_bnode = _bnode.filter(lambda b: not b.endswith("sbl"))
+_simple_obj = st.one_of(
+    _iri.map(lambda i: ("iri", i, None, None)),
+    _content.map(lambda c: ("literal", c, None, None)),
+    st.tuples(_content, _lang).map(lambda t: ("literal", t[0], t[1], None)),
+    st.tuples(_content, _iri).map(lambda t: ("literal", t[0], None, t[1])),
+)
+
+
+@st.composite
+def _turtle_stream(draw):
+    """Triple streams honoring the serializer's shortenable-bnode
+    contract (reference DocumentContext.createBnode(true)): an ``sbl``
+    bnode is generated-and-never-referenced-again — it appears either as
+    one contiguous subject group, or as one object mention immediately
+    followed by its own property triples. Everything else is ground or
+    named-bnode structure."""
+    triples = []
+    sbl_i = 0
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.sampled_from(["ground", "sbl_subject", "sbl_object"]))
+        if kind == "ground":
+            subj = draw(st.one_of(_iri, _named_bnode))
+            for _ in range(draw(st.integers(1, 3))):
+                ok, ov, lang, dt = draw(
+                    st.one_of(
+                        _simple_obj,
+                        _named_bnode.map(lambda b: ("bnode", b, None, None)),
+                    )
+                )
+                triples.append(Triple(subj, draw(_iri), ov, ok, lang, dt, None))
+        else:
+            label = f"_:g{sbl_i}sbl"
+            sbl_i += 1
+            if kind == "sbl_object":
+                triples.append(
+                    Triple(draw(_iri), draw(_iri), label, "bnode", None, None, None)
+                )
+            n_props = draw(st.integers(1 if kind == "sbl_subject" else 0, 3))
+            for _ in range(n_props):
+                ok, ov, lang, dt = draw(_simple_obj)
+                triples.append(Triple(label, draw(_iri), ov, ok, lang, dt, None))
+    return triples
+
+
+@settings(max_examples=300, deadline=None)
+@given(_turtle_stream())
+def test_turtle_inlining_roundtrip(ts):
+    """Serialized Turtle — shortenable-bnode [...] inlining included —
+    must re-parse (independent reader) to an isomorphic graph."""
+    from semargl_spark.functions.graph_compare import isomorphic
+    from semargl_spark.kernels import turtle
+
+    from turtle_reader import read_turtle
+
+    doc = turtle.serialize(ts)
+    back = read_turtle(doc)
+    assert isomorphic(ts, back), f"not isomorphic:\n{doc}\n{ts}\n{back}"
+
+
+# ---- transitive round-trips through the markup kernels (reference
+# model: multi-sink transitive testing, NTriplesParserTest.java:62-87):
+# generated document → markup kernel → NT serializer → NT parser must
+# land on an isomorphic graph.
+
+from xml.sax.saxutils import escape as _xesc
+
+_xml_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20,
+        blacklist_categories=("Cs",),
+        blacklist_characters="￾￿",
+    ),
+    max_size=20,
+)
+
+
+@st.composite
+def _rdfa_docs(draw):
+    parts = []
+    for _ in range(draw(st.integers(1, 3))):
+        about = f"urn:e:{draw(st.integers(0, 3))}"
+        inner = []
+        for _ in range(draw(st.integers(1, 3))):
+            kind = draw(st.sampled_from(["prop", "rel", "role", "typeof"]))
+            if kind == "prop":
+                txt = _xesc(draw(_xml_text))
+                inner.append(
+                    f'<span property="urn:p:v{draw(st.integers(0, 2))}">{txt}</span>'
+                )
+            elif kind == "rel":
+                inner.append(
+                    f'<a rel="urn:p:r{draw(st.integers(0, 2))}" '
+                    f'href="urn:e:{draw(st.integers(0, 5))}">x</a>'
+                )
+            elif kind == "role":
+                inner.append('<span role="note">x</span>')
+            else:
+                txt = _xesc(draw(_xml_text))
+                inner.append(
+                    f'<div typeof="urn:t:T{draw(st.integers(0, 2))}">'
+                    f'<span property="urn:p:q">{txt}</span></div>'
+                )
+        parts.append(f'<div about="{about}">{"".join(inner)}</div>')
+    return (
+        '<div xmlns="http://www.w3.org/1999/xhtml">' + "".join(parts) + "</div>"
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_rdfa_docs())
+def test_rdfa_to_ntriples_transitive_roundtrip(doc):
+    from semargl_spark.functions.graph_compare import isomorphic
+    from semargl_spark.kernels import rdfa
+
+    ts, errs = rdfa.parse(doc, base_uri="urn:doc:x", doc_key="k")
+    assert errs == []
+    nt = "\n".join(render_ntriple(t) for t in ts)
+    back, nt_errs = ntriples.parse(nt, doc_key="rt")
+    assert nt_errs == []
+    assert isomorphic(ts, back), f"not isomorphic:\n{doc}\n{nt}"
+
+
+@st.composite
+def _rdfxml_docs(draw):
+    descs = []
+    for i in range(draw(st.integers(1, 3))):
+        if draw(st.booleans()):
+            subj_attr = f'rdf:about="urn:e:{draw(st.integers(0, 3))}"'
+        else:
+            subj_attr = f'rdf:nodeID="n{draw(st.integers(0, 2))}"'
+        props = []
+        for _ in range(draw(st.integers(1, 3))):
+            kind = draw(st.sampled_from(["lit", "res", "lang", "nested"]))
+            p = f"ex:p{draw(st.integers(0, 2))}"
+            if kind == "lit":
+                props.append(f"<{p}>{_xesc(draw(_xml_text))}</{p}>")
+            elif kind == "lang":
+                props.append(
+                    f'<{p} xml:lang="en">{_xesc(draw(_xml_text))}</{p}>'
+                )
+            elif kind == "res":
+                props.append(
+                    f'<{p} rdf:resource="urn:e:{draw(st.integers(0, 5))}"/>'
+                )
+            else:
+                props.append(
+                    f'<{p} rdf:parseType="Resource">'
+                    f"<ex:q>{_xesc(draw(_xml_text))}</ex:q></{p}>"
+                )
+        descs.append(
+            f"<rdf:Description {subj_attr}>{''.join(props)}</rdf:Description>"
+        )
+    return (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex.org/">' + "".join(descs) + "</rdf:RDF>"
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_rdfxml_docs())
+def test_rdfxml_to_ntriples_transitive_roundtrip(doc):
+    from semargl_spark.functions.graph_compare import isomorphic
+    from semargl_spark.kernels import rdfxml
+
+    ts, errs = rdfxml.parse(doc, base_uri="http://ex.org/doc", doc_key="k")
+    assert errs == []
+    nt = "\n".join(render_ntriple(t) for t in ts)
+    back, nt_errs = ntriples.parse(nt, doc_key="rt")
+    assert nt_errs == []
+    assert isomorphic(ts, back), f"not isomorphic:\n{doc}\n{nt}"
