@@ -56,12 +56,23 @@ FEATURES_SCHEMA = StructType(
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real decode path: codecs are not installed in this
-    environment. Wire an actual decoder (PIL/ffmpeg) here on a cluster
+    """Raised by the real decode path for formats whose codecs are not
+    installed in this environment (compressed image/video/audio). WAV-PCM
+    and 24-bit BMP decode for real via the pure-Python codecs in
+    :mod:`.media_codecs`; wire PIL/ffmpeg here for the rest on a cluster
     image that ships them."""
 
 
 def real_decode(payload: bytes, mime: str):
+    """Real decode dispatch. ``audio/wav`` and ``image/bmp`` parse the
+    actual container bytes (media_codecs.py); everything else needs a
+    codec library this container doesn't ship."""
+    from . import media_codecs
+
+    if mime == "audio/wav":
+        return media_codecs.wav_features(payload)
+    if mime == "image/bmp":
+        return media_codecs.bmp_features(payload)
     raise DecodeUnavailable(
         f"no codec for {mime}: install PIL/ffmpeg in the cluster image"
     )

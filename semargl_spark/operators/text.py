@@ -85,8 +85,11 @@ def lang_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
 
 # distinctive character trigrams per language (derived from common
-# function words, space-padded so word boundaries count) — a real system
-# broadcasts trained profiles; the plumbing is identical
+# function words, space-padded so word boundaries count; a trigram may
+# legitimately appear in several languages' profiles — romance articles,
+# scandinavian conjunctions). Trained profiles would be broadcast the
+# same way: the constant-folded lookup map below IS the broadcast-side
+# of a map-side join, so swapping in learned profiles changes no plan.
 _TRIGRAM_PROFILES = {
     "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing",
            "ng ", " to", "to ", " is", "is ", "ion", "at "],
@@ -96,6 +99,38 @@ _TRIGRAM_PROFILES = {
            " en", "en ", "los", " lo", "ión", "ar ", " po"],
     "fr": [" de", "de ", " le", "le ", "les", "es ", " et", "et ", "une",
            " un", "ent", "nt ", " qu", "que", "ait", " pa"],
+    "it": [" il", "il ", "che", " ch", "gli", " gl", "zio", "one", " di",
+           "di ", "lla", "ell", " pe", "per", "to ", "re "],
+    "pt": ["ção", "ão ", " os", "os ", " em", "em ", "uma", " um", "ado",
+           " nã", "não", " pa", "par", "ra ", " se", "os,"],
+    "nl": [" de", "de ", "het", " he", "een", " ee", "van", " va", "aar",
+           "ijk", "en ", " ni", "nie", "iet", " ze", "oor"],
+    "sv": ["och", " oc", "ch ", "att", " at", "tt ", "för", " fö", "är ",
+           " är", "det", " de", "en ", "ing", "som", " so"],
+    "da": [" og", "og ", "det", " de", "der", "ikk", "kke", "at ", " at",
+           " af", "af ", "til", " ti", "en ", "ede", "jeg"],
+    "no": [" av", "av ", "jeg", "det", " de", "ikk", "kke", "og ", " og",
+           "til", "en ", "ere", " ik", " på", "på ", "ken"],
+    "fi": ["en ", "in ", "ssa", "ssä", "ään", "lla", "llä", "sta", " ja",
+           "ja ", "ett", "ttä", "on ", " on", "kin", "äis"],
+    "pl": [" ni", "nie", "ie ", " pr", "prz", "rze", "ych", "ego", "ów ",
+           " że", "że ", " w ", "ać ", "ani", " po", "ną "],
+    "cs": [" je", "je ", " ne", "pro", " pr", "ení", " že", "že ", "ost",
+           " na", "ch ", " v ", "ého", "ou ", " se", "ře "],
+    "tr": [" bi", "bir", "ir ", " ve", "ve ", "lar", "ler", " ya", "da ",
+           " da", "iyo", "yor", "ını", " ka", "an ", "lik"],
+    "ro": [" în", "în ", "ul ", "lui", " cu", "cu ", "are", " ca", "eaz",
+           "ază", " și", "și ", " pe", "tre", "ea ", "ște"],
+    "hu": [" az", "az ", " eg", "egy", "gy ", " ho", "hog", "ogy", " me",
+           "nek", "ban", "ben", " sz", "nak", "ett", "tt "],
+    "id": [" di", "di ", " ya", "yan", "ang", "ng ", " me", "men", "kan",
+           "an ", " be", "ber", " da", "dan", "ah ", "nya"],
+    "ca": [" el", "els", " am", "amb", "mb ", " qu", "que", "és ", " és",
+           "per", " pe", "ent", "nt ", " de", "del", "ada"],
+    "ru": [" и ", " не", "не ", "что", " чт", "то ", " на", "на ", "ого",
+           "ени", " по", "ть ", "ать", " в ", "ско", "ост"],
+    "uk": [" і ", " не", "що ", " що", " та", "та ", "ння", "ого", " на",
+           " з ", "ти ", "іст", "сть", " ук", "ої ", "ває"],
 }
 
 
@@ -103,26 +138,42 @@ def lang_id_ngram(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFram
     """Character-trigram language ID (the classic n-gram heuristic):
     score(lang) = occurrences of the language's distinctive trigrams in
     the space-padded lowercased text, normalized by trigram count.
-    Entirely JVM-side: one trigram explode per document via a
-    higher-order transform, then per-language membership counts.
+    Entirely JVM-side and shuffle-free: each trigram does ONE lookup in
+    a constant-folded ``trigram -> [lang indices]`` map (the broadcast
+    side of a map-side join), so per-document work is O(len(text)) —
+    not O(len(text) × |languages|) as per-language array scans would be.
     Returns (doc_id, lang_pred, lang_score)."""
     padded = F.concat(F.lit(" "), F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), F.lit(" "))
     t = docs.withColumn("_pt", padded)
     tris = F.expr("transform(sequence(1, greatest(length(_pt) - 2, 1)), i -> substr(_pt, i, 3))")
     t = t.withColumn("_tris", tris)
     langs = list(_TRIGRAM_PROFILES)
-    hits = {
-        lang: F.size(
-            F.filter(
+    tri2langs: dict[str, list[int]] = {}
+    for li, lang in enumerate(langs):
+        for g in dict.fromkeys(_TRIGRAM_PROFILES[lang]):
+            tri2langs.setdefault(g, []).append(li)
+    lookup = F.map_from_arrays(
+        F.array(*[F.lit(g) for g in tri2langs]),
+        F.array(*[F.array(*[F.lit(i) for i in ls]) for ls in tri2langs.values()]),
+    )
+    # array of matching language indices, one entry per profile hit
+    t = t.withColumn(
+        "_hits",
+        F.flatten(
+            F.transform(
                 F.col("_tris"),
-                lambda x: F.array_contains(
-                    F.array(*[F.lit(g) for g in _TRIGRAM_PROFILES[lang]]), x
+                lambda x: F.coalesce(
+                    F.element_at(lookup, x), F.array().cast("array<int>")
                 ),
             )
-        )
-        for lang in langs
-    }
-    scores = F.array(*[hits[lang] for lang in langs])
+        ),
+    )
+    def _counts(li):
+        # a default-arg lambda would have arity 2, which F.filter treats
+        # as the (element, index) form — build the 1-arg closure instead
+        return F.size(F.filter(F.col("_hits"), lambda i: i == F.lit(li)))
+
+    scores = F.array(*[_counts(li) for li in range(len(langs))])
     best_idx = F.array_position(scores, F.array_max(scores))
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
     total = F.greatest(F.size(F.col("_tris")), F.lit(1))

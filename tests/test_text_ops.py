@@ -1,0 +1,99 @@
+"""Text-operator tests: 20-language trigram lang-ID confusion matrix.
+
+The reference has no language-ID surface; this is a target-side
+training-data operator (SURVEY.md §2 LLM-pipeline block). The oracle
+gate (`lang_id_ngram` in __spark_entry__) checks Spark vs DuckDB on the
+documents corpus; these tests check the *model* — that each of the 20
+profiled languages is actually recognized on held-out natural text —
+and that the constant-folded map-lookup plan computes the exact same
+scores as the direct per-language definition.
+"""
+
+from __future__ import annotations
+
+import re
+
+from semargl_spark.operators.text import _TRIGRAM_PROFILES, lang_id_ngram
+
+# one held-out sentence per profiled language (natural text, not the
+# profile's own source words verbatim)
+SAMPLES = {
+    "en": "the quick brown fox is running to the house and it is one of the best",
+    "de": "der hund und die katze sind nicht einfach durch den schoenen wald gelaufen",
+    "es": "el perro y los gatos que viven en la casa que compramos por la mañana",
+    "fr": "le chien et les chats sont dans une maison que nous avons achetée",
+    "it": "il cane che gli amici hanno portato per la stazione della città",
+    "pt": "a educação não é uma opção para os meninos em todos os lugares",
+    "nl": "het huis van een aardige man is niet zo ver van de oude zee",
+    "sv": "det är något som man måste göra för att kunna förstå och leva",
+    "da": "jeg har ikke set det af dem der kom til byen at købe mad",
+    "no": "jeg har ikke sett det av dem som kom på kaien og til byen",
+    "fi": "suomessa on kaunis kesä ja talvella lunta sataa paljon kaikkialla",
+    "pl": "nie wiem że przez te wszystkie lata nie było żadnych ważnych spraw",
+    "cs": "je to pro nás že není možné na tom nic změnit v této době",
+    "tr": "bir şeyler ve daha fazla kitaplar okuyor ama yarın da gelecek",
+    "ro": "în această seară cu prietenii lui vom merge pe strada cea mare și frumoasă",
+    "hu": "az egyetem mellett egy szép ház van hogy ott lakjanak szépen",
+    "id": "di jakarta yang besar mereka mendapatkan makanan dan berjalan ke rumahnya",
+    "ca": "els amics que vénen amb el seu germà és per la ciutat del nord",
+    "ru": "это не то что мы хотели на самом деле по многим причинам в итоге",
+    "uk": "це не те що ми хотіли на самому ділі і багато українських питань",
+}
+
+
+def _python_mirror(text: str) -> tuple[str, float]:
+    """The operator's definition, straight-line Python: first-max over
+    per-language trigram occurrence counts."""
+    pt = " " + re.sub(r"\s+", " ", text.strip().lower()) + " "
+    tris = [pt[i:i + 3] for i in range(max(len(pt) - 2, 1))]
+    langs = list(_TRIGRAM_PROFILES)
+    sets = {lang: set(_TRIGRAM_PROFILES[lang]) for lang in langs}
+    scores = [sum(1 for t in tris if t in sets[lang]) for lang in langs]
+    m = max(scores)
+    pred = "und" if m == 0 else langs[scores.index(m)]
+    return pred, round(m / max(len(tris), 1), 6)
+
+
+def test_profiles_cover_20_languages_of_valid_trigrams():
+    assert len(_TRIGRAM_PROFILES) == 20
+    for lang, grams in _TRIGRAM_PROFILES.items():
+        assert len(grams) == len(set(grams)), f"duplicate trigram in {lang}"
+        for g in grams:
+            assert len(g) == 3, f"{lang}: {g!r} is not a character trigram"
+
+
+def test_lang_id_confusion_matrix(spark):
+    rows = [(lang, text) for lang, text in SAMPLES.items()]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["lang_score"])
+        for r in lang_id_ngram(df).collect()
+    }
+    wrong = {
+        true: got[true][0] for true in SAMPLES if got[true][0] != true
+    }
+    assert not wrong, f"misidentified: {wrong}"
+
+
+def test_map_lookup_plan_matches_direct_definition(spark):
+    texts = list(SAMPLES.values()) + [
+        "",                       # empty → und
+        "zzz qqq xxx",            # no profile hits → und
+        "the the the",            # repeated trigrams count every occurrence
+        "der die und " * 50,      # long repetitive text
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["lang_score"])
+        for r in lang_id_ngram(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _python_mirror(t), f"doc {i} ({t[:30]!r})"
+
+
+def test_lang_id_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, "the cat")], ["doc_id", "text"])
+    plan = lang_id_ngram(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
