@@ -102,6 +102,140 @@ def synth_media(spark, sf_dir: str, turns_per_doc: int = 1) -> DataFrame:
     )
 
 
+def synth_wav_payload(did: int) -> bytes:
+    """Closed-form PCM WAV for doc ``did``: mono 16-bit 8 kHz,
+    ``64 + did % 64`` samples, ``s[i] = ((did*31 + i*7) % 256) - 128``.
+    Every wav_features() statistic is therefore an analytic function of
+    ``did`` that a SQL oracle can recompute."""
+    from .media_codecs import encode_wav
+
+    n = 64 + did % 64
+    samples = [((did * 31 + i * 7) % 256) - 128 for i in range(n)]
+    return encode_wav(8000, 1, samples, bits=16)
+
+
+def synth_bmp_payload(did: int) -> bytes:
+    """Closed-form 24-bit BMP for doc ``did``: ``(8 + did % 5) ×
+    (8 + did % 7)``, pixel (x, y) = ((did + 7x + 13y) % 256,
+    (3·did + 11x + y) % 256, (5·did + x·y) % 256)."""
+    from .media_codecs import encode_bmp
+
+    w, h = 8 + did % 5, 8 + did % 7
+    rows = [
+        [
+            (
+                (did + 7 * x + 13 * y) % 256,
+                (3 * did + 11 * x + y) % 256,
+                (5 * did + x * y) % 256,
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return encode_bmp(w, h, rows)
+
+
+def synth_real_media(spark, sf_dir: str) -> DataFrame:
+    """Deterministic REAL media table: genuine WAV blobs (even doc ids)
+    and BMP blobs (odd doc ids), built executor-side per Arrow batch —
+    the payloads parse with any standards-conforming reader."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("int").alias("did")
+    )
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("mime", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    arrow_schema = pa.schema(
+        [("media_id", pa.string()), ("mime", pa.string()), ("payload", pa.binary())]
+    )
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            mids, mimes, blobs = [], [], []
+            for did in rb.column(0).to_pylist():
+                mids.append(f"m{did}")
+                if did % 2 == 0:
+                    mimes.append("audio/wav")
+                    blobs.append(synth_wav_payload(did))
+                else:
+                    mimes.append("image/bmp")
+                    blobs.append(synth_bmp_payload(did))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(mimes, pa.string()),
+                    pa.array(blobs, pa.binary()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return docs.mapInArrow(build, schema=out_schema)
+
+
+def resize_real(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize: decode → nearest-neighbor resample → re-encode per
+    Arrow batch. BMP only in this container (media_codecs.resize_bmp);
+    other mimes raise :class:`DecodeUnavailable` — filter first."""
+    import pyarrow as pa
+
+    from .media_codecs import resize_bmp
+
+    src = media.select("media_id", "mime", "payload")
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("mime", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+    arrow_schema = pa.schema(
+        [
+            ("media_id", pa.string()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            names = rb.schema.names
+            mids, mimes, blobs = [], [], []
+            for mid, mime, payload in zip(
+                rb.column(names.index("media_id")).to_pylist(),
+                rb.column(names.index("mime")).to_pylist(),
+                rb.column(names.index("payload")).to_pylist(),
+            ):
+                if mime != "image/bmp":
+                    raise DecodeUnavailable(
+                        f"real resize needs a codec for {mime}"
+                    )
+                mids.append(mid)
+                mimes.append(mime)
+                blobs.append(resize_bmp(bytes(payload), width, height))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(mimes, pa.string()),
+                    pa.array(blobs, pa.binary()),
+                    pa.array([width] * len(mids), pa.int32()),
+                    pa.array([height] * len(mids), pa.int32()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return src.mapInArrow(run, schema=out_schema)
+
+
 def resize_media(
     media: DataFrame, width: int, height: int, use_fake: bool = True
 ) -> DataFrame:
@@ -116,9 +250,10 @@ def resize_media(
     the *pipeline* shape (schema, partitioning, pushdown) is exercised
     for real."""
     if not use_fake:
-        raise DecodeUnavailable(
-            "no codecs: install PIL/ffmpeg in the cluster image"
-        )
+        # the genuine decode→resample→re-encode path (BMP in this
+        # container) lives in resize_real; it returns the same id/mime/
+        # payload/width/height columns without the duration passthrough
+        return resize_real(media, width, height)
     tag = F.encode(F.lit(f"|resize:{width}x{height}"), "utf-8")
     stamped = F.encode(F.sha2(F.concat(F.col("payload"), tag), 256), "utf-8")
     return media.select(

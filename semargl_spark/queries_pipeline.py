@@ -1119,6 +1119,121 @@ FROM h
 """
 
 
+def _real_feature_cols(feats: DataFrame) -> DataFrame:
+    """The 8 integer-valued codec features as bigint columns (exact in
+    float32, so the cast is lossless and the hash gate is float-free)."""
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        *[
+            F.element_at("feature", k + 1).cast("bigint").alias(f"f{k}")
+            for k in range(8)
+        ],
+    )
+
+
+def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode (no sha256 fake anywhere in this path): genuine
+    RIFF/PCM WAV and 24-bit BMP payloads are synthesized executor-side
+    from closed forms of doc_id, then byte-level parsed by the pure-
+    Python codecs (operators/media_codecs.py) inside the same mapInArrow
+    stage as media_features. The oracle recomputes every waveform/pixel
+    statistic analytically."""
+    from .operators import multimodal
+
+    media = multimodal.synth_real_media(spark, sf_dir)
+    feats = multimodal.extract_features(media, use_fake=False)
+    return _real_feature_cols(feats)
+
+
+ORACLES["media_real_decode"] = """
+WITH d AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+wav AS (
+  SELECT did, list_transform(range(0, 64 + did % 64),
+                 i -> ((did*31 + CAST(i AS INT)*7) % 256) - 128) AS smp
+  FROM d WHERE did % 2 = 0),
+wavf AS (
+  SELECT 'm'||did AS media_id, 0 AS frame_idx,
+         CAST(1 AS BIGINT) AS f0, CAST(8000 AS BIGINT) AS f1,
+         CAST(len(smp) AS BIGINT) AS f2,
+         CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS f3,
+         CAST(len(list_filter(range(1, len(smp)),
+              i -> (smp[CAST(i AS INT)] < 0 AND smp[CAST(i AS INT)+1] >= 0)
+                OR (smp[CAST(i AS INT)+1] < 0 AND smp[CAST(i AS INT)] >= 0)))
+              AS BIGINT) AS f4,
+         CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS f5,
+         CAST(list_sum(list_transform(smp, x -> x*x)) % 16777216 AS BIGINT) AS f6,
+         CAST(smp[1] AS BIGINT) AS f7
+  FROM wav),
+bmp AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h FROM d WHERE did % 2 = 1),
+px AS (
+  SELECT did, w, h,
+         list_transform(range(0, w*h), p -> (did + 7*(CAST(p AS INT) % w)
+                        + 13*(CAST(p AS INT) // w)) % 256) AS rs,
+         list_transform(range(0, w*h), p -> (3*did + 11*(CAST(p AS INT) % w)
+                        + (CAST(p AS INT) // w)) % 256) AS gs,
+         list_transform(range(0, w*h), p -> (5*did + (CAST(p AS INT) % w)
+                        * (CAST(p AS INT) // w)) % 256) AS bs
+  FROM bmp),
+bmpf AS (
+  SELECT 'm'||did AS media_id, 0 AS frame_idx,
+         CAST(w AS BIGINT) AS f0, CAST(h AS BIGINT) AS f1,
+         CAST(list_sum(rs) AS BIGINT) AS f2,
+         CAST(list_sum(gs) AS BIGINT) AS f3,
+         CAST(list_sum(bs) AS BIGINT) AS f4,
+         CAST(len(list_filter(range(1, w*h + 1),
+              i -> rs[CAST(i AS INT)] > gs[CAST(i AS INT)])) AS BIGINT) AS f5,
+         CAST(did % 256 AS BIGINT) AS f6,
+         CAST((5*did + (w-1)*(h-1)) % 256 AS BIGINT) AS f7
+  FROM px)
+SELECT * FROM wavf UNION ALL SELECT * FROM bmpf
+"""
+
+
+def q_media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize: decode the genuine BMP payloads, nearest-neighbor
+    resample to 4×4, re-encode, then re-decode the resized bytes and
+    gate the resulting pixel statistics. Exercises decode → resample →
+    encode → decode end-to-end with zero fakes."""
+    from .operators import multimodal
+
+    media = multimodal.synth_real_media(spark, sf_dir).filter(
+        F.col("mime") == "image/bmp"
+    )
+    resized = multimodal.resize_media(media, 4, 4, use_fake=False)
+    feats = multimodal.extract_features(resized, use_fake=False)
+    return _real_feature_cols(feats)
+
+
+ORACLES["media_real_resize"] = """
+WITH d AS (SELECT CAST(doc_id AS INT) AS did FROM documents
+           WHERE CAST(doc_id AS INT) % 2 = 1),
+dim AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h FROM d),
+-- nearest-neighbor source coordinates for target pixel p of a 4x4 grid:
+-- sx = (p % 4) * w // 4, sy = (p // 4) * h // 4  (floor mapping)
+px AS (
+  SELECT did,
+    list_transform(range(0, 16), p -> (did + 7*((CAST(p AS INT) % 4) * w // 4)
+                   + 13*((CAST(p AS INT) // 4) * h // 4)) % 256) AS rs,
+    list_transform(range(0, 16), p -> (3*did + 11*((CAST(p AS INT) % 4) * w // 4)
+                   + ((CAST(p AS INT) // 4) * h // 4)) % 256) AS gs,
+    list_transform(range(0, 16), p -> (5*did + ((CAST(p AS INT) % 4) * w // 4)
+                   * ((CAST(p AS INT) // 4) * h // 4)) % 256) AS bs,
+    w, h
+  FROM dim)
+SELECT 'm'||did AS media_id, 0 AS frame_idx,
+       CAST(4 AS BIGINT) AS f0, CAST(4 AS BIGINT) AS f1,
+       CAST(list_sum(rs) AS BIGINT) AS f2,
+       CAST(list_sum(gs) AS BIGINT) AS f3,
+       CAST(list_sum(bs) AS BIGINT) AS f4,
+       CAST(len(list_filter(range(1, 17),
+            i -> rs[CAST(i AS INT)] > gs[CAST(i AS INT)])) AS BIGINT) AS f5,
+       CAST(rs[1] AS BIGINT) AS f6,
+       CAST(bs[16] AS BIGINT) AS f7
+FROM px
+"""
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming extraction (SURVEY.md §2.11): materialize the
     ntriples transcript corpus to a landing dir, drain it with
@@ -1291,4 +1406,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
+        "media_real_decode": q_media_real_decode,
+        "media_real_resize": q_media_real_resize,
     }
