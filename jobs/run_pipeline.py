@@ -38,10 +38,22 @@ def main(argv=None) -> int:
         ap.error("--resume requires --run-id (the id of the run to resume)")
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("semargl-kg-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    summary = run(spark, input_path=args.input, output=args.output,
+                  run_id=args.run_id, dictionary=args.dictionary,
+                  resume=args.resume)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+def run(spark, *, input_path: str, output: str, run_id: str | None = None,
+        dictionary: str | None = None, resume: bool = False) -> dict:
+    """The pipeline body, callable in-process (tests, notebooks) — does
+    not stop the session. ``main`` wraps it for spark-submit."""
+    from pyspark.sql import functions as F
 
     from semargl_spark.operators.canon import connected_components
     from semargl_spark.operators.extract import errors, extract_statements, triples
@@ -49,21 +61,22 @@ def main(argv=None) -> int:
     from semargl_spark.operators.materialize import (
         lineage_rows,
         materialize_kg,
+        write_lineage,
     )
 
-    run_id = args.run_id or f"run-{int(time.time())}"
-    transcripts = spark.read.parquet(args.input)
+    run_id = run_id or f"run-{int(time.time())}"
+    transcripts = spark.read.parquet(input_path)
 
     # checkpoint-resume (north_rule): the lineage table doubles as the
     # stage ledger — a stage whose lineage rows for this run_id are
     # already recorded completed its (idempotent) write before the
     # previous attempt died, so --resume skips it
     done_stages: set[str] = set()
-    if args.resume:
+    if resume:
         try:
             done_stages = {
                 r["stage"]
-                for r in spark.read.parquet(f"{args.output}/lineage")
+                for r in spark.read.parquet(f"{output}/lineage")
                 .filter(F.col("run_id") == run_id)
                 .select("stage")
                 .distinct()
@@ -78,46 +91,40 @@ def main(argv=None) -> int:
 
     resumed = sorted(done_stages)
     if "extract" not in done_stages:
-        lineage_rows(st, run_id, "extract").write.mode("append").parquet(
-            f"{args.output}/lineage"
-        )
+        write_lineage(lineage_rows(st, run_id, "extract"), f"{output}/lineage")
 
     equiv = None
-    if args.dictionary:
-        dictionary = spark.read.parquet(args.dictionary)
-        links = link_entities(st, dictionary).persist()
+    if dictionary:
+        dict_df = spark.read.parquet(dictionary)
+        links = link_entities(st, dict_df).persist()
         if "link" not in done_stages:
-            links.write.mode("overwrite").parquet(f"{args.output}/links")
-            lineage_rows(links, run_id, "link").write.mode("append").parquet(
-                f"{args.output}/lineage"
-            )
+            links.write.mode("overwrite").parquet(f"{output}/links")
+            write_lineage(lineage_rows(links, run_id, "link"), f"{output}/lineage")
         equiv = links.select(
             F.col("mention_node").alias("src"), F.col("canonical_iri").alias("dst")
         ).distinct()
 
     components = connected_components(equiv) if equiv is not None else None
     if components is not None and "canon" not in done_stages:
-        lineage_rows(components, run_id, "canon").write.mode("append").parquet(
-            f"{args.output}/lineage"
+        write_lineage(
+            lineage_rows(components, run_id, "canon"), f"{output}/lineage"
         )
 
     if "merge" in done_stages:
         # whole run already completed: report from the materialized tables
         summary = {
             "run_id": run_id,
-            "nodes": spark.read.parquet(f"{args.output}/nodes").count(),
-            "edges": spark.read.parquet(f"{args.output}/edges").count(),
+            "nodes": spark.read.parquet(f"{output}/nodes").count(),
+            "edges": spark.read.parquet(f"{output}/edges").count(),
         }
     else:
-        summary = materialize_kg(st, components, args.output, run_id)
+        summary = materialize_kg(st, components, output, run_id)
     summary["errors"] = err.count()
     summary["statements"] = st.count()
     if resumed:
         summary["resumed_stages"] = resumed
-    print(json.dumps(summary))
     statements.unpersist()
-    spark.stop()
-    return 0
+    return summary
 
 
 if __name__ == "__main__":

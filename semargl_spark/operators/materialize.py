@@ -102,25 +102,47 @@ def lineage_rows(
         (F.hash(*cols) if row_hash is None else row_hash).alias("h"),
         err.alias("is_err"),
     )
-    return (
-        hashed.groupBy("partition_id")
-        .agg(
-            F.count("*").cast("long").alias("output_rows"),
-            F.sum("is_err").cast("long").alias("error_rows"),
-            F.format_string(
-                "%016x", F.coalesce(F.sum(F.col("h").cast("long")), F.lit(0))
-            ).alias("checksum"),
-        )
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.lit(stage).alias("stage"),
-            F.col("partition_id").cast("int"),
-            F.col("output_rows").alias("input_rows"),
-            "output_rows",
-            "error_rows",
-            "checksum",
-            F.lit(0).cast("long").alias("wall_ms"),
-        )
+    aggs = [
+        F.count("*").cast("long").alias("output_rows"),
+        F.coalesce(F.sum("is_err"), F.lit(0)).cast("long").alias("error_rows"),
+        F.format_string(
+            "%016x", F.coalesce(F.sum(F.col("h").cast("long")), F.lit(0))
+        ).alias("checksum"),
+    ]
+    per_partition = hashed.groupBy("partition_id").agg(*aggs)
+    # stage-summary row, partition_id = -1: a GLOBAL aggregate yields one
+    # row even for an empty stage (e.g. canon with no non-trivial
+    # merges), so the ledger always records stage completion — a
+    # partition-only ledger would re-run empty stages on every resume
+    summary = hashed.agg(*aggs).select(
+        F.lit(-1).alias("partition_id"), "output_rows", "error_rows", "checksum"
+    )
+    return per_partition.unionByName(summary).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.col("partition_id").cast("int"),
+        F.col("output_rows").alias("input_rows"),
+        "output_rows",
+        "error_rows",
+        "checksum",
+        F.lit(0).cast("long").alias("wall_ms"),
+    )
+
+
+def write_lineage(lineage: DataFrame, path: str) -> None:
+    """Idempotent ledger write: one physical partition per (run_id,
+    stage), dynamic-overwritten — re-running a stage replaces its own
+    ledger rows instead of appending duplicates, so the resume reader
+    and external auditors never see double-counted partitions. (Iceberg
+    would make this a MERGE on (run_id, stage, partition_id); dynamic
+    partition overwrite is the parquet stand-in with the same
+    idempotency contract, minus snapshot isolation for truly
+    simultaneous writers.)"""
+    (
+        lineage.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id", "stage")
+        .parquet(path)
     )
 
 
@@ -154,7 +176,7 @@ def materialize_kg(
     write_partitioned(nodes, f"{out_dir}/nodes", "node")
     write_partitioned(edges, f"{out_dir}/edges", "src")
     lineage = lineage_rows(edges, run_id, "merge")
-    lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+    write_lineage(lineage, f"{out_dir}/lineage")
     return {
         "run_id": run_id,
         "nodes": nodes.count(),

@@ -222,6 +222,13 @@ SELECT 'verify-run' AS run_id, 'extract' AS stage,
        printf('%016x', CAST(SUM(hv) AS BIGINT)) AS checksum,
        CAST(0 AS BIGINT) AS wall_ms
 FROM h GROUP BY shard
+UNION ALL
+-- the stage-summary row (partition_id = -1): global totals, present
+-- even when a stage emits zero rows so resume sees stage completion
+SELECT 'verify-run', 'extract', -1, COUNT(*), COUNT(*),
+       CAST(0 AS BIGINT),
+       printf('%016x', CAST(SUM(hv) AS BIGINT)), CAST(0 AS BIGINT)
+FROM h
 """
 
 

@@ -45,7 +45,13 @@ def test_lineage_rows(spark):
     t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(20)
     st = triples(extract_statements(t))
     rows = lineage_rows(st, "r1", "extract").collect()
-    assert sum(r["output_rows"] for r in rows) == st.count()
+    per_part = [r for r in rows if r["partition_id"] >= 0]
+    summary = [r for r in rows if r["partition_id"] == -1]
+    n = st.count()
+    assert sum(r["output_rows"] for r in per_part) == n
+    # the stage-summary row repeats the totals (and exists even for an
+    # empty stage, so resume can see completion)
+    assert len(summary) == 1 and summary[0]["output_rows"] == n
     assert all(r["stage"] == "extract" and r["run_id"] == "r1" for r in rows)
 
 

@@ -1,0 +1,131 @@
+"""Idempotency of the materialize/lineage seam (the Iceberg-MERGE
+stand-in): re-running the pipeline with the same run-id — including two
+overlapping ``--resume`` attempts — must not duplicate edges, nodes, or
+ledger rows.
+
+The reference never re-enters a sink (one StreamProcessor pass per
+document, BaseStreamProcessor.java); at 10^12-turn scale retried/zombie
+Spark jobs re-enter constantly, so idempotent overwrite semantics are a
+correctness surface here, not an optimization.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+
+import pytest
+
+from jobs.run_pipeline import run
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, tmp_path_factory):
+    from semargl_spark.sources.transcripts import entity_dictionary, synth_transcripts
+
+    base = tmp_path_factory.mktemp("kg_resume")
+    synth_transcripts(spark, SF_DIR, turns_per_doc=2, fmt="ntriples").limit(
+        400
+    ).write.mode("overwrite").parquet(str(base / "in"))
+    entity_dictionary(spark, SF_DIR).write.mode("overwrite").parquet(
+        str(base / "dict")
+    )
+    return base
+
+
+def _ledger_copies(spark, out: str):
+    """max occurrences of any (run_id, stage, partition_id) ledger key."""
+    from pyspark.sql import functions as F
+
+    lineage = spark.read.parquet(f"{out}/lineage")
+    return (
+        lineage.groupBy("run_id", "stage", "partition_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+
+
+def test_rerun_same_run_id_is_idempotent(spark, prepared):
+    out = str(prepared / "out1")
+    kw = dict(
+        input_path=str(prepared / "in"),
+        output=out,
+        dictionary=str(prepared / "dict"),
+        run_id="r-idem",
+    )
+    s1 = run(spark, **kw)
+    s2 = run(spark, **kw)  # full recompute, same target
+    assert (s1["nodes"], s1["edges"]) == (s2["nodes"], s2["edges"])
+
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.count() == s1["edges"]
+    assert edges.select("src", "pred", "dst").distinct().count() == s1["edges"]
+    nodes = spark.read.parquet(f"{out}/nodes")
+    assert nodes.select("node").distinct().count() == s1["nodes"]
+    # the ledger must hold exactly ONE copy per (run_id, stage, partition)
+    assert _ledger_copies(spark, out) == 1
+
+
+def test_overlapping_resume_runs_do_not_duplicate(spark, prepared):
+    out = str(prepared / "out2")
+    kw = dict(
+        input_path=str(prepared / "in"),
+        output=out,
+        dictionary=str(prepared / "dict"),
+        run_id="r-resume",
+    )
+    s0 = run(spark, **kw)
+
+    # two overlapping --resume attempts of the completed run (the
+    # zombie-retry scenario): both read the complete ledger, skip every
+    # stage, and report from the materialized tables
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(run, spark, **kw, resume=True) for _ in range(2)]
+        results = [f.result(timeout=600) for f in futs]
+
+    for s in results:
+        assert (s["nodes"], s["edges"]) == (s0["nodes"], s0["edges"])
+        assert set(s.get("resumed_stages", [])) == {
+            "extract", "link", "canon", "merge",
+        }
+
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.count() == s0["edges"]
+    assert edges.select("src", "pred", "dst").distinct().count() == s0["edges"]
+    assert _ledger_copies(spark, out) == 1
+
+
+def test_resume_after_partial_ledger_reruns_missing_stages(spark, prepared):
+    """A run whose ledger records only extract+link must re-run canon and
+    merge on --resume — and still end up duplicate-free."""
+    from pyspark.sql import functions as F
+
+    out = str(prepared / "out3")
+    kw = dict(
+        input_path=str(prepared / "in"),
+        output=out,
+        dictionary=str(prepared / "dict"),
+        run_id="r-partial",
+    )
+    s0 = run(spark, **kw)
+
+    # simulate a crash after link: drop canon+merge ledger partitions
+    lineage = spark.read.parquet(f"{out}/lineage")
+    kept = lineage.filter(F.col("stage").isin("extract", "link"))
+    kept.write.mode("overwrite").partitionBy("run_id", "stage").parquet(
+        f"{out}/lineage_tmp"
+    )
+    import shutil
+
+    shutil.rmtree(f"{out}/lineage")
+    shutil.move(f"{out}/lineage_tmp", f"{out}/lineage")
+
+    s1 = run(spark, **kw, resume=True)
+    assert (s1["nodes"], s1["edges"]) == (s0["nodes"], s0["edges"])
+    assert set(s1["resumed_stages"]) == {"extract", "link"}
+    lineage = spark.read.parquet(f"{out}/lineage")
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert stages == {"extract", "link", "canon", "merge"}
+    assert _ledger_copies(spark, out) == 1
