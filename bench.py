@@ -83,7 +83,8 @@ def main() -> None:
 
     for name in ("entity_link", "canonicalize", "pipeline_kg", "kg_edges",
                  "dedup_minhash", "simhash", "ann_topk", "ann_ivf",
-                 "quality_score", "fingerprint", "media_features",
+                 "ann_lsh", "quality_score", "fingerprint", "media_features",
+                 "media_real_decode", "lang_id_ngram",
                  "vocab_expand", "render_turtle", "model_diff"):
         if name in registry:
             try:

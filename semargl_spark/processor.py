@@ -90,6 +90,15 @@ class StreamProcessor:
         self._props[key] = value
         return True
 
+    def process_uri(self, spark, uri: str, mime: str | None = None):
+        """Reference ``process(uri|file, mimeType)`` overload
+        (BaseStreamProcessor.java:61-120): DRIVER-side fetch + MIME/
+        extension/content dispatch, then the ordinary distributed
+        extraction. Executors never fetch (SCALE.md design rule)."""
+        from .sources.fetch import fetch_to_dataframe
+
+        return self.process(fetch_to_dataframe(spark, [uri], mime))
+
     def process(self, transcripts: DataFrame, fmt: str | None = None):
         """transcripts(conv_id, turn_idx, text[, fmt]) → configured sink.
 

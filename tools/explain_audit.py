@@ -80,6 +80,26 @@ def main():
     checks.append(("quality_score stays JVM-side (no Python eval)",
                    "Python" not in p and "MapInPandas" not in p))
 
+    # 5. 20-language trigram lang-ID: constant-folded map lookup must
+    # stay a JVM projection — no Python eval, no shuffle
+    from semargl_spark.operators.text import lang_id_ngram
+
+    p = plan_of(lang_id_ngram(docs))
+    sections.append(("lang_id_ngram", p))
+    checks.append(("lang_id_ngram stays JVM-side, shuffle-free",
+                   "Python" not in p and n_nodes(p, "Exchange") == 0))
+
+    # 6. real-codec media decode: one narrow MapInArrow stage over the
+    # binary column — no shuffle anywhere in the decode path
+    from semargl_spark.operators import multimodal
+
+    media = multimodal.synth_real_media(spark, sf_dir)
+    feats = multimodal.extract_features(media, use_fake=False)
+    p = plan_of(feats)
+    sections.append(("media_real_decode", p))
+    checks.append(("media decode is narrow (MapInArrow, no Exchange)",
+                   n_nodes(p, "Exchange") == 0))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
