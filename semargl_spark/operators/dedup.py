@@ -307,3 +307,34 @@ def near_dedup_minhash(
         docs, cands, id_col, text_col, precomputed_shingles=sh
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def survivors(
+    docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keeper selection over a verified duplicate graph: connected
+    components (duplicate-of is transitive once verified), keep the
+    minimum id per cluster, return the surviving corpus rows.
+
+    Keeper order: ids are zero-padded to width 20 before the CC min-label
+    pass, so the keeper is the NUMERIC minimum for integer ids (bare
+    string ordering would rank "1000007" below "7" and keep the copy
+    instead of the original).
+
+    Scale shape: the dup graph has tiny components (dup clusters), so
+    the pointer-jumping CC converges in a couple of rounds; the final
+    anti-join is keyed on the padded id — AQE broadcasts the drop list
+    when the dup fraction is small."""
+    from .canon import connected_components
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 20, "0")
+
+    edges = dup_pairs.select(
+        pad(F.col("doc_a")).alias("src"), pad(F.col("doc_b")).alias("dst")
+    )
+    comp = connected_components(edges)
+    drops = comp.filter(F.col("node") != F.col("component")).select("node")
+    return docs.join(
+        drops, pad(F.col(id_col)) == F.col("node"), "left_anti"
+    )

@@ -713,7 +713,12 @@ FROM bits GROUP BY doc_id
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle_body() -> str:
+    """Shared oracle scaffold: planted-dup corpus → shingles → minhash
+    signatures → banded candidates → verified Jaccard pairs (CTE ``j``).
+    ``dedup_minhash`` selects the pairs; ``dedup_survivors`` closes them
+    transitively and anti-joins. WITH RECURSIVE so consumers may append
+    recursive CTEs."""
     from .operators.dedup import _MH_A, _MH_B, _MH_P
 
     sig_cols = ", ".join(
@@ -727,7 +732,7 @@ def _minhash_oracle() -> str:
         for b in range(4)
     )
     return rf"""
-WITH corpus AS (
+WITH RECURSIVE corpus AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
   UNION ALL
   SELECT CAST(doc_id AS BIGINT) + 1000000, text || ' tail' FROM documents),
@@ -751,11 +756,41 @@ j AS (SELECT doc_a, doc_b,
       FROM cand
       JOIN sh x ON x.doc_id = cand.doc_a
       JOIN sh y ON y.doc_id = cand.doc_b)
+"""
+
+
+ORACLES["dedup_minhash"] = _minhash_oracle_body() + """
 SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
 """
 
 
-ORACLES["dedup_minhash"] = _minhash_oracle()
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup: LSH candidates → Jaccard verify → connected
+    components over the duplicate graph → keep the min-id member per
+    cluster → surviving corpus. The oracle recomputes the whole chain,
+    closing the pair graph with a recursive CTE."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    pairs = dedup.near_dedup_minhash(corpus, threshold=0.5, hash_method="md5")
+    return dedup.survivors(corpus, pairs).select(F.col("doc_id").cast("long"))
+
+
+ORACLES["dedup_survivors"] = _minhash_oracle_body() + """
+, pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT s, d FROM und
+          UNION
+          SELECT r.s, u.d FROM reach r JOIN und u ON u.s = r.d),
+dropped AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING min(d) < s)
+SELECT c.doc_id FROM corpus c
+LEFT JOIN dropped dr ON c.doc_id = dr.doc_id
+WHERE dr.doc_id IS NULL
+"""
 
 
 # ---------------------------------------------------------------- similarity
@@ -1401,6 +1436,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_survivors": q_dedup_survivors,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,

@@ -312,3 +312,19 @@ def test_canonical_bnodes_underscore_conv_ids(spark):
     # the per-document label
     assert "_:n0" in rows and rows["_:n0"] == "_:n1"
     assert rows["urn:e:1"] == "lit"
+
+
+def test_dedup_survivors_keeps_numeric_min_per_cluster(spark):
+    from semargl_spark.operators.dedup import survivors
+
+    docs = spark.createDataFrame(
+        [(7, "a"), (1000007, "a tail"), (9, "b"), (42, "c"), (43, "c2"), (44, "c3")],
+        ["doc_id", "text"],
+    )
+    # clusters: {7, 1000007} and a transitive chain {42, 43, 44}; 9 untouched
+    pairs = spark.createDataFrame(
+        [(7, 1000007), (42, 43), (43, 44)], ["doc_a", "doc_b"]
+    )
+    kept = sorted(r["doc_id"] for r in survivors(docs, pairs).collect())
+    # numeric min survives — bare string ordering would keep 1000007 over 7
+    assert kept == [7, 9, 42]
