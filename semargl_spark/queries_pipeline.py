@@ -372,6 +372,28 @@ FROM ids WHERE did % 5 <> 4
 """
 
 
+def q_stream_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest → per-micro-batch KG merge (§2.11 + north_rule
+    incremental pipeline): the mixed corpus is drained through
+    foreachBatch with batch-partitioned idempotent staging writes; the
+    resulting distinct edge set must equal the batch kg_edges oracle
+    exactly — streaming and batch agree."""
+    import tempfile
+
+    from .streaming.stream_kg import kg_edges_view, stream_to_kg
+
+    base = tempfile.mkdtemp(prefix="semargl_q_streamkg_")
+    t = synth_transcripts(spark, sf_dir)
+    # several files so maxFilesPerTrigger yields multiple micro-batches
+    t.repartition(8, "conv_id").write.mode("overwrite").parquet(f"{base}/in")
+    q = stream_to_kg(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return kg_edges_view(spark, f"{base}/out")
+
+
+ORACLES["stream_kg_edges"] = ORACLES["kg_edges"]
+
+
 def q_render_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = synth_transcripts(spark, sf_dir, fmt="ntriples")
     st = extract_statements(t)
@@ -1421,6 +1443,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "canonicalize": q_canonicalize,
         "kg_edges": q_kg_edges,
+        "stream_kg_edges": q_stream_kg_edges,
         "pipeline_kg": q_pipeline_kg,
         "lineage": q_lineage,
         "lineage_exact": q_lineage_exact,
