@@ -479,9 +479,10 @@ class _RdfaEngine:
                     self.rdfxml_ns[k[6:]] = v
             return
 
+        aget = attrs.get
         if len(self.stack) < 4:
-            self.detect_format(lname, qname, attrs.get("version"))
-            self.detect_base(qname, attrs.get("xml:base"), attrs.get("href"))
+            self.detect_format(lname, qname, aget("version"))
+            self.detect_base(qname, aget("xml:base"), aget("href"))
 
         parent = self.stack[-1]
         if parent.parsing_literal and self.xml_string is not None:
@@ -524,7 +525,7 @@ class _RdfaEngine:
                 ns = self._safe_ns(v)
                 if ns is not None:
                     self.overwrite_mappings[k[6:]] = ns
-        if self.version > VERSION_10 and attrs.get("prefix") is not None:
+        if self.version > VERSION_10 and aget("prefix") is not None:
             toks = _split(attrs["prefix"])
             i = 0
             while i + 1 < len(toks) or (i < len(toks) and toks[i].endswith(":")):
@@ -537,19 +538,19 @@ class _RdfaEngine:
                 else:
                     i += 1
 
-        lang = attrs.get("xml:lang")
+        lang = aget("xml:lang")
         if lang is None:
-            lang = attrs.get("lang")
+            lang = aget("lang")
 
-        current = self._init_child_context(parent, attrs.get("vocab"), lang)
+        current = self._init_child_context(parent, aget("vocab"), lang)
 
         skip_terms = (
             self.version > VERSION_10
-            and attrs.get("property") is not None
+            and aget("property") is not None
             and self.format in (FORMAT_HTML4, FORMAT_HTML5)
         )
-        rels = self._rel_rev_list(attrs.get("rel"), skip_terms)
-        revs = self._rel_rev_list(attrs.get("rev"), skip_terms)
+        rels = self._rel_rev_list(aget("rel"), skip_terms)
+        revs = self._rel_rev_list(aget("rev"), skip_terms)
         no_rels_and_revs = rels is None and revs is None
 
         skip_element = self._find_subject_and_object(
@@ -571,7 +572,7 @@ class _RdfaEngine:
         self._process_property_attr(qname, attrs, current, parent, no_rels_and_revs)
 
         if self.version > VERSION_10:
-            self._process_role(attrs.get("id"), attrs.get("role"), current)
+            self._process_role(aget("id"), aget("role"), current)
 
         if not skip_element:
             self._process_incomplete_triples(current, parent)
@@ -627,11 +628,14 @@ class _RdfaEngine:
         return result
 
     def _coalesce(self, qname, attrs, parent, current, *attr_names):
-        """(coalesce:472-503)"""
+        """(coalesce:472-503) — dispatch per name instead of tuple
+        membership chains; absent real attributes fall through in two
+        comparisons instead of recomputing the head/body/root checks."""
+        get = attrs.get
         for attr in attr_names:
-            if attr in ("about", "resource", "href", "src", "data", "__typeof__") and attrs.get(attr) is not None:
-                if attr in ("about", "resource"):
-                    val = attrs[attr]
+            if attr == "about" or attr == "resource":
+                val = get(attr)
+                if val is not None:
                     if val == "[]":
                         continue
                     try:
@@ -639,41 +643,44 @@ class _RdfaEngine:
                     except MalformedCurieError as e:
                         self.warning(RDFA_UNRESOLVED_CURIE, str(e))
                         return None
-                if attr in ("href", "src", "data"):
-                    return self.resolve_iri(attrs[attr])
-            elif attr == "__typeof__" and attrs.get("typeof") is not None:
-                return self.create_bnode()
+            elif attr == "href" or attr == "src" or attr == "data":
+                val = get(attr)
+                if val is not None:
+                    return self.resolve_iri(val)
+            elif attr == "__typeof__":
+                if get("typeof") is not None:
+                    return self.create_bnode()
             elif attr == "__parent_object__":
                 if parent.object is not None:
                     return parent.object
-            else:
-                is_head_or_body = qname in ("head", "body")
-                is_root = len(self.stack) == 1 or (
-                    attrs.get("typeof") is not None and is_head_or_body
-                )
-                if is_head_or_body and attr == "__base_if_head_or_body__":
+            elif attr == "__base_if_head_or_body__":
+                if qname in ("head", "body"):
                     return self.base
-                if is_root and attr == "__base_if_root__":
+            elif attr == "__base_if_root__":
+                if len(self.stack) == 1 or (
+                    get("typeof") is not None and qname in ("head", "body")
+                ):
                     return self.base
         return None
 
     def _find_subject_and_object(self, qname, attrs, no_rel_and_rev, current, parent):
         """(findSubjectAndObject:374-453)"""
+        aget = attrs.get
         new_subject = None
         try:
             if self.version > VERSION_10:
                 if no_rel_and_rev:
                     if (
-                        attrs.get("property") is not None
-                        and attrs.get("content") is None
-                        and attrs.get("value") is None
-                        and attrs.get("datatype") is None
+                        aget("property") is not None
+                        and aget("content") is None
+                        and aget("value") is None
+                        and aget("datatype") is None
                     ):
                         current.subject = self._coalesce(
                             qname, attrs, parent, current,
                             "about", "__base_if_root__", "__parent_object__",
                         )
-                        if attrs.get("typeof") is not None:
+                        if aget("typeof") is not None:
                             current.object = self._coalesce(
                                 qname, attrs, parent, current,
                                 "about", "__base_if_root__", "resource", "data",
@@ -686,7 +693,7 @@ class _RdfaEngine:
                             "about", "resource", "data", "href", "src",
                             "__base_if_root__", "__typeof__", "__parent_object__",
                         )
-                        if attrs.get("typeof") is not None:
+                        if aget("typeof") is not None:
                             new_subject = current.subject
                 else:
                     current.object = self._coalesce(
@@ -696,8 +703,8 @@ class _RdfaEngine:
                         qname, attrs, parent, current,
                         "about", "__base_if_root__", "__parent_object__",
                     )
-                    if attrs.get("typeof") is not None:
-                        if attrs.get("about") is not None:
+                    if aget("typeof") is not None:
+                        if aget("about") is not None:
                             new_subject = current.subject
                         else:
                             if current.object is None:
@@ -721,14 +728,14 @@ class _RdfaEngine:
                     current.object = self._coalesce(
                         qname, attrs, parent, current, "resource", "href"
                     )
-                if attrs.get("typeof") is not None:
+                if aget("typeof") is not None:
                     new_subject = current.subject
         except MalformedIriError as e:
             self.warning(RDFA_WARNING, str(e))
             self._push_context_no_literal(current, parent)
 
         if new_subject is not None:
-            for t in _split(attrs.get("typeof")):
+            for t in _split(aget("typeof")):
                 try:
                     iri = self.resolve_pred_or_datatype(current, t)
                     self.add_non_literal(new_subject, RDF_TYPE, iri)
@@ -737,7 +744,7 @@ class _RdfaEngine:
 
         return (
             no_rel_and_rev
-            and attrs.get("property") is None
+            and aget("property") is None
             and (
                 (current.subject is None and parent.object is None)
                 or (current.subject is not None and current.subject == parent.object)
