@@ -1,0 +1,192 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Four operators a 100-TB text-curation run needs beyond dedup/quality
+(which live in dedup.py / text.py):
+
+* PII redaction — email / phone / IPv4 scrubbing with per-document
+  match counts, pure JVM ``regexp_replace`` / ``regexp_count`` (RE2- and
+  Java-compatible patterns so external SQL oracles reproduce them);
+* deterministic train/val/test split — md5(doc_id)-bucketed so the
+  assignment is stable across runs, cluster sizes, and partitionings
+  (never ``rand()``: re-running must not reshuffle the eval set);
+* sequence packing — greedy prefix-sum packing of documents into
+  fixed-token-capacity bins, sharded so the running-sum window is
+  per-shard (a single global window would serialize 10^12 rows through
+  one partition; shard-local bins are what packing pipelines do at
+  scale, each shard feeding one writer);
+* benchmark contamination — word-5-gram overlap between the corpus and
+  a benchmark/eval set via a broadcast semi-join on n-gram strings (the
+  benchmark side is tiny by construction; the corpus side stays
+  shuffle-free).
+
+All four are whole-stage-codegen Catalyst expressions — no Python UDFs.
+Reference parity: the reference engine (semarglproject/semargl) has no
+curation surface; these extend the task-spec training-data operator set
+alongside operators/dedup.py and operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Patterns restricted to constructs Java regex and RE2 engines treat
+# identically (no backrefs, no lookaround) so DuckDB oracles can replay
+# them verbatim.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_redact(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Scrub emails / phones / IPv4s → (doc_id, n_emails, n_phones,
+    n_ips, clean_text).
+
+    Order matters: emails first (an email never contains a phone/IP
+    form), phones before IPs so ``+1-555-0001``-style tokens are not
+    half-eaten by the IP pass. Projection-only — pushes down to the
+    scan, no shuffle, safe at any scale.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("int").alias("n_ips"),
+        clean.alias("clean_text"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col="doc_id",
+    weights=(("train", 90), ("val", 5), ("test", 5)),
+) -> DataFrame:
+    """Deterministic hash split → (doc_id, split_bucket, split).
+
+    bucket = first 16 bits of md5(str(doc_id)) mod 100 — a pure function
+    of the id, so membership is reproducible on any cluster, at any
+    parallelism, and under resume/replay (the eval set must never move
+    when the corpus is re-partitioned). ``rand(seed)`` fails all three:
+    it is seeded per-partition.
+    """
+    total = sum(w for _, w in weights)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    expr = F.lit(weights[-1][0])
+    hi = 0
+    cuts = []
+    for name, w in weights[:-1]:
+        hi += w
+        cuts.append((name, hi))
+    for name, cut in reversed(cuts):
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return docs.select(
+        F.col(id_col), bucket.alias("split_bucket"), expr.alias("split")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Greedy prefix-sum sequence packing → (doc_id, shard, n_tokens,
+    bin_id, offset_in_bin).
+
+    Documents are sharded by ``doc_id % n_shards``; within a shard, the
+    running token sum (whitespace tokens, matching text.token_count)
+    assigns each document the bin the *previous* cumulative total falls
+    in — the standard contiguous-chunk approximation used by packing
+    pipelines (documents may straddle a boundary; offset_in_bin says
+    where the straddle starts). The window partitions on ``shard``, so
+    at 10^12 docs each shard's sort is an independent partition-local
+    task: n_shards is the writer parallelism, not a scalability cap.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.lower(t)), r"\s+"))
+    )
+    shard = (F.col(id_col) % n_shards).cast("int")
+    staged = docs.select(
+        F.col(id_col), shard.alias("shard"), n_tokens.cast("int").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return staged.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(prev / capacity).cast("int").alias("bin_id"),
+        (prev % capacity).cast("int").alias("offset_in_bin"),
+    )
+
+
+def _word_ngrams(text_col, n: int):
+    """Word n-gram array via sequence+slice — JVM-side, no UDF."""
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Benchmark-contamination scan → (doc_id, n_overlap, contaminated).
+
+    Explodes distinct word-``n``-grams on both sides and counts, per
+    corpus document, how many of its distinct n-grams appear anywhere in
+    the benchmark set. The benchmark n-gram set is distinct-reduced and
+    broadcast (eval sets are ~10^3–10^5 docs — small by construction),
+    so the corpus side is a map-side broadcast join + one groupBy on
+    doc_id: no corpus-vs-corpus shuffle, linear in corpus size.
+    """
+    corpus_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    hits = corpus_grams.join(
+        F.broadcast(bench_grams), on="gram", how="leftsemi"
+    )
+    per_doc = hits.groupBy(id_col).agg(F.count("*").cast("int").alias("n_overlap"))
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, materialize, similarity, text
+from .operators import curation, dedup, materialize, similarity, text
 from .operators.canon import connected_components
 from .operators.extract import extract_statements, triples
 from .operators.link import link_entities
@@ -1120,6 +1120,142 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------- curation
+
+# whitespace-token count shared with token_count (and its oracle)
+_WS_TOKENS_SQL = (
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) "
+    "END AS INT)"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthetic PII mixed
+    into every third document (the corpus itself is PII-free; both
+    sides inject the same email/phone/IP so the redaction is exercised
+    for real)."""
+    did = F.col("doc_id")
+    aug = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            did.cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            ((did * 3) % 256).cast("string"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+    return curation.pii_redact(docs).select(
+        F.col("doc_id").cast("long"), "n_emails", "n_phones", "n_ips", "clean_text"
+    )
+
+
+_PII_AUG_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 3) % 256 AS VARCHAR) || ' now' ELSE text END"
+)
+
+ORACLES["pii_redact"] = rf"""
+WITH t AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{curation.EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{curation.PHONE_RE}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{curation.IPV4_RE}')) AS INT) AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+      '{curation.PHONE_RE}', '<PHONE>', 'g'),
+    '{curation.IPV4_RE}', '<IP>', 'g') AS clean_text
+FROM t
+"""
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment (90/5/5)."""
+    return curation.split_assign(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "split_bucket", "split"
+    )
+
+
+ORACLES["split_assign"] = """
+WITH t AS (SELECT doc_id,
+  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100
+       AS INT) AS split_bucket
+  FROM documents)
+SELECT doc_id, split_bucket,
+  CASE WHEN split_bucket < 90 THEN 'train'
+       WHEN split_bucket < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM t
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local greedy sequence packing into 256-token bins."""
+    return curation.pack_sequences(
+        _docs(spark, sf_dir), capacity=256, n_shards=8
+    ).select(
+        F.col("doc_id").cast("long"), "shard", "n_tokens", "bin_id", "offset_in_bin"
+    )
+
+
+ORACLES["pack_sequences"] = rf"""
+WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                  {_WS_TOKENS_SQL} AS n_tokens
+           FROM documents),
+p AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(prev // 256 AS INT) AS bin_id,
+       CAST(prev % 256 AS INT) AS offset_in_bin
+FROM p
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-5-gram benchmark-contamination flags; the benchmark set is
+    the deterministic doc_id % 97 == 0 slice of the same corpus."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return curation.contamination(docs, bench).select(
+        F.col("doc_id").cast("long"),
+        "n_overlap",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+ORACLES["contamination"] = r"""
+WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(ws) - 3),
+                                 i -> array_to_string(ws[i:i+4], ' ')) END) AS grams
+      FROM w),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+hits AS (SELECT doc_id, CAST(count(*) AS INT) AS n_overlap
+         FROM cg WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -1470,6 +1606,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "pii_redact": q_pii_redact,
+        "split_assign": q_split_assign,
+        "pack_sequences": q_pack_sequences,
+        "contamination": q_contamination,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_real_decode": q_media_real_decode,

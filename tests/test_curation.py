@@ -1,0 +1,134 @@
+"""Curation operators: PII redaction, deterministic splits, sequence
+packing, benchmark contamination (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semargl_spark.operators import curation
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "mail bob.smith+x@sub.example.org and alice@ex.io now"),
+            (2, "call +1-555-0199 or +44-202-9000 thanks"),
+            (3, "hosts 10.0.0.1 and 192.168.254.3 up"),
+            (4, "clean text no pii at all"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.pii_redact(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (2, 0, 0)
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["clean_text"] == "call <PHONE> or <PHONE> thanks"
+    assert out[3]["n_ips"] == 2
+    assert out[3]["clean_text"] == "hosts <IP> and <IP> up"
+    assert out[4]["clean_text"] == "clean text no pii at all"
+    assert out[5]["clean_text"] == ""
+
+
+def test_pii_redact_phone_not_eaten_by_ip_pass(spark):
+    # "+1-555-0123" must become <PHONE>, never a partial <IP> chew
+    docs = _df(spark, [(1, "x +1-555-0123 y")], "doc_id long, text string")
+    row = curation.pii_redact(docs).collect()[0]
+    assert row["clean_text"] == "x <PHONE> y"
+    assert (row["n_phones"], row["n_ips"]) == (1, 0)
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in curation.split_assign(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in curation.split_assign(docs.repartition(13)).collect()
+    }
+    assert a == b  # membership survives any repartitioning
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    # md5 buckets ≈ uniform: 90/5/5 within a loose tolerance at n=2000
+    assert 0.85 * 2000 <= counts["train"] <= 0.95 * 2000
+    assert counts["val"] + counts["test"] == 2000 - counts["train"]
+    assert min(counts.get("val", 0), counts.get("test", 0)) > 0
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    try:
+        curation.split_assign(docs, weights=(("a", 50), ("b", 40)))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_pack_sequences_prefix_sum_invariants(spark):
+    docs = _df(
+        spark,
+        [(i, " ".join(["w"] * (10 * (i % 7 + 1)))) for i in range(64)],
+        "doc_id long, text string",
+    )
+    rows = curation.pack_sequences(docs, capacity=100, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        prev = 0
+        for r in rs:
+            assert r["shard"] == r["doc_id"] % 4
+            assert r["bin_id"] == prev // 100
+            assert r["offset_in_bin"] == prev % 100
+            prev += r["n_tokens"]
+        # bins are contiguous: every bin id up to the last appears
+        bins = sorted({r["bin_id"] for r in rs})
+        assert bins == list(range(bins[-1] + 1))
+
+
+def test_contamination_flags_exact_and_partial_overlap(spark):
+    bench = _df(
+        spark, [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = _df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # both 5-grams hit
+            (2, "x alpha beta gamma delta epsilon y"),  # inner 5-gram hits
+            (3, "zeta epsilon delta gamma beta alpha"),  # reversed: no hit
+            (4, "too short"),  # < 5 words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.contamination(docs, bench).collect()}
+    assert out[1]["n_overlap"] == 2 and out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 1 and out[2]["contaminated"]
+    assert out[3]["n_overlap"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_overlap"] == 0 and not out[4]["contaminated"]
+
+
+def test_contamination_counts_distinct_grams_once(spark):
+    # the same 5-gram repeated in a document counts once (array_distinct)
+    bench = _df(spark, [(9, "a b c d e")], "doc_id long, text string")
+    docs = _df(spark, [(1, "a b c d e a b c d e")], "doc_id long, text string")
+    row = curation.contamination(docs, bench).collect()[0]
+    assert row["n_overlap"] == 1
+
+
+def test_contamination_uses_broadcast_join(spark):
+    bench = _df(spark, [(9, "a b c d e")], "doc_id long, text string")
+    docs = _df(spark, [(1, "a b c d e f g")], "doc_id long, text string")
+    plan = (
+        curation.contamination(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
