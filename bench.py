@@ -85,7 +85,9 @@ def main() -> None:
                  "dedup_minhash", "simhash", "ann_topk", "ann_ivf",
                  "ann_lsh", "quality_score", "fingerprint", "media_features",
                  "media_real_decode", "lang_id_ngram",
-                 "vocab_expand", "render_turtle", "model_diff"):
+                 "vocab_expand", "render_turtle", "model_diff",
+                 "pii_redact", "split_assign", "pack_sequences",
+                 "contamination", "kg_bgp", "kg_pagerank"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

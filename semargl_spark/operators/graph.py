@@ -1,0 +1,117 @@
+"""Iterative graph analytics over the materialized KG edge table.
+
+PageRank with **fixed-point integer arithmetic**: ranks are bigint
+micro-units (SCALE = 10^12), every step is integer multiply / floor-div
+/ sum. Integer sums are associative-commutative-exact, so the result is
+bit-identical at any partitioning, any parallelism, and in any engine —
+which is what makes the query oracle-checkable (a float PageRank's sum
+order varies per shuffle and can flip low decimals). The deterministic
+floor rounding loses < N·SCALE^-1 of probability mass per iteration —
+irrelevant for ranking, essential for reproducibility.
+
+Scale shape (10^12-edge KG):
+* out-degrees are computed once and joined into the rank table once per
+  iteration — shuffle partitioned on node id, AQE handles skewed hubs;
+* dangling mass (nodes with no out-edges) is a one-row aggregate
+  crossJoined back in — Spark plans that as a broadcast of a single
+  row, never a driver collect;
+* ``localCheckpoint`` per iteration truncates lineage, same pattern as
+  operators/canon.py connected components.
+
+Reference parity: the reference is a parser framework with no graph
+analytics; this is target-side surface for the constructed KG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def _fdiv(col: Column, d) -> Column:
+    """Exact floor division for non-negative bigints. ``(col - col%d)/d``
+    keeps every intermediate exactly representable (the numerator is
+    divisible by d, so the double division is exact for values < 2^53);
+    plain ``floor(col/d)`` can be off by one when the true quotient sits
+    a half-ulp below an integer."""
+    return ((col - col % d) / d).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """edges(src, dst) → (node, rank_fp) after ``iterations`` rounds.
+
+    rank_fp is the fixed-point rank in SCALE units; rank_fp/SCALE sums
+    to ≤ 1 (floor rounding). damping_pct is the damping factor in
+    percent (85 = the classic 0.85) so the update rule stays in integer
+    arithmetic end-to-end:
+
+        rank'(v) = floor((100-damping)%·SCALE/N)
+                 + floor(damping% · (Σ_{u→v} floor(rank(u)/outdeg(u))
+                                     + floor(dangling/N)) / 100)
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # one scalar the driver legitimately needs
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = (SCALE * (100 - damping_pct) // 100) // n
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_fp"))
+
+    for _ in range(iterations):
+        r = ranks.join(outdeg, "node", "left")
+        # one-row dangling aggregate; crossJoin broadcasts it
+        dangling = r.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("dangling_fp")
+        )
+        shares = r.filter(F.col("outdeg").isNotNull()).select(
+            "node", _fdiv(F.col("rank_fp"), F.col("outdeg")).alias("share")
+        )
+        contribs = (
+            e.join(shares.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").cast("long").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + _fdiv(
+                        F.lit(damping_pct)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0))
+                            + _fdiv(F.col("dangling_fp"), F.lit(n))
+                        ),
+                        F.lit(100),
+                    )
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -372,6 +372,95 @@ FROM ids WHERE did % 5 <> 4
 """
 
 
+# the kg_edges closed form, reused by the graph-query oracles
+_KG_EDGES_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+edges AS (
+  SELECT 'urn:e:'||did AS src, 'urn:p:knows' AS pred, 'urn:e:'||(did+1) AS dst
+  FROM ids
+  UNION
+  SELECT 'urn:e:'||did, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'urn:t:Thing' FROM ids WHERE did % 5 <> 1
+  UNION
+  SELECT 'urn:e:'||did, 'http://purl.org/dc/terms/relation', 'urn:e:'||(did+1)
+  FROM ids WHERE did % 5 <> 4
+)"""
+
+
+def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP over the materialized KG: a 2-hop knows chain
+    with a typed head and a relation tail, compiled to a Catalyst join
+    tree (operators/bgp.py)."""
+    from .operators.bgp import match_bgp
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return match_bgp(
+        edges,
+        [
+            ("?a", "urn:p:knows", "?b"),
+            ("?b", "urn:p:knows", "?c"),
+            ("?a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:t:Thing"),
+            ("?c", "http://purl.org/dc/terms/relation", "?d"),
+        ],
+    )
+
+
+ORACLES["kg_bgp"] = _KG_EDGES_SQL + """
+SELECT k1.src AS a, k1.dst AS b, k2.dst AS c, r.dst AS d
+FROM edges k1
+JOIN edges k2 ON k2.src = k1.dst AND k2.pred = 'urn:p:knows'
+JOIN edges ty ON ty.src = k1.src
+             AND ty.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+             AND ty.dst = 'urn:t:Thing'
+JOIN edges r ON r.src = k2.dst
+            AND r.pred = 'http://purl.org/dc/terms/relation'
+WHERE k1.pred = 'urn:p:knows'
+"""
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (5 rounds, 0.85 damping) over the KG edge
+    set; integer micro-unit ranks are bit-exact at any parallelism, so
+    the unrolled SQL oracle reproduces them digit-for-digit."""
+    from .operators.graph import pagerank
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return pagerank(edges, iterations=5)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    sql = _KG_EDGES_SQL + """,
+uedges AS (SELECT DISTINCT src, dst FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM uedges
+          UNION SELECT DISTINCT dst FROM uedges),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM uedges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+               AS rank_fp FROM nodes)"""
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        sql += f""",
+d{i} AS (SELECT CAST(COALESCE(SUM(r.rank_fp), 0) AS BIGINT) AS dm
+         FROM {p} r LEFT JOIN outdeg o USING (node) WHERE o.node IS NULL),
+c{i} AS (SELECT e.dst AS node, SUM(r.rank_fp // o.outdeg) AS contrib
+         FROM uedges e JOIN {p} r ON e.src = r.node
+                       JOIN outdeg o ON e.src = o.node
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+           CAST((150000000000 // (SELECT n FROM nn))
+                + (85 * (COALESCE(c.contrib, 0)
+                         + (SELECT dm FROM d{i}) // (SELECT n FROM nn))) // 100
+                AS BIGINT) AS rank_fp
+         FROM nodes n LEFT JOIN c{i} c USING (node))"""
+    return sql + f"\nSELECT node, rank_fp FROM r{iters}"
+
+
+ORACLES["kg_pagerank"] = _pagerank_oracle()
+
+
 def q_stream_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest → per-micro-batch KG merge (§2.11 + north_rule
     incremental pipeline): the mixed corpus is drained through
@@ -1579,6 +1668,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "canonicalize": q_canonicalize,
         "kg_edges": q_kg_edges,
+        "kg_bgp": q_kg_bgp,
+        "kg_pagerank": q_kg_pagerank,
         "stream_kg_edges": q_stream_kg_edges,
         "pipeline_kg": q_pipeline_kg,
         "lineage": q_lineage,

@@ -1,0 +1,101 @@
+"""BGP matching (operators/bgp.py) and fixed-point PageRank
+(operators/graph.py) over small hand-checked graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semargl_spark.operators.bgp import match_bgp
+from semargl_spark.operators.graph import SCALE, pagerank
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "src string, pred string, dst string")
+
+
+def test_bgp_two_hop_join(spark):
+    t = _triples(
+        spark,
+        [
+            ("a", "knows", "b"),
+            ("b", "knows", "c"),
+            ("c", "knows", "d"),
+            ("a", "type", "T"),
+            ("c", "type", "T"),
+        ],
+    )
+    out = match_bgp(
+        t, [("?x", "knows", "?y"), ("?y", "knows", "?z"), ("?x", "type", "T")]
+    )
+    assert sorted(out.columns) == ["x", "y", "z"]
+    # only a→b→c matches: c→d has no second hop, and only a,c are typed
+    assert {tuple(r) for r in out.collect()} == {("a", "b", "c")}
+
+
+def test_bgp_repeated_var_within_pattern(spark):
+    t = _triples(spark, [("a", "p", "a"), ("a", "p", "b")])
+    out = match_bgp(t, [("?x", "p", "?x")])
+    assert [r["x"] for r in out.collect()] == ["a"]
+
+
+def test_bgp_var_predicate(spark):
+    t = _triples(spark, [("a", "p", "b"), ("a", "q", "b"), ("a", "p", "c")])
+    out = match_bgp(t, [("a", "?pred", "b")])
+    assert sorted(r["pred"] for r in out.collect()) == ["p", "q"]
+
+
+def test_bgp_rejects_no_var_pattern_and_empty(spark):
+    t = _triples(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError):
+        match_bgp(t, [("a", "p", "b")])
+    with pytest.raises(ValueError):
+        match_bgp(t, [])
+
+
+def test_bgp_selectivity_order_is_deterministic(spark):
+    # 2-constant pattern anchors the join tree regardless of position
+    t = _triples(spark, [("a", "knows", "b"), ("a", "type", "T")])
+    p1 = [("?x", "knows", "?y"), ("?x", "type", "T")]
+    p2 = [("?x", "type", "T"), ("?x", "knows", "?y")]
+    r1 = {tuple(r) for r in match_bgp(t, p1).collect()}
+    r2 = {tuple(r) for r in match_bgp(t, p2).collect()}
+    assert r1 == r2 == {("a", "b")}
+
+
+def test_pagerank_sink_outranks_chain(spark):
+    # star: everyone links to z (plus a chain edge); z must rank top
+    e = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("c", "z"), ("a", "b")],
+        "src string, dst string",
+    )
+    rows = {r["node"]: r["rank_fp"] for r in pagerank(e, iterations=5).collect()}
+    assert rows["z"] == max(rows.values())
+    assert rows["z"] > rows["b"] > rows["c"]  # b gets a's extra share
+
+
+def test_pagerank_partition_invariant_bit_exact(spark):
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(23)],
+        "src string, dst string",
+    )
+    a = {r["node"]: r["rank_fp"] for r in pagerank(e, iterations=4).collect()}
+    b = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(e.repartition(11), iterations=4).collect()
+    }
+    assert a == b  # integer arithmetic: bit-identical at any partitioning
+
+
+def test_pagerank_mass_conserved_within_floor_loss(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    total = (
+        pagerank(e, iterations=5)
+        .agg(F.sum("rank_fp").alias("s"))
+        .collect()[0]["s"]
+    )
+    # floor rounding only ever loses mass, and at most ~N units/round
+    assert 0.99 * SCALE < total <= SCALE
