@@ -100,6 +100,42 @@ def main():
     checks.append(("media decode is narrow (MapInArrow, no Exchange)",
                    n_nodes(p, "Exchange") == 0))
 
+    # 7. curation: pii_redact is projection-only; contamination's
+    # benchmark side broadcasts (corpus side never shuffles for the join)
+    from semargl_spark.operators import curation
+
+    p = plan_of(curation.pii_redact(docs))
+    sections.append(("pii_redact", p))
+    checks.append(("pii_redact is a pure projection (no Exchange, no Python)",
+                   n_nodes(p, "Exchange") == 0 and "Python" not in p))
+
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    p = plan_of(curation.contamination(docs, bench_docs))
+    sections.append(("contamination", p))
+    checks.append(("contamination joins via broadcast (no SortMergeJoin)",
+                   "BroadcastHashJoin" in p and "SortMergeJoin" not in p))
+
+    # 8. BGP: constant positions must reach the scan as pushed filters
+    from semargl_spark.operators.bgp import match_bgp
+    from semargl_spark.operators import materialize
+
+    edges = materialize.kg_edges(triples(extract_statements(t)))
+    edges_pq = f"/tmp/audit_kg_edges"
+    edges.write.mode("overwrite").parquet(edges_pq)
+    edges_disk = spark.read.parquet(edges_pq)
+    p = plan_of(
+        match_bgp(
+            edges_disk,
+            [("?a", "urn:p:knows", "?b"),
+             ("?a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+              "urn:t:Thing")],
+        )
+    )
+    sections.append(("kg_bgp (parquet-backed)", p))
+    pushed_preds = re.findall(r"PushedFilters: \[([^\]]+)\]", p)
+    checks.append(("BGP constants push to the parquet scans",
+                   any("pred" in s for s in pushed_preds)))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
