@@ -1,0 +1,86 @@
+"""As-of (most-recent-prior) join — the temporal join Spark's DataFrame
+API lacks natively, built as a single-shuffle window composition.
+
+``asof_join(left, right)`` attaches, to every left row, the payload of
+the right row with the greatest ordering key ≤ the left row's key within
+the same partition-by group (backward inclusive as-of, the pandas
+``merge_asof`` / DuckDB ``ASOF JOIN`` default).
+
+Implementation — the union trick, not a range join:
+
+* tag both inputs and union them (right rows sort BEFORE left rows on
+  equal keys, so an exact-tie right row is visible to the left row);
+* ONE window per group ordered by (key, tag, tiebreak) carries the
+  whole right payload forward as a single struct with
+  ``last(payload, ignorenulls=True)`` — a struct, not per-column
+  carries, so a null field inside a right row's payload can never fall
+  back to a different (older) right row's value;
+* keep only left rows.
+
+Scale shape: ONE shuffle on the group key (the window sort), linear in
+|L|+|R| — versus the naive ``l JOIN r ON r.ts <= l.ts`` + argmax, which
+is a range join Spark executes as a per-group cross product (O(|L|·|R|)
+within each group: quadratic on hot users at 100 TB). Skew is bounded
+by per-group row counts, never by a join blow-up.
+
+Reference parity: the reference has no temporal joins (parser
+framework); this is target-side surface for the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    value_cols: tuple[str, ...] = ("value",),
+    tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    Adds ``{prefix}{on}`` (the matched right ordering key) and
+    ``{prefix}{c}`` for each ``c`` in ``value_cols`` to every left row
+    (all null when no right row at-or-before exists). When several
+    right rows share one (by, on) key, the one sorting last by
+    ``tiebreak`` wins — pass the right table's unique id for
+    determinism.
+    """
+    payload = [on] + [c for c in value_cols if c != on]
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in payload])
+
+    rt = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("__asof_tag"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__asof_tie"),
+        pay_struct.alias("__asof_pay"),
+    )
+    lt = left.withColumn("__asof_tag", F.lit(1)).withColumn(
+        "__asof_tie", F.lit(None).cast(rt.schema["__asof_tie"].dataType)
+    ).withColumn("__asof_pay", F.lit(None).cast(rt.schema["__asof_pay"].dataType))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+
+    u = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(
+            F.col(on).asc_nulls_first(),
+            F.col("__asof_tag").asc(),
+            F.col("__asof_tie").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("__asof_hit", F.last("__asof_pay", ignorenulls=True).over(w))
+    out = u.filter(F.col("__asof_tag") == 1)
+    for c in payload:
+        out = out.withColumn(f"{prefix}{c}", F.col("__asof_hit")[c])
+    return out.drop("__asof_tag", "__asof_tie", "__asof_pay", "__asof_hit")

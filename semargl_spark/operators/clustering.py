@@ -1,0 +1,132 @@
+"""K-means (Lloyd's) over the embeddings table — centroid training for
+the IVF coarse quantizer in operators/similarity.py.
+
+Everything runs in **fixed-point integer arithmetic** so the result is
+bit-identical at any partitioning / parallelism, exactly like
+operators/graph.py PageRank: float32 components are quantized once to
+Q20 bigints (``floor(x · 2^20)`` — float-to-double widening and the
+power-of-two multiply are both exact IEEE ops, so every engine computes
+the same integer), distances are bigint sums of squared diffs, and
+centroid updates are truncating integer division of per-dimension sums.
+A float k-means' reduction order varies per shuffle and flips low
+decimals, which would make the query un-gateable against an external
+SQL oracle; Q20 keeps ~6 decimal digits of the unit-normalized inputs,
+far below the cluster separation scale.
+
+Scale shape (10^9+ vectors, k ≤ 10^4 centroids):
+
+* assignment is a broadcast nested-loop of each vector against the
+  k-row centroid table, argmin via ``min(struct(dist, cluster))`` in a
+  single map-side-partial groupBy — the big side never shuffles on
+  anything but vec_id;
+* the update step explodes assigned vectors to (cluster, dim) — the
+  shuffle key cardinality is k·d (tiny), with map-side partial sums
+  absorbing the volume; the alternative (array-sum aggregate) does not
+  exist in Catalyst and a collect_list-based one would hit the 2 GB row
+  ceiling;
+* centroids are ``localCheckpoint``-ed per round (k·d longs), keeping
+  the iterative plan flat.
+
+Reference parity: the reference is a parser framework with no
+clustering; this is target-side surface for the embeddings table
+(ANN/IVF training path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Q = 1 << 20  # Q20 fixed point
+
+
+def _tdiv(col: Column, d: Column) -> Column:
+    """Exact TRUNCATING (toward-zero) bigint division — ``x % d`` keeps
+    the dividend's sign in both Spark and DuckDB, so ``(x - x%d)/d`` is
+    the same integer everywhere; sums can be negative, so floor-style
+    helpers for non-negative values don't apply."""
+    return ((col - col % d) / d).cast("long")
+
+
+def quantize(vec_col, dims: int) -> Column:
+    """float array → Q20 bigint array (exact in every IEEE engine)."""
+    return F.transform(
+        F.slice(vec_col, 1, dims),
+        lambda x: F.floor(x.cast("double") * F.lit(Q)).cast("long"),
+    )
+
+
+def _dist_fp(a, b) -> Column:
+    """Σ (a_i − b_i)² over Q20 bigints. |q| ≤ 2^21 for unit-scale
+    inputs → per-dim square ≤ 2^44, safe in a bigint sum to ~2^19 dims."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    vecs: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, deterministically seeded with the vectors whose
+    ``id_col`` < k (ids are dense in the synthetic corpus; production
+    use passes any k chosen rows). Returns the FINAL assignment
+    ``(vec_id, cluster, dist_fp)`` after ``iterations`` update rounds —
+    ties in distance break to the smallest cluster id via the
+    struct-min ordering, so the output is total-order deterministic.
+    """
+    q = vecs.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        quantize(F.col(vec_col), dims).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    centroids = (
+        q.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "qv",
+            _dist_fp(F.col("qv"), F.col("cv")).alias("dist"),
+            "cluster",
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cluster")).alias("m")
+        )
+        return best.select(
+            "vec_id",
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.dist").alias("dist_fp"),
+        )
+
+    for _ in range(iterations):
+        assigned = assign(centroids).join(q, "vec_id")
+        per_dim = assigned.select(
+            "cluster", F.posexplode("qv").alias("pos", "val")
+        ).groupBy("cluster", "pos").agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        centroids = (
+            per_dim.select(
+                "cluster", "pos", _tdiv(F.col("s"), F.col("n")).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return assign(centroids)

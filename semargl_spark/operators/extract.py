@@ -71,6 +71,12 @@ def _parse_text(fmt: str, name_keyed: bool = False):
             from ..kernels import rdfxml
 
             return lambda text, base, key: rdfxml.parse(text, base_uri=base, doc_key=key)
+        if fmt == "turtle":
+            from ..kernels import turtle_read
+
+            return lambda text, base, key: turtle_read.parse(
+                text, base_uri=base, doc_key=key
+            )
     except ImportError:  # format kernel not built yet
         return None
     return None
@@ -80,6 +86,7 @@ _SNIFF_JSON = re.compile(r"\s*[{\[]")
 _SNIFF_RDFXML = re.compile(r"\s*(<\?xml[^>]*\?>\s*)?<rdf:RDF")
 _SNIFF_MARKUP = re.compile(r"\s*<[A-Za-z!?]")
 _SNIFF_NT = re.compile(r"\s*(#|<[^ >]+>\s+<)")
+_SNIFF_TURTLE = re.compile(r"\s*(@prefix|@base|PREFIX\s|BASE\s)")
 
 
 def sniff_format(text: str) -> str:
@@ -90,6 +97,8 @@ def sniff_format(text: str) -> str:
         return "jsonld"
     if _SNIFF_RDFXML.match(text):
         return "rdfxml"
+    if _SNIFF_TURTLE.match(text):
+        return "turtle"
     if _SNIFF_NT.match(text):
         return "ntriples"
     if _SNIFF_MARKUP.match(text):

@@ -39,6 +39,53 @@ def _fdiv(col: Column, d) -> Column:
     return ((col - col % d) / d).cast("long")
 
 
+def bounded_paths(
+    edges: DataFrame,
+    pred: str,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """SPARQL property path ``pred{1,max_hops}`` → (a, b, hops) with the
+    MINIMUM hop count per reachable pair.
+
+    Semi-naive evaluation: the per-round frontier holds only pairs first
+    reached that round (anti-join against everything seen), so each edge
+    contributes to at most one extension per shortest path — the classic
+    Datalog delta trick. An UNBOUNDED transitive closure over a
+    10^12-edge KG is a quadratic blow-up (a single chain of length L
+    yields L^2/2 pairs); the bounded form caps the output at
+    max_hops·|E| and is what SPARQL engines actually execute for
+    ``p{1,k}``. Each round is one shuffle join on the frontier's dst +
+    one anti-join on (a, b); ``localCheckpoint`` truncates the growing
+    plan exactly as :func:`pagerank` does.
+    """
+    e = (
+        edges.filter(F.col(pred_col) == pred)
+        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seen = e.select("a", "b", F.lit(1).cast("int").alias("hops"))
+    frontier = seen
+    for hop in range(2, max_hops + 1):
+        ext = (
+            frontier.select("a", F.col("b").alias("mid"))
+            .join(e.select(F.col("a").alias("mid"), "b"), "mid")
+            .select("a", "b")
+            .distinct()
+        )
+        frontier = (
+            ext.join(seen.select("a", "b"), ["a", "b"], "left_anti")
+            .select("a", "b", F.lit(hop).cast("int").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+        seen = seen.unionByName(frontier).localCheckpoint(eager=False)
+    return seen
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,

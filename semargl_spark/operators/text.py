@@ -252,3 +252,91 @@ def fingerprint(
         ),
     )
     return docs.select(F.col(id_col), rolled.alias("fingerprint"))
+
+
+def _ppm(num, den):
+    """floor(num·10^6 / den) as an exact bigint (0 when den = 0).
+
+    Integer parts-per-million instead of a rounded double: floor over
+    bigints is bit-identical in every engine, while round-half-up vs
+    half-even on a double ratio can flip the last digit between Spark
+    and an external SQL oracle."""
+    scaled = (num.cast("long") * F.lit(1_000_000)).cast("long")
+    q = ((scaled - scaled % den) / den).cast("long")
+    return F.when(den == 0, F.lit(0).cast("long")).otherwise(q)
+
+
+def repetition_stats(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters, adapted to
+    word/bigram granularity for single-line corpora):
+
+    * ``dup_word_ppm`` — fraction (ppm) of word instances that are
+      repeats of an earlier word: 1 − distinct/total;
+    * ``top_bigram_ppm`` — fraction of bigram instances taken by the
+      single most frequent bigram;
+    * ``dup_bigram_ppm`` — fraction of bigram instances whose bigram
+      occurs more than once.
+
+    Scale shape: unigram stats are row-local array expressions (no
+    shuffle); bigram counting explodes to (doc_id, gram) and aggregates
+    twice — both shuffles are keyed by doc_id(+gram), uniform in
+    document size, with map-side partial aggregation. The per-row
+    alternative (counting the mode of an array with nested
+    higher-order functions) is O(len²) per document and falls over on
+    long documents; explode+groupBy is linear and spill-safe.
+
+    All outputs are exact integers (counts / floored ppm) so the query
+    is hash-gateable against an external SQL oracle.
+    """
+    toks = _tokens(text_col)
+    n_words = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks)).cast("long")
+    uni = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(n_words == 0, F.lit(0))
+        .otherwise(F.size(F.array_distinct(toks)))
+        .cast("long")
+        .alias("n_distinct_words"),
+        toks.alias("__toks"),
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    gram_counts = (
+        uni.filter(F.col("n_words") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = gram_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_bg_n"),
+    )
+    return (
+        uni.drop("__toks")
+        .join(bg, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            _ppm(
+                F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")
+            ).alias("dup_word_ppm"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            _ppm(
+                F.coalesce("top_bigram_n", F.lit(0)),
+                F.coalesce("n_bigrams", F.lit(0)),
+            ).alias("top_bigram_ppm"),
+            _ppm(
+                F.coalesce("dup_bg_n", F.lit(0)),
+                F.coalesce("n_bigrams", F.lit(0)),
+            ).alias("dup_bigram_ppm"),
+        )
+    )

@@ -52,6 +52,23 @@ def q_extract_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples(extract_statements(t)).select(*STMT_COLS)
 
 
+def q_extract_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full in-engine round trip: the corpus is serialized to Turtle by
+    kernels/turtle.py (the byte-exact-gated render_turtle pipeline),
+    then re-parsed by the input-side kernel kernels/turtle_read.py —
+    a format the reference only ever WRITES (TurtleSerializer.java has
+    no parser sibling). Author bnode labels survive the round trip
+    because relabeling is deterministic per doc_key, so the oracle is
+    the same closed form as extract_ntriples."""
+    from .operators.serialize_ops import render_turtle_docs
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    docs = render_turtle_docs(t, fmt="ntriples").select(
+        "conv_id", "turn_idx", F.col("turtle").alias("text")
+    )
+    return triples(extract_statements(docs, default_fmt="turtle")).select(*STMT_COLS)
+
+
 def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Processor-graph side channel: malformed turns yield error rows,
     never task failures (reference ENABLE_ERROR_RECOVERY,
@@ -153,6 +170,10 @@ UNION ALL
 SELECT 'c'||did, tix, 'urn:e:'||did, 'http://purl.org/dc/terms/relation',
        'urn:e:'||(did+1), 'iri', {_V}, {_V} FROM t
 """
+
+# turtle round-trips the ntriples-extracted triples exactly (labels
+# included), so its oracle is the same closed form
+_oracle("extract_turtle", ORACLES["extract_ntriples"])
 
 _oracle("extract_rdfa", _SEED + _RDFA_ROWS)
 
@@ -257,6 +278,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_jsonld": _extract_single_fmt("jsonld"),
         "extract_rdfa": _extract_single_fmt("rdfa"),
         "extract_rdfxml": _extract_single_fmt("rdfxml"),
+        "extract_turtle": q_extract_turtle,
         "extract_mixed": q_extract_mixed,
         "extract_errors": q_extract_errors,
         "turn_ordering": q_turn_ordering,

@@ -100,9 +100,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join (operators/asof.py): every event
+    gets the most recent error event at-or-before it for the same user.
+    One window shuffle on user_id — never the range-join cross product.
+    The oracle is DuckDB's native ASOF JOIN over a (user_id, ts)-unique
+    right side (deduped with max_by(event_id), matching the operator's
+    tiebreak ordering)."""
+    from .operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    errs = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        e, errs, on="ts", by="user_id", value_cols=("value",), tiebreak="event_id"
+    )
+    err_us = F.unix_micros(F.col("asof_ts").cast("timestamp"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        err_us.alias("err_ts_us"),
+        F.col("asof_value").alias("err_value"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - err_us).alias("lag_us"),
+    )
+
+
+ORACLES["events_asof"] = """
+WITH errs AS (
+  SELECT user_id, ts, max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.event_type,
+       epoch_us(r.ts) AS err_ts_us,
+       r.value AS err_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM events l ASOF LEFT JOIN errs r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def registry():
     return {
         "events_sessionize": q_events_sessionize,
         "events_metrics": q_events_metrics,
         "events_props_json": q_events_props_json,
+        "events_asof": q_events_asof,
     }

@@ -1705,4 +1705,127 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_real_decode": q_media_real_decode,
         "media_real_resize": q_media_real_resize,
+        "kg_path": q_kg_path,
+        "repetition_stats": q_repetition_stats,
+        "kmeans_assign": q_kmeans_assign,
     }
+
+
+# ------------------------------------------------- round-2 additions (r2b)
+
+
+def q_kg_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path ``knows{1,3}`` over the materialized KG:
+    bounded transitive closure with minimum hop counts, evaluated
+    semi-naively (operators/graph.py bounded_paths). Unbounded closure
+    is a quadratic blow-up at 10^12 edges; the bounded form is what
+    SPARQL engines execute for ``p{1,k}`` and caps output at k·|E|."""
+    from .operators.graph import bounded_paths
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return bounded_paths(edges, "urn:p:knows", max_hops=3)
+
+
+ORACLES["kg_path"] = _KG_EDGES_SQL + """,
+k AS (SELECT DISTINCT src, dst FROM edges WHERE pred = 'urn:p:knows'),
+h1 AS (SELECT src AS a, dst AS b, 1 AS hops FROM k),
+h2 AS (SELECT h1.a, k.dst AS b, 2 AS hops FROM h1 JOIN k ON k.src = h1.b),
+h3 AS (SELECT h2.a, k.dst AS b, 3 AS hops FROM h2 JOIN k ON k.src = h2.b),
+hall AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+SELECT a, b, CAST(MIN(hops) AS INT) AS hops FROM hall GROUP BY a, b
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-word / top-bigram /
+    dup-bigram fractions as exact ppm integers) over documents."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+# ppm(x, y) = floor(x·10^6 / y), 0 when y = 0 — all-bigint, matching
+# operators/text.py _ppm bit for bit
+def _ppm_sql(x: str, y: str) -> str:
+    return (
+        f"CASE WHEN {y} = 0 THEN 0 ELSE "
+        f"CAST((({x}) * 1000000 - (({x}) * 1000000) % ({y})) / ({y}) AS BIGINT) END"
+    )
+
+
+ORACLES["repetition_stats"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+  FROM documents),
+uni AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+        FROM toks),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])) AS gram
+       FROM toks WHERE len(ws) >= 2),
+gc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+       FROM bg GROUP BY doc_id, gram),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bg_n
+        FROM gc GROUP BY doc_id)
+SELECT u.doc_id, u.n_words, u.n_distinct_words,
+       {_ppm_sql('u.n_words - u.n_distinct_words', 'u.n_words')} AS dup_word_ppm,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.top_bigram_n, 0) AS top_bigram_n,
+       {_ppm_sql('COALESCE(a.top_bigram_n, 0)', 'COALESCE(a.n_bigrams, 0)')} AS top_bigram_ppm,
+       {_ppm_sql('COALESCE(a.dup_bg_n, 0)', 'COALESCE(a.n_bigrams, 0)')} AS dup_bigram_ppm
+FROM uni u LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings (k=8, 3 rounds, Q20
+    fixed-point → bit-exact at any parallelism) — the IVF coarse-
+    quantizer training path for operators/similarity.py."""
+    from .operators.clustering import kmeans_assign
+
+    return kmeans_assign(_embeddings(spark, sf_dir), k=8, iterations=3, dims=64)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    # centroids live as (cluster, pos, val) position tables; truncating
+    # integer division (x - x%n)/n matches clustering.py _tdiv exactly
+    sql = """
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  list_transform(embedding[1:64],
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+           FROM embeddings),
+qpos AS (SELECT vec_id, i AS pos, qv[i] AS val
+         FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+c0 AS (SELECT CAST(vec_id AS INT) AS cluster, pos, val FROM qpos
+       WHERE vec_id < %(k)d)""" % {"k": k}
+    for i in range(1, iters + 1):
+        sql += """,
+a%(i)d AS (SELECT p.vec_id, c.cluster,
+             CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS dist
+           FROM qpos p JOIN c%(prev)d c USING (pos)
+           GROUP BY p.vec_id, c.cluster),
+b%(i)d AS (SELECT vec_id, cluster, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           FROM a%(i)d),
+c%(i)d AS (SELECT b.cluster, p.pos,
+             CAST((SUM(p.val) - SUM(p.val) %% COUNT(*)) / COUNT(*) AS BIGINT) AS val
+           FROM b%(i)d b JOIN qpos p USING (vec_id)
+           WHERE b.rn = 1 GROUP BY b.cluster, p.pos)""" % {"i": i, "prev": i - 1}
+    sql += """,
+af AS (SELECT p.vec_id, c.cluster,
+         CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS dist
+       FROM qpos p JOIN c%(last)d c USING (pos)
+       GROUP BY p.vec_id, c.cluster),
+bf AS (SELECT vec_id, cluster, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       FROM af)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, dist AS dist_fp
+FROM bf WHERE rn = 1""" % {"last": iters}
+    return sql
+
+
+ORACLES["kmeans_assign"] = _kmeans_oracle()

@@ -99,3 +99,74 @@ def test_pagerank_mass_conserved_within_floor_loss(spark):
     )
     # floor rounding only ever loses mass, and at most ~N units/round
     assert 0.99 * SCALE < total <= SCALE
+
+
+def test_bounded_paths_min_hops_diamond(spark):
+    from semargl_spark.operators.graph import bounded_paths
+
+    # diamond + shortcut: a→d reachable in 2 (via b or c) and b→e etc.;
+    # a→e has a 3-hop path and no shorter one; the a→d shortcut edge
+    # makes (a,d) hops=1 even though 2-hop paths exist
+    t = _triples(
+        spark,
+        [
+            ("a", "knows", "b"),
+            ("a", "knows", "c"),
+            ("b", "knows", "d"),
+            ("c", "knows", "d"),
+            ("d", "knows", "e"),
+            ("a", "knows", "d"),
+            ("x", "other", "y"),  # filtered out by pred
+        ],
+    )
+    out = bounded_paths(t, "knows", max_hops=3)
+    got = {(r["a"], r["b"]): r["hops"] for r in out.collect()}
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 1,
+        ("b", "d"): 1, ("c", "d"): 1, ("d", "e"): 1,
+        ("a", "e"): 2, ("b", "e"): 2, ("c", "e"): 2,
+    }
+
+
+def test_bounded_paths_cycle_terminates(spark):
+    from semargl_spark.operators.graph import bounded_paths
+
+    t = _triples(spark, [("a", "p", "b"), ("b", "p", "a")])
+    out = bounded_paths(t, "p", max_hops=4)
+    got = {(r["a"], r["b"]): r["hops"] for r in out.collect()}
+    # self-reachability appears at hop 2, never shorter, never duplicated
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 2, ("b", "b"): 2,
+    }
+
+
+def test_kmeans_two_obvious_clusters(spark):
+    from semargl_spark.operators.clustering import kmeans_assign
+
+    rows = [
+        (0, [0.0, 0.1]), (1, [10.0, 10.1]),  # seeds → clusters 0, 1
+        (2, [0.2, -0.1]), (3, [9.8, 10.0]), (4, [0.1, 0.0]), (5, [10.2, 9.9]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(vecs, k=2, iterations=2, dims=2)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_partitioning_invariant(spark):
+    from semargl_spark.operators.clustering import kmeans_assign
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {(r["vec_id"], r["cluster"], r["dist_fp"])
+         for r in kmeans_assign(vecs, k=3, iterations=3, dims=3).collect()}
+    b = {(r["vec_id"], r["cluster"], r["dist_fp"])
+         for r in kmeans_assign(vecs.repartition(13), k=3, iterations=3,
+                                dims=3).collect()}
+    assert a == b

@@ -97,3 +97,33 @@ def test_lang_id_is_shuffle_free(spark):
     df = spark.createDataFrame([(0, "the cat")], ["doc_id", "text"])
     plan = lang_id_ngram(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_stats_hand_checked(spark):
+    from semargl_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),          # 4 words, 1 distinct; bigram "a a" ×3
+            (1, "w x y z"),          # no repetition at all
+            (2, "go go stop go go"), # "go go" ×2 of 4 bigrams
+            (3, "solo"),             # 1 word → no bigrams
+            (4, "  "),               # whitespace-only → all zero
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[0]["n_words"] == 4 and got[0]["n_distinct_words"] == 1
+    assert got[0]["dup_word_ppm"] == 750000
+    assert got[0]["n_bigrams"] == 3 and got[0]["top_bigram_n"] == 3
+    assert got[0]["top_bigram_ppm"] == 1000000
+    assert got[0]["dup_bigram_ppm"] == 1000000
+    assert got[1]["dup_word_ppm"] == 0
+    assert got[1]["top_bigram_n"] == 1
+    assert got[1]["top_bigram_ppm"] == 333333  # floor(1e6/3)
+    assert got[1]["dup_bigram_ppm"] == 0
+    # doc 2: bigrams = [go go, go stop, stop go, go go]
+    assert got[2]["n_bigrams"] == 4 and got[2]["top_bigram_n"] == 2
+    assert got[2]["dup_bigram_ppm"] == 500000
+    assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_ppm"] == 0
+    assert got[4]["n_words"] == 0 and got[4]["dup_word_ppm"] == 0
