@@ -87,7 +87,9 @@ def main() -> None:
                  "media_real_decode", "lang_id_ngram",
                  "vocab_expand", "render_turtle", "model_diff",
                  "pii_redact", "split_assign", "pack_sequences",
-                 "contamination", "kg_bgp", "kg_pagerank"):
+                 "contamination", "kg_bgp", "kg_pagerank", "kg_path",
+                 "extract_turtle", "repetition_stats", "kmeans_assign",
+                 "events_asof"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -16,9 +16,10 @@ far below the cluster separation scale.
 Scale shape (10^9+ vectors, k ≤ 10^4 centroids):
 
 * assignment is a broadcast nested-loop of each vector against the
-  k-row centroid table, argmin via ``min(struct(dist, cluster))`` in a
-  single map-side-partial groupBy — the big side never shuffles on
-  anything but vec_id;
+  k-row centroid table, argmin via a packed-long ``min(dist·2^B +
+  cluster)`` in a single map-side-partial HashAggregate (struct-min
+  would fall back to SortAggregate over all n·k scored rows) — the
+  big side never shuffles on anything but vec_id;
 * the update step explodes assigned vectors to (cluster, dim) — the
   shuffle key cardinality is k·d (tiny), with map-side partial sums
   absorbing the volume; the alternative (array-sum aggregate) does not
@@ -92,20 +93,35 @@ def kmeans_assign(
         .localCheckpoint(eager=True)
     )
 
+    # Argmin as a PACKED-LONG min — ``min(dist · 2^B + cluster)`` with
+    # B = bits(k) — instead of ``min(struct(dist, cluster))``: struct
+    # min has no mutable hash-agg buffer so Catalyst falls back to
+    # SortAggregate, sorting all n·k scored rows per partition; the
+    # packed min is a plain bigint HashAggregate inside whole-stage
+    # codegen with map-side partials. Lexicographic (dist, cluster)
+    # order is preserved exactly because cluster < 2^B. Overflow is
+    # guarded per row (raise_error, still codegen'd): dist must stay
+    # below 2^(62-B), comfortably true for Q20 unit-scale embeddings
+    # (dist ≤ dims · 2^42 → dims ≤ 2^6 at k ≤ 2^13 leaves 2^61 < lim).
+    bbits = max(1, (k - 1).bit_length())
+    lim = 1 << (62 - bbits)
+
     def assign(cents: DataFrame) -> DataFrame:
+        dist = _dist_fp(F.col("qv"), F.col("cv"))
+        packed = F.when(
+            dist < F.lit(lim),
+            F.shiftleft(dist, bbits) + F.col("cluster").cast("long"),
+        ).otherwise(
+            F.raise_error(F.lit("kmeans_assign: dist overflows packed argmin"))
+        )
         scored = q.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "qv",
-            _dist_fp(F.col("qv"), F.col("cv")).alias("dist"),
-            "cluster",
+            "vec_id", packed.alias("pk")
         )
-        best = scored.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cluster")).alias("m")
-        )
+        best = scored.groupBy("vec_id").agg(F.min("pk").alias("pk"))
         return best.select(
             "vec_id",
-            F.col("m.cluster").alias("cluster"),
-            F.col("m.dist").alias("dist_fp"),
+            (F.col("pk") % F.lit(1 << bbits)).cast("int").alias("cluster"),
+            F.shiftright(F.col("pk"), bbits).alias("dist_fp"),
         )
 
     for _ in range(iterations):

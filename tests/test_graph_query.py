@@ -170,3 +170,31 @@ def test_kmeans_partitioning_invariant(spark):
          for r in kmeans_assign(vecs.repartition(13), k=3, iterations=3,
                                 dims=3).collect()}
     assert a == b
+
+
+def test_lsh_and_cosine_arrow_path_bit_equals_expr(spark):
+    """The Arrow-vectorized fold must be BIT-identical to the Catalyst
+    higher-order-function fold (same per-dim accumulation order)."""
+    import random
+
+    from semargl_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)],
+            [rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, a array<double>, b array<double>")
+    b1 = {r["vec_id"]: r["bucket"] for r in
+          S.lsh_bucket(df, "a", 64, 8, method="arrow").collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in
+          S.lsh_bucket(df, "a", 64, 8, method="expr").collect()}
+    assert b1 == b2
+    c1 = {r["vec_id"]: r["cosine"] for r in
+          S.with_cosine(df, "a", "b", method="arrow").collect()}
+    c2 = {r["vec_id"]: r["cosine"] for r in
+          S.with_cosine(df, "a", "b", method="expr").collect()}
+    assert c1 == c2  # exact float equality, not approx

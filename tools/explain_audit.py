@@ -136,6 +136,43 @@ def main():
     checks.append(("BGP constants push to the parquet scans",
                    any("pred" in s for s in pushed_preds)))
 
+    # 9. as-of join: ONE window-sort exchange, and never a range-join
+    # cross product (BroadcastNestedLoopJoin / CartesianProduct)
+    from semargl_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errs = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    p = plan_of(asof_join(events, errs, tiebreak="event_id"))
+    sections.append(("events_asof", p))
+    checks.append(("asof join: one exchange, no nested-loop/cartesian",
+                   n_nodes(p, "Exchange") == 1
+                   and "NestedLoop" not in p and "Cartesian" not in p))
+
+    # 10. k-means assignment: centroids broadcast against the big side
+    # (BroadcastNestedLoopJoin over k rows IS the wanted shape); the
+    # vector side shuffles only for the per-vector argmin
+    from semargl_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(kmeans_assign(emb, k=4, iterations=1, dims=64))
+    sections.append(("kmeans_assign (final-round plan)", p))
+    checks.append(("kmeans: centroids broadcast, argmin is a hash agg",
+                   "BroadcastNestedLoopJoin" in p and "HashAggregate" in p))
+
+    # 11. turtle round trip: render + re-parse stays a narrow Arrow
+    # pipeline — no shuffle anywhere
+    from semargl_spark.operators.serialize_ops import render_turtle_docs
+
+    ttl = render_turtle_docs(t, fmt="ntriples").select(
+        "conv_id", "turn_idx", F.col("turtle").alias("text")
+    )
+    p = plan_of(triples(extract_statements(ttl, default_fmt="turtle")))
+    sections.append(("extract_turtle (render → reparse)", p))
+    checks.append(("turtle round trip is narrow beyond the seed spread",
+                   n_nodes(p, "Exchange") <= 1))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
