@@ -64,7 +64,7 @@ def main() -> None:
     # (the first timed runs still absorb tail-end JIT/worker warmup, and
     # the headline number should not ride on one noisy sample)
     mixed = synth_transcripts(spark, sf_dir, turns_per_doc=turns_per_doc)
-    timed("extract_mixed", lambda: triples(extract_statements(mixed)), runs=3)
+    timed("extract_mixed", lambda: triples(extract_statements(mixed)), runs=4)
 
     registry = Q.registry()
     for name in (
@@ -89,7 +89,8 @@ def main() -> None:
                  "pii_redact", "split_assign", "pack_sequences",
                  "contamination", "kg_bgp", "kg_pagerank", "kg_path",
                  "extract_turtle", "repetition_stats", "kmeans_assign",
-                 "events_asof"):
+                 "events_asof", "corpus_mix", "quota_resample",
+                 "quality_topk"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -76,11 +76,7 @@ def split_assign(
     total = sum(w for _, w in weights)
     if total != 100:
         raise ValueError(f"split weights must sum to 100, got {total}")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
-    )
+    bucket = _md5_bucket(F.col(id_col))
     expr = F.lit(weights[-1][0])
     hi = 0
     cuts = []
@@ -92,6 +88,18 @@ def split_assign(
     return docs.select(
         F.col(id_col), bucket.alias("split_bucket"), expr.alias("split")
     )
+
+
+def _md5_bucket(id_col, salt: str | None = None):
+    """First 16 bits of md5([salt:]id) mod 100 — the deterministic
+    uniform [0,100) variate behind split_assign and quota_resample.
+    A ``salt`` decorrelates independent decisions on the same id (the
+    resample coin must not reuse the split coin, or 'test' docs would
+    systematically land in one tail of every downstream sample)."""
+    s = id_col.cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(salt + ":"), s)
+    return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("int") % 100
 
 
 def pack_sequences(
@@ -189,4 +197,148 @@ def contamination(
             F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-mix rollup, quota resampling, per-language quality top-k
+# ---------------------------------------------------------------------------
+
+DEFAULT_RATES = {"en": 40, "de": 80, "es": 80, "fr": 80, "und": 25}
+
+
+def corpus_mix(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    weights=(("train", 90), ("val", 5), ("test", 5)),
+) -> DataFrame:
+    """Corpus composition rollup → (lang, split, n_docs, total_tokens,
+    total_chars): the per-language × per-split mix a data-mixture plan
+    is tuned against.
+
+    Language, split, and token count are all row-local expressions
+    composed in ONE projection (no join of lang_id / split_assign
+    DataFrames back on doc_id), so the whole query is a single groupBy
+    on a ~|langs|·|splits| key space — map-side partial aggregation
+    absorbs 10^12 rows into a handful of partials per task.
+    """
+    from .text import lang_pred_col
+
+    total = sum(w for _n, w in weights)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = _md5_bucket(F.col(id_col))
+    split = F.lit(weights[-1][0])
+    hi = 0
+    cuts = []
+    for name, w in weights[:-1]:
+        hi += w
+        cuts.append((name, hi))
+    for name, cut in reversed(cuts):
+        split = F.when(bucket < cut, F.lit(name)).otherwise(split)
+
+    staged = docs.select(
+        lang_pred_col(text_col).alias("lang"),
+        split.alias("split"),
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("n_tok"),
+        F.length(F.col(text_col)).alias("n_chr"),
+    )
+    return staged.groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_chr").cast("long").alias("total_chars"),
+    )
+
+
+def quota_resample(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    id_col="doc_id",
+    text_col="text",
+    salt: str = "rs",
+) -> DataFrame:
+    """Deterministic per-language downsampling → the kept rows as
+    (doc_id, lang, sample_bucket): keep a document iff its md5 coin
+    (salted so it is independent of the split_assign coin) falls below
+    its language's retention rate in percent — the
+    rebalance-the-language-mix step of corpus curation.
+
+    Pure projection + filter: reproducible on any cluster at any
+    parallelism (never ``rand()``), and re-running or resuming yields
+    the identical sample. Unknown languages fall back to the 'und'
+    rate; a rate of 100 keeps everything, 0 drops the language.
+    """
+    from .text import lang_pred_col
+
+    rates = dict(DEFAULT_RATES if rates is None else rates)
+    if "und" not in rates:
+        raise ValueError("rates must include an 'und' fallback")
+    for lang, r in rates.items():
+        if not 0 <= r <= 100:
+            raise ValueError(f"rate for {lang!r} must be in [0,100], got {r}")
+    bucket = _md5_bucket(F.col(id_col), salt=salt)
+    lang = lang_pred_col(text_col)
+    rate = F.lit(rates["und"])
+    for lg, r in rates.items():
+        if lg != "und":
+            rate = F.when(lang == lg, F.lit(r)).otherwise(rate)
+    return (
+        docs.select(
+            F.col(id_col),
+            lang.alias("lang"),
+            bucket.alias("sample_bucket"),
+            rate.alias("__rate"),
+        )
+        .filter(F.col("sample_bucket") < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def quality_topk(
+    docs: DataFrame,
+    k: int = 5,
+    n_salts: int = 16,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Per-language quality top-k → (lang, doc_id, quality, rank):
+    the best ``k`` documents of each language by the blended quality
+    score, ties broken by doc_id — per-domain exemplar selection /
+    quota filling.
+
+    Skew-safe two-phase top-k: a naive ``row_number() over (partition
+    by lang)`` funnels the dominant language (English is routinely
+    >40% of a web corpus) through ONE reducer. Phase 1 salts the
+    window key to (lang, id mod n_salts) so each hot language sorts in
+    n_salts independent partitions and keeps only k rows per salt;
+    phase 2 re-ranks the ≤ n_salts·k survivors per language — a
+    trivially small window. Every salt's local top-k is a superset
+    filter of the global top-k, so the result is exact, and the
+    (quality desc, doc_id asc) order is total, so ranks are
+    deterministic at any parallelism.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import lang_pred_col, quality_col
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang_pred_col(text_col).alias("lang"),
+        quality_col(text_col).alias("quality"),
+        (F.col(id_col) % n_salts).cast("int").alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    survivors = (
+        staged.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("lang", "doc_id", "quality", "rank")
     )

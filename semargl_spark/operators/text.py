@@ -59,8 +59,11 @@ def token_count(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """Stopword-vote language id → (doc_id, lang_pred, lang_score)."""
+def lang_pred_col(text_col="text"):
+    """Stopword-vote language prediction as a bare Column — reused by
+    lang_id and by the curation rollups (corpus_mix / quota_resample /
+    quality_topk compose it row-locally instead of joining the lang_id
+    DataFrame back on doc_id, which would cost a shuffle)."""
     toks = _tokens(text_col)
     hits = {
         lang: F.size(
@@ -74,12 +77,27 @@ def lang_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     scores = F.array(*[hits[lang] for lang in langs])
     best_idx = F.array_position(scores, F.array_max(scores)) - 1
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(F.array_max(scores) == 0, F.lit("und")).otherwise(
+        F.element_at(lang_arr, best_idx.cast("int") + 1)
+    )
+
+
+def lang_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Stopword-vote language id → (doc_id, lang_pred, lang_score)."""
+    toks = _tokens(text_col)
+    hits = {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+            )
+        )
+        for lang, words in _STOPWORDS.items()
+    }
+    scores = F.array(*[hits[lang] for lang in hits])
     total = F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
     return docs.select(
         F.col(id_col),
-        F.when(F.array_max(scores) == 0, F.lit("und"))
-        .otherwise(F.element_at(lang_arr, best_idx.cast("int") + 1))
-        .alias("lang_pred"),
+        lang_pred_col(text_col).alias("lang_pred"),
         F.round(F.array_max(scores) / total, 6).alias("lang_score"),
     )
 
@@ -186,6 +204,27 @@ def lang_id_ngram(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFram
     )
 
 
+def quality_col(text_col="text"):
+    """The blended [0,1] quality score as a bare Column (same formula
+    as quality_score's ``quality`` output) — reused by the curation
+    top-k so lang + quality compose in ONE row-local projection."""
+    toks = _tokens(text_col)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    all_stop = F.array(*[F.lit(w) for ws in _STOPWORDS.values() for w in ws])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+    stopword_ratio = stop_hits / n_tokens
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    len_score = F.least(F.size(toks) / F.lit(64.0), F.lit(1.0))
+    return F.round(
+        (
+            len_score * 0.4
+            + F.least(stopword_ratio * 4, F.lit(1.0)) * 0.3
+            + distinct_ratio * 0.3
+        ),
+        6,
+    )
+
+
 def quality_score(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Heuristic quality features + a blended [0,1] score.
 
@@ -212,14 +251,7 @@ def quality_score(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFram
 
     len_score = F.least(F.size(toks) / F.lit(64.0), F.lit(1.0))
 
-    quality = F.round(
-        (
-            len_score * 0.4
-            + F.least(stopword_ratio * 4, F.lit(1.0)) * 0.3
-            + distinct_ratio * 0.3
-        ),
-        6,
-    )
+    quality = quality_col(text_col)
     return docs.select(
         F.col(id_col),
         F.round(len_score, 6).alias("len_score"),

@@ -1708,6 +1708,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path": q_kg_path,
         "repetition_stats": q_repetition_stats,
         "kmeans_assign": q_kmeans_assign,
+        "corpus_mix": q_corpus_mix,
+        "quota_resample": q_quota_resample,
+        "quality_topk": q_quality_topk,
     }
 
 
@@ -1829,3 +1832,90 @@ FROM bf WHERE rn = 1""" % {"last": iters}
 
 
 ORACLES["kmeans_assign"] = _kmeans_oracle()
+
+
+# ----------------------------------------- corpus-mix / resample / top-k
+
+_LANG_CTE = rf"""
+t AS (SELECT doc_id, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wall,
+        list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM documents),
+s AS (SELECT doc_id, text, wall, w,
+  len(list_intersect(w, {_sql_list(_SW['en'])})) AS en,
+  len(list_intersect(w, {_sql_list(_SW['de'])})) AS de,
+  len(list_intersect(w, {_sql_list(_SW['es'])})) AS es,
+  len(list_intersect(w, {_sql_list(_SW['fr'])})) AS fr
+  FROM t),
+l AS (SELECT doc_id, text, wall, w,
+  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+       WHEN de >= es AND de >= fr THEN 'de'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang
+  FROM s)"""
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(language, split) corpus composition rollup — one row-local
+    projection (lang + md5 split + token count composed, no joins) into
+    a single tiny-key groupBy with map-side partials."""
+    return curation.corpus_mix(_docs(spark, sf_dir))
+
+
+ORACLES["corpus_mix"] = rf"""
+WITH {_LANG_CTE},
+m AS (SELECT lang,
+  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+  n_tok, n_chr
+  FROM (SELECT lang, len(wall) AS n_tok, length(text) AS n_chr,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS INT) AS b
+        FROM l))
+SELECT lang, split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_chr) AS BIGINT) AS total_chars
+FROM m GROUP BY lang, split
+"""
+
+
+def q_quota_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language retention sampling (salted md5 coin,
+    independent of the split coin) — kept rows only."""
+    return curation.quota_resample(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "lang", "sample_bucket"
+    )
+
+
+ORACLES["quota_resample"] = rf"""
+WITH {_LANG_CTE},
+r AS (SELECT doc_id, lang,
+  CAST(CAST('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS INT) AS sample_bucket
+  FROM l)
+SELECT doc_id, lang, sample_bucket FROM r
+WHERE sample_bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 80
+                                WHEN 'es' THEN 80 WHEN 'fr' THEN 80
+                                ELSE 25 END
+"""
+
+
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality top-5 via the skew-safe two-phase salted
+    window (each hot language sorts across n_salts partitions first)."""
+    return curation.quality_topk(_docs(spark, sf_dir), k=5, n_salts=16)
+
+
+ORACLES["quality_topk"] = rf"""
+WITH {_LANG_CTE},
+m AS (SELECT doc_id, lang,
+  round(least(len(wall) / 64.0, 1.0) * 0.4 +
+        least((len(list_filter(wall, x -> list_contains({_ALL_SW}, x))) /
+               greatest(len(wall), 1)) * 4, 1.0) * 0.3 +
+        (len(list_distinct(wall)) / greatest(len(wall), 1)) * 0.3, 6) AS quality
+  FROM l),
+rk AS (SELECT lang, doc_id, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY quality DESC, doc_id) AS INT) AS rank
+       FROM m)
+SELECT lang, doc_id, quality, rank FROM rk WHERE rank <= 5
+"""

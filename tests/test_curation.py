@@ -132,3 +132,114 @@ def test_contamination_uses_broadcast_join(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+# --------------------------- corpus_mix / quota_resample / quality_topk
+
+
+_EN = "the cat and the dog ran to the house for it is that warm in there"
+_DE = "der hund und die katze das ist nicht ein problem mit zu viel"
+_MIX_ROWS = [(i, _EN if i % 2 else _DE) for i in range(40)]
+
+
+def test_corpus_mix_totals_cover_the_corpus(spark):
+    docs = _df(spark, _MIX_ROWS, "doc_id long, text string")
+    rows = curation.corpus_mix(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == 40
+    assert {r["lang"] for r in rows} <= {"en", "de"}
+    # token totals are exact whitespace-token sums per group
+    en_docs = sum(r["n_docs"] for r in rows if r["lang"] == "en")
+    en_toks = sum(r["total_tokens"] for r in rows if r["lang"] == "en")
+    assert en_toks == en_docs * len(_EN.split())
+    # splits come from the same md5 buckets as split_assign
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in curation.split_assign(docs).collect()
+    }
+    for r in rows:
+        n = sum(
+            1
+            for i, txt in _MIX_ROWS
+            if split_of[i] == r["split"]
+            and (txt is _EN) == (r["lang"] == "en")
+        )
+        assert n == r["n_docs"]
+
+
+def test_quota_resample_is_deterministic_and_rate_bounded(spark):
+    docs = _df(spark, _MIX_ROWS, "doc_id long, text string")
+    kept1 = {r["doc_id"] for r in curation.quota_resample(docs).collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in curation.quota_resample(docs.repartition(7)).collect()
+    }
+    assert kept1 == kept2  # partitioning-invariant
+    # rate=100 keeps everything, rate=0 drops the language entirely
+    all_kept = curation.quota_resample(
+        docs, rates={"en": 100, "de": 100, "und": 100}
+    ).count()
+    assert all_kept == 40
+    none_en = curation.quota_resample(
+        docs, rates={"en": 0, "de": 100, "und": 100}
+    ).collect()
+    assert all(r["lang"] != "en" for r in none_en)
+
+
+def test_quota_resample_coin_independent_of_split_coin(spark):
+    docs = _df(spark, _MIX_ROWS, "doc_id long, text string")
+    sample = {
+        r["doc_id"]: r["sample_bucket"]
+        for r in curation.quota_resample(
+            docs, rates={"en": 100, "de": 100, "und": 100}
+        ).collect()
+    }
+    split = {
+        r["doc_id"]: r["split_bucket"]
+        for r in curation.split_assign(docs).collect()
+    }
+    assert any(sample[i] != split[i] for i in sample)  # salted → different
+
+
+def test_quality_topk_matches_naive_window(spark):
+    import random
+
+    rng = random.Random(7)
+    words = _EN.split() + _DE.split()
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 40))))
+        for i in range(120)
+    ]
+    docs = _df(spark, rows, "doc_id long, text string")
+    got = {
+        (r["lang"], r["rank"]): (r["doc_id"], r["quality"])
+        for r in curation.quality_topk(docs, k=4, n_salts=8).collect()
+    }
+    # naive single-window reference
+    from pyspark.sql.window import Window
+
+    from semargl_spark.operators.text import lang_pred_col, quality_col
+
+    staged = docs.select(
+        "doc_id",
+        lang_pred_col("text").alias("lang"),
+        quality_col("text").alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    want = {
+        (r["lang"], r["rank"]): (r["doc_id"], r["quality"])
+        for r in staged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    }
+    assert got == want
+
+
+def test_quality_topk_partitioning_invariant(spark):
+    docs = _df(spark, _MIX_ROWS, "doc_id long, text string")
+    a = sorted(map(tuple, curation.quality_topk(docs, k=3).collect()))
+    b = sorted(
+        map(tuple, curation.quality_topk(docs.repartition(13), k=3).collect())
+    )
+    assert a == b
