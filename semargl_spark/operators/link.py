@@ -87,3 +87,103 @@ def link_entities(
             F.col("best.weight").alias("score"),
         )
     )
+
+
+def _deletion_variants(col):
+    """``s`` plus every single-character deletion of ``s`` — the
+    SymSpell/FastSS blocking neighborhood: two strings within
+    levenshtein distance 1 always share at least one variant, so an
+    equi-join on variants is a complete (superset) candidate generator
+    for distance-1 fuzzy matching without any all-pairs comparison."""
+    n = F.length(col)
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(col.substr(F.lit(1), i - 1), col.substr(i + 1, n)),
+    )
+    return F.when(n == 0, F.array(col)).otherwise(
+        F.array_union(F.array(col), dels)
+    )
+
+
+def fuzzy_link_entities(
+    triples: DataFrame,
+    dictionary: DataFrame,
+    predicates=NAME_PREDICATES,
+    surface_col=None,
+) -> DataFrame:
+    """Distance-1 fuzzy entity linking — the similarity-scored variant
+    of :func:`link_entities` for noisy mention surfaces (OCR slips,
+    tokenizer damage, trailing junk).
+
+    Candidate generation is SymSpell-style deletion-neighborhood
+    blocking: both sides explode to their ≤ len+1 single-deletion
+    variants and meet in a broadcast equi-join on the variant string —
+    never a similarity cross product, and unlike first-token or n-gram
+    blocking it cannot degenerate into one giant block when all
+    entities share a common prefix ("entity 1", "entity 2", ...).
+    Candidates are then verified with exact ``levenshtein ≤ 1`` (JVM,
+    also in every SQL engine, so the whole operator is oracle-able) and
+    scored ``1 − lev/max(len)``; the per-mention argmax orders by
+    (score, weight, canonical_iri) so ties are deterministic.
+
+    Scale shape: the dictionary side grows ×(avg_len+1) before
+    broadcast — budget it (10^7 surfaces × 20 variants × ~30 B ≈ 6 GB:
+    at that size pre-partition instead of broadcasting, same plan minus
+    the hint). The mention side is a narrow explode; duplicate
+    (mention, candidate) pairs from sharing several variants are NOT
+    distinct-ed away (that shuffle would cost more than letting the
+    final argmax absorb them). ``surface_col`` lets callers feed an
+    already-perturbed/normalized surface; default is the trimmed
+    lowercased literal.
+    """
+    mentions = extract_mentions(triples, predicates)
+    if surface_col is not None:
+        mentions = mentions.withColumn("surface_norm", surface_col)
+    m = mentions.select(
+        "conv_id",
+        "turn_idx",
+        "mention_node",
+        "surface_norm",
+        F.explode(_deletion_variants(F.col("surface_norm"))).alias("variant"),
+    )
+    d = dictionary.select(
+        F.trim(F.lower(F.col("surface_form"))).alias("dict_surface"),
+        "canonical_iri",
+        F.col("weight").cast("double").alias("weight"),
+    ).select(
+        "dict_surface",
+        "canonical_iri",
+        "weight",
+        F.explode(_deletion_variants(F.col("dict_surface"))).alias("variant"),
+    )
+    lev = F.levenshtein(F.col("surface_norm"), F.col("dict_surface"))
+    cand = (
+        m.join(F.broadcast(d), "variant")
+        .withColumn("lev", lev)
+        .filter(F.col("lev") <= 1)
+        .withColumn(
+            "score",
+            F.round(
+                1
+                - F.col("lev")
+                / F.greatest(
+                    F.length("surface_norm"),
+                    F.length("dict_surface"),
+                    F.lit(1),
+                ),
+                6,
+            ),
+        )
+    )
+    best = F.max(F.struct("score", "weight", "canonical_iri")).alias("b")
+    return (
+        cand.groupBy("conv_id", "turn_idx", "mention_node")
+        .agg(best)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "mention_node",
+            F.col("b.canonical_iri").alias("canonical_iri"),
+            F.col("b.score").alias("score"),
+        )
+    )

@@ -1708,6 +1708,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path": q_kg_path,
         "repetition_stats": q_repetition_stats,
         "kmeans_assign": q_kmeans_assign,
+        "entity_link_fuzzy": q_entity_link_fuzzy,
         "corpus_mix": q_corpus_mix,
         "quota_resample": q_quota_resample,
         "quality_topk": q_quality_topk,
@@ -1918,4 +1919,69 @@ rk AS (SELECT lang, doc_id, quality,
                                  ORDER BY quality DESC, doc_id) AS INT) AS rank
        FROM m)
 SELECT lang, doc_id, quality, rank FROM rk WHERE rank <= 5
+"""
+
+
+def q_entity_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-1 fuzzy linking over deterministically perturbed mention
+    surfaces (every did%3==0 mention gets a trailing junk char —
+    exact-match linking loses those; the SymSpell deletion-blocked
+    fuzzy join recovers them)."""
+    from .operators.link import fuzzy_link_entities
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    did = F.regexp_extract(F.col("mention_node"), r"urn:e:(\d+)", 1).cast(
+        "long"
+    )
+    pert = F.when(
+        did % 3 == 0, F.concat(F.col("surface_norm"), F.lit("x"))
+    ).otherwise(F.col("surface_norm"))
+    return fuzzy_link_entities(
+        st, entity_dictionary(spark, sf_dir), surface_col=pert
+    ).select(
+        "conv_id", "turn_idx", "mention_node", "canonical_iri",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+ORACLES["entity_link_fuzzy"] = _SEED + r"""
+, men AS (
+  SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS mention_node,
+    CASE WHEN did % 3 = 0 THEN base || 'x' ELSE base END AS surface
+  FROM (SELECT did, tix,
+          CASE WHEN did % 10 = 0 THEN 'entity "'||did||'"'
+               ELSE 'entity '||did END AS base
+        FROM t)),
+dict AS (
+  SELECT 'entity '||did AS dict_surface, 'urn:e:'||did AS canonical_iri,
+         1.0 AS weight FROM (SELECT DISTINCT did FROM t)
+  UNION ALL
+  SELECT 'ent '||did, 'urn:e:'||did, 0.5 FROM (SELECT DISTINCT did FROM t)),
+mv AS (SELECT m.*, unnest(list_distinct(list_append(
+         list_transform(range(1, length(surface)+1),
+           i -> substr(surface, 1, i-1) || substr(surface, i+1, length(surface))),
+         surface))) AS variant
+       FROM men m),
+dv AS (SELECT d.*, unnest(list_distinct(list_append(
+         list_transform(range(1, length(dict_surface)+1),
+           i -> substr(dict_surface, 1, i-1) || substr(dict_surface, i+1, length(dict_surface))),
+         dict_surface))) AS variant
+       FROM dict d),
+cand AS (
+  SELECT mv.conv_id, mv.turn_idx, mv.mention_node, dv.canonical_iri, dv.weight,
+         levenshtein(mv.surface, dv.dict_surface) AS lev,
+         round(1 - levenshtein(mv.surface, dv.dict_surface) /
+               greatest(length(mv.surface), length(dv.dict_surface), 1), 6)
+           AS score
+  FROM mv JOIN dv USING (variant)
+  WHERE levenshtein(mv.surface, dv.dict_surface) <= 1),
+rk AS (
+  SELECT conv_id, turn_idx, mention_node, canonical_iri, score,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, mention_node
+                            ORDER BY score DESC, weight DESC,
+                                     canonical_iri DESC) AS rn
+  FROM cand)
+SELECT conv_id, turn_idx, mention_node, canonical_iri, score
+FROM rk WHERE rn = 1
 """

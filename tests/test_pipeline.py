@@ -328,3 +328,67 @@ def test_dedup_survivors_keeps_numeric_min_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in survivors(docs, pairs).collect())
     # numeric min survives — bare string ordering would keep 1000007 over 7
     assert kept == [7, 9, 42]
+
+
+def test_fuzzy_link_recovers_distance1_and_rejects_beyond(spark):
+    from semargl_spark.operators.link import fuzzy_link_entities
+
+    st = spark.createDataFrame(
+        [
+            ("c1", 0, "urn:e:1", "urn:p:name", "Alicex", "literal"),
+            ("c1", 1, "urn:e:2", "urn:p:name", "Bob", "literal"),
+            ("c1", 2, "urn:e:3", "urn:p:name", "Carooool", "literal"),
+        ],
+        "conv_id string, turn_idx int, subj string, pred string, "
+        "obj string, obj_kind string",
+    ).selectExpr("*", "cast(null as string) lang",
+                 "cast(null as string) dtype", "cast(null as string) graph")
+    d = spark.createDataFrame(
+        [("Alice", "urn:k:alice", 1.0), ("Bob", "urn:k:bob", 1.0),
+         ("Carol", "urn:k:carol", 1.0)],
+        "surface_form string, canonical_iri string, weight double",
+    )
+    out = {r["mention_node"]: r for r in fuzzy_link_entities(st, d).collect()}
+    assert out["urn:e:1"]["canonical_iri"] == "urn:k:alice"  # 1 deletion
+    assert out["urn:e:2"]["canonical_iri"] == "urn:k:bob"    # exact, score 1.0
+    assert out["urn:e:2"]["score"] == 1.0
+    assert "urn:e:3" not in out                              # distance 4
+
+
+def test_fuzzy_link_tiebreak_is_deterministic(spark):
+    from semargl_spark.operators.link import fuzzy_link_entities
+
+    st = spark.createDataFrame(
+        [("c1", 0, "urn:e:1", "urn:p:name", "entity 42x", "literal")],
+        "conv_id string, turn_idx int, subj string, pred string, "
+        "obj string, obj_kind string",
+    ).selectExpr("*", "cast(null as string) lang",
+                 "cast(null as string) dtype", "cast(null as string) graph")
+    d = spark.createDataFrame(
+        [("entity 42", "urn:k:a", 1.0), ("entity 421", "urn:k:b", 1.0)],
+        "surface_form string, canonical_iri string, weight double",
+    )
+    rows = [fuzzy_link_entities(st, d).collect()[0]["canonical_iri"]
+            for _ in range(3)]
+    # both candidates are lev 1 / weight 1.0 → max canonical_iri wins
+    assert rows == ["urn:k:b"] * 3
+
+
+def test_fuzzy_link_uses_broadcast_join(spark):
+    from semargl_spark.operators.link import fuzzy_link_entities
+
+    st = spark.createDataFrame(
+        [("c1", 0, "urn:e:1", "urn:p:name", "Alice", "literal")],
+        "conv_id string, turn_idx int, subj string, pred string, "
+        "obj string, obj_kind string",
+    ).selectExpr("*", "cast(null as string) lang",
+                 "cast(null as string) dtype", "cast(null as string) graph")
+    d = spark.createDataFrame(
+        [("Alice", "urn:k:alice", 1.0)],
+        "surface_form string, canonical_iri string, weight double",
+    )
+    plan = (
+        fuzzy_link_entities(st, d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
