@@ -342,3 +342,61 @@ def quality_topk(
         .filter(F.col("rank") <= k)
         .select("lang", "doc_id", "quality", "rank")
     )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    n_blocks: int = 64,
+    seed: str = "gs",
+    id_col="doc_id",
+) -> DataFrame:
+    """Deterministic global training-order permutation → (doc_id, pos):
+    every document gets its 0-based position in the corpus ordered by
+    ``(md5(seed:id), id)`` — the shuffle-the-corpus-once step before
+    sequence packing / epoch sharding, reproducible at any parallelism
+    (never ``rand()``, and re-running yields the identical order).
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels 10^12 rows
+    through ONE partition. Instead: the block id is the hash's leading
+    16 bits divided into ``n_blocks`` ORDER-PRESERVING ranges (a mod
+    would interleave blocks and break prefix order), so global hash
+    order ≡ (block asc, hash asc). Per-block ranks come from windows
+    over ~n/n_blocks rows each; block offsets are an exclusive prefix
+    sum over the n_blocks-row count table — collected to the driver
+    (O(n_blocks), not O(n)) and broadcast-joined back. Hash ties are
+    broken by id, so positions are a total order even on md5 prefix
+    collisions.
+    """
+    from pyspark.sql.window import Window
+
+    if not 1 <= n_blocks <= 65536 or 65536 % n_blocks:
+        raise ValueError(f"n_blocks must divide 65536, got {n_blocks}")
+    width = 65536 // n_blocks
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    prefix = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    staged = docs.select(
+        F.col(id_col),
+        h.alias("__h"),
+        (prefix / width).cast("int").alias("__blk"),
+    )
+    w = Window.partitionBy("__blk").orderBy("__h", id_col)
+    ranked = staged.withColumn("__rank", F.row_number().over(w) - 1)
+
+    counts = (
+        staged.groupBy("__blk").agg(F.count("*").alias("__n")).collect()
+    )
+    sizes = {r["__blk"]: r["__n"] for r in counts}
+    offsets, acc = {}, 0
+    for blk in sorted(sizes):
+        offsets[blk] = acc
+        acc += sizes[blk]
+    off_df = staged.sparkSession.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "__blk int, __off long"
+    )
+    return (
+        ranked.join(F.broadcast(off_df), "__blk")
+        .select(
+            F.col(id_col),
+            (F.col("__off") + F.col("__rank")).cast("long").alias("pos"),
+        )
+    )

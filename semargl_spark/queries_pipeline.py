@@ -1712,6 +1712,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "quota_resample": q_quota_resample,
         "quality_topk": q_quality_topk,
+        "global_shuffle": q_global_shuffle,
     }
 
 
@@ -1984,4 +1985,21 @@ rk AS (
   FROM cand)
 SELECT conv_id, turn_idx, mention_node, canonical_iri, score
 FROM rk WHERE rn = 1
+"""
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation via the
+    two-level (order-preserving hash blocks + per-block ranks + driver
+    prefix sum) scheme — never a single-partition global window."""
+    return curation.global_shuffle(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "pos"
+    )
+
+
+ORACLES["global_shuffle"] = """
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)),
+                          doc_id) - 1 AS BIGINT) AS pos
+FROM documents
 """

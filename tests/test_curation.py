@@ -243,3 +243,32 @@ def test_quality_topk_partitioning_invariant(spark):
         map(tuple, curation.quality_topk(docs.repartition(13), k=3).collect())
     )
     assert a == b
+
+
+def test_global_shuffle_is_a_permutation_matching_naive_order(spark):
+    docs = _df(spark, [(i, "x") for i in range(200)], "doc_id long, text string")
+    out = {r["doc_id"]: r["pos"] for r in curation.global_shuffle(docs).collect()}
+    assert sorted(out.values()) == list(range(200))  # exact permutation
+    # matches the naive single-window global order
+    naive = {
+        r["doc_id"]: r["pos"]
+        for r in docs.selectExpr(
+            "doc_id",
+            "cast(row_number() over (order by md5(concat('gs:', cast(doc_id as string))), doc_id) - 1 as long) pos",
+        ).collect()
+    }
+    assert out == naive
+    # and it is partitioning-invariant
+    again = {
+        r["doc_id"]: r["pos"]
+        for r in curation.global_shuffle(docs.repartition(11)).collect()
+    }
+    assert again == out
+
+
+def test_global_shuffle_rejects_non_divisor_blocks(spark):
+    import pytest
+
+    docs = _df(spark, [(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curation.global_shuffle(docs, n_blocks=100)
