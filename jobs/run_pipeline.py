@@ -31,6 +31,11 @@ def main(argv=None) -> int:
                     help="skip stages whose lineage rows for this run-id already "
                          "exist (checkpoint-resume after a failed/killed run); "
                          "requires --run-id, the id of the run being resumed")
+    ap.add_argument("--fuzzy-link", action="store_true",
+                    help="link with the distance-1 SymSpell fuzzy joiner "
+                         "(operators/link.fuzzy_link_entities) instead of "
+                         "exact surface matching — recovers mentions with one "
+                         "character of noise at the cost of a wider broadcast")
     args = ap.parse_args(argv)
     if args.resume and not args.run_id:
         # without the original run-id the lineage filter matches nothing
@@ -43,21 +48,22 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     summary = run(spark, input_path=args.input, output=args.output,
                   run_id=args.run_id, dictionary=args.dictionary,
-                  resume=args.resume)
+                  resume=args.resume, fuzzy_link=args.fuzzy_link)
     print(json.dumps(summary))
     spark.stop()
     return 0
 
 
 def run(spark, *, input_path: str, output: str, run_id: str | None = None,
-        dictionary: str | None = None, resume: bool = False) -> dict:
+        dictionary: str | None = None, resume: bool = False,
+        fuzzy_link: bool = False) -> dict:
     """The pipeline body, callable in-process (tests, notebooks) — does
     not stop the session. ``main`` wraps it for spark-submit."""
     from pyspark.sql import functions as F
 
     from semargl_spark.operators.canon import connected_components
     from semargl_spark.operators.extract import errors, extract_statements, triples
-    from semargl_spark.operators.link import link_entities
+    from semargl_spark.operators.link import fuzzy_link_entities, link_entities
     from semargl_spark.operators.materialize import (
         lineage_rows,
         materialize_kg,
@@ -96,7 +102,8 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
     equiv = None
     if dictionary:
         dict_df = spark.read.parquet(dictionary)
-        links = link_entities(st, dict_df).persist()
+        linker = fuzzy_link_entities if fuzzy_link else link_entities
+        links = linker(st, dict_df).persist()
         if "link" not in done_stages:
             links.write.mode("overwrite").parquet(f"{output}/links")
             write_lineage(lineage_rows(links, run_id, "link"), f"{output}/lineage")

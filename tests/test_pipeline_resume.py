@@ -129,3 +129,27 @@ def test_resume_after_partial_ledger_reruns_missing_stages(spark, prepared):
     stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
     assert stages == {"extract", "link", "canon", "merge"}
     assert _ledger_copies(spark, out) == 1
+
+
+def test_fuzzy_link_flag_links_at_least_exact_matches(spark, prepared, tmp_path):
+    out = str(tmp_path / "out_fuzzy")
+    s = run(
+        spark,
+        input_path=str(prepared / "in"),
+        output=out,
+        run_id="rfuzzy",
+        dictionary=str(prepared / "dict"),
+        fuzzy_link=True,
+    )
+    exact = run(
+        spark,
+        input_path=str(prepared / "in"),
+        output=str(tmp_path / "out_exact"),
+        run_id="rexact",
+        dictionary=str(prepared / "dict"),
+    )
+    n_fuzzy = spark.read.parquet(f"{out}/links").count()
+    n_exact = spark.read.parquet(f"{tmp_path}/out_exact/links").count()
+    # distance-1 matching is a superset of exact matching
+    assert n_fuzzy >= n_exact > 0
+    assert s["nodes"] > 0 and s["edges"] > 0 and exact["edges"] == s["edges"]
