@@ -1713,6 +1713,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_resample": q_quota_resample,
         "quality_topk": q_quality_topk,
         "global_shuffle": q_global_shuffle,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -2002,4 +2003,59 @@ SELECT doc_id,
   CAST(ROW_NUMBER() OVER (ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)),
                           doc_id) - 1 AS BIGINT) AS pos
 FROM documents
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (SURVEY.md §2.11 + the dedup family):
+    land the documents corpus with planted exact duplicates
+    (doc_id % 5 == 0 re-offered under doc_id+1000000), drain it through
+    the stateful dropDuplicates stage exactly-once, then project the
+    surviving distinct-body set onto a SQL-expressible surface: the
+    minimum doc_id carrying each surviving body plus its carrier count.
+    Extra/duplicate emissions would inflate n_docs, so the gate also
+    checks the exactly-once property."""
+    import tempfile
+
+    from .operators.dedup import _hash64, normalized_text
+    from .streaming.stream_dedup import stream_dedup
+
+    base = tempfile.mkdtemp(prefix="semargl_q_sdedup_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs.unionAll(dupes).write.mode("overwrite").parquet(f"{base}/in")
+    q = stream_dedup(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    survivors = spark.read.parquet(f"{base}/out")
+    body = normalized_text("text")
+    hashed = spark.read.parquet(f"{base}/in").select(
+        "doc_id",
+        _hash64(body).alias("h1"),
+        _hash64(body, seed=0x5EED).alias("h2"),
+    )
+    return (
+        survivors.join(hashed, ["h1", "h2"])
+        .groupBy("h1", "h2")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select("keep_id", "n_docs")
+    )
+
+
+ORACLES["stream_dedup"] = r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+),
+n AS (SELECT doc_id,
+       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS body
+      FROM all_docs)
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM n GROUP BY body
 """

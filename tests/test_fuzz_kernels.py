@@ -77,3 +77,34 @@ def test_rdfa_never_raises(text):
 @given(_spiced)
 def test_rdfxml_never_raises(text):
     _assert_clean(*rdfxml.parse(text, base_uri="urn:d:1", doc_key="f"))
+
+
+# --------------------------------------------------------------- fuzzy link
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _del_variants_py(s: str) -> set:
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+@given(st.text(min_size=0, max_size=12), st.text(min_size=0, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_deletion_blocking_is_complete_for_distance_1(a, b):
+    """The SymSpell candidate generator in operators/link.py must never
+    MISS a true distance-1 pair: lev(a,b) <= 1 implies the deletion
+    neighborhoods intersect (the converse is filtered by the exact
+    levenshtein verify, so over-generation is harmless)."""
+    if _lev(a, b) <= 1:
+        assert _del_variants_py(a) & _del_variants_py(b)

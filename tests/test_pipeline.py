@@ -92,6 +92,47 @@ def test_streaming_extraction_matches_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from semargl_spark.streaming.stream_dedup import stream_dedup
+
+    tmp = tempfile.mkdtemp(prefix="semargl-sdedup-")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        ).limit(50)
+        # inject exact duplicates under fresh ids: 50 distinct bodies, 60 rows
+        dupes = docs.limit(10).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        docs.unionAll(dupes).write.mode("overwrite").parquet(f"{tmp}/in")
+        q = stream_dedup(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+        q.awaitTermination()
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == 50
+        assert out.distinct().count() == 50
+        # rerunning the drained stream emits nothing new (exactly-once)
+        q2 = stream_dedup(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+        q2.awaitTermination()
+        assert spark.read.parquet(f"{tmp}/out").count() == 50
+        # the distinct hash SET equals the batch SELECT DISTINCT surface
+        from semargl_spark.operators.dedup import _hash64, normalized_text
+
+        body = normalized_text("text")
+        batch = (
+            spark.read.parquet(f"{tmp}/in")
+            .select(
+                _hash64(body).alias("h1"),
+                _hash64(body, seed=0x5EED).alias("h2"),
+            )
+            .distinct()
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_turtle_serializer():
     from semargl_spark.kernels import ntriples
     from semargl_spark.kernels.turtle import serialize
