@@ -54,11 +54,19 @@ def md5_hash60(col, seed: int | None = None):
 
 
 def _hash64(col, seed: int | None = None, method: str = "xxhash64"):
-    """Dispatch: 64-bit xxhash64 (fast path) or 60-bit md5 (oracle path)."""
+    """Dispatch: 64-bit xxhash64 (fast path) or 60-bit md5 (oracle path).
+
+    The salt goes FIRST: Spark's multi-column ``xxhash64(a, b)`` chains
+    each column's hash as the *seed* for the next, so ``xxhash64(body,
+    lit(salt))`` would be a pure function of ``xxhash64(body)`` — any
+    unsalted collision would survive every salt. ``xxhash64(lit(salt),
+    body)`` perturbs the seed entering the body bytes instead, giving a
+    genuinely independent function per salt (same rationale as
+    exact_dedup's h2)."""
     if method == "md5":
         return md5_hash60(col, seed)
     c = F.col(col) if isinstance(col, str) else col
-    return F.xxhash64(c, F.lit(seed)) if seed is not None else F.xxhash64(c)
+    return F.xxhash64(F.lit(seed), c) if seed is not None else F.xxhash64(c)
 
 
 def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
