@@ -166,7 +166,7 @@ def minhash_signatures(
     return sh.select(F.col(id_col), sig.alias("signature"))
 
 
-def minhash_lsh_candidates(
+def banded_rows(
     docs: DataFrame,
     id_col="doc_id",
     text_col="text",
@@ -175,13 +175,12 @@ def minhash_lsh_candidates(
     precomputed_shingles: DataFrame | None = None,
     hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH.
+    """The LSH index rows of a corpus: (id_col, band, band_hash).
 
-    Docs sharing any band of minhashes land in one bucket; pairs are
-    produced per bucket via a self-join on the band key — the shuffle is
-    keyed by (band, band_hash), uniform by construction.
-    Returns (doc_a, doc_b) with doc_a < doc_b.
-    """
+    This is the materialization unit for incremental dedup at scale —
+    persist it as a table bucketed on (band, band_hash) and every
+    future batch joins against it without recomputing corpus
+    signatures. Returns one row per (doc, band)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must divide evenly into bands={bands}; "
@@ -209,11 +208,33 @@ def minhash_lsh_candidates(
             return F.concat_ws(",", F.transform(sl, lambda v: v.cast("string")))
         return F.hash(sl).cast("string")
 
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[band_key(b) for b in range(bands)])
         ).alias("band", "band_hash"),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    precomputed_shingles: DataFrame | None = None,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Docs sharing any band of minhashes land in one bucket; pairs are
+    produced per bucket via a self-join on the band key — the shuffle is
+    keyed by (band, band_hash), uniform by construction.
+    Returns (doc_a, doc_b) with doc_a < doc_b.
+    """
+    banded = banded_rows(
+        docs, id_col, text_col, num_hashes, bands,
+        precomputed_shingles=precomputed_shingles, hash_method=hash_method,
     )
     left = banded.select(
         "band", "band_hash", F.col(id_col).alias("doc_a")
@@ -315,6 +336,106 @@ def near_dedup_minhash(
         docs, cands, id_col, text_col, precomputed_shingles=sh
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_near_dedup(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_method: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Admission control for continuous ingest: near-dedup a NEW batch
+    against an already-deduplicated corpus without re-clustering the
+    corpus.
+
+    Decision rule (deterministic, SQL-expressible): a new document's
+    ``dup_of`` is the minimum verified near-duplicate id among corpus
+    matches, else the minimum verified earlier-id match within the
+    batch; ``admitted`` iff no match. (Greedy-by-id within the batch —
+    transitive closure across batches belongs to the offline
+    :func:`survivors` pass.)
+
+    Scale shape: the corpus side is touched ONLY through its LSH band
+    index (``corpus_bands`` — persist :func:`banded_rows` bucketed on
+    (band, band_hash) and pass it in; at 10^12 docs the index is ~4
+    rows/doc of short keys) plus a candidate-keyed join to the corpus
+    shingle table for verification (the candidate set is LSH-small, so
+    AQE broadcasts it). The new batch never cross-products anything.
+    Re-running the same batch yields the identical decision set —
+    resume-safe by construction.
+
+    Returns (doc_id, dup_of, admitted) — one row per new document.
+    """
+    sh_n = shingles(new_docs, id_col, text_col).localCheckpoint(eager=False)
+    sh_c = corpus_shingles
+    if sh_c is None:
+        sh_c = shingles(corpus, id_col, text_col).localCheckpoint(eager=False)
+    bn = banded_rows(
+        new_docs, id_col, text_col, num_hashes, bands,
+        precomputed_shingles=sh_n, hash_method=hash_method,
+    )
+    bc = corpus_bands
+    if bc is None:
+        bc = banded_rows(
+            corpus, id_col, text_col, num_hashes, bands,
+            precomputed_shingles=sh_c, hash_method=hash_method,
+        )
+
+    def verify(cands: DataFrame, sh_other: DataFrame) -> DataFrame:
+        a = sh_n.select(
+            F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a")
+        )
+        b = sh_other.select(
+            F.col(id_col).alias("other_id"), F.col("shingles").alias("sh_b")
+        )
+        joined = cands.join(a, "new_id").join(b, "other_id")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        jac = inter / F.when(union == 0, F.lit(1)).otherwise(union)
+        return joined.select("new_id", "other_id").where(jac >= threshold)
+
+    cand_c = (
+        bn.select("band", "band_hash", F.col(id_col).alias("new_id"))
+        .join(
+            bc.select("band", "band_hash", F.col(id_col).alias("other_id")),
+            ["band", "band_hash"],
+        )
+        .select("new_id", "other_id")
+        .distinct()
+    )
+    bn_pairs = bn.select("band", "band_hash", F.col(id_col).alias("new_id"))
+    cand_n = (
+        bn_pairs.join(
+            bn.select("band", "band_hash", F.col(id_col).alias("other_id")),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("other_id") < F.col("new_id"))
+        .select("new_id", "other_id")
+        .distinct()
+    )
+    best_c = verify(cand_c, sh_c).groupBy("new_id").agg(
+        F.min("other_id").alias("dup_of_corpus")
+    )
+    best_n = verify(cand_n, sh_n).groupBy("new_id").agg(
+        F.min("other_id").alias("dup_of_batch")
+    )
+    out = (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(best_c, "new_id", "left")
+        .join(best_n, "new_id", "left")
+    )
+    dup_of = F.coalesce("dup_of_corpus", "dup_of_batch")
+    return out.select(
+        F.col("new_id").alias(id_col),
+        dup_of.alias("dup_of"),
+        dup_of.isNull().alias("admitted"),
+    )
 
 
 def survivors(

@@ -1714,6 +1714,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk": q_quality_topk,
         "global_shuffle": q_global_shuffle,
         "stream_dedup": q_stream_dedup,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2059,3 +2060,116 @@ n AS (SELECT doc_id,
       FROM all_docs)
 SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM n GROUP BY body
 """
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: admit a NEW batch against the existing
+    documents corpus through the LSH band index only (never
+    re-clustering the corpus). The batch plants all three outcomes:
+    perturbed copies of corpus docs (doc_id%3==0 → rejected against the
+    corpus), synthetic fresh docs (doc_id%3==1 → admitted), and
+    intra-batch duplicate pairs (doc_id%3==2, same body under two ids →
+    the higher id is rejected against the lower). md5 hash method so
+    the DuckDB oracle replays the identical shingle→minhash→band→verify
+    pipeline."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    i = F.col("doc_id")
+    perturbed = docs.filter(i % 3 == 0).select(
+        (i + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    fresh = docs.filter(i % 3 == 1).select(
+        (i + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh doc "), i.cast("string"),
+            F.lit(" unique body "), (i * 7).cast("string"),
+        ).alias("text"),
+    )
+    bdup_text = F.concat(
+        F.lit("batch dup "), i.cast("string"),
+        F.lit(" payload "), (i * 13).cast("string"),
+    )
+    b1 = docs.filter(i % 3 == 2).select(
+        (i + 4000000).alias("doc_id"), bdup_text.alias("text")
+    )
+    b2 = docs.filter(i % 3 == 2).select(
+        (i + 5000000).alias("doc_id"), bdup_text.alias("text")
+    )
+    new_batch = perturbed.unionByName(fresh).unionByName(b1).unionByName(b2)
+    return dedup.incremental_near_dedup(
+        docs, new_batch, threshold=0.5, hash_method="md5"
+    ).select(F.col("doc_id").cast("long"), "dup_of", "admitted")
+
+
+def _incremental_oracle() -> str:
+    from .operators.dedup import _MH_A, _MH_B, _MH_P
+
+    sig_cols = ", ".join(
+        f"MIN(({_MH_A[j]} * b + {_MH_B[j]}) % {_MH_P}) AS m{j}"
+        for j in range(16)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, side, {b} AS band, "
+        f"array_to_string([m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}], ',') AS key "
+        "FROM sig"
+        for b in range(4)
+    )
+    return rf"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, 'c' AS side FROM documents),
+newb AS (
+  SELECT CAST(doc_id + 2000000 AS BIGINT) AS doc_id, text || ' tail' AS text,
+         'n' AS side FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT CAST(doc_id + 3000000 AS BIGINT),
+         'fresh doc ' || CAST(doc_id AS VARCHAR) || ' unique body ' ||
+         CAST(doc_id * 7 AS VARCHAR), 'n' FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT CAST(doc_id + 4000000 AS BIGINT),
+         'batch dup ' || CAST(doc_id AS VARCHAR) || ' payload ' ||
+         CAST(doc_id * 13 AS VARCHAR), 'n' FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT CAST(doc_id + 5000000 AS BIGINT),
+         'batch dup ' || CAST(doc_id AS VARCHAR) || ' payload ' ||
+         CAST(doc_id * 13 AS VARCHAR), 'n' FROM documents WHERE doc_id % 3 = 2),
+alldocs AS (SELECT * FROM corpus UNION ALL SELECT * FROM newb),
+t AS (SELECT doc_id, side, {_NORM_W} AS w FROM alldocs),
+sh AS (SELECT doc_id, side,
+       list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w[1:3], ' ')]
+            ELSE list_transform(range(1, len(w)-1),
+                                i -> w[i]||' '||w[i+1]||' '||w[i+2]) END) AS s
+       FROM t),
+shx AS (SELECT doc_id, side, unnest(s) AS x FROM sh),
+hh AS (SELECT doc_id, side, ({_h60('x')}) % {_MH_P} AS b FROM shx),
+sig AS (SELECT doc_id, side, {sig_cols} FROM hh GROUP BY doc_id, side),
+banded AS (
+{bands}),
+cand_c AS (SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS other_id
+           FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
+           WHERE a.side = 'n' AND c.side = 'c'),
+cand_n AS (SELECT DISTINCT a.doc_id AS new_id, o.doc_id AS other_id
+           FROM banded a JOIN banded o ON a.band = o.band AND a.key = o.key
+           WHERE a.side = 'n' AND o.side = 'n' AND o.doc_id < a.doc_id),
+ver_c AS (SELECT new_id, other_id FROM cand_c
+          JOIN sh x ON x.doc_id = cand_c.new_id AND x.side = 'n'
+          JOIN sh y ON y.doc_id = cand_c.other_id AND y.side = 'c'
+          WHERE len(list_intersect(x.s, y.s)) /
+                greatest(len(list_distinct(list_concat(x.s, y.s))), 1) >= 0.5),
+ver_n AS (SELECT new_id, other_id FROM cand_n
+          JOIN sh x ON x.doc_id = cand_n.new_id AND x.side = 'n'
+          JOIN sh y ON y.doc_id = cand_n.other_id AND y.side = 'n'
+          WHERE len(list_intersect(x.s, y.s)) /
+                greatest(len(list_distinct(list_concat(x.s, y.s))), 1) >= 0.5),
+bc AS (SELECT new_id, MIN(other_id) AS m FROM ver_c GROUP BY new_id),
+bn AS (SELECT new_id, MIN(other_id) AS m FROM ver_n GROUP BY new_id)
+SELECT n.doc_id, COALESCE(bc.m, bn.m) AS dup_of,
+       COALESCE(bc.m, bn.m) IS NULL AS admitted
+FROM newb n
+LEFT JOIN bc ON bc.new_id = n.doc_id
+LEFT JOIN bn ON bn.new_id = n.doc_id
+"""
+
+
+ORACLES["dedup_incremental"] = _incremental_oracle()

@@ -433,3 +433,42 @@ def test_fuzzy_link_uses_broadcast_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_decisions_and_index_reuse(spark):
+    from semargl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus text about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 -> rejected, dup_of=1
+            (10, "the quick brown fox jumps over the lazy dog today tail"),
+            # genuinely new -> admitted
+            (11, "a wholly novel document body with fresh unique words"),
+            # intra-batch pair -> 12 admitted, 13 rejected with dup_of=12
+            (12, "repeated batch payload alpha beta gamma delta epsilon"),
+            (13, "repeated batch payload alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_near_dedup(corpus, batch, threshold=0.5)
+    got = {r["doc_id"]: (r["dup_of"], r["admitted"]) for r in out.collect()}
+    assert got == {
+        10: (1, False),
+        11: (None, True),
+        12: (None, True),
+        13: (12, False),
+    }
+    # the persisted-band-index path must reach the same decisions
+    sh_c = dedup.shingles(corpus)
+    idx = dedup.banded_rows(corpus, precomputed_shingles=sh_c)
+    out2 = dedup.incremental_near_dedup(
+        corpus, batch, threshold=0.5, corpus_bands=idx, corpus_shingles=sh_c
+    )
+    assert {r["doc_id"]: (r["dup_of"], r["admitted"]) for r in out2.collect()} == got
