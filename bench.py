@@ -90,7 +90,9 @@ def main() -> None:
                  "contamination", "kg_bgp", "kg_pagerank", "kg_path",
                  "extract_turtle", "repetition_stats", "kmeans_assign",
                  "events_asof", "corpus_mix", "quota_resample",
-                 "quality_topk", "entity_link_fuzzy", "global_shuffle"):
+                 "quality_topk", "entity_link_fuzzy", "global_shuffle",
+                 "dedup_incremental", "dedup_substring",
+                 "boilerplate_windows"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -338,6 +338,83 @@ def near_dedup_minhash(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def _window_rows(
+    docs: DataFrame, window: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, win): each document's DISTINCT `window`-word spans."""
+    w = shingles(docs, id_col, text_col, k=window)
+    return w.select(F.col(id_col), F.explode("shingles").alias("win"))
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact substring duplicate detection: pairs of documents sharing
+    at least one verbatim `window`-word span, with the count of shared
+    distinct spans — the containment/boilerplate modality that
+    shingle-Jaccard misses (a 50-word quote inside a 5,000-word page
+    moves Jaccard ~1% but is an exact substring dup). This is the
+    n-gram-window formulation of suffix-based training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — public method; the reference engine has no
+    dedup surface).
+
+    Shape: one narrow explode to distinct windows per doc, then an
+    equi self-join keyed on the span — never a doc×doc product. The
+    skew hazard is a boilerplate span shared by millions of docs
+    (quadratic pairs in that bucket): ``max_bucket`` drops spans
+    carried by more than that many documents before pairing — at
+    scale ALWAYS set it and route the dropped spans through
+    :func:`boilerplate_windows` instead, which reports them linearly.
+
+    Documents shorter than `window` words degrade to one whole-text
+    span (shingles()'s n<k rule), so short exact dups still pair.
+    Returns (doc_a, doc_b, n_shared_windows)."""
+    ex = _window_rows(docs, window, id_col, text_col)
+    if max_bucket is not None:
+        ok = (
+            ex.groupBy("win")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") <= max_bucket)
+            .select("win")
+        )
+        ex = ex.join(ok, "win")
+    a = ex.select(F.col(id_col).alias("doc_a"), "win")
+    b = ex.select(F.col(id_col).alias("doc_b"), "win")
+    return (
+        a.join(b, "win")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+def boilerplate_windows(
+    docs: DataFrame,
+    window: int = 16,
+    min_docs: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The hot spans substring dedup must NOT pair on: verbatim
+    `window`-word spans carried by at least ``min_docs`` documents
+    (license headers, navigation chrome, legal disclaimers). One
+    groupBy over the window rows — linear where the pair join would be
+    quadratic. Feed the result to a filter/redaction stage and set
+    ``substring_dup_pairs(max_bucket=min_docs-1)`` so the two outputs
+    partition the span population. Returns (win, n_docs)."""
+    ex = _window_rows(docs, window, id_col, text_col)
+    return (
+        ex.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def incremental_near_dedup(
     corpus: DataFrame,
     new_docs: DataFrame,

@@ -1715,6 +1715,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "stream_dedup": q_stream_dedup,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_substring": q_dedup_substring,
+        "boilerplate_windows": q_boilerplate_windows,
     }
 
 
@@ -2173,3 +2175,94 @@ LEFT JOIN bn ON bn.new_id = n.doc_id
 
 
 ORACLES["dedup_incremental"] = _incremental_oracle()
+
+
+def _win16_sql(docs_cte: str) -> str:
+    """DuckDB CTEs building each doc's DISTINCT 16-word spans from the
+    CTE ``docs_cte(doc_id, text)`` — mirrors dedup.shingles(k=16)
+    including the n<k whole-text degradation."""
+    terms = "||' '||".join(["w[i]"] + [f"w[i+{j}]" for j in range(1, 16)])
+    return rf"""
+t AS (SELECT doc_id, {_NORM_W} AS w FROM {docs_cte}),
+sh AS (SELECT doc_id,
+       list_distinct(CASE WHEN len(w) < 16 THEN [array_to_string(w[1:16], ' ')]
+            ELSE list_transform(range(1, len(w)-14), i -> {terms}) END) AS s
+       FROM t),
+exw AS (SELECT doc_id, unnest(s) AS win FROM sh)"""
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (16-word verbatim span) duplicate pairs over a
+    corpus with planted containment: every doc_id%50==0 document gets a
+    copy under id+6000000 with extra trailing words — near-invisible to
+    set-Jaccard on long docs, but an exact substring dup. max_bucket=10
+    exercises the boilerplate guard on the pair join."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.concat("text", F.lit(" plus wholly fresh trailing suffix words")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(copies)
+    return dedup.substring_dup_pairs(corpus, window=16, max_bucket=10).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("n_shared_windows").cast("long"),
+    )
+
+
+ORACLES["dedup_substring"] = rf"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 6000000 AS BIGINT),
+         text || ' plus wholly fresh trailing suffix words'
+  FROM documents WHERE doc_id % 50 = 0),
+{_win16_sql('corpus')},
+ok AS (SELECT win FROM exw GROUP BY win HAVING COUNT(*) <= 10),
+exf AS (SELECT doc_id, win FROM exw JOIN ok USING (win))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+FROM exf a JOIN exf b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-span report (the linear complement of dedup_substring's
+    max_bucket guard): a 17-word disclaimer appended to every
+    doc_id%10==0 document must surface as 2 spans carried by
+    n_docs(corpus)/10 documents each."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    suffix = (
+        " standard legal disclaimer boilerplate sentence repeated verbatim"
+        " across many documents of this corpus for testing window detection"
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat("text", F.lit(suffix))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.boilerplate_windows(corpus, window=16, min_docs=25).select(
+        "win", F.col("n_docs").cast("long")
+    )
+
+
+ORACLES["boilerplate_windows"] = rf"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text ||
+           ' standard legal disclaimer boilerplate sentence repeated verbatim' ||
+           ' across many documents of this corpus for testing window detection'
+         ELSE text END AS text
+  FROM documents),
+{_win16_sql('corpus')}
+SELECT win, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM exw GROUP BY win HAVING COUNT(*) >= 25
+"""

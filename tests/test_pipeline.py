@@ -472,3 +472,30 @@ def test_incremental_dedup_decisions_and_index_reuse(spark):
         corpus, batch, threshold=0.5, corpus_bands=idx, corpus_shingles=sh_c
     )
     assert {r["doc_id"]: (r["dup_of"], r["admitted"]) for r in out2.collect()} == got
+
+
+def test_substring_dup_pairs_containment_and_boilerplate_guard(spark):
+    from semargl_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(1, 21))          # 20 words
+    boiler = " ".join(f"b{i}" for i in range(1, 17))        # 16 words
+    rows = [
+        (1, base),
+        (2, base + " x1 x2 x3"),                            # containment dup
+        (3, " ".join(f"z{i}" for i in range(1, 21))),       # unrelated
+    ] + [(10 + i, f"p{i} " + boiler) for i in range(12)]    # hot span ×12
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup.substring_dup_pairs(docs, window=16, max_bucket=10)
+    got = {(r.doc_a, r.doc_b): r.n_shared_windows for r in pairs.collect()}
+    # doc 1 has 5 16-word windows, all contained in doc 2; the 12
+    # boilerplate docs share ONLY the hot span, which the guard drops —
+    # no quadratic pair blowup
+    assert got == {(1, 2): 5}
+
+    hot = dedup.boilerplate_windows(docs, window=16, min_docs=12).collect()
+    assert [(r.win, r.n_docs) for r in hot] == [(boiler, 12)]
+
+    # without the guard the hot bucket pairs quadratically: 12C2 = 66
+    unguarded = dedup.substring_dup_pairs(docs, window=16)
+    assert unguarded.count() == 66 + 1
