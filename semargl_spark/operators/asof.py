@@ -84,3 +84,60 @@ def asof_join(
     for c in payload:
         out = out.withColumn(f"{prefix}{c}", F.col("__asof_hit")[c])
     return out.drop("__asof_tag", "__asof_tie", "__asof_pay", "__asof_hit")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    by: str | None = "user_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 86400,
+    max_buckets: int = 1000,
+) -> DataFrame:
+    """Point-in-interval join (half-open ``start ≤ ts < end``) — the
+    range join Spark executes as a per-group cross product when written
+    naively (``ON p.ts >= i.start AND p.ts < i.end`` is a
+    BroadcastNestedLoop/cartesian per key group: quadratic on hot
+    groups).
+
+    Scale shape — the bucketed band join: intervals explode to the
+    time buckets they cover (bounded: span/bucket_seconds rows each,
+    guarded by ``max_buckets``), points map to exactly ONE bucket, and
+    the two sides meet in a plain equi-join on (by, bucket) followed by
+    the exact containment filter. Each (point, interval) pair meets in
+    exactly one bucket — the point's — so no distinct pass is needed.
+    Pick ``bucket_seconds`` near the typical interval span: wider
+    buckets mean fewer index rows but more false candidates for the
+    filter; either way the join is linear in |points| + Σ span/bucket.
+
+    Returns every points row matched with every containing intervals
+    row (inner; points in no interval drop out). Reference parity: n/a
+    — target-side surface for the events table (same family as
+    :func:`asof_join`).
+    """
+    w = F.lit(bucket_seconds).cast("long")
+    p_bucket = F.floor(F.unix_timestamp(F.col(on)) / w)
+    i_start = F.floor(F.unix_timestamp(F.col(start_col)) / w)
+    i_end = F.floor(F.unix_timestamp(F.col(end_col)) / w)
+    n_buckets = i_end - i_start + 1
+    guarded = F.when(
+        n_buckets <= F.lit(max_buckets), F.sequence(i_start, i_end)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval_join: interval spans more than %s buckets of %ss — "
+                "raise bucket_seconds or max_buckets",
+                F.lit(str(max_buckets)),
+                F.lit(str(bucket_seconds)),
+            )
+        )
+    )
+    keys = ([by] if by else []) + ["__bucket"]
+    pb = points.withColumn("__bucket", p_bucket)
+    ib = intervals.withColumn("__bucket", F.explode(guarded))
+    out = pb.join(ib, keys).filter(
+        (F.col(on) >= F.col(start_col)) & (F.col(on) < F.col(end_col))
+    )
+    return out.drop("__bucket")

@@ -146,4 +146,53 @@ def registry():
         "events_metrics": q_events_metrics,
         "events_props_json": q_events_props_json,
         "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
     }
+
+
+def q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/asof.py interval_join): every
+    signup event opens a half-open 2-day window for its user; attach
+    each event to every containing window. Executes as a bounded bucket
+    explode + equi-join on (user_id, day-bucket) + exact containment
+    filter — never the per-user range cross product the naive ON-clause
+    would plan. The oracle is the plain (safe-at-small-scale) range
+    join."""
+    from .operators.asof import interval_join
+
+    e = _events(spark, sf_dir)
+    iv = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("end_ts"),
+    )
+    out = interval_join(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        iv,
+        on="ts",
+        by="user_id",
+        bucket_seconds=86400,
+    )
+    return out.select(
+        "event_id",
+        "interval_id",
+        "user_id",
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("start_ts").cast("timestamp"))
+        ).alias("offset_us"),
+    )
+
+
+ORACLES["events_interval"] = """
+WITH iv AS (
+  SELECT user_id, event_id AS interval_id, ts AS start_ts,
+         ts + INTERVAL 2 DAY AS end_ts
+  FROM events WHERE event_type = 'signup')
+SELECT e.event_id, iv.interval_id, e.user_id, e.event_type,
+       epoch_us(e.ts) - epoch_us(iv.start_ts) AS offset_us
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+"""

@@ -48,3 +48,47 @@ def test_asof_no_right_rows_at_all(spark):
     assert row["asof_value"] is None and row["asof_ts"] is None
     # left schema passes through untouched
     assert {"user_id", "event_id", "ts"} <= set(out.columns)
+
+
+def test_interval_join_matches_containment_and_plans_equi(spark):
+    from semargl_spark.operators.asof import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 1, _ts(5)), (1, 2, _ts(30)), (1, 3, _ts(59)), (2, 4, _ts(30))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    # one 55-second interval for user 1: [4, 59) — catches 5 and 30,
+    # excludes 59 (half-open) and user 2's point
+    iv = spark.createDataFrame(
+        [(1, 10, _ts(4), _ts(59))],
+        "user_id long, interval_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join(points, iv, on="ts", by="user_id", bucket_seconds=10)
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+    # exactly one row per (point, interval) pair despite the interval
+    # covering 6 buckets
+    assert out.count() == out.select("event_id", "interval_id").distinct().count()
+    # the scale contract: an equi-join, never a nested-loop range join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_guards_unbounded_intervals(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F  # noqa: F401
+    from semargl_spark.operators.asof import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 1, _ts(5))], "user_id long, event_id long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, 10, _ts(0), _ts(59))],
+        "user_id long, interval_id long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(Exception) as ei:
+        interval_join(
+            points, iv, on="ts", by="user_id", bucket_seconds=10, max_buckets=2
+        ).collect()
+    assert "interval_join" in str(ei.value)
