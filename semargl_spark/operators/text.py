@@ -372,3 +372,49 @@ def repetition_stats(docs: DataFrame, id_col="doc_id", text_col="text") -> DataF
             ).alias("dup_bigram_ppm"),
         )
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact nearest-rank token-length quantiles per group — corpus
+    length-distribution reporting for curation cut-offs (truncation
+    budgets, packing bin sizes).
+
+    Scale shape: the raw rows collapse FIRST to a (group, n_tokens)
+    value histogram — token counts are a small integer domain, so the
+    histogram is tiny no matter how many documents feed it — and the
+    quantile is read off the cumulative histogram with one window over
+    that tiny table. Neither Spark's exact ``percentile`` (builds a
+    per-group value map in aggregation-buffer memory) nor a per-group
+    sort of 10^12 raw rows happens. Nearest-rank definition: quantile q
+    = the smallest value whose cumulative count ≥ ceil(q·n) — integer
+    ranks, no interpolation, so the result is bit-exact in any engine.
+
+    Returns (group, n_docs, q50, q90, ... one column per requested q).
+    """
+    from pyspark.sql.window import Window
+
+    toks = _tokens(text_col)
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    hist = docs.select(
+        F.col(by).alias("grp"), n_tokens.cast("long").alias("v")
+    ).groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("grp").orderBy("v")
+    w_all = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp", "v", F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("tot"),
+    )
+    aggs = [F.max("tot").cast("long").alias("n_docs")] + [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("tot")), F.col("v"))
+        ).alias(f"q{int(round(q * 100))}")
+        for q in qs
+    ]
+    return cum.groupBy(F.col("grp").alias(by)).agg(*aggs)

@@ -1717,6 +1717,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_substring": q_dedup_substring,
         "boilerplate_windows": q_boilerplate_windows,
+        "corpus_quantiles": q_corpus_quantiles,
+        "kg_degree_stats": q_kg_degree_stats,
     }
 
 
@@ -2265,4 +2267,68 @@ WITH corpus AS (
 {_win16_sql('corpus')}
 SELECT win, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM exw GROUP BY win HAVING COUNT(*) >= 25
+"""
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact nearest-rank token-length quantiles via the
+    value-histogram rollup (operators/text.py length_quantiles) — the
+    length-distribution report that sizes truncation and packing
+    budgets."""
+    return text.length_quantiles(
+        _docs(spark, sf_dir), qs=(0.5, 0.9, 0.99), by="source"
+    ).select(
+        "source", "n_docs",
+        F.col("q50").cast("long"), F.col("q90").cast("long"),
+        F.col("q99").cast("long"),
+    )
+
+
+ORACLES["corpus_quantiles"] = rf"""
+WITH t AS (SELECT source,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len({_NORM_W}) END AS v
+      FROM documents),
+g AS (SELECT source, v, COUNT(*) AS c FROM t GROUP BY source, v),
+w AS (SELECT source, v,
+        SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        SUM(c) OVER (PARTITION BY source) AS tot
+      FROM g)
+SELECT source, CAST(MAX(tot) AS BIGINT) AS n_docs,
+       MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN v END) AS q50,
+       MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN v END) AS q90,
+       MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN v END) AS q99
+FROM w GROUP BY source
+"""
+
+
+def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG shape report per predicate: edge count, distinct subjects and
+    objects, and the hottest out-degree — the health check that spots
+    celebrity hubs (skew planning input for canonicalization) and
+    predicate cardinality classes (1:1 vs 1:N vs M:N). Two hash
+    aggregates over the edge table; the distincts are exact."""
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    out_deg = edges.groupBy("pred", "src").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    per_pred = edges.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src").alias("n_src"),
+        F.countDistinct("dst").alias("n_dst"),
+    )
+    hot = out_deg.groupBy("pred").agg(F.max("d").alias("max_out_degree"))
+    return per_pred.join(hot, "pred").select(
+        "pred", "n_edges", "n_src", "n_dst", "max_out_degree"
+    )
+
+
+ORACLES["kg_degree_stats"] = _KG_EDGES_SQL + """
+SELECT pred, COUNT(*) AS n_edges,
+       COUNT(DISTINCT src) AS n_src, COUNT(DISTINCT dst) AS n_dst,
+       (SELECT MAX(d) FROM (SELECT COUNT(*) AS d FROM edges e2
+                            WHERE e2.pred = e.pred GROUP BY e2.src))
+         AS max_out_degree
+FROM edges e GROUP BY pred
 """

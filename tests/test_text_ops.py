@@ -127,3 +127,22 @@ def test_repetition_stats_hand_checked(spark):
     assert got[2]["dup_bigram_ppm"] == 500000
     assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_ppm"] == 0
     assert got[4]["n_words"] == 0 and got[4]["dup_word_ppm"] == 0
+
+
+def test_length_quantiles_nearest_rank(spark):
+    from semargl_spark.operators.text import length_quantiles
+
+    rows = [(f"d{i}", "s", " ".join(["w"] * n)) for i, n in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    )] + [("e", "s", ""), ("x", "t", "a b c")]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r["source"]: r for r in length_quantiles(
+        docs, qs=(0.5, 0.9), by="source"
+    ).collect()}
+    # group s: 11 docs with lengths [0,1..10]; rank ceil(.5*11)=6 -> value 5,
+    # rank ceil(.9*11)=10 -> value 9
+    assert out["s"]["n_docs"] == 11
+    assert out["s"]["q50"] == 5 and out["s"]["q90"] == 9
+    # group t: single 3-word doc; every quantile is 3
+    assert out["t"]["n_docs"] == 1
+    assert out["t"]["q50"] == 3 and out["t"]["q90"] == 3
