@@ -173,6 +173,61 @@ def main():
     checks.append(("turtle round trip is narrow beyond the seed spread",
                    n_nodes(p, "Exchange") <= 1))
 
+    # 12. interval join: bucketed band join — plain equi-join, never a
+    # nested-loop range join
+    from semargl_spark.operators.asof import interval_join
+
+    iv = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("end_ts"),
+    )
+    p = plan_of(
+        interval_join(
+            events.select("event_id", "user_id", "ts"), iv, by="user_id"
+        )
+    )
+    sections.append(("events_interval", p))
+    checks.append(("interval join is an equi-join (no nested-loop/cartesian)",
+                   "NestedLoop" not in p and "Cartesian" not in p))
+
+    # 13. substring dedup: span equi-join with the hot-bucket guard —
+    # no cartesian, no Python
+    from semargl_spark.operators import dedup as dedup_ops
+
+    p = plan_of(dedup_ops.substring_dup_pairs(docs, max_bucket=10))
+    sections.append(("dedup_substring", p))
+    checks.append(("substring dedup: equi-joins only, JVM-side",
+                   "NestedLoop" not in p and "Cartesian" not in p
+                   and "Python" not in p))
+
+    # 14. incremental dedup: the corpus meets the batch only through
+    # band-key / candidate equi-joins — never a similarity cross product
+    new_docs = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).limit(50)
+    p = plan_of(dedup_ops.incremental_near_dedup(docs, new_docs))
+    sections.append(("dedup_incremental", p))
+    checks.append(("incremental dedup: equi-joins only (no cross product)",
+                   "NestedLoop" not in p and "Cartesian" not in p))
+
+    # 15. length quantiles: the histogram HashAggregate must run BEFORE
+    # the quantile window (the window sees the collapsed table, not raw
+    # rows), and the whole plan stays JVM-side
+    from semargl_spark.operators.text import length_quantiles
+
+    p = plan_of(length_quantiles(docs))
+    sections.append(("corpus_quantiles", p))
+    agg_first = re.search(r"Window", p) and re.search(r"HashAggregate", p)
+    # formatted plans list children bottom-up in the tree header; the
+    # histogram aggregate must appear deeper (later id) than the window
+    tree = p.split("== Physical Plan ==")[1]
+    w_pos = tree.find("Window")
+    h_pos = tree.rfind("HashAggregate")
+    checks.append(("length quantiles: histogram aggregate feeds the window",
+                   bool(agg_first) and h_pos > w_pos and "Python" not in p))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
