@@ -280,6 +280,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_rdfxml": _extract_single_fmt("rdfxml"),
         "extract_turtle": q_extract_turtle,
         "extract_mixed": q_extract_mixed,
+        "extract_files": q_extract_files,
         "extract_errors": q_extract_errors,
         "turn_ordering": q_turn_ordering,
         "entity_dictionary": q_entity_dictionary,
@@ -293,3 +294,36 @@ def oracles() -> dict[str, str]:
     merged.update(queries_pipeline.ORACLES)
     merged.update(queries_events.ORACLES)
     return merged
+
+
+def q_extract_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based ingestion (reference S2: process(File, baseUri),
+    BaseStreamProcessor.java:61-84): the first 50 conversations are
+    written out as one .nt document file per turn (c<conv>_t<turn>.nt),
+    read back through sources/rdf_files.py, and extracted — the result
+    must be byte-identical to table ingestion of the same bodies, so
+    the oracle is the extract_ntriples closed form restricted to
+    doc_id < 50 (bnode labels included: document identity survives the
+    file round trip)."""
+    import os
+    import tempfile
+
+    from .sources.rdf_files import read_rdf_files
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    subset = t.filter(
+        F.substring("conv_id", 2, 10).cast("int") < 50
+    ).select("conv_id", "turn_idx", "text")
+    base = tempfile.mkdtemp(prefix="semargl_q_files_")
+    for r in subset.collect():
+        fn = os.path.join(base, f"{r['conv_id']}_t{r['turn_idx']}.nt")
+        with open(fn, "w", encoding="utf-8") as f:
+            f.write(r["text"])
+    docs = read_rdf_files(spark, f"{base}/*.nt")
+    return triples(extract_statements(docs)).select(*STMT_COLS)
+
+
+ORACLES["extract_files"] = ORACLES["extract_ntriples"].replace(
+    "FROM documents CROSS JOIN",
+    "FROM (SELECT * FROM documents WHERE doc_id < 50) CROSS JOIN",
+)
