@@ -92,7 +92,8 @@ def main() -> None:
                  "events_asof", "events_interval", "corpus_mix", "quota_resample",
                  "quality_topk", "entity_link_fuzzy", "global_shuffle",
                  "dedup_incremental", "dedup_substring",
-                 "boilerplate_windows", "corpus_quantiles", "kg_degree_stats"):
+                 "boilerplate_windows", "corpus_quantiles", "kg_degree_stats",
+                 "semdedup", "top_terms", "top_ngrams"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -146,3 +146,88 @@ def kmeans_assign(
         )
 
     return assign(centroids)
+
+
+def semdedup(
+    vecs: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    dims: int = 64,
+    tau2_num: int = 9,
+    tau2_den: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means coarse clusters bound the candidate set,
+    then cosine similarity is evaluated ONLY within each cluster — a
+    vector is a duplicate when some smaller-id vector in its cluster is
+    within the cosine threshold (min-id keeper, matching the exact-dedup
+    keeper rule in operators/dedup.py). Returns
+    ``(vec_id, cluster, dup_of, is_dup)`` with ``dup_of`` the smallest
+    qualifying keeper id (null for keepers).
+
+    The threshold is the RATIONAL ``tau2_num/tau2_den = τ²`` and the
+    test is evaluated in integer arithmetic — ``dot > 0 AND
+    tau2_den·dot² ≥ tau2_num·‖a‖²·‖b‖²`` over Q20 quantized vectors —
+    so Spark and an external SQL oracle agree bit-exactly (no sqrt, no
+    float accumulation order). Magnitudes: ‖q‖² ≤ d·2^42 → the decimal
+    products stay ≤ ~10^33 for d ≤ 64, inside decimal(38,0) / HUGEINT.
+
+    Scale shape (10^9+ vectors): the pairwise stage is quadratic ONLY
+    inside a cell; production sizing picks k ≈ N/target_cell so cells
+    stay ~constant (SemDeDup uses k ~ 10^4-10^5 at 10^8 docs). The
+    cluster-key self-join shuffles both sides on ``cluster`` — an
+    equi-join, never a cross join — and the per-pair dot product is a
+    JVM ``zip_with``/``aggregate`` inside whole-stage codegen.
+    """
+    assign = kmeans_assign(
+        vecs, k=k, iterations=iterations, dims=dims,
+        id_col=id_col, vec_col=vec_col,
+    ).select("vec_id", "cluster")
+    q = vecs.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        quantize(F.col(vec_col), dims).alias("qv"),
+    )
+    a = assign.join(q, "vec_id").withColumn(
+        "n2", _dist_fp(F.col("qv"), F.array([F.lit(0).cast("long")] * dims))
+    )
+    x, y = a.alias("x"), a.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.qv"), F.col("y.qv"), lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") > F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            F.col("y.vec_id").alias("other"),
+            dot.alias("dot"),
+            F.col("x.n2").alias("nx2"),
+            F.col("y.n2").alias("ny2"),
+        )
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast(dec) * F.col("dot") * F.lit(tau2_den)
+                >= F.col("nx2").cast(dec) * F.col("ny2") * F.lit(tau2_num)
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.min("other").alias("dup_of"))
+    )
+    return (
+        assign.join(pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -400,3 +400,74 @@ def global_shuffle(
             (F.col("__off") + F.col("__rank")).cast("long").alias("pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-document top terms and corpus-wide top n-grams
+# ---------------------------------------------------------------------------
+
+
+def top_terms(
+    docs: DataFrame, k: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Per-document top-``k`` terms by the document-frequency-normalized
+    weight ``tf/df`` → (doc_id, term, tf, df, rnk).
+
+    TF-IDF-style term salience with a RATIONAL weight: a single IEEE
+    division of two small integers is correctly rounded and therefore
+    identical in every engine, so the ranking is gateable against an
+    external SQL oracle — ``tf·log(N/df)`` would hang the gate on libm
+    rounding differences. Ties break on the term string.
+
+    Scale shape: tf is one (doc, term) groupBy with map-side partials;
+    df derives from tf by a term-key groupBy (vocabulary-sized, NOT
+    corpus-sized); the tf⋈df equi-join shuffles on term where AQE picks
+    broadcast when the vocabulary is small; the final window partitions
+    by doc_id — per-partition state is one document's term list.
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.col("tf").cast("double") / F.col("df")), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .where(F.col("rnk") <= k)
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20, text_col="text") -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams → (ngram, n_count, rnk):
+    the boilerplate/contamination reconnaissance view (which spans
+    repeat verbatim across the corpus).
+
+    Scale shape: explode → one (ngram) groupBy with map-side partials,
+    then a global top-k which Spark executes as TakeOrderedAndProject
+    (per-partition heaps of k, no global sort); the rank window runs
+    over the k survivors only. Ties break (count desc, ngram asc).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_count"))
+    )
+    topk = counts.orderBy(F.desc("n_count"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("n_count"), F.asc("ngram"))
+    return topk.select(
+        "ngram", "n_count", F.row_number().over(w).cast("int").alias("rnk")
+    )

@@ -1708,6 +1708,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path": q_kg_path,
         "repetition_stats": q_repetition_stats,
         "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "corpus_mix": q_corpus_mix,
         "quota_resample": q_quota_resample,
@@ -1717,6 +1718,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_substring": q_dedup_substring,
         "boilerplate_windows": q_boilerplate_windows,
+        "top_terms": q_top_terms,
+        "top_ngrams": q_top_ngrams,
         "corpus_quantiles": q_corpus_quantiles,
         "kg_degree_stats": q_kg_degree_stats,
     }
@@ -1801,9 +1804,10 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(_embeddings(spark, sf_dir), k=8, iterations=3, dims=64)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
     # centroids live as (cluster, pos, val) position tables; truncating
-    # integer division (x - x%n)/n matches clustering.py _tdiv exactly
+    # integer division (x - x%n)/n matches clustering.py _tdiv exactly;
+    # the chain ends at bf, whose rn=1 rows are the final assignment
     sql = """
 WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                   list_transform(embedding[1:64],
@@ -1833,13 +1837,68 @@ af AS (SELECT p.vec_id, c.cluster,
        GROUP BY p.vec_id, c.cluster),
 bf AS (SELECT vec_id, cluster, dist,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-       FROM af)
-SELECT vec_id, CAST(cluster AS INT) AS cluster, dist AS dist_fp
-FROM bf WHERE rn = 1""" % {"last": iters}
+       FROM af)""" % {"last": iters}
     return sql
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    return (
+        _kmeans_ctes(k, iters)
+        + """
+SELECT vec_id, CAST(cluster AS INT) AS cluster, dist AS dist_fp
+FROM bf WHERE rn = 1"""
+    )
+
+
 ORACLES["kmeans_assign"] = _kmeans_oracle()
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means cells bound the candidate
+    set, cosine is evaluated only within a cell, min-id keeper — the
+    embedding-space scale path for dedup (pairwise work is quadratic
+    only inside a ~constant-size cell, never corpus-wide)."""
+    from .operators.clustering import semdedup
+
+    return semdedup(
+        _embeddings(spark, sf_dir), k=8, iterations=3, dims=64,
+        tau2_num=9, tau2_den=100,
+    )
+
+
+def _semdedup_oracle(tau2_num: int = 9, tau2_den: int = 100) -> str:
+    # the integer test tau2_den·dot² ≥ tau2_num·‖x‖²·‖y‖² runs in
+    # HUGEINT here and decimal(38,0) in Spark — both exact at ≤ ~10^33
+    return (
+        _kmeans_ctes()
+        + """,
+assign AS (SELECT vec_id, CAST(cluster AS INT) AS cluster
+           FROM bf WHERE rn = 1),
+n2 AS (SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS n2
+       FROM qpos GROUP BY vec_id),
+dots AS (SELECT x.vec_id AS xid, y.vec_id AS yid,
+                CAST(SUM(px.val * py.val) AS BIGINT) AS dot
+         FROM assign x JOIN assign y
+           ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+         JOIN qpos px ON px.vec_id = x.vec_id
+         JOIN qpos py ON py.vec_id = y.vec_id AND py.pos = px.pos
+         GROUP BY x.vec_id, y.vec_id),
+dup AS (SELECT d.xid AS vec_id, MIN(d.yid) AS dup_of
+        FROM dots d
+        JOIN n2 nx ON nx.vec_id = d.xid
+        JOIN n2 ny ON ny.vec_id = d.yid
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * %(den)d
+              >= CAST(nx.n2 AS HUGEINT) * ny.n2 * %(num)d
+        GROUP BY d.xid)
+SELECT a.vec_id, a.cluster, dup.dup_of,
+       dup.dup_of IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dup ON dup.vec_id = a.vec_id"""
+        % {"num": tau2_num, "den": tau2_den}
+    )
+
+
+ORACLES["semdedup"] = _semdedup_oracle()
 
 
 # ----------------------------------------- corpus-mix / resample / top-k
@@ -2331,4 +2390,55 @@ SELECT pred, COUNT(*) AS n_edges,
                             WHERE e2.pred = e.pred GROUP BY e2.src))
          AS max_out_degree
 FROM edges e GROUP BY pred
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf/df (TF-IDF-style salience with a
+    rational, engine-exact weight) — operators/curation.top_terms."""
+    return curation.top_terms(_docs(spark, sf_dir), k=3).select(
+        F.col("doc_id").cast("long"), "term", "tf", "df", "rnk"
+    )
+
+
+ORACLES["top_terms"] = r"""
+WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS ws
+           FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY tf.doc_id
+          ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS INT) AS rnk
+      FROM tf JOIN df USING (term))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df, rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams (count desc, gram asc) — the
+    boilerplate/contamination reconnaissance rollup,
+    operators/curation.top_ngrams (TakeOrderedAndProject top-k)."""
+    return curation.top_ngrams(_docs(spark, sf_dir), n=3, k=20)
+
+
+ORACLES["top_ngrams"] = r"""
+WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS ws
+           FROM documents),
+g AS (SELECT unnest(CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' ')) END)
+        AS ngram
+      FROM w),
+c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_count FROM g GROUP BY 1),
+r AS (SELECT ngram, n_count,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_count DESC, ngram) AS INT) AS rnk
+      FROM c)
+SELECT ngram, n_count, rnk FROM r WHERE rnk <= 20
 """

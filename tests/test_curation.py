@@ -272,3 +272,43 @@ def test_global_shuffle_rejects_non_divisor_blocks(spark):
     docs = _df(spark, [(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         curation.global_shuffle(docs, n_blocks=100)
+
+
+def test_top_terms_ranks_rare_terms_first(spark):
+    # 'rare' appears in one doc (df=1), 'common' in all three (df=3):
+    # within doc 0, tf/df favors rare (1/1) over common (2/3)
+    docs = _df(
+        spark,
+        [
+            (0, "common rare common"),
+            (1, "common zz"),
+            (2, "common yy yy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["df"])
+        for r in curation.top_terms(docs, k=2).collect()
+    }
+    assert out[(0, 1)] == ("rare", 1, 1)
+    assert out[(0, 2)] == ("common", 2, 3)
+    assert out[(2, 1)] == ("yy", 2, 1)
+
+
+def test_top_terms_tie_breaks_on_term(spark):
+    docs = _df(spark, [(0, "b a")], "doc_id long, text string")
+    out = [r["term"] for r in
+           curation.top_terms(docs, k=2).orderBy("rnk").collect()]
+    assert out == ["a", "b"]  # identical tf/df → lexicographic
+
+
+def test_top_ngrams_counts_and_rank(spark):
+    docs = _df(
+        spark,
+        [(0, "x y z x y z"), (1, "x y z w"), (2, "a b")],  # doc 2: no trigram
+        "doc_id long, text string",
+    )
+    out = [(r["ngram"], r["n_count"], r["rnk"])
+           for r in curation.top_ngrams(docs, n=3, k=3).orderBy("rnk").collect()]
+    assert out[0] == ("x y z", 3, 1)
+    assert len(out) == 3 and [r[2] for r in out] == [1, 2, 3]

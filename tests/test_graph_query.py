@@ -172,6 +172,48 @@ def test_kmeans_partitioning_invariant(spark):
     assert a == b
 
 
+def test_semdedup_min_id_keeper_within_cluster(spark):
+    """Parallel vectors (cosine 1) in the same k-means cell collapse to
+    the min-id keeper; near-orthogonal vectors survive; similar vectors
+    in DIFFERENT cells are never compared (cell-bounded candidacy)."""
+    from semargl_spark.operators.clustering import semdedup
+
+    rows = [
+        (0, [1.0, 0.01]), (1, [10.0, 10.1]),        # seeds → cells 0, 1
+        (2, [2.0, 0.02]), (4, [0.5, 0.005]),        # ∥ to 0 → dups of 0
+        (3, [9.9, 10.0]),                           # ∥ to 1 → dup of 1
+        (5, [0.9, -0.9]),                           # cell 0, orthogonal-ish
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(vecs, k=2, iterations=2, dims=2,
+                   tau2_num=98, tau2_den=100)
+    got = {r["vec_id"]: (r["dup_of"], r["is_dup"]) for r in out.collect()}
+    assert got[0] == (None, False) and got[1] == (None, False)
+    assert got[2] == (0, True) and got[4] == (0, True)
+    assert got[3] == (1, True)
+    assert got[5] == (None, False)
+
+
+def test_semdedup_partitioning_invariant(spark):
+    from semargl_spark.operators.clustering import semdedup
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {tuple(r) for r in semdedup(vecs, k=3, iterations=2, dims=3,
+                                    tau2_num=50, tau2_den=100).collect()}
+    b = {tuple(r) for r in semdedup(vecs.repartition(13), k=3, iterations=2,
+                                    dims=3, tau2_num=50,
+                                    tau2_den=100).collect()}
+    assert a == b
+    assert any(r[3] for r in a) and any(not r[3] for r in a)
+
+
 def test_lsh_and_cosine_arrow_path_bit_equals_expr(spark):
     """The Arrow-vectorized fold must be BIT-identical to the Catalyst
     higher-order-function fold (same per-dim accumulation order)."""

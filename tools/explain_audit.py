@@ -161,6 +161,20 @@ def main():
     checks.append(("kmeans: centroids broadcast, argmin is a hash agg",
                    "BroadcastNestedLoopJoin" in p and "HashAggregate" in p))
 
+    # 10b. semdedup: the pairwise cosine stage must be an EQUI-join on
+    # the k-means cell (SortMergeJoin [cluster]) — never a corpus-wide
+    # cartesian; the only nested-loop allowed is the broadcast
+    # k-centroid assignment inherited from kmeans_assign
+    from semargl_spark.operators.clustering import semdedup
+
+    p = plan_of(semdedup(emb, k=4, iterations=1, dims=64))
+    sections.append(("semdedup (cell-bounded pairwise cosine)", p))
+    import re as _re
+
+    checks.append(("semdedup: pairwise stage joins on cluster, no cartesian",
+                   "Cartesian" not in p
+                   and _re.search(r"Left keys \[1\]: \[cluster#", p) is not None))
+
     # 11. turtle round trip: render + re-parse stays a narrow Arrow
     # pipeline — no shuffle anywhere
     from semargl_spark.operators.serialize_ops import render_turtle_docs
