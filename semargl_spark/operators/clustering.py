@@ -171,8 +171,13 @@ def semdedup(
     test is evaluated in integer arithmetic — ``dot > 0 AND
     tau2_den·dot² ≥ tau2_num·‖a‖²·‖b‖²`` over Q20 quantized vectors —
     so Spark and an external SQL oracle agree bit-exactly (no sqrt, no
-    float accumulation order). Magnitudes: ‖q‖² ≤ d·2^42 → the decimal
-    products stay ≤ ~10^33 for d ≤ 64, inside decimal(38,0) / HUGEINT.
+    float accumulation order). Magnitudes: ‖q‖² ≤ d·2^42 for unit-scale
+    inputs, and by Cauchy-Schwarz dot² ≤ ‖a‖²·‖b‖², so with
+    ‖q‖² < 2^56 every decimal product stays < 5.2·10^37 — inside
+    decimal(38,0) / HUGEINT. The norm bound is ENFORCED per row
+    (raise_error, like kmeans_assign's packed-argmin guard): an
+    unnormalized embedding would otherwise overflow the decimal to
+    NULL and silently drop its duplicate pairs.
 
     Scale shape (10^9+ vectors): the pairwise stage is quadratic ONLY
     inside a cell; production sizing picks k ≈ N/target_cell so cells
@@ -189,8 +194,34 @@ def semdedup(
         F.col(id_col).cast("long").alias("vec_id"),
         quantize(F.col(vec_col), dims).alias("qv"),
     )
+    if not 0 < tau2_num <= tau2_den <= 10_000:
+        raise ValueError(
+            f"semdedup: need 0 < tau2_num <= tau2_den <= 10000, got "
+            f"{tau2_num}/{tau2_den} (τ² is a cosine² in (0, 1])"
+        )
+    # guard COMPONENTS first, then the norm: a huge component wraps the
+    # int64 square before any norm-only check could see it. |q_i| < 2^25
+    # keeps per-dim squares < 2^50 (wrap-free for d ≤ 2^13), after which
+    # ‖q‖² < 2^56 guarantees dot²·tau2_den ≤ ‖a‖²‖b‖²·10^4 < 5.2·10^37,
+    # inside decimal(38,0). Q20 unit-scale inputs sit at |q_i| ≤ ~2^21,
+    # ‖q‖² ≤ d·2^42 — far inside both bounds.
+    comp_lim = 1 << 25
+    if dims > (1 << 13):
+        raise ValueError(f"semdedup: dims must be ≤ 8192, got {dims}")
+    n2_raw = _dist_fp(F.col("qv"), F.array([F.lit(0).cast("long")] * dims))
+    in_bounds = (
+        F.array_max(F.transform(F.col("qv"), F.abs)) < F.lit(comp_lim)
+    ) & (n2_raw < F.lit(1 << 56))
     a = assign.join(q, "vec_id").withColumn(
-        "n2", _dist_fp(F.col("qv"), F.array([F.lit(0).cast("long")] * dims))
+        "n2",
+        F.when(in_bounds, n2_raw).otherwise(
+            F.raise_error(
+                F.lit(
+                    "semdedup: embedding magnitude overflows the exact "
+                    "decimal cosine test — normalize to unit scale first"
+                )
+            )
+        ),
     )
     x, y = a.alias("x"), a.alias("y")
     dot = F.aggregate(

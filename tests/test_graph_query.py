@@ -214,6 +214,34 @@ def test_semdedup_partitioning_invariant(spark):
     assert any(r[3] for r in a) and any(not r[3] for r in a)
 
 
+def test_semdedup_guards_unnormalized_inputs_and_bad_tau(spark):
+    """Overflowing ‖q‖² must raise, not silently NULL the decimal test
+    (which would drop duplicate pairs); τ² outside (0,1]·10^-4 grid is
+    rejected up front."""
+    import pytest
+
+    from semargl_spark.operators.clustering import semdedup
+
+    # under ANSI mode (Spark 4 default) the int64 square raises in the
+    # eager kmeans stage; with ANSI off the explicit in_bounds
+    # raise_error fires in the pairwise stage — either way, loud
+    big = spark.createDataFrame(
+        [(0, [3.0e5, 0.0]), (1, [3.0e5, 1.0]), (2, [2.9e5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="(?i)overflow"):
+        semdedup(big, k=2, iterations=1, dims=2).collect()
+
+    ok = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="tau2"):
+        semdedup(ok, k=1, iterations=1, dims=2, tau2_num=0, tau2_den=100)
+    with pytest.raises(ValueError, match="tau2"):
+        semdedup(ok, k=1, iterations=1, dims=2, tau2_num=2, tau2_den=1)
+
+
 def test_lsh_and_cosine_arrow_path_bit_equals_expr(spark):
     """The Arrow-vectorized fold must be BIT-identical to the Catalyst
     higher-order-function fold (same per-dim accumulation order)."""
