@@ -88,3 +88,67 @@ def match_bgp(
             acc = acc.crossJoin(df)
         bound |= vs
     return acc.select(*sorted(bound))
+
+
+def match_bgp_optional(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    optionals: list[list[tuple[str, str, str]]],
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL ``OPTIONAL``: the required BGP left-joined with each
+    optional pattern group on their shared variables; variables bound
+    only in a non-matching optional come back NULL.
+
+    Each optional group is itself a full BGP (so multi-pattern
+    OPTIONALs keep their internal joins), evaluated bottom-up exactly
+    like SPARQL's algebra ``LeftJoin(required, group)``. An optional
+    sharing no variable with the required part is a SPARQL-legal
+    Cartesian extension; Spark expresses that as a left crossJoin-like
+    full pairing only when rows exist — we instead raise, because at
+    10^12 triples a disconnected OPTIONAL is invariably a query bug.
+    Plan: each group is an equi-left-join Catalyst can reorder/broadcast.
+    """
+    acc = match_bgp(triples, patterns, s_col, p_col, o_col)
+    for group in optionals:
+        opt = match_bgp(triples, group, s_col, p_col, o_col)
+        shared = sorted(set(acc.columns) & set(opt.columns))
+        if not shared:
+            raise ValueError(f"OPTIONAL group {group} shares no variable with the required BGP")
+        acc = acc.join(opt, on=shared, how="left")
+    return acc.select(*sorted(acc.columns))
+
+
+def match_bgp_union(
+    triples: DataFrame,
+    branches: list[list[tuple[str, str, str]]],
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL ``UNION``: evaluate each branch BGP independently and
+    concatenate, padding variables unbound in a branch with NULL (bag
+    semantics, no dedup — SPARQL UNION is a multiset union).
+
+    Plan: N independent join trees under one Union node — Catalyst
+    optimizes each branch separately and the union is shuffle-free.
+    """
+    if not branches:
+        raise ValueError("empty UNION")
+    results = [match_bgp(triples, pats, s_col, p_col, o_col) for pats in branches]
+    allvars = sorted(set().union(*[set(r.columns) for r in results]))
+    padded = [
+        r.select(
+            *[
+                F.col(v) if v in r.columns else F.lit(None).cast("string").alias(v)
+                for v in allvars
+            ]
+        )
+        for r in results
+    ]
+    out = padded[0]
+    for r in padded[1:]:
+        out = out.unionByName(r)
+    return out

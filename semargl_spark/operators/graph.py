@@ -86,6 +86,71 @@ def bounded_paths(
     return seen
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED
+    simple graph induced by ``edges`` → (node, triangles), nodes in at
+    least one triangle.
+
+    Degree-ordered orientation (the classic scalable formulation):
+    every undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so each node's out-degree is bounded by
+    O(sqrt(|E|)) regardless of hubs — a celebrity node with 10^9
+    neighbors RECEIVES its edges instead of fanning them out, and the
+    wedge self-join below never explodes on it. Each triangle is then
+    counted exactly once as an oriented wedge (u→v, u→w with v ≺ w)
+    closed by the oriented edge (v→w).
+
+    Plan shape: one degree groupBy, two joins to attach endpoint keys,
+    a self-join on the wedge pivot, one closing join, one explode +
+    final groupBy — all equi-joins on uniform keys, no crossJoin, AQE
+    handles residual skew. This survives a 10^12-edge KG; the naive
+    per-node neighbor-intersection does not.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total orientation key: zero-padded degree then node id — a plain
+    # string compare reproduces the (deg, id) order on both sides of
+    # every join below
+    key = F.concat(F.lpad(F.col("deg").cast("string"), 20, "0"), F.lit("|"), F.col("node"))
+    keyed = deg.select("node", key.alias("k"))
+    oriented = (
+        und.join(keyed.select(F.col("node").alias("a"), F.col("k").alias("ka")), "a")
+        .join(keyed.select(F.col("node").alias("b"), F.col("k").alias("kb")), "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+        )
+    )
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = e1.join(e2, "u").filter(F.col("kx") < F.col("ky"))
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    ).select("u", "x", "y")
+    return (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,

@@ -461,6 +461,89 @@ r{i} AS (SELECT n.node,
 ORACLES["kg_pagerank"] = _pagerank_oracle()
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected KG (the 'urn:t:Thing'
+    type hub closes a triangle with every knows pair, so the counts are
+    non-trivial AND exercise the degree-ordered orientation's hub
+    handling — the hub never fans out its wedges)."""
+    from .operators.graph import triangle_counts
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return triangle_counts(edges)
+
+
+ORACLES["kg_triangles"] = _KG_EDGES_SQL + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY node
+"""
+
+
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the KG: every knows pair, optionally
+    extended with the target's relation edge — rows where the optional
+    does not match keep NULL in d (left-join semantics)."""
+    from .operators.bgp import match_bgp_optional
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return match_bgp_optional(
+        edges,
+        [("?a", "urn:p:knows", "?b")],
+        [[("?b", "http://purl.org/dc/terms/relation", "?d")]],
+    )
+
+
+ORACLES["kg_bgp_optional"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, k.dst AS b, r.dst AS d
+FROM edges k
+LEFT JOIN edges r ON r.src = k.dst
+                 AND r.pred = 'http://purl.org/dc/terms/relation'
+WHERE k.pred = 'urn:p:knows'
+"""
+
+
+def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION over the KG: knows pairs unioned with typed
+    relation pairs; the second branch binds an extra ?t that comes back
+    NULL for the first branch (bag semantics, no dedup)."""
+    from .operators.bgp import match_bgp_union
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return match_bgp_union(
+        edges,
+        [
+            [("?x", "urn:p:knows", "?y")],
+            [
+                ("?x", "http://purl.org/dc/terms/relation", "?y"),
+                ("?x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "?t"),
+            ],
+        ],
+    )
+
+
+ORACLES["kg_bgp_union"] = _KG_EDGES_SQL + """
+SELECT src AS x, dst AS y, CAST(NULL AS VARCHAR) AS t
+FROM edges WHERE pred = 'urn:p:knows'
+UNION ALL
+SELECT r.src, r.dst, ty.dst
+FROM edges r
+JOIN edges ty ON ty.src = r.src
+             AND ty.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+WHERE r.pred = 'http://purl.org/dc/terms/relation'
+"""
+
+
 def q_stream_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest → per-micro-batch KG merge (§2.11 + north_rule
     incremental pipeline): the mixed corpus is drained through
@@ -1669,6 +1752,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "kg_edges": q_kg_edges,
         "kg_bgp": q_kg_bgp,
+        "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_union": q_kg_bgp_union,
+        "kg_triangles": q_kg_triangles,
         "kg_pagerank": q_kg_pagerank,
         "stream_kg_edges": q_stream_kg_edges,
         "pipeline_kg": q_pipeline_kg,

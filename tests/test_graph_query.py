@@ -268,3 +268,125 @@ def test_lsh_and_cosine_arrow_path_bit_equals_expr(spark):
     c2 = {r["vec_id"]: r["cosine"] for r in
           S.with_cosine(df, "a", "b", method="expr").collect()}
     assert c1 == c2  # exact float equality, not approx
+
+
+# --- OPTIONAL / UNION (operators/bgp.py) -------------------------------
+
+def test_bgp_optional_null_when_unmatched(spark):
+    from semargl_spark.operators.bgp import match_bgp_optional
+
+    t = _triples(
+        spark,
+        [
+            ("a", "knows", "b"),
+            ("c", "knows", "d"),
+            ("b", "mbox", "b@x"),
+        ],
+    )
+    out = match_bgp_optional(
+        t, [("?x", "knows", "?y")], [[("?y", "mbox", "?m")]]
+    )
+    assert out.columns == ["m", "x", "y"]
+    rows = {(r["x"], r["y"], r["m"]) for r in out.collect()}
+    assert rows == {("a", "b", "b@x"), ("c", "d", None)}
+
+
+def test_bgp_optional_multi_pattern_group_is_all_or_nothing(spark):
+    from semargl_spark.operators.bgp import match_bgp_optional
+
+    # optional group needs BOTH mbox and name: y=b has both, y=d only mbox
+    t = _triples(
+        spark,
+        [
+            ("a", "knows", "b"),
+            ("c", "knows", "d"),
+            ("b", "mbox", "b@x"),
+            ("b", "name", "B"),
+            ("d", "mbox", "d@x"),
+        ],
+    )
+    out = match_bgp_optional(
+        t, [("?x", "knows", "?y")], [[("?y", "mbox", "?m"), ("?y", "name", "?n")]]
+    )
+    rows = {(r["x"], r["y"], r["m"], r["n"]) for r in out.collect()}
+    assert rows == {("a", "b", "b@x", "B"), ("c", "d", None, None)}
+
+
+def test_bgp_optional_rejects_disconnected_group(spark):
+    from semargl_spark.operators.bgp import match_bgp_optional
+
+    t = _triples(spark, [("a", "knows", "b")])
+    with pytest.raises(ValueError):
+        match_bgp_optional(t, [("?x", "knows", "?y")], [[("?p", "mbox", "?q")]])
+
+
+def test_bgp_union_pads_unbound_vars_and_keeps_duplicates(spark):
+    from semargl_spark.operators.bgp import match_bgp_union
+
+    t = _triples(
+        spark,
+        [
+            ("a", "knows", "b"),
+            ("a", "likes", "b"),
+            ("a", "type", "T"),
+        ],
+    )
+    out = match_bgp_union(
+        t,
+        [
+            [("?x", "knows", "?y")],
+            [("?x", "likes", "?y"), ("?x", "type", "?t")],
+        ],
+    )
+    assert out.columns == ["t", "x", "y"]
+    rows = sorted(
+        ((r["x"], r["y"], r["t"]) for r in out.collect()),
+        key=lambda v: (v[2] or "",),
+    )
+    assert rows == [("a", "b", None), ("a", "b", "T")]
+
+
+# --- triangle counting (operators/graph.py) ----------------------------
+
+def test_triangle_counts_simple(spark):
+    from semargl_spark.operators.graph import triangle_counts
+
+    # one triangle a-b-c plus a pendant edge c-d
+    e = _triples(
+        spark,
+        [
+            ("a", "p", "b"),
+            ("b", "p", "c"),
+            ("c", "p", "a"),
+            ("c", "p", "d"),
+        ],
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_ignores_direction_dups_and_self_loops(spark):
+    from semargl_spark.operators.graph import triangle_counts
+
+    e = _triples(
+        spark,
+        [
+            ("a", "p", "b"),
+            ("b", "q", "a"),   # reverse duplicate
+            ("a", "r", "a"),   # self loop
+            ("b", "p", "c"),
+            ("a", "p", "c"),
+        ],
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_hub_k4(spark):
+    from semargl_spark.operators.graph import triangle_counts
+
+    # K4: every node sits in C(3,2)=3 triangles, 4 triangles total
+    nodes = ["a", "b", "c", "d"]
+    rows = [(u, "p", v) for i, u in enumerate(nodes) for v in nodes[i + 1:]]
+    out = {r["node"]: r["triangles"] for r in triangle_counts(_triples(spark, rows)).collect()}
+    assert out == {n: 3 for n in nodes}
