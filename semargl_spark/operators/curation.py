@@ -471,3 +471,72 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20, text_col="text") -> Dat
     return topk.select(
         "ngram", "n_count", F.row_number().over(w).cast("int").alias("rnk")
     )
+
+
+def c4_rule_filter(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_word_len: int = 20,
+    max_top_token_permille: int = 80,
+    blocklist: tuple[str, ...] = ("lorem ipsum", "javascript required"),
+) -> DataFrame:
+    """C4-style rule filtering → (doc_id, n_words, max_word_len,
+    n_terminal_lines, n_lines, top_token_permille, has_brace,
+    has_blocked, keep).
+
+    The classic C4 cleaning rules (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", §2.2), re-expressed as one row-local
+    Catalyst projection: word-count window, curly-brace rejection (code
+    leakage), blocklist phrases, over-long "words" (minified blobs), a
+    terminal-punctuation line census, plus a repetition guard — the
+    most frequent token's per-mille share, integer math so the keep
+    decision is bit-identical in any engine. C4's remaining rule
+    (three-sentence-span dedup) is the separate dedup_substring /
+    boilerplate_windows operator.
+
+    Scale shape: NO shuffle — every flag, including the top-token
+    share, is computed inside the row (distinct tokens × tokens scan
+    per row beats an explode + two groupBys at 10^12 docs, and the
+    whole filter stays in one WholeStageCodegen span over the parquet
+    scan). Thresholds are integer per-mille so no float rounding can
+    flip keep across engines.
+    """
+    text = F.col(text_col)
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n_words = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    top_permille = ((top_cnt * 1000) - (top_cnt * 1000) % n_words) / n_words
+    lines = F.split(text, "\n")
+    n_terminal = F.size(F.filter(lines, lambda l: l.rlike("""[.!?"']\\s*$""")))
+    lowered = F.lower(text)
+    has_blocked = None
+    for phrase in blocklist:
+        c = F.contains(lowered, F.lit(phrase))
+        has_blocked = c if has_blocked is None else (has_blocked | c)
+    out = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.array_max(F.transform(toks, F.length)).cast("long").alias("max_word_len"),
+        n_terminal.cast("long").alias("n_terminal_lines"),
+        F.size(lines).cast("long").alias("n_lines"),
+        top_permille.cast("long").alias("top_token_permille"),
+        (F.contains(text, F.lit("{")) | F.contains(text, F.lit("}"))).alias("has_brace"),
+        has_blocked.alias("has_blocked"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("max_word_len") <= max_word_len)
+        & (F.col("top_token_permille") <= max_top_token_permille)
+        & ~F.col("has_brace")
+        & ~F.col("has_blocked")
+    )
+    return out.withColumn("keep", keep)

@@ -1784,6 +1784,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "pii_redact": q_pii_redact,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
         "split_assign": q_split_assign,
         "pack_sequences": q_pack_sequences,
         "contamination": q_contamination,
@@ -2527,4 +2529,76 @@ r AS (SELECT ngram, n_count,
         CAST(ROW_NUMBER() OVER (ORDER BY n_count DESC, ngram) AS INT) AS rnk
       FROM c)
 SELECT ngram, n_count, rnk FROM r WHERE rnk <= 20
+"""
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule filtering flags + keep decision per document
+    (operators/curation.c4_rule_filter) — shuffle-free row-local
+    projection, integer per-mille thresholds."""
+    return curation.c4_rule_filter(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "n_words", "max_word_len",
+        "n_terminal_lines", "n_lines", "top_token_permille",
+        "has_brace", "has_blocked", "keep",
+    )
+
+
+ORACLES["c4_filter"] = r"""
+WITH t AS (SELECT doc_id, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+        string_split(text, chr(10)) AS lines
+      FROM documents),
+x AS (SELECT doc_id, unnest(w) AS tok FROM t),
+c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM x GROUP BY 1, 2),
+m AS (SELECT doc_id, MAX(cnt) AS topc FROM c GROUP BY 1),
+f AS (SELECT t.doc_id,
+        CAST(len(t.w) AS BIGINT) AS n_words,
+        CAST(list_max(list_transform(t.w, s -> len(s))) AS BIGINT) AS max_word_len,
+        CAST(len(list_filter(t.lines,
+               l -> regexp_matches(l, '[.!?"'']\s*$'))) AS BIGINT) AS n_terminal_lines,
+        CAST(len(t.lines) AS BIGINT) AS n_lines,
+        CAST((m.topc * 1000) // len(t.w) AS BIGINT) AS top_token_permille,
+        (contains(t.text, '{') OR contains(t.text, '}')) AS has_brace,
+        (contains(lower(t.text), 'lorem ipsum')
+         OR contains(lower(t.text), 'javascript required')) AS has_blocked
+      FROM t JOIN m USING (doc_id))
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000 AND max_word_len <= 20
+   AND top_token_permille <= 80 AND NOT has_brace AND NOT has_blocked) AS keep
+FROM f
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram-LM fluency score in integer
+    micro-units (operators/lm.bigram_lm_score) — the CCNet-style
+    model-based quality signal, fixed-point so it is bit-identical
+    across engines and parallelism."""
+    from .operators.lm import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "n_bigrams", "score_micro",
+    )
+
+
+ORACLES["lm_score"] = r"""
+WITH t AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+v AS (SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(w) AS tok FROM t)),
+bi AS (SELECT doc_id, w[gs] AS w1, w[gs + 1] AS w2
+       FROM t, unnest(generate_series(1, len(w) - 1)) AS g(gs)
+       WHERE len(w) >= 2),
+bid AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bi GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, SUM(k) AS c2 FROM bid GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(k) AS c1 FROM bid GROUP BY 1),
+q AS (SELECT bid.doc_id, bid.k,
+        (1000000 * (c2.c2 + 1)) // (c1.c1 + (SELECT v FROM v)) AS q
+      FROM bid JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+s AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        CAST(SUM(q * k) // SUM(k) AS BIGINT) AS score_micro
+      FROM q GROUP BY 1)
+SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.score_micro
+FROM documents d LEFT JOIN s USING (doc_id)
 """

@@ -312,3 +312,88 @@ def test_top_ngrams_counts_and_rank(spark):
            for r in curation.top_ngrams(docs, n=3, k=3).orderBy("rnk").collect()]
     assert out[0] == ("x y z", 3, 1)
     assert len(out) == 3 and [r[2] for r in out] == [1, 2, 3]
+
+
+# --- C4-style rule filter ----------------------------------------------
+
+def _fifty_words():
+    # 50 words, no token above 80 permille (each of 10 words appears 5x
+    # = 100 permille... make it varied: 50 distinct words)
+    return " ".join(f"word{i:02d}" for i in range(50))
+
+
+def test_c4_filter_keeps_clean_long_doc(spark):
+    docs = _df(spark, [(1, _fifty_words())], "doc_id long, text string")
+    r = curation.c4_rule_filter(docs).collect()[0]
+    assert r["n_words"] == 50
+    assert r["top_token_permille"] == 20  # 1*1000//50
+    assert r["keep"] is True
+
+
+def test_c4_filter_rejects_each_rule(spark):
+    long_word = "x" * 21
+    repetitive = " ".join(["spam"] * 30 + [f"w{i}" for i in range(30)])
+    docs = _df(
+        spark,
+        [
+            (1, "too short"),                          # min_words
+            (2, _fifty_words() + " {code}"),           # brace
+            (3, _fifty_words() + " lorem ipsum"),      # blocklist
+            (4, _fifty_words() + " " + long_word),     # max_word_len
+            (5, repetitive),                           # 30/60 = 500 permille
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.c4_rule_filter(docs).collect()}
+    assert all(out[i]["keep"] is False for i in (1, 2, 3, 4, 5))
+    assert out[2]["has_brace"] and not out[1]["has_brace"]
+    assert out[3]["has_blocked"]
+    assert out[4]["max_word_len"] == 21
+    assert out[5]["top_token_permille"] == 500
+
+
+def test_c4_filter_terminal_line_census(spark):
+    docs = _df(
+        spark,
+        [(1, 'first line.\nsecond line\nthird line?\nfourth "quote"')],
+        "doc_id long, text string",
+    )
+    r = curation.c4_rule_filter(docs).collect()[0]
+    assert r["n_lines"] == 4
+    assert r["n_terminal_lines"] == 3  # ., ?, and closing quote
+
+
+# --- bigram LM fluency (operators/lm.py) -------------------------------
+
+def test_bigram_lm_score_hand_computed(spark):
+    from semargl_spark.operators.lm import bigram_lm_score
+
+    # corpus: "a b a b" and "a b c"; V=3
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a=3, b=2
+    # q(a,b) = 10^6*4 // (3+3) = 666666 ; q(b,a) = 10^6*2 // (2+3) = 400000
+    # q(b,c) = 10^6*2 // (2+3) = 400000
+    docs = _df(spark, [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    # doc1: bigrams (a,b)x2,(b,a)x1 → (666666*2+400000)//3 = 577777
+    assert (out[1]["n_bigrams"], out[1]["score_micro"]) == (3, 577777)
+    # doc2: (a,b),(b,c) → (666666+400000)//2 = 533333
+    assert (out[2]["n_bigrams"], out[2]["score_micro"]) == (2, 533333)
+
+
+def test_bigram_lm_score_short_docs_null(spark):
+    from semargl_spark.operators.lm import bigram_lm_score
+
+    docs = _df(spark, [(1, "solo"), (2, "a a")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert (out[1]["n_bigrams"], out[1]["score_micro"]) == (0, None)
+    assert out[2]["n_bigrams"] == 2 - 1
+
+
+def test_bigram_lm_score_partitioning_invariant(spark):
+    from semargl_spark.operators.lm import bigram_lm_score
+
+    rows = [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3} w{(i + 2) % 7}") for i in range(60)]
+    docs = _df(spark, rows, "doc_id long, text string")
+    a = sorted(map(tuple, bigram_lm_score(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, bigram_lm_score(docs.repartition(13)).collect()))
+    assert a == b  # fixed-point integers: bit-identical at any parallelism

@@ -242,6 +242,33 @@ def main():
     checks.append(("length quantiles: histogram aggregate feeds the window",
                    bool(agg_first) and h_pos > w_pos and "Python" not in p))
 
+    # 16. C4 rule filter: ONE row-local projection — no shuffle, no
+    # Python, the whole keep decision rides the parquet scan
+    p = plan_of(curation.c4_rule_filter(docs))
+    sections.append(("c4_filter", p))
+    checks.append(("c4 rule filter is shuffle-free and JVM-side",
+                   n_nodes(p, "Exchange") == 0 and "Python" not in p))
+
+    # 17. triangle counting: degree-ordered orientation — every join an
+    # equi-join (wedge pivot / closing edge), never a cross product
+    from semargl_spark.operators.graph import triangle_counts
+
+    p = plan_of(triangle_counts(edges_disk))
+    sections.append(("kg_triangles", p))
+    checks.append(("triangle counting: equi-joins only (no cross product)",
+                   "NestedLoop" not in p and "Cartesian" not in p
+                   and "Python" not in p))
+
+    # 18. bigram LM: model joins are equi-joins on bigram keys; the only
+    # nested-loop is the ONE-ROW vocab broadcast (wanted shape)
+    from semargl_spark.operators.lm import bigram_lm_score
+
+    p = plan_of(bigram_lm_score(docs))
+    sections.append(("lm_score", p))
+    checks.append(("bigram LM: equi-joins + 1-row vocab broadcast, JVM-side",
+                   "Cartesian" not in p and "Python" not in p
+                   and "HashAggregate" in p))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
