@@ -151,6 +151,69 @@ def triangle_counts(
     )
 
 
+def node_jaccard(
+    edges: DataFrame,
+    max_nbr_degree: int = 64,
+    min_permille: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity between node pairs sharing at
+    least one neighbor → (x, y, inter, deg_x, deg_y, jaccard_permille)
+    with x < y — the standard entity-resolution candidate generator
+    over a KG (alias detection: two IRIs whose neighborhoods overlap
+    are merge candidates for canonicalization).
+
+    Never all-pairs: candidates come from a wedge self-join pivoting on
+    the SHARED neighbor, so only pairs with ≥1 common neighbor exist at
+    all. A hub pivot with degree d emits d²/2 wedges — at 10^12 edges a
+    celebrity node is a job-killer AND carries no signal (sharing
+    'urn:t:Thing' says nothing about aliasing), so pivots with degree >
+    ``max_nbr_degree`` are excluded from wedge generation (their edges
+    still count toward each node's own degree — the denominator stays
+    honest). Jaccard is reported in integer per-mille
+    (inter·1000 div (deg_x+deg_y−inter)): exact in any engine.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    pivots = deg.filter(F.col("deg") <= max_nbr_degree).select(
+        F.col("node").alias("nbr")
+    )
+    wadj = adj.join(pivots, "nbr")  # wedge generation only through low-degree pivots
+    pairs = (
+        wadj.select("nbr", F.col("node").alias("x"))
+        .join(wadj.select("nbr", F.col("node").alias("y")), "nbr")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        pairs.join(deg.select(F.col("node").alias("x"), F.col("deg").alias("deg_x")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("deg").alias("deg_y")), "y")
+        .select(
+            "x",
+            "y",
+            "inter",
+            "deg_x",
+            "deg_y",
+            F.expr("(inter * 1000) div (deg_x + deg_y - inter)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )
+    return out.filter(F.col("jaccard_permille") >= min_permille)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,

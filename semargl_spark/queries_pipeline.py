@@ -488,6 +488,39 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
 """
 
 
+def q_kg_node_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard between KG node pairs sharing a low-degree
+    neighbor (operators/graph.node_jaccard) — the alias-candidate
+    generator; the 'urn:t:Thing' hub is excluded as a wedge pivot by
+    the degree guard but still counts toward each node's degree."""
+    from .operators.graph import node_jaccard
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return node_jaccard(edges, max_nbr_degree=64, min_permille=1)
+
+
+ORACLES["kg_node_sim"] = _KG_EDGES_SQL + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+adj AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+wadj AS (SELECT adj.node, adj.nbr FROM adj
+         JOIN deg d ON d.node = adj.nbr AND d.deg <= 64),
+pairs AS (SELECT w1.node AS x, w2.node AS y, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM wadj w1 JOIN wadj w2 ON w1.nbr = w2.nbr AND w1.node < w2.node
+          GROUP BY 1, 2)
+SELECT p.x, p.y, p.inter, dx.deg AS deg_x, dy.deg AS deg_y,
+  CAST((p.inter * 1000) // (dx.deg + dy.deg - p.inter) AS BIGINT)
+    AS jaccard_permille
+FROM pairs p
+JOIN deg dx ON dx.node = p.x
+JOIN deg dy ON dy.node = p.y
+WHERE (p.inter * 1000) // (dx.deg + dy.deg - p.inter) >= 1
+"""
+
+
 def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL OPTIONAL over the KG: every knows pair, optionally
     extended with the target's relation edge — rows where the optional
@@ -1755,6 +1788,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_union": q_kg_bgp_union,
         "kg_triangles": q_kg_triangles,
+        "kg_node_sim": q_kg_node_sim,
         "kg_pagerank": q_kg_pagerank,
         "stream_kg_edges": q_stream_kg_edges,
         "pipeline_kg": q_pipeline_kg,

@@ -390,3 +390,45 @@ def test_triangle_counts_hub_k4(spark):
     rows = [(u, "p", v) for i, u in enumerate(nodes) for v in nodes[i + 1:]]
     out = {r["node"]: r["triangles"] for r in triangle_counts(_triples(spark, rows)).collect()}
     assert out == {n: 3 for n in nodes}
+
+
+# --- neighbor Jaccard (operators/graph.py) -----------------------------
+
+def test_node_jaccard_hand_computed(spark):
+    from semargl_spark.operators.graph import node_jaccard
+
+    # a-b, a-c, b-c, b-d: N(a)={b,c} N(b)={a,c,d} N(c)={a,b} N(d)={b}
+    e = _triples(
+        spark,
+        [("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"), ("b", "p", "d")],
+    )
+    out = {(r["x"], r["y"]): r for r in node_jaccard(e).collect()}
+    # (a,b): common {c} → 1000//(2+3-1) = 250
+    assert out[("a", "b")]["jaccard_permille"] == 250
+    # (a,c): common {b} → 1000//(2+2-1) = 333
+    assert out[("a", "c")]["jaccard_permille"] == 333
+    # (b,c): common {a} → 1000//(3+2-1) = 250
+    assert out[("b", "c")]["jaccard_permille"] == 250
+    # (a,d) and (c,d): common {b} → 1000//(2+1-1)=500, 1000//(2+1-1)=500
+    assert out[("a", "d")]["jaccard_permille"] == 500
+    assert out[("c", "d")]["jaccard_permille"] == 500
+
+
+def test_node_jaccard_hub_pivot_excluded_but_degree_honest(spark):
+    from semargl_spark.operators.graph import node_jaccard
+
+    # hub h connects to x0..x9 (deg 10 > guard 5); x0-x1 also share m
+    rows = [("h", "p", f"x{i}") for i in range(10)]
+    rows += [("x0", "p", "m"), ("x1", "p", "m")]
+    out = {(r["x"], r["y"]): r for r in
+           node_jaccard(_triples(spark, rows), max_nbr_degree=5).collect()}
+    # the hub generates NO wedges itself (not a pivot), so no xi-xj
+    # pairs exist except (x0,x1) via pivot m; (h,m) appears via the
+    # low-degree pivots x0/x1. Degrees still include the hub edges.
+    assert set(out) == {("x0", "x1"), ("h", "m")}
+    r = out[("x0", "x1")]
+    assert (r["inter"], r["deg_x"], r["deg_y"]) == (1, 2, 2)
+    assert r["jaccard_permille"] == 1000 // 3
+    hm = out[("h", "m")]
+    assert (hm["inter"], hm["deg_x"], hm["deg_y"]) == (2, 10, 2)
+    assert hm["jaccard_permille"] == 2000 // 10

@@ -259,6 +259,16 @@ def main():
                    "NestedLoop" not in p and "Cartesian" not in p
                    and "Python" not in p))
 
+    # 17b. neighbor Jaccard: wedge generation only through guarded
+    # pivots, all equi-joins, integer permille — no cross product
+    from semargl_spark.operators.graph import node_jaccard
+
+    p = plan_of(node_jaccard(edges_disk))
+    sections.append(("kg_node_sim", p))
+    checks.append(("node jaccard: equi-joins only (no cross product)",
+                   "NestedLoop" not in p and "Cartesian" not in p
+                   and "Python" not in p))
+
     # 18. bigram LM: model joins are equi-joins on bigram keys; the only
     # nested-loop is the ONE-ROW vocab broadcast (wanted shape)
     from semargl_spark.operators.lm import bigram_lm_score
