@@ -93,7 +93,9 @@ def main() -> None:
                  "quality_topk", "entity_link_fuzzy", "global_shuffle",
                  "dedup_incremental", "dedup_substring",
                  "boilerplate_windows", "corpus_quantiles", "kg_degree_stats",
-                 "semdedup", "top_terms", "top_ngrams"):
+                 "semdedup", "top_terms", "top_ngrams",
+                 "kg_triangles", "kg_node_sim", "kg_bgp_optional",
+                 "c4_filter", "lm_score"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))
