@@ -95,7 +95,7 @@ def main() -> None:
                  "boilerplate_windows", "corpus_quantiles", "kg_degree_stats",
                  "semdedup", "top_terms", "top_ngrams",
                  "kg_triangles", "kg_node_sim", "kg_bgp_optional",
-                 "c4_filter", "lm_score"):
+                 "c4_filter", "lm_score", "turn_transitions"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

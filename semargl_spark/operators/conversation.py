@@ -1,0 +1,70 @@
+"""Transcript-shape analytics over the (conv_id, turn_idx, role, text,
+tool, ts) table — the input_hint payload itself, before any RDF
+extraction.
+
+Two rollups an agent-transcript corpus owner runs constantly:
+
+* role-transition matrix — who speaks after whom, with total gap
+  seconds (dialogue-shape census; a spike in tool→tool transitions
+  means runaway agent loops, user→user means dropped assistant turns);
+* per-role stats — turn counts, conversation reach, tool-call counts.
+
+Both are pure Catalyst: one window (the same stable (conv_id ⟶
+turn_idx) ordering the north rule mandates for text equality) feeding a
+tiny-key groupBy for the matrix, one groupBy for the stats. Gap
+arithmetic is integer seconds (unix_timestamp difference) so the
+oracles are exact.
+
+Scale shape: the window shuffle partitions by conv_id — 10^12 turns
+spread over ~10^9 conversations is a uniform key space (no conversation
+is a hub at the partitioner level; a single pathological conversation
+is bounded by the chunking guard in operators/extract.py). The
+follow-up aggregates collapse to ≤ |roles|² rows with map-side
+partials.
+
+Reference parity: the reference is a parser framework; transcript-table
+analytics are target-side payload surface (axes A+B, transcripts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def turn_transitions(transcripts: DataFrame) -> DataFrame:
+    """→ (from_role, to_role, n_transitions, sum_gap_s): the corpus
+    role-transition matrix with total inter-turn gap seconds, computed
+    with one lag window over the stable turn ordering."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.col("role"),
+        F.lag("role").over(w).alias("from_role"),
+        (
+            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+        ).alias("gap_s"),
+    )
+    return (
+        x.filter(F.col("from_role").isNotNull())
+        .groupBy("from_role", F.col("role").alias("to_role"))
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.sum("gap_s").cast("long").alias("sum_gap_s"),
+        )
+    )
+
+
+def role_stats(transcripts: DataFrame) -> DataFrame:
+    """→ (role, n_turns, n_convs, n_tool_turns): per-role reach rollup.
+    n_convs is an exact distinct (one extra shuffle on (role, conv_id)
+    partials — at 10^12 turns prefer approx_count_distinct unless the
+    report feeds a reconciliation check; exactness is what the oracle
+    gate needs here)."""
+    return transcripts.groupBy("role").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        F.count(F.col("tool")).cast("long").alias("n_tool_turns"),
+    )

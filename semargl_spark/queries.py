@@ -249,6 +249,56 @@ FROM documents
 )
 
 
+def q_turn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition matrix with integer gap seconds
+    (operators/conversation.turn_transitions) — dialogue-shape census
+    over the stable (conv_id ⟶ turn_idx) ordering."""
+    from .operators.conversation import turn_transitions
+
+    return turn_transitions(synth_transcripts(spark, sf_dir))
+
+
+_oracle(
+    "turn_transitions",
+    _SEED
+    + """
+, r AS (SELECT did, tix,
+    CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+         ELSE 'tool' END AS role,
+    CAST(did AS BIGINT)*3600 + tix*60 AS tsec FROM t),
+x AS (SELECT role,
+    LAG(role) OVER (PARTITION BY did ORDER BY tix) AS from_role,
+    tsec - LAG(tsec) OVER (PARTITION BY did ORDER BY tix) AS gap FROM r)
+SELECT from_role, role AS to_role, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_s
+FROM x WHERE from_role IS NOT NULL GROUP BY 1, 2
+""",
+)
+
+
+def q_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role turn/conversation/tool-call rollup
+    (operators/conversation.role_stats)."""
+    from .operators.conversation import role_stats
+
+    return role_stats(synth_transcripts(spark, sf_dir))
+
+
+_oracle(
+    "role_stats",
+    _SEED
+    + """
+SELECT CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+            ELSE 'tool' END AS role,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT did) AS BIGINT) AS n_convs,
+       CAST(SUM(CASE WHEN tix%3=2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns
+FROM t GROUP BY 1
+""",
+)
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
     """Wrap a query so the package is shipped to executors first
     (programmatic --py-files; see spark_util.ensure_py_files)."""
@@ -283,6 +333,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_files": q_extract_files,
         "extract_errors": q_extract_errors,
         "turn_ordering": q_turn_ordering,
+        "turn_transitions": q_turn_transitions,
+        "role_stats": q_role_stats,
         "entity_dictionary": q_entity_dictionary,
     }
 

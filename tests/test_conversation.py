@@ -1,0 +1,69 @@
+"""Transcript-shape analytics (operators/conversation.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from semargl_spark.operators.conversation import role_stats, turn_transitions
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_turn_transitions_matrix_and_gaps(spark):
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "hi", None, _ts(0)),
+            ("c1", 1, "assistant", "hello", None, _ts(10)),
+            ("c1", 2, "user", "do it", None, _ts(25)),
+            ("c2", 0, "user", "hey", None, _ts(0)),
+            ("c2", 1, "assistant", "yo", None, _ts(7)),
+        ],
+    )
+    out = {(r["from_role"], r["to_role"]): r for r in turn_transitions(t).collect()}
+    assert out[("user", "assistant")]["n_transitions"] == 2
+    assert out[("user", "assistant")]["sum_gap_s"] == 17  # 10 + 7
+    assert out[("assistant", "user")]["n_transitions"] == 1
+    assert out[("assistant", "user")]["sum_gap_s"] == 15
+    assert len(out) == 2  # first turns produce no transition
+
+
+def test_turn_transitions_order_not_input_order(spark):
+    # rows arrive shuffled; the window must order by turn_idx
+    t = _t(
+        spark,
+        [
+            ("c1", 2, "tool", "r", "search", _ts(20)),
+            ("c1", 0, "user", "q", None, _ts(0)),
+            ("c1", 1, "assistant", "a", None, _ts(5)),
+        ],
+    )
+    out = {(r["from_role"], r["to_role"]) for r in turn_transitions(t).collect()}
+    assert out == {("user", "assistant"), ("assistant", "tool")}
+
+
+def test_role_stats_counts(spark):
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "q", None, _ts(0)),
+            ("c1", 1, "assistant", "a", None, _ts(1)),
+            ("c1", 2, "tool", "r", "search", _ts(2)),
+            ("c2", 0, "user", "q2", None, _ts(0)),
+            ("c2", 1, "tool", "r2", "calc", _ts(1)),
+        ],
+    )
+    out = {r["role"]: r for r in role_stats(t).collect()}
+    assert (out["user"]["n_turns"], out["user"]["n_convs"]) == (2, 2)
+    assert out["tool"]["n_tool_turns"] == 2
+    assert out["assistant"]["n_convs"] == 1
+    assert out["user"]["n_tool_turns"] == 0
