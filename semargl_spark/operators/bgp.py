@@ -90,6 +90,49 @@ def match_bgp(
     return acc.select(*sorted(bound))
 
 
+def match_bgp_filter(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    filters: list[str],
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL ``FILTER``: boolean SQL expressions over the bound
+    variables (bare names, no ``?``), applied to the BGP result.
+
+    Declarative on purpose: each filter becomes a Catalyst predicate,
+    so a filter on a single-pattern variable is pushed below the join
+    tree all the way into the pattern's scan (verified by the plan
+    audit) — exactly what a SPARQL engine's FILTER placement
+    optimization does, for free. Filters referencing unbound variables
+    raise (SPARQL would silently evaluate them to an error/False; at
+    10^12 triples a typo'd variable must not silently drop every row).
+    """
+    import re as _re
+
+    out = match_bgp(triples, patterns, s_col, p_col, o_col)
+    bound = set(out.columns)
+    for flt in filters:
+        # identifiers in the expression that aren't SQL keywords/functions
+        names = set(_re.findall(r"\b[a-zA-Z_]\w*\b(?!\s*\()", flt))
+        unknown = {
+            n for n in names
+            if n.lower() not in _SQL_WORDS and n not in bound
+        }
+        if unknown:
+            raise ValueError(f"FILTER {flt!r} references unbound variables {sorted(unknown)}")
+        out = out.filter(F.expr(flt))
+    return out
+
+
+_SQL_WORDS = {
+    "and", "or", "not", "is", "null", "true", "false", "in", "like",
+    "rlike", "between", "case", "when", "then", "else", "end", "cast",
+    "as", "int", "bigint", "double", "string", "distinct",
+}
+
+
 def match_bgp_optional(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],

@@ -488,6 +488,32 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
 """
 
 
+def q_kg_bgp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER over a BGP: knows pairs whose source id is even
+    and below the corpus midpoint — the string predicates compile to
+    Catalyst filters pushed into the pattern scans."""
+    from .operators.bgp import match_bgp_filter
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return match_bgp_filter(
+        edges,
+        [("?a", "urn:p:knows", "?b")],
+        [
+            "cast(substring(a, 7) as bigint) % 2 = 0",
+            "a < b",
+        ],
+    )
+
+
+ORACLES["kg_bgp_filter"] = _KG_EDGES_SQL + """
+SELECT src AS a, dst AS b FROM edges
+WHERE pred = 'urn:p:knows'
+  AND CAST(substring(src, 7) AS BIGINT) % 2 = 0
+  AND src < dst
+"""
+
+
 def q_kg_node_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor-set Jaccard between KG node pairs sharing a low-degree
     neighbor (operators/graph.node_jaccard) — the alias-candidate
@@ -1786,6 +1812,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_bgp": q_kg_bgp,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_filter": q_kg_bgp_filter,
         "kg_bgp_union": q_kg_bgp_union,
         "kg_triangles": q_kg_triangles,
         "kg_node_sim": q_kg_node_sim,

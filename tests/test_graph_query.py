@@ -432,3 +432,29 @@ def test_node_jaccard_hub_pivot_excluded_but_degree_honest(spark):
     hm = out[("h", "m")]
     assert (hm["inter"], hm["deg_x"], hm["deg_y"]) == (2, 10, 2)
     assert hm["jaccard_permille"] == 2000 // 10
+
+
+# --- FILTER (operators/bgp.py) -----------------------------------------
+
+def test_bgp_filter_applies_predicates(spark):
+    from semargl_spark.operators.bgp import match_bgp_filter
+
+    t = _triples(
+        spark,
+        [("a", "knows", "b"), ("b", "knows", "a"), ("b", "knows", "c")],
+    )
+    out = match_bgp_filter(t, [("?x", "knows", "?y")], ["x < y"])
+    assert {(r["x"], r["y"]) for r in out.collect()} == {("a", "b"), ("b", "c")}
+
+
+def test_bgp_filter_rejects_unbound_variable(spark):
+    from semargl_spark.operators.bgp import match_bgp_filter
+
+    t = _triples(spark, [("a", "knows", "b")])
+    with pytest.raises(ValueError):
+        match_bgp_filter(t, [("?x", "knows", "?y")], ["x < z"])
+    # function calls and keywords are not mistaken for variables
+    out = match_bgp_filter(
+        t, [("?x", "knows", "?y")], ["length(x) = 1 and x is not null"]
+    )
+    assert out.count() == 1
