@@ -133,6 +133,94 @@ _SQL_WORDS = {
 }
 
 
+def match_bgp_agg(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    group_vars: list[str],
+    aggs: dict[str, str],
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL ``GROUP BY`` + aggregates over the BGP solution multiset:
+    ``group_vars`` are bound variable names (no ``?``), ``aggs`` maps
+    output column → SQL aggregate expression over bound variables
+    (``{"n": "count(*)", "n_src": "count(distinct a)"}``).
+
+    Declarative: the BGP join tree feeds one hash aggregation, so
+    Catalyst runs map-side partial aggregation before the group-key
+    shuffle — at 10^12 triples the shuffle carries only the partial
+    states, not the solution multiset. Unbound group variables or
+    aggregate expressions referencing unknown names raise (same
+    typo-must-not-silently-drop stance as FILTER).
+    """
+    import re as _re
+
+    if not aggs:
+        raise ValueError("empty aggregate list")
+    out = match_bgp(triples, patterns, s_col, p_col, o_col)
+    bound = set(out.columns)
+    missing = [v for v in group_vars if v not in bound]
+    if missing:
+        raise ValueError(f"GROUP BY references unbound variables {missing}")
+    for name, expr in aggs.items():
+        names = set(_re.findall(r"\b[a-zA-Z_]\w*\b(?!\s*\()", expr))
+        unknown = {
+            n for n in names if n.lower() not in _SQL_WORDS and n not in bound
+        }
+        if unknown:
+            raise ValueError(
+                f"aggregate {expr!r} references unbound variables {sorted(unknown)}"
+            )
+    cols = [F.expr(expr).alias(name) for name, expr in aggs.items()]
+    return out.groupBy(*group_vars).agg(*cols)
+
+
+def construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: evaluate the WHERE BGP, then instantiate
+    every template triple per solution → a derived graph as (src, pred,
+    dst) rows with set semantics (CONSTRUCT emits a graph, so duplicate
+    instantiations collapse — one ``distinct``).
+
+    Template terms are ``?var`` (must be bound by the BGP — an unbound
+    template variable raises rather than silently dropping the triple,
+    the same stance as FILTER) or constants. Plan shape: the one BGP
+    join tree fans out through an N-way shuffle-free Union of
+    projections, then a single distinct keyed on the full triple — the
+    only added shuffle, carrying exactly the output graph.
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    sol = match_bgp(triples, patterns, s_col, p_col, o_col)
+    bound = set(sol.columns)
+    for pat in template:
+        for term in pat:
+            if _is_var(term) and term[1:] not in bound:
+                raise ValueError(
+                    f"CONSTRUCT template {pat} references unbound variable {term}"
+                )
+
+    def inst(term: str, alias: str):
+        col = F.col(term[1:]) if _is_var(term) else F.lit(term)
+        return col.alias(alias)
+
+    parts = [
+        sol.select(inst(s, "src"), inst(p, "pred"), inst(o, "dst"))
+        for s, p, o in template
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.distinct()
+
+
 def match_bgp_optional(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],

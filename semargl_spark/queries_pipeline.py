@@ -603,6 +603,70 @@ WHERE r.pred = 'http://purl.org/dc/terms/relation'
 """
 
 
+def q_kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY over a BGP: what do knows-targets do, per
+    predicate — the join tree feeds one map-side-partial hash
+    aggregation keyed by the (3-value) predicate variable."""
+    from .operators.bgp import match_bgp_agg
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return match_bgp_agg(
+        edges,
+        [("?a", "urn:p:knows", "?b"), ("?b", "?p", "?c")],
+        ["p"],
+        {"n": "count(*)", "n_targets": "count(distinct b)"},
+    )
+
+
+ORACLES["kg_bgp_agg"] = _KG_EDGES_SQL + """
+SELECT e2.pred AS p, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT e1.dst) AS BIGINT) AS n_targets
+FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+WHERE e1.pred = 'urn:p:knows'
+GROUP BY e2.pred
+"""
+
+
+def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT: derive a new graph from 2-hop knows chains —
+    forward 'acquainted' edges, their inverses, and a type assertion on
+    the head; one BGP join tree fanned through a shuffle-free Union,
+    one distinct (the output graph's set semantics)."""
+    from .operators.bgp import construct
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return construct(
+        edges,
+        [("?a", "urn:p:knows", "?b"), ("?b", "urn:p:knows", "?c")],
+        [
+            ("?a", "urn:p:acquainted", "?c"),
+            ("?c", "urn:p:acquaintedBy", "?a"),
+            ("?a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "urn:t:Connector"),
+        ],
+    )
+
+
+ORACLES["kg_construct"] = _KG_EDGES_SQL + """,
+hops AS (
+  SELECT e1.src AS a, e2.dst AS c
+  FROM edges e1 JOIN edges e2
+    ON e2.src = e1.dst AND e2.pred = 'urn:p:knows'
+  WHERE e1.pred = 'urn:p:knows'
+)
+SELECT DISTINCT src, pred, dst FROM (
+  SELECT a AS src, 'urn:p:acquainted' AS pred, c AS dst FROM hops
+  UNION ALL
+  SELECT c, 'urn:p:acquaintedBy', a FROM hops
+  UNION ALL
+  SELECT a, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'urn:t:Connector' FROM hops
+)
+"""
+
+
 def q_stream_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest → per-micro-batch KG merge (§2.11 + north_rule
     incremental pipeline): the mixed corpus is drained through
@@ -1814,6 +1878,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_filter": q_kg_bgp_filter,
         "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_agg": q_kg_bgp_agg,
+        "kg_construct": q_kg_construct,
         "kg_triangles": q_kg_triangles,
         "kg_node_sim": q_kg_node_sim,
         "kg_pagerank": q_kg_pagerank,
