@@ -57,6 +57,58 @@ def turn_transitions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def tool_stats(transcripts: DataFrame) -> DataFrame:
+    """→ (tool, n_calls, n_convs, sum_out_bytes, sum_latency_s): per-tool
+    usage census over the transcript table's ``tool`` column.
+
+    ``sum_latency_s`` is the summed integer gap between a tool turn's
+    timestamp and the immediately preceding turn (the wall the agent
+    waited for the tool) — one lag window over the stable ordering, then
+    one groupBy on the (small) tool-name key with map-side partials.
+    ``sum_out_bytes`` totals the tool output payload (octet_length of
+    text). Non-tool turns are filtered AFTER the lag so the preceding
+    turn of a tool call is whatever actually preceded it, tool or not.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = transcripts.select(
+        "conv_id",
+        "tool",
+        F.octet_length("text").cast("long").alias("out_bytes"),
+        (
+            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+        ).alias("latency_s"),
+    ).filter(F.col("tool").isNotNull())
+    return x.groupBy("tool").agg(
+        F.count("*").cast("long").alias("n_calls"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        F.sum("out_bytes").cast("long").alias("sum_out_bytes"),
+        F.sum("latency_s").cast("long").alias("sum_latency_s"),
+    )
+
+
+def tool_chains(transcripts: DataFrame) -> DataFrame:
+    """→ (from_tool, to_tool, n): tool-call bigram counts — which tool
+    follows which across each conversation's tool-turn subsequence
+    (intervening user/assistant turns are skipped, as in tool-loop
+    mining). A conversation's first tool call appears with from_tool
+    NULL-filtered out, matching :func:`turn_transitions` semantics.
+
+    Plan: filter to tool turns FIRST (the lag is over the tool
+    subsequence), one window, one tiny-key groupBy. At 10^12 turns the
+    filter prunes ~2/3 of rows before the window shuffle.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("from_tool", F.lag("tool").over(w))
+        .filter(F.col("from_tool").isNotNull())
+    )
+    return x.groupBy("from_tool", F.col("tool").alias("to_tool")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
 def role_stats(transcripts: DataFrame) -> DataFrame:
     """→ (role, n_turns, n_convs, n_tool_turns): per-role reach rollup.
     n_convs is an exact distinct (one extra shuffle on (role, conv_id)

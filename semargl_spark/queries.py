@@ -299,6 +299,72 @@ FROM t GROUP BY 1
 )
 
 
+def q_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage census (operators/conversation.tool_stats) over an
+    8-turn NTriples corpus — two tool calls per conversation with
+    distinct tool names, exact byte and latency sums."""
+    from .operators.conversation import tool_stats
+
+    return tool_stats(
+        synth_transcripts(spark, sf_dir, turns_per_doc=8, fmt="ntriples")
+    )
+
+
+_oracle(
+    "tool_stats",
+    r"""
+WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix
+           FROM documents
+           CROSS JOIN (SELECT unnest(generate_series(0,7)) AS tix)),
+tools AS (
+  SELECT did, tix,
+    CASE ((did + tix//3) % 3) WHEN 0 THEN 'rdf_extract'
+         WHEN 1 THEN 'web_search' ELSE 'code_exec' END AS tool,
+    LENGTH('# turn '||tix||chr(10)
+      ||'<urn:e:'||did||'> <urn:p:name> "'
+      ||CASE WHEN did%10=0
+             THEN 'Entity '||chr(92)||'"'||did||chr(92)||'"'||chr(92)||'n'
+             ELSE 'Entity '||did END
+      ||'" .'||chr(10)
+      ||'<urn:e:'||did||'> <urn:p:knows> <urn:e:'||(did+1)||'> .'||chr(10)
+      ||'<urn:e:'||did||'> <urn:p:score> "'||(did%100)
+      ||'.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .'||chr(10)
+      ||'_:a <urn:p:label> "turn '||tix||'"@en .'||chr(10)) AS out_bytes
+  FROM t WHERE tix % 3 = 2)
+SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(DISTINCT did) AS BIGINT) AS n_convs,
+       CAST(SUM(out_bytes) AS BIGINT) AS sum_out_bytes,
+       CAST(COUNT(*)*60 AS BIGINT) AS sum_latency_s
+FROM tools GROUP BY tool
+""",
+)
+
+
+def q_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call bigram mining (operators/conversation.tool_chains) over
+    a 12-turn corpus — four tool calls per conversation cycling through
+    the three tool names, so every conversation contributes a 3-step
+    chain."""
+    from .operators.conversation import tool_chains
+
+    return tool_chains(synth_transcripts(spark, sf_dir, turns_per_doc=12))
+
+
+_oracle(
+    "tool_chains",
+    """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+names(i, nm) AS (VALUES (0,'rdf_extract'),(1,'web_search'),(2,'code_exec')),
+steps AS (SELECT did, unnest(generate_series(0,2)) AS r FROM ids)
+SELECT f.nm AS from_tool, tt.nm AS to_tool, CAST(COUNT(*) AS BIGINT) AS n
+FROM steps s
+JOIN names f ON f.i = (s.did + s.r) % 3
+JOIN names tt ON tt.i = (s.did + s.r + 1) % 3
+GROUP BY 1, 2
+""",
+)
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
     """Wrap a query so the package is shipped to executors first
     (programmatic --py-files; see spark_util.ensure_py_files)."""
@@ -335,6 +401,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_ordering": q_turn_ordering,
         "turn_transitions": q_turn_transitions,
         "role_stats": q_role_stats,
+        "tool_stats": q_tool_stats,
+        "tool_chains": q_tool_chains,
         "entity_dictionary": q_entity_dictionary,
     }
 

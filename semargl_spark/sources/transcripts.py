@@ -174,7 +174,22 @@ def _finish(turns: DataFrame) -> DataFrame:
         role.alias("role"),
         F.col("text"),
         F.col("fmt"),
-        F.when(role == "tool", F.lit("rdf_extract")).otherwise(F.lit(None)).alias("tool"),
+        # tool turns carry a tool name keyed by (did + round) where
+        # round = turn_idx // 3 — tool turns all sit at turn_idx ≡ 2
+        # (mod 3), so keying by the round makes the name vary BOTH
+        # across conversations and across a conversation's successive
+        # tool calls (tool-chain analytics need non-degenerate bigrams)
+        F.when(
+            role == "tool",
+            F.element_at(
+                F.array(
+                    F.lit("rdf_extract"), F.lit("web_search"), F.lit("code_exec")
+                ),
+                ((did + F.floor(tix / 3)) % 3 + 1).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(None))
+        .alias("tool"),
         F.timestamp_seconds(F.lit(EPOCH_2024) + did * 3600 + tix * 60).alias("ts"),
     )
 

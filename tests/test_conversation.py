@@ -67,3 +67,43 @@ def test_role_stats_counts(spark):
     assert out["tool"]["n_tool_turns"] == 2
     assert out["assistant"]["n_convs"] == 1
     assert out["user"]["n_tool_turns"] == 0
+
+
+def test_tool_stats_latency_bytes_and_reach(spark):
+    from semargl_spark.operators.conversation import tool_stats
+
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "q", None, _ts(0)),
+            ("c1", 1, "assistant", "call", None, _ts(5)),
+            ("c1", 2, "tool", "12345", "search", _ts(12)),   # latency 7
+            ("c1", 3, "assistant", "call2", None, _ts(20)),
+            ("c1", 4, "tool", "xy", "search", _ts(23)),      # latency 3
+            ("c2", 0, "tool", "abc", "exec", _ts(40)),       # first turn: NULL latency
+        ],
+    )
+    out = {r["tool"]: r for r in tool_stats(t).collect()}
+    assert out["search"]["n_calls"] == 2
+    assert out["search"]["n_convs"] == 1
+    assert out["search"]["sum_out_bytes"] == 7  # 5 + 2
+    assert out["search"]["sum_latency_s"] == 10  # 7 + 3
+    assert out["exec"]["n_calls"] == 1
+    assert out["exec"]["sum_latency_s"] is None  # no preceding turn
+
+
+def test_tool_chains_skip_non_tool_turns(spark):
+    from semargl_spark.operators.conversation import tool_chains
+
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "tool", "a", "search", _ts(0)),
+            ("c1", 1, "assistant", "x", None, _ts(1)),
+            ("c1", 2, "tool", "b", "exec", _ts(2)),    # search→exec
+            ("c1", 3, "tool", "c", "search", _ts(3)),  # exec→search
+            ("c2", 0, "tool", "d", "exec", _ts(0)),    # lone call: no bigram
+        ],
+    )
+    out = {(r["from_tool"], r["to_tool"]): r["n"] for r in tool_chains(t).collect()}
+    assert out == {("search", "exec"): 1, ("exec", "search"): 1}
