@@ -262,3 +262,55 @@ def semdedup(
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+def gram_matrix(
+    embeddings: DataFrame, vec_col: str = "embedding", scale: int = 1000
+) -> DataFrame:
+    """Exact second-moment (gram) matrix of the embedding corpus →
+    (i, j, dot) with d² rows — the input to PCA / whitening / low-rank
+    projection, computed the only way that survives 10^12 vectors:
+    **collect d², never N**.
+
+    Components quantize to fixed-point bigints (half-away-from-zero at
+    ``scale``, matching SQL ROUND semantics so the DuckDB oracle is
+    bit-exact), then each Arrow batch contributes one integer ``XᵀX``
+    partial (numpy matmul, d×d) flattened to (i, j, v) rows. A single
+    groupBy over the (i, j) key — cardinality d², map-side partials —
+    sums the batches. Nothing driver-side, no N·d² explode, and integer
+    accumulation is partitioning-invariant where a float sum's
+    reduction order would flip low bits.
+
+    Overflow bound: |v| per row ≤ N · (scale · max|e|)²; with
+    unit-normalized embeddings and the default scale 10³ the int64
+    ceiling allows ~9·10¹² rows — raise to decimal accumulation or
+    lower ``scale`` beyond that.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    def run(batches):
+        for rb in batches:
+            vecs = rb.column(0).to_pylist()
+            if not vecs:
+                continue
+            x = np.asarray(vecs, dtype=np.float64) * scale
+            q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+                np.int64
+            )
+            g = q.T @ q
+            d = g.shape[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(np.arange(d, dtype=np.int32), d)),
+                    pa.array(np.tile(np.arange(d, dtype=np.int32), d)),
+                    pa.array(g.ravel()),
+                ],
+                names=["i", "j", "v"],
+            )
+
+    part = embeddings.select(vec_col).mapInArrow(run, "i int, j int, v long")
+    return part.groupBy("i", "j").agg(F.sum("v").cast("long").alias("dot"))

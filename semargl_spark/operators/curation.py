@@ -540,3 +540,46 @@ def c4_rule_filter(
         & ~F.col("has_blocked")
     )
     return out.withColumn("keep", keep)
+
+
+def preference_pairs(
+    docs: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """RLHF-style preference-pair construction: per group (e.g. all
+    responses to one prompt), pair the best-scored item against the
+    worst → (group, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin).
+
+    Deterministic tie-breaks via struct ordering: chosen is max
+    (score, id), rejected is min (score, id), so equal scores resolve
+    to the highest/lowest id and the pair is reproducible at any
+    parallelism. Groups with fewer than two items are dropped; pairs
+    below ``min_margin`` are dropped (margin 0 pairs are kept by
+    default — callers filter harder when scores are trusted).
+
+    Scale shape: ONE map-side-partial hash aggregation keyed by the
+    group — the struct min/max partials are constant-size, so the
+    shuffle carries |groups| rows, never the corpus. No window, no
+    sort, no self-join.
+    """
+    best = F.max(F.struct(F.col(score_col), F.col(id_col))).alias("b")
+    worst = F.min(F.struct(F.col(score_col), F.col(id_col))).alias("w")
+    g = docs.groupBy(group_col).agg(best, worst, F.count("*").alias("n"))
+    return (
+        g.filter(F.col("n") >= 2)
+        .select(
+            F.col(group_col),
+            F.col("b")[id_col].alias("chosen_id"),
+            F.col("w")[id_col].alias("rejected_id"),
+            F.col("b")[score_col].alias("chosen_score"),
+            F.col("w")[score_col].alias("rejected_score"),
+            F.round(
+                F.col("b")[score_col] - F.col("w")[score_col], 6
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") >= min_margin)
+    )

@@ -1928,6 +1928,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "quota_resample": q_quota_resample,
         "quality_topk": q_quality_topk,
+        "preference_pairs": q_preference_pairs,
+        "embedding_gram": q_embedding_gram,
         "global_shuffle": q_global_shuffle,
         "stream_dedup": q_stream_dedup,
         "dedup_incremental": q_dedup_incremental,
@@ -2200,6 +2202,70 @@ rk AS (SELECT lang, doc_id, quality,
                                  ORDER BY quality DESC, doc_id) AS INT) AS rank
        FROM m)
 SELECT lang, doc_id, quality, rank FROM rk WHERE rank <= 5
+"""
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF preference pairs: documents bucketed 10-per-prompt, chosen
+    vs rejected by blended quality score with struct-ordered id
+    tie-breaks (curation.preference_pairs) — one hash aggregation."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        F.floor(F.col("doc_id") / 10).cast("long").alias("prompt_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        text.quality_col().alias("quality"),
+    )
+    return curation.preference_pairs(
+        scored, "prompt_id", "quality", id_col="doc_id"
+    )
+
+
+ORACLES["preference_pairs"] = rf"""
+WITH t AS (SELECT doc_id, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+q AS (SELECT CAST(doc_id // 10 AS BIGINT) AS prompt_id,
+  CAST(doc_id AS BIGINT) AS doc_id,
+  round(least(len(w) / 64.0, 1.0) * 0.4 +
+        least((len(list_filter(w, x -> list_contains({_ALL_SW}, x))) /
+               greatest(len(w), 1)) * 4, 1.0) * 0.3 +
+        (len(list_distinct(w)) / greatest(len(w), 1)) * 0.3, 6) AS quality
+  FROM t),
+r AS (SELECT prompt_id, doc_id, quality,
+        ROW_NUMBER() OVER (PARTITION BY prompt_id
+                           ORDER BY quality DESC, doc_id DESC) AS rb,
+        ROW_NUMBER() OVER (PARTITION BY prompt_id
+                           ORDER BY quality ASC, doc_id ASC) AS rw,
+        COUNT(*) OVER (PARTITION BY prompt_id) AS n
+      FROM q)
+SELECT b.prompt_id, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       b.quality AS chosen_score, w.quality AS rejected_score,
+       round(b.quality - w.quality, 6) AS margin
+FROM (SELECT * FROM r WHERE rb = 1) b
+JOIN (SELECT * FROM r WHERE rw = 1) w USING (prompt_id)
+WHERE b.n >= 2 AND round(b.quality - w.quality, 6) >= 0.0
+"""
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point gram matrix of the embeddings corpus
+    (clustering.gram_matrix): per-Arrow-batch integer XᵀX partials, one
+    d²-key groupBy — the collect-d²-never-N scale pattern for
+    PCA/whitening."""
+    from .operators.clustering import gram_matrix
+
+    return gram_matrix(_embeddings(spark, sf_dir))
+
+
+ORACLES["embedding_gram"] = """
+WITH idx AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS i),
+q AS (SELECT vec_id, idx.i AS i,
+        CAST(ROUND(CAST(list_extract(embedding, idx.i + 1) AS DOUBLE)
+                   * 1000) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN idx)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+FROM q a JOIN q b USING (vec_id)
+GROUP BY 1, 2
 """
 
 

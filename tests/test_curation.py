@@ -397,3 +397,35 @@ def test_bigram_lm_score_partitioning_invariant(spark):
     a = sorted(map(tuple, bigram_lm_score(docs.repartition(1)).collect()))
     b = sorted(map(tuple, bigram_lm_score(docs.repartition(13)).collect()))
     assert a == b  # fixed-point integers: bit-identical at any parallelism
+
+
+def test_preference_pairs_argmax_argmin_and_margins(spark):
+    from semargl_spark.operators.curation import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("p1", 1, 0.9), ("p1", 2, 0.2), ("p1", 3, 0.5),
+            ("p2", 4, 0.4), ("p2", 5, 0.4),   # tie: ids break it
+            ("p3", 6, 0.7),                   # singleton: dropped
+        ],
+        "prompt_id string, doc_id int, score double",
+    )
+    out = {r["prompt_id"]: r for r in
+           preference_pairs(df, "prompt_id", "score").collect()}
+    assert set(out) == {"p1", "p2"}
+    assert (out["p1"]["chosen_id"], out["p1"]["rejected_id"]) == (1, 2)
+    assert abs(out["p1"]["margin"] - 0.7) < 1e-9
+    # tie: chosen = max id, rejected = min id, margin 0 kept by default
+    assert (out["p2"]["chosen_id"], out["p2"]["rejected_id"]) == (5, 4)
+    assert out["p2"]["margin"] == 0.0
+
+
+def test_preference_pairs_min_margin_filters(spark):
+    from semargl_spark.operators.curation import preference_pairs
+
+    df = spark.createDataFrame(
+        [("p1", 1, 0.6), ("p1", 2, 0.5), ("p2", 3, 0.9), ("p2", 4, 0.1)],
+        "prompt_id string, doc_id int, score double",
+    )
+    out = preference_pairs(df, "prompt_id", "score", min_margin=0.5).collect()
+    assert [r["prompt_id"] for r in out] == ["p2"]

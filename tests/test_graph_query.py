@@ -538,3 +538,37 @@ def test_construct_rejects_unbound_template_var_and_empty(spark):
         construct(t, [("?x", "p", "?y")], [("?x", "q", "?missing")])
     with pytest.raises(ValueError):
         construct(t, [("?x", "p", "?y")], [])
+
+
+def test_gram_matrix_matches_numpy_and_partitioning_invariant(spark):
+    import numpy as np
+
+    from semargl_spark.operators.clustering import gram_matrix
+
+    rng = [[0.5, -0.25, 0.0015], [1.0, 0.5, -0.0005], [-0.5, 0.125, 1.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    x = np.asarray(rng) * 1000
+    q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    want = q.T @ q
+    for parts in (1, 7):
+        got = {
+            (r["i"], r["j"]): r["dot"]
+            for r in gram_matrix(df.repartition(parts)).collect()
+        }
+        assert len(got) == 9
+        for (i, j), v in got.items():
+            assert v == want[i, j], (i, j, v, want[i, j])
+    # half-away-from-zero: -0.0005*1000 = -0.5 → -1, 0.0015*1000 = 1.5 → 2
+    assert q[0, 2] == 2 and q[1, 2] == -1
+
+
+def test_gram_matrix_rejects_bad_scale(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.clustering import gram_matrix
+
+    df = spark.createDataFrame([(0, [0.1])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        gram_matrix(df, scale=0)
