@@ -583,3 +583,44 @@ def preference_pairs(
         )
         .filter(F.col("margin") >= min_margin)
     )
+
+
+def context_windows(
+    docs: DataFrame,
+    width: int = 128,
+    stride: int = 64,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Sliding context-window chunking → (doc_id, win_idx, win_start,
+    n_tokens, chunk): overlapping token windows (LLM pretraining prep —
+    width-token chunks every stride tokens, the last window shorter).
+
+    Whitespace tokens (same tokenizer as text.token_count). A document
+    with n tokens yields ceil(max(n - width, 0) / stride) + 1 windows;
+    empty documents yield none. Entirely row-local Catalyst (split →
+    sequence → posexplode → slice): no shuffle at all, so it
+    pipelines into whatever writer follows at any corpus size. Window
+    starts are k·stride — deterministic, so the SQL oracle re-derives
+    every chunk byte-for-byte.
+    """
+    if width < 1 or stride < 1:
+        raise ValueError(f"width and stride must be >= 1, got {width}/{stride}")
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    n = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_win = (F.ceil(F.greatest(n - width, F.lit(0)) / stride) + 1).cast("int")
+    staged = docs.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"), n_win.alias("_nw")
+    ).filter(F.col("_n") > 0)
+    k = F.posexplode(F.sequence(F.lit(0), F.col("_nw") - 1))
+    exploded = staged.select(F.col(id_col), "_toks", "_n", k.alias("win_idx", "_k"))
+    start = (F.col("_k") * stride).cast("int")
+    window = F.slice(F.col("_toks"), start + 1, width)
+    return exploded.select(
+        F.col(id_col),
+        F.col("win_idx").cast("int"),
+        start.alias("win_start"),
+        F.least(F.col("_n") - start, F.lit(width)).cast("int").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk"),
+    )

@@ -418,3 +418,34 @@ def length_quantiles(
         for q in qs
     ]
     return cum.groupBy(F.col("grp").alias(by)).agg(*aggs)
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20, text_col="text") -> DataFrame:
+    """One BPE training round at corpus scale: the top-k most frequent
+    adjacent character pairs → (pair, n), counted the way distributed
+    BPE actually runs — corpus collapses to a word-frequency table
+    FIRST (one groupBy, vocabulary-sized output), then pairs explode
+    over the *vocabulary* weighted by word frequency. At 10^12 turns
+    the pair explosion touches |vocab|·avg_len rows, not corpus tokens,
+    which is the difference between a feasible merge step and an
+    impossible one. Top-k via TakeOrderedAndProject (count desc, pair
+    asc tie-break), never a global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = docs.select(F.explode(_tokens(text_col)).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    wf = words.groupBy("word").agg(F.count("*").alias("c"))
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

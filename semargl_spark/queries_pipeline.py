@@ -1937,6 +1937,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_windows": q_boilerplate_windows,
         "top_terms": q_top_terms,
         "top_ngrams": q_top_ngrams,
+        "context_windows": q_context_windows,
+        "bpe_pairs": q_bpe_pairs,
         "corpus_quantiles": q_corpus_quantiles,
         "kg_degree_stats": q_kg_degree_stats,
     }
@@ -2722,6 +2724,57 @@ r AS (SELECT ngram, n_count,
         CAST(ROW_NUMBER() OVER (ORDER BY n_count DESC, ngram) AS INT) AS rnk
       FROM c)
 SELECT ngram, n_count, rnk FROM r WHERE rnk <= 20
+"""
+
+
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 16-token windows with stride 8 over every document
+    (curation.context_windows) — shuffle-free row-local chunking for
+    pretraining sequence prep."""
+    return curation.context_windows(
+        _docs(spark, sf_dir), width=16, stride=8
+    ).select(
+        F.col("doc_id").cast("long"), "win_idx", "win_start", "n_tokens", "chunk"
+    )
+
+
+ORACLES["context_windows"] = r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split(regexp_replace(lower(trim(text)),
+                                                  '\s+', ' ', 'g'), ' ')) END AS n
+      FROM documents),
+v AS (SELECT doc_id, w, n,
+        CAST(ceil(greatest(n - 16, 0) / 8.0) + 1 AS INT) AS nw
+      FROM t WHERE n > 0),
+e AS (SELECT doc_id, w, n, unnest(generate_series(0, nw - 1)) AS k FROM v)
+SELECT doc_id, CAST(k AS INT) AS win_idx, CAST(k * 8 AS INT) AS win_start,
+       CAST(least(n - k * 8, 16) AS INT) AS n_tokens,
+       array_to_string(w[k * 8 + 1 : k * 8 + 16], ' ') AS chunk
+FROM e
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE training round: corpus → word-frequency
+    table → frequency-weighted adjacent character-pair counts over the
+    vocabulary, top-20 (text.bpe_pair_counts)."""
+    return text.bpe_pair_counts(_docs(spark, sf_dir), k=20)
+
+
+ORACLES["bpe_pairs"] = r"""
+WITH w AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                                                     '\s+', ' ', 'g'), ' '))
+             AS word
+           FROM documents),
+wf AS (SELECT word, COUNT(*) AS c FROM w WHERE length(word) >= 2
+       GROUP BY word),
+p AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substring(word, i, 2))) AS pair, c
+      FROM wf)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """
 
 

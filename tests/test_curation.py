@@ -429,3 +429,37 @@ def test_preference_pairs_min_margin_filters(spark):
     )
     out = preference_pairs(df, "prompt_id", "score", min_margin=0.5).collect()
     assert [r["prompt_id"] for r in out] == ["p2"]
+
+
+def test_context_windows_shapes_and_last_short_window(spark):
+    from semargl_spark.operators.curation import context_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # n=5, width 3 stride 2 → starts 0,2 → 2 windows
+            (2, "x y"),         # n=2 <= width → 1 window
+            (3, "   "),         # empty → none
+        ],
+        "doc_id int, text string",
+    )
+    out = context_windows(df, width=3, stride=2).collect()
+    got = {(r["doc_id"], r["win_idx"]): r for r in out}
+    assert len(got) == 3
+    assert got[(1, 0)]["chunk"] == "a b c" and got[(1, 0)]["n_tokens"] == 3
+    assert got[(1, 1)]["chunk"] == "c d e" and got[(1, 1)]["win_start"] == 2
+    assert got[(2, 0)]["chunk"] == "x y" and got[(2, 0)]["n_tokens"] == 2
+
+
+def test_context_windows_exact_multiple_and_validation(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.curation import context_windows
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    # n=4, width 2, stride 2 → starts 0,2 → exactly 2 windows, no empty tail
+    out = context_windows(df, width=2, stride=2).collect()
+    assert sorted(r["chunk"] for r in out) == ["a b", "c d"]
+    with _pytest.raises(ValueError):
+        context_windows(df, width=0)
+    with _pytest.raises(ValueError):
+        context_windows(df, stride=0)

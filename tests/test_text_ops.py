@@ -146,3 +146,29 @@ def test_length_quantiles_nearest_rank(spark):
     # group t: single 3-word doc; every quantile is 3
     assert out["t"]["n_docs"] == 1
     assert out["t"]["q50"] == 3 and out["t"]["q90"] == 3
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from semargl_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab x")],  # 'abab'×3, 'cd'×1, 'x' dropped
+        "doc_id int, text string",
+    )
+    out = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, k=10).collect()]
+    # abab pairs: ab, ba, ab → ab 2/word, ba 1/word, ×3 words
+    assert out[0] == ("ab", 6)
+    assert ("ba", 3) in out and ("cd", 1) in out
+    assert len(out) == 3
+
+
+def test_bpe_pair_counts_tiebreak_and_k(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "zz aa")], "doc_id int, text string")
+    out = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, k=1).collect()]
+    assert out == [("aa", 1)]  # tie broken pair-ascending
+    with _pytest.raises(ValueError):
+        bpe_pair_counts(df, k=0)
