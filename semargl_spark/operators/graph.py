@@ -290,3 +290,104 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def node_index(edges: DataFrame, n_buckets: int = 64,
+               s_col: str = "src", o_col: str = "dst") -> DataFrame:
+    """Deterministic contiguous 0..n-1 ids for every node — WITHOUT a
+    global sort: nodes hash into ``n_buckets`` md5 buckets, rank locally
+    inside each bucket (a window partitioned by bucket — n_buckets
+    independent partition-local sorts), and add the bucket's offset
+    (cumulative counts over n_buckets rows, computed driver-side: O(1)
+    driver memory). The classic two-level indexing pattern that replaces
+    ``row_number() OVER (ORDER BY node)``'s single-partition sort at
+    10^9+ nodes. → (node, node_idx).
+    """
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    nodes = (
+        edges.select(F.col(s_col).alias("node"))
+        .unionByName(edges.select(F.col(o_col).alias("node")))
+        .distinct()
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("node")), 1, 4), 16, 10).cast("int")
+        % n_buckets
+    )
+    b = nodes.withColumn("bucket", bucket)
+    counts = {r["bucket"]: r["c"] for r in
+              b.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("node")
+    return b.select(
+        "node",
+        (off + F.row_number().over(w) - 1).cast("long").alias("node_idx"),
+    )
+
+
+def negative_samples(
+    edges: DataFrame,
+    k: int = 2,
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """TransE-style filtered negative sampling for KG-embedding
+    training: each edge yields ``k`` corrupted tails → (src, pred, dst,
+    neg_ix, neg_dst), with corruptions that happen to be true edges
+    removed (filtered negatives — unfiltered ones systematically
+    mislabel positives as negatives on dense graphs).
+
+    Deterministic: the replacement tail is the node whose two-level
+    index (:func:`node_index`) equals md5(src|pred|dst|neg_ix) mod
+    |nodes| — reproducible at any parallelism and re-derivable by the
+    SQL oracle. Plan shape: candidates equi-join the node-index table
+    on the hashed index (uniform key, no skew), then one left-anti join
+    against the true edge set on (src, pred, neg_dst) — both plain
+    shuffle joins that AQE sizes; nothing driver-side except the
+    n_buckets-row offset table and the single |nodes| scalar.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    idx = node_index(edges, s_col=s_col, o_col=o_col)
+    n_nodes = idx.count()
+    cand = edges.select(
+        s_col, p_col, o_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_ix"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(s_col), F.col(p_col),
+                                  F.col(o_col), F.col("neg_ix"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        % n_nodes
+    )
+    joined = (
+        cand.withColumn("cand_idx", h)
+        .join(idx, F.col("cand_idx") == F.col("node_idx"))
+        .select(s_col, p_col, o_col, "neg_ix", F.col("node").alias("neg_dst"))
+    )
+    true_e = edges.select(
+        F.col(s_col).alias("_ts"), F.col(p_col).alias("_tp"),
+        F.col(o_col).alias("_td"),
+    ).distinct()
+    return joined.join(
+        true_e,
+        (F.col(s_col) == F.col("_ts"))
+        & (F.col(p_col) == F.col("_tp"))
+        & (F.col("neg_dst") == F.col("_td")),
+        "left_anti",
+    )

@@ -1941,6 +1941,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "corpus_quantiles": q_corpus_quantiles,
         "kg_degree_stats": q_kg_degree_stats,
+        "kg_node_index": q_kg_node_index,
+        "kg_neg_samples": q_kg_neg_samples,
     }
 
 
@@ -2847,4 +2849,73 @@ s AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
       FROM q GROUP BY 1)
 SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.score_micro
 FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+# ----------------------------------------- KG-embedding training prep (r2c)
+
+
+def _hexfold(expr: str, ndigits: int) -> str:
+    """DuckDB BIGINT from the first ``ndigits`` hex digits of md5 —
+    mirrors Spark's ``conv(substring(md5(x), 1, n), 16, 10)``."""
+    return (
+        f"list_reduce(list_transform(range(1,{ndigits + 1}), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 "
+        "AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
+def q_kg_node_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..n-1 node ids without a global sort: two-level
+    (bucket-local rank + driver-side 64-row offset table) indexing over
+    the KG node set — the pattern that replaces ``row_number() OVER
+    (ORDER BY node)``'s single-partition sort at 10^9+ nodes."""
+    from .operators.graph import node_index
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return node_index(edges, n_buckets=64)
+
+
+_NODE_INDEX_SQL = _KG_EDGES_SQL + f""",
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nb AS (SELECT node, CAST({_hexfold('node', 4)} % 64 AS INT) AS bucket
+       FROM nodes),
+boff AS (SELECT bucket, COUNT(*) AS c FROM nb GROUP BY bucket),
+boff2 AS (SELECT bucket, COALESCE(SUM(c) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+          FROM boff),
+nidx AS (SELECT nb.node,
+         CAST(boff2.o + ROW_NUMBER() OVER (PARTITION BY nb.bucket
+              ORDER BY nb.node) - 1 AS BIGINT) AS node_idx
+         FROM nb JOIN boff2 USING (bucket))
+"""
+
+ORACLES["kg_node_index"] = _NODE_INDEX_SQL + "SELECT node, node_idx FROM nidx"
+
+
+def q_kg_neg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE-style filtered negative sampling (k=2 corrupted tails per
+    edge, deterministic md5 tail choice, true-edge anti-join) — the
+    training-pair generator for KG-embedding jobs."""
+    from .operators.graph import negative_samples
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return negative_samples(edges, k=2)
+
+
+ORACLES["kg_neg_samples"] = _NODE_INDEX_SQL + f""",
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nidx),
+cand AS (SELECT src, pred, dst, CAST(gs AS INT) AS neg_ix,
+         {_hexfold("src||'|'||pred||'|'||dst||'|'||CAST(gs AS VARCHAR)", 12)}
+           % (SELECT n FROM nn) AS cand_idx
+         FROM edges CROSS JOIN (SELECT unnest(range(0, 2)) AS gs)),
+j AS (SELECT c.src, c.pred, c.dst, c.neg_ix, i.node AS neg_dst
+      FROM cand c JOIN nidx i ON i.node_idx = c.cand_idx)
+SELECT j.src, j.pred, j.dst, j.neg_ix, j.neg_dst
+FROM j LEFT JOIN edges e
+  ON e.src = j.src AND e.pred = j.pred AND e.dst = j.neg_dst
+WHERE e.src IS NULL
 """

@@ -572,3 +572,60 @@ def test_gram_matrix_rejects_bad_scale(spark):
     df = spark.createDataFrame([(0, [0.1])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         gram_matrix(df, scale=0)
+
+
+# ---------------------------------------------------- node_index / negatives
+
+
+def _toy_edges(spark, n=40):
+    rows = [(f"urn:e:{i}", "urn:p:knows", f"urn:e:{(i * 7 + 3) % n}")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "src string, pred string, dst string")
+
+
+def test_node_index_contiguous_and_unique(spark):
+    from semargl_spark.operators.graph import node_index
+
+    edges = _toy_edges(spark)
+    idx = node_index(edges, n_buckets=8).collect()
+    ids = sorted(r["node_idx"] for r in idx)
+    assert ids == list(range(len(idx)))
+    assert len({r["node"] for r in idx}) == len(idx)
+
+
+def test_node_index_partitioning_invariant(spark):
+    from semargl_spark.operators.graph import node_index
+
+    edges = _toy_edges(spark)
+    a = {(r["node"], r["node_idx"])
+         for r in node_index(edges.repartition(1), n_buckets=8).collect()}
+    b = {(r["node"], r["node_idx"])
+         for r in node_index(edges.repartition(13), n_buckets=8).collect()}
+    assert a == b
+
+
+def test_negative_samples_exclude_true_edges_and_bounded(spark):
+    from semargl_spark.operators.graph import negative_samples
+
+    edges = _toy_edges(spark)
+    true_set = {(r["src"], r["pred"], r["dst"]) for r in edges.collect()}
+    neg = negative_samples(edges, k=3).collect()
+    # filtered: no corruption may coincide with a true edge
+    assert all((r["src"], r["pred"], r["neg_dst"]) not in true_set
+               for r in neg)
+    # at most k per positive, neg_ix within range
+    from collections import Counter
+
+    per_edge = Counter((r["src"], r["pred"], r["dst"]) for r in neg)
+    assert max(per_edge.values()) <= 3
+    assert all(0 <= r["neg_ix"] < 3 for r in neg)
+    # deterministic under reshuffling
+    neg2 = negative_samples(edges.repartition(9), k=3).collect()
+    assert {tuple(r) for r in neg} == {tuple(r) for r in neg2}
+
+
+def test_negative_samples_rejects_bad_k(spark):
+    from semargl_spark.operators.graph import negative_samples
+
+    with pytest.raises(ValueError):
+        negative_samples(_toy_edges(spark), k=0)
