@@ -283,3 +283,78 @@ def match_bgp_union(
     for r in padded[1:]:
         out = out.unionByName(r)
     return out
+
+
+def match_bgp_minus(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    minus: list[tuple[str, str, str]],
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL ``MINUS``: drop solutions of ``patterns`` that agree with
+    some solution of ``minus`` on their SHARED variables.
+
+    SPARQL-faithful corner: when the two groups share no variable,
+    MINUS removes nothing (every pair of solutions is trivially
+    compatible-on-∅, and the spec keeps the left row). We raise instead
+    of silently returning the input — at 10^12 triples a disjoint MINUS
+    is a query bug, not a no-op the user intended. ``FILTER NOT
+    EXISTS`` (which WOULD empty the result there) can be expressed as a
+    filter once a correlated need arises.
+
+    Plan: the minus group is projected onto the shared variables,
+    deduplicated (a map-side-partial hash agg), then removed with ONE
+    left-anti hash join — never a per-row subquery. AQE broadcasts the
+    minus side when it is small, which is the common SPARQL case
+    (a selective exclusion set).
+    """
+    left = match_bgp(triples, patterns, s_col, p_col, o_col)
+    right = match_bgp(triples, minus, s_col, p_col, o_col)
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        raise ValueError(
+            "MINUS group shares no variables with the BGP — SPARQL "
+            "semantics would remove nothing; restate the query"
+        )
+    return left.join(right.select(*shared).distinct(), on=shared, how="left_anti")
+
+
+def match_bgp_topk(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    order_by: list[tuple[str, str]],
+    k: int,
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL ``ORDER BY ... LIMIT k`` over a BGP → deterministic top-k.
+
+    ``order_by`` is [(var, 'asc'|'desc'), ...]. Every bound variable not
+    named is appended ascending as a tie-break, so the returned SET is
+    total-order deterministic at any parallelism (SPARQL leaves ties
+    implementation-defined; a reproducible pipeline cannot).
+
+    Plan: Spark compiles ``orderBy().limit(k)`` to TakeOrderedAndProject
+    — each task keeps a k-row heap and the driver merges P·k rows; no
+    global sort, no full-result shuffle. That is THE top-k plan to want
+    at 10^12 rows (k ≪ |result|); a ``row_number() OVER (ORDER BY ...)``
+    filter would funnel everything through one partition instead.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out = match_bgp(triples, patterns, s_col, p_col, o_col)
+    bound = set(out.columns)
+    keys = []
+    named = set()
+    for var, direction in order_by:
+        if var not in bound:
+            raise ValueError(f"ORDER BY references unbound variable {var!r}")
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"direction must be asc|desc, got {direction!r}")
+        keys.append(F.col(var).asc() if direction == "asc" else F.col(var).desc())
+        named.add(var)
+    keys.extend(F.col(v).asc() for v in sorted(bound - named))
+    return out.orderBy(*keys).limit(k)

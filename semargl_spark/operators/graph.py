@@ -68,6 +68,55 @@ def bounded_paths(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return _bounded_closure(e, max_hops)
+
+
+def bounded_paths_alt(
+    edges: DataFrame,
+    preds: list[str],
+    max_hops: int,
+    inverse_preds: list[str] | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """SPARQL property path ``(p1|p2|^p3){1,max_hops}``: alternation and
+    inverse steps. The single-step relation is the union of the forward
+    predicates with the REVERSED inverse predicates, deduplicated once
+    up front; the bounded minimum-hop closure then runs exactly as
+    :func:`bounded_paths` (one edge materialization, semi-naive
+    frontier, k·|E| output cap). Alternation at the step level — not as
+    a union of per-predicate closures — is what keeps a two-predicate
+    path from doubling the join rounds."""
+    if not preds and not inverse_preds:
+        raise ValueError("at least one forward or inverse predicate required")
+    parts = []
+    if preds:
+        parts.append(
+            edges.filter(F.col(pred_col).isin(*preds)).select(
+                F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+            )
+        )
+    if inverse_preds:
+        parts.append(
+            edges.filter(F.col(pred_col).isin(*inverse_preds)).select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            )
+        )
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    e = (
+        e.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return _bounded_closure(e, max_hops)
+
+
+def _bounded_closure(e: DataFrame, max_hops: int) -> DataFrame:
+    """Semi-naive minimum-hop closure over a prepared (a, b) step
+    relation — shared by :func:`bounded_paths` / :func:`bounded_paths_alt`."""
     seen = e.select("a", "b", F.lit(1).cast("int").alias("hops"))
     frontier = seen
     for hop in range(2, max_hops + 1):
@@ -391,3 +440,70 @@ def negative_samples(
         & (F.col("neg_dst") == F.col("_td")),
         "left_anti",
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    s_col: str = "src",
+    o_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation for community
+    detection → (node, label) after ``rounds`` rounds.
+
+    Each round, every node adopts the most frequent label among its
+    (undirected) neighbors, ties broken by the lexicographically
+    smallest label; a node with no neighbors keeps its label. Labels
+    start as the node id, so the whole computation is a pure function
+    of the edge set — classic LPA's random tie-breaks and random visit
+    order make it unreproducible, which is useless for an
+    oracle-checked pipeline; the (count desc, label asc) tie-break is
+    the standard determinization (synchronous Raghavan et al. variant).
+
+    Scale shape: per round, one groupBy((node, label)) count — map-side
+    partial — and one per-node argmax window. The window partitions by
+    node (10^9 independent tiny partitions), NOT a global sort. Hub
+    skew lands in the count groupBy, where AQE's skew-split applies;
+    ``localCheckpoint`` truncates lineage per round as in
+    :func:`pagerank`. Fixed rounds (not convergence) keeps the job a
+    static DAG — LPA oscillates on bipartite structures, so production
+    runs cap rounds anyway.
+    """
+    from pyspark.sql.window import Window
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(F.col(s_col).alias("u"), F.col(o_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(o_col).alias("u"), F.col(s_col).alias("v"))
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        neigh = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        picked = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce("label", F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

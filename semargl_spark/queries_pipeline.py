@@ -1943,6 +1943,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": q_kg_degree_stats,
         "kg_node_index": q_kg_node_index,
         "kg_neg_samples": q_kg_neg_samples,
+        "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_bgp_topk": q_kg_bgp_topk,
+        "kg_path_alt": q_kg_path_alt,
+        "kg_label_prop": q_kg_label_prop,
+        "kg_component_sizes": q_kg_component_sizes,
     }
 
 
@@ -2918,4 +2923,156 @@ SELECT j.src, j.pred, j.dst, j.neg_ix, j.neg_dst
 FROM j LEFT JOIN edges e
   ON e.src = j.src AND e.pred = j.pred AND e.dst = j.neg_dst
 WHERE e.src IS NULL
+"""
+
+
+# ------------------------------------------- SPARQL surface extensions (r2d)
+
+
+def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS over the KG: knows pairs whose target is NOT typed
+    Thing — one left-anti hash join on the shared variable, never a
+    per-row subquery."""
+    from .operators.bgp import match_bgp_minus
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return match_bgp_minus(
+        edges,
+        [("?a", "urn:p:knows", "?b")],
+        [("?b", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+          "urn:t:Thing")],
+    )
+
+
+ORACLES["kg_bgp_minus"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, k.dst AS b FROM edges k
+WHERE k.pred = 'urn:p:knows' AND NOT EXISTS (
+  SELECT 1 FROM edges t
+  WHERE t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND t.dst = 'urn:t:Thing' AND t.src = k.dst)
+"""
+
+
+def q_kg_bgp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ORDER BY ... LIMIT over a BGP: the 25 lexicographically
+    largest knows→relation chains. Spark plans TakeOrderedAndProject
+    (per-task k-row heaps, driver merge) — no global sort."""
+    from .operators.bgp import match_bgp_topk
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return match_bgp_topk(
+        edges,
+        [("?a", "urn:p:knows", "?b"),
+         ("?b", "http://purl.org/dc/terms/relation", "?c")],
+        [("a", "desc")],
+        k=25,
+    )
+
+
+ORACLES["kg_bgp_topk"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, k.dst AS b, r.dst AS c
+FROM edges k JOIN edges r ON r.src = k.dst
+WHERE k.pred = 'urn:p:knows' AND r.pred = 'http://purl.org/dc/terms/relation'
+ORDER BY k.src DESC, k.dst ASC, r.dst ASC LIMIT 25
+"""
+
+
+def q_kg_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path with alternation + inverse:
+    ``(knows|^relation){1,2}`` — the step relation is unioned once up
+    front, then the same semi-naive bounded closure as kg_path."""
+    from .operators.graph import bounded_paths_alt
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return bounded_paths_alt(
+        edges, ["urn:p:knows"], max_hops=2,
+        inverse_preds=["http://purl.org/dc/terms/relation"],
+    )
+
+
+ORACLES["kg_path_alt"] = _KG_EDGES_SQL + """,
+step AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges WHERE pred = 'urn:p:knows'
+    UNION ALL
+    SELECT dst AS a, src AS b FROM edges
+    WHERE pred = 'http://purl.org/dc/terms/relation')),
+h1 AS (SELECT a, b, 1 AS hops FROM step),
+h2 AS (SELECT h1.a, s.b, 2 AS hops FROM h1 JOIN step s ON s.a = h1.b),
+hall AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+SELECT a, b, CAST(MIN(hops) AS INT) AS hops FROM hall GROUP BY a, b
+"""
+
+
+def q_kg_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label propagation (3 synchronous rounds, most
+    frequent neighbor label, min-label tie-break) over the undirected
+    knows graph — community detection with a fully unrolled SQL oracle."""
+    from .operators.graph import label_propagation
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    knows = st.filter(F.col("pred") == "urn:p:knows").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return label_propagation(knows, rounds=3)
+
+
+def _label_prop_oracle(rounds: int = 3) -> str:
+    sql = _KG_EDGES_SQL + """,
+k AS (SELECT DISTINCT src, dst FROM edges WHERE pred = 'urn:p:knows'),
+und AS (SELECT DISTINCT u, v FROM (
+  SELECT src AS u, dst AS v FROM k WHERE src <> dst
+  UNION ALL SELECT dst, src FROM k WHERE src <> dst)),
+nds AS (SELECT DISTINCT u AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nds)"""
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        sql += f""",
+c{i} AS (SELECT und.u AS node, l.label, COUNT(*) AS c
+        FROM und JOIN {p} l ON l.node = und.v GROUP BY und.u, l.label),
+p{i} AS (SELECT node, label FROM (
+        SELECT node, label, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c{i})
+        WHERE rn = 1),
+l{i} AS (SELECT n.node, COALESCE(p.label, n.node) AS label
+        FROM nds n LEFT JOIN p{i} p USING (node))"""
+    return sql + f"\nSELECT node, label FROM l{rounds}"
+
+
+ORACLES["kg_label_prop"] = _label_prop_oracle(3)
+
+
+def q_kg_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the canonicalization equivalence
+    graph → (size, n_components): the shape report a 10^12-node CC run
+    is judged by (one giant component = a linking bug), computed with
+    two hash aggregations over the (node, component) table."""
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    knows = st.filter(F.col("pred") == "urn:p:knows")
+    src_id = F.regexp_extract("subj", r"urn:e:(\d+)", 1).cast("long")
+    edges = (
+        knows.filter(src_id % 16 != 15)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+ORACLES["kg_component_sizes"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+edges AS (SELECT did AS s, did+1 AS d FROM ids WHERE did % 16 <> 15),
+nds AS (SELECT DISTINCT id FROM (SELECT s AS id FROM edges UNION ALL SELECT d FROM edges)),
+blocks AS (SELECT id, id - (id % 16) AS blk FROM nds),
+sizes AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS size FROM blocks GROUP BY blk)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM sizes GROUP BY size
 """

@@ -629,3 +629,85 @@ def test_negative_samples_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         negative_samples(_toy_edges(spark), k=0)
+
+
+# -------------------------------------- MINUS / top-k / alt paths / LPA
+
+
+def _tri(spark, rows):
+    return spark.createDataFrame(rows, "src string, pred string, dst string")
+
+
+def test_bgp_minus_removes_compatible_solutions(spark):
+    from semargl_spark.operators.bgp import match_bgp_minus
+
+    t = _tri(spark, [
+        ("a1", "knows", "b1"), ("a2", "knows", "b2"),
+        ("b1", "type", "Thing"),
+    ])
+    out = match_bgp_minus(
+        t, [("?a", "knows", "?b")], [("?b", "type", "Thing")]
+    ).collect()
+    assert {(r["a"], r["b"]) for r in out} == {("a2", "b2")}
+
+
+def test_bgp_minus_rejects_disjoint_groups(spark):
+    from semargl_spark.operators.bgp import match_bgp_minus
+
+    t = _tri(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError):
+        match_bgp_minus(t, [("?x", "p", "?y")], [("?q", "p", "?r")])
+
+
+def test_bgp_topk_deterministic_and_validated(spark):
+    from semargl_spark.operators.bgp import match_bgp_topk
+
+    t = _tri(spark, [(f"s{i:02d}", "p", f"o{i % 3}") for i in range(20)])
+    out = match_bgp_topk(t, [("?x", "p", "?y")], [("x", "desc")], k=5)
+    got = [(r["x"], r["y"]) for r in out.collect()]
+    assert sorted(got, reverse=True) == [
+        (f"s{i:02d}", f"o{i % 3}") for i in range(19, 14, -1)]
+    with pytest.raises(ValueError):
+        match_bgp_topk(t, [("?x", "p", "?y")], [("z", "asc")], k=5)
+    with pytest.raises(ValueError):
+        match_bgp_topk(t, [("?x", "p", "?y")], [("x", "up")], k=5)
+    with pytest.raises(ValueError):
+        match_bgp_topk(t, [("?x", "p", "?y")], [("x", "asc")], k=0)
+
+
+def test_bounded_paths_alt_inverse_and_alternation(spark):
+    from semargl_spark.operators.graph import bounded_paths_alt
+
+    # knows: a->b ; rel: c->b  (inverse step contributes b->c)
+    t = _tri(spark, [("a", "knows", "b"), ("c", "rel", "b")])
+    out = bounded_paths_alt(t, ["knows"], max_hops=2, inverse_preds=["rel"])
+    got = {(r["a"], r["b"], r["hops"]) for r in out.collect()}
+    assert got == {("a", "b", 1), ("b", "c", 1), ("a", "c", 2)}
+    with pytest.raises(ValueError):
+        bounded_paths_alt(t, [], max_hops=2)
+
+
+def test_label_propagation_two_cliques(spark):
+    from semargl_spark.operators.graph import label_propagation
+
+    clique1 = [(f"a{i}", "p", f"a{j}") for i in range(4) for j in range(i)]
+    clique2 = [(f"z{i}", "p", f"z{j}") for i in range(4) for j in range(i)]
+    bridge = [("a0", "p", "z0")]
+    t = _tri(spark, clique1 + clique2 + bridge)
+    out = {r["node"]: r["label"]
+           for r in label_propagation(t, rounds=3).collect()}
+    # each clique converges to its own min label; the bridge does not merge them
+    assert {out[f"a{i}"] for i in range(4)} == {"a0"}
+    assert {out[f"z{i}"] for i in range(4)} == {"z0"}
+
+
+def test_label_propagation_partition_invariant(spark):
+    from semargl_spark.operators.graph import label_propagation
+
+    rows = [(f"n{i}", "p", f"n{(i * 3 + 1) % 17}") for i in range(17)]
+    t = _tri(spark, rows)
+    a = {tuple(r) for r in label_propagation(t.repartition(1), rounds=2).collect()}
+    b = {tuple(r) for r in label_propagation(t.repartition(11), rounds=2).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        label_propagation(t, rounds=0)
