@@ -120,3 +120,36 @@ def role_stats(transcripts: DataFrame) -> DataFrame:
         F.count_distinct("conv_id").cast("long").alias("n_convs"),
         F.count(F.col("tool")).cast("long").alias("n_tool_turns"),
     )
+
+
+def response_latency(transcripts: DataFrame) -> DataFrame:
+    """→ (conv_id, n_responses, sum_latency_s, max_latency_s): how fast
+    the assistant answers — for each assistant turn that immediately
+    follows a user turn (in the stable (conv_id, turn_idx) order),
+    latency = integer seconds from the user turn's ts.
+
+    The core SLA/health rollup for an agent-transcript corpus; also the
+    quality signal RLHF pipelines use to filter degenerate instant or
+    stalled responses. One window (the same north-rule ordering every
+    conversation query reuses) + one groupBy(conv_id); integer-second
+    arithmetic keeps the oracle exact. Conversations with no
+    user→assistant adjacency are reported with n_responses = 0 (a
+    zero-row vanishing conversation would read as data loss in a
+    lineage audit).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_ts = F.lag(F.col("ts").cast("timestamp")).over(w)
+    lat = F.when(
+        (F.col("role") == "assistant") & (prev_role == "user"),
+        F.col("ts").cast("timestamp").cast("long") - prev_ts.cast("long"),
+    )
+    return (
+        transcripts.select("conv_id", lat.alias("lat"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("lat").cast("long").alias("n_responses"),
+            F.coalesce(F.sum("lat"), F.lit(0)).cast("long").alias("sum_latency_s"),
+            F.max("lat").cast("long").alias("max_latency_s"),
+        )
+    )

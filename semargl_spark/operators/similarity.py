@@ -344,3 +344,64 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .distinct()
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    scale: int = 1000,
+    seed: str = "rp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Signed ±1 random projection (dense Achlioptas / JL transform) →
+    (vec_id, j, v): fixed-point integer projections onto ``out_dim``
+    pseudo-random ±1 directions.
+
+    The sign matrix is a pure function of (seed, j, i) — first md5 hex
+    digit even → +1 — so any engine (and the SQL oracle) reproduces it
+    without sharing state; components quantize to bigints at ``scale``
+    (ROUND half-away, the gram_matrix convention) so the integer dot
+    products are bit-exact at any parallelism.
+
+    Scale shape: entirely row-local — the d×k sign matrix is inlined as
+    k literal arrays (zip_with · aggregate, whole-stage codegen), so
+    projecting 10^12 vectors is a zero-shuffle map with output k/d the
+    input width. This is the cheap dimensionality-reduction front-end
+    for LSH/IVF when d is large; distances distort by at most
+    ±ε·‖x‖‖y‖ with k = O(log N / ε²) (Johnson–Lindenstrauss).
+    """
+    import hashlib
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    signs = [
+        [
+            1 if hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()[0]
+            in "02468ace" else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    projs = []
+    for j in range(out_dim):
+        s = F.array(*[F.lit(v).cast("long") for v in signs[j]])
+        projs.append(
+            F.aggregate(
+                F.zip_with(F.col("_q"), s, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return (
+        embeddings.select(id_col, q.alias("_q"))
+        .select(id_col, F.posexplode(F.array(*projs)).alias("j", "v"))
+        .select(id_col, F.col("j").cast("int"), "v")
+    )

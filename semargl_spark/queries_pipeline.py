@@ -1948,6 +1948,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_alt": q_kg_path_alt,
         "kg_label_prop": q_kg_label_prop,
         "kg_component_sizes": q_kg_component_sizes,
+        "kg_validate": q_kg_validate,
+        "events_stream_sessions": q_events_stream_sessions,
+        "embedding_project": q_embedding_project,
+        "turn_latency": q_turn_latency,
     }
 
 
@@ -3075,4 +3079,222 @@ nds AS (SELECT DISTINCT id FROM (SELECT s AS id FROM edges UNION ALL SELECT d FR
 blocks AS (SELECT id, id - (id % 16) AS blk FROM nds),
 sizes AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS size FROM blocks GROUP BY blk)
 SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM sizes GROUP BY size
+"""
+
+
+# --------------------------------------------- SHACL-lite validation (r2e)
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_DC_TITLE = "http://purl.org/dc/terms/title"
+
+
+def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite shape validation of the extracted graph: typed
+    entities checked for tag cardinality, required title, integer
+    score datatype, and IRI-kind knows — emitting violation rows only
+    (operators/validate.py; three relational steps, no per-row Python)."""
+    from .operators.validate import validate_shapes
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    g = st.select("subj", "pred", "obj", "obj_kind", "dtype").distinct()
+    return validate_shapes(g, [
+        {"shape_id": "thing_tag_max", "target_class": "urn:t:Thing",
+         "path": "urn:p:tag", "max_count": 1},
+        {"shape_id": "thing_title_min", "target_class": "urn:t:Thing",
+         "path": _DC_TITLE, "min_count": 1},
+        {"shape_id": "thing_score_int", "target_class": "urn:t:Thing",
+         "path": "urn:p:score", "min_count": 1,
+         "datatype": f"{_XSD}integer"},
+        {"shape_id": "thing_knows_kind", "target_class": "urn:t:Thing",
+         "path": "urn:p:knows", "min_count": 1, "max_count": 1,
+         "node_kind": "iri"},
+    ])
+
+
+ORACLES["kg_validate"] = f"""
+WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(gs AS INT) AS tix
+           FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS gs)),
+nt AS (SELECT * FROM t WHERE (did*7+tix)%5 = 0),
+jl AS (SELECT * FROM t WHERE (did*7+tix)%5 = 1),
+ra AS (SELECT * FROM t WHERE (did*7+tix)%5 = 2),
+g AS (SELECT DISTINCT subj, pred, obj, obj_kind, dtype FROM (
+  SELECT 'urn:e:'||did AS subj, 'urn:p:knows' AS pred,
+         'urn:e:'||(did+1) AS obj, 'iri' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS dtype FROM nt
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:score', (did%100)||'.5',
+         'literal', '{_XSD}decimal' FROM nt
+  UNION ALL SELECT 'urn:e:'||did, '{_RDF_TYPE}', 'urn:t:Thing', 'iri',
+         NULL FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1), 'iri',
+         NULL FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:score', CAST(did%50 AS VARCHAR),
+         'literal', '{_XSD}integer' FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:tag', 'a'||did, 'literal',
+         NULL FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:tag', 'b', 'literal',
+         NULL FROM jl
+  UNION ALL SELECT 'urn:e:'||did, '{_DC_TITLE}', 'Turn '||tix, 'literal',
+         NULL FROM ra)),
+shapes AS (SELECT * FROM (VALUES
+  ('thing_tag_max','urn:t:Thing','urn:p:tag',
+   CAST(NULL AS INT), 1, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('thing_title_min','urn:t:Thing','{_DC_TITLE}', 1, NULL, NULL, NULL),
+  ('thing_score_int','urn:t:Thing','urn:p:score', 1, NULL, NULL,
+   '{_XSD}integer'),
+  ('thing_knows_kind','urn:t:Thing','urn:p:knows', 1, 1, 'iri', NULL)
+ ) s(shape_id, target_class, path, min_count, max_count, node_kind, datatype)),
+targets AS (SELECT DISTINCT g.subj AS focus, s.shape_id, s.path,
+  s.min_count, s.max_count, s.node_kind, s.datatype
+  FROM g JOIN shapes s ON g.pred = '{_RDF_TYPE}' AND g.obj = s.target_class),
+joined AS (SELECT tg.*, v.obj, v.obj_kind, v.dtype
+  FROM targets tg LEFT JOIN g v ON v.subj = tg.focus AND v.pred = tg.path),
+agg AS (SELECT focus, shape_id, min_count, max_count, node_kind, datatype,
+  COUNT(obj) AS n_vals,
+  SUM(CASE WHEN node_kind IS NOT NULL AND obj IS NOT NULL
+           AND obj_kind <> node_kind THEN 1 ELSE 0 END) AS n_kind_bad,
+  SUM(CASE WHEN datatype IS NOT NULL AND obj IS NOT NULL
+           AND (dtype IS NULL OR dtype <> datatype) THEN 1 ELSE 0 END)
+    AS n_dtype_bad
+ FROM joined GROUP BY 1,2,3,4,5,6)
+SELECT focus, shape_id, 'minCount' AS "constraint",
+       '>='||CAST(min_count AS VARCHAR) AS expected,
+       CAST(n_vals AS BIGINT) AS got
+FROM agg WHERE min_count IS NOT NULL AND n_vals < min_count
+UNION ALL
+SELECT focus, shape_id, 'maxCount', '<='||CAST(max_count AS VARCHAR),
+       CAST(n_vals AS BIGINT)
+FROM agg WHERE max_count IS NOT NULL AND n_vals > max_count
+UNION ALL
+SELECT focus, shape_id, 'nodeKind', node_kind, CAST(n_kind_bad AS BIGINT)
+FROM agg WHERE n_kind_bad > 0
+UNION ALL
+SELECT focus, shape_id, 'datatype', datatype, CAST(n_dtype_bad AS BIGINT)
+FROM agg WHERE n_dtype_bad > 0
+"""
+
+
+# --------------------------------------- streaming session windows (r2e)
+
+
+def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session-window streaming aggregation: per-user
+    sessions (30-min inactivity gap) drained in append mode — only
+    sessions the final watermark (max ts − 1 h) has closed are emitted;
+    the oracle reproduces them with the batch lag()-sessionizer."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        StructField, StructType, TimestampNTZType, TimestampType,
+    )
+
+    from .streaming.windowed import session_event_counts
+
+    base = tempfile.mkdtemp(prefix="semargl_q_sess_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(f"{base}/in")
+    schema = StructType([
+        StructField(
+            f.name,
+            TimestampType() if isinstance(f.dataType, TimestampNTZType) else f.dataType,
+            f.nullable,
+        )
+        for f in ev.schema.fields
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{base}/in")
+    )
+    sink = f"q_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "session_start", "session_end", "user_id", F.col("n").cast("long")
+    )
+
+
+ORACLES["events_stream_sessions"] = """
+WITH w AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL
+              THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM w),
+sess AS (SELECT user_id, sid, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM s GROUP BY user_id, sid),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT session_start, session_end, user_id, n
+FROM sess WHERE session_end <= (SELECT w FROM wm)
+"""
+
+
+# ------------------------- projection + latency analytics (r2e, cont.)
+
+
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed ±1 random projection (JL transform) of the embedding
+    corpus onto 8 md5-derived directions — zero-shuffle row-local map,
+    fixed-point integers, bit-exact vs the SQL oracle."""
+    from .operators.similarity import random_projection
+
+    return random_projection(_embeddings(spark, sf_dir), out_dim=8)
+
+
+ORACLES["embedding_project"] = """
+WITH idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS i),
+js AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS j),
+q AS (SELECT vec_id, idx.i AS i,
+        CAST(ROUND(CAST(list_extract(embedding, idx.i + 1) AS DOUBLE)
+                   * 1000) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN idx),
+sgn AS (SELECT i, j,
+        CASE WHEN strpos('02468ace',
+                         substr(md5('rp|'||j||'|'||i), 1, 1)) > 0
+             THEN 1 ELSE -1 END AS s
+        FROM idx CROSS JOIN js)
+SELECT q.vec_id, sgn.j, CAST(SUM(q.qv * sgn.s) AS BIGINT) AS v
+FROM q JOIN sgn USING (i) GROUP BY q.vec_id, sgn.j
+"""
+
+
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response latency per conversation (user→assistant
+    adjacency under the stable turn ordering) — integer-second window
+    arithmetic, exact oracle."""
+    from .operators.conversation import response_latency
+
+    return response_latency(synth_transcripts(spark, sf_dir))
+
+
+ORACLES["turn_latency"] = _SEED + """,
+r AS (SELECT did, tix,
+        CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+             ELSE 'tool' END AS role,
+        CAST(1704067200 + did*3600 + tix*60 AS BIGINT) AS es FROM t),
+l AS (SELECT did,
+        CASE WHEN role = 'assistant'
+             AND LAG(role) OVER (PARTITION BY did ORDER BY tix) = 'user'
+             THEN es - LAG(es) OVER (PARTITION BY did ORDER BY tix)
+        END AS lat
+      FROM r)
+SELECT 'c'||did AS conv_id, CAST(COUNT(lat) AS BIGINT) AS n_responses,
+       CAST(COALESCE(SUM(lat), 0) AS BIGINT) AS sum_latency_s,
+       CAST(MAX(lat) AS BIGINT) AS max_latency_s
+FROM l GROUP BY did
 """

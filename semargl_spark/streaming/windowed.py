@@ -40,3 +40,30 @@ def hourly_event_counts(
             "value_sum",
         )
     )
+
+
+def session_event_counts(
+    events: DataFrame, gap: str = "30 minutes", delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming events(ts, user_id) → per-user session windows
+    (``session_window``: windows merge while consecutive events are
+    less than ``gap`` apart; a session ends ``gap`` after its last
+    event), watermarked by ``delay``.
+
+    Append mode emits a session only once the watermark passes its end
+    — the exactly-once sessionization that replaces the batch
+    lag()-window sessionizer for unbounded streams; state per user is
+    one open session, evicted on close, so memory is bounded by the
+    number of concurrently active users, not the stream length.
+    """
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )

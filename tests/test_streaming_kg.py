@@ -80,3 +80,35 @@ def test_stream_to_kg_matches_batch_and_replays_clean(spark):
         assert copies == 1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_sessions_match_batch_sessionizer(spark, tmp_path):
+    """Session windows drained via availableNow == the batch lag()
+    sessionizer restricted to watermark-closed sessions."""
+    import semargl_spark.queries_pipeline as qp
+
+    out = qp.q_events_stream_sessions(spark, SF_DIR)
+    rows = {(r["session_start"], r["session_end"], r["user_id"], r["n"])
+            for r in out.collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    ns = F.when(
+        (epoch - F.lag(epoch).over(w)).isNull()
+        | ((epoch - F.lag(epoch).over(w)) > 1800), 1).otherwise(0)
+    sess = (
+        ev.select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn("sid", F.sum(ns).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"),
+             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+             F.count("*").cast("long").alias("n"))
+    )
+    wm = ev.agg((F.max(F.col("ts").cast("timestamp"))
+                 - F.expr("INTERVAL 1 HOUR")).alias("w")).first()["w"]
+    batch = {(r["session_start"], r["session_end"], r["user_id"], r["n"])
+             for r in sess.filter(F.col("session_end") <= F.lit(wm)).collect()}
+    assert rows == batch and len(rows) > 0
