@@ -95,7 +95,9 @@ def main() -> None:
                  "boilerplate_windows", "corpus_quantiles", "kg_degree_stats",
                  "semdedup", "top_terms", "top_ngrams",
                  "kg_triangles", "kg_node_sim", "kg_bgp_optional",
-                 "c4_filter", "lm_score", "turn_transitions"):
+                 "c4_filter", "lm_score", "turn_transitions",
+                 "kg_label_prop", "kg_neg_samples", "kg_validate",
+                 "embedding_project", "turn_latency"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -85,3 +85,112 @@ def expand_statements(
     )
     out = statements.unionByName(pred_syn).unionByName(obj_syn)
     return out.distinct() if dedupe else out
+
+
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _transitive(pairs: list[tuple[str, str]]) -> set[tuple[str, str]]:
+    """Driver-side transitive closure of a (sub, super) relation — the
+    ontology is tiny by definition (same budget argument as
+    expansion_map); the DATA-side closure is what must stay distributed."""
+    out = set(pairs)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in list(out):
+            for c, d in list(out):
+                if b == c and (a, d) not in out:
+                    out.add((a, d))
+                    changed = True
+    return out
+
+
+def rdfs_infer(triples: DataFrame, ontology: list[tuple[str, str, str]]) -> DataFrame:
+    """RDFS materialization: the NEW triples entailed by ``ontology``
+    over ``triples`` (subj, pred, obj, obj_kind) under rules rdfs2
+    (domain), rdfs3 (range), rdfs7 (subPropertyOf), rdfs9/11
+    (subClassOf transitivity on types) → (subj, pred, obj), distinct,
+    minus what was already asserted.
+
+    The ontology's sub-class/-property closures and the
+    domain/range maps are pre-composed ON THE DRIVER (rdfs7 before
+    rdfs2/3, rdfs9 after both — the standard stratification, so one
+    relational pass reaches the fixpoint; no iteration over the 10^12-row
+    data side). Each rule is then ONE broadcast-hash join against the
+    statement stream: map-side only, no shuffle until the final
+    distinct. The reference's vocabulary expansion
+    (Vocabulary.java:125-144) covers only equivalence/sub synonyms;
+    this is the full RDFS entailment a KG-construction pipeline
+    materializes before serving.
+    """
+    spark = triples.sparkSession
+    subc = _transitive([(s, o) for s, p, o in ontology if p == RDFS_SUB_CLASS_OF])
+    subp = _transitive([(s, o) for s, p, o in ontology if p == RDFS_SUB_PROPERTY_OF])
+    dom = [(s, o) for s, p, o in ontology if p == RDFS_DOMAIN]
+    rng = [(s, o) for s, p, o in ontology if p == RDFS_RANGE]
+    # rdfs7∘rdfs2/3: a subproperty inherits its superproperties' domains
+    # and ranges (p ⊑ q, domain(q, C) ⟹ domain(p, C))
+    subp_refl = subp | {(p, p) for pair in subp for p in pair} | {
+        (p, p) for p, _ in dom + rng
+    }
+    dom_full = {(p, c) for p, q in subp_refl for q2, c in dom if q == q2}
+    rng_full = {(p, c) for p, q in subp_refl for q2, c in rng if q == q2}
+    # rdfs9 on inferred domain/range types: close over subclass too
+    subc_refl = subc | {(c, c) for pair in subc for c in pair} | {
+        (c, c) for _, c in list(dom_full) + list(rng_full)
+    }
+    dom_closed = {(p, d) for p, c in dom_full for c2, d in subc_refl if c == c2}
+    rng_closed = {(p, d) for p, c in rng_full for c2, d in subc_refl if c == c2}
+
+    def _pairs(name_a: str, name_b: str, pairs) -> DataFrame:
+        return spark.createDataFrame(
+            sorted(pairs), f"{name_a} string, {name_b} string"
+        )
+
+    t = triples.select("subj", "pred", "obj", "obj_kind")
+    parts = []
+    if subp:
+        sp = _pairs("pred", "sup", subp)
+        parts.append(
+            t.join(F.broadcast(sp), "pred").select(
+                "subj", F.col("sup").alias("pred"), "obj"
+            )
+        )
+    if subc:
+        sc = _pairs("obj", "sup", subc)
+        parts.append(
+            t.filter(F.col("pred") == RDF_TYPE)
+            .join(F.broadcast(sc), "obj")
+            .select("subj", F.lit(RDF_TYPE).alias("pred"), F.col("sup").alias("obj"))
+        )
+    if dom_closed:
+        dm = _pairs("pred", "cls", dom_closed)
+        parts.append(
+            t.join(F.broadcast(dm), "pred").select(
+                "subj", F.lit(RDF_TYPE).alias("pred"), F.col("cls").alias("obj")
+            )
+        )
+    if rng_closed:
+        rg = _pairs("pred", "cls", rng_closed)
+        parts.append(
+            t.filter(F.col("obj_kind").isin("iri", "bnode"))
+            .join(F.broadcast(rg), "pred")
+            .select(
+                F.col("obj").alias("subj"),
+                F.lit(RDF_TYPE).alias("pred"),
+                F.col("cls").alias("obj"),
+            )
+        )
+    if not parts:
+        raise ValueError("ontology entails nothing (no sub/domain/range axioms)")
+    inferred = parts[0]
+    for p in parts[1:]:
+        inferred = inferred.unionByName(p)
+    return inferred.distinct().join(
+        t.select("subj", "pred", "obj").distinct(),
+        ["subj", "pred", "obj"],
+        "left_anti",
+    )

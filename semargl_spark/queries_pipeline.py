@@ -1952,6 +1952,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": q_events_stream_sessions,
         "embedding_project": q_embedding_project,
         "turn_latency": q_turn_latency,
+        "kg_rdfs_infer": q_kg_rdfs_infer,
+        "events_stream_join": q_events_stream_join,
     }
 
 
@@ -3297,4 +3299,110 @@ SELECT 'c'||did AS conv_id, CAST(COUNT(lat) AS BIGINT) AS n_responses,
        CAST(COALESCE(SUM(lat), 0) AS BIGINT) AS sum_latency_s,
        CAST(MAX(lat) AS BIGINT) AS max_latency_s
 FROM l GROUP BY did
+"""
+
+
+# ----------------------------- RDFS inference + stream-stream join (r2f)
+
+
+def q_kg_rdfs_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS materialization over the extracted graph: a 6-axiom
+    ontology (knows ⊑ related ⊑ connected; Thing ⊑ Entity ⊑ Resource;
+    domain/range(knows) = Agent) entails new type and superproperty
+    triples — each rule one broadcast join, closures pre-composed
+    driver-side (operators/vocab.rdfs_infer)."""
+    from .operators.vocab import (
+        RDFS_DOMAIN, RDFS_RANGE, RDFS_SUB_CLASS_OF, RDFS_SUB_PROPERTY_OF,
+        rdfs_infer,
+    )
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    g = st.select("subj", "pred", "obj", "obj_kind").distinct()
+    return rdfs_infer(g, [
+        ("urn:p:knows", RDFS_SUB_PROPERTY_OF, "urn:p:related"),
+        ("urn:p:related", RDFS_SUB_PROPERTY_OF, "urn:p:connected"),
+        ("urn:t:Thing", RDFS_SUB_CLASS_OF, "urn:t:Entity"),
+        ("urn:t:Entity", RDFS_SUB_CLASS_OF, "urn:t:Resource"),
+        ("urn:p:knows", RDFS_DOMAIN, "urn:t:Agent"),
+        ("urn:p:knows", RDFS_RANGE, "urn:t:Agent"),
+    ])
+
+
+ORACLES["kg_rdfs_infer"] = f"""
+WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(gs AS INT) AS tix
+           FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS gs)),
+nt AS (SELECT DISTINCT did FROM t WHERE (did*7+tix)%5 = 0),
+jl AS (SELECT DISTINCT did FROM t WHERE (did*7+tix)%5 = 1),
+knows AS (SELECT 'urn:e:'||did AS s, 'urn:e:'||(did+1) AS o FROM nt
+          UNION SELECT 'urn:e:'||did, 'urn:e:'||(did+1) FROM jl),
+typed AS (SELECT 'urn:e:'||did AS s FROM jl),
+inf AS (
+  SELECT s AS subj, 'urn:p:related' AS pred, o AS obj FROM knows
+  UNION SELECT s, 'urn:p:connected', o FROM knows
+  UNION SELECT s, '{_RDF_TYPE}', 'urn:t:Entity' FROM typed
+  UNION SELECT s, '{_RDF_TYPE}', 'urn:t:Resource' FROM typed
+  UNION SELECT s, '{_RDF_TYPE}', 'urn:t:Agent' FROM knows
+  UNION SELECT o, '{_RDF_TYPE}', 'urn:t:Agent' FROM knows)
+SELECT subj, pred, obj FROM inf
+"""
+
+
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join: purchases matched to
+    same-user views within a 1-hour horizon; the time-range condition +
+    watermark bound the join state, and inner-join emission makes the
+    drained result equal the batch join (the oracle)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        StructField, StructType, TimestampNTZType, TimestampType,
+    )
+
+    from .streaming.windowed import stream_attribution
+
+    base = tempfile.mkdtemp(prefix="semargl_q_ssj_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(f"{base}/in")
+    schema = StructType([
+        StructField(
+            f.name,
+            TimestampType() if isinstance(f.dataType, TimestampNTZType) else f.dataType,
+            f.nullable,
+        )
+        for f in ev.schema.fields
+    ])
+
+    def _src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(f"{base}/in")
+        )
+
+    views = _src().filter(F.col("event_type") == "view")
+    purchases = _src().filter(F.col("event_type") == "purchase")
+    sink = f"q_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_attribution(views, purchases)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "view_id", "purchase_id", "user_id", "gap_us"
+    )
+
+
+ORACLES["events_stream_join"] = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
 """

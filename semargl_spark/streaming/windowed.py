@@ -67,3 +67,47 @@ def session_event_counts(
             "n",
         )
     )
+
+
+def stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: every
+    (view, purchase) pair by the same user where the purchase lands
+    within ``horizon`` after the view → (view_id, purchase_id,
+    user_id, gap_us).
+
+    The watermark + range condition is what BOUNDS the join state:
+    Spark evicts a buffered view once the purchase-side watermark
+    passes view.ts + horizon, so state holds ``horizon + delay`` of
+    stream per side instead of the whole history — the only shape a
+    10^12-event attribution join can take. Inner-join emission does not
+    wait for the watermark (matches emit as they arrive), so the
+    drained availableNow result equals the plain batch join — which is
+    the oracle.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", delay)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", delay)
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )

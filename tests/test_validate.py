@@ -121,3 +121,56 @@ def test_response_latency_adjacency_and_empty(spark):
     out = {r["conv_id"]: (r["n_responses"], r["sum_latency_s"], r["max_latency_s"])
            for r in response_latency(df).collect()}
     assert out == {"a": (2, 70, 60), "b": (0, 0, None)}
+
+
+def test_rdfs_infer_rules_and_anti_join(spark):
+    from semargl_spark.operators.vocab import (
+        RDFS_DOMAIN, RDFS_RANGE, RDFS_SUB_CLASS_OF, RDFS_SUB_PROPERTY_OF,
+        RDF_TYPE, rdfs_infer,
+    )
+
+    g = spark.createDataFrame([
+        ("a", "knows", "b", "iri"),
+        ("a", RDF_TYPE, "T", "iri"),
+        # literal object: range rule must NOT type it
+        ("a", "knows", "oops", "literal"),
+        # already-asserted entailment: must not be re-emitted
+        ("a", "related", "b", "iri"),
+    ], "subj string, pred string, obj string, obj_kind string")
+    onto = [
+        ("knows", RDFS_SUB_PROPERTY_OF, "related"),
+        ("related", RDFS_SUB_PROPERTY_OF, "connected"),
+        ("T", RDFS_SUB_CLASS_OF, "U"),
+        ("knows", RDFS_DOMAIN, "D"),
+        ("knows", RDFS_RANGE, "R"),
+        ("R", RDFS_SUB_CLASS_OF, "R2"),
+    ]
+    out = {(r["subj"], r["pred"], r["obj"])
+           for r in rdfs_infer(g, onto).collect()}
+    assert out == {
+        ("a", "connected", "b"),          # subproperty, transitive
+        ("a", "related", "oops"),         # subproperty applies to literals too
+        ("a", "connected", "oops"),
+        ("a", RDF_TYPE, "U"),             # subclass on asserted type
+        ("a", RDF_TYPE, "D"),             # domain
+        ("b", RDF_TYPE, "R"),             # range (iri object only)
+        ("b", RDF_TYPE, "R2"),            # range closed over subclass
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rdfs_infer(g, [("x", "urn:unrelated", "y")])
+
+
+def test_rdfs_infer_partitioning_invariant(spark):
+    from semargl_spark.operators.vocab import (
+        RDFS_SUB_PROPERTY_OF, rdfs_infer,
+    )
+
+    rows = [(f"e{i}", "knows", f"e{i+1}", "iri") for i in range(30)]
+    g = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string")
+    onto = [("knows", RDFS_SUB_PROPERTY_OF, "related")]
+    a = {tuple(r) for r in rdfs_infer(g.repartition(1), onto).collect()}
+    b = {tuple(r) for r in rdfs_infer(g.repartition(9), onto).collect()}
+    assert a == b and len(a) == 30
