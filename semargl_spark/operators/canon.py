@@ -124,3 +124,53 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 def canonicalize(equiv_edges: DataFrame) -> DataFrame:
     """Canon stage entry: equivalence edges → canonical node mapping."""
     return connected_components(equiv_edges)
+
+
+def cc_incremental(components: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Merge a DELTA of equivalence edges into an existing (node,
+    component) assignment without recomputing components from scratch
+    → updated (node, component).
+
+    The incremental-maintenance pattern a daily 10^12-node
+    canonicalization run needs: each existing component is collapsed to
+    its label, the new edges are rewritten through the old assignment
+    (two left joins — endpoints not yet known keep themselves), and
+    :func:`connected_components` runs over ONLY that contracted delta
+    graph — label and fresh nodes, never the corpus. One final join
+    maps every old node through its label's new component. Rounds scale
+    with the delta's diameter; the full-corpus table is touched exactly
+    twice (one rewrite join, one remap join).
+
+    Self-loops after contraction (both endpoints already in the same
+    component) vanish inside connected_components' self-loop filter, so
+    a delta that changes nothing costs two broadcast-sized joins and an
+    empty CC.
+    """
+    comp = components.select("node", "component")
+    e = new_edges.select(
+        F.col("src").cast("string"), F.col("dst").cast("string")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    contracted = (
+        e.join(comp.withColumnRenamed("node", "src"), "src", "left")
+        .withColumn("csrc", F.coalesce("component", "src"))
+        .drop("component")
+        .join(comp.withColumnRenamed("node", "dst"), "dst", "left")
+        .withColumn("cdst", F.coalesce("component", "dst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+    )
+    delta = connected_components(contracted)
+    # old nodes: remap through their label; labels untouched by the
+    # delta keep themselves. fresh nodes: appear only in delta.
+    remapped = (
+        comp.join(
+            delta.withColumnRenamed("component", "new_component")
+            .withColumnRenamed("node", "component"),
+            "component",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("new_component", "component").alias("component")
+        )
+    )
+    fresh = delta.join(comp.select("node"), "node", "left_anti")
+    return remapped.unionByName(fresh)

@@ -1954,6 +1954,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": q_turn_latency,
         "kg_rdfs_infer": q_kg_rdfs_infer,
         "events_stream_join": q_events_stream_join,
+        "canonicalize_incremental": q_canonicalize_incremental,
     }
 
 
@@ -3405,4 +3406,49 @@ FROM events v JOIN events p
   ON p.user_id = v.user_id
  AND v.event_type = 'view' AND p.event_type = 'purchase'
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+# ------------------------------------ incremental canonicalization (r2g)
+
+
+def q_canonicalize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC maintenance: the block-16 components from
+    `canonicalize` merged with a bridge-edge delta (every 4th block
+    boundary left open) — the delta is contracted through the existing
+    assignment, CC runs only on the contracted graph, and one join
+    remaps the corpus (operators/canon.cc_incremental). Closed form:
+    64-wide super-blocks."""
+    from .operators.canon import cc_incremental
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    knows = st.filter(F.col("pred") == "urn:p:knows")
+    src_id = F.regexp_extract("subj", r"urn:e:(\d+)", 1).cast("long")
+    old_edges = (
+        knows.filter(src_id % 16 != 15)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    bridges = (
+        knows.filter((src_id % 16 == 15) & ((src_id / 16).cast("long") % 4 != 3))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    comp0 = connected_components(old_edges)
+    return cc_incremental(comp0, bridges)
+
+
+ORACLES["canonicalize_incremental"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+edges AS (SELECT did AS s, did+1 AS d FROM ids WHERE did % 16 <> 15
+          UNION ALL
+          SELECT did, did+1 FROM ids
+          WHERE did % 16 = 15 AND (did // 16) % 4 <> 3),
+nds AS (SELECT DISTINCT id FROM
+        (SELECT s AS id FROM edges UNION ALL SELECT d FROM edges)),
+blocks AS (SELECT id, id - (id % 64) AS blk FROM nds)
+SELECT 'urn:e:'||b.id AS node, m.root AS component
+FROM blocks b JOIN (SELECT blk, MIN('urn:e:'||id) AS root
+                    FROM blocks GROUP BY blk) m USING (blk)
 """

@@ -499,3 +499,31 @@ def test_substring_dup_pairs_containment_and_boilerplate_guard(spark):
     # without the guard the hot bucket pairs quadratically: 12C2 = 66
     unguarded = dedup.substring_dup_pairs(docs, window=16)
     assert unguarded.count() == 66 + 1
+
+
+def test_cc_incremental_matches_full_recompute(spark):
+    from semargl_spark.operators.canon import cc_incremental, connected_components
+
+    old = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f")], "src string, dst string")
+    comp0 = connected_components(old)
+    # delta: bridge two components, attach a fresh node, and one no-op edge
+    delta = spark.createDataFrame(
+        [("b", "c"), ("f", "g"), ("a", "b")], "src string, dst string")
+    inc = {(r["node"], r["component"])
+           for r in cc_incremental(comp0, delta).collect()}
+    full = {(r["node"], r["component"])
+            for r in connected_components(old.unionByName(delta)).collect()}
+    assert inc == full
+    assert ("g", "e") in inc  # fresh node joined e's component
+
+
+def test_cc_incremental_noop_delta_is_identity(spark):
+    from semargl_spark.operators.canon import cc_incremental, connected_components
+
+    old = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    comp0 = connected_components(old)
+    delta = spark.createDataFrame([("a", "c")], "src string, dst string")
+    inc = {(r["node"], r["component"])
+           for r in cc_incremental(comp0, delta).collect()}
+    assert inc == {(r["node"], r["component"]) for r in comp0.collect()}
