@@ -20,10 +20,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — lets the bench record
+    hypervisor contention over ITS OWN window. This box is
+    multi-tenant: measured steal ranges 0–19%, and a 15%-steal window
+    roughly halves multi-core throughput, so a headline number without
+    its steal context is not comparable across rounds."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except OSError:
+        return (0, 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     turns_per_doc = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "64"))
+    steal0, total0 = _cpu_ticks()
 
     from semargl_spark.spark_util import tuned_session
 
@@ -97,7 +113,9 @@ def main() -> None:
                  "kg_triangles", "kg_node_sim", "kg_bgp_optional",
                  "c4_filter", "lm_score", "turn_transitions",
                  "kg_label_prop", "kg_neg_samples", "kg_validate",
-                 "embedding_project", "turn_latency"):
+                 "embedding_project", "turn_latency",
+                 "kg_rdfs_infer", "canonicalize_incremental",
+                 "kg_modularity", "kg_neighbor_agg"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))
@@ -109,6 +127,11 @@ def main() -> None:
     tps = round(total_triples / wall, 1) if wall > 0 else 0.0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    steal1, total1 = _cpu_ticks()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0 else None
+    )
     print(
         json.dumps(
             {
@@ -120,6 +143,7 @@ def main() -> None:
                 "counts": counts,
                 "cpus": cpus,
                 "turns_per_doc": turns_per_doc,
+                "host_steal_pct": steal_pct,
             }
         )
     )

@@ -407,7 +407,11 @@ def negative_samples(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    idx = node_index(edges, s_col=s_col, o_col=o_col)
+    # the index is consumed twice (count + equi-join) and its window
+    # would otherwise recompute per consumer — pin it once
+    idx = node_index(edges, s_col=s_col, o_col=o_col).localCheckpoint(
+        eager=True
+    )
     n_nodes = idx.count()
     cand = edges.select(
         s_col, p_col, o_col,
@@ -507,3 +511,129 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def neighbor_agg(
+    edges: DataFrame,
+    embeddings: DataFrame,
+    scale: int = 1000,
+    s_col: str = "src",
+    o_col: str = "dst",
+    id_col: str = "node",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GraphSAGE-style mean aggregation: for every node, the
+    elementwise mean of its (undirected, deduplicated) neighbors'
+    embeddings → (node, dim, mean_q) in fixed-point integers.
+
+    Components quantize to bigints at ``scale`` (ROUND half-away — the
+    gram_matrix convention), sums are integer-exact, and the mean is a
+    floor division — bit-identical at any parallelism, any engine.
+
+    Plan: one distinct over the symmetrized edge list, one equi-join to
+    the embedding table on the neighbor id, one posexplode, one
+    (node, dim) hash aggregate. The explode multiplies the shuffle by d
+    — the price of staying SQL-expressible; at d in the hundreds swap
+    the explode+groupBy for a mapInArrow partial-vector-sum keyed by
+    node (same result, one row per node on the wire). Hub nodes land in
+    the aggregate where AQE's skew split applies.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    und = (
+        edges.select(F.col(s_col).alias("a"), F.col(o_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(o_col).alias("a"), F.col(s_col).alias("b"))
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("b"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            )
+        ).alias("dim", "qv"),
+    )
+    summed = (
+        und.join(q, "b")
+        .groupBy(F.col("a").alias("node"), "dim")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+    )
+    # floor division toward -inf for possibly-negative sums: SQL's //
+    # (and DuckDB's) floors, Spark's int div truncates — emulate floor
+    mean = F.floor(F.col("s") / F.col("n")).cast("long")
+    return summed.select("node", F.col("dim").cast("int"), mean.alias("mean_q"))
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    s_col: str = "src",
+    o_col: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    simple graph → one row per community: (label, n_nodes,
+    internal_edges, degree_sum, q_micro) where q_micro =
+    floor(e_c·10⁶/m) − floor(deg_c²·10⁶/(4m²)) — the exact integer
+    micro-unit form of e_c/m − (deg_c/2m)², so Σ q_micro is the
+    (floored) modularity in micro-units, bit-identical at any
+    parallelism.
+
+    Plan: symmetrize+distinct once, two broadcast-scale joins of the
+    edge list to the (node, label) table, one groupBy per side. The
+    denominator m is a single scalar crossJoined in (Spark plans a
+    1-row broadcast). Quality gate for label_propagation /
+    connected_components output at 10^12 edges — a near-zero Q on a
+    supposedly-clustered KG means the linker is merging everything.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(s_col), F.col(o_col)).alias("a"),
+            F.greatest(F.col(s_col), F.col(o_col)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    lab = communities.select("node", "label")
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    e = und.join(la, "a").join(lb, "b")
+    m_df = und.agg(F.count("*").cast("long").alias("m"))
+    internal = (
+        e.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .join(lab, "node")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("degree_sum"),
+            F.countDistinct("node").cast("long").alias("n_nodes"),
+        )
+    )
+    M = 10**6
+    out = (
+        deg.join(internal, "label", "left")
+        .withColumn("internal_edges",
+                    F.coalesce("internal_edges", F.lit(0)).cast("long"))
+        .crossJoin(m_df)
+    )
+    e_term = _fdiv(F.col("internal_edges") * M, F.col("m"))
+    d_term = _fdiv(
+        F.col("degree_sum") * F.col("degree_sum") * M,
+        F.lit(4) * F.col("m") * F.col("m"),
+    )
+    return out.select(
+        "label", "n_nodes", "internal_edges", "degree_sum",
+        (e_term - d_term).cast("long").alias("q_micro"),
+    )

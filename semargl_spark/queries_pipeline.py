@@ -1955,6 +1955,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_infer": q_kg_rdfs_infer,
         "events_stream_join": q_events_stream_join,
         "canonicalize_incremental": q_canonicalize_incremental,
+        "kg_neighbor_agg": q_kg_neighbor_agg,
+        "kg_modularity": q_kg_modularity,
     }
 
 
@@ -3452,3 +3454,86 @@ SELECT 'urn:e:'||b.id AS node, m.root AS component
 FROM blocks b JOIN (SELECT blk, MIN('urn:e:'||id) AS root
                     FROM blocks GROUP BY blk) m USING (blk)
 """
+
+
+# -------------------------- neighbor aggregation + modularity (r2h)
+
+
+def q_kg_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style mean aggregation of neighbor embeddings over the
+    knows graph (entities mapped to embedding rows by id) — fixed-point
+    integer means, exact at any parallelism."""
+    from .operators.graph import neighbor_agg
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    knows = st.filter(F.col("pred") == "urn:p:knows").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
+    emb = _embeddings(spark, sf_dir).select(
+        F.concat(F.lit("urn:e:"), F.col("vec_id").cast("string")).alias("node"),
+        "embedding",
+    )
+    return neighbor_agg(knows, emb)
+
+
+ORACLES["kg_neighbor_agg"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+und AS (SELECT did AS a, did+1 AS b FROM ids
+        UNION SELECT did+1, did FROM ids),
+idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS dim),
+q AS (SELECT CAST(vec_id AS INT) AS id, idx.dim,
+        CAST(ROUND(CAST(list_extract(embedding, idx.dim + 1) AS DOUBLE)
+                   * 1000) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN idx),
+s AS (SELECT u.a, q.dim, SUM(q.qv) AS sv, COUNT(*) AS n
+      FROM und u JOIN q ON q.id = u.b GROUP BY u.a, q.dim)
+SELECT 'urn:e:'||a AS node, CAST(dim AS INT) AS dim,
+       CAST(FLOOR(CAST(sv AS DOUBLE) / n) AS BIGINT) AS mean_q
+FROM s
+"""
+
+
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (exact micro-units) of the label-propagation
+    communities over the knows graph — the quality gate that catches a
+    canonicalizer merging everything into one cluster."""
+    from .operators.graph import label_propagation, modularity
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    knows = st.filter(F.col("pred") == "urn:p:knows").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
+    comm = label_propagation(knows, rounds=3)
+    return modularity(knows, comm)
+
+
+def _modularity_oracle() -> str:
+    # reuse the unrolled 3-round LPA closed form, then score it
+    lpa = _label_prop_oracle(3)
+    body = lpa[: lpa.rfind("\nSELECT")]  # strip the final SELECT
+    return body + """,
+e_und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM und),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e_und),
+lab AS (SELECT node, label FROM l3),
+intr AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS internal_edges
+         FROM e_und e JOIN lab la ON la.node = e.a
+                      JOIN lab lb ON lb.node = e.b
+         WHERE la.label = lb.label GROUP BY la.label),
+deg AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS degree_sum,
+               CAST(COUNT(DISTINCT d.node) AS BIGINT) AS n_nodes
+        FROM (SELECT a AS node FROM e_und UNION ALL SELECT b FROM e_und) d
+        JOIN lab l ON l.node = d.node GROUP BY l.label),
+sc AS (SELECT deg.label, deg.n_nodes,
+              COALESCE(intr.internal_edges, 0) AS internal_edges,
+              deg.degree_sum, mm.m
+       FROM deg LEFT JOIN intr USING (label) CROSS JOIN mm)
+SELECT label, n_nodes, internal_edges, degree_sum,
+  CAST((internal_edges*1000000 - (internal_edges*1000000) % m) / m
+     - (degree_sum*degree_sum*1000000
+        - (degree_sum*degree_sum*1000000) % (4*m*m)) / (4*m*m)
+    AS BIGINT) AS q_micro
+FROM sc
+"""
+
+
+ORACLES["kg_modularity"] = _modularity_oracle()

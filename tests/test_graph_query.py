@@ -711,3 +711,61 @@ def test_label_propagation_partition_invariant(spark):
     assert a == b
     with pytest.raises(ValueError):
         label_propagation(t, rounds=0)
+
+
+# -------------------------------------------- neighbor agg / modularity
+
+
+def test_neighbor_agg_hand_computed(spark):
+    from semargl_spark.operators.graph import neighbor_agg
+
+    edges = _tri(spark, [("a", "p", "b"), ("b", "p", "c")]).select("src", "dst")
+    emb = spark.createDataFrame(
+        [("a", [1.0, -2.0]), ("b", [0.5, 0.5]), ("c", [-1.0, 1.0])],
+        "node string, embedding array<float>",
+    )
+    out = {(r["node"], r["dim"]): r["mean_q"]
+           for r in neighbor_agg(edges, emb).collect()}
+    # a's neighbor: b -> (500, 500); c's neighbor: b -> (500, 500)
+    # b's neighbors: a, c -> floor((1000-1000)/2)=0, floor((-2000+1000)/2)=-500
+    assert out == {
+        ("a", 0): 500, ("a", 1): 500,
+        ("c", 0): 500, ("c", 1): 500,
+        ("b", 0): 0, ("b", 1): -500,
+    }
+    with pytest.raises(ValueError):
+        neighbor_agg(edges, emb, scale=0)
+
+
+def test_modularity_two_cliques_beats_merged(spark):
+    from semargl_spark.operators.graph import modularity
+
+    clique1 = [(f"a{i}", "p", f"a{j}") for i in range(4) for j in range(i)]
+    clique2 = [(f"z{i}", "p", f"z{j}") for i in range(4) for j in range(i)]
+    bridge = [("a0", "p", "z0")]
+    edges = _tri(spark, clique1 + clique2 + bridge).select("src", "dst")
+    split = spark.createDataFrame(
+        [(f"a{i}", "A") for i in range(4)] + [(f"z{i}", "Z") for i in range(4)],
+        "node string, label string",
+    )
+    merged = split.select("node", F.lit("ALL").alias("label"))
+    q_split = sum(r["q_micro"] for r in modularity(edges, split).collect())
+    q_merged = sum(r["q_micro"] for r in modularity(edges, merged).collect())
+    # m=13; split: 2*(floor(6e6/13) - floor(13^2*1e6/676)) ≈ 2*211538 > 0
+    assert q_split > q_merged
+    assert q_merged <= 0  # single community: e/m=1, (2m/2m)^2=1 -> ~0 minus floor loss
+    # exact check of one community's row
+    rows = {r["label"]: r for r in modularity(edges, split).collect()}
+    assert rows["A"]["n_nodes"] == 4 and rows["A"]["internal_edges"] == 6
+    assert rows["A"]["degree_sum"] == 13  # 3+3+3+4 (a0 has the bridge)
+
+
+def test_modularity_partitioning_invariant(spark):
+    from semargl_spark.operators.graph import label_propagation, modularity
+
+    rows = [(f"n{i}", "p", f"n{(i * 5 + 2) % 23}") for i in range(23)]
+    edges = _tri(spark, rows).select("src", "dst")
+    comm = label_propagation(_tri(spark, rows), rounds=2)
+    a = {tuple(r) for r in modularity(edges.repartition(1), comm).collect()}
+    b = {tuple(r) for r in modularity(edges.repartition(7), comm).collect()}
+    assert a == b

@@ -279,6 +279,59 @@ def main():
                    "Cartesian" not in p and "Python" not in p
                    and "HashAggregate" in p))
 
+    # 19. SPARQL top-k: must compile to TakeOrderedAndProject (per-task
+    # k-row heaps), never a global-sort row_number filter
+    from semargl_spark.operators.bgp import match_bgp_topk
+
+    p = plan_of(match_bgp_topk(
+        edges_disk, [("?a", "urn:p:knows", "?b")], [("a", "desc")], k=25))
+    sections.append(("kg_bgp_topk", p))
+    checks.append(("BGP top-k plans as TakeOrderedAndProject",
+                   "TakeOrderedAndProject" in p))
+
+    # 20. SHACL-lite: shapes broadcast; everything an equi-join
+    from semargl_spark.operators.validate import validate_shapes
+
+    stg = triples(extract_statements(t)).select(
+        "subj", "pred", "obj", "obj_kind", "dtype").distinct()
+    p = plan_of(validate_shapes(stg, [
+        {"shape_id": "s", "target_class": "urn:t:Thing",
+         "path": "urn:p:knows", "min_count": 1}]))
+    sections.append(("kg_validate", p))
+    checks.append(("validation: shapes broadcast, equi-joins only",
+                   "BroadcastHashJoin" in p and "Cartesian" not in p
+                   and "NestedLoop" not in p))
+
+    # 21. RDFS inference: every rule a broadcast join, no cartesian
+    from semargl_spark.operators.vocab import (
+        RDFS_SUB_PROPERTY_OF, rdfs_infer,
+    )
+
+    p = plan_of(rdfs_infer(
+        stg.select("subj", "pred", "obj", "obj_kind"),
+        [("urn:p:knows", RDFS_SUB_PROPERTY_OF, "urn:p:related")]))
+    sections.append(("kg_rdfs_infer", p))
+    checks.append(("rdfs inference: broadcast joins only",
+                   "BroadcastHashJoin" in p and "Cartesian" not in p
+                   and "NestedLoop" not in p))
+
+    # 22. random projection: row-local — no shuffle, no Python
+    from semargl_spark.operators.similarity import random_projection
+
+    p = plan_of(random_projection(emb, out_dim=4))
+    sections.append(("embedding_project", p))
+    checks.append(("random projection is shuffle-free and JVM-side",
+                   n_nodes(p, "Exchange") == 0 and "Python" not in p))
+
+    # 23. negative sampling: equi-joins on the hashed index, anti-join
+    # on the true-edge set — never a cross product
+    from semargl_spark.operators.graph import negative_samples
+
+    p = plan_of(negative_samples(edges_disk, k=2))
+    sections.append(("kg_neg_samples", p))
+    checks.append(("negative sampling: equi-joins only (no cross product)",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
