@@ -153,3 +153,41 @@ def response_latency(transcripts: DataFrame) -> DataFrame:
             F.max("lat").cast("long").alias("max_latency_s"),
         )
     )
+
+
+def transcripts_profile(transcripts: DataFrame) -> DataFrame:
+    """Data-profiling report over the input table → one row per column:
+    (col_name, n_rows, n_null, n_distinct, min_len, max_len).
+
+    The first thing a corpus owner runs on a new 10^12-turn delivery:
+    null-rate spikes mean a broken exporter, distinct-count collapse on
+    conv_id means a partition got duplicated. One pass, one aggregation
+    — every per-column statistic is a conditional expression over the
+    same scan (exact distincts per column via count_distinct, which
+    Spark executes as expand+partial-agg, not one reducer); the stack
+    to long format is a row-local explode of an already-1-row result.
+    """
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    present = [c for c in cols if c in transcripts.columns]
+    aggs = []
+    for c in present:
+        s = F.col(c).cast("string")
+        aggs.extend([
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.length(s)).alias(f"{c}__minlen"),
+            F.max(F.length(s)).alias(f"{c}__maxlen"),
+        ])
+    one = transcripts.agg(*aggs)
+    pairs = []
+    for c in present:
+        pairs.append(F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__rows").cast("long").alias("n_rows"),
+            F.col(f"{c}__null").cast("long").alias("n_null"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            F.col(f"{c}__minlen").cast("long").alias("min_len"),
+            F.col(f"{c}__maxlen").cast("long").alias("max_len"),
+        ))
+    return one.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")

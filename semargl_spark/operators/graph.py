@@ -637,3 +637,39 @@ def modularity(
         "label", "n_nodes", "internal_edges", "degree_sum",
         (e_term - d_term).cast("long").alias("q_micro"),
     )
+
+
+def adjacency_export(
+    edges: DataFrame,
+    cap: int = 32,
+    s_col: str = "src",
+    o_col: str = "dst",
+) -> DataFrame:
+    """Bounded adjacency-list export → (node, degree, neighbors_csv):
+    per node, its full out-degree and the ``cap`` lexicographically
+    smallest neighbors joined with ','. The hand-off format for
+    graph-embedding trainers and visual samplers that want one row per
+    node, not an edge list.
+
+    The cap is load-bearing at scale: an UNCAPPED collect_list on a
+    celebrity hub materializes a 10^9-element array in one row (the
+    same 2 GB single-row ceiling conv_reassemble chunks around). Here
+    the per-group state is bounded: sort_array(collect_set) runs on
+    groups already reduced map-side, and slice() caps the row before it
+    is serialized. degree counts ALL neighbors — the csv is a sample,
+    the count is exact, and the two coming from one aggregation means
+    no second pass.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    e = (
+        edges.select(F.col(s_col).alias("node"), F.col(o_col).alias("nb"))
+        .filter(F.col("node").isNotNull() & F.col("nb").isNotNull())
+        .distinct()
+    )
+    return e.groupBy("node").agg(
+        F.count("*").cast("long").alias("degree"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("nb")), 1, cap), ","
+        ).alias("neighbors_csv"),
+    )

@@ -1957,6 +1957,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_incremental": q_canonicalize_incremental,
         "kg_neighbor_agg": q_kg_neighbor_agg,
         "kg_modularity": q_kg_modularity,
+        "kg_adjacency": q_kg_adjacency,
+        "transcripts_profile": q_transcripts_profile,
     }
 
 
@@ -3537,3 +3539,100 @@ FROM sc
 
 
 ORACLES["kg_modularity"] = _modularity_oracle()
+
+
+# -------------------------- adjacency export + input profiling (r2i)
+
+
+def q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded adjacency-list export of the KG: exact degree + the 32
+    lexicographically smallest neighbors per node as one csv row — the
+    graph-trainer hand-off format; collect capped BEFORE row
+    serialization so hubs cannot hit the single-row ceiling."""
+    from .operators.graph import adjacency_export
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return adjacency_export(edges, cap=32)
+
+
+ORACLES["kg_adjacency"] = _KG_EDGES_SQL + """,
+nb AS (SELECT DISTINCT src AS node, dst AS nb FROM edges),
+r AS (SELECT node, nb,
+        ROW_NUMBER() OVER (PARTITION BY node ORDER BY nb) AS rn,
+        COUNT(*) OVER (PARTITION BY node) AS degree
+      FROM nb)
+SELECT node, CAST(MAX(degree) AS BIGINT) AS degree,
+       string_agg(nb, ',' ORDER BY nb) AS neighbors_csv
+FROM r WHERE rn <= 32 GROUP BY node
+"""
+
+
+def q_transcripts_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling report over the input transcript table
+    (per-column rows/nulls/exact distincts/length bounds) — the
+    delivery-acceptance query for a new corpus drop."""
+    from .operators.conversation import transcripts_profile
+
+    return transcripts_profile(
+        synth_transcripts(spark, sf_dir, fmt="ntriples")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+_NT_TEXT_SQL = r"""'# turn '||tix||chr(10)
+   ||'<urn:e:'||did||'> <urn:p:name> "'
+   ||CASE WHEN did%10=0 THEN 'Entity '||chr(92)||'"'||did||chr(92)||'"'||chr(92)||'n'
+          ELSE 'Entity '||did END
+   ||'" .'||chr(10)
+   ||'<urn:e:'||did||'> <urn:p:knows> <urn:e:'||(did+1)||'> .'||chr(10)
+   ||'<urn:e:'||did||'> <urn:p:score> "'||(did%100)
+   ||'.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .'||chr(10)
+   ||'_:a <urn:p:label> "turn '||tix||'"@en .'||chr(10)"""
+
+ORACLES["transcripts_profile"] = _SEED + f""",
+r AS (SELECT 'c'||did AS conv_id, tix AS turn_idx,
+        CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+             ELSE 'tool' END AS role,
+        {_NT_TEXT_SQL} AS text,
+        CASE WHEN tix%3=2 THEN
+          ['rdf_extract','web_search','code_exec'][CAST((did + tix//3)%3 AS INT) + 1]
+        END AS tool,
+        CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+          + to_seconds(CAST(did AS BIGINT)*3600 + tix*60) AS ts
+      FROM t),
+prof AS (
+  SELECT 'conv_id' AS col_name, COUNT(*) AS n_rows,
+         SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+         COUNT(DISTINCT conv_id) AS n_distinct,
+         MIN(LENGTH(conv_id)) AS min_len, MAX(LENGTH(conv_id)) AS max_len
+  FROM r
+  UNION ALL
+  SELECT 'turn_idx', COUNT(*),
+         SUM(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT turn_idx),
+         MIN(LENGTH(CAST(turn_idx AS VARCHAR))),
+         MAX(LENGTH(CAST(turn_idx AS VARCHAR))) FROM r
+  UNION ALL
+  SELECT 'role', COUNT(*),
+         SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT role), MIN(LENGTH(role)), MAX(LENGTH(role)) FROM r
+  UNION ALL
+  SELECT 'text', COUNT(*),
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT text), MIN(LENGTH(text)), MAX(LENGTH(text)) FROM r
+  UNION ALL
+  SELECT 'tool', COUNT(*),
+         SUM(CASE WHEN tool IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT tool), MIN(LENGTH(tool)), MAX(LENGTH(tool)) FROM r
+  UNION ALL
+  SELECT 'ts', COUNT(*),
+         SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT ts),
+         MIN(LENGTH(CAST(ts AS VARCHAR))), MAX(LENGTH(CAST(ts AS VARCHAR))) FROM r)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(min_len AS BIGINT) AS min_len, CAST(max_len AS BIGINT) AS max_len
+FROM prof
+"""

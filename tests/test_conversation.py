@@ -107,3 +107,23 @@ def test_tool_chains_skip_non_tool_turns(spark):
     )
     out = {(r["from_tool"], r["to_tool"]): r["n"] for r in tool_chains(t).collect()}
     assert out == {("search", "exec"): 1, ("exec", "search"): 1}
+
+
+def test_transcripts_profile_counts(spark):
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.conversation import transcripts_profile
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, 1.0),
+         ("c1", 1, "assistant", "hello there", "t1", 2.0),
+         ("c2", 0, "user", None, None, 3.0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, epoch double",
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.timestamp_seconds(F.col("epoch")).alias("ts"))
+    out = {r["col_name"]: r for r in transcripts_profile(df).collect()}
+    assert set(out) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    assert out["conv_id"]["n_rows"] == 3 and out["conv_id"]["n_distinct"] == 2
+    assert out["text"]["n_null"] == 1 and out["text"]["n_distinct"] == 2
+    assert out["text"]["min_len"] == 2 and out["text"]["max_len"] == 11
+    assert out["tool"]["n_null"] == 2 and out["tool"]["n_distinct"] == 1

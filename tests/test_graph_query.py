@@ -769,3 +769,16 @@ def test_modularity_partitioning_invariant(spark):
     a = {tuple(r) for r in modularity(edges.repartition(1), comm).collect()}
     b = {tuple(r) for r in modularity(edges.repartition(7), comm).collect()}
     assert a == b
+
+
+def test_adjacency_export_cap_and_exact_degree(spark):
+    from semargl_spark.operators.graph import adjacency_export
+
+    rows = [("hub", "p", f"n{i:03d}") for i in range(50)] + [("x", "p", "y")]
+    edges = _tri(spark, rows)
+    out = {r["node"]: r for r in adjacency_export(edges, cap=5).collect()}
+    assert out["hub"]["degree"] == 50  # exact, despite the cap
+    assert out["hub"]["neighbors_csv"] == "n000,n001,n002,n003,n004"
+    assert out["x"]["degree"] == 1 and out["x"]["neighbors_csv"] == "y"
+    with pytest.raises(ValueError):
+        adjacency_export(edges, cap=0)
