@@ -115,7 +115,9 @@ def main() -> None:
                  "kg_label_prop", "kg_neg_samples", "kg_validate",
                  "embedding_project", "turn_latency",
                  "kg_rdfs_infer", "canonicalize_incremental",
-                 "kg_modularity", "kg_neighbor_agg"):
+                 "kg_modularity", "kg_neighbor_agg",
+                 "kg_ppr", "kg_snapshot_diff", "kg_adjacency",
+                 "transcripts_profile", "events_stream_sessions"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -673,3 +673,91 @@ def adjacency_export(
             F.slice(F.sort_array(F.collect_list("nb")), 1, cap), ","
         ).alias("neighbors_csv"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    iterations: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to ``seeds`` →
+    (node, rank_fp). The similarity-to-seed-set measure behind
+    related-entity panels and seed-expansion labeling over the KG.
+
+    Same fixed-point integer machinery as :func:`pagerank` (bit-exact
+    at any parallelism, oracle-checkable) with three deltas: initial
+    mass SCALE/|S| on each seed, the (100−d)% teleport paid only to
+    seeds, and dangling mass returned to the seeds instead of spread
+    uniformly. The seed set is a literal isin predicate — seeds are by
+    definition few (a user query, a label set), so no join is needed
+    to mark them.
+    """
+    if not seeds:
+        raise ValueError("empty seed set")
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    ns = len(set(seeds))
+    is_seed = F.col("node").isin(*sorted(set(seeds)))
+    base = (SCALE * (100 - damping_pct) // 100) // ns
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(SCALE // ns)).otherwise(F.lit(0))
+        .cast("long").alias("rank_fp"),
+    )
+    for _ in range(iterations):
+        r = ranks.join(outdeg, "node", "left")
+        dangling = r.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("dangling_fp")
+        )
+        shares = r.filter(F.col("outdeg").isNotNull()).select(
+            "node", _fdiv(F.col("rank_fp"), F.col("outdeg")).alias("share")
+        )
+        contribs = (
+            e.join(shares.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").cast("long").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                    + _fdiv(
+                        F.lit(damping_pct)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0))
+                            + F.when(
+                                is_seed,
+                                _fdiv(F.col("dangling_fp"), F.lit(ns)),
+                            ).otherwise(F.lit(0))
+                        ),
+                        F.lit(100),
+                    )
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

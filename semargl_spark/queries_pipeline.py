@@ -1959,6 +1959,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "kg_adjacency": q_kg_adjacency,
         "transcripts_profile": q_transcripts_profile,
+        "kg_ppr": q_kg_ppr,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
     }
 
 
@@ -3635,4 +3637,103 @@ SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_distinct AS BIGINT) AS n_distinct,
        CAST(min_len AS BIGINT) AS min_len, CAST(max_len AS BIGINT) AS max_len
 FROM prof
+"""
+
+
+# ---------------------------- personalized pagerank + snapshot diff (r2j)
+
+
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 2-node seed set over the KG —
+    fixed-point integers, teleport and dangling mass restricted to the
+    seeds (operators/graph.personalized_pagerank)."""
+    from .operators.graph import personalized_pagerank
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return personalized_pagerank(
+        edges, seeds=["urn:e:0", "urn:e:100"], iterations=5
+    )
+
+
+def _ppr_oracle(iters: int = 5) -> str:
+    sql = _KG_EDGES_SQL + """,
+uedges AS (SELECT DISTINCT src, dst FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM uedges
+          UNION SELECT DISTINCT dst FROM uedges),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM uedges GROUP BY src),
+sds AS (SELECT * FROM (VALUES ('urn:e:0'), ('urn:e:100')) s(node)),
+r0 AS (SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN 1000000000000 // 2
+              ELSE 0 END AS BIGINT) AS rank_fp
+       FROM nodes n LEFT JOIN sds s USING (node))"""
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        sql += f""",
+d{i} AS (SELECT CAST(COALESCE(SUM(r.rank_fp), 0) AS BIGINT) AS dm
+         FROM {p} r LEFT JOIN outdeg o USING (node) WHERE o.node IS NULL),
+c{i} AS (SELECT e.dst AS node, SUM(r.rank_fp // o.outdeg) AS contrib
+         FROM uedges e JOIN {p} r ON e.src = r.node
+                       JOIN outdeg o ON e.src = o.node
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+           CAST(CASE WHEN s.node IS NOT NULL
+                     THEN (150000000000 // 2) ELSE 0 END
+                + (85 * (COALESCE(c.contrib, 0)
+                         + CASE WHEN s.node IS NOT NULL
+                                THEN (SELECT dm FROM d{i}) // 2 ELSE 0 END))
+                  // 100
+                AS BIGINT) AS rank_fp
+         FROM nodes n LEFT JOIN c{i} c USING (node)
+                      LEFT JOIN sds s USING (node))"""
+    return sql + f"\nSELECT node, rank_fp FROM r{iters}"
+
+
+ORACLES["kg_ppr"] = _ppr_oracle()
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG evolution: the edge-set diff between the graph
+    extracted from the first two turns of every conversation and the
+    full-conversation graph → (src, pred, dst, change) — what a
+    turn-incremental KG build materializes per micro-batch."""
+    t = synth_transcripts(spark, sf_dir)
+    old_e = materialize.kg_edges(
+        triples(extract_statements(t.filter(F.col("turn_idx") <= 1)))
+    )
+    new_e = materialize.kg_edges(triples(extract_statements(t)))
+    added = new_e.subtract(old_e).withColumn("change", F.lit("added"))
+    removed = old_e.subtract(new_e).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+ORACLES["kg_snapshot_diff"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+f AS (SELECT did, CAST(gs AS INT) AS tix FROM ids
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS gs)),
+o AS (SELECT did, tix FROM f WHERE tix <= 1),
+full_e AS (
+  SELECT DISTINCT 'urn:e:'||did AS src, 'urn:p:knows' AS pred,
+         'urn:e:'||(did+1) AS dst FROM f WHERE (did*7+tix)%5 IN (0, 1)
+  UNION
+  SELECT 'urn:e:'||did, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'urn:t:Thing' FROM f WHERE (did*7+tix)%5 = 1
+  UNION
+  SELECT 'urn:e:'||did, 'http://purl.org/dc/terms/relation',
+         'urn:e:'||(did+1) FROM f WHERE (did*7+tix)%5 = 2),
+old_e AS (
+  SELECT DISTINCT 'urn:e:'||did AS src, 'urn:p:knows' AS pred,
+         'urn:e:'||(did+1) AS dst FROM o WHERE (did*7+tix)%5 IN (0, 1)
+  UNION
+  SELECT 'urn:e:'||did, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'urn:t:Thing' FROM o WHERE (did*7+tix)%5 = 1
+  UNION
+  SELECT 'urn:e:'||did, 'http://purl.org/dc/terms/relation',
+         'urn:e:'||(did+1) FROM o WHERE (did*7+tix)%5 = 2)
+SELECT src, pred, dst, 'added' AS change
+FROM (SELECT * FROM full_e EXCEPT SELECT * FROM old_e)
+UNION ALL
+SELECT src, pred, dst, 'removed'
+FROM (SELECT * FROM old_e EXCEPT SELECT * FROM full_e)
 """

@@ -782,3 +782,31 @@ def test_adjacency_export_cap_and_exact_degree(spark):
     assert out["x"]["degree"] == 1 and out["x"]["neighbors_csv"] == "y"
     with pytest.raises(ValueError):
         adjacency_export(edges, cap=0)
+
+
+def test_ppr_concentrates_on_seed_neighborhood(spark):
+    from semargl_spark.operators.graph import SCALE, personalized_pagerank
+
+    # chain a->b->c->d plus far f->g; seed = a
+    edges = _tri(spark, [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+                         ("f", "p", "g")]).select("src", "dst")
+    r = {x["node"]: x["rank_fp"]
+         for x in personalized_pagerank(edges, ["a"], iterations=4).collect()}
+    assert r["a"] > r["b"] > r["c"] > 0
+    assert r["f"] == 0  # unreachable from the seed, gets no teleport
+    # mass conservation within floor loss
+    assert 0 < sum(r.values()) <= SCALE
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, [], iterations=2)
+
+
+def test_ppr_partition_invariant_bit_exact(spark):
+    from semargl_spark.operators.graph import personalized_pagerank
+
+    rows = [(f"n{i}", "p", f"n{(i * 3 + 1) % 11}") for i in range(11)]
+    e = _tri(spark, rows).select("src", "dst")
+    a = {tuple(r) for r in
+         personalized_pagerank(e.repartition(1), ["n0"], iterations=3).collect()}
+    b = {tuple(r) for r in
+         personalized_pagerank(e.repartition(7), ["n0"], iterations=3).collect()}
+    assert a == b
