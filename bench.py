@@ -117,7 +117,8 @@ def main() -> None:
                  "kg_rdfs_infer", "canonicalize_incremental",
                  "kg_modularity", "kg_neighbor_agg",
                  "kg_ppr", "kg_snapshot_diff", "kg_adjacency",
-                 "transcripts_profile", "events_stream_sessions"):
+                 "transcripts_profile", "events_stream_sessions",
+                 "pipeline_training"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

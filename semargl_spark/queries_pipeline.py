@@ -1961,6 +1961,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_profile": q_transcripts_profile,
         "kg_ppr": q_kg_ppr,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "pipeline_training": q_pipeline_training,
     }
 
 
@@ -3736,4 +3737,54 @@ FROM (SELECT * FROM full_e EXCEPT SELECT * FROM old_e)
 UNION ALL
 SELECT src, pred, dst, 'removed'
 FROM (SELECT * FROM old_e EXCEPT SELECT * FROM full_e)
+"""
+
+
+# -------------------------- end-to-end training-data pipeline (r2k)
+
+
+def q_pipeline_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data counterpart of pipeline_kg: one end-to-end chain
+    C4 rule filter → train-split selection → deterministic global
+    shuffle, emitting each surviving document's final training-order
+    position. Every stage is the already-gated operator; the value of
+    the chain gate is that the COMPOSITION stays exact (filters don't
+    reorder the permutation, the split coin stays independent of the
+    shuffle hash)."""
+    docs = _docs(spark, sf_dir)
+    kept = curation.c4_rule_filter(docs).filter(F.col("keep")).select("doc_id")
+    train = (
+        curation.split_assign(docs.join(kept, "doc_id"))
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    pos = curation.global_shuffle(docs.join(train, "doc_id"))
+    return pos.select(F.col("doc_id").cast("long"), "pos")
+
+
+ORACLES["pipeline_training"] = r"""
+WITH t AS (SELECT doc_id, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+x AS (SELECT doc_id, unnest(w) AS tok FROM t),
+c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM x GROUP BY 1, 2),
+m AS (SELECT doc_id, MAX(cnt) AS topc FROM c GROUP BY 1),
+f AS (SELECT t.doc_id,
+        len(t.w) AS n_words,
+        list_max(list_transform(t.w, s -> len(s))) AS max_word_len,
+        (m.topc * 1000) // len(t.w) AS top_token_permille,
+        (contains(t.text, '{') OR contains(t.text, '}')) AS has_brace,
+        (contains(lower(t.text), 'lorem ipsum')
+         OR contains(lower(t.text), 'javascript required')) AS has_blocked
+      FROM t JOIN m USING (doc_id)),
+kept AS (SELECT doc_id FROM f
+         WHERE n_words >= 50 AND n_words <= 100000 AND max_word_len <= 20
+           AND top_token_permille <= 80 AND NOT has_brace AND NOT has_blocked),
+tr AS (SELECT doc_id FROM kept
+       WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS INTEGER) % 100 AS INT) < 90)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)),
+                          doc_id) - 1 AS BIGINT) AS pos
+FROM tr
 """
