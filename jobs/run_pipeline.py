@@ -36,6 +36,16 @@ def main(argv=None) -> int:
                          "(operators/link.fuzzy_link_entities) instead of "
                          "exact surface matching — recovers mentions with one "
                          "character of noise at the cost of a wider broadcast")
+    ap.add_argument("--shapes", default=None,
+                    help="JSON file with a list of SHACL-lite shape dicts "
+                         "(operators/validate.validate_shapes); violations "
+                         "are written to <output>/violations as a data-"
+                         "quality side output")
+    ap.add_argument("--ontology", default=None,
+                    help="NTriples file of RDFS axioms (subClassOf/"
+                         "subPropertyOf/domain/range); entailed triples are "
+                         "materialized into the edge tables "
+                         "(operators/vocab.rdfs_infer)")
     args = ap.parse_args(argv)
     if args.resume and not args.run_id:
         # without the original run-id the lineage filter matches nothing
@@ -48,7 +58,8 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     summary = run(spark, input_path=args.input, output=args.output,
                   run_id=args.run_id, dictionary=args.dictionary,
-                  resume=args.resume, fuzzy_link=args.fuzzy_link)
+                  resume=args.resume, fuzzy_link=args.fuzzy_link,
+                  shapes=args.shapes, ontology=args.ontology)
     print(json.dumps(summary))
     spark.stop()
     return 0
@@ -56,7 +67,8 @@ def main(argv=None) -> int:
 
 def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         dictionary: str | None = None, resume: bool = False,
-        fuzzy_link: bool = False) -> dict:
+        fuzzy_link: bool = False, shapes: str | None = None,
+        ontology: str | None = None) -> dict:
     """The pipeline body, callable in-process (tests, notebooks) — does
     not stop the session. ``main`` wraps it for spark-submit."""
     from pyspark.sql import functions as F
@@ -117,6 +129,51 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
             lineage_rows(components, run_id, "canon"), f"{output}/lineage"
         )
 
+    if ontology and "infer" not in done_stages:
+        # RDFS materialization BEFORE merge: entailed triples join the
+        # asserted ones in the edge tables (closure pre-composed on the
+        # driver, one broadcast join per rule)
+        from semargl_spark.kernels.ntriples import parse as parse_ntriples
+        from semargl_spark.operators.vocab import rdfs_infer
+
+        with open(ontology) as f:
+            axioms, onto_errs = parse_ntriples(f.read(), doc_key="onto")
+        if onto_errs:
+            raise ValueError(f"ontology parse errors: {onto_errs[:3]}")
+        onto_triples = [(t.subj, t.pred, t.obj) for t in axioms]
+        inferred = rdfs_infer(
+            st.select("subj", "pred", "obj", "obj_kind").distinct(),
+            onto_triples,
+        ).select(
+            "subj", "pred", "obj", "obj_kind",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype"),
+            F.lit(None).cast("string").alias("graph"),
+            F.lit("rdfs").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+        )
+        st = st.unionByName(inferred, allowMissingColumns=True)
+        write_lineage(lineage_rows(inferred, run_id, "infer"),
+                      f"{output}/lineage")
+
+    if shapes and "validate" not in done_stages:
+        # data-quality side output: violation rows only, never the
+        # conforming majority
+        from semargl_spark.operators.validate import validate_shapes
+
+        with open(shapes) as f:
+            shape_list = json.load(f)
+        violations = validate_shapes(
+            st.select("subj", "pred", "obj", "obj_kind", "dtype").distinct(),
+            shape_list,
+        )
+        violations.write.mode("overwrite").parquet(f"{output}/violations")
+        write_lineage(lineage_rows(violations, run_id, "validate"),
+                      f"{output}/lineage")
+        summary_violations = violations.count()
+    else:
+        summary_violations = None
+
     if "merge" in done_stages:
         # whole run already completed: report from the materialized tables
         summary = {
@@ -126,6 +183,8 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         }
     else:
         summary = materialize_kg(st, components, output, run_id)
+    if summary_violations is not None:
+        summary["violations"] = summary_violations
     summary["errors"] = err.count()
     summary["statements"] = st.count()
     if resumed:

@@ -112,8 +112,10 @@ def rdfs_infer(triples: DataFrame, ontology: list[tuple[str, str, str]]) -> Data
     """RDFS materialization: the NEW triples entailed by ``ontology``
     over ``triples`` (subj, pred, obj, obj_kind) under rules rdfs2
     (domain), rdfs3 (range), rdfs7 (subPropertyOf), rdfs9/11
-    (subClassOf transitivity on types) → (subj, pred, obj), distinct,
-    minus what was already asserted.
+    (subClassOf transitivity on types) → (subj, pred, obj, obj_kind),
+    distinct, minus what was already asserted. Subproperty-entailed
+    triples inherit the source triple's obj_kind (a label ⊑ note
+    axiom entails literal-object triples); type triples are 'iri'.
 
     The ontology's sub-class/-property closures and the
     domain/range maps are pre-composed ON THE DRIVER (rdfs7 before
@@ -156,7 +158,7 @@ def rdfs_infer(triples: DataFrame, ontology: list[tuple[str, str, str]]) -> Data
         sp = _pairs("pred", "sup", subp)
         parts.append(
             t.join(F.broadcast(sp), "pred").select(
-                "subj", F.col("sup").alias("pred"), "obj"
+                "subj", F.col("sup").alias("pred"), "obj", "obj_kind"
             )
         )
     if subc:
@@ -164,13 +166,15 @@ def rdfs_infer(triples: DataFrame, ontology: list[tuple[str, str, str]]) -> Data
         parts.append(
             t.filter(F.col("pred") == RDF_TYPE)
             .join(F.broadcast(sc), "obj")
-            .select("subj", F.lit(RDF_TYPE).alias("pred"), F.col("sup").alias("obj"))
+            .select("subj", F.lit(RDF_TYPE).alias("pred"),
+                    F.col("sup").alias("obj"), F.lit("iri").alias("obj_kind"))
         )
     if dom_closed:
         dm = _pairs("pred", "cls", dom_closed)
         parts.append(
             t.join(F.broadcast(dm), "pred").select(
-                "subj", F.lit(RDF_TYPE).alias("pred"), F.col("cls").alias("obj")
+                "subj", F.lit(RDF_TYPE).alias("pred"),
+                F.col("cls").alias("obj"), F.lit("iri").alias("obj_kind")
             )
         )
     if rng_closed:
@@ -182,6 +186,7 @@ def rdfs_infer(triples: DataFrame, ontology: list[tuple[str, str, str]]) -> Data
                 F.col("obj").alias("subj"),
                 F.lit(RDF_TYPE).alias("pred"),
                 F.col("cls").alias("obj"),
+                F.lit("iri").alias("obj_kind"),
             )
         )
     if not parts:

@@ -3351,7 +3351,7 @@ inf AS (
   UNION SELECT s, '{_RDF_TYPE}', 'urn:t:Resource' FROM typed
   UNION SELECT s, '{_RDF_TYPE}', 'urn:t:Agent' FROM knows
   UNION SELECT o, '{_RDF_TYPE}', 'urn:t:Agent' FROM knows)
-SELECT subj, pred, obj FROM inf
+SELECT subj, pred, obj, 'iri' AS obj_kind FROM inf
 """
 
 

@@ -153,3 +153,36 @@ def test_fuzzy_link_flag_links_at_least_exact_matches(spark, prepared, tmp_path)
     # distance-1 matching is a superset of exact matching
     assert n_fuzzy >= n_exact > 0
     assert s["nodes"] > 0 and s["edges"] > 0 and exact["edges"] == s["edges"]
+
+
+def test_job_shapes_and_ontology_stages(spark, prepared, tmp_path):
+    """--ontology materializes RDFS entailments into the edge tables;
+    --shapes writes a violations side output; both record lineage."""
+    import json
+
+    onto = tmp_path / "onto.nt"
+    onto.write_text(
+        "<urn:p:knows> <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> "
+        "<urn:p:related> .\n"
+    )
+    shapes = tmp_path / "shapes.json"
+    shapes.write_text(json.dumps([
+        {"shape_id": "noname", "target_class": "urn:t:NoSuchClass",
+         "path": "urn:p:name", "min_count": 1},
+    ]))
+    out = str(tmp_path / "out")
+    summary = run(
+        spark, input_path=str(prepared / "in"), output=out,
+        run_id="rj1", dictionary=str(prepared / "dict"),
+        shapes=str(shapes), ontology=str(onto),
+    )
+    # inferred related-edges reached the merged edge table
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.filter("pred = 'urn:p:related'").count() > 0
+    # no entity is typed NoSuchClass -> zero violations, but the stage ran
+    assert summary["violations"] == 0
+    stages = {
+        r["stage"] for r in
+        spark.read.parquet(f"{out}/lineage").select("stage").distinct().collect()
+    }
+    assert {"extract", "infer", "validate"} <= stages

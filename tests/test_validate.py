@@ -145,16 +145,16 @@ def test_rdfs_infer_rules_and_anti_join(spark):
         ("knows", RDFS_RANGE, "R"),
         ("R", RDFS_SUB_CLASS_OF, "R2"),
     ]
-    out = {(r["subj"], r["pred"], r["obj"])
+    out = {(r["subj"], r["pred"], r["obj"], r["obj_kind"])
            for r in rdfs_infer(g, onto).collect()}
     assert out == {
-        ("a", "connected", "b"),          # subproperty, transitive
-        ("a", "related", "oops"),         # subproperty applies to literals too
-        ("a", "connected", "oops"),
-        ("a", RDF_TYPE, "U"),             # subclass on asserted type
-        ("a", RDF_TYPE, "D"),             # domain
-        ("b", RDF_TYPE, "R"),             # range (iri object only)
-        ("b", RDF_TYPE, "R2"),            # range closed over subclass
+        ("a", "connected", "b", "iri"),      # subproperty, transitive
+        ("a", "related", "oops", "literal"), # subproperty keeps obj_kind
+        ("a", "connected", "oops", "literal"),
+        ("a", RDF_TYPE, "U", "iri"),         # subclass on asserted type
+        ("a", RDF_TYPE, "D", "iri"),         # domain
+        ("b", RDF_TYPE, "R", "iri"),         # range (iri object only)
+        ("b", RDF_TYPE, "R2", "iri"),        # range closed over subclass
     }
     import pytest as _pytest
 
