@@ -118,7 +118,8 @@ def main() -> None:
                  "kg_modularity", "kg_neighbor_agg",
                  "kg_ppr", "kg_snapshot_diff", "kg_adjacency",
                  "transcripts_profile", "events_stream_sessions",
-                 "pipeline_training"):
+                 "pipeline_training", "text_search", "inverted_index",
+                 "skew_salted_join"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -449,3 +449,82 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20, text_col="text") -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def tfidf_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    scale: int = 10**6,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Exact-integer TF-IDF retrieval → the top-``k`` documents for
+    ``query`` as (doc_id, score): score = Σ over matched query terms of
+    tf(term, doc) · floor(scale / df(term)). Rarer terms dominate (the
+    1/df rational weight preserves the idf ORDERING without a
+    cross-engine-fragile log), integers make the ranking bit-identical
+    in any engine, and ties break on doc_id so top-k is a deterministic
+    SET.
+
+    Scale shape: the token explode is FILTERED to the query's terms
+    before any aggregation — the posting volume is per-query-term, not
+    corpus-vocabulary; df is a query-terms-sized aggregate joined back
+    by term (AQE broadcasts it); the final top-k is
+    TakeOrderedAndProject (per-task heaps). This is a search, not an
+    index build — see :func:`inverted_index` for the reusable index.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    tok = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term").isin(*terms))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = df.select(
+        "term",
+        ((F.lit(scale) - F.lit(scale) % F.col("df")) / F.col("df"))
+        .cast("long").alias("idf"),
+    )
+    scored = (
+        tf.join(idf, "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def inverted_index(
+    docs: DataFrame,
+    cap: int = 16,
+    min_df: int = 1,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Inverted-index build → (term, df, postings_csv): per vocabulary
+    term, its exact document frequency and the ``cap`` smallest doc ids
+    joined with ',' — the retrieval-index hand-off, same bounded-
+    collect discipline as graph.adjacency_export (an uncapped posting
+    list for a stopword is a 10^10-element row).
+
+    One explode + distinct + per-term aggregation; ``min_df`` prunes
+    hapaxes when the index is for lookup rather than analysis.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    post = docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(_tokens(text_col)).alias("term"),
+    ).distinct()
+    out = post.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc")), 1, cap), ","
+        ).alias("postings_csv"),
+    )
+    return out.filter(F.col("df") >= min_df)

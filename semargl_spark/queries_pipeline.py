@@ -1962,6 +1962,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "pipeline_training": q_pipeline_training,
+        "text_search": q_text_search,
+        "inverted_index": q_inverted_index,
+        "skew_salted_join": q_skew_salted_join,
     }
 
 
@@ -3787,4 +3790,93 @@ SELECT doc_id,
   CAST(ROW_NUMBER() OVER (ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)),
                           doc_id) - 1 AS BIGINT) AS pos
 FROM tr
+"""
+
+
+# ----------------------------- retrieval + salted-join gates (r2l)
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer TF-IDF top-20 retrieval for a 3-term query over
+    documents (operators/text.tfidf_search): rarer terms dominate via
+    the floor(10^6/df) rational idf; deterministic tie-break."""
+    from .operators.text import tfidf_search
+
+    return tfidf_search(
+        _docs(spark, sf_dir), "dup merge spark", k=20
+    ).select(F.col("doc_id").cast("long"), "score")
+
+
+ORACLES["text_search"] = r"""
+WITH x AS (SELECT doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ')) AS term
+      FROM documents),
+q AS (SELECT term FROM x WHERE term IN ('dup', 'merge', 'spark')),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM x WHERE term IN ('dup', 'merge', 'spark') GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (SELECT term,
+        CAST((1000000 - 1000000 % df) / df AS BIGINT) AS idf FROM df),
+s AS (SELECT tf.doc_id, CAST(SUM(tf.tf * idf.idf) AS BIGINT) AS score
+      FROM tf JOIN idf USING (term) GROUP BY tf.doc_id)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over documents: exact df + the 16 smallest
+    doc ids per term (bounded postings — collect capped before row
+    serialization, the adjacency_export discipline)."""
+    from .operators.text import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), cap=16)
+
+
+ORACLES["inverted_index"] = r"""
+WITH x AS (SELECT DISTINCT doc_id AS doc,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ')) AS term
+      FROM documents),
+r AS (SELECT term, doc,
+        ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc) AS rn,
+        COUNT(*) OVER (PARTITION BY term) AS df
+      FROM x)
+SELECT term, CAST(MAX(df) AS BIGINT) AS df,
+       string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings_csv
+FROM r WHERE rn <= 16 GROUP BY term
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join equivalence gate: the hot-key statement stream
+    (3 predicate values over millions of rows) joined to a small
+    predicate-category dim via operators/skew.salted_join, aggregated
+    per category — the oracle computes the same result with a plain
+    join, proving the salt spreads without changing semantics."""
+    from .operators.skew import salted_join
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir, fmt="ntriples")))
+    dim = spark.createDataFrame(
+        [("urn:p:name", "label"), ("urn:p:knows", "relation"),
+         ("urn:p:score", "metric"), ("urn:p:label", "label")],
+        "pred string, category string",
+    )
+    joined = salted_join(st.select("pred"), dim, "pred", n_salts=16)
+    return joined.groupBy("category").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+ORACLES["skew_salted_join"] = _SEED + """,
+st AS (
+  SELECT 'urn:p:name' AS pred FROM t
+  UNION ALL SELECT 'urn:p:knows' FROM t
+  UNION ALL SELECT 'urn:p:score' FROM t
+  UNION ALL SELECT 'urn:p:label' FROM t),
+dim AS (SELECT * FROM (VALUES ('urn:p:name', 'label'),
+        ('urn:p:knows', 'relation'), ('urn:p:score', 'metric'),
+        ('urn:p:label', 'label')) d(pred, category))
+SELECT category, CAST(COUNT(*) AS BIGINT) AS n
+FROM st JOIN dim USING (pred) GROUP BY category
 """

@@ -172,3 +172,40 @@ def test_bpe_pair_counts_tiebreak_and_k(spark):
     assert out == [("aa", 1)]  # tie broken pair-ascending
     with _pytest.raises(ValueError):
         bpe_pair_counts(df, k=0)
+
+
+def test_tfidf_search_rare_term_dominates(spark):
+    from semargl_spark.operators.text import tfidf_search
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana banana"), (1, "apple apple apple"),
+         (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    # 'cherry' df=1 (idf 1e6), 'apple' df=2 (5e5)
+    out = [(r["doc_id"], r["score"])
+           for r in tfidf_search(docs, "apple cherry", k=3).collect()]
+    # doc2: cherry 1*1e6; doc1: apple 3*5e5=1.5e6 -> doc1 first
+    assert out[0] == (1, 1_500_000) and out[1] == (2, 1_000_000)
+    assert out[2] == (0, 500_000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tfidf_search(docs, "   ", k=3)
+    with _pytest.raises(ValueError):
+        tfidf_search(docs, "apple", k=0)
+
+
+def test_inverted_index_cap_and_min_df(spark):
+    from semargl_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common token" + (" rare" if i == 5 else "")) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in inverted_index(docs, cap=4).collect()}
+    assert out["common"]["df"] == 30
+    assert out["common"]["postings_csv"] == "0,1,2,3"
+    assert out["rare"]["df"] == 1 and out["rare"]["postings_csv"] == "5"
+    out2 = {r["term"] for r in inverted_index(docs, cap=4, min_df=2).collect()}
+    assert "rare" not in out2 and "common" in out2
