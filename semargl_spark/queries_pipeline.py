@@ -1965,6 +1965,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": q_text_search,
         "inverted_index": q_inverted_index,
         "skew_salted_join": q_skew_salted_join,
+        "kg_entity_card": q_kg_entity_card,
+        "events_retention": q_events_retention,
+        "kg_growth_daily": q_kg_growth_daily,
     }
 
 
@@ -3879,4 +3882,140 @@ dim AS (SELECT * FROM (VALUES ('urn:p:name', 'label'),
         ('urn:p:label', 'label')) d(pred, category))
 SELECT category, CAST(COUNT(*) AS BIGINT) AS n
 FROM st JOIN dim USING (pred) GROUP BY category
+"""
+
+
+# -------------------- entity cards, retention, growth timeline (r2m)
+
+
+def q_kg_entity_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-card (infobox) rollup: one row per entity with its name,
+    type count, sorted type list, and out-degree — conditional
+    aggregation over one pass of the statement set (the serving-layer
+    projection a KG front-end reads)."""
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    g = st.select("subj", "pred", "obj").distinct()
+    return (
+        g.filter(F.col("subj").startswith("urn:e:"))
+        .groupBy(F.col("subj").alias("entity"))
+        .agg(
+            F.min(F.when(F.col("pred") == "urn:p:name", F.col("obj")))
+            .alias("name"),
+            F.count(
+                F.when(F.col("pred") == _RDF_TYPE, F.lit(1))
+            ).cast("long").alias("n_types"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_set(
+                        F.when(F.col("pred") == _RDF_TYPE, F.col("obj"))
+                    )
+                ), ","
+            ).alias("types_csv"),
+            F.count(F.lit(1)).cast("long").alias("out_degree"),
+        )
+    )
+
+
+ORACLES["kg_entity_card"] = f"""
+WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(gs AS INT) AS tix
+           FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS gs)),
+nt AS (SELECT * FROM t WHERE (did*7+tix)%5 = 0),
+jl AS (SELECT * FROM t WHERE (did*7+tix)%5 = 1),
+ra AS (SELECT * FROM t WHERE (did*7+tix)%5 = 2),
+g AS (SELECT DISTINCT subj, pred, obj FROM (
+  SELECT 'urn:e:'||did AS subj, 'urn:p:name' AS pred,
+         CASE WHEN did%10=0 THEN 'Entity "'||did||'"'||chr(10)
+              ELSE 'Entity '||did END AS obj FROM nt
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1) FROM nt
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:score', (did%100)||'.5' FROM nt
+  UNION ALL SELECT 'urn:e:'||did, '{_RDF_TYPE}', 'urn:t:Thing' FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:name', 'Entity '||did FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1) FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:score', CAST(did%50 AS VARCHAR) FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:tag', 'a'||did FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'urn:p:tag', 'b' FROM jl
+  UNION ALL SELECT 'urn:e:'||did, 'http://purl.org/dc/terms/title',
+         'Turn '||tix FROM ra
+  UNION ALL SELECT 'urn:e:'||did, 'http://purl.org/dc/terms/relation',
+         'urn:e:'||(did+1) FROM ra))
+SELECT subj AS entity,
+  MIN(CASE WHEN pred = 'urn:p:name' THEN obj END) AS name,
+  CAST(COUNT(CASE WHEN pred = '{_RDF_TYPE}' THEN 1 END) AS BIGINT) AS n_types,
+  COALESCE(string_agg(CASE WHEN pred = '{_RDF_TYPE}' THEN obj END, ','
+                      ORDER BY CASE WHEN pred = '{_RDF_TYPE}' THEN obj END),
+           '') AS types_csv,
+  CAST(COUNT(*) AS BIGINT) AS out_degree
+FROM g GROUP BY subj
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: users grouped by
+    first-activity week, counted per subsequent active week →
+    (cohort_week, week_n, n_users). Two aggregations and one window —
+    the canonical product-analytics rollup."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    wk = F.floor(
+        (F.col("ts").cast("long") - F.lit(1704067200)) / F.lit(604800)
+    ).cast("int")
+    w = Window.partitionBy("user_id")
+    weekly = e.select("user_id", wk.alias("week")).distinct()
+    cohorted = weekly.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_n")
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+ORACLES["events_retention"] = """
+WITH w AS (SELECT DISTINCT user_id,
+        CAST(FLOOR((epoch(ts) - 1704067200) / 604800) AS INT) AS week
+      FROM events),
+c AS (SELECT user_id, week,
+        MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM w)
+SELECT cohort_week, CAST(week - cohort_week AS INT) AS week_n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c GROUP BY cohort_week, week - cohort_week
+"""
+
+
+def q_kg_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG growth timeline: per extraction day, the number of statements
+    and distinct subject entities contributed — the ops-dashboard query
+    for a continuously-ingesting KG build (turn ts propagated through
+    extraction via the conv/turn join)."""
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    with_ts = st.join(
+        t.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    return (
+        with_ts.groupBy(
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+            .alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_statements"),
+            F.count_distinct(
+                F.when(F.col("subj").startswith("urn:e:"), F.col("subj"))
+            ).cast("long").alias("n_entities"),
+        )
+    )
+
+
+ORACLES["kg_growth_daily"] = _SEED + """,
+r AS (SELECT did, tix,
+        strftime(CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+                 + to_seconds(CAST(did AS BIGINT)*3600 + tix*60),
+                 '%Y-%m-%d') AS day
+      FROM t)
+SELECT day, CAST(COUNT(*) * 4 AS BIGINT) AS n_statements,
+       CAST(COUNT(DISTINCT did) AS BIGINT) AS n_entities
+FROM r GROUP BY day
 """
