@@ -1,0 +1,153 @@
+"""Differential tests: round-2 graph operators vs pure-Python brute
+force on seeded random graphs. Complements the DuckDB oracles (which
+fix one synthetic corpus) with structurally varied small graphs."""
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+
+def _graphs(n_graphs=3, n_nodes=14, n_edges=26):
+    rng = random.Random(42)
+    for g in range(n_graphs):
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((f"v{a:02d}", f"v{b:02d}"))
+        yield sorted(edges)
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(
+        [(a, "p", b) for a, b in edges], "src string, pred string, dst string"
+    )
+
+
+def test_node_index_matches_brute_force(spark):
+    from semargl_spark.operators.graph import node_index
+
+    for edges in _graphs():
+        nodes = sorted({x for e in edges for x in e})
+        nb = 8
+        bucket = {
+            n: int(hashlib.md5(n.encode()).hexdigest()[:4], 16) % nb
+            for n in nodes
+        }
+        expected, idx = {}, 0
+        for b in range(nb):
+            for n in sorted(x for x in nodes if bucket[x] == b):
+                expected[n] = idx
+                idx += 1
+        got = {r["node"]: r["node_idx"]
+               for r in node_index(_df(spark, edges), n_buckets=nb).collect()}
+        assert got == expected
+
+
+def test_label_propagation_matches_simulation(spark):
+    from semargl_spark.operators.graph import label_propagation
+
+    for edges in _graphs():
+        und = {}
+        for a, b in edges:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+        labels = {n: n for n in und}
+        for _ in range(3):
+            nxt = {}
+            for n, nbrs in und.items():
+                counts = {}
+                for v in nbrs:
+                    counts[labels[v]] = counts.get(labels[v], 0) + 1
+                nxt[n] = min(counts, key=lambda l: (-counts[l], l))
+            labels = nxt
+        got = {r["node"]: r["label"]
+               for r in label_propagation(_df(spark, edges), rounds=3).collect()}
+        assert got == labels
+
+
+def test_modularity_matches_brute_force(spark):
+    from semargl_spark.operators.graph import modularity
+
+    for edges in _graphs():
+        und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+        nodes = sorted({x for e in und for x in e})
+        lab = {n: f"c{i % 3}" for i, n in enumerate(nodes)}
+        m = len(und)
+        exp = {}
+        for c in sorted(set(lab.values())):
+            members = {n for n in nodes if lab[n] == c}
+            e_c = sum(1 for a, b in und if a in members and b in members)
+            deg = sum(1 for a, b in und for x in (a, b) if x in members)
+            q = (e_c * 10**6) // m - (deg * deg * 10**6) // (4 * m * m)
+            exp[c] = (len(members), e_c, deg, q)
+        comm = spark.createDataFrame(
+            sorted(lab.items()), "node string, label string")
+        got = {r["label"]: (r["n_nodes"], r["internal_edges"],
+                            r["degree_sum"], r["q_micro"])
+               for r in modularity(_df(spark, edges), comm).collect()}
+        assert got == exp
+
+
+def test_cc_incremental_matches_union_find(spark):
+    from semargl_spark.operators.canon import cc_incremental, connected_components
+
+    for edges in _graphs():
+        half = len(edges) // 2
+        old, delta = edges[:half], edges[half:]
+        comp0 = connected_components(_df(spark, old).select("src", "dst"))
+        got = {(r["node"], r["component"]) for r in
+               cc_incremental(comp0, _df(spark, delta).select("src", "dst"))
+               .collect()}
+        # union-find over everything
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = set()
+        for n in {x for e in edges for x in e}:
+            exp.add((n, find(n)))
+        # component representative must be the min label: normalize
+        rep = {}
+        for n, r in exp:
+            rep.setdefault(r, set()).add(n)
+        exp2 = {(n, min(v | {r})) for r, v in rep.items() for n in v}
+        assert got == exp2
+
+
+def test_bounded_paths_alt_matches_bfs(spark):
+    from semargl_spark.operators.graph import bounded_paths_alt
+
+    for edges in _graphs():
+        # forward 'p' steps plus inverse steps over the same relation
+        step = {}
+        for a, b in edges:
+            step.setdefault(a, set()).add(b)
+            step.setdefault(b, set()).add(a)  # inverse of p
+        exp = {}
+        for s in step:
+            frontier, dist, seen = {s}, 0, {s}
+            while frontier and dist < 3:
+                dist += 1
+                nxt = set()
+                for u in frontier:
+                    for v in step.get(u, ()):
+                        if (s, v) not in exp:
+                            exp[(s, v)] = dist
+                            nxt.add(v)
+                frontier = nxt
+        got = {(r["a"], r["b"]): r["hops"] for r in
+               bounded_paths_alt(_df(spark, edges), ["p"], max_hops=3,
+                                 inverse_preds=["p"]).collect()}
+        assert got == exp
