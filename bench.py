@@ -119,7 +119,8 @@ def main() -> None:
                  "kg_ppr", "kg_snapshot_diff", "kg_adjacency",
                  "transcripts_profile", "events_stream_sessions",
                  "pipeline_training", "text_search", "inverted_index",
-                 "skew_salted_join"):
+                 "skew_salted_join", "bm25_search",
+                 "events_retention", "kg_entity_card"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

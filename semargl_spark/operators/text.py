@@ -528,3 +528,78 @@ def inverted_index(
         ).alias("postings_csv"),
     )
     return out.filter(F.col("df") >= min_df)
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_pct: int = 75,
+    scale: int = 10**6,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Exact-integer BM25 top-``k`` retrieval → (doc_id, score).
+
+    Okapi BM25 with k1 = k1_tenths/10, b = b_pct/100, every term
+    cleared of fractions so the ranking is bit-identical across
+    engines (the reason floats are banned from oracle-gated scoring):
+
+      idf(t)        = floor(scale·(2N − 2df + 1) / (2df + 1))
+      contribution  = (idf · tf·(k1_tenths+10)·100·total)
+                      DIV (tf·1000·total + k1_tenths·(100−b_pct)·total
+                           + k1_tenths·b_pct·dl·N)
+
+    where dl = doc token count, total = Σ dl (so dl/avgdl appears as
+    dl·N/total, multiplied through). Integer DIV is used directly —
+    the products exceed 2^53, so the float-safe (x − x%d)/d trick
+    would lose bits. Overflow budget: |idf·num| < 2^63 needs
+    scale·2N · tf·2200·total < 9.2e18 — at larger corpora drop
+    ``scale`` (ranking is scale-invariant down to ~10^3).
+
+    Plan shape: same as :func:`tfidf_search` — query-term-filtered
+    explode, two tiny aggregates (df per term; N and total are ONE
+    collected row), TakeOrderedAndProject top-k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    g = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("total"),
+    ).first()
+    n_docs, total = int(g["n"]), int(g["total"])
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = df.select(
+        "term",
+        F.expr(
+            f"CAST({scale} AS BIGINT) * (2 * {n_docs} - 2 * df + 1) "
+            f"DIV (2 * df + 1)"
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(idf, "term")
+        .join(dl, id_col)
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"(idf * (tf * {(k1_tenths + 10) * 100} * CAST({total} AS BIGINT))) "
+                f"DIV (tf * 1000 * CAST({total} AS BIGINT) "
+                f"+ {k1_tenths * (100 - b_pct)} * CAST({total} AS BIGINT) "
+                f"+ {k1_tenths * b_pct} * dl * CAST({n_docs} AS BIGINT))"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").cast("long").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1968,6 +1968,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_card": q_kg_entity_card,
         "events_retention": q_events_retention,
         "kg_growth_daily": q_kg_growth_daily,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -4018,4 +4019,40 @@ r AS (SELECT did, tix,
 SELECT day, CAST(COUNT(*) * 4 AS BIGINT) AS n_statements,
        CAST(COUNT(DISTINCT did) AS BIGINT) AS n_entities
 FROM r GROUP BY day
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Okapi BM25 top-20 for a 3-term query — fraction-
+    free scoring (operators/text.bm25_search) so the ranking hashes
+    identically in any engine; length normalization uses dl·N/total."""
+    from .operators.text import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf_dir), "dup merge spark", k=20
+    ).select(F.col("doc_id").cast("long"), "score")
+
+
+ORACLES["bm25_search"] = r"""
+WITH x AS (SELECT doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ')) AS term
+      FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM x GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total
+      FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM x WHERE term IN ('dup', 'merge', 'spark') GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (SELECT term,
+        CAST(1000000 * (2 * (SELECT n FROM g) - 2 * df + 1)
+             // (2 * df + 1) AS BIGINT) AS idf FROM df),
+s AS (SELECT tf.doc_id,
+        CAST(SUM((idf.idf * (tf.tf * 2200 * (SELECT total FROM g)))
+             // (tf.tf * 1000 * (SELECT total FROM g)
+                 + 300 * (SELECT total FROM g)
+                 + 900 * dl.dl * (SELECT n FROM g))) AS BIGINT) AS score
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id ASC LIMIT 20
 """

@@ -209,3 +209,23 @@ def test_inverted_index_cap_and_min_df(spark):
     assert out["rare"]["df"] == 1 and out["rare"]["postings_csv"] == "5"
     out2 = {r["term"] for r in inverted_index(docs, cap=4, min_df=2).collect()}
     assert "rare" not in out2 and "common" in out2
+
+
+def test_bm25_length_normalization_and_validation(spark):
+    from semargl_spark.operators.text import bm25_search
+
+    # same tf for 'apple' but doc 1 is much longer -> doc 0 scores higher
+    docs = spark.createDataFrame(
+        [(0, "apple pie"), (1, "apple " + "filler " * 40), (2, "banana")],
+        "doc_id long, text string",
+    )
+    out = [(r["doc_id"], r["score"]) for r in
+           bm25_search(docs, "apple", k=3).collect()]
+    assert [d for d, _ in out] == [0, 1]  # doc 2 has no match -> absent
+    assert out[0][1] > out[1][1] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search(docs, "", k=3)
+    with _pytest.raises(ValueError):
+        bm25_search(docs, "apple", k=0)
