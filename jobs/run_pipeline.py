@@ -103,7 +103,18 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         except Exception:  # no lineage yet → fresh run
             done_stages = set()
 
-    statements = extract_statements(transcripts).persist()
+    # named observation on the extraction output: per-run metric rows
+    # (statements / error statements) collected by the JVM during the
+    # job's own actions — zero extra passes, the production-monitoring
+    # hook a 10^12-turn run exposes to its scheduler
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_metrics")
+    statements = extract_statements(transcripts).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.col("obj_kind") == "error").cast("long")).alias("error_rows"),
+    ).persist()
     st = triples(statements)
     err = errors(statements)
 
@@ -187,6 +198,7 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         summary["violations"] = summary_violations
     summary["errors"] = err.count()
     summary["statements"] = st.count()
+    summary["observed"] = {k: int(v) for k, v in obs.get.items()}
     if resumed:
         summary["resumed_stages"] = resumed
     statements.unpersist()

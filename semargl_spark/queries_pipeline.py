@@ -1969,6 +1969,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "kg_growth_daily": q_kg_growth_daily,
         "bm25_search": q_bm25_search,
+        "turn_role_pivot": q_turn_role_pivot,
+        "events_cube": q_events_cube,
     }
 
 
@@ -4055,4 +4057,58 @@ s AS (SELECT tf.doc_id,
       FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
       GROUP BY tf.doc_id)
 SELECT doc_id, score FROM s ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+# -------------------------------- pivot / grouping-sets surface (r2n)
+
+
+def q_turn_role_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-conversation turn counts spread into one column per
+    role (explicit value list, so the plan is a single aggregation —
+    an unlisted-values pivot would need an extra distinct pass)."""
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    return (
+        t.groupBy("conv_id")
+        .pivot("role", ["user", "assistant", "tool"])
+        .count()
+        .select(
+            "conv_id",
+            F.coalesce("user", F.lit(0)).cast("long").alias("n_user"),
+            F.coalesce("assistant", F.lit(0)).cast("long").alias("n_assistant"),
+            F.coalesce("tool", F.lit(0)).cast("long").alias("n_tool"),
+        )
+    )
+
+
+ORACLES["turn_role_pivot"] = _SEED + """
+SELECT 'c'||did AS conv_id,
+  CAST(SUM(CASE WHEN tix%3=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+  CAST(SUM(CASE WHEN tix%3=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+  CAST(SUM(CASE WHEN tix%3=2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
+FROM t GROUP BY did
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over events: counts and value sums at
+    (event_type, user bucket), per event_type, and grand total in ONE
+    aggregation pass (Catalyst Expand) — not three separate scans."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    return (
+        e.select(F.col("event_type"), bucket.alias("user_bucket"), "value")
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
+ORACLES["events_cube"] = """
+SELECT event_type, CAST(user_bucket AS INT) AS user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS value_sum
+FROM (SELECT event_type, user_id % 4 AS user_bucket, value FROM events)
+GROUP BY ROLLUP (event_type, user_bucket)
 """

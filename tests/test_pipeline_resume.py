@@ -186,3 +186,14 @@ def test_job_shapes_and_ontology_stages(spark, prepared, tmp_path):
         spark.read.parquet(f"{out}/lineage").select("stage").distinct().collect()
     }
     assert {"extract", "infer", "validate"} <= stages
+
+
+def test_job_observed_metrics_match_counts(spark, prepared, tmp_path):
+    """The observe() metric rows equal the summary's own counts —
+    monitoring must never disagree with lineage."""
+    out = str(tmp_path / "out_obs")
+    summary = run(spark, input_path=str(prepared / "in"), output=out,
+                  run_id="robs")
+    obs = summary["observed"]
+    assert obs["rows"] == summary["statements"] + summary["errors"]
+    assert obs["error_rows"] == summary["errors"]
