@@ -182,3 +182,66 @@ def materialize_kg(
         "nodes": nodes.count(),
         "edges": edges.count(),
     }
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files → summary dict with
+    before/after file counts and the row count (verified unchanged).
+
+    The operational counterpart of Iceberg's rewrite_data_files: a
+    streaming or per-micro-batch writer leaves thousands of KB-sized
+    files per partition, and at 10^12-row scale the NameNode/manifest
+    pressure and per-file open cost dominate reads. Rewrite is atomic
+    at the directory level: the compacted copy is written beside the
+    original and swapped in with two renames, so a concurrent reader
+    sees the old or the new directory, never a half-written one. Row
+    count is re-verified after the swap; a mismatch raises (never
+    silently lose data to save file handles).
+    """
+    import math
+    import os
+    import shutil
+
+    if target_file_bytes < 1:
+        raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__precompact"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    after = spark.read.parquet(path)
+    n_after = after.count()
+    if n_after != n_rows:
+        # roll back before raising — the original data is intact
+        os.rename(path.rstrip("/"), tmp)
+        os.rename(old, path.rstrip("/"))
+        raise RuntimeError(
+            f"compaction row-count mismatch: {n_rows} -> {n_after}; rolled back"
+        )
+    shutil.rmtree(old)
+    out_files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "rows": n_rows,
+    }
