@@ -120,7 +120,7 @@ def main() -> None:
                  "transcripts_profile", "events_stream_sessions",
                  "pipeline_training", "text_search", "inverted_index",
                  "skew_salted_join", "bm25_search",
-                 "events_retention", "kg_entity_card"):
+                 "events_retention", "kg_entity_card", "kg_sparql"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -114,8 +114,11 @@ def match_bgp_filter(
     out = match_bgp(triples, patterns, s_col, p_col, o_col)
     bound = set(out.columns)
     for flt in filters:
-        # identifiers in the expression that aren't SQL keywords/functions
-        names = set(_re.findall(r"\b[a-zA-Z_]\w*\b(?!\s*\()", flt))
+        # identifiers in the expression that aren't SQL keywords/functions;
+        # string literals are stripped first so 'abc' never reads as a
+        # variable reference
+        bare = _re.sub(r"'(?:[^'\\]|\\.)*'", "''", flt)
+        names = set(_re.findall(r"\b[a-zA-Z_]\w*\b(?!\s*\()", bare))
         unknown = {
             n for n in names
             if n.lower() not in _SQL_WORDS and n not in bound

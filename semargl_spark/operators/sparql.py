@@ -1,0 +1,267 @@
+"""SPARQL text front-end: parse a practical SELECT subset and compile
+it onto the BGP engine (operators/bgp.py), so users run actual SPARQL
+strings against the materialized KG edge table.
+
+Supported grammar (the subset that covers the engine's gated algebra):
+
+    PREFIX pfx: <iri>                      (any number)
+    SELECT ?a ?b | *                       (projection)
+    WHERE {
+        ?s pfx:p ?o . ?o a pfx:C .         (BGPs; 'a' = rdf:type)
+        FILTER(expr)                       (comparisons, &&/||/!,
+                                            regex(?v,"re"),
+                                            strstarts(?v,"s"))
+        OPTIONAL { ... }                   (any number of groups)
+        MINUS { ... }                      (one group)
+    }
+    ORDER BY [ASC(?v)|DESC(?v)|?v] ...     (optional)
+    LIMIT n                                (optional)
+
+Parsing happens ON THE DRIVER over a short string — the compiled plan
+is exactly the Catalyst join tree the list-based API produces, so all
+the scale properties (selectivity-ordered joins, pushed constant
+filters, anti-join MINUS, TakeOrderedAndProject top-k) carry over
+unchanged. Not supported (raise cleanly): nested groups inside
+OPTIONAL/MINUS, UNION (use match_bgp_union directly), property paths
+(bounded_paths*), subqueries, VALUES.
+
+Reference parity: the reference is a parser framework without a query
+language; this is target-side surface over the constructed KG.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]*)>", re.IGNORECASE)
+_SELECT_RE = re.compile(
+    r"SELECT\s+(?P<proj>\*|(?:\?\w+\s*)+)\s*WHERE\s*\{(?P<body>.*)\}"
+    r"(?P<tail>[^}]*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ORDER_RE = re.compile(
+    r"ORDER\s+BY\s+(?P<keys>(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
+    r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)",
+    re.IGNORECASE,
+)
+_LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
+_GROUP_RE = re.compile(r"(OPTIONAL|MINUS)\s*\{([^{}]*)\}", re.IGNORECASE)
+_FILTER_RE = re.compile(r"FILTER\s*\(", re.IGNORECASE)
+
+
+class SparqlError(ValueError):
+    pass
+
+
+def _term(tok: str, prefixes: dict[str, str]) -> str:
+    """One SPARQL term → the engine's term convention (?var kept,
+    everything else resolved to a plain string)."""
+    tok = tok.strip()
+    if not tok:
+        raise SparqlError("empty term")
+    if tok.startswith("?"):
+        return tok
+    if tok == "a":
+        return RDF_TYPE
+    if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1]
+    if tok.startswith('"'):
+        m = re.match(r'^"((?:[^"\\]|\\.)*)"$', tok)
+        if not m:
+            raise SparqlError(f"bad literal {tok!r}")
+        return m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+    if ":" in tok:
+        pfx, local = tok.split(":", 1)
+        if pfx not in prefixes:
+            raise SparqlError(f"undeclared prefix {pfx!r} in {tok!r}")
+        return prefixes[pfx] + local
+    raise SparqlError(f"unrecognized term {tok!r}")
+
+
+def _split_filter(body: str) -> tuple[str, list[str]]:
+    """Pull FILTER(...) expressions (balanced parens) out of a group
+    body; returns (body-without-filters, [expr, ...])."""
+    out, filters, i = [], [], 0
+    while True:
+        m = _FILTER_RE.search(body, i)
+        if not m:
+            out.append(body[i:])
+            break
+        out.append(body[i:m.start()])
+        depth, j = 1, m.end()
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise SparqlError("unbalanced parens in FILTER")
+        filters.append(body[m.end():j - 1].strip())
+        i = j
+    return "".join(out), filters
+
+
+def _patterns(body: str, prefixes: dict[str, str]) -> list[tuple[str, str, str]]:
+    pats = []
+    for stmt in body.split("."):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        toks = _tokenize_triple(stmt)
+        if len(toks) != 3:
+            raise SparqlError(f"expected 's p o' in {stmt!r}")
+        s, p, o = (_term(t, prefixes) for t in toks)
+        pats.append((s, p, o))
+    return pats
+
+
+def _tokenize_triple(stmt: str) -> list[str]:
+    """Split one triple statement into 3 terms, keeping quoted literals
+    (which may contain spaces) intact."""
+    toks, i, n = [], 0, len(stmt)
+    while i < n:
+        while i < n and stmt[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        if stmt[i] == '"':
+            j = i + 1
+            while j < n:
+                if stmt[j] == "\\":
+                    j += 2
+                    continue
+                if stmt[j] == '"':
+                    break
+                j += 1
+            if j >= n:
+                raise SparqlError(f"unterminated literal in {stmt!r}")
+            toks.append(stmt[i:j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not stmt[j].isspace():
+                j += 1
+            toks.append(stmt[i:j])
+            i = j
+    return toks
+
+
+def _filter_to_sql(expr: str) -> str:
+    """SPARQL filter expression → Spark SQL boolean expression over the
+    bound variable columns."""
+    e = expr
+    e = re.sub(
+        r"(?i)regex\s*\(\s*\?(\w+)\s*,\s*\"((?:[^\"\\]|\\.)*)\"\s*\)",
+        lambda m: f"{m.group(1)} RLIKE '{m.group(2)}'",
+        e,
+    )
+    e = re.sub(
+        r"(?i)strstarts\s*\(\s*\?(\w+)\s*,\s*\"((?:[^\"\\]|\\.)*)\"\s*\)",
+        lambda m: f"{m.group(1)} LIKE '{m.group(2)}%'",
+        e,
+    )
+    e = e.replace("&&", " AND ").replace("||", " OR ")
+    e = re.sub(r"!(?!=)", " NOT ", e)
+    e = re.sub(r"\?(\w+)", r"\1", e)
+    e = re.sub(r'"((?:[^"\\]|\\.)*)"', lambda m: "'" + m.group(1) + "'", e)
+    return e
+
+
+def sparql_select(edges: DataFrame, query: str) -> DataFrame:
+    """Execute a SPARQL SELECT (subset above) against the KG edge table
+    (src, pred, dst) → one column per projected variable."""
+    from .bgp import (
+        match_bgp, match_bgp_filter, match_bgp_minus, match_bgp_optional,
+    )
+
+    prefixes = dict(_PREFIX_RE.findall(query))
+    q = _PREFIX_RE.sub("", query).strip()
+    m = _SELECT_RE.search(q)
+    if not m:
+        raise SparqlError("expected SELECT ... WHERE { ... }")
+    body, tail = m.group("body"), m.group("tail") or ""
+
+    optionals: list[list[tuple[str, str, str]]] = []
+    minus: list[tuple[str, str, str]] | None = None
+
+    def grab(gm: re.Match) -> str:
+        nonlocal minus
+        kind = gm.group(1).upper()
+        inner, inner_filters = _split_filter(gm.group(2))
+        if inner_filters:
+            raise SparqlError(f"FILTER inside {kind} not supported")
+        pats = _patterns(inner, prefixes)
+        if kind == "OPTIONAL":
+            optionals.append(pats)
+        else:
+            if minus is not None:
+                raise SparqlError("multiple MINUS groups not supported")
+            minus = pats
+        return " "
+
+    body = _GROUP_RE.sub(grab, body)
+    if "{" in body or "}" in body:
+        raise SparqlError("nested groups / UNION not supported in this subset")
+    body, filters = _split_filter(body)
+    required = _patterns(body, prefixes)
+    if not required:
+        raise SparqlError("empty required BGP")
+
+    if optionals and (minus or filters):
+        # keep algebra composition simple and predictable: OPTIONAL
+        # composes with plain BGPs only in this subset
+        raise SparqlError("OPTIONAL cannot combine with MINUS/FILTER here")
+    if optionals:
+        out = match_bgp_optional(edges, required, optionals)
+    elif minus is not None:
+        out = match_bgp_minus(edges, required, minus)
+        if filters:
+            out = out.filter(" AND ".join(_filter_to_sql(f) for f in filters))
+    elif filters:
+        out = match_bgp_filter(
+            edges, required, [_filter_to_sql(f) for f in filters]
+        )
+    else:
+        out = match_bgp(edges, required)
+
+    proj = m.group("proj").strip()
+    if proj != "*":
+        vars_ = [v[1:] for v in proj.split()]
+        missing = [v for v in vars_ if v not in out.columns]
+        if missing:
+            raise SparqlError(f"projected unbound variables {missing}")
+        out = out.select(*vars_)
+
+    om = _ORDER_RE.search(tail)
+    lm = _LIMIT_RE.search(tail)
+    if om:
+        from pyspark.sql import functions as F
+
+        keys, named = [], set()
+        for direction, var1, var2 in re.findall(
+            r"(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\))|\?(\w+)", om.group("keys"),
+            re.IGNORECASE,
+        ):
+            var = var1 or var2
+            if var not in out.columns:
+                raise SparqlError(f"ORDER BY unbound variable ?{var}")
+            named.add(var)
+            keys.append(
+                F.col(var).desc() if direction.upper() == "DESC" else F.col(var).asc()
+            )
+        # total tie-break over the remaining columns → with LIMIT the
+        # returned SET is deterministic at any parallelism (SPARQL
+        # leaves ties implementation-defined; a gated pipeline cannot)
+        keys.extend(F.col(c).asc() for c in out.columns if c not in named)
+        out = out.orderBy(*keys)
+    if lm:
+        n = int(lm.group(1))
+        if n < 1:
+            raise SparqlError("LIMIT must be >= 1")
+        out = out.limit(n)
+    return out

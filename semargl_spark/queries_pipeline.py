@@ -1971,6 +1971,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "turn_role_pivot": q_turn_role_pivot,
         "events_cube": q_events_cube,
+        "kg_sparql": q_kg_sparql,
     }
 
 
@@ -4111,4 +4112,40 @@ SELECT event_type, CAST(user_bucket AS INT) AS user_bucket,
        CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS value_sum
 FROM (SELECT event_type, user_id % 4 AS user_bucket, value FROM events)
 GROUP BY ROLLUP (event_type, user_bucket)
+"""
+
+
+# ------------------------------------- SPARQL text front-end gate (r2o)
+
+
+def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual SPARQL text executed against the KG: a typed two-hop
+    SELECT with FILTER, ORDER BY, LIMIT — parsed on the driver
+    (operators/sparql.py) and compiled onto the same Catalyst join tree
+    the list-based BGP API produces."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX dc: <http://purl.org/dc/terms/>
+        SELECT ?a ?c WHERE {
+            ?a p:knows ?b .
+            ?b dc:relation ?c .
+            ?a a <urn:t:Thing> .
+            FILTER(strstarts(?c, "urn:e:1"))
+        } ORDER BY DESC(?a) LIMIT 40
+    """)
+
+
+ORACLES["kg_sparql"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, r.dst AS c
+FROM edges k
+JOIN edges r ON r.src = k.dst AND r.pred = 'http://purl.org/dc/terms/relation'
+JOIN edges t ON t.src = k.src
+            AND t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+            AND t.dst = 'urn:t:Thing'
+WHERE k.pred = 'urn:p:knows' AND r.dst LIKE 'urn:e:1%'
+ORDER BY k.src DESC, r.dst ASC LIMIT 40
 """
