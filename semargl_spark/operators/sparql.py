@@ -14,16 +14,21 @@ Supported grammar (the subset that covers the engine's gated algebra):
         OPTIONAL { ... }                   (any number of groups)
         MINUS { ... }                      (one group)
     }
+    GROUP BY ?v ...                        (with COUNT/MIN/MAX/SUM
+                                            aggregates in the SELECT,
+                                            e.g. (COUNT(*) AS ?n))
     ORDER BY [ASC(?v)|DESC(?v)|?v] ...     (optional)
     LIMIT n                                (optional)
+
+Also: ``{ ... } UNION { ... }`` as the entire WHERE body, and
+``ASK WHERE { ... }`` via :func:`sparql_ask`.
 
 Parsing happens ON THE DRIVER over a short string — the compiled plan
 is exactly the Catalyst join tree the list-based API produces, so all
 the scale properties (selectivity-ordered joins, pushed constant
 filters, anti-join MINUS, TakeOrderedAndProject top-k) carry over
-unchanged. Not supported (raise cleanly): nested groups inside
-OPTIONAL/MINUS, UNION (use match_bgp_union directly), property paths
-(bounded_paths*), subqueries, VALUES.
+unchanged. Not supported (raise cleanly): nested groups inside OPTIONAL/MINUS or
+UNION branches, property paths (bounded_paths*), subqueries, VALUES.
 
 Reference parity: the reference is a parser framework without a query
 language; this is target-side surface over the constructed KG.
@@ -39,8 +44,17 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]*)>", re.IGNORECASE)
 _SELECT_RE = re.compile(
-    r"SELECT\s+(?P<proj>\*|(?:\?\w+\s*)+)\s*WHERE\s*\{(?P<body>.*)\}"
+    r"SELECT\s+(?P<proj>\*|(?:(?:\?\w+|\(\s*\w+\s*\([^()]*\)\s+AS\s+\?\w+\s*\))\s*)+)"
+    r"\s*WHERE\s*\{(?P<body>.*)\}"
     r"(?P<tail>[^}]*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_RE = re.compile(
+    r"\(\s*(\w+)\s*\(([^()]*)\)\s+AS\s+\?(\w+)\s*\)", re.IGNORECASE
+)
+_GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.IGNORECASE)
+_UNION_RE = re.compile(
+    r"^\s*\{(?P<l>[^{}]*)\}\s*UNION\s*\{(?P<r>[^{}]*)\}\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ORDER_RE = re.compile(
@@ -51,6 +65,7 @@ _ORDER_RE = re.compile(
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
 _GROUP_RE = re.compile(r"(OPTIONAL|MINUS)\s*\{([^{}]*)\}", re.IGNORECASE)
 _FILTER_RE = re.compile(r"FILTER\s*\(", re.IGNORECASE)
+_VAR_RE = re.compile(r"\?(\w+)")
 
 
 class SparqlError(ValueError):
@@ -176,7 +191,8 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     """Execute a SPARQL SELECT (subset above) against the KG edge table
     (src, pred, dst) → one column per projected variable."""
     from .bgp import (
-        match_bgp, match_bgp_filter, match_bgp_minus, match_bgp_optional,
+        match_bgp, match_bgp_agg, match_bgp_filter, match_bgp_minus,
+        match_bgp_optional, match_bgp_union,
     )
 
     prefixes = dict(_PREFIX_RE.findall(query))
@@ -185,6 +201,20 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     if not m:
         raise SparqlError("expected SELECT ... WHERE { ... }")
     body, tail = m.group("body"), m.group("tail") or ""
+    proj = m.group("proj").strip()
+    aggs = {
+        name: _agg_expr(fn, inner) for fn, inner, name in _AGG_RE.findall(proj)
+    }
+
+    # { ... } UNION { ... } as the whole body
+    um = _UNION_RE.match(body)
+    if um:
+        if aggs:
+            raise SparqlError("aggregates over UNION not supported")
+        lpats = _patterns(um.group("l"), prefixes)
+        rpats = _patterns(um.group("r"), prefixes)
+        out = match_bgp_union(edges, [lpats, rpats])
+        return _modifiers(out, proj, tail, allow_missing=True)
 
     optionals: list[list[tuple[str, str, str]]] = []
     minus: list[tuple[str, str, str]] | None = None
@@ -229,13 +259,38 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     else:
         out = match_bgp(edges, required)
 
-    proj = m.group("proj").strip()
+    if aggs:
+        gm = _GROUPBY_RE.search(tail)
+        group_vars = [v[1:] for v in gm.group(1).split()] if gm else []
+        plain = [v[1:] for v in re.findall(r"\?\w+", _AGG_RE.sub(" ", proj))]
+        if sorted(plain) != sorted(group_vars):
+            raise SparqlError(
+                "non-aggregate projection must equal the GROUP BY variables"
+            )
+        if optionals or minus is not None:
+            raise SparqlError("aggregates over OPTIONAL/MINUS not supported")
+        if filters:
+            raise SparqlError("FILTER with aggregates not supported (use HAVING-free form)")
+        return match_bgp_agg(edges, required, group_vars, aggs)
+
+    return _modifiers(out, proj, tail)
+
+
+def _agg_expr(fn: str, inner: str) -> str:
+    fn = fn.lower()
+    if fn not in ("count", "min", "max", "sum", "avg"):
+        raise SparqlError(f"unsupported aggregate {fn!r}")
+    return f"{fn}({_VAR_RE.sub(lambda m: m.group(1), inner.strip())})"
+
+
+def _modifiers(out: DataFrame, proj: str, tail: str, allow_missing: bool = False) -> DataFrame:
+    """Apply projection, ORDER BY (with total tie-break), and LIMIT."""
     if proj != "*":
         vars_ = [v[1:] for v in proj.split()]
         missing = [v for v in vars_ if v not in out.columns]
-        if missing:
+        if missing and not allow_missing:
             raise SparqlError(f"projected unbound variables {missing}")
-        out = out.select(*vars_)
+        out = out.select(*[v for v in vars_ if v in out.columns])
 
     om = _ORDER_RE.search(tail)
     lm = _LIMIT_RE.search(tail)
@@ -265,3 +320,28 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             raise SparqlError("LIMIT must be >= 1")
         out = out.limit(n)
     return out
+
+
+def sparql_ask(edges: DataFrame, query: str) -> bool:
+    """``ASK WHERE { ... }`` (patterns + FILTER) → Python bool: does at
+    least one solution exist. Executes as the same BGP join tree capped
+    with limit(1) — the engine never materializes the solution set."""
+    prefixes = dict(_PREFIX_RE.findall(query))
+    q = _PREFIX_RE.sub("", query).strip()
+    m = re.search(r"ASK\s*(?:WHERE\s*)?\{(?P<body>.*)\}\s*$",
+                  q, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SparqlError("expected ASK [WHERE] { ... }")
+    body, filters = _split_filter(m.group("body"))
+    if "{" in body or "}" in body:
+        raise SparqlError("groups inside ASK not supported")
+    pats = _patterns(body, prefixes)
+    if not pats:
+        raise SparqlError("empty ASK pattern")
+    from .bgp import match_bgp, match_bgp_filter
+
+    out = (
+        match_bgp_filter(edges, pats, [_filter_to_sql(f) for f in filters])
+        if filters else match_bgp(edges, pats)
+    )
+    return bool(out.limit(1).count())

@@ -1972,6 +1972,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_role_pivot": q_turn_role_pivot,
         "events_cube": q_events_cube,
         "kg_sparql": q_kg_sparql,
+        "kg_sparql_agg": q_kg_sparql_agg,
     }
 
 
@@ -4148,4 +4149,28 @@ JOIN edges t ON t.src = k.src
             AND t.dst = 'urn:t:Thing'
 WHERE k.pred = 'urn:p:knows' AND r.dst LIKE 'urn:e:1%'
 ORDER BY k.src DESC, r.dst ASC LIMIT 40
+"""
+
+
+def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY aggregates from query TEXT (COUNT(*) +
+    COUNT(DISTINCT)) — parsed and compiled onto the same
+    map-side-partial hash aggregation as the list-based API."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?b) AS ?n_targets)
+        WHERE { ?a p:knows ?b . ?b ?p ?c . } GROUP BY ?p
+    """)
+
+
+ORACLES["kg_sparql_agg"] = _KG_EDGES_SQL + """
+SELECT e2.pred AS p, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT e1.dst) AS BIGINT) AS n_targets
+FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+WHERE e1.pred = 'urn:p:knows'
+GROUP BY e2.pred
 """

@@ -94,3 +94,51 @@ def test_sparql_errors(spark):
         sparql_select(
             e, "SELECT ?x WHERE { ?x <urn:p:knows> ?y . { ?y <urn:q> ?z . } }"
         )
+
+
+def test_sparql_union(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    PREFIX t: <urn:t:>
+    SELECT ?x ?t WHERE { { ?x p:knows ?y . } UNION { ?x a ?t . } }
+    """
+    out = {(r["x"], r["t"]) for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {("a1", None), ("a2", None), ("b1", "urn:t:Thing")}
+
+
+def test_sparql_group_by_count(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?p (COUNT(*) AS ?n) WHERE { ?x ?p ?y . } GROUP BY ?p
+    """
+    out = {(r["p"], r["n"]) for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {
+        ("urn:p:knows", 2), ("urn:p:name", 2),
+        ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 1),
+    }
+    with pytest.raises(SparqlError):
+        sparql_select(_edges(spark),
+                      "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ?p ?y . } GROUP BY ?p")
+    with pytest.raises(SparqlError):
+        sparql_select(_edges(spark),
+                      "SELECT (MEDIAN(?x) AS ?n) WHERE { ?x ?p ?y . }")
+
+
+def test_sparql_count_distinct(spark):
+    q = """
+    SELECT (COUNT(DISTINCT ?y) AS ?n) WHERE { ?x <urn:p:knows> ?y . }
+    """
+    assert sparql_select(_edges(spark), q).collect()[0]["n"] == 2
+
+
+def test_sparql_ask(spark):
+    from semargl_spark.operators.sparql import sparql_ask
+
+    e = _edges(spark)
+    assert sparql_ask(e, 'ASK { ?x <urn:p:name> "Bee One" . }') is True
+    assert sparql_ask(e, 'ASK WHERE { ?x <urn:p:name> "Nobody" . }') is False
+    assert sparql_ask(
+        e, 'PREFIX p: <urn:p:> ASK { ?x p:knows ?y . FILTER(?y = "b2") }'
+    ) is True
+    with pytest.raises(SparqlError):
+        sparql_ask(e, "ASK { }")
