@@ -109,7 +109,9 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
     # hook a 10^12-turn run exposes to its scheduler
     from pyspark.sql import Observation
 
-    obs = Observation("extract_metrics")
+    # unnamed → a session-unique internal name; a fixed name would
+    # collide when run() executes twice in one session (resume/replay)
+    obs = Observation()
     statements = extract_statements(transcripts).observe(
         obs,
         F.count(F.lit(1)).alias("rows"),
@@ -198,7 +200,14 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         summary["violations"] = summary_violations
     summary["errors"] = err.count()
     summary["statements"] = st.count()
-    summary["observed"] = {k: int(v) for k, v in obs.get.items()}
+    try:
+        summary["observed"] = {k: int(v) for k, v in obs.get.items()}
+    except Exception:
+        # metrics are ADVISORY and must never fail the job: when the
+        # extraction plan is served from a structurally-equal cached
+        # plan of an earlier in-session run (replay/concurrent resume),
+        # the observe node never executes and getRow() has no metrics
+        summary["observed"] = None
     if resumed:
         summary["resumed_stages"] = resumed
     statements.unpersist()

@@ -195,5 +195,13 @@ def test_job_observed_metrics_match_counts(spark, prepared, tmp_path):
     summary = run(spark, input_path=str(prepared / "in"), output=out,
                   run_id="robs")
     obs = summary["observed"]
+    if obs is None:
+        # an earlier in-session run left a structurally-equal cached
+        # extraction plan, so the observe node was served from cache;
+        # clear the cache and re-run to exercise the live path
+        spark.catalog.clearCache()
+        summary = run(spark, input_path=str(prepared / "in"),
+                      output=out, run_id="robs-retry")
+        obs = summary["observed"]
     assert obs["rows"] == summary["statements"] + summary["errors"]
     assert obs["error_rows"] == summary["errors"]
