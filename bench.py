@@ -120,7 +120,8 @@ def main() -> None:
                  "transcripts_profile", "events_stream_sessions",
                  "pipeline_training", "text_search", "inverted_index",
                  "skew_salted_join", "bm25_search",
-                 "events_retention", "kg_entity_card", "kg_sparql"):
+                 "events_retention", "kg_entity_card", "kg_sparql",
+                 "kg_sparql_construct", "kg_sparql_path"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -8,12 +8,14 @@ shared variables. Everything stays declarative, so Catalyst gets filter
 pushdown (constant positions reach the parquet scan as PushedFilters),
 join reordering, and AQE sizing for free.
 
-Join-order heuristic: most-constant patterns first (a pattern with two
-constants is the most selective scan), ties broken by declaration order
-— deterministic, and at 10^12 triples it means the join tree starts from
-the smallest intermediate result. Patterns sharing no variable with the
-accumulated result fall back to a crossJoin (legal SPARQL, flagged in
-the docstring because at scale a Cartesian BGP is almost always a query
+Join-order heuristic: greedy-connected — start from the most-constant
+pattern (a pattern with two constants is the most selective scan), then
+repeatedly join the most-constant pattern that SHARES a variable with
+the patterns already joined (declaration order as tie-break) —
+deterministic, starts from the smallest intermediate result, and never
+introduces a Cartesian intermediate for a connected query. Patterns in
+a genuinely disconnected group fall back to a crossJoin (legal SPARQL,
+flagged here because at scale a Cartesian BGP is almost always a query
 bug).
 
 The driver-side ASK evaluator (functions/ask.py) covers the conformance
@@ -77,9 +79,29 @@ def match_bgp(
     def selectivity(pat):
         return sum(0 if _is_var(t) else 1 for t in pat)
 
-    order = sorted(range(len(patterns)), key=lambda i: (-selectivity(patterns[i]), i))
-    acc, bound = scan(patterns[order[0]])
-    for i in order[1:]:
+    def pat_vars(pat):
+        return {t[1:] for t in pat if _is_var(t)}
+
+    # greedy-connected join ordering: start from the most-constant
+    # pattern, then always prefer a pattern sharing a variable with the
+    # bound set (most-constant first, declaration order as tie-break).
+    # A pure selectivity order would crossJoin on pattern lists like
+    # [(?a p ?b), (?c q ?d), (?b r ?c)] — the middle pattern is
+    # disconnected *at that point* even though the query is connected —
+    # and at 10^12 triples an avoidable Cartesian intermediate is the
+    # difference between a plan and an outage. crossJoin remains only
+    # for genuinely disconnected pattern groups (legal SPARQL).
+    remaining = sorted(
+        range(len(patterns)), key=lambda i: (-selectivity(patterns[i]), i)
+    )
+    first = remaining.pop(0)
+    acc, bound = scan(patterns[first])
+    while remaining:
+        i = next(
+            (j for j in remaining if pat_vars(patterns[j]) & bound),
+            remaining[0],
+        )
+        remaining.remove(i)
         df, vs = scan(patterns[i])
         shared = sorted(bound & vs)
         if shared:
@@ -186,6 +208,7 @@ def construct(
     s_col: str = "src",
     p_col: str = "pred",
     o_col: str = "dst",
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """SPARQL ``CONSTRUCT``: evaluate the WHERE BGP, then instantiate
     every template triple per solution → a derived graph as (src, pred,
@@ -201,7 +224,11 @@ def construct(
     """
     if not template:
         raise ValueError("empty CONSTRUCT template")
-    sol = match_bgp(triples, patterns, s_col, p_col, o_col)
+    sol = (
+        match_bgp_filter(triples, patterns, filters, s_col, p_col, o_col)
+        if filters
+        else match_bgp(triples, patterns, s_col, p_col, o_col)
+    )
     bound = set(sol.columns)
     for pat in template:
         for term in pat:

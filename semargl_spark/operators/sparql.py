@@ -20,8 +20,11 @@ Supported grammar (the subset that covers the engine's gated algebra):
     ORDER BY [ASC(?v)|DESC(?v)|?v] ...     (optional)
     LIMIT n                                (optional)
 
-Also: ``{ ... } UNION { ... }`` as the entire WHERE body, and
-``ASK WHERE { ... }`` via :func:`sparql_ask`.
+Also: ``{ ... } UNION { ... }`` as the entire WHERE body,
+``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (...) ... }`` inline data
+(joined into the solution — broadcast by construction, the data is a
+query-text literal), ``ASK WHERE { ... }`` via :func:`sparql_ask`, and
+``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`.
 
 Parsing happens ON THE DRIVER over a short string — the compiled plan
 is exactly the Catalyst join tree the list-based API produces, so all
@@ -64,12 +67,64 @@ _ORDER_RE = re.compile(
 )
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
 _GROUP_RE = re.compile(r"(OPTIONAL|MINUS)\s*\{([^{}]*)\}", re.IGNORECASE)
+_VALUES_RE = re.compile(
+    r"VALUES\s*(?P<vars>\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{(?P<data>[^{}]*)\}",
+    re.IGNORECASE | re.DOTALL,
+)
+_CONSTRUCT_RE = re.compile(
+    r"CONSTRUCT\s*\{(?P<tmpl>[^{}]*)\}\s*WHERE\s*\{(?P<body>.*)\}\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _FILTER_RE = re.compile(r"FILTER\s*\(", re.IGNORECASE)
 _VAR_RE = re.compile(r"\?(\w+)")
 
 
 class SparqlError(ValueError):
     pass
+
+
+_PATH_BOUND_RE = re.compile(r"^(?P<core>.+?)(?:(?P<plus>\+)|\{1,(?P<k>\d+)\})$")
+_BOUND_RE = re.compile(r"\{\s*\d+\s*,\s*\d+\s*\}")
+
+
+def _parse_path(pred_tok: str, prefixes: dict[str, str]):
+    """If the predicate token is a property-path expression, return
+    (forward_preds, inverse_preds, k_or_None_for_plus); else None.
+
+    Supported: ``p+``, ``p{1,k}``, ``(p|^q|...)+``, ``(p|^q|...){1,k}``
+    where each step is an IRI / prefixed name, ``^`` marks an inverse
+    step. ``+`` (unbounded in SPARQL) maps to the engine's bounded
+    closure with the caller-supplied ``max_hops`` — an unbounded
+    transitive closure over 10^12 edges is a quadratic blow-up, so the
+    bound is mandatory and explicit."""
+    m = _PATH_BOUND_RE.match(pred_tok.strip())
+    if not m:
+        return None
+    core = m.group("core").strip()
+    alts = None
+    if core.startswith("(") and core.endswith(")"):
+        alts = [a.strip() for a in core[1:-1].split("|")]
+    elif "|" in core:
+        alts = [a.strip() for a in core.split("|")]
+    elif core.startswith("^"):
+        alts = [core]
+    elif m.group("plus") or m.group("k"):
+        alts = [core]
+    if alts is None:
+        return None
+    fwd, inv = [], []
+    for a in alts:
+        if not a:
+            raise SparqlError(f"empty alternative in path {pred_tok!r}")
+        if a.startswith("^"):
+            inv.append(_term(a[1:], prefixes))
+        else:
+            fwd.append(_term(a, prefixes))
+    for t in fwd + inv:
+        if t.startswith("?"):
+            raise SparqlError("variable steps in property paths not supported")
+    k = int(m.group("k")) if m.group("k") else None
+    return fwd, inv, k
 
 
 def _term(tok: str, prefixes: dict[str, str]) -> str:
@@ -121,15 +176,56 @@ def _split_filter(body: str) -> tuple[str, list[str]]:
     return "".join(out), filters
 
 
+def _split_statements(body: str) -> list[str]:
+    """Split a group body into triple statements on top-level ``.`` —
+    dots inside quoted literals and ``<...>`` IRIs (http://ex.org/p)
+    are NOT separators, unlike a naive ``str.split('.')``."""
+    stmts, buf, i, n = [], [], 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == '"':
+            j = i + 1
+            while j < n:
+                if body[j] == "\\":
+                    j += 2
+                    continue
+                if body[j] == '"':
+                    break
+                j += 1
+            buf.append(body[i:min(j + 1, n)])
+            i = j + 1
+        elif ch == "<":
+            j = body.find(">", i)
+            j = n - 1 if j < 0 else j
+            buf.append(body[i:j + 1])
+            i = j + 1
+        elif ch == "." and (i + 1 >= n or body[i + 1].isspace() or body[i + 1] == "?"):
+            stmts.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(ch)
+            i += 1
+    stmts.append("".join(buf))
+    return stmts
+
+
 def _patterns(body: str, prefixes: dict[str, str]) -> list[tuple[str, str, str]]:
     pats = []
-    for stmt in body.split("."):
+    for stmt in _split_statements(body):
         stmt = stmt.strip()
         if not stmt:
             continue
         toks = _tokenize_triple(stmt)
         if len(toks) != 3:
             raise SparqlError(f"expected 's p o' in {stmt!r}")
+        if _parse_path(toks[1], prefixes):
+            # never resolve 'p:knows+' as the IRI '...knows+' — it
+            # would silently match nothing
+            raise SparqlError(
+                "property paths are supported only as the sole pattern "
+                "of the WHERE group in this subset"
+            )
         s, p, o = (_term(t, prefixes) for t in toks)
         pats.append((s, p, o))
     return pats
@@ -187,9 +283,14 @@ def _filter_to_sql(expr: str) -> str:
     return e
 
 
-def sparql_select(edges: DataFrame, query: str) -> DataFrame:
+def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
     """Execute a SPARQL SELECT (subset above) against the KG edge table
-    (src, pred, dst) → one column per projected variable."""
+    (src, pred, dst) → one column per projected variable.
+
+    Property paths (``p+``, ``p{1,k}``, ``(p|^q)+`` forms) are accepted
+    as the SOLE pattern of the WHERE group; the solution carries an
+    extra ``hops`` column (minimum hop count). ``+`` is bounded by
+    ``max_hops`` — the engine refuses unbounded closure at KG scale."""
     from .bgp import (
         match_bgp, match_bgp_agg, match_bgp_filter, match_bgp_minus,
         match_bgp_optional, match_bgp_union,
@@ -206,6 +307,15 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         name: _agg_expr(fn, inner) for fn, inner, name in _AGG_RE.findall(proj)
     }
 
+    # VALUES inline data — pulled out of the body before group parsing
+    values = None
+    vm = _VALUES_RE.search(body)
+    if vm:
+        values = _parse_values(vm.group("vars"), vm.group("data"), prefixes)
+        body = body[: vm.start()] + " " + body[vm.end():]
+        if aggs:
+            raise SparqlError("VALUES with aggregates not supported")
+
     # { ... } UNION { ... } as the whole body
     um = _UNION_RE.match(body)
     if um:
@@ -214,6 +324,8 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         lpats = _patterns(um.group("l"), prefixes)
         rpats = _patterns(um.group("r"), prefixes)
         out = match_bgp_union(edges, [lpats, rpats])
+        if values:
+            out = _apply_values(out, values)
         return _modifiers(out, proj, tail, allow_missing=True)
 
     optionals: list[list[tuple[str, str, str]]] = []
@@ -235,9 +347,31 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         return " "
 
     body = _GROUP_RE.sub(grab, body)
-    if "{" in body or "}" in body:
+    # path bounds {1,k} are brace-syntax but not groups
+    if "{" in _BOUND_RE.sub("", body) or "}" in _BOUND_RE.sub("", body):
         raise SparqlError("nested groups / UNION not supported in this subset")
     body, filters = _split_filter(body)
+
+    # sole-pattern property path → bounded minimum-hop closure
+    stmts = [s for s in (x.strip() for x in _split_statements(body)) if s]
+    if len(stmts) == 1:
+        toks = _tokenize_triple(stmts[0])
+        if len(toks) == 3:
+            path = _parse_path(toks[1], prefixes)
+            if path:
+                if aggs or optionals or minus is not None:
+                    raise SparqlError(
+                        "property paths compose only with FILTER/VALUES here"
+                    )
+                out = _compile_path(edges, toks, path, max_hops, prefixes)
+                from pyspark.sql import functions as F
+
+                for f in filters:
+                    out = out.filter(F.expr(_filter_to_sql(f)))
+                if values:
+                    out = _apply_values(out, values)
+                return _modifiers(out, proj, tail)
+
     required = _patterns(body, prefixes)
     if not required:
         raise SparqlError("empty required BGP")
@@ -273,7 +407,124 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             raise SparqlError("FILTER with aggregates not supported (use HAVING-free form)")
         return match_bgp_agg(edges, required, group_vars, aggs)
 
+    if values:
+        out = _apply_values(out, values)
     return _modifiers(out, proj, tail)
+
+
+def _compile_path(
+    edges: DataFrame,
+    toks: list[str],
+    path,
+    max_hops: int,
+    prefixes: dict[str, str],
+) -> DataFrame:
+    """One path pattern → (s_var, o_var, hops) via the semi-naive
+    bounded closure (operators/graph.bounded_paths_alt). Constant
+    subject/object positions become post-closure filters."""
+    from pyspark.sql import functions as F
+
+    from .graph import bounded_paths_alt
+
+    fwd, inv, k = path
+    k = k if k is not None else max_hops
+    if k < 1:
+        raise SparqlError("path bound must be >= 1")
+    s_t, o_t = _term(toks[0], prefixes), _term(toks[2], prefixes)
+    if s_t.startswith("?") and o_t.startswith("?") and s_t == o_t:
+        raise SparqlError("identical subject/object variable in a path")
+    out = bounded_paths_alt(edges, fwd, k, inverse_preds=inv or None)
+    for col, term in (("a", s_t), ("b", o_t)):
+        if term.startswith("?"):
+            out = out.withColumnRenamed(col, term[1:])
+        else:
+            out = out.filter(F.col(col) == term).drop(col)
+    return out
+
+
+def _parse_values(
+    vars_tok: str, data: str, prefixes: dict[str, str]
+) -> tuple[list[str], list[tuple[str, ...]]]:
+    """Parse a VALUES block → (var names, constant rows). UNDEF is not
+    supported (SPARQL's UNDEF joins as compatible-with-anything, which
+    is not an equi-join; raise rather than approximate)."""
+    vars_ = _VAR_RE.findall(vars_tok)
+    if not vars_:
+        raise SparqlError("VALUES with no variables")
+    multi = vars_tok.strip().startswith("(")
+    rows: list[tuple[str, ...]] = []
+    if multi:
+        groups = re.findall(r"\(([^()]*)\)", data)
+        if not groups:
+            raise SparqlError("VALUES (..) form needs (..) data rows")
+        for g in groups:
+            toks = _tokenize_triple(g)
+            if len(toks) != len(vars_):
+                raise SparqlError(
+                    f"VALUES row {g!r} has {len(toks)} terms for {len(vars_)} variables"
+                )
+            rows.append(tuple(_values_term(t, prefixes) for t in toks))
+    else:
+        for tok in _tokenize_triple(data):
+            rows.append((_values_term(tok, prefixes),))
+    if not rows:
+        raise SparqlError("empty VALUES data block")
+    return vars_, rows
+
+
+def _values_term(tok: str, prefixes: dict[str, str]) -> str:
+    if tok.strip().upper() == "UNDEF":
+        raise SparqlError("VALUES UNDEF not supported in this subset")
+    t = _term(tok, prefixes)
+    if t.startswith("?"):
+        raise SparqlError(f"variable {tok!r} inside VALUES data")
+    return t
+
+
+def _apply_values(out: DataFrame, values) -> DataFrame:
+    """Join the solution with the inline data on the VALUES variables —
+    a broadcast equi-join by construction (the data is query-text-sized,
+    never cluster-sized)."""
+    from pyspark.sql import functions as F
+
+    vars_, rows = values
+    missing = [v for v in vars_ if v not in out.columns]
+    if missing:
+        raise SparqlError(
+            f"VALUES variables {missing} are unbound in the WHERE group "
+            "(a disconnected VALUES is a Cartesian extension; restate)"
+        )
+    vdf = out.sparkSession.createDataFrame(
+        rows, ", ".join(f"{v} string" for v in vars_)
+    ).distinct()
+    return out.join(F.broadcast(vdf), on=vars_)
+
+
+def sparql_construct(edges: DataFrame, query: str) -> DataFrame:
+    """``CONSTRUCT { template } WHERE { patterns [FILTER(...)] }`` →
+    the derived graph as (src, pred, dst) rows with set semantics.
+    Compiles onto :func:`bgp.construct`: one BGP join tree fanned out
+    through a shuffle-free Union of template projections, one distinct.
+    Groups (OPTIONAL/MINUS/UNION) inside CONSTRUCT are not in this
+    subset and raise."""
+    from .bgp import construct
+
+    prefixes = dict(_PREFIX_RE.findall(query))
+    q = _PREFIX_RE.sub("", query).strip()
+    m = _CONSTRUCT_RE.search(q)
+    if not m:
+        raise SparqlError("expected CONSTRUCT { ... } WHERE { ... }")
+    body, filters = _split_filter(m.group("body"))
+    if "{" in body or "}" in body:
+        raise SparqlError("groups inside CONSTRUCT WHERE not supported")
+    pats = _patterns(body, prefixes)
+    tmpl = _patterns(m.group("tmpl"), prefixes)
+    if not pats or not tmpl:
+        raise SparqlError("CONSTRUCT needs non-empty template and WHERE")
+    return construct(
+        edges, pats, tmpl,
+        filters=[_filter_to_sql(f) for f in filters] or None,
+    )
 
 
 def _agg_expr(fn: str, inner: str) -> str:

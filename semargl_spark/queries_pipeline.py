@@ -1973,6 +1973,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_construct": q_kg_sparql_construct,
+        "kg_sparql_values": q_kg_sparql_values,
+        "kg_sparql_path": q_kg_sparql_path,
     }
 
 
@@ -4174,3 +4177,84 @@ FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
 WHERE e1.pred = 'urn:p:knows'
 GROUP BY e2.pred
 """
+
+
+def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT from query TEXT: derive a new graph (forward +
+    inverse edges) from a filtered two-hop pattern. Compiles to one BGP
+    join tree fanned out through a shuffle-free Union of template
+    projections and a single set-semantics distinct."""
+    from .operators.sparql import sparql_construct
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_construct(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX dc: <http://purl.org/dc/terms/>
+        CONSTRUCT { ?a <urn:d:connected> ?c . ?c <urn:d:connectedBy> ?a . }
+        WHERE { ?a p:knows ?b . ?b dc:relation ?c .
+                FILTER(strstarts(?c, "urn:e:")) }
+    """)
+
+
+ORACLES["kg_sparql_construct"] = _KG_EDGES_SQL + """
+SELECT src, pred, dst FROM (
+  SELECT k.src AS src, 'urn:d:connected' AS pred, r.dst AS dst
+  FROM edges k JOIN edges r
+    ON r.src = k.dst AND r.pred = 'http://purl.org/dc/terms/relation'
+  WHERE k.pred = 'urn:p:knows' AND r.dst LIKE 'urn:e:%'
+  UNION
+  SELECT r.dst AS src, 'urn:d:connectedBy' AS pred, k.src AS dst
+  FROM edges k JOIN edges r
+    ON r.src = k.dst AND r.pred = 'http://purl.org/dc/terms/relation'
+  WHERE k.pred = 'urn:p:knows' AND r.dst LIKE 'urn:e:%'
+)
+"""
+
+
+def q_kg_sparql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES inline data from query TEXT: the data block joins
+    into the solution as a broadcast equi-join (query-text-sized by
+    construction — the canonical way to pin a variable to a short list
+    without a second scan)."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        SELECT ?a ?p ?c WHERE {
+            ?a p:knows ?b . ?b ?p ?c .
+            VALUES ?p { <http://purl.org/dc/terms/relation>
+                        <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> }
+        }
+    """)
+
+
+ORACLES["kg_sparql_values"] = _KG_EDGES_SQL + """
+SELECT e1.src AS a, e2.pred AS p, e2.dst AS c
+FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+WHERE e1.pred = 'urn:p:knows'
+  AND e2.pred IN ('http://purl.org/dc/terms/relation',
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+"""
+
+
+def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path from query TEXT: ``p:knows{1,3}`` parsed in
+    the predicate position and compiled onto the same semi-naive
+    bounded minimum-hop closure as the list-level kg_path gate — the
+    front-end refuses unbounded ``+`` beyond its explicit hop cap."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        SELECT ?x ?y ?hops WHERE { ?x p:knows{1,3} ?y . }
+    """)
+
+
+ORACLES["kg_sparql_path"] = ORACLES["kg_path"].replace(
+    "SELECT a, b,", "SELECT a AS x, b AS y,"
+)

@@ -131,6 +131,115 @@ def test_sparql_count_distinct(spark):
     assert sparql_select(_edges(spark), q).collect()[0]["n"] == 2
 
 
+def test_sparql_dotted_iris_and_literals(spark):
+    # dots inside <...> IRIs and quoted literals are NOT statement
+    # separators (a naive body.split('.') breaks http://ex.org/...)
+    rows = [
+        ("a1", "http://ex.org/v1.0/knows", "b1"),
+        ("b1", "http://ex.org/v1.0/name", "Bee 1.5"),
+    ]
+    e = spark.createDataFrame(rows, "src string, pred string, dst string")
+    q = """
+    SELECT ?x WHERE { ?x <http://ex.org/v1.0/knows> ?y .
+                      ?y <http://ex.org/v1.0/name> "Bee 1.5" . }
+    """
+    assert [r["x"] for r in sparql_select(e, q).collect()] == ["a1"]
+    # dot attached directly before the next ?var still separates
+    q2 = 'SELECT ?y WHERE { ?x <http://ex.org/v1.0/knows> ?y .?y <http://ex.org/v1.0/name> ?n . }'
+    assert [r["y"] for r in sparql_select(e, q2).collect()] == ["b1"]
+
+
+def test_sparql_values_single_and_tuple(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?y ?n WHERE { ?x p:knows ?y . ?y p:name ?n .
+                         VALUES ?n { "Bee One" "Nobody" } }
+    """
+    out = {(r["y"], r["n"]) for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {("b1", "Bee One")}
+
+    q2 = """
+    PREFIX p: <urn:p:>
+    SELECT ?y ?n WHERE { ?x p:knows ?y . ?y p:name ?n .
+                         VALUES (?y ?n) { ("b2" "Bee Two") ("b1" "Nope") } }
+    """
+    out2 = {(r["y"], r["n"]) for r in sparql_select(_edges(spark), q2).collect()}
+    assert out2 == {("b2", "Bee Two")}
+
+    with pytest.raises(SparqlError):
+        sparql_select(_edges(spark), """
+        SELECT ?y WHERE { ?x <urn:p:knows> ?y . VALUES ?z { "a" } }""")
+    with pytest.raises(SparqlError):
+        sparql_select(_edges(spark), """
+        SELECT ?y WHERE { ?x <urn:p:knows> ?y . VALUES ?y { UNDEF } }""")
+
+
+def test_sparql_construct(spark):
+    from semargl_spark.operators.sparql import sparql_construct
+
+    q = """
+    PREFIX p: <urn:p:>
+    CONSTRUCT { ?y <urn:d:knownBy> ?x . ?y a <urn:d:Known> . }
+    WHERE { ?x p:knows ?y . FILTER(?y = "b1") }
+    """
+    out = {tuple(r) for r in sparql_construct(_edges(spark), q).collect()}
+    assert out == {
+        ("b1", "urn:d:knownBy", "a1"),
+        ("b1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:d:Known"),
+    }
+    with pytest.raises(SparqlError):
+        sparql_construct(_edges(spark), "CONSTRUCT { } WHERE { ?x ?p ?y . }")
+
+
+def test_bgp_greedy_connected_order_avoids_cartesian(spark):
+    # declaration order [(?a,k,?b), (?c,k,?d), (?b,k,?c)] is connected
+    # overall but the middle pattern is disconnected *at that point* —
+    # the greedy-connected ordering must produce a plan with no
+    # CartesianProduct / BroadcastNestedLoopJoin
+    from semargl_spark.operators.bgp import match_bgp
+
+    rows = [("a", "k", "b"), ("b", "k", "c"), ("c", "k", "d")]
+    e = spark.createDataFrame(rows, "src string, pred string, dst string")
+    pats = [("?a", "k", "?b"), ("?c", "k", "?d"), ("?b", "k", "?c")]
+    out = match_bgp(e, pats)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert [tuple(r) for r in out.collect()] == [("a", "b", "c", "d")]
+
+
+def test_sparql_property_path(spark):
+    rows = [
+        ("a", "urn:p:knows", "b"), ("b", "urn:p:knows", "c"),
+        ("c", "urn:p:knows", "d"), ("x", "urn:p:rel", "a"),
+    ]
+    e = spark.createDataFrame(rows, "src string, pred string, dst string")
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?x ?y ?hops WHERE { ?x p:knows{1,2} ?y . }
+    """
+    out = {(r["x"], r["y"], r["hops"]) for r in sparql_select(e, q).collect()}
+    assert out == {
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+        ("a", "c", 2), ("b", "d", 2),
+    }
+    # + is bounded by max_hops; constant subject filters post-closure
+    q2 = 'PREFIX p: <urn:p:> SELECT ?y WHERE { <a> p:knows+ ?y . }'
+    got = {r["y"] for r in sparql_select(e, q2, max_hops=2).collect()}
+    assert got == {"b", "c"}
+    # alternation + inverse with FILTER
+    q3 = """
+    PREFIX p: <urn:p:>
+    SELECT ?x ?y WHERE { ?x (p:knows|^p:rel){1,2} ?y . FILTER(?y = "x") }
+    """
+    got3 = {(r["x"], r["y"]) for r in sparql_select(e, q3).collect()}
+    assert got3 == {("a", "x")}  # 1-hop inverse of (x, rel, a); nothing reaches 'a'
+    # a path among multiple patterns must raise, not match the IRI 'knows+'
+    with pytest.raises(SparqlError):
+        sparql_select(e, """
+        PREFIX p: <urn:p:>
+        SELECT ?x WHERE { ?x p:knows+ ?y . ?y p:knows ?z . }""")
+
+
 def test_sparql_ask(spark):
     from semargl_spark.operators.sparql import sparql_ask
 
