@@ -17,6 +17,7 @@ Supported grammar (the subset that covers the engine's gated algebra):
     GROUP BY ?v ...                        (with COUNT/MIN/MAX/SUM
                                             aggregates in the SELECT,
                                             e.g. (COUNT(*) AS ?n))
+    HAVING(expr over aggregate aliases)    (post-aggregation filter)
     ORDER BY [ASC(?v)|DESC(?v)|?v] ...     (optional)
     LIMIT n                                (optional)
 
@@ -56,6 +57,7 @@ _AGG_RE = re.compile(
     r"\(\s*(\w+)\s*\(([^()]*)\)\s+AS\s+\?(\w+)\s*\)", re.IGNORECASE
 )
 _GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.IGNORECASE)
+_HAVING_RE = re.compile(r"HAVING\s*\(", re.IGNORECASE)
 _UNION_RE = re.compile(
     r"^\s*\{(?P<l>[^{}]*)\}\s*UNION\s*\{(?P<r>[^{}]*)\}\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -405,7 +407,32 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             raise SparqlError("aggregates over OPTIONAL/MINUS not supported")
         if filters:
             raise SparqlError("FILTER with aggregates not supported (use HAVING-free form)")
-        return match_bgp_agg(edges, required, group_vars, aggs)
+        out = match_bgp_agg(edges, required, group_vars, aggs)
+        tail, having = _extract_having(tail)
+        if having:
+            from pyspark.sql import functions as F
+
+            hexpr = _filter_to_sql(having)
+            names = set(re.findall(r"\b[a-zA-Z_]\w*\b", re.sub(r"'[^']*'", "", hexpr)))
+            unknown = {
+                n for n in names
+                if n not in out.columns and not n.isdigit()
+                and n.lower() not in ("and", "or", "not", "true", "false")
+            }
+            if unknown:
+                raise SparqlError(
+                    f"HAVING references unknown names {sorted(unknown)}"
+                )
+            out = out.filter(F.expr(hexpr))
+        # projection in SELECT order (group vars + aggregate aliases),
+        # then ORDER BY / LIMIT like any other solution
+        sel = [
+            m.group(1) or m.group(2)
+            for m in re.finditer(
+                r"\(\s*\w+\s*\([^()]*\)\s+AS\s+\?(\w+)\s*\)|\?(\w+)", proj
+            )
+        ]
+        return _modifiers(out.select(*sel), "*", tail)
 
     if values:
         out = _apply_values(out, values)
@@ -525,6 +552,24 @@ def sparql_construct(edges: DataFrame, query: str) -> DataFrame:
         edges, pats, tmpl,
         filters=[_filter_to_sql(f) for f in filters] or None,
     )
+
+
+def _extract_having(tail: str) -> tuple[str, str | None]:
+    """Pull one balanced HAVING(...) expression out of the solution-
+    modifier tail; returns (tail-without-having, expr-or-None)."""
+    m = _HAVING_RE.search(tail)
+    if not m:
+        return tail, None
+    depth, j = 1, m.end()
+    while j < len(tail) and depth:
+        if tail[j] == "(":
+            depth += 1
+        elif tail[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        raise SparqlError("unbalanced parens in HAVING")
+    return tail[: m.start()] + " " + tail[j:], tail[m.end():j - 1].strip()
 
 
 def _agg_expr(fn: str, inner: str) -> str:

@@ -1976,6 +1976,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_values": q_kg_sparql_values,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_having": q_kg_sparql_having,
     }
 
 
@@ -4258,3 +4259,25 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["kg_sparql_path"] = ORACLES["kg_path"].replace(
     "SELECT a, b,", "SELECT a AS x, b AS y,"
 )
+
+
+def q_kg_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL HAVING from query TEXT: post-aggregation filter over the
+    aggregate aliases plus ORDER BY/LIMIT solution modifiers on the
+    aggregated result — one hash aggregation, the HAVING predicate
+    applied to the partial-merged rows (never re-scanning)."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        SELECT ?p (COUNT(*) AS ?n) WHERE { ?a ?p ?b . }
+        GROUP BY ?p HAVING(?n >= 100) ORDER BY DESC(?n) ?p LIMIT 20
+    """)
+
+
+ORACLES["kg_sparql_having"] = _KG_EDGES_SQL + """
+SELECT pred AS p, CAST(COUNT(*) AS BIGINT) AS n
+FROM edges GROUP BY pred HAVING COUNT(*) >= 100
+ORDER BY n DESC, p ASC LIMIT 20
+"""

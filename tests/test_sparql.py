@@ -124,6 +124,19 @@ def test_sparql_group_by_count(spark):
                       "SELECT (MEDIAN(?x) AS ?n) WHERE { ?x ?p ?y . }")
 
 
+def test_sparql_having_and_order_on_aggregates(spark):
+    q = """
+    SELECT ?p (COUNT(*) AS ?n) WHERE { ?x ?p ?y . }
+    GROUP BY ?p HAVING(?n >= 2) ORDER BY ?p LIMIT 10
+    """
+    out = [(r["p"], r["n"]) for r in sparql_select(_edges(spark), q).collect()]
+    assert out == [("urn:p:knows", 2), ("urn:p:name", 2)]
+    with pytest.raises(SparqlError):
+        sparql_select(_edges(spark), """
+        SELECT ?p (COUNT(*) AS ?n) WHERE { ?x ?p ?y . }
+        GROUP BY ?p HAVING(?typo >= 2)""")
+
+
 def test_sparql_count_distinct(spark):
     q = """
     SELECT (COUNT(DISTINCT ?y) AS ?n) WHERE { ?x <urn:p:knows> ?y . }
