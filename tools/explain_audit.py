@@ -332,6 +332,25 @@ def main():
     checks.append(("negative sampling: equi-joins only (no cross product)",
                    "Cartesian" not in p and "NestedLoop" not in p))
 
+    # 24. SPARQL text front-end: the compiled plan must match the
+    # list-level API's — pushed constant predicates, no cartesian, and
+    # ORDER BY+LIMIT as TakeOrderedAndProject
+    from semargl_spark.operators.sparql import sparql_select
+
+    p = plan_of(sparql_select(edges_disk, """
+        PREFIX p: <urn:p:>
+        SELECT ?a ?b WHERE {
+            ?a p:knows ?b .
+            ?a a <urn:t:Thing> .
+        } ORDER BY DESC(?a) LIMIT 25
+    """))
+    sections.append(("kg_sparql (text front-end, parquet-backed)", p))
+    sp_pushed = re.findall(r"PushedFilters: \[([^\]]+)\]", p)
+    checks.append(("SPARQL text query: pushed filters + top-k heap plan",
+                   any("pred" in s for s in sp_pushed)
+                   and "TakeOrderedAndProject" in p
+                   and "Cartesian" not in p and "NestedLoop" not in p))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
