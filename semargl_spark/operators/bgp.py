@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_POS = ("s", "p", "o")
+_POS = ("s", "p", "o", "g")
 
 
 def _is_var(term: str) -> bool:
@@ -40,13 +40,22 @@ def _is_var(term: str) -> bool:
 
 def match_bgp(
     triples: DataFrame,
-    patterns: list[tuple[str, str, str]],
+    patterns: list[tuple[str, ...]],
     s_col: str = "src",
     p_col: str = "pred",
     o_col: str = "dst",
+    g_col: str = "graph",
 ) -> DataFrame:
     """Match a conjunctive pattern list against ``triples`` →
     one column per distinct ``?var`` (name without the ``?``).
+
+    Patterns are 3-tuples ``(s, p, o)`` or 4-tuples ``(s, p, o, g)``
+    whose 4th term matches the ``g_col`` column (SPARQL ``GRAPH`` —
+    quad-level matching against a dataset table; the reference's
+    QuadSink carries the same 4th term, QuadSink.java:31-51). The input
+    is treated as the caller provides it — apply set semantics
+    (``.distinct()`` on the quad projection) upstream if RDF dataset
+    semantics are wanted.
 
     Within a single pattern a repeated variable (e.g. ``(?x, p, ?x)``)
     becomes an equality filter; across patterns shared variables become
@@ -55,14 +64,13 @@ def match_bgp(
     """
     if not patterns:
         raise ValueError("empty BGP")
-    cols = {"s": s_col, "p": p_col, "o": o_col}
+    cols = {"s": s_col, "p": p_col, "o": o_col, "g": g_col}
 
     def scan(pat):
-        s, p, o = pat
         df = triples
         out = []
         seen: dict[str, str] = {}
-        for pos, term in zip(_POS, (s, p, o)):
+        for pos, term in zip(_POS, pat):
             if _is_var(term):
                 name = term[1:]
                 if name in seen:  # repeated var inside one pattern

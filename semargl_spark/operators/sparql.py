@@ -77,6 +77,10 @@ _CONSTRUCT_RE = re.compile(
     r"CONSTRUCT\s*\{(?P<tmpl>[^{}]*)\}\s*WHERE\s*\{(?P<body>.*)\}\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_GRAPH_RE = re.compile(
+    r"^\s*GRAPH\s+(?P<g>\?\w+|<[^>]*>|\w*:\w+)\s*\{(?P<inner>[^{}]*)\}\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _FILTER_RE = re.compile(r"FILTER\s*\(", re.IGNORECASE)
 _VAR_RE = re.compile(r"\?(\w+)")
 
@@ -329,6 +333,38 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
         if values:
             out = _apply_values(out, values)
         return _modifiers(out, proj, tail, allow_missing=True)
+
+    # GRAPH ?g { ... } / GRAPH <iri> { ... } as the whole body:
+    # quad-level matching against the dataset table's graph column
+    gm = _GRAPH_RE.match(body)
+    if gm:
+        if aggs:
+            raise SparqlError("aggregates over GRAPH not supported here")
+        if "graph" not in edges.columns:
+            raise SparqlError(
+                "GRAPH clause needs a quad table with a 'graph' column "
+                "(pass the statements dataset, not the edge table)"
+            )
+        from pyspark.sql import functions as F
+
+        gterm = gm.group("g")
+        gterm = gterm if gterm.startswith("?") else _term(gterm, prefixes)
+        inner, gfilters = _split_filter(gm.group("inner"))
+        pats = [
+            (s, p, o, gterm) for s, p, o in _patterns(inner, prefixes)
+        ]
+        if not pats:
+            raise SparqlError("empty GRAPH pattern")
+        out = match_bgp(edges, pats)
+        if gterm.startswith("?"):
+            # GRAPH iterates NAMED graphs only — default-graph quads
+            # (NULL graph term) never bind the graph variable
+            out = out.filter(F.col(gterm[1:]).isNotNull())
+        for f in gfilters:
+            out = out.filter(F.expr(_filter_to_sql(f)))
+        if values:
+            out = _apply_values(out, values)
+        return _modifiers(out, proj, tail)
 
     optionals: list[list[tuple[str, str, str]]] = []
     minus: list[tuple[str, str, str]] | None = None

@@ -1977,6 +1977,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values": q_kg_sparql_values,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_having": q_kg_sparql_having,
+        "kg_sparql_graph": q_kg_sparql_graph,
     }
 
 
@@ -4280,4 +4281,28 @@ ORACLES["kg_sparql_having"] = _KG_EDGES_SQL + """
 SELECT pred AS p, CAST(COUNT(*) AS BIGINT) AS n
 FROM edges GROUP BY pred HAVING COUNT(*) >= 100
 ORDER BY n DESC, p ASC LIMIT 20
+"""
+
+
+def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH clause from query TEXT over the quad-level
+    statements (the reference's QuadSink 4th term, QuadSink.java:31-51):
+    named-graph matching with the graph bound as a variable —
+    default-graph quads (NULL graph) never bind it. RDF dataset set
+    semantics via one distinct on the quad projection."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir, fmt="nquads")))
+    quads = st.select(
+        F.col("subj").alias("src"), "pred", F.col("obj").alias("dst"), "graph"
+    ).distinct()
+    return sparql_select(quads, """
+        SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <urn:p:name> ?o . } }
+    """)
+
+
+ORACLES["kg_sparql_graph"] = """
+WITH t AS (SELECT DISTINCT CAST(doc_id AS INT) AS did FROM documents)
+SELECT 'urn:g:'||(did%10) AS g, 'urn:e:'||did AS s, 'Entity '||did AS o
+FROM t
 """

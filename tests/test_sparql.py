@@ -253,6 +253,33 @@ def test_sparql_property_path(spark):
         SELECT ?x WHERE { ?x p:knows+ ?y . ?y p:knows ?z . }""")
 
 
+def test_sparql_graph_clause(spark):
+    rows = [
+        ("s1", "urn:p:name", "A", "urn:g:1"),
+        ("s2", "urn:p:name", "B", "urn:g:2"),
+        ("s3", "urn:p:name", "C", None),  # default graph: never binds ?g
+        ("s1", "urn:p:age", "9", "urn:g:1"),
+    ]
+    e = spark.createDataFrame(
+        rows, "src string, pred string, dst string, graph string"
+    )
+    q = "SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:p:name> ?o . } }"
+    out = {(r["g"], r["s"]) for r in sparql_select(e, q).collect()}
+    assert out == {("urn:g:1", "s1"), ("urn:g:2", "s2")}
+    # constant graph term + join inside the named graph
+    q2 = """
+    SELECT ?s ?a WHERE { GRAPH <urn:g:1> {
+        ?s <urn:p:name> ?o . ?s <urn:p:age> ?a . } }
+    """
+    out2 = {(r["s"], r["a"]) for r in sparql_select(e, q2).collect()}
+    assert out2 == {("s1", "9")}
+    # a triple-only table must refuse GRAPH loudly
+    with pytest.raises(SparqlError):
+        sparql_select(
+            e.drop("graph"), "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o . } }"
+        )
+
+
 def test_sparql_ask(spark):
     from semargl_spark.operators.sparql import sparql_ask
 
