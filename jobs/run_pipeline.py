@@ -46,6 +46,12 @@ def main(argv=None) -> int:
                          "subPropertyOf/domain/range); entailed triples are "
                          "materialized into the edge tables "
                          "(operators/vocab.rdfs_infer)")
+    ap.add_argument("--sparql", default=None,
+                    help="SPARQL SELECT/ASK (operators/sparql.py subset) to "
+                         "run against the materialized edge table after the "
+                         "merge stage; SELECT results land in <output>/query "
+                         "and the row count (or ASK boolean) is reported in "
+                         "the summary JSON")
     args = ap.parse_args(argv)
     if args.resume and not args.run_id:
         # without the original run-id the lineage filter matches nothing
@@ -59,7 +65,8 @@ def main(argv=None) -> int:
     summary = run(spark, input_path=args.input, output=args.output,
                   run_id=args.run_id, dictionary=args.dictionary,
                   resume=args.resume, fuzzy_link=args.fuzzy_link,
-                  shapes=args.shapes, ontology=args.ontology)
+                  shapes=args.shapes, ontology=args.ontology,
+                  sparql=args.sparql)
     print(json.dumps(summary))
     spark.stop()
     return 0
@@ -68,7 +75,7 @@ def main(argv=None) -> int:
 def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         dictionary: str | None = None, resume: bool = False,
         fuzzy_link: bool = False, shapes: str | None = None,
-        ontology: str | None = None) -> dict:
+        ontology: str | None = None, sparql: str | None = None) -> dict:
     """The pipeline body, callable in-process (tests, notebooks) — does
     not stop the session. ``main`` wraps it for spark-submit."""
     from pyspark.sql import functions as F
@@ -208,6 +215,22 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         # plan of an earlier in-session run (replay/concurrent resume),
         # the observe node never executes and getRow() has no metrics
         summary["observed"] = None
+    if sparql:
+        # query the JUST-MATERIALIZED edge table (reads back from disk,
+        # so pushed predicate constants hit the parquet scan and the
+        # src-partitioned layout prunes constant-subject patterns)
+        import re as _re
+
+        from semargl_spark.operators.sparql import sparql_ask, sparql_select
+
+        edges_df = spark.read.parquet(f"{output}/edges")
+        head = _re.sub(r"(?i)PREFIX\s+\w*:\s*<[^>]*>", "", sparql).strip()
+        if head.upper().startswith("ASK"):
+            summary["ask"] = sparql_ask(edges_df, sparql)
+        else:
+            res = sparql_select(edges_df, sparql)
+            res.write.mode("overwrite").parquet(f"{output}/query")
+            summary["query_rows"] = spark.read.parquet(f"{output}/query").count()
     if resumed:
         summary["resumed_stages"] = resumed
     statements.unpersist()

@@ -205,3 +205,23 @@ def test_job_observed_metrics_match_counts(spark, prepared, tmp_path):
         obs = summary["observed"]
     assert obs["rows"] == summary["statements"] + summary["errors"]
     assert obs["error_rows"] == summary["errors"]
+
+
+def test_job_sparql_query_surface(spark, prepared, tmp_path):
+    """--sparql runs against the just-materialized edge table: SELECT
+    results land in <output>/query with the count in the summary; ASK
+    reports a boolean without writing anything."""
+    out = str(tmp_path / "out_sparql")
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?a ?b WHERE { ?a p:knows ?b . } ORDER BY ?a LIMIT 50
+    """
+    summary = run(spark, input_path=str(prepared / "in"), output=out,
+                  run_id="rq", sparql=q)
+    assert summary["query_rows"] == 50
+    got = spark.read.parquet(f"{out}/query")
+    assert set(got.columns) == {"a", "b"} and got.count() == 50
+
+    s2 = run(spark, input_path=str(prepared / "in"), output=out,
+             run_id="rq2", sparql='ASK { ?a <urn:p:knows> ?b . }')
+    assert s2["ask"] is True and "query_rows" not in s2
