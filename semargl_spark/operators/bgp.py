@@ -8,15 +8,16 @@ shared variables. Everything stays declarative, so Catalyst gets filter
 pushdown (constant positions reach the parquet scan as PushedFilters),
 join reordering, and AQE sizing for free.
 
-Join-order heuristic: greedy-connected — start from the most-constant
-pattern (a pattern with two constants is the most selective scan), then
-repeatedly join the most-constant pattern that SHARES a variable with
-the patterns already joined (declaration order as tie-break) —
-deterministic, starts from the smallest intermediate result, and never
-introduces a Cartesian intermediate for a connected query. Patterns in
-a genuinely disconnected group fall back to a crossJoin (legal SPARQL,
-flagged here because at scale a Cartesian BGP is almost always a query
-bug).
+Join-order: greedy-connected over a cost estimate (:func:`join_order`)
+— start from the cheapest pattern, then repeatedly join the cheapest
+pattern that SHARES a variable with the patterns already joined
+(declaration order as tie-break). With :func:`predicate_counts`
+statistics the estimate is the constant predicate's true edge count;
+without, it degrades to most-constants-first. Deterministic, starts
+from the smallest intermediate result, and never introduces a Cartesian
+intermediate for a connected query. Patterns in a genuinely
+disconnected group fall back to a crossJoin (legal SPARQL, flagged here
+because at scale a Cartesian BGP is almost always a query bug).
 
 The driver-side ASK evaluator (functions/ask.py) covers the conformance
 suite's one-document queries; this module is the cluster-scale
@@ -38,6 +39,69 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def predicate_counts(
+    triples: DataFrame, p_col: str = "pred"
+) -> dict[str, int]:
+    """Per-predicate edge counts — the one statistic that matters for
+    BGP join ordering (RDF predicates are a small closed set even at
+    10^12 edges, so this collect is vocabulary-sized, not data-sized).
+    Compute once per materialized KG snapshot and reuse across queries."""
+    from pyspark.sql import functions as F
+
+    return {
+        r[0]: r[1]
+        for r in triples.groupBy(p_col).agg(F.count("*")).collect()
+        if r[0] is not None
+    }
+
+
+def join_order(
+    patterns: list[tuple[str, ...]],
+    pred_stats: dict[str, int] | None = None,
+    total: int | None = None,
+) -> list[int]:
+    """Deterministic greedy-connected join order over pattern indices.
+
+    Cost model: a pattern's scan estimate is the predicate's edge count
+    when the predicate is constant and statistics are supplied (else the
+    table total, else a uniform default), divided by 16 for each further
+    constant position (subject/object/graph constants are selective but
+    unquantified). Without statistics this degrades to the
+    most-constants-first heuristic. Ordering: cheapest pattern first,
+    then repeatedly the cheapest pattern sharing a variable with the
+    bound set (declaration order breaks ties); disconnected patterns are
+    deferred until nothing connected remains — a connected query never
+    produces a Cartesian intermediate."""
+    if total is None:
+        total = max(pred_stats.values(), default=1) * 16 if pred_stats else 1 << 40
+
+    def est(pat) -> float:
+        n_const = sum(0 if _is_var(t) else 1 for t in pat)
+        if pred_stats is not None and len(pat) >= 2 and not _is_var(pat[1]):
+            base = pred_stats.get(pat[1], 0)  # absent predicate → empty scan
+            other_consts = n_const - 1
+        else:
+            base = total
+            other_consts = n_const
+        return base / (16 ** other_consts)
+
+    def pat_vars(pat):
+        return {t[1:] for t in pat if _is_var(t)}
+
+    remaining = sorted(range(len(patterns)), key=lambda i: (est(patterns[i]), i))
+    order = [remaining.pop(0)]
+    bound = pat_vars(patterns[order[0]])
+    while remaining:
+        i = next(
+            (j for j in remaining if pat_vars(patterns[j]) & bound),
+            remaining[0],
+        )
+        remaining.remove(i)
+        order.append(i)
+        bound |= pat_vars(patterns[i])
+    return order
+
+
 def match_bgp(
     triples: DataFrame,
     patterns: list[tuple[str, ...]],
@@ -45,9 +109,16 @@ def match_bgp(
     p_col: str = "pred",
     o_col: str = "dst",
     g_col: str = "graph",
+    pred_stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """Match a conjunctive pattern list against ``triples`` →
     one column per distinct ``?var`` (name without the ``?``).
+
+    ``pred_stats`` (from :func:`predicate_counts`, computed once per KG
+    snapshot) switches the join ordering from the most-constants-first
+    heuristic to true cardinality estimates — two patterns with one
+    constant each can differ by 10^6× in scan size when one predicate
+    is rdf:type and the other is a rare relation.
 
     Patterns are 3-tuples ``(s, p, o)`` or 4-tuples ``(s, p, o, g)``
     whose 4th term matches the ``g_col`` column (SPARQL ``GRAPH`` —
@@ -84,32 +155,16 @@ def match_bgp(
             raise ValueError(f"pattern {pat} has no variables")
         return df.select(*out), set(seen)
 
-    def selectivity(pat):
-        return sum(0 if _is_var(t) else 1 for t in pat)
-
-    def pat_vars(pat):
-        return {t[1:] for t in pat if _is_var(t)}
-
-    # greedy-connected join ordering: start from the most-constant
-    # pattern, then always prefer a pattern sharing a variable with the
-    # bound set (most-constant first, declaration order as tie-break).
-    # A pure selectivity order would crossJoin on pattern lists like
-    # [(?a p ?b), (?c q ?d), (?b r ?c)] — the middle pattern is
-    # disconnected *at that point* even though the query is connected —
-    # and at 10^12 triples an avoidable Cartesian intermediate is the
-    # difference between a plan and an outage. crossJoin remains only
-    # for genuinely disconnected pattern groups (legal SPARQL).
-    remaining = sorted(
-        range(len(patterns)), key=lambda i: (-selectivity(patterns[i]), i)
-    )
-    first = remaining.pop(0)
-    acc, bound = scan(patterns[first])
-    while remaining:
-        i = next(
-            (j for j in remaining if pat_vars(patterns[j]) & bound),
-            remaining[0],
-        )
-        remaining.remove(i)
+    # greedy-connected join ordering (see join_order): cheapest pattern
+    # first, then always a pattern sharing a variable with the bound set
+    # — a pure selectivity order would crossJoin on pattern lists like
+    # [(?a p ?b), (?c q ?d), (?b r ?c)] where the middle pattern is
+    # disconnected *at that point*, and at 10^12 triples an avoidable
+    # Cartesian intermediate is the difference between a plan and an
+    # outage. crossJoin remains only for genuinely disconnected groups.
+    order = join_order(patterns, pred_stats)
+    acc, bound = scan(patterns[order[0]])
+    for i in order[1:]:
         df, vs = scan(patterns[i])
         shared = sorted(bound & vs)
         if shared:
@@ -127,6 +182,7 @@ def match_bgp_filter(
     s_col: str = "src",
     p_col: str = "pred",
     o_col: str = "dst",
+    pred_stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """SPARQL ``FILTER``: boolean SQL expressions over the bound
     variables (bare names, no ``?``), applied to the BGP result.
@@ -141,7 +197,7 @@ def match_bgp_filter(
     """
     import re as _re
 
-    out = match_bgp(triples, patterns, s_col, p_col, o_col)
+    out = match_bgp(triples, patterns, s_col, p_col, o_col, pred_stats=pred_stats)
     bound = set(out.columns)
     for flt in filters:
         # identifiers in the expression that aren't SQL keywords/functions;

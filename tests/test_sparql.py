@@ -280,6 +280,38 @@ def test_sparql_graph_clause(spark):
         )
 
 
+def test_bgp_join_order_cost_model():
+    from semargl_spark.operators.bgp import join_order
+
+    TYPE = "urn:rdf:type"
+    pats = [("?s", TYPE, "?c"), ("?s", "urn:p:rare", "?o")]
+    # without stats: equal constant counts → declaration order
+    assert join_order(pats) == [0, 1]
+    # with stats: the rare predicate scans 10 rows, rdf:type 10^6 →
+    # start from the rare pattern
+    assert join_order(pats, {TYPE: 1_000_000, "urn:p:rare": 10}) == [1, 0]
+    # an absent predicate estimates an empty scan and goes first
+    assert join_order(pats, {TYPE: 5}) == [1, 0]
+    # connectivity still dominates: the cheap-but-disconnected pattern
+    # is deferred until a shared variable exists
+    pats2 = [("?a", "urn:p:big", "?b"), ("?c", "urn:p:tiny", "?d"),
+             ("?b", "urn:p:mid", "?c")]
+    stats = {"urn:p:big": 1000, "urn:p:tiny": 1, "urn:p:mid": 100}
+    assert join_order(pats2, stats) == [1, 2, 0]
+
+
+def test_bgp_pred_stats_same_result(spark):
+    from semargl_spark.operators.bgp import match_bgp, predicate_counts
+
+    e = _edges(spark)
+    pats = [("?x", "urn:p:knows", "?y"), ("?y", "urn:p:name", "?n")]
+    stats = predicate_counts(e)
+    assert stats["urn:p:knows"] == 2
+    a = {tuple(r) for r in match_bgp(e, pats).collect()}
+    b = {tuple(r) for r in match_bgp(e, pats, pred_stats=stats).collect()}
+    assert a == b and len(a) == 2
+
+
 def test_sparql_ask(spark):
     from semargl_spark.operators.sparql import sparql_ask
 
