@@ -654,26 +654,18 @@ def _modifiers(out: DataFrame, proj: str, tail: str, allow_missing: bool = False
     return out
 
 
-def sparql_ask(edges: DataFrame, query: str) -> bool:
-    """``ASK WHERE { ... }`` (patterns + FILTER) → Python bool: does at
-    least one solution exist. Executes as the same BGP join tree capped
-    with limit(1) — the engine never materializes the solution set."""
-    prefixes = dict(_PREFIX_RE.findall(query))
+def sparql_ask(edges: DataFrame, query: str, max_hops: int = 8) -> bool:
+    """``ASK WHERE { ... }`` → Python bool: does at least one solution
+    exist. Delegates to :func:`sparql_select` as ``SELECT * WHERE``
+    capped with limit(1), so ASK supports exactly the SELECT body
+    surface (patterns, FILTER, VALUES, GRAPH, sole-pattern property
+    paths) and the engine never materializes the solution set."""
+    prefixes = _PREFIX_RE.findall(query)
     q = _PREFIX_RE.sub("", query).strip()
-    m = re.search(r"ASK\s*(?:WHERE\s*)?\{(?P<body>.*)\}\s*$",
+    m = re.search(r"^ASK\s*(?:WHERE\s*)?\{(?P<body>.*)\}\s*$",
                   q, re.IGNORECASE | re.DOTALL)
     if not m:
         raise SparqlError("expected ASK [WHERE] { ... }")
-    body, filters = _split_filter(m.group("body"))
-    if "{" in body or "}" in body:
-        raise SparqlError("groups inside ASK not supported")
-    pats = _patterns(body, prefixes)
-    if not pats:
-        raise SparqlError("empty ASK pattern")
-    from .bgp import match_bgp, match_bgp_filter
-
-    out = (
-        match_bgp_filter(edges, pats, [_filter_to_sql(f) for f in filters])
-        if filters else match_bgp(edges, pats)
-    )
-    return bool(out.limit(1).count())
+    decls = " ".join(f"PREFIX {p}: <{u}>" for p, u in prefixes)
+    sel = f"{decls} SELECT * WHERE {{ {m.group('body')} }}"
+    return bool(sparql_select(edges, sel, max_hops).limit(1).count())

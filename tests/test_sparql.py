@@ -323,3 +323,17 @@ def test_sparql_ask(spark):
     ) is True
     with pytest.raises(SparqlError):
         sparql_ask(e, "ASK { }")
+    # ASK shares the SELECT body surface: property paths and GRAPH
+    assert sparql_ask(
+        e, 'PREFIX p: <urn:p:> ASK { <a1> p:knows{1,2} ?y . }'
+    ) is True
+    quads = spark.createDataFrame(
+        [("s1", "urn:p:name", "A", "urn:g:1")],
+        "src string, pred string, dst string, graph string",
+    )
+    assert sparql_ask(
+        quads, "ASK { GRAPH <urn:g:1> { ?s ?p ?o . } }"
+    ) is True
+    assert sparql_ask(
+        quads, "ASK { GRAPH <urn:g:2> { ?s ?p ?o . } }"
+    ) is False

@@ -1,0 +1,100 @@
+"""Property-based robustness for the SPARQL front-end's pure parsing
+helpers: any input either parses or raises SparqlError — never a
+foreign exception (IndexError/TypeError/RecursionError) and never a
+hang. No Spark needed; these run the driver-side parsing layer only.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from semargl_spark.operators.sparql import (
+    SparqlError,
+    _filter_to_sql,
+    _parse_path,
+    _parse_values,
+    _patterns,
+    _split_filter,
+    _split_statements,
+    _term,
+    _tokenize_triple,
+)
+
+PREFIXES = {"p": "urn:p:", "dc": "http://purl.org/dc/terms/"}
+
+# printable text with the delimiters the tokenizers care about
+_delims = st.text(
+    alphabet=string.ascii_letters + string.digits + ' .?:<>"\\{}()|^+-',
+    max_size=80,
+)
+
+
+def _only_sparql_errors(fn, *args):
+    try:
+        fn(*args)
+    except SparqlError:
+        pass  # the contract: malformed input raises THIS type
+    # any other exception type propagates and fails the test
+
+
+@given(_delims)
+@settings(max_examples=300, deadline=None)
+def test_split_statements_total(body):
+    # must terminate and preserve every non-delimiter character
+    parts = _split_statements(body)
+    assert isinstance(parts, list)
+
+
+@given(_delims)
+@settings(max_examples=300, deadline=None)
+def test_patterns_raise_only_sparql_errors(body):
+    _only_sparql_errors(_patterns, body, PREFIXES)
+
+
+@given(_delims)
+@settings(max_examples=300, deadline=None)
+def test_tokenize_raise_only_sparql_errors(stmt):
+    _only_sparql_errors(_tokenize_triple, stmt)
+
+
+@given(_delims)
+@settings(max_examples=300, deadline=None)
+def test_split_filter_total(body):
+    _only_sparql_errors(_split_filter, body)
+
+
+@given(_delims)
+@settings(max_examples=300, deadline=None)
+def test_term_and_path_raise_only_sparql_errors(tok):
+    _only_sparql_errors(_term, tok, PREFIXES)
+    _only_sparql_errors(_parse_path, tok, PREFIXES)
+
+
+@given(_delims, _delims)
+@settings(max_examples=200, deadline=None)
+def test_parse_values_raise_only_sparql_errors(vars_tok, data):
+    _only_sparql_errors(_parse_values, vars_tok, data, PREFIXES)
+
+
+@given(_delims)
+@settings(max_examples=200, deadline=None)
+def test_filter_to_sql_total(expr):
+    # pure rewriting — must terminate on anything
+    assert isinstance(_filter_to_sql(expr), str)
+
+
+def test_patterns_roundtrip_well_formed():
+    # well-formed bodies parse to exactly their triples
+    body = """
+        ?s p:knows ?o . ?o <http://ex.org/v1.0/p> "lit with . dot" .
+        ?o dc:relation ?x .
+    """
+    pats = _patterns(body, PREFIXES)
+    assert pats == [
+        ("?s", "urn:p:knows", "?o"),
+        ("?o", "http://ex.org/v1.0/p", "lit with . dot"),
+        ("?o", "http://purl.org/dc/terms/relation", "?x"),
+    ]
