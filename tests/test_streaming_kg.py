@@ -82,6 +82,69 @@ def test_stream_to_kg_matches_batch_and_replays_clean(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_canonicalize_matches_batch_cc(spark):
+    """The changelog-folded streaming assignment equals a from-scratch
+    connected-components run over ALL equivalence edges (labels are the
+    component-min in both paths), survives a re-drain, and a replayed
+    batch rewrites its own changelog partition instead of forking the
+    view."""
+    import tempfile
+
+    from semargl_spark.operators.canon import connected_components
+    from semargl_spark.streaming.stream_kg import (
+        canonical_view, stream_canonicalize,
+    )
+
+    def knows_equiv(st):
+        # the same knows-block aliasing rule the pipeline_kg gate uses
+        # (the synthetic dictionary maps mentions to their own IRIs, so
+        # linking contributes only self-loops on this corpus)
+        src_id = F.regexp_extract("subj", r"urn:e:(\d+)", 1).cast("long")
+        return (
+            st.filter((F.col("pred") == "urn:p:knows") & (src_id % 16 != 15))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        )
+
+    base = tempfile.mkdtemp(prefix="semargl-streamcanon-")
+    try:
+        t = synth_transcripts(spark, SF_DIR, fmt="ntriples").limit(200)
+        t.repartition(8, "conv_id").write.mode("overwrite").parquet(f"{base}/in")
+
+        q = stream_canonicalize(
+            spark, f"{base}/in", knows_equiv, f"{base}/out", f"{base}/ckpt"
+        )
+        q.awaitTermination()
+
+        st = triples(extract_statements(spark.read.parquet(f"{base}/in")))
+        batch = {
+            (r["node"], r["component"])
+            for r in connected_components(knows_equiv(st).distinct()).collect()
+        }
+        streamed = {
+            (r["node"], r["component"])
+            for r in canonical_view(spark, f"{base}/out").collect()
+        }
+        assert streamed == batch and len(batch) > 0
+
+        log = spark.read.parquet(f"{base}/out/components_log")
+        assert log.select("batch_id").distinct().count() >= 2
+
+        # drain again: checkpoint no-op
+        q2 = stream_canonicalize(
+            spark, f"{base}/in", knows_equiv, f"{base}/out", f"{base}/ckpt"
+        )
+        q2.awaitTermination()
+        streamed2 = {
+            (r["node"], r["component"])
+            for r in canonical_view(spark, f"{base}/out").collect()
+        }
+        assert streamed2 == batch
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(base, ignore_errors=True)
+
+
 def test_stream_sessions_match_batch_sessionizer(spark, tmp_path):
     """Session windows drained via availableNow == the batch lag()
     sessionizer restricted to watermark-closed sessions."""
