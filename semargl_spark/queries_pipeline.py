@@ -1978,6 +1978,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_having": q_kg_sparql_having,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "stream_canon": q_stream_canon,
     }
 
 
@@ -4282,6 +4283,37 @@ SELECT pred AS p, CAST(COUNT(*) AS BIGINT) AS n
 FROM edges GROUP BY pred HAVING COUNT(*) >= 100
 ORDER BY n DESC, p ASC LIMIT 20
 """
+
+
+def q_stream_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming canonicalization gate: land the ntriples corpus, drain
+    it through stream_canonicalize (per-batch knows-block equivalence
+    fold via cc_incremental into the batch_id changelog), and return
+    the folded canonical_view — it must equal the closed-form batch
+    canonicalize oracle exactly (labels are the component-min in both
+    the incremental and from-scratch paths)."""
+    import tempfile
+
+    from .streaming.stream_kg import canonical_view, stream_canonicalize
+
+    base = tempfile.mkdtemp(prefix="semargl_q_scanon_")
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    t.repartition(8, "conv_id").write.mode("overwrite").parquet(f"{base}/in")
+
+    def knows_equiv(st):
+        src_id = F.regexp_extract("subj", r"urn:e:(\d+)", 1).cast("long")
+        return st.filter(
+            (F.col("pred") == "urn:p:knows") & (src_id % 16 != 15)
+        ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+
+    q = stream_canonicalize(
+        spark, f"{base}/in", knows_equiv, f"{base}/out", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    return canonical_view(spark, f"{base}/out")
+
+
+ORACLES["stream_canon"] = ORACLES["canonicalize"]
 
 
 def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
