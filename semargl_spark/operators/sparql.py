@@ -608,6 +608,38 @@ def _extract_having(tail: str) -> tuple[str, str | None]:
     return tail[: m.start()] + " " + tail[j:], tail[m.end():j - 1].strip()
 
 
+def sparql_describe(edges: DataFrame, query: str) -> DataFrame:
+    """``DESCRIBE <iri> [<iri> ...]`` → every edge touching the named
+    resources (subject or object position), as (src, pred, dst) rows —
+    the concise-bounded-description subset without bnode closure (the
+    KG edge table is already canonicalized, so bnode chains were
+    resolved upstream).
+
+    Plan: one scan with an ``isin`` disjunction on both endpoint
+    columns — Catalyst pushes the In filters to the parquet scan; no
+    join, no shuffle beyond the scan."""
+    from pyspark.sql import functions as F
+
+    prefixes = dict(_PREFIX_RE.findall(query))
+    q = _PREFIX_RE.sub("", query).strip()
+    m = re.match(r"^DESCRIBE\s+(?P<terms>.+?)\s*$",
+                 q, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SparqlError("expected DESCRIBE <iri> [<iri> ...]")
+    iris = [
+        _term(tok, prefixes) for tok in _tokenize_triple(m.group("terms"))
+    ]
+    if not iris:
+        raise SparqlError("DESCRIBE needs at least one resource")
+    if any(t.startswith("?") for t in iris):
+        raise SparqlError(
+            "DESCRIBE of variables needs a WHERE form — not in this subset"
+        )
+    return edges.filter(
+        F.col("src").isin(*iris) | F.col("dst").isin(*iris)
+    ).select("src", "pred", "dst")
+
+
 def _agg_expr(fn: str, inner: str) -> str:
     fn = fn.lower()
     if fn not in ("count", "min", "max", "sum", "avg"):

@@ -1979,6 +1979,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_having": q_kg_sparql_having,
         "kg_sparql_graph": q_kg_sparql_graph,
         "stream_canon": q_stream_canon,
+        "kg_sparql_describe": q_kg_sparql_describe,
     }
 
 
@@ -4282,6 +4283,27 @@ ORACLES["kg_sparql_having"] = _KG_EDGES_SQL + """
 SELECT pred AS p, CAST(COUNT(*) AS BIGINT) AS n
 FROM edges GROUP BY pred HAVING COUNT(*) >= 100
 ORDER BY n DESC, p ASC LIMIT 20
+"""
+
+
+def q_kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE from query TEXT: every edge touching the named
+    resources — a single scan with In-filters pushed on both endpoint
+    columns, no join."""
+    from .operators.sparql import sparql_describe
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_describe(edges, """
+        PREFIX e: <urn:e:>
+        DESCRIBE e:1 e:2 e:3
+    """)
+
+
+ORACLES["kg_sparql_describe"] = _KG_EDGES_SQL + """
+SELECT src, pred, dst FROM edges
+WHERE src IN ('urn:e:1', 'urn:e:2', 'urn:e:3')
+   OR dst IN ('urn:e:1', 'urn:e:2', 'urn:e:3')
 """
 
 

@@ -253,6 +253,23 @@ def test_sparql_property_path(spark):
         SELECT ?x WHERE { ?x p:knows+ ?y . ?y p:knows ?z . }""")
 
 
+def test_sparql_describe(spark):
+    from semargl_spark.operators.sparql import sparql_describe
+
+    e = _edges(spark)
+    out = {tuple(r) for r in sparql_describe(
+        e, "PREFIX p: <urn:p:> DESCRIBE <b1>").collect()}
+    assert out == {
+        ("a1", "urn:p:knows", "b1"),
+        ("b1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:t:Thing"),
+        ("b1", "urn:p:name", "Bee One"),
+    }
+    with pytest.raises(SparqlError):
+        sparql_describe(e, "DESCRIBE ?x")
+    with pytest.raises(SparqlError):
+        sparql_describe(e, "SELECT ?x WHERE { ?x ?p ?o . }")
+
+
 def test_sparql_graph_clause(spark):
     rows = [
         ("s1", "urn:p:name", "A", "urn:g:1"),
