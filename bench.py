@@ -121,7 +121,9 @@ def main() -> None:
                  "pipeline_training", "text_search", "inverted_index",
                  "skew_salted_join", "bm25_search",
                  "events_retention", "kg_entity_card", "kg_sparql",
-                 "kg_sparql_construct", "kg_sparql_path"):
+                 "kg_sparql_construct", "kg_sparql_path",
+                 "kg_sparql_values", "kg_sparql_having",
+                 "kg_sparql_graph", "kg_sparql_describe"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))
