@@ -195,9 +195,15 @@ def match_bgp_filter(
     raise (SPARQL would silently evaluate them to an error/False; at
     10^12 triples a typo'd variable must not silently drop every row).
     """
+    out = match_bgp(triples, patterns, s_col, p_col, o_col, pred_stats=pred_stats)
+    return apply_filters(out, filters)
+
+
+def apply_filters(out: DataFrame, filters: list[str]) -> DataFrame:
+    """Apply boolean SQL expressions over bound-variable columns, with
+    the unbound-reference check from :func:`match_bgp_filter`."""
     import re as _re
 
-    out = match_bgp(triples, patterns, s_col, p_col, o_col, pred_stats=pred_stats)
     bound = set(out.columns)
     for flt in filters:
         # identifiers in the expression that aren't SQL keywords/functions;
@@ -413,6 +419,45 @@ def match_bgp_minus(
             "semantics would remove nothing; restate the query"
         )
     return left.join(right.select(*shared).distinct(), on=shared, how="left_anti")
+
+
+def match_bgp_exists(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    exists: list[list[tuple[str, str, str]]] | None = None,
+    not_exists: list[list[tuple[str, str, str]]] | None = None,
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }``:
+    keep (drop) solutions of ``patterns`` for which the sub-group has at
+    least one solution compatible on the SHARED variables.
+
+    Each group must share ≥1 variable with the outer BGP — a
+    disconnected EXISTS is a constant (the whole result or nothing),
+    which at 10^12 triples is a query bug; we raise instead of silently
+    keeping/dropping everything.
+
+    Plan: one LEFT-SEMI (EXISTS) or LEFT-ANTI (NOT EXISTS) hash join
+    per group, keyed on the shared variables — never a per-row
+    subquery, and the sub-group's non-shared variables are projected
+    away before the join so the probe side stays narrow. AQE broadcasts
+    a small sub-group result, the common case (a selective existence
+    test)."""
+    out = match_bgp(triples, patterns, s_col, p_col, o_col)
+    for groups, how, kw in ((exists, "leftsemi", "EXISTS"),
+                            (not_exists, "leftanti", "NOT EXISTS")):
+        for pats in groups or []:
+            sub = match_bgp(triples, pats, s_col, p_col, o_col)
+            shared = sorted(set(out.columns) & set(sub.columns))
+            if not shared:
+                raise ValueError(
+                    f"{kw} group shares no variables with the BGP — the "
+                    "condition is row-independent; restate the query"
+                )
+            out = out.join(sub.select(*shared), on=shared, how=how)
+    return out
 
 
 def match_bgp_topk(

@@ -5,12 +5,17 @@ strings against the materialized KG edge table.
 Supported grammar (the subset that covers the engine's gated algebra):
 
     PREFIX pfx: <iri>                      (any number)
-    SELECT ?a ?b | *                       (projection)
+    SELECT [DISTINCT] ?a ?b | *            (projection)
     WHERE {
         ?s pfx:p ?o . ?o a pfx:C .         (BGPs; 'a' = rdf:type)
         FILTER(expr)                       (comparisons, &&/||/!,
                                             regex(?v,"re"),
                                             strstarts(?v,"s"))
+        FILTER EXISTS { ... }              (semi-join; any number)
+        FILTER NOT EXISTS { ... }          (anti-join; any number)
+        BIND(expr AS ?v)                   (computed column; any number)
+        { SELECT ... }                     (subqueries; joined on their
+                                            projected shared variables)
         OPTIONAL { ... }                   (any number of groups)
         MINUS { ... }                      (one group)
     }
@@ -31,8 +36,10 @@ Parsing happens ON THE DRIVER over a short string — the compiled plan
 is exactly the Catalyst join tree the list-based API produces, so all
 the scale properties (selectivity-ordered joins, pushed constant
 filters, anti-join MINUS, TakeOrderedAndProject top-k) carry over
-unchanged. Not supported (raise cleanly): nested groups inside OPTIONAL/MINUS or
-UNION branches, property paths (bounded_paths*), subqueries, VALUES.
+unchanged. Not supported (raise cleanly): nested groups inside
+OPTIONAL/MINUS/EXISTS or UNION branches. EXISTS/BIND/subqueries
+compose with plain BGP + FILTER + VALUES; OPTIONAL/MINUS/aggregates
+keep their existing composition rules.
 
 Reference parity: the reference is a parser framework without a query
 language; this is target-side surface over the constructed KG.
@@ -48,11 +55,19 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]*)>", re.IGNORECASE)
 _SELECT_RE = re.compile(
-    r"SELECT\s+(?P<proj>\*|(?:(?:\?\w+|\(\s*\w+\s*\([^()]*\)\s+AS\s+\?\w+\s*\))\s*)+)"
+    r"SELECT\s+(?P<dist>DISTINCT\s+)?"
+    r"(?P<proj>\*|(?:(?:\?\w+|\(\s*\w+\s*\([^()]*\)\s+AS\s+\?\w+\s*\))\s*)+)"
     r"\s*WHERE\s*\{(?P<body>.*)\}"
     r"(?P<tail>[^}]*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_EXISTS_RE = re.compile(
+    r"FILTER\s+(?P<neg>NOT\s+)?EXISTS\s*\{(?P<inner>[^{}]*)\}",
+    re.IGNORECASE | re.DOTALL,
+)
+_BIND_RE = re.compile(r"BIND\s*\(", re.IGNORECASE)
+_BIND_AS_RE = re.compile(r"^(?P<expr>.+)\s+AS\s+\?(?P<var>\w+)$",
+                         re.IGNORECASE | re.DOTALL)
 _AGG_RE = re.compile(
     r"\(\s*(\w+)\s*\(([^()]*)\)\s+AS\s+\?(\w+)\s*\)", re.IGNORECASE
 )
@@ -182,6 +197,86 @@ def _split_filter(body: str) -> tuple[str, list[str]]:
     return "".join(out), filters
 
 
+def _split_bind(body: str) -> tuple[str, list[tuple[str, str]]]:
+    """Pull BIND(expr AS ?var) assignments (balanced parens) out of a
+    group body; returns (body-without-binds, [(var, spark_sql_expr)]).
+    Expressions go through the same SPARQL→Spark-SQL rewrite as FILTER
+    bodies, so CONCAT/arithmetic/?var references all translate."""
+    out, binds, i = [], [], 0
+    while True:
+        m = _BIND_RE.search(body, i)
+        if not m:
+            out.append(body[i:])
+            break
+        out.append(body[i:m.start()])
+        depth, j = 1, m.end()
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise SparqlError("unbalanced parens in BIND")
+        inner = body[m.end():j - 1].strip()
+        am = _BIND_AS_RE.match(inner)
+        if not am:
+            raise SparqlError(f"expected BIND(expr AS ?var), got BIND({inner})")
+        binds.append((am.group("var"), _filter_to_sql(am.group("expr").strip())))
+        i = j
+    return "".join(out), binds
+
+
+def _extract_subselects(body: str) -> tuple[str, list[str]]:
+    """Pull ``{ SELECT ... }`` subqueries (balanced braces, quoted
+    literals and ``<...>`` IRIs skipped) out of a WHERE body; returns
+    (body-without-subqueries, [subquery text, ...]). Braces whose
+    content does not start with SELECT (OPTIONAL/MINUS/EXISTS groups,
+    path bounds ``{1,k}``) are left in place for the later passes."""
+    out: list[str] = []
+    subs: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == '"':
+            j = i + 1
+            while j < n:
+                if body[j] == "\\":
+                    j += 2
+                    continue
+                if body[j] == '"':
+                    break
+                j += 1
+            out.append(body[i:min(j + 1, n)])
+            i = j + 1
+        elif ch == "<":
+            j = body.find(">", i)
+            j = n - 1 if j < 0 else j
+            out.append(body[i:j + 1])
+            i = j + 1
+        elif ch == "{":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if body[j] == "{":
+                    depth += 1
+                elif body[j] == "}":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise SparqlError("unbalanced braces in group")
+            inner = body[i + 1:j - 1]
+            if inner.lstrip()[:6].upper() == "SELECT":
+                subs.append(inner.strip())
+                out.append(" ")
+            else:
+                out.append(body[i:j])
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), subs
+
+
 def _split_statements(body: str) -> list[str]:
     """Split a group body into triple statements on top-level ``.`` —
     dots inside quoted literals and ``<...>`` IRIs (http://ex.org/p)
@@ -298,8 +393,9 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
     extra ``hops`` column (minimum hop count). ``+`` is bounded by
     ``max_hops`` — the engine refuses unbounded closure at KG scale."""
     from .bgp import (
-        match_bgp, match_bgp_agg, match_bgp_filter, match_bgp_minus,
-        match_bgp_optional, match_bgp_union,
+        apply_filters, match_bgp, match_bgp_agg, match_bgp_exists,
+        match_bgp_filter, match_bgp_minus, match_bgp_optional,
+        match_bgp_union,
     )
 
     prefixes = dict(_PREFIX_RE.findall(query))
@@ -309,6 +405,7 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
         raise SparqlError("expected SELECT ... WHERE { ... }")
     body, tail = m.group("body"), m.group("tail") or ""
     proj = m.group("proj").strip()
+    distinct = bool(m.group("dist"))
     aggs = {
         name: _agg_expr(fn, inner) for fn, inner, name in _AGG_RE.findall(proj)
     }
@@ -332,7 +429,7 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
         out = match_bgp_union(edges, [lpats, rpats])
         if values:
             out = _apply_values(out, values)
-        return _modifiers(out, proj, tail, allow_missing=True)
+        return _modifiers(out, proj, tail, allow_missing=True, distinct=distinct)
 
     # GRAPH ?g { ... } / GRAPH <iri> { ... } as the whole body:
     # quad-level matching against the dataset table's graph column
@@ -364,7 +461,30 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             out = out.filter(F.expr(_filter_to_sql(f)))
         if values:
             out = _apply_values(out, values)
-        return _modifiers(out, proj, tail)
+        return _modifiers(out, proj, tail, distinct=distinct)
+
+    # { SELECT ... } subqueries — extracted first (they nest braces,
+    # which every later pass treats as a parse error); each compiles
+    # recursively and joins into the outer solution on its projected
+    # shared variables, per SPARQL's bottom-up subquery evaluation
+    body, subselects = _extract_subselects(body)
+
+    # FILTER [NOT] EXISTS { ... } groups — extracted before the
+    # OPTIONAL/MINUS pass (they carry braces but are FILTER-headed)
+    exists_groups: list[list[tuple[str, str, str]]] = []
+    not_exists_groups: list[list[tuple[str, str, str]]] = []
+
+    def grab_exists(em: re.Match) -> str:
+        inner, inner_filters = _split_filter(em.group("inner"))
+        if inner_filters:
+            raise SparqlError("FILTER inside EXISTS group not supported")
+        pats = _patterns(inner, prefixes)
+        if not pats:
+            raise SparqlError("empty EXISTS group")
+        (not_exists_groups if em.group("neg") else exists_groups).append(pats)
+        return " "
+
+    body = _EXISTS_RE.sub(grab_exists, body)
 
     optionals: list[list[tuple[str, str, str]]] = []
     minus: list[tuple[str, str, str]] | None = None
@@ -389,6 +509,7 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
     if "{" in _BOUND_RE.sub("", body) or "}" in _BOUND_RE.sub("", body):
         raise SparqlError("nested groups / UNION not supported in this subset")
     body, filters = _split_filter(body)
+    body, binds = _split_bind(body)
 
     # sole-pattern property path → bounded minimum-hop closure
     stmts = [s for s in (x.strip() for x in _split_statements(body)) if s]
@@ -397,7 +518,9 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
         if len(toks) == 3:
             path = _parse_path(toks[1], prefixes)
             if path:
-                if aggs or optionals or minus is not None:
+                if (aggs or optionals or minus is not None
+                        or exists_groups or not_exists_groups or binds
+                        or subselects):
                     raise SparqlError(
                         "property paths compose only with FILTER/VALUES here"
                     )
@@ -408,17 +531,65 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
                     out = out.filter(F.expr(_filter_to_sql(f)))
                 if values:
                     out = _apply_values(out, values)
-                return _modifiers(out, proj, tail)
+                return _modifiers(out, proj, tail, distinct=distinct)
 
     required = _patterns(body, prefixes)
     if not required:
         raise SparqlError("empty required BGP")
 
+    has_exists = bool(exists_groups or not_exists_groups)
+    if (has_exists or binds or subselects) and (
+            optionals or minus is not None or aggs):
+        # keep algebra composition simple and predictable
+        raise SparqlError(
+            "EXISTS/BIND/subqueries compose with plain BGP + FILTER/VALUES "
+            "only in this subset"
+        )
     if optionals and (minus or filters):
         # keep algebra composition simple and predictable: OPTIONAL
         # composes with plain BGPs only in this subset
         raise SparqlError("OPTIONAL cannot combine with MINUS/FILTER here")
-    if optionals:
+    if has_exists or binds or subselects:
+        from pyspark.sql import functions as F
+
+        from .bgp import _SQL_WORDS
+
+        # EXISTS → left-semi, NOT EXISTS → left-anti hash joins on the
+        # shared variables (bgp.match_bgp_exists); subqueries compile
+        # recursively and hash-join on their projected shared variables
+        # (an aggregated subquery is reduced BEFORE the join, so AQE
+        # broadcasts the small side — the common analytics shape);
+        # BINDs extend the solution, then FILTERs run over the extended
+        # columns so a filter may reference a bound alias
+        out = match_bgp_exists(edges, required, exists_groups, not_exists_groups)
+        if subselects:
+            decls = " ".join(f"PREFIX {p}: <{u}>" for p, u in prefixes.items())
+            for sub in subselects:
+                sdf = sparql_select(edges, f"{decls} {sub}", max_hops)
+                shared = sorted(set(out.columns) & set(sdf.columns))
+                if not shared:
+                    raise SparqlError(
+                        "subquery shares no variables with the outer group "
+                        "— a disconnected subquery is a Cartesian "
+                        "extension; restate the query"
+                    )
+                out = out.join(sdf, on=shared)
+        for var, expr in binds:
+            if var in out.columns:
+                raise SparqlError(f"BIND reassigns already-bound variable ?{var}")
+            bare = re.sub(r"'(?:[^'\\]|\\.)*'", "''", expr)
+            names = set(re.findall(r"\b[a-zA-Z_]\w*\b(?!\s*\()", bare))
+            unknown = {
+                n for n in names
+                if n.lower() not in _SQL_WORDS and n not in out.columns
+            }
+            if unknown:
+                raise SparqlError(
+                    f"BIND {expr!r} references unbound variables {sorted(unknown)}"
+                )
+            out = out.withColumn(var, F.expr(expr))
+        out = apply_filters(out, [_filter_to_sql(f) for f in filters])
+    elif optionals:
         out = match_bgp_optional(edges, required, optionals)
     elif minus is not None:
         out = match_bgp_minus(edges, required, minus)
@@ -468,11 +639,11 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
                 r"\(\s*\w+\s*\([^()]*\)\s+AS\s+\?(\w+)\s*\)|\?(\w+)", proj
             )
         ]
-        return _modifiers(out.select(*sel), "*", tail)
+        return _modifiers(out.select(*sel), "*", tail, distinct=distinct)
 
     if values:
         out = _apply_values(out, values)
-    return _modifiers(out, proj, tail)
+    return _modifiers(out, proj, tail, distinct=distinct)
 
 
 def _compile_path(
@@ -647,14 +818,23 @@ def _agg_expr(fn: str, inner: str) -> str:
     return f"{fn}({_VAR_RE.sub(lambda m: m.group(1), inner.strip())})"
 
 
-def _modifiers(out: DataFrame, proj: str, tail: str, allow_missing: bool = False) -> DataFrame:
-    """Apply projection, ORDER BY (with total tie-break), and LIMIT."""
+def _modifiers(out: DataFrame, proj: str, tail: str,
+               allow_missing: bool = False,
+               distinct: bool = False) -> DataFrame:
+    """Apply projection, DISTINCT, ORDER BY (with total tie-break),
+    and LIMIT — in SPARQL's solution-modifier order (distinct before
+    the slice, so LIMIT counts distinct solutions)."""
     if proj != "*":
         vars_ = [v[1:] for v in proj.split()]
         missing = [v for v in vars_ if v not in out.columns]
         if missing and not allow_missing:
             raise SparqlError(f"projected unbound variables {missing}")
         out = out.select(*[v for v in vars_ if v in out.columns])
+    if distinct:
+        # one hash aggregation with map-side partials — the projected
+        # width is already minimal, so the shuffle carries only the
+        # distinct key columns
+        out = out.distinct()
 
     om = _ORDER_RE.search(tail)
     lm = _LIMIT_RE.search(tail)

@@ -1980,6 +1980,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph": q_kg_sparql_graph,
         "stream_canon": q_stream_canon,
         "kg_sparql_describe": q_kg_sparql_describe,
+        "kg_sparql_exists": q_kg_sparql_exists,
+        "kg_sparql_bind": q_kg_sparql_bind,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
     }
 
 
@@ -4359,4 +4362,93 @@ ORACLES["kg_sparql_graph"] = """
 WITH t AS (SELECT DISTINCT CAST(doc_id AS INT) AS did FROM documents)
 SELECT 'urn:g:'||(did%10) AS g, 'urn:e:'||did AS s, 'Entity '||did AS o
 FROM t
+"""
+
+
+def q_kg_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS / NOT EXISTS from query TEXT: one left-semi
+    + one left-anti hash join keyed on the shared variable — never a
+    per-row subquery; the sub-group is projected onto the shared
+    columns before the join so the probe side stays narrow."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX dc: <http://purl.org/dc/terms/>
+        SELECT ?a ?b WHERE {
+            ?a p:knows ?b .
+            FILTER EXISTS { ?b dc:relation ?c . }
+            FILTER NOT EXISTS { ?a a <urn:t:Thing> . }
+        }
+    """)
+
+
+ORACLES["kg_sparql_exists"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, k.dst AS b
+FROM edges k
+WHERE k.pred = 'urn:p:knows'
+  AND EXISTS (SELECT 1 FROM edges r
+              WHERE r.src = k.dst
+                AND r.pred = 'http://purl.org/dc/terms/relation')
+  AND NOT EXISTS (SELECT 1 FROM edges t
+                  WHERE t.src = k.src
+                    AND t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                    AND t.dst = 'urn:t:Thing')
+"""
+
+
+def q_kg_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND + SELECT DISTINCT from query TEXT: the computed
+    column is a row-local Catalyst projection (no shuffle), and
+    DISTINCT is one map-side-partial hash aggregation over the already
+    projection-narrowed solution."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        SELECT DISTINCT ?p ?tag WHERE {
+            ?a p:knows ?b . ?b ?p ?c .
+            BIND(CONCAT(?p, "#", SUBSTRING(?c, 1, 6)) AS ?tag)
+        }
+    """)
+
+
+ORACLES["kg_sparql_bind"] = _KG_EDGES_SQL + """
+SELECT DISTINCT e2.pred AS p,
+       e2.pred || '#' || SUBSTRING(e2.dst, 1, 6) AS tag
+FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+WHERE e1.pred = 'urn:p:knows'
+"""
+
+
+def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery from query TEXT: an aggregated ``{ SELECT ... }``
+    compiled recursively and hash-joined into the outer solution on its
+    projected shared variable. The subquery is REDUCED (one map-side-
+    partial groupBy) before the join — AQE broadcasts the aggregated
+    side, so the outer scan is touched once."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        SELECT ?a ?b ?n WHERE {
+            ?a p:knows ?b .
+            { SELECT ?b (COUNT(*) AS ?n) WHERE { ?b ?q ?z . } GROUP BY ?b }
+            FILTER(?n >= 2)
+        }
+    """)
+
+
+ORACLES["kg_sparql_subquery"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, k.dst AS b, c.n
+FROM edges k
+JOIN (SELECT src AS b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM edges GROUP BY src) c ON c.b = k.dst
+WHERE k.pred = 'urn:p:knows' AND c.n >= 2
 """

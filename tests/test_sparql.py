@@ -354,3 +354,146 @@ def test_sparql_ask(spark):
     assert sparql_ask(
         quads, "ASK { GRAPH <urn:g:2> { ?s ?p ?o . } }"
     ) is False
+
+
+def test_sparql_filter_exists(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    PREFIX t: <urn:t:>
+    SELECT ?y WHERE { ?x p:knows ?y . FILTER EXISTS { ?y a t:Thing . } }
+    """
+    out = {r["y"] for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {"b1"}
+
+
+def test_sparql_filter_not_exists(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    PREFIX t: <urn:t:>
+    SELECT ?y WHERE { ?x p:knows ?y . FILTER NOT EXISTS { ?y a t:Thing . } }
+    """
+    out = {r["y"] for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {"b2"}
+
+
+def test_sparql_exists_composes_with_filter_and_bind(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?y ?tag WHERE {
+        ?x p:knows ?y . ?y p:name ?n .
+        FILTER EXISTS { ?y p:name ?any . }
+        BIND(CONCAT(?y, "/", ?n) AS ?tag)
+        FILTER(strstarts(?tag, "b2"))
+    }
+    """
+    out = {(r["y"], r["tag"]) for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {("b2", "b2/Bee Two")}
+
+
+def test_sparql_exists_disconnected_raises(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?x WHERE { ?x p:knows ?y . FILTER EXISTS { ?u p:name ?v . } }
+    """
+    with pytest.raises(ValueError, match="shares no variables"):
+        sparql_select(_edges(spark), q).collect()
+
+
+def test_sparql_bind_expression_and_errors(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?x ?len WHERE { ?x p:name ?n . BIND(LENGTH(?n) AS ?len) }
+    """
+    out = {(r["x"], r["len"]) for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {("b1", 7), ("b2", 7)}
+    with pytest.raises(SparqlError, match="reassigns"):
+        sparql_select(
+            _edges(spark),
+            "SELECT ?x WHERE { ?x <urn:p:name> ?n . BIND(?n AS ?x) }",
+        )
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            _edges(spark),
+            "SELECT ?x WHERE { ?x <urn:p:name> ?n . BIND(LENGTH(?zzz) AS ?l) }",
+        )
+    with pytest.raises(SparqlError, match="BIND"):
+        sparql_select(
+            _edges(spark),
+            "SELECT ?x WHERE { ?x <urn:p:name> ?n . BIND(?n) }",
+        )
+
+
+def test_sparql_select_distinct(spark):
+    # two knows-edges land on the same predicate — DISTINCT collapses them
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT DISTINCT ?p WHERE { ?x p:knows ?y . ?y ?p ?z . }
+    """
+    rows = sparql_select(_edges(spark), q).collect()
+    assert sorted(r["p"] for r in rows) == [
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:p:name",
+    ]
+    # without DISTINCT the bag keeps duplicates
+    q_bag = q.replace("DISTINCT ", "")
+    assert len(sparql_select(_edges(spark), q_bag).collect()) == 3
+
+
+def test_sparql_ask_supports_exists(spark):
+    from semargl_spark.operators.sparql import sparql_ask
+
+    assert sparql_ask(_edges(spark), """
+        PREFIX p: <urn:p:>
+        ASK { ?x p:knows ?y . FILTER NOT EXISTS { ?y a <urn:t:Thing> . } }
+    """) is True
+
+
+def test_sparql_subquery_aggregated(spark):
+    # per-?y outgoing-edge count computed in a subquery, joined to the
+    # outer knows-pattern on the shared projected variable ?y
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?x ?y ?n WHERE {
+        ?x p:knows ?y .
+        { SELECT ?y (COUNT(*) AS ?n) WHERE { ?y ?q ?z . } GROUP BY ?y }
+    }
+    """
+    out = {(r["x"], r["y"], r["n"]) for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {("a1", "b1", 2), ("a2", "b2", 1)}
+
+
+def test_sparql_subquery_with_modifiers_and_filter(spark):
+    # subquery carries its own ORDER BY/LIMIT; outer FILTER still applies
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?x ?y WHERE {
+        ?x p:knows ?y .
+        { SELECT ?y WHERE { ?y p:name ?n . } ORDER BY ?y LIMIT 1 }
+        FILTER(?x != "zzz")
+    }
+    """
+    out = {(r["x"], r["y"]) for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {("a1", "b1")}
+
+
+def test_sparql_subquery_disconnected_raises(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?x WHERE {
+        ?x p:knows ?y .
+        { SELECT ?u WHERE { ?u p:name ?v . } }
+    }
+    """
+    with pytest.raises(SparqlError, match="shares no variables"):
+        sparql_select(_edges(spark), q)
+
+
+def test_sparql_subquery_inside_optional_raises(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?x WHERE {
+        ?x p:knows ?y .
+        OPTIONAL { { SELECT ?y WHERE { ?y p:name ?n . } } }
+    }
+    """
+    with pytest.raises(SparqlError):
+        sparql_select(_edges(spark), q)
