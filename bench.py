@@ -101,7 +101,7 @@ def main() -> None:
                  "dedup_minhash", "simhash", "ann_topk", "ann_ivf",
                  "ann_lsh", "quality_score", "fingerprint", "media_features",
                  "media_real_decode", "lang_id_ngram",
-                 "vocab_expand", "render_turtle", "model_diff",
+                 "vocab_expand", "render_turtle", "render_jsonld", "model_diff",
                  "pii_redact", "split_assign", "pack_sequences",
                  "contamination", "kg_bgp", "kg_pagerank", "kg_path",
                  "extract_turtle", "repetition_stats", "kmeans_assign",
@@ -123,7 +123,9 @@ def main() -> None:
                  "events_retention", "kg_entity_card", "kg_sparql",
                  "kg_sparql_construct", "kg_sparql_path",
                  "kg_sparql_values", "kg_sparql_having",
-                 "kg_sparql_graph", "kg_sparql_describe"):
+                 "kg_sparql_graph", "kg_sparql_describe",
+                 "kg_sparql_exists", "kg_sparql_bind",
+                 "kg_sparql_subquery"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

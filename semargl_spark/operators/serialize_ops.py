@@ -136,3 +136,80 @@ def needs_python_path(statements: DataFrame) -> DataFrame:
             & F.regexp_like(F.col("graph"), F.lit(non_ascii))
         )
     return statements.filter(cond)
+
+
+def render_jsonld(statements: DataFrame) -> DataFrame:
+    """statements → one flat expanded-form JSON-LD node object per
+    subject: ``(subj, json)`` where ``json`` is
+    ``{"@id":..., "<pred>":[{"@id"|"@value":...}, ...], ...}`` with
+    predicates sorted, object arrays set-deduplicated and sorted, and
+    literals carrying ``@language`` / ``@type`` when present.
+
+    The reference ships JSON-LD parsing only (JsonLdParser.java); this
+    is the target-side writer completing the NT/NQ/Turtle/JSON-LD
+    matrix. Expanded form on purpose: no @context negotiation, so the
+    output is a pure function of the statement set — deterministic at
+    any parallelism, and re-parseable by kernels/jsonld.py (round-trip
+    property-tested).
+
+    JSON string escaping reuses :func:`_escape_literal` (\\\\ \\" \\n
+    \\r \\t \\b \\f) plus ``\\u00XX`` for the remaining C0 control
+    characters JSON forbids raw (RFC 8259 §7). IRIs/bnode labels are
+    emitted unescaped (the parsers reject IRIs containing
+    quote/backslash, so none can reach a rendered statement).
+
+    Plan: everything JVM-side — two hash aggregations, (subj, pred)
+    object-array build then per-subject pair join; both map-side
+    partial, no Python in the path. A pathological subject with 10^6
+    distinct objects would hit the single-row ceiling like any
+    collect_list — cap upstream with the same discipline as
+    inverted_index posting lists if the KG carries such hubs."""
+    df = statements.filter(F.col("obj_kind") != "error")
+    lit_tail = (
+        F.when(
+            F.col("lang").isNotNull(),
+            F.concat(F.lit(',"@language":"'), F.col("lang"), F.lit('"')),
+        )
+        .when(
+            F.col("dtype").isNotNull(),
+            F.concat(F.lit(',"@type":"'), F.col("dtype"), F.lit('"')),
+        )
+        .otherwise(F.lit(""))
+    )
+    # JSON additionally requires \u00XX for the control characters the
+    # NTriples escape set leaves raw (RFC 8259 §7) — literals CAN carry
+    # them (the NT kernel unescapes \uXXXX on parse). Still a chain of
+    # whole-stage-codegen string replaces, no Python.
+    esc = _escape_literal(F.col("obj"))
+    for c in range(0x20):
+        ch = chr(c)
+        if ch in "\n\r\t\b\f":
+            continue
+        esc = F.replace(esc, F.lit(ch), F.lit(f"\\u{c:04x}"))
+    obj_repr = F.when(
+        F.col("obj_kind") == "literal",
+        F.concat(
+            F.lit('{"@value":"'), esc, F.lit('"'),
+            lit_tail, F.lit("}"),
+        ),
+    ).otherwise(F.concat(F.lit('{"@id":"'), F.col("obj"), F.lit('"}')))
+    per_pred = (
+        df.select("subj", "pred", obj_repr.alias("o"))
+        .groupBy("subj", "pred")
+        .agg(F.array_join(F.sort_array(F.collect_set("o")), ",").alias("vals"))
+    )
+    pair = F.concat(
+        F.lit('"'), F.col("pred"), F.lit('":['), F.col("vals"), F.lit("]")
+    )
+    return (
+        per_pred.select("subj", pair.alias("pair"))
+        .groupBy("subj")
+        .agg(F.array_join(F.sort_array(F.collect_list("pair")), ",").alias("pairs"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit('{"@id":"'), F.col("subj"), F.lit('",'),
+                F.col("pairs"), F.lit("}"),
+            ).alias("json"),
+        )
+    )

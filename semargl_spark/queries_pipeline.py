@@ -1983,6 +1983,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_exists": q_kg_sparql_exists,
         "kg_sparql_bind": q_kg_sparql_bind,
         "kg_sparql_subquery": q_kg_sparql_subquery,
+        "render_jsonld": q_render_jsonld,
     }
 
 
@@ -4451,4 +4452,35 @@ FROM edges k
 JOIN (SELECT src AS b, CAST(COUNT(*) AS BIGINT) AS n
       FROM edges GROUP BY src) c ON c.b = k.dst
 WHERE k.pred = 'urn:p:knows' AND c.n >= 2
+"""
+
+
+def q_render_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD flat expanded-form rendering (writer-matrix completion;
+    the reference parses JSON-LD but never writes it). One node object
+    per subject, predicates and object arrays canonically sorted, so
+    the output is a pure function of the statement set. All JVM: two
+    map-side-partial hash aggregations, no Python in the plan."""
+    from .operators.serialize_ops import render_jsonld
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = extract_statements(t)
+    return render_jsonld(st)
+
+
+ORACLES["render_jsonld"] = _SEED + f"""
+SELECT 'urn:e:'||did AS subj,
+  '{{"@id":"urn:e:'||did||'","urn:p:knows":[{{"@id":"urn:e:'||(did+1)
+  ||'"}}],"urn:p:name":[{{"@value":"'||
+  CASE WHEN did%10=0
+       THEN 'Entity '||{_BS}||'"'||did||{_BS}||'"'||{_BS}||'n'
+       ELSE 'Entity '||did END
+  ||'"}}],"urn:p:score":[{{"@value":"'||(did%100)
+  ||'.5","@type":"http://www.w3.org/2001/XMLSchema#decimal"}}]}}' AS json
+FROM (SELECT DISTINCT did FROM t)
+UNION ALL
+SELECT '_:bc'||did||'_'||tix||'_n0',
+  '{{"@id":"_:bc'||did||'_'||tix||'_n0","urn:p:label":[{{"@value":"turn '
+  ||tix||'","@language":"en"}}]}}'
+FROM t
 """
