@@ -125,7 +125,9 @@ def main() -> None:
                  "kg_sparql_values", "kg_sparql_having",
                  "kg_sparql_graph", "kg_sparql_describe",
                  "kg_sparql_exists", "kg_sparql_bind",
-                 "kg_sparql_subquery"):
+                 "kg_sparql_subquery",
+                 "kg_sparql_agg_filter", "kg_sparql_group_concat",
+                 "kg_sparql_describe_where"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -236,11 +236,16 @@ def match_bgp_agg(
     s_col: str = "src",
     p_col: str = "pred",
     o_col: str = "dst",
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """SPARQL ``GROUP BY`` + aggregates over the BGP solution multiset:
     ``group_vars`` are bound variable names (no ``?``), ``aggs`` maps
     output column → SQL aggregate expression over bound variables
     (``{"n": "count(*)", "n_src": "count(distinct a)"}``).
+
+    ``filters`` apply BEFORE the aggregation (SPARQL FILTER scopes to
+    the group pattern, not the aggregated result — that is HAVING);
+    Catalyst pushes them below the join tree into the scans.
 
     Declarative: the BGP join tree feeds one hash aggregation, so
     Catalyst runs map-side partial aggregation before the group-key
@@ -254,6 +259,8 @@ def match_bgp_agg(
     if not aggs:
         raise ValueError("empty aggregate list")
     out = match_bgp(triples, patterns, s_col, p_col, o_col)
+    if filters:
+        out = apply_filters(out, filters)
     bound = set(out.columns)
     missing = [v for v in group_vars if v not in bound]
     if missing:

@@ -19,9 +19,12 @@ Supported grammar (the subset that covers the engine's gated algebra):
         OPTIONAL { ... }                   (any number of groups)
         MINUS { ... }                      (one group)
     }
-    GROUP BY ?v ...                        (with COUNT/MIN/MAX/SUM
-                                            aggregates in the SELECT,
-                                            e.g. (COUNT(*) AS ?n))
+    GROUP BY ?v ...                        (COUNT/MIN/MAX/SUM/AVG/
+                                            GROUP_CONCAT[; SEPARATOR]/
+                                            SAMPLE aggregates in the
+                                            SELECT, e.g. (COUNT(*) AS ?n);
+                                            FILTER composes — it scopes
+                                            to the group pattern)
     HAVING(expr over aggregate aliases)    (post-aggregation filter)
     ORDER BY [ASC(?v)|DESC(?v)|?v] ...     (optional)
     LIMIT n                                (optional)
@@ -30,7 +33,9 @@ Also: ``{ ... } UNION { ... }`` as the entire WHERE body,
 ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (...) ... }`` inline data
 (joined into the solution — broadcast by construction, the data is a
 query-text literal), ``ASK WHERE { ... }`` via :func:`sparql_ask`, and
-``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`.
+``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`,
+and ``DESCRIBE <iri> ...`` / ``DESCRIBE ?v WHERE { ... }`` via
+:func:`sparql_describe`.
 
 Parsing happens ON THE DRIVER over a short string — the compiled plan
 is exactly the Catalyst join tree the list-based API produces, so all
@@ -612,9 +617,10 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             )
         if optionals or minus is not None:
             raise SparqlError("aggregates over OPTIONAL/MINUS not supported")
-        if filters:
-            raise SparqlError("FILTER with aggregates not supported (use HAVING-free form)")
-        out = match_bgp_agg(edges, required, group_vars, aggs)
+        out = match_bgp_agg(
+            edges, required, group_vars, aggs,
+            filters=[_filter_to_sql(f) for f in filters] or None,
+        )
         tail, having = _extract_having(tail)
         if having:
             from pyspark.sql import functions as F
@@ -793,6 +799,31 @@ def sparql_describe(edges: DataFrame, query: str) -> DataFrame:
 
     prefixes = dict(_PREFIX_RE.findall(query))
     q = _PREFIX_RE.sub("", query).strip()
+
+    # DESCRIBE ?x WHERE { ... }: evaluate the WHERE as a SELECT of the
+    # described variable, then keep every edge touching a solution —
+    # two LEFT-SEMI hash joins (src side, dst side) against the
+    # distinct-reduced solution set, unioned with one distinct. AQE
+    # broadcasts the solution when it is small (the common DESCRIBE).
+    wm = re.match(
+        r"^DESCRIBE\s+\?(?P<var>\w+)\s+WHERE\s*\{(?P<body>.*)\}\s*$",
+        q, re.IGNORECASE | re.DOTALL,
+    )
+    if wm:
+        var = wm.group("var")
+        decls = " ".join(f"PREFIX {p}: <{u}>" for p, u in prefixes.items())
+        sol = sparql_select(
+            edges, f"{decls} SELECT ?{var} WHERE {{ {wm.group('body')} }}"
+        ).distinct()
+        base = edges.select("src", "pred", "dst")
+        on_src = base.join(
+            sol.withColumnRenamed(var, "src"), on="src", how="leftsemi"
+        )
+        on_dst = base.join(
+            sol.withColumnRenamed(var, "dst"), on="dst", how="leftsemi"
+        ).select("src", "pred", "dst")
+        return on_src.union(on_dst).distinct()
+
     m = re.match(r"^DESCRIBE\s+(?P<terms>.+?)\s*$",
                  q, re.IGNORECASE | re.DOTALL)
     if not m:
@@ -804,7 +835,7 @@ def sparql_describe(edges: DataFrame, query: str) -> DataFrame:
         raise SparqlError("DESCRIBE needs at least one resource")
     if any(t.startswith("?") for t in iris):
         raise SparqlError(
-            "DESCRIBE of variables needs a WHERE form — not in this subset"
+            "DESCRIBE of a variable needs 'DESCRIBE ?v WHERE { ... }'"
         )
     return edges.filter(
         F.col("src").isin(*iris) | F.col("dst").isin(*iris)
@@ -813,9 +844,39 @@ def sparql_describe(edges: DataFrame, query: str) -> DataFrame:
 
 def _agg_expr(fn: str, inner: str) -> str:
     fn = fn.lower()
+    inner = inner.strip()
+    if fn == "group_concat":
+        # GROUP_CONCAT(?v[; SEPARATOR="s"]) — SPARQL leaves element
+        # order implementation-defined; we sort (a deterministic result
+        # at any parallelism, same stance as ORDER BY tie-breaks).
+        # DISTINCT → collect_set before the sort.
+        sep = " "
+        sm = re.search(
+            r";\s*SEPARATOR\s*=\s*\"((?:[^\"\\]|\\.)*)\"\s*$",
+            inner, re.IGNORECASE,
+        )
+        if sm:
+            sep = sm.group(1)
+            inner = inner[: sm.start()].strip()
+        distinct = bool(re.match(r"(?i)DISTINCT\s", inner))
+        if distinct:
+            inner = inner[8:].strip()
+        vm = _VAR_RE.fullmatch(inner)
+        if not vm:
+            raise SparqlError(f"GROUP_CONCAT expects a variable, got {inner!r}")
+        collect = "collect_set" if distinct else "collect_list"
+        sep_sql = sep.replace("\\", "\\\\").replace("'", "\\'")
+        return f"array_join(sort_array({collect}({vm.group(1)})), '{sep_sql}')"
+    if fn == "sample":
+        # SAMPLE(?v) is any-value in SPARQL; min() makes it a pure
+        # function of the group (reproducible gates need that)
+        vm = _VAR_RE.fullmatch(inner)
+        if not vm:
+            raise SparqlError(f"SAMPLE expects a variable, got {inner!r}")
+        return f"min({vm.group(1)})"
     if fn not in ("count", "min", "max", "sum", "avg"):
         raise SparqlError(f"unsupported aggregate {fn!r}")
-    return f"{fn}({_VAR_RE.sub(lambda m: m.group(1), inner.strip())})"
+    return f"{fn}({_VAR_RE.sub(lambda m: m.group(1), inner)})"
 
 
 def _modifiers(out: DataFrame, proj: str, tail: str,

@@ -1984,6 +1984,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": q_kg_sparql_bind,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "render_jsonld": q_render_jsonld,
+        "kg_sparql_agg_filter": q_kg_sparql_agg_filter,
+        "kg_sparql_group_concat": q_kg_sparql_group_concat,
+        "kg_sparql_describe_where": q_kg_sparql_describe_where,
     }
 
 
@@ -4483,4 +4486,81 @@ SELECT '_:bc'||did||'_'||tix||'_n0',
   '{{"@id":"_:bc'||did||'_'||tix||'_n0","urn:p:label":[{{"@value":"turn '
   ||tix||'","@language":"en"}}]}}'
 FROM t
+"""
+
+
+def q_kg_sparql_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER composed with GROUP BY aggregates from query TEXT:
+    the filter scopes to the group pattern (pre-aggregation, pushed
+    into the scan by Catalyst), distinct from HAVING which scopes to
+    the aggregated result."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        SELECT ?p (COUNT(*) AS ?n) WHERE {
+            ?a ?p ?b . FILTER(strstarts(?b, "urn:e:1"))
+        } GROUP BY ?p
+    """)
+
+
+ORACLES["kg_sparql_agg_filter"] = _KG_EDGES_SQL + """
+SELECT pred AS p, CAST(COUNT(*) AS BIGINT) AS n
+FROM edges WHERE dst LIKE 'urn:e:1%' GROUP BY pred
+"""
+
+
+def q_kg_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT + SAMPLE from query TEXT. SPARQL leaves
+    GROUP_CONCAT element order and SAMPLE's pick implementation-
+    defined; this engine sorts elements and takes min() so both are
+    pure functions of the group — deterministic at any parallelism,
+    which a gated pipeline requires."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        SELECT ?b (GROUP_CONCAT(DISTINCT ?p; SEPARATOR="|") AS ?preds)
+                  (SAMPLE(?a) AS ?first_src) (COUNT(*) AS ?n)
+        WHERE { ?a ?p ?b . } GROUP BY ?b
+    """)
+
+
+ORACLES["kg_sparql_group_concat"] = _KG_EDGES_SQL + """
+SELECT dst AS b,
+       string_agg(DISTINCT pred, '|' ORDER BY pred) AS preds,
+       MIN(src) AS first_src,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM edges GROUP BY dst
+"""
+
+
+def q_kg_sparql_describe_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE ?v WHERE { ... } from query TEXT: the WHERE
+    compiles through the SELECT pipeline, then every edge touching a
+    solution is kept via two left-semi hash joins (src side, dst side)
+    against the distinct-reduced solution set — never a per-row
+    subquery; AQE broadcasts the solution when small."""
+    from .operators.sparql import sparql_describe
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_describe(edges, """
+        PREFIX p: <urn:p:>
+        DESCRIBE ?x WHERE {
+            ?x a <urn:t:Thing> . FILTER(strstarts(?x, "urn:e:19"))
+        }
+    """)
+
+
+ORACLES["kg_sparql_describe_where"] = _KG_EDGES_SQL + """,
+sol AS (
+  SELECT DISTINCT src AS x FROM edges
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND dst = 'urn:t:Thing' AND src LIKE 'urn:e:19%'
+)
+SELECT DISTINCT e.src, e.pred, e.dst FROM edges e
+WHERE e.src IN (SELECT x FROM sol) OR e.dst IN (SELECT x FROM sol)
 """

@@ -497,3 +497,48 @@ def test_sparql_subquery_inside_optional_raises(spark):
     """
     with pytest.raises(SparqlError):
         sparql_select(_edges(spark), q)
+
+
+def test_sparql_filter_with_aggregates(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?p (COUNT(*) AS ?n) WHERE {
+        ?x ?p ?y . FILTER(strstarts(?y, "Bee"))
+    } GROUP BY ?p
+    """
+    out = {(r["p"], r["n"]) for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {("urn:p:name", 2)}
+
+
+def test_sparql_group_concat_and_sample(spark):
+    q = """
+    PREFIX p: <urn:p:>
+    SELECT ?x (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names)
+              (SAMPLE(?n) AS ?one)
+    WHERE { ?x p:knows ?y . ?y p:name ?n . } GROUP BY ?x
+    """
+    out = {(r["x"], r["names"], r["one"])
+           for r in sparql_select(_edges(spark), q).collect()}
+    assert out == {("a1", "Bee One", "Bee One"), ("a2", "Bee Two", "Bee Two")}
+    # DISTINCT + default separator
+    q2 = """
+    PREFIX p: <urn:p:>
+    SELECT (GROUP_CONCAT(DISTINCT ?n) AS ?all) WHERE { ?y p:name ?n . }
+    """
+    rows = sparql_select(_edges(spark), q2).collect()
+    assert rows[0]["all"] == "Bee One Bee Two"
+
+
+def test_sparql_describe_where(spark):
+    from semargl_spark.operators.sparql import sparql_describe
+
+    out = sparql_describe(_edges(spark), """
+        PREFIX p: <urn:p:>
+        DESCRIBE ?y WHERE { ?x p:knows ?y . ?y a <urn:t:Thing> . }
+    """)
+    got = {(r["src"], r["pred"], r["dst"]) for r in out.collect()}
+    assert got == {
+        ("a1", "urn:p:knows", "b1"),
+        ("b1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:t:Thing"),
+        ("b1", "urn:p:name", "Bee One"),
+    }
