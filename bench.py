@@ -105,7 +105,7 @@ def main() -> None:
                  "pii_redact", "split_assign", "pack_sequences",
                  "contamination", "kg_bgp", "kg_pagerank", "kg_path",
                  "extract_turtle", "repetition_stats", "kmeans_assign",
-                 "events_asof", "events_interval", "corpus_mix", "quota_resample",
+                 "events_asof", "events_interval", "events_funnel", "corpus_mix", "quota_resample",
                  "quality_topk", "entity_link_fuzzy", "global_shuffle",
                  "dedup_incremental", "dedup_substring",
                  "boilerplate_windows", "corpus_quantiles", "kg_degree_stats",

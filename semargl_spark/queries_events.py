@@ -147,6 +147,7 @@ def registry():
         "events_props_json": q_events_props_json,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -195,4 +196,95 @@ SELECT e.event_id, iv.interval_id, e.user_id, e.event_type,
        epoch_us(e.ts) - epoch_us(iv.start_ts) AS offset_us
 FROM events e JOIN iv
   ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+"""
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    horizon: str | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: per user, step i+1 counts only if its
+    FIRST qualifying event is strictly after the user's step-i
+    completion time (and within ``horizon`` of it, when given — an
+    INTERVAL literal like ``'3 DAY'``). Returns one row per step:
+    (step_idx, step, users).
+
+    Plan, per step: one type-filtered scan equi-joined to the previous
+    step's (user, t) table, then a per-user min — k-1 hash joins + k
+    hash aggregations for a k-step funnel, all keyed on the user id
+    (uniform by construction; AQE broadcasts the completion table as it
+    shrinks down-funnel, the common case). Never a window over a
+    user's full history and never a self cross join — the per-user
+    event multiset stays in the aggregation, so a 10^6-event bot user
+    costs map-side partials, not memory."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    t, ty = F.col(ts_col), F.col(type_col)
+    cur = (
+        events.filter(ty == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    tiers = [cur]
+    for s in steps[1:]:
+        nxt = (
+            events.filter(ty == s)
+            .join(cur.withColumnRenamed("t", "prev_t"), on=user_col)
+            .filter(
+                (t > F.col("prev_t"))
+                & (
+                    t <= F.col("prev_t") + F.expr(f"INTERVAL {horizon}")
+                    if horizon is not None
+                    else F.lit(True)
+                )
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+        )
+        tiers.append(nxt)
+        cur = nxt
+    out = None
+    for i, (s, tier) in enumerate(zip(steps, tiers)):
+        row = tier.agg(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.count("*").cast("long").alias("users"),
+        )
+        out = row if out is None else out.union(row)
+    return out
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with a 3-day per-step horizon:
+    the canonical product-analytics operator (first-occurrence
+    chaining, strictly ordered, horizon-bounded)."""
+    return funnel(
+        _events(spark, sf_dir), ["view", "click", "purchase"],
+        horizon="3 DAY",
+    )
+
+
+ORACLES["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+         AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 3 DAY
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+         AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 3 DAY
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1 AS step_idx, 'view' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 """

@@ -92,3 +92,43 @@ def test_interval_join_guards_unbounded_intervals(spark):
             points, iv, on="ts", by="user_id", bucket_seconds=10, max_buckets=2
         ).collect()
     assert "interval_join" in str(ei.value)
+
+
+def test_funnel_ordering_horizon_and_strictness(spark):
+    from datetime import datetime
+
+    from semargl_spark.queries_events import funnel
+
+    def at(h):
+        return datetime.fromtimestamp(
+            datetime(2024, 1, 1).timestamp() + h * 3600
+        )
+
+    rows = [
+        # u1 converts fully in order
+        (1, at(0), "view"), (1, at(1), "click"), (1, at(2), "purchase"),
+        # u2: click BEFORE first view — not after step 1, no step-2
+        (2, at(5), "view"), (2, at(4), "click"),
+        # u3: click exactly AT view time — strict >, excluded
+        (3, at(0), "view"), (3, at(0), "click"),
+        # u4: click beyond the 3h horizon
+        (4, at(0), "view"), (4, at(4), "click"),
+        # u5: purchase without view — never enters the funnel
+        (5, at(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, ty) for u, ts, ty in rows],
+        "user_id int, ts timestamp, event_type string",
+    )
+    out = {(r["step_idx"], r["step"]): r["users"]
+           for r in funnel(df, ["view", "click", "purchase"],
+                           horizon="3 HOUR").collect()}
+    assert out == {(1, "view"): 4, (2, "click"): 1, (3, "purchase"): 1}
+    # unbounded horizon picks u4's late click back up
+    out2 = {r["step"]: r["users"]
+            for r in funnel(df, ["view", "click"]).collect()}
+    assert out2 == {"view": 4, "click": 2}
+
+    import pytest
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(df, ["view"])
