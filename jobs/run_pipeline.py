@@ -47,11 +47,12 @@ def main(argv=None) -> int:
                          "materialized into the edge tables "
                          "(operators/vocab.rdfs_infer)")
     ap.add_argument("--sparql", default=None,
-                    help="SPARQL SELECT/ASK (operators/sparql.py subset) to "
-                         "run against the materialized edge table after the "
-                         "merge stage; SELECT results land in <output>/query "
-                         "and the row count (or ASK boolean) is reported in "
-                         "the summary JSON")
+                    help="SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE "
+                         "(operators/sparql.py subset) to run against the "
+                         "materialized edge table after the merge stage; "
+                         "non-ASK results land in <output>/query and the row "
+                         "count (or ASK boolean) is reported in the summary "
+                         "JSON")
     args = ap.parse_args(argv)
     if args.resume and not args.run_id:
         # without the original run-id the lineage filter matches nothing
@@ -221,14 +222,22 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         # src-partitioned layout prunes constant-subject patterns)
         import re as _re
 
-        from semargl_spark.operators.sparql import sparql_ask, sparql_select
+        from semargl_spark.operators.sparql import (
+            sparql_ask, sparql_construct, sparql_describe, sparql_select,
+        )
 
         edges_df = spark.read.parquet(f"{output}/edges")
         head = _re.sub(r"(?i)PREFIX\s+\w*:\s*<[^>]*>", "", sparql).strip()
-        if head.upper().startswith("ASK"):
+        verb = head.split(None, 1)[0].upper() if head else ""
+        if verb == "ASK":
             summary["ask"] = sparql_ask(edges_df, sparql)
         else:
-            res = sparql_select(edges_df, sparql)
+            if verb == "CONSTRUCT":
+                res = sparql_construct(edges_df, sparql)
+            elif verb == "DESCRIBE":
+                res = sparql_describe(edges_df, sparql)
+            else:
+                res = sparql_select(edges_df, sparql)
             res.write.mode("overwrite").parquet(f"{output}/query")
             summary["query_rows"] = spark.read.parquet(f"{output}/query").count()
     if resumed:
