@@ -761,3 +761,70 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic 'random' walks for graph-embedding training corpora
+    (DeepWalk/node2vec-style skip-gram input): ``walks_per_node`` walks
+    from every node with out-edges, each up to ``walk_len`` hops, the
+    next hop chosen by hash — at step s the neighbor minimizing
+    ``md5(start#walk#s#candidate)``. Pseudo-random but a pure function
+    of the graph, so the result is identical at any parallelism and
+    replayable for checkpoint-resume (the same stance as the salted
+    md5 coins in curation splits).
+
+    Returns flat rows ``(start, walk, step, node)`` — step 0 is the
+    start node; a walk that reaches a sink simply ends (no padding).
+
+    Plan, per hop: one frontier⋈edges hash equi-join on the current
+    node + one (start, walk) min-aggregation — walk_len joins total,
+    frontier cardinality is nodes×walks regardless of edge count, and
+    the per-group argmin rides map-side partials (the hash string
+    prefixes the candidate, so ``min`` resolves both the choice and
+    its tie-break in one pass). A celebrity hub fans into the GROUPed
+    aggregation, never into a row explosion that survives the stage."""
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("walk_len and walks_per_node must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    starts = e.select(F.col("_s").alias("start")).distinct()
+    walks = starts.crossJoin(
+        edges.sparkSession.range(walks_per_node).select(
+            F.col("id").cast("int").alias("walk")
+        )
+    )
+    frontier = walks.select("start", "walk", F.col("start").alias("node"))
+    out = frontier.select(
+        "start", "walk", F.lit(0).alias("step"), "node"
+    )
+    for s in range(1, walk_len + 1):
+        tagged = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(
+                "start", "walk",
+                F.concat(
+                    F.substring(
+                        F.md5(F.concat_ws(
+                            "#", "start", "walk", F.lit(s), "_d"
+                        )),
+                        1, 15,
+                    ),
+                    F.lit("#"), F.col("_d"),
+                ).alias("h"),
+            )
+        )
+        frontier = (
+            tagged.groupBy("start", "walk")
+            .agg(F.substring(F.min("h"), 17, 1 << 20).alias("node"))
+        )
+        out = out.union(
+            frontier.select("start", "walk", F.lit(s).alias("step"), "node")
+        )
+    return out

@@ -1987,6 +1987,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg_filter": q_kg_sparql_agg_filter,
         "kg_sparql_group_concat": q_kg_sparql_group_concat,
         "kg_sparql_describe_where": q_kg_sparql_describe_where,
+        "kg_random_walks": q_kg_random_walks,
     }
 
 
@@ -4563,4 +4564,45 @@ sol AS (
 )
 SELECT DISTINCT e.src, e.pred, e.dst FROM edges e
 WHERE e.src IN (SELECT x FROM sol) OR e.dst IN (SELECT x FROM sol)
+"""
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the KG (DeepWalk/node2vec
+    skip-gram input): hash-chosen next hops make the walks a pure
+    function of the graph — identical at any parallelism, replayable
+    for resume. walk_len joins + min-aggregations, frontier cardinality
+    nodes×walks regardless of edge count."""
+    from .operators.graph import random_walks
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return random_walks(edges, walk_len=3, walks_per_node=2)
+
+
+ORACLES["kg_random_walks"] = _KG_EDGES_SQL + """,
+e AS (SELECT DISTINCT src, dst FROM edges),
+w AS (SELECT n.src AS start, t.w AS walk
+      FROM (SELECT DISTINCT src FROM e) n
+      CROSS JOIN (SELECT unnest([0, 1]) AS w) t),
+s0 AS (SELECT start, walk, start AS node FROM w),
+s1 AS (SELECT s0.start, s0.walk,
+         substr(min(substr(md5(s0.start||'#'||s0.walk||'#1#'||e.dst),1,15)
+                    ||'#'||e.dst), 17) AS node
+       FROM s0 JOIN e ON e.src = s0.node GROUP BY s0.start, s0.walk),
+s2 AS (SELECT s1.start, s1.walk,
+         substr(min(substr(md5(s1.start||'#'||s1.walk||'#2#'||e.dst),1,15)
+                    ||'#'||e.dst), 17) AS node
+       FROM s1 JOIN e ON e.src = s1.node GROUP BY s1.start, s1.walk),
+s3 AS (SELECT s2.start, s2.walk,
+         substr(min(substr(md5(s2.start||'#'||s2.walk||'#3#'||e.dst),1,15)
+                    ||'#'||e.dst), 17) AS node
+       FROM s2 JOIN e ON e.src = s2.node GROUP BY s2.start, s2.walk)
+SELECT start, CAST(walk AS INT) AS walk, 0 AS step, node FROM s0
+UNION ALL
+SELECT start, CAST(walk AS INT), 1, node FROM s1
+UNION ALL
+SELECT start, CAST(walk AS INT), 2, node FROM s2
+UNION ALL
+SELECT start, CAST(walk AS INT), 3, node FROM s3
 """

@@ -151,3 +151,46 @@ def test_bounded_paths_alt_matches_bfs(spark):
                bounded_paths_alt(_df(spark, edges), ["p"], max_hops=3,
                                  inverse_preds=["p"]).collect()}
         assert got == exp
+
+
+def test_random_walks_match_python_mirror_and_terminate(spark):
+    import hashlib
+
+    from semargl_spark.operators.graph import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "sink"), ("hub", "x1"), ("hub", "x2"), ("hub", "x3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def mirror(walk_len=3, walks_per_node=2):
+        adj: dict[str, set[str]] = {}
+        for s, d in set(edges):
+            adj.setdefault(s, set()).add(d)
+        rows = set()
+        for start in adj:
+            for w in range(walks_per_node):
+                node = start
+                rows.add((start, w, 0, node))
+                for step in range(1, walk_len + 1):
+                    nbrs = adj.get(node)
+                    if not nbrs:
+                        break
+                    node = min(
+                        nbrs,
+                        key=lambda d: hashlib.md5(
+                            f"{start}#{w}#{step}#{d}".encode()
+                        ).hexdigest()[:15] + "#" + d,
+                    )
+                    rows.add((start, w, step, node))
+        return rows
+
+    got = {(r["start"], r["walk"], r["step"], r["node"])
+           for r in random_walks(df, walk_len=3, walks_per_node=2).collect()}
+    assert got == mirror()
+    # sink walk ends at step 1; nothing emitted past the dead end
+    assert ("d", 0, 1, "sink") in got
+    assert not any(r for r in got if r[0] == "d" and r[2] > 1)
+    # repartitioned input → identical walks (pure function of the graph)
+    got2 = {(r["start"], r["walk"], r["step"], r["node"])
+            for r in random_walks(df.repartition(7), 3, 2).collect()}
+    assert got2 == got
