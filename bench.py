@@ -116,7 +116,7 @@ def main() -> None:
                  "embedding_project", "turn_latency",
                  "kg_rdfs_infer", "canonicalize_incremental",
                  "kg_modularity", "kg_neighbor_agg",
-                 "kg_ppr", "kg_snapshot_diff", "kg_adjacency", "kg_random_walks",
+                 "kg_ppr", "kg_snapshot_diff", "kg_adjacency", "kg_random_walks", "kg_skipgram_pairs",
                  "transcripts_profile", "events_stream_sessions",
                  "pipeline_training", "text_search", "inverted_index",
                  "skew_salted_join", "bm25_search",

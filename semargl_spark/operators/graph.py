@@ -828,3 +828,37 @@ def random_walks(
             frontier.select("start", "walk", F.lit(s).alias("step"), "node")
         )
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """(center, context) training pairs from a random-walk corpus
+    (word2vec skip-gram over node sequences): for every walk, every
+    ordered pair of positions at distance 1..window, with multiplicity
+    → ``(center, context, weight)``.
+
+    Plan: ONE self equi-join keyed on the walk id (start, walk) with
+    the |Δstep| ≤ window band as a post-join filter inside the join —
+    each walk is walk_len+1 rows, so the per-key blow-up is bounded by
+    (len+1)·2w regardless of graph size — then one (center, context)
+    hash aggregation with map-side partials. Never a window function
+    over the corpus and never a position explode."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(
+        "start", "walk",
+        F.col("step").alias("step_a"), F.col("node").alias("center"),
+    )
+    b = walks.select(
+        "start", "walk",
+        F.col("step").alias("step_b"), F.col("node").alias("context"),
+    )
+    d = F.col("step_b") - F.col("step_a")
+    return (
+        a.join(b, on=["start", "walk"])
+        .filter((d != 0) & (F.abs(d) <= window))
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )

@@ -1988,6 +1988,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_group_concat": q_kg_sparql_group_concat,
         "kg_sparql_describe_where": q_kg_sparql_describe_where,
         "kg_random_walks": q_kg_random_walks,
+        "kg_skipgram_pairs": q_kg_skipgram_pairs,
     }
 
 
@@ -4580,7 +4581,7 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, walk_len=3, walks_per_node=2)
 
 
-ORACLES["kg_random_walks"] = _KG_EDGES_SQL + """,
+_WALKS_WITH = _KG_EDGES_SQL + """,
 e AS (SELECT DISTINCT src, dst FROM edges),
 w AS (SELECT n.src AS start, t.w AS walk
       FROM (SELECT DISTINCT src FROM e) n
@@ -4597,12 +4598,40 @@ s2 AS (SELECT s1.start, s1.walk,
 s3 AS (SELECT s2.start, s2.walk,
          substr(min(substr(md5(s2.start||'#'||s2.walk||'#3#'||e.dst),1,15)
                     ||'#'||e.dst), 17) AS node
-       FROM s2 JOIN e ON e.src = s2.node GROUP BY s2.start, s2.walk)
-SELECT start, CAST(walk AS INT) AS walk, 0 AS step, node FROM s0
-UNION ALL
-SELECT start, CAST(walk AS INT), 1, node FROM s1
-UNION ALL
-SELECT start, CAST(walk AS INT), 2, node FROM s2
-UNION ALL
-SELECT start, CAST(walk AS INT), 3, node FROM s3
+       FROM s2 JOIN e ON e.src = s2.node GROUP BY s2.start, s2.walk),
+walks AS (
+  SELECT start, CAST(walk AS INT) AS walk, 0 AS step, node FROM s0
+  UNION ALL
+  SELECT start, CAST(walk AS INT), 1, node FROM s1
+  UNION ALL
+  SELECT start, CAST(walk AS INT), 2, node FROM s2
+  UNION ALL
+  SELECT start, CAST(walk AS INT), 3, node FROM s3
+)"""
+
+ORACLES["kg_random_walks"] = _WALKS_WITH + """
+SELECT start, walk, step, node FROM walks
+"""
+
+
+def q_kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, weight) pairs from the deterministic
+    walk corpus — the word2vec-style training input for node
+    embeddings. One walk-keyed self join (bounded per-key blow-up) +
+    one pair aggregation."""
+    from .operators.graph import random_walks, skipgram_pairs
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return skipgram_pairs(random_walks(edges, walk_len=3, walks_per_node=2),
+                          window=2)
+
+
+ORACLES["kg_skipgram_pairs"] = _WALKS_WITH + """
+SELECT a.node AS center, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM walks a JOIN walks b
+  ON a.start = b.start AND a.walk = b.walk
+ AND a.step <> b.step AND abs(b.step - a.step) <= 2
+GROUP BY a.node, b.node
 """
