@@ -109,7 +109,7 @@ def main() -> None:
                  "quality_topk", "entity_link_fuzzy", "global_shuffle",
                  "dedup_incremental", "dedup_substring",
                  "boilerplate_windows", "corpus_quantiles", "kg_degree_stats",
-                 "semdedup", "top_terms", "top_ngrams",
+                 "semdedup", "top_terms", "top_ngrams", "cooccurrence",
                  "kg_triangles", "kg_node_sim", "kg_bgp_optional",
                  "c4_filter", "lm_score", "turn_transitions",
                  "kg_label_prop", "kg_neg_samples", "kg_validate",

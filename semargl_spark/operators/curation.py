@@ -624,3 +624,45 @@ def context_windows(
         F.least(F.col("_n") - start, F.lit(width)).cast("int").alias("n_tokens"),
         F.array_join(window, " ").alias("chunk"),
     )
+
+
+def cooccurrence(
+    docs: DataFrame,
+    window: int = 2,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """GloVe-style co-occurrence counts → (w1, w2, n): for every token,
+    every token 1..window positions AFTER it in the same document
+    (directed; symmetrize downstream if wanted). Whitespace tokens,
+    same normalization as :func:`context_windows` / text.token_count.
+
+    Plan: the naive shape — a per-document self join with a position
+    band — is QUADRATIC on long documents (a 10^6-token dump is 10^12
+    candidate pairs under AQE's nose). Instead the left side replicates
+    each token exactly ``window`` times with a derived target position,
+    making an exact equi-join on (doc, pos): volume is window·|tokens|,
+    linear at any document length. One pair aggregation with map-side
+    partials finishes it; the (w1, w2) key space is vocabulary-sized,
+    so 10^12 input positions collapse to a handful per task."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    staged = docs.filter(F.length(F.trim(t)) > 0).select(
+        F.col(id_col).alias("_doc"), toks.alias("_toks")
+    )
+    pe = F.posexplode(F.col("_toks"))
+    tok = staged.select("_doc", pe.alias("pos", "word"))
+    offsets = F.array(*[F.lit(i) for i in range(1, window + 1)])
+    left = tok.select(
+        "_doc", F.col("pos").alias("_p"), F.col("word").alias("w1"),
+        F.explode(offsets).alias("_k"),
+    ).select(
+        "_doc", (F.col("_p") + F.col("_k")).alias("pos"), "w1"
+    )
+    return (
+        left.join(tok, on=["_doc", "pos"])
+        .groupBy(F.col("w1"), F.col("word").alias("w2"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -1989,6 +1989,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_describe_where": q_kg_sparql_describe_where,
         "kg_random_walks": q_kg_random_walks,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
+        "cooccurrence": q_cooccurrence,
     }
 
 
@@ -4634,4 +4635,29 @@ FROM walks a JOIN walks b
   ON a.start = b.start AND a.walk = b.walk
  AND a.step <> b.step AND abs(b.step - a.step) <= 2
 GROUP BY a.node, b.node
+"""
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence matrix (GloVe prep) over documents: exact
+    equi-join on (doc, pos+k) instead of a per-document position-band
+    self join — linear in tokens at any document length where the
+    band join is quadratic on long docs."""
+    return curation.cooccurrence(_docs(spark, sf_dir), window=2).select(
+        "w1", "w2", "n"
+    )
+
+
+ORACLES["cooccurrence"] = r"""
+WITH t AS (SELECT doc_id AS doc,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                               ' ') AS w
+           FROM documents WHERE length(trim(text)) > 0),
+tok AS (SELECT doc, unnest(w) AS word,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM t)
+SELECT a.word AS w1, b.word AS w2, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok a JOIN tok b
+  ON b.doc = a.doc AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+GROUP BY a.word, b.word
 """
