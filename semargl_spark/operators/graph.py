@@ -795,10 +795,14 @@ def random_walks(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).distinct()
     starts = e.select(F.col("_s").alias("start")).distinct()
-    walks = starts.crossJoin(
-        edges.sparkSession.range(walks_per_node).select(
-            F.col("id").cast("int").alias("walk")
-        )
+    # Fan out walk ids with a narrow explode (no join): a crossJoin
+    # against range(walks_per_node) would compile to a
+    # BroadcastNestedLoopJoin for nothing.
+    walks = starts.select(
+        "start",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("walk"),
     )
     frontier = walks.select("start", "walk", F.col("start").alias("node"))
     out = frontier.select(

@@ -194,3 +194,33 @@ def test_random_walks_match_python_mirror_and_terminate(spark):
     got2 = {(r["start"], r["walk"], r["step"], r["node"])
             for r in random_walks(df.repartition(7), 3, 2).collect()}
     assert got2 == got
+
+
+def test_new_pair_operators_plan_shapes(spark):
+    """Scale-discipline audit: walks, skip-gram pairs, co-occurrence,
+    and funnel compile to hash/sort-merge equi-joins — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere (the quadratic
+    shapes their docstrings promise to avoid)."""
+    from datetime import datetime
+
+    from semargl_spark.operators.curation import cooccurrence
+    from semargl_spark.operators.graph import random_walks, skipgram_pairs
+    from semargl_spark.queries_events import funnel
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    walks = random_walks(edges, walk_len=2, walks_per_node=1)
+    pairs = skipgram_pairs(walks, window=2)
+    docs = spark.createDataFrame(
+        [(1, "x y z x"), (2, "y z")], "doc_id int, text string"
+    )
+    cooc = cooccurrence(docs, window=2)
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "view"), (1, datetime(2024, 1, 2), "click")],
+        "user_id int, ts timestamp, event_type string",
+    )
+    fun = funnel(ev, ["view", "click"], horizon="3 DAY")
+    for df in (walks, pairs, cooc, fun):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
