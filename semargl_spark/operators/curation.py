@@ -666,3 +666,57 @@ def cooccurrence(
         .groupBy(F.col("w1"), F.col("word").alias("w2"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def ppmi(
+    cooc: DataFrame,
+    scale: int = 10**6,
+    min_count: int = 1,
+) -> DataFrame:
+    """PPMI association weights over a co-occurrence matrix (the
+    GloVe/word2vec-SGNS preprocessing step after :func:`cooccurrence`):
+    (w1, w2, n, lift) where
+
+        lift = floor(scale · n · total / (n1 · n2))
+
+    n1/n2 are the directed marginals Σn per w1 / per w2 and total = Σn.
+    PMI(w1,w2) = ln(lift/scale); the pair is PPMI-positive iff
+    lift > scale. The log is left to the (driver-side or training-side)
+    consumer so the distributed output stays fraction-free integers —
+    bit-identical across engines, same discipline as text.bm25_search.
+
+    Overflow budget (same shape as bm25_search): scale·n·total < 2^63.
+    At larger corpora drop ``scale`` — ranking by lift is
+    scale-invariant down to ~10^3.
+
+    Plan: the input is localCheckpointed once so the corpus-sized
+    upstream join isn't recomputed for each marginal; then two
+    vocabulary-sized hash aggregations, one single-row driver scalar
+    (total), and two equi-joins back on w1 / w2. No window over the
+    corpus, no cross join; a celebrity token skews its marginal-join
+    key, which AQE skew-join splits (the pair side is pre-aggregated,
+    so the hot key's row count is bounded by vocabulary, not corpus)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    c = cooc.localCheckpoint(eager=False)
+    m1 = c.groupBy("w1").agg(F.sum("n").cast("long").alias("_n1"))
+    m2 = c.groupBy("w2").agg(F.sum("n").cast("long").alias("_n2"))
+    total = int(c.agg(F.sum("n")).first()[0] or 0)
+    if total == 0:
+        return c.select(
+            "w1", "w2", "n", F.lit(None).cast("long").alias("lift")
+        ).limit(0)
+    return (
+        c.filter(F.col("n") >= min_count)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.expr(
+                f"(CAST({scale} AS BIGINT) * n * CAST({total} AS BIGINT))"
+                f" DIV (_n1 * _n2)"
+            ).alias("lift"),
+        )
+    )

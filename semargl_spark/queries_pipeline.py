@@ -1990,6 +1990,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "cooccurrence": q_cooccurrence,
+        "ppmi": q_ppmi,
     }
 
 
@@ -4660,4 +4661,38 @@ SELECT a.word AS w1, b.word AS w2, CAST(COUNT(*) AS BIGINT) AS n
 FROM tok a JOIN tok b
   ON b.doc = a.doc AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
 GROUP BY a.word, b.word
+"""
+
+
+def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPMI association weights over the window-2 co-occurrence matrix:
+    fraction-free integer lift (PMI = ln(lift/1e6)) so the scores hash
+    identically in any engine; marginals via two vocabulary-sized
+    aggregations over a localCheckpointed matrix, never a corpus
+    recompute per marginal."""
+    return curation.ppmi(
+        curation.cooccurrence(_docs(spark, sf_dir), window=2), min_count=2
+    ).select("w1", "w2", "n", "lift")
+
+
+ORACLES["ppmi"] = r"""
+WITH t AS (SELECT doc_id AS doc,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                               ' ') AS w
+           FROM documents WHERE length(trim(text)) > 0),
+tok AS (SELECT doc, unnest(w) AS word,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM t),
+cooc AS (SELECT a.word AS w1, b.word AS w2, CAST(COUNT(*) AS BIGINT) AS n
+         FROM tok a JOIN tok b
+           ON b.doc = a.doc AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+         GROUP BY a.word, b.word),
+m1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM cooc GROUP BY w1),
+m2 AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS n2 FROM cooc GROUP BY w2),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cooc)
+SELECT c.w1, c.w2, c.n,
+       CAST((1000000 * c.n * (SELECT total FROM g)) // (m1.n1 * m2.n2)
+            AS BIGINT) AS lift
+FROM cooc c JOIN m1 USING (w1) JOIN m2 USING (w2)
+WHERE c.n >= 2
 """

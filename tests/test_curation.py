@@ -463,3 +463,34 @@ def test_context_windows_exact_multiple_and_validation(spark):
         context_windows(df, width=0)
     with _pytest.raises(ValueError):
         context_windows(df, stride=0)
+
+
+def test_ppmi_hand_computed_and_min_count(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.curation import cooccurrence, ppmi
+
+    # "a b a b", window=1 → directed pairs (a,b)×2, (b,a)×1; total=3
+    # lift(a,b) = 1e6·2·3 // (2·2) = 1_500_000  (PMI = ln 1.5 > 0)
+    # lift(b,a) = 1e6·1·3 // (1·1) = 3_000_000
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id int, text string")
+    cooc = cooccurrence(df, window=1)
+    got = {(r["w1"], r["w2"]): r["lift"] for r in ppmi(cooc).collect()}
+    assert got == {("a", "b"): 1_500_000, ("b", "a"): 3_000_000}
+    # min_count prunes the singleton pair but keeps its mass in the
+    # marginals (lift of the survivor is unchanged)
+    kept = {(r["w1"], r["w2"]): r["lift"] for r in ppmi(cooc, min_count=2).collect()}
+    assert kept == {("a", "b"): 1_500_000}
+    with _pytest.raises(ValueError):
+        ppmi(cooc, min_count=0)
+
+
+def test_ppmi_empty_corpus_and_plan_shape(spark):
+    from semargl_spark.operators.curation import cooccurrence, ppmi
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    out = ppmi(cooccurrence(empty))
+    assert out.collect() == [] and out.columns == ["w1", "w2", "n", "lift"]
+    df = spark.createDataFrame([(1, "x y z x y")], "doc_id int, text string")
+    plan = ppmi(cooccurrence(df))._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
