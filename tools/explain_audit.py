@@ -351,6 +351,57 @@ def main():
                    and "TakeOrderedAndProject" in p
                    and "Cartesian" not in p and "NestedLoop" not in p))
 
+    # 25. random-walk corpus: per hop one frontier⋈edges hash equi-join
+    # + one min-aggregation; walk-id fan-out is a narrow explode (a
+    # crossJoin against range(walks) would plan a BroadcastNestedLoop)
+    from semargl_spark.operators.graph import random_walks, skipgram_pairs
+
+    walks_df = random_walks(edges_disk, walk_len=2, walks_per_node=2)
+    p = plan_of(walks_df)
+    sections.append(("kg_random_walks", p))
+    checks.append(("random walks: hash equi-joins only, explode fan-out",
+                   "Cartesian" not in p and "NestedLoop" not in p
+                   and n_nodes(p, "Generate") >= 1))
+
+    # 26. skip-gram pairs: ONE self equi-join keyed on the walk id with
+    # the |Δstep|≤window band as a post-join filter — never a banded
+    # nested-loop over the corpus
+    p = plan_of(skipgram_pairs(walks_df, window=2))
+    sections.append(("kg_skipgram_pairs", p))
+    checks.append(("skip-gram pairs: walk-id equi-join, no cross product",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+
+    # 27. co-occurrence: position fan-out makes an exact equi-join on
+    # (doc, pos) — linear in tokens where a position-band self join is
+    # quadratic on long documents; all JVM-side
+    from semargl_spark.operators.curation import cooccurrence, ppmi
+
+    cooc_df = cooccurrence(bench_docs, window=2)
+    p = plan_of(cooc_df)
+    sections.append(("cooccurrence", p))
+    checks.append(("cooccurrence: exact (doc,pos) equi-join, JVM-side",
+                   "Cartesian" not in p and "NestedLoop" not in p
+                   and "Python" not in p))
+
+    # 28. PPMI: two vocabulary-sized marginal aggregations re-joined by
+    # equi-join; the global total is a one-row driver scalar, never a
+    # 1-row broadcast-nested-loop cross join
+    p = plan_of(ppmi(cooc_df))
+    sections.append(("ppmi", p))
+    checks.append(("ppmi: marginal equi-joins, scalar total as literal",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+
+    # 29. funnel: per-stage as-of chaining via hash joins — no
+    # row_number-over-everything single-partition window, no cartesian
+    from semargl_spark.queries_events import funnel
+
+    p = plan_of(funnel(
+        events.select("user_id", "ts", "event_type"),
+        ["page_view", "click", "purchase"], horizon="7 DAY"))
+    sections.append(("events_funnel", p))
+    checks.append(("funnel: stage chaining via hash joins, no cartesian",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
