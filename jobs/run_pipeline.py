@@ -224,6 +224,7 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
 
         from semargl_spark.operators.sparql import (
             sparql_ask, sparql_construct, sparql_describe, sparql_select,
+            sparql_update,
         )
 
         edges_df = spark.read.parquet(f"{output}/edges")
@@ -236,6 +237,12 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
                 res = sparql_construct(edges_df, sparql)
             elif verb == "DESCRIBE":
                 res = sparql_describe(edges_df, sparql)
+            elif verb in ("INSERT", "DELETE"):
+                # SPARQL Update: the updated edge SET lands in
+                # <output>/query (never overwrite the edges table
+                # while reading it); a table-level commit is a
+                # rerun's materialize over this result
+                res = sparql_update(edges_df, sparql)
             else:
                 res = sparql_select(edges_df, sparql)
             res.write.mode("overwrite").parquet(f"{output}/query")

@@ -35,7 +35,9 @@ Also: ``{ ... } UNION { ... }`` as the entire WHERE body,
 query-text literal), ``ASK WHERE { ... }`` via :func:`sparql_ask`, and
 ``CONSTRUCT { template } WHERE { ... }`` via :func:`sparql_construct`,
 and ``DESCRIBE <iri> ...`` / ``DESCRIBE ?v WHERE { ... }`` via
-:func:`sparql_describe`.
+:func:`sparql_describe`, and SPARQL 1.1 Update (``INSERT DATA`` /
+``DELETE DATA`` / ``DELETE WHERE`` / ``DELETE {} INSERT {} WHERE {}``,
+``;``-chained) via :func:`sparql_update`.
 
 Parsing happens ON THE DRIVER over a short string — the compiled plan
 is exactly the Catalyst join tree the list-based API produces, so all
@@ -942,3 +944,143 @@ def sparql_ask(edges: DataFrame, query: str, max_hops: int = 8) -> bool:
     decls = " ".join(f"PREFIX {p}: <{u}>" for p, u in prefixes)
     sel = f"{decls} SELECT * WHERE {{ {m.group('body')} }}"
     return bool(sparql_select(edges, sel, max_hops).limit(1).count())
+
+
+_INSERT_DATA_RE = re.compile(
+    r"^INSERT\s+DATA\s*\{(?P<t>[^{}]*)\}$", re.IGNORECASE | re.DOTALL
+)
+_DELETE_DATA_RE = re.compile(
+    r"^DELETE\s+DATA\s*\{(?P<t>[^{}]*)\}$", re.IGNORECASE | re.DOTALL
+)
+_DELETE_WHERE_RE = re.compile(
+    r"^DELETE\s+WHERE\s*\{(?P<t>[^{}]*)\}$", re.IGNORECASE | re.DOTALL
+)
+_MODIFY_RE = re.compile(
+    r"^(?:DELETE\s*\{(?P<d>[^{}]*)\}\s*)?(?:INSERT\s*\{(?P<i>[^{}]*)\}\s*)?"
+    r"WHERE\s*\{(?P<w>[^{}]*)\}$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_ops(q: str) -> list[str]:
+    """Top-level ``;``-separated update operations (SPARQL 1.1 Update
+    request = op ; op ; ...); semicolons inside braces don't split."""
+    ops, depth, start = [], 0, 0
+    for i, ch in enumerate(q):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            ops.append(q[start:i])
+            start = i + 1
+    ops.append(q[start:])
+    return [o.strip() for o in ops if o.strip()]
+
+
+def _const_triples(body: str, prefixes: dict[str, str]):
+    pats = _patterns(body, prefixes)
+    if not pats:
+        raise SparqlError("empty DATA block")
+    for pat in pats:
+        if any(t.startswith("?") for t in pat):
+            raise SparqlError(f"variable in DATA block: {pat}")
+    return pats
+
+
+def sparql_update(
+    edges: DataFrame,
+    query: str,
+    s_col: str = "src",
+    p_col: str = "pred",
+    o_col: str = "dst",
+) -> DataFrame:
+    """SPARQL 1.1 Update over the KG edge set → the UPDATED edge
+    DataFrame (src, pred, dst), set semantics (the materialized KG is
+    a distinct triple set). Supported operations, ``;``-chained and
+    applied sequentially, each against the previous operation's state:
+
+        INSERT DATA { triples }                (constant triples)
+        DELETE DATA { triples }
+        DELETE WHERE { patterns }              (pattern = template)
+        [DELETE { tmpl }] [INSERT { tmpl }] WHERE { patterns [FILTER] }
+
+    Per the SPARQL Update spec both Modify templates instantiate
+    against the PRE-operation state (delete-then-insert of the same
+    solution set), which is exactly what building both
+    :func:`bgp.construct` trees off the same input DataFrame gives.
+
+    Plan shape: deletions are left-anti hash equi-joins on the full
+    (src, pred, dst) key (DATA deletes broadcast their literal side);
+    insertions are a shuffle-free union closed by one distinct — the
+    only added shuffle, carrying exactly the output set. Never a
+    cartesian; WHERE clauses compile to the same selectivity-ordered
+    BGP join trees as SELECT. This is the engine-level analogue of an
+    Iceberg MERGE (delete + insert in one atomic publish) — pipe the
+    result through operators/materialize for the table-level commit.
+
+    Reference parity: the reference is a parser framework without a
+    query language; target-side surface over the constructed KG.
+    """
+    from pyspark.sql import functions as F
+
+    from .bgp import construct
+
+    cols = ["src", "pred", "dst"]
+    prefixes = dict(_PREFIX_RE.findall(query))
+    q = _PREFIX_RE.sub("", query).strip()
+    state = edges.select(
+        F.col(s_col).alias("src"),
+        F.col(p_col).alias("pred"),
+        F.col(o_col).alias("dst"),
+    )
+    spark = edges.sparkSession
+
+    def lit_df(body: str) -> DataFrame:
+        return spark.createDataFrame(
+            _const_triples(body, prefixes),
+            "src string, pred string, dst string",
+        )
+
+    for op in _split_ops(q):
+        m = _INSERT_DATA_RE.match(op)
+        if m:
+            state = state.unionByName(lit_df(m.group("t"))).distinct()
+            continue
+        m = _DELETE_DATA_RE.match(op)
+        if m:
+            state = state.join(
+                F.broadcast(lit_df(m.group("t"))), cols, "left_anti"
+            )
+            continue
+        m = _DELETE_WHERE_RE.match(op)
+        if m:
+            pats = _patterns(m.group("t"), prefixes)
+            if not pats:
+                raise SparqlError("empty DELETE WHERE block")
+            state = state.join(construct(state, pats, pats), cols, "left_anti")
+            continue
+        m = _MODIFY_RE.match(op)
+        if m and (m.group("d") or m.group("i")):
+            body, filters = _split_filter(m.group("w"))
+            if "{" in body or "}" in body:
+                raise SparqlError("groups inside UPDATE WHERE not supported")
+            pats = _patterns(body, prefixes)
+            if not pats:
+                raise SparqlError("empty UPDATE WHERE block")
+            fs = [_filter_to_sql(f) for f in filters] or None
+            out = state
+            if m.group("d"):
+                dels = construct(
+                    state, pats, _patterns(m.group("d"), prefixes), filters=fs
+                )
+                out = out.join(dels, cols, "left_anti")
+            if m.group("i"):
+                ins = construct(
+                    state, pats, _patterns(m.group("i"), prefixes), filters=fs
+                )
+                out = out.unionByName(ins).distinct()
+            state = out
+            continue
+        raise SparqlError(f"unrecognized update operation: {op[:80]!r}")
+    return state

@@ -1991,6 +1991,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "cooccurrence": q_cooccurrence,
         "ppmi": q_ppmi,
+        "kg_sparql_update": q_kg_sparql_update,
     }
 
 
@@ -4695,4 +4696,47 @@ SELECT c.w1, c.w2, c.n,
             AS BIGINT) AS lift
 FROM cooc c JOIN m1 USING (w1) JOIN m2 USING (w2)
 WHERE c.n >= 2
+"""
+
+
+def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update executed against the KG: a ;-chained request
+    (DELETE/INSERT WHERE rewrite of typed knows edges, then an INSERT
+    DATA) returning the updated edge set — deletes as left-anti hash
+    joins, inserts as a union closed by one distinct, both Modify
+    templates instantiated against the pre-update state."""
+    from .operators.sparql import sparql_update
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_update(edges, """
+        PREFIX p: <urn:p:>
+        DELETE { ?a p:knows ?b }
+        INSERT { ?a p:contacted ?b . ?b p:contactedBy ?a }
+        WHERE { ?a p:knows ?b . ?a a <urn:t:Thing> . } ;
+        INSERT DATA { <urn:e:root> a <urn:t:Root> }
+    """)
+
+
+ORACLES["kg_sparql_update"] = _KG_EDGES_SQL + """
+, sol AS (
+    SELECT k.src AS a, k.dst AS b
+    FROM edges k
+    JOIN edges t ON t.src = k.src
+        AND t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        AND t.dst = 'urn:t:Thing'
+    WHERE k.pred = 'urn:p:knows'
+),
+del AS (SELECT a AS src, 'urn:p:knows' AS pred, b AS dst FROM sol),
+ins AS (SELECT a AS src, 'urn:p:contacted' AS pred, b AS dst FROM sol
+        UNION
+        SELECT b, 'urn:p:contactedBy', a FROM sol)
+SELECT src, pred, dst FROM (
+    SELECT * FROM edges EXCEPT SELECT * FROM del
+    UNION
+    SELECT * FROM ins
+    UNION
+    SELECT 'urn:e:root', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'urn:t:Root'
+)
 """

@@ -225,3 +225,22 @@ def test_job_sparql_query_surface(spark, prepared, tmp_path):
     s2 = run(spark, input_path=str(prepared / "in"), output=out,
              run_id="rq2", sparql='ASK { ?a <urn:p:knows> ?b . }')
     assert s2["ask"] is True and "query_rows" not in s2
+
+def test_job_sparql_update_surface(spark, prepared, tmp_path):
+    """--sparql with an Update request: the UPDATED edge set lands in
+    <output>/query (the edges table itself is never overwritten while
+    being read); the rewrite is visible in the result."""
+    out = str(tmp_path / "out_upd")
+    summary = run(spark, input_path=str(prepared / "in"), output=out,
+                  run_id="ru", sparql="""
+        PREFIX p: <urn:p:>
+        DELETE { ?a p:knows ?b } INSERT { ?a p:contacted ?b }
+        WHERE { ?a p:knows ?b }
+    """)
+    got = spark.read.parquet(f"{out}/query")
+    preds = {r["pred"] for r in got.select("pred").distinct().collect()}
+    assert "urn:p:contacted" in preds and "urn:p:knows" not in preds
+    assert summary["query_rows"] == got.count() > 0
+    # the materialized edges table is untouched
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.filter("pred = 'urn:p:knows'").count() > 0

@@ -542,3 +542,84 @@ def test_sparql_describe_where(spark):
         ("b1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:t:Thing"),
         ("b1", "urn:p:name", "Bee One"),
     }
+
+
+def test_sparql_update_insert_delete_data(spark):
+    from semargl_spark.operators.sparql import sparql_update
+
+    out = sparql_update(_edges(spark), """
+        PREFIX p: <urn:p:>
+        INSERT DATA { <a3> p:knows <b3> . <a3> p:knows <b3> } ;
+        DELETE DATA { <a1> p:knows <b1> }
+    """)
+    got = {(r["src"], r["pred"], r["dst"]) for r in out.collect()}
+    assert ("a3", "urn:p:knows", "b3") in got
+    assert ("a1", "urn:p:knows", "b1") not in got
+    # set semantics: the duplicated INSERT DATA triple lands once
+    assert len(got) == 5
+
+
+def test_sparql_update_modify_sees_pre_state(spark):
+    from semargl_spark.operators.sparql import sparql_update
+
+    # edge reversal: DELETE and INSERT templates both instantiate
+    # against the PRE-update state, so a1→b1 becomes b1→a1 (not both
+    # deleted, not re-reversed)
+    out = sparql_update(_edges(spark), """
+        PREFIX p: <urn:p:>
+        DELETE { ?a p:knows ?b } INSERT { ?b p:knows ?a }
+        WHERE { ?a p:knows ?b }
+    """)
+    got = {(r["src"], r["pred"], r["dst"]) for r in out.collect()}
+    assert ("b1", "urn:p:knows", "a1") in got
+    assert ("b2", "urn:p:knows", "a2") in got
+    assert ("a1", "urn:p:knows", "b1") not in got
+    assert len(got) == 5
+
+
+def test_sparql_update_delete_where_and_filter(spark):
+    from semargl_spark.operators.sparql import sparql_update
+
+    out = sparql_update(_edges(spark), """
+        PREFIX p: <urn:p:>
+        DELETE WHERE { ?a p:knows ?b . ?b a <urn:t:Thing> . }
+    """)
+    got = {(r["src"], r["pred"], r["dst"]) for r in out.collect()}
+    # only the a1→b1 knows edge matched (b1 is typed); the type and
+    # name edges stay — DELETE WHERE deletes the instantiated
+    # template triples, not the whole solution's bindings
+    assert ("a1", "urn:p:knows", "b1") not in got
+    assert ("b1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "urn:t:Thing") not in got
+    assert ("a2", "urn:p:knows", "b2") in got
+    f = sparql_update(_edges(spark), """
+        PREFIX p: <urn:p:>
+        INSERT { ?a p:greets ?n } WHERE {
+            ?a p:knows ?b . ?b p:name ?n . FILTER(regex(?n, "One$"))
+        }
+    """)
+    gf = {(r["src"], r["pred"], r["dst"]) for r in f.collect()}
+    assert ("a1", "urn:p:greets", "Bee One") in gf
+    assert ("a2", "urn:p:greets", "Bee Two") not in gf
+
+
+def test_sparql_update_errors_and_plan_shape(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.sparql import SparqlError, sparql_update
+
+    e = _edges(spark)
+    with _pytest.raises(SparqlError):
+        sparql_update(e, "INSERT DATA { ?v <urn:p:x> <urn:o> }")
+    with _pytest.raises(SparqlError):
+        sparql_update(e, "DROP GRAPH <urn:g>")
+    with _pytest.raises(SparqlError):
+        sparql_update(e, "INSERT DATA { }")
+    out = sparql_update(e, """
+        PREFIX p: <urn:p:>
+        DELETE { ?a p:knows ?b } INSERT { ?b p:knows ?a }
+        WHERE { ?a p:knows ?b } ;
+        DELETE DATA { <a9> p:x <b9> }
+    """)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
