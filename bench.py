@@ -127,7 +127,7 @@ def main() -> None:
                  "kg_sparql_exists", "kg_sparql_bind",
                  "kg_sparql_subquery",
                  "kg_sparql_agg_filter", "kg_sparql_group_concat",
-                 "kg_sparql_describe_where"):
+                 "kg_sparql_describe_where", "ppmi", "kg_sparql_update"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -623,3 +623,41 @@ def test_sparql_update_errors_and_plan_shape(spark):
     """)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_sparql_update_differential_vs_set_mirror(spark):
+    """Seeded random graphs: sparql_update's Modify must equal the
+    plain Python set-semantics mirror (delete ∖, insert ∪, both
+    instantiated against the pre-state), at any partitioning."""
+    import random
+
+    from semargl_spark.operators.sparql import sparql_update
+
+    rng = random.Random(42)
+    nodes = [f"n{i}" for i in range(8)]
+    preds = ["urn:p:knows", "urn:p:likes"]
+    q = """
+        PREFIX p: <urn:p:>
+        DELETE { ?a p:knows ?b } INSERT { ?b p:likes ?a }
+        WHERE { ?a p:knows ?b }
+    """
+    for trial in range(4):
+        edges = {
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(rng.randint(0, 25))
+        }
+        sol = {(s, o) for (s, p, o) in edges if p == "urn:p:knows"}
+        expect = (edges - {(a, "urn:p:knows", b) for a, b in sol}) | {
+            (b, "urn:p:likes", a) for a, b in sol
+        }
+        df = spark.createDataFrame(
+            sorted(edges) or [("x", "y", "z")][:0],
+            "src string, pred string, dst string",
+        ) if edges else spark.createDataFrame(
+            [], "src string, pred string, dst string"
+        )
+        got = {
+            (r["src"], r["pred"], r["dst"])
+            for r in sparql_update(df.repartition(5), q).collect()
+        }
+        assert got == expect, f"trial {trial}"

@@ -98,3 +98,23 @@ def test_patterns_roundtrip_well_formed():
         ("?o", "http://ex.org/v1.0/p", "lit with . dot"),
         ("?o", "http://purl.org/dc/terms/relation", "?x"),
     ]
+
+
+@given(_delims)
+@settings(max_examples=300, deadline=None)
+def test_split_ops_total_and_balanced(q):
+    from semargl_spark.operators.sparql import _split_ops
+
+    ops = _split_ops(q)
+    assert isinstance(ops, list)
+    # no op loses brace-balanced content: rejoining covers the input
+    # minus only top-level semicolons and whitespace
+    assert sum(len(o) for o in ops) <= len(q)
+
+
+@given(_delims)
+@settings(max_examples=200, deadline=None)
+def test_const_triples_raise_only_sparql_errors(body):
+    from semargl_spark.operators.sparql import _const_triples
+
+    _only_sparql_errors(_const_triples, body, PREFIXES)
