@@ -127,7 +127,8 @@ def main() -> None:
                  "kg_sparql_exists", "kg_sparql_bind",
                  "kg_sparql_subquery",
                  "kg_sparql_agg_filter", "kg_sparql_group_concat",
-                 "kg_sparql_describe_where", "ppmi", "kg_sparql_update"):
+                 "kg_sparql_describe_where", "ppmi", "kg_sparql_update",
+                 "knn_graph"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -405,3 +405,85 @@ def random_projection(
         .select(id_col, F.posexplode(F.array(*projs)).alias("j", "v"))
         .select(id_col, F.col("j").cast("int"), "v")
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN similarity graph over the WHOLE corpus (the
+    edge list graph-based clustering / graph dedup starts from):
+    every vector queries its own LSH bucket for its top-k cosine
+    neighbors, and the directed k-NN lists are symmetrized to
+    undirected edges → (src_id, dst_id, cosine, mutual) with
+    src_id < dst_id; ``mutual`` marks edges present in BOTH top-k
+    lists (the usual sparsification knob — mutual-kNN graphs are
+    robust to hub vectors that appear in everyone's list).
+
+    Plan: one LSH signature projection (Arrow-batched), ONE bucket
+    equi-join (never all-pairs — candidate volume is per-bucket), the
+    bounded-array top-k aggregation, then one (least, greatest) pair
+    aggregation whose count distinguishes mutual from one-sided edges.
+    Hub buckets (skewed signatures) are bounded by the signature
+    granularity — raise n_planes to split hot buckets; AQE covers
+    residual join skew."""
+    e = ann_topk(
+        embeddings, embeddings, dim=dim, k=k, n_planes=n_planes,
+        id_col=id_col, vec_col=vec_col,
+    )
+    a, b = F.col("query_id"), F.col("neighbor_id")
+    und = e.select(
+        F.least(a, b).alias("src_id"),
+        F.greatest(a, b).alias("dst_id"),
+        "cosine",
+    )
+    return (
+        und.groupBy("src_id", "dst_id")
+        .agg(
+            F.max("cosine").alias("cosine"),
+            (F.count("*") == 2).alias("mutual"),
+        )
+    )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Scalar (symmetric, per-vector) int quantization of an embedding
+    column — the storage/IO layer of a 100-TB ANN index (4× smaller
+    than float32, int-dot-product distance): (vec_id, scale_num, qvec)
+    where qvec[j] = floor(L · v[j] / m), m = max|v| and L = 2^(bits-1)−1.
+    Dequantize as qvec[j]·m/L; m is returned as ``scale_num`` so the
+    round trip stays exact-integer in the gate.
+
+    floor (not round-half-up) on purpose: both engines evaluate the
+    identical double expression, so floors agree bit-for-bit — banker's
+    vs half-up rounding at representation boundaries is exactly the
+    cross-engine drift the oracle discipline bans. Zero vectors
+    quantize to zeros with scale 0.
+
+    Plan: shuffle-free projection, all JVM higher-order functions
+    (transform/array_max) — no Python, no shuffle, whole-stage safe."""
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    level = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return embeddings.select(
+        F.col(id_col),
+        m.alias("scale_num"),
+        F.when(m == 0, F.transform(v, lambda x: F.lit(0)))
+        .otherwise(
+            F.transform(
+                v, lambda x: F.floor(F.lit(float(level)) * x / m).cast("int")
+            )
+        )
+        .alias("qvec"),
+    )

@@ -1243,6 +1243,101 @@ FROM ranked WHERE rn <= 5
 ORACLES["ann_lsh"] = _ann_lsh_oracle()
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN similarity graph over the whole embedding
+    corpus (LSH bucket equi-join, never all-pairs), symmetrized to
+    undirected (src_id < dst_id) edges with the mutual-kNN flag —
+    the edge list graph-based clustering and graph dedup start from."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.knn_graph(emb, dim=64, k=3, n_planes=8).select(
+        F.col("src_id").cast("long"),
+        F.col("dst_id").cast("long"),
+        "cosine",
+        "mutual",
+    )
+
+
+def _knn_graph_oracle() -> str:
+    """Same hyperplane/bucket/top-k mirror as _ann_lsh_oracle with every
+    vector as a query, then the (least, greatest) symmetrization whose
+    pair count distinguishes mutual from one-sided kNN edges."""
+    planes = similarity._hyperplanes(64, 8, seed=42)
+    rows = ",\n".join(
+        f"  ({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pid, p) AS (VALUES
+{rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT e.vec_id,
+        CAST(SUM(CASE WHEN list_reduce(
+               list_transform(range(1, 65), j -> e.v[j] * planes.p[j]),
+               (a, x) -> a + x) >= 0
+             THEN (1 << pid) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes GROUP BY e.vec_id),
+q AS (SELECT b.vec_id AS query_id, b.bucket, e.v AS qvec
+      FROM b JOIN e USING (vec_id)),
+c AS (SELECT b.vec_id AS neighbor_id, b.bucket, e.v AS nvec
+      FROM b JOIN e USING (vec_id)),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_cosine_similarity(q.qvec, c.nvec) AS cos
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id DESC) AS rn
+           FROM scored),
+knn AS (SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+        FROM ranked WHERE rn <= 3),
+und AS (SELECT least(query_id, neighbor_id) AS src_id,
+               greatest(query_id, neighbor_id) AS dst_id, cosine
+        FROM knn)
+SELECT src_id, dst_id, max(cosine) AS cosine,
+       COUNT(*) = 2 AS mutual
+FROM und GROUP BY src_id, dst_id
+"""
+
+
+ORACLES["knn_graph"] = _knn_graph_oracle()
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (the ANN index storage layer): floor semantics so both engines'
+    identical double expressions agree bit-for-bit; the int vector is
+    CSV-joined for the cross-engine value hash."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = similarity.quantize_embeddings(emb, bits=8)
+    return q.select(
+        F.col("vec_id").cast("long"),
+        "scale_num",
+        F.concat_ws(
+            ",", F.transform(F.col("qvec"), lambda x: x.cast("string"))
+        ).alias("qvec_csv"),
+    )
+
+
+ORACLES["embedding_quantize"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale_num
+      FROM e)
+SELECT vec_id, scale_num,
+       array_to_string(
+         CASE WHEN scale_num = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v,
+                     x -> CAST(floor(127.0 * x / scale_num) AS INT)) END,
+         ',') AS qvec_csv
+FROM m
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dups over a corpus with planted
     duplicates (vectors unioned with themselves under shifted ids)."""
@@ -1992,6 +2087,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "ppmi": q_ppmi,
         "kg_sparql_update": q_kg_sparql_update,
+        "knn_graph": q_knn_graph,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 

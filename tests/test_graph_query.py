@@ -810,3 +810,48 @@ def test_ppr_partition_invariant_bit_exact(spark):
     b = {tuple(r) for r in
          personalized_pagerank(e.repartition(7), ["n0"], iterations=3).collect()}
     assert a == b
+
+
+def test_knn_graph_symmetrization_and_mutual(spark):
+    """Hand-checkable 1-D-ish corpus in one LSH bucket: undirected
+    edges carry src_id < dst_id, and mutual marks exactly the pairs
+    present in BOTH directed top-k lists."""
+    from semargl_spark.operators import similarity as S
+
+    # 4 vectors along one axis, all hashing to the same bucket
+    # (identical signs against every hyperplane ⇒ same signature);
+    # cosines are 1.0 for parallel vectors, so the k=1 neighbor is
+    # tie-broken by neighbor_id DESC: everyone picks the highest id
+    # other than itself → directed edges (0→3, 1→3, 2→3, 3→2); only
+    # (2,3) appears in both directions.
+    rows = [(i, [float(i + 1)] + [0.0] * 63) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        (r["src_id"], r["dst_id"]): r["mutual"]
+        for r in S.knn_graph(df, dim=64, k=1).collect()
+    }
+    assert got == {(0, 3): False, (1, 3): False, (2, 3): True}
+    plan = (
+        S.knn_graph(df, dim=64, k=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_quantize_embeddings_hand_computed(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [2.0, -1.0, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # m=2: floor(127·2/2)=127, floor(127·-1/2)=floor(-63.5)=-64, 0
+    assert got[1]["scale_num"] == 2.0 and got[1]["qvec"] == [127, -64, 0]
+    assert got[2]["scale_num"] == 0.0 and got[2]["qvec"] == [0, 0, 0]
+    with _pytest.raises(ValueError):
+        quantize_embeddings(df, bits=1)
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
