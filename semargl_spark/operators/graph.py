@@ -827,6 +827,11 @@ def random_walks(
         frontier = (
             tagged.groupBy("start", "walk")
             .agg(F.substring(F.min("h"), 17, 1 << 20).alias("node"))
+            # each frontier feeds BOTH the output union and the next
+            # hop's join; without the (lazy) checkpoint the union's
+            # branch s re-derives hops 1..s, turning walk_len joins
+            # into walk_len² — at 10^12 turns that is the whole job
+            .localCheckpoint(eager=False)
         )
         out = out.union(
             frontier.select("start", "walk", F.lit(s).alias("step"), "node")
@@ -851,6 +856,10 @@ def skipgram_pairs(
     over the corpus and never a position explode."""
     if window < 1:
         raise ValueError("window must be >= 1")
+    # the self-join's two sides are the SAME corpus; checkpoint once so
+    # Catalyst doesn't plan the whole upstream walk generation twice
+    # (observed: 0 ReusedExchange on the duplicated subtree)
+    walks = walks.localCheckpoint(eager=False)
     a = walks.select(
         "start", "walk",
         F.col("step").alias("step_a"), F.col("node").alias("center"),
