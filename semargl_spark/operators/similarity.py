@@ -476,8 +476,12 @@ def quantize_embeddings(
     level = (1 << (bits - 1)) - 1
     v = F.col(vec_col)
     m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    passthrough = (
+        [F.col("bucket")] if "bucket" in embeddings.columns else []
+    )
     return embeddings.select(
         F.col(id_col),
+        *passthrough,
         m.alias("scale_num"),
         F.when(m == 0, F.transform(v, lambda x: F.lit(0)))
         .otherwise(
@@ -486,4 +490,67 @@ def quantize_embeddings(
             )
         )
         .alias("qvec"),
+    )
+
+
+def quantized_topk(
+    quantized: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-integer top-k over a :func:`quantize_embeddings` index:
+    candidates scored by the raw int dot product Σ qa[j]·qb[j] —
+    the arithmetic a SIMD int8 kernel runs on a real ANN serving node,
+    and bit-identical in any engine (the reason the score column is
+    the UNNORMALIZED integer dot, not a float cosine; rank by it, or
+    dequantize driver-side with the two scale_num factors).
+
+    Returns (query_id, neighbor_id, dot) — k rows per query, ties
+    broken by neighbor_id descending, self excluded.
+
+    Plan: if the index carries a ``bucket`` column (compose
+    :func:`lsh_bucket` before :func:`quantize_embeddings`), candidates
+    come from ONE bucket equi-join — the scale path, never all-pairs.
+    Without a bucket column this is the exact brute-force baseline
+    (small-corpus oracle use only; a 10^12-vector crossJoin is the
+    round-1 anti-pattern this signature exists to avoid)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    on_bucket = "bucket" in quantized.columns
+    qcols = [F.col(id_col).alias("query_id"), F.col("qvec").alias("qa")]
+    ccols = [F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qb")]
+    if on_bucket:
+        qcols.append(F.col("bucket"))
+        ccols.append(F.col("bucket"))
+    q = query_ids.join(quantized, id_col).select(*qcols)
+    c = quantized.select(*ccols)
+    pairs = q.join(c, "bucket") if on_bucket else q.crossJoin(c)
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda a, b: a.cast("long") * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("dot", "neighbor_id")), asc=False
+                ),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select("query_id", F.explode("nn").alias("nn"))
+        .select(
+            "query_id",
+            F.col("nn.neighbor_id").alias("neighbor_id"),
+            F.col("nn.dot").alias("dot"),
+        )
     )

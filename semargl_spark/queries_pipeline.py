@@ -1338,6 +1338,74 @@ FROM m
 """
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-dot-product top-k over the LSH-bucketed int8 index
+    (lsh_bucket → quantize_embeddings → quantized_topk): candidates
+    from ONE bucket equi-join, scored by the exact int dot a SIMD int8
+    kernel computes — all-integer end to end, so the oracle matches
+    bit-for-bit including ties."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qz = similarity.quantize_embeddings(
+        similarity.lsh_bucket(emb, "embedding", 64, 8)
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
+    return similarity.quantized_topk(qz, queries, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "dot",
+    )
+
+
+def _quantized_topk_oracle() -> str:
+    """Hyperplane buckets + int8 quantization + integer dot, all
+    mirrored exactly (same plane literals and left-fold sign dots as
+    _ann_lsh_oracle; floor quantization as the embedding_quantize
+    oracle; BIGINT dot so the sum is exact)."""
+    planes = similarity._hyperplanes(64, 8, seed=42)
+    rows = ",\n".join(
+        f"  ({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pid, p) AS (VALUES
+{rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT e.vec_id,
+        CAST(SUM(CASE WHEN list_reduce(
+               list_transform(range(1, 65), j -> e.v[j] * planes.p[j]),
+               (a, x) -> a + x) >= 0
+             THEN (1 << pid) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes GROUP BY e.vec_id),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM e),
+qv AS (SELECT m.vec_id, b.bucket,
+         CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v,
+                     x -> CAST(floor(127.0 * x / mx) AS INT)) END AS qvec
+       FROM m JOIN b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, bucket, qvec AS qa FROM qv
+      WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, bucket, qvec AS qb FROM qv),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_reduce(
+           list_transform(range(1, 65),
+                          j -> CAST(q.qa[j] AS BIGINT) * c.qb[j]),
+           (a, x) -> a + x) AS dot
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id DESC) AS rn
+           FROM scored)
+SELECT query_id, neighbor_id, dot FROM ranked WHERE rn <= 5
+"""
+
+
+ORACLES["quantized_topk"] = _quantized_topk_oracle()
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dups over a corpus with planted
     duplicates (vectors unioned with themselves under shifted ids)."""
@@ -2089,6 +2157,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": q_kg_sparql_update,
         "knn_graph": q_knn_graph,
         "embedding_quantize": q_embedding_quantize,
+        "quantized_topk": q_quantized_topk,
     }
 
 

@@ -855,3 +855,36 @@ def test_quantize_embeddings_hand_computed(spark):
         quantize_embeddings(df, bits=1)
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_quantized_topk_integer_dot_and_bucket_path(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators import similarity as S
+
+    # brute-force path (no bucket column): hand-checkable int dots
+    qz = spark.createDataFrame(
+        [(1, 1.0, [127, 0]), (2, 1.0, [100, 50]), (3, 1.0, [-100, 2])],
+        "vec_id int, scale_num double, qvec array<int>",
+    )
+    queries = spark.createDataFrame([(1,)], "vec_id int")
+    got = [
+        (r["neighbor_id"], r["dot"])
+        for r in S.quantized_topk(qz, queries, k=2).collect()
+    ]
+    # dot(1,2)=12700, dot(1,3)=-12700 → ranked desc
+    assert got == [(2, 12700), (3, -12700)]
+    with _pytest.raises(ValueError):
+        S.quantized_topk(qz, queries, k=0)
+
+    # bucketed path: equi-join on bucket, never a cross product, and
+    # candidates outside the query's bucket are not scored
+    qzb = qz.withColumn(
+        "bucket", (F.col("vec_id") % 2).cast("int")
+    )
+    out = S.quantized_topk(qzb, queries, k=2)
+    assert [(r["neighbor_id"], r["dot"]) for r in out.collect()] == [
+        (3, -12700)
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan

@@ -402,6 +402,33 @@ def main():
     checks.append(("funnel: stage chaining via hash joins, no cartesian",
                    "Cartesian" not in p and "NestedLoop" not in p))
 
+    # 30. k-NN graph: one LSH bucket equi-join over the whole corpus
+    # (never all-pairs) + bounded top-k agg + one pair groupBy
+    from semargl_spark.operators.similarity import (
+        knn_graph, lsh_bucket, quantize_embeddings, quantized_topk,
+    )
+
+    emb_d = emb.selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+    p = plan_of(knn_graph(emb_d, dim=64, k=3))
+    sections.append(("knn_graph", p))
+    checks.append(("knn graph: bucket equi-join, no cross product",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+
+    # 31. quantization is a shuffle-free JVM projection; bucketed
+    # quantized search joins on the bucket key only
+    p = plan_of(quantize_embeddings(emb_d))
+    sections.append(("embedding_quantize", p))
+    checks.append(("quantization is shuffle-free and JVM-side",
+                   n_nodes(p, "Exchange") == 0 and "Python" not in p))
+    qz = quantize_embeddings(lsh_bucket(emb_d, "embedding", 64, 8))
+    p = plan_of(quantized_topk(
+        qz, emb_d.selectExpr("vec_id").where("vec_id % 25 = 0"), k=5))
+    sections.append(("quantized_topk (bucketed)", p))
+    checks.append(("quantized search joins on bucket (no cross product)",
+                   "Cartesian" not in p and "NestedLoop" not in p))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
