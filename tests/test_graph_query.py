@@ -888,3 +888,54 @@ def test_quantized_topk_integer_dot_and_bucket_path(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_quantized_search_differential_vs_numpy(spark):
+    """Seeded random corpus: the bucketed quantized search must equal a
+    numpy mirror of the whole chain (sign-LSH buckets → int8 floor
+    quantization → integer dot → per-query top-k with the engine's
+    tie-break), and dequantization error stays within the m/127 bound."""
+    import random
+
+    import numpy as np
+
+    from semargl_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    n, dim, k = 40, 16, 3
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    qz = S.quantize_embeddings(S.lsh_bucket(df, "embedding", dim, 4))
+    queries = df.select("vec_id").filter(F.col("vec_id") % 10 == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["dot"])
+        for r in S.quantized_topk(qz, queries, k=k).collect()
+    }
+
+    planes = np.array(S._hyperplanes(dim, 4, seed=42))
+    arr = np.array(vecs)
+    # mirror the engine's per-dim fold-order dot for the sign only
+    # (numpy sum is fold-ordered for 1-D float64 slices of this size)
+    buckets = ((arr @ planes.T >= 0) * (1 << np.arange(4))).sum(axis=1)
+    m = np.abs(arr).max(axis=1)
+    q = np.where(
+        m[:, None] == 0, 0, np.floor(127.0 * arr / np.where(m == 0, 1, m)[:, None])
+    ).astype(np.int64)
+    expect = set()
+    for qi in range(0, n, 10):
+        cand = [
+            (int(q[qi] @ q[ci]), ci)
+            for ci in range(n)
+            if ci != qi and buckets[ci] == buckets[qi]
+        ]
+        for dot, ci in sorted(cand, key=lambda t: (-t[0], -t[1]))[:k]:
+            expect.add((qi, ci, dot))
+    assert got == expect
+    # dequantization bound: |x − qvec·m/127| ≤ m/127 per component
+    for i in range(n):
+        if m[i] > 0:
+            err = np.abs(arr[i] - q[i] * m[i] / 127.0).max()
+            assert err <= m[i] / 127.0 + 1e-12
