@@ -374,7 +374,12 @@ def substring_dup_pairs(
     Documents shorter than `window` words degrade to one whole-text
     span (shingles()'s n<k rule), so short exact dups still pair.
     Returns (doc_a, doc_b, n_shared_windows)."""
-    ex = _window_rows(docs, window, id_col, text_col)
+    # the window explode is the expensive corpus pass and feeds the
+    # bucket census AND both self-join sides; checkpoint it once
+    # (observed: 0 ReusedExchange — every consumer re-ran the explode)
+    ex = _window_rows(docs, window, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     if max_bucket is not None:
         ok = (
             ex.groupBy("win")
@@ -382,7 +387,7 @@ def substring_dup_pairs(
             .filter(F.col("n_docs") <= max_bucket)
             .select("win")
         )
-        ex = ex.join(ok, "win")
+        ex = ex.join(ok, "win").localCheckpoint(eager=False)
     a = ex.select(F.col(id_col).alias("doc_a"), "win")
     b = ex.select(F.col(id_col).alias("doc_b"), "win")
     return (
