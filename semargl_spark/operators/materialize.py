@@ -44,7 +44,16 @@ def kg_nodes(triples: DataFrame, components: DataFrame | None = None) -> DataFra
 
 
 def kg_edges(triples: DataFrame, components: DataFrame | None = None) -> DataFrame:
-    """IRI/bnode-object triples as edges, endpoints canonicalized."""
+    """IRI/bnode-object triples as edges, endpoints canonicalized.
+
+    The result is (lazily) localCheckpointed for batch inputs: the edge
+    table almost always feeds a multi-pattern BGP join tree, and
+    Catalyst plans the whole upstream extraction kernel ONCE PER
+    PATTERN otherwise (observed: 3-4 MapInArrow extraction subtrees and
+    0 ReusedExchange in the kg query plans). Disk/parquet-backed edge
+    tables don't pass through here — run_pipeline reads its
+    materialized table back, keeping columnar pruning; streaming
+    inputs can't checkpoint and keep the plain plan."""
     edges = triples.filter(F.col("obj_kind").isin("iri", "bnode")).select(
         F.col("subj").alias("src"), F.col("pred"), F.col("obj").alias("dst")
     )
@@ -64,7 +73,10 @@ def kg_edges(triples: DataFrame, components: DataFrame | None = None) -> DataFra
                 F.coalesce("dst_canon", "dst").alias("dst"),
             )
         )
-    return edges.distinct()
+    out = edges.distinct()
+    if out.isStreaming:
+        return out
+    return out.localCheckpoint(eager=False)
 
 
 def lineage_rows(
