@@ -3521,7 +3521,15 @@ def q_kg_rdfs_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
-    g = st.select("subj", "pred", "obj", "obj_kind").distinct()
+    # checkpoint the computed statement set: each rule is one join
+    # against it, and without this the extraction kernel re-runs per
+    # rule (8 Python subtrees observed). Parquet-backed callers should
+    # NOT checkpoint — per-rule columnar re-scans are the better plan.
+    g = (
+        st.select("subj", "pred", "obj", "obj_kind")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     return rdfs_infer(g, [
         ("urn:p:knows", RDFS_SUB_PROPERTY_OF, "urn:p:related"),
         ("urn:p:related", RDFS_SUB_PROPERTY_OF, "urn:p:connected"),
@@ -3701,9 +3709,11 @@ def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation, modularity
 
     st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    # the knows edge list feeds BOTH label propagation and the
+    # modularity score; checkpoint so extraction runs once
     knows = st.filter(F.col("pred") == "urn:p:knows").select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     comm = label_propagation(knows, rounds=3)
     return modularity(knows, comm)
 
