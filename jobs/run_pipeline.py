@@ -47,12 +47,13 @@ def main(argv=None) -> int:
                          "materialized into the edge tables "
                          "(operators/vocab.rdfs_infer)")
     ap.add_argument("--sparql", default=None,
-                    help="SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE "
-                         "(operators/sparql.py subset) to run against the "
-                         "materialized edge table after the merge stage; "
-                         "non-ASK results land in <output>/query and the row "
-                         "count (or ASK boolean) is reported in the summary "
-                         "JSON")
+                    help="SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE or a SPARQL "
+                         "1.1 Update request (operators/sparql.py subset) to "
+                         "run against the materialized edge table after the "
+                         "merge stage; non-ASK results (for Update: the "
+                         "updated edge set) land in <output>/query and the "
+                         "row count (or ASK boolean) is reported in the "
+                         "summary JSON")
     args = ap.parse_args(argv)
     if args.resume and not args.run_id:
         # without the original run-id the lineage filter matches nothing

@@ -1406,6 +1406,75 @@ SELECT query_id, neighbor_id, dot FROM ranked WHERE rn <= 5
 ORACLES["quantized_topk"] = _quantized_topk_oracle()
 
 
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering end to end: mutual-kNN edges over the
+    embedding corpus (similarity.knn_graph) fed into the SAME
+    connected-components canonicalizer the KG pipeline uses
+    (operators/canon) → (node, component), component = lexicographic
+    min member. The composition gate: similarity graph construction
+    and iterative CC verified together against a recursive-closure
+    oracle."""
+    from .operators.canon import connected_components
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    g = similarity.knn_graph(emb, dim=64, k=3, n_planes=8).filter("mutual")
+    edges = g.select(
+        F.col("src_id").cast("string").alias("src"),
+        F.col("dst_id").cast("string").alias("dst"),
+    )
+    return connected_components(edges).select("node", "component")
+
+
+def _semantic_clusters_oracle() -> str:
+    """knn_graph's oracle CTEs restricted to mutual edges, closed by a
+    recursive reachability CTE; component = LEAST(self, min reachable)
+    on VARCHAR ids (the canonicalizer compares lexicographically)."""
+    planes = similarity._hyperplanes(64, 8, seed=42)
+    rows = ",\n".join(
+        f"  ({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH RECURSIVE planes(pid, p) AS (VALUES
+{rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT e.vec_id,
+        CAST(SUM(CASE WHEN list_reduce(
+               list_transform(range(1, 65), j -> e.v[j] * planes.p[j]),
+               (a, x) -> a + x) >= 0
+             THEN (1 << pid) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes GROUP BY e.vec_id),
+q AS (SELECT b.vec_id AS query_id, b.bucket, e.v AS qvec
+      FROM b JOIN e USING (vec_id)),
+c AS (SELECT b.vec_id AS neighbor_id, b.bucket, e.v AS nvec
+      FROM b JOIN e USING (vec_id)),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_cosine_similarity(q.qvec, c.nvec) AS cos
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id DESC) AS rn
+           FROM scored),
+knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 3),
+mutual AS (
+  SELECT CAST(least(query_id, neighbor_id) AS VARCHAR) AS s,
+         CAST(greatest(query_id, neighbor_id) AS VARCHAR) AS d
+  FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+undir AS (SELECT s, d FROM mutual UNION SELECT d, s FROM mutual),
+reach AS (SELECT s, d FROM undir
+          UNION
+          SELECT r.s, u.d FROM reach r JOIN undir u ON u.s = r.d)
+SELECT s AS node, least(s, min(d)) AS component
+FROM reach GROUP BY s
+"""
+
+
+ORACLES["semantic_clusters"] = _semantic_clusters_oracle()
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dups over a corpus with planted
     duplicates (vectors unioned with themselves under shifted ids)."""
@@ -2158,6 +2227,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "embedding_quantize": q_embedding_quantize,
         "quantized_topk": q_quantized_topk,
+        "semantic_clusters": q_semantic_clusters,
     }
 
 
