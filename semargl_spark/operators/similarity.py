@@ -333,8 +333,14 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets."""
-    b = lsh_bucket(embeddings, vec_col, dim, n_planes)
+    """Embedding-cosine near-duplicate pairs via LSH buckets.
+
+    The bucketed corpus is (lazily) checkpointed: it feeds BOTH sides
+    of the self-join, and without it the signature UDF re-runs over
+    the full corpus per side."""
+    b = lsh_bucket(embeddings, vec_col, dim, n_planes).localCheckpoint(
+        eager=False
+    )
     left = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     right = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -431,9 +437,27 @@ def knn_graph(
     Hub buckets (skewed signatures) are bounded by the signature
     granularity — raise n_planes to split hot buckets; AQE covers
     residual join skew."""
-    e = ann_topk(
-        embeddings, embeddings, dim=dim, k=k, n_planes=n_planes,
-        id_col=id_col, vec_col=vec_col,
+    # bucket ONCE and checkpoint: queries and candidates are the same
+    # corpus here, so routing through ann_topk would run the signature
+    # UDF (and the corpus scan) twice, once per join side
+    bkt = lsh_bucket(embeddings, vec_col, dim, n_planes).localCheckpoint(
+        eager=False
+    )
+    q_b = bkt.select(
+        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    emb_b = bkt.select(
+        "bucket", F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+    )
+    pairs = q_b.join(emb_b, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    e = _topk(
+        with_cosine(pairs, "qvec", "nvec").select(
+            "query_id", "neighbor_id", "cosine"
+        ),
+        k,
     )
     a, b = F.col("query_id"), F.col("neighbor_id")
     und = e.select(
@@ -517,6 +541,9 @@ def quantized_topk(
     round-1 anti-pattern this signature exists to avoid)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # the index feeds both the query-resolve join and the candidate
+    # side; checkpoint so an upstream quantize/bucket pipeline runs once
+    quantized = quantized.localCheckpoint(eager=False)
     on_bucket = "bucket" in quantized.columns
     qcols = [F.col(id_col).alias("query_id"), F.col("qvec").alias("qa")]
     ccols = [F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qb")]

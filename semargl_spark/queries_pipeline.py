@@ -3373,7 +3373,13 @@ def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.validate import validate_shapes
 
     st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
-    g = st.select("subj", "pred", "obj", "obj_kind", "dtype").distinct()
+    # each shape rule joins the statement set; checkpoint so the
+    # extraction kernel runs once (8 Python subtrees observed without)
+    g = (
+        st.select("subj", "pred", "obj", "obj_kind", "dtype")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     return validate_shapes(g, [
         {"shape_id": "thing_tag_max", "target_class": "urn:t:Thing",
          "path": "urn:p:tag", "max_count": 1},
