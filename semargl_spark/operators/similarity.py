@@ -223,13 +223,20 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket (equi-join)."""
+    """Approximate top-k: candidates share an LSH bucket (equi-join).
+    The bucketed candidate index is (lazily) checkpointed — queries
+    typically derive from the same corpus, and without it the
+    signature UDF re-runs over the corpus for the candidate side."""
     emb_b = lsh_bucket(embeddings, vec_col, dim, n_planes).select(
         "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    )
+    ).localCheckpoint(eager=False)
+    # the query side is checkpointed too: Catalyst infers
+    # isnotnull(bucket) from the join key and pushes the signature UDF
+    # below the repartition to evaluate the filter early — running the
+    # UDF TWICE per query row; the checkpoint pins one evaluation
     q_b = lsh_bucket(queries, vec_col, dim, n_planes).select(
         "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    ).localCheckpoint(eager=False)
     pairs = q_b.join(emb_b, "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

@@ -307,8 +307,12 @@ def q_vocab_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = synth_transcripts(spark, sf_dir, fmt="ntriples")
     # expand_statements references the statements three times (original +
-    # pred/obj synonym joins) — persist so extraction runs once
-    st = triples(extract_statements(t)).persist()
+    # pred/obj synonym joins) — checkpoint so extraction runs once
+    # (localCheckpoint, not persist: persist leaves the Python subtree
+    # in every InMemoryRelation branch of the plan; the checkpoint
+    # collapses them to one Scan ExistingRDD, which the registry
+    # recompute audit can verify)
+    st = triples(extract_statements(t)).localCheckpoint(eager=False)
     # deterministic synthetic vocabulary: urn:p:knows ≡ urn:p:acquaintedWith,
     # urn:p:name ⊑ urn:p:label2
     vocab = spark.createDataFrame(

@@ -429,6 +429,42 @@ def main():
     checks.append(("quantized search joins on bucket (no cross product)",
                    "Cartesian" not in p and "NestedLoop" not in p))
 
+    # 32. registry-wide recompute audit: no gate may plan more than 2
+    # Python subtrees (ArrowEval/MapInArrow). >2 means a multi-consumer
+    # pipeline is re-running its extraction/UDF upstream per consumer —
+    # the class of bug fixed round-2 in skip-gram (self-join re-derived
+    # the walk corpus), substring dedup (window explode ×3), the
+    # BGP/SPARQL gates (extraction per pattern), RDFS inference
+    # (extraction per rule) and shape validation. Allowance of 2 covers
+    # inherent two-kernel chains (parse→serialize, decode→resize,
+    # bucket-UDF→cosine-UDF). Plan-build only, but gates with eager
+    # driver scalars (CC convergence, corpus totals) do run jobs.
+    import semargl_spark.queries as Q
+
+    py_re = re.compile(
+        r"ArrowEvalPython|PythonMapInArrow|MapInArrow|BatchEvalPython"
+    )
+    # inherent chains longer than 2 Python stages, reviewed by hand:
+    # decode → resample+re-encode → re-decode-features
+    allow = {"media_real_resize": 3}
+    offenders = []
+    for qname, qfn in sorted(Q.registry().items()):
+        try:
+            qdf = qfn(spark, sf_dir)
+            if qdf.isStreaming:
+                continue
+            qn = len(py_re.findall(
+                qdf._jdf.queryExecution().executedPlan().toString()))
+            if qn > allow.get(qname, 2):
+                offenders.append((qname, qn))
+        except Exception as exc:  # a broken gate is its own audit failure
+            offenders.append((qname, f"error: {str(exc)[:60]}"))
+    checks.append((
+        f"registry recompute audit: all gates plan <=2 Python subtrees"
+        f"{' (offenders: ' + str(offenders) + ')' if offenders else ''}",
+        not offenders,
+    ))
+
     with open("/root/repo/BENCH/plans.md", "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
         f.write("## Checks\n\n")
