@@ -129,7 +129,7 @@ def main() -> None:
                  "kg_sparql_agg_filter", "kg_sparql_group_concat",
                  "kg_sparql_describe_where", "ppmi", "kg_sparql_update",
                  "knn_graph", "embedding_quantize", "quantized_topk",
-                 "semantic_clusters"):
+                 "semantic_clusters", "winnow"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -549,3 +549,62 @@ def survivors(
     return docs.join(
         drops, pad(F.col(id_col)) == F.col("node"), "left_anti"
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm — public method): hash every word k-gram, slide
+    a w-window over the per-document hash sequence, keep each window's
+    MINIMUM hash → a fingerprint set with the winnowing guarantee that
+    any shared run of at least w+k-1 words between two documents yields
+    at least one shared fingerprint. The local-fingerprint modality
+    between full-text hashing (misses near-misses) and all-shingles
+    MinHash (global similarity, misses contained quotes).
+
+    Hashes are the 60-bit md5 fold (md5_hash60) so the external oracle
+    recomputes identical values. Documents shorter than k words emit
+    one whole-text gram (shingles()'s n<k rule). Returns DISTINCT
+    (doc_id, fp).
+
+    Plan: k-grams via k-1 JVM zip_with passes (O(n) per row), one
+    posexplode, ONE per-document sliding min window (partitioned by
+    doc_id — 10^9 tiny partitions, the label-prop stance, never a
+    global sort), one distinct. Trailing sub-w windows are excluded
+    (pos ≤ grams − w), matching the classic formulation."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    from pyspark.sql.window import Window
+
+    words = F.split(normalized_text(text_col), " ")
+    n = F.size(words)
+    cnt = F.greatest(n - (k - 1), F.lit(1))
+    sh = F.slice(words, 1, cnt)
+    for off in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(words, off + 1, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    sh = F.when(n < k, F.array(F.concat_ws(" ", F.slice(words, 1, k)))).otherwise(sh)
+    grams = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "gram")
+    )
+    h = grams.select(id_col, "pos", md5_hash60(F.col("gram")).alias("h"))
+    sliding = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy(id_col)
+    return (
+        h.select(
+            F.col(id_col),
+            "pos",
+            F.min("h").over(sliding).alias("fp"),
+            F.max("pos").over(whole).alias("_last"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("_last") - (w - 1), F.lit(0)))
+        .select(id_col, "fp")
+        .distinct()
+    )

@@ -1479,6 +1479,43 @@ FROM reach GROUP BY s
 ORACLES["semantic_clusters"] = _semantic_clusters_oracle()
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over documents: per-doc sliding
+    min over the 4-gram md5-fold hash sequence, window 3 — any shared
+    6-word run between documents shares a fingerprint. Oracle
+    recomputes the identical hash fold and window minima."""
+    return dedup.winnow_fingerprints(
+        _docs(spark, sf_dir), k=4, w=3
+    ).select(F.col("doc_id").cast("long"), "fp")
+
+
+ORACLES["winnow"] = rf"""
+WITH t AS (SELECT doc_id, {_NORM_W} AS w FROM documents
+           WHERE length(trim(text)) > 0),
+tok AS (SELECT doc_id, unnest(w) AS word,
+               unnest(range(1, len(w) + 1)) AS pos, len(w) AS n
+        FROM t),
+grams AS (
+  SELECT a.doc_id, a.pos,
+         a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word AS gram
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+  UNION ALL
+  SELECT doc_id, 1 AS pos, array_to_string(w, ' ') AS gram
+  FROM t WHERE len(w) < 4),
+h AS (SELECT doc_id, pos, {_h60('gram')} AS h FROM grams),
+mins AS (SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fp,
+         max(pos) OVER (PARTITION BY doc_id) AS last
+         FROM h)
+SELECT DISTINCT doc_id, fp FROM mins
+WHERE pos <= greatest(last - 2, 1)
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dups over a corpus with planted
     duplicates (vectors unioned with themselves under shifted ids)."""
@@ -2232,6 +2269,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "quantized_topk": q_quantized_topk,
         "semantic_clusters": q_semantic_clusters,
+        "winnow": q_winnow,
     }
 
 

@@ -494,3 +494,35 @@ def test_ppmi_empty_corpus_and_plan_shape(spark):
     df = spark.createDataFrame([(1, "x y z x y")], "doc_id int, text string")
     plan = ppmi(cooccurrence(df))._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_winnow_guarantee_and_short_docs(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.dedup import winnow_fingerprints
+
+    # two docs sharing a 6-word run: with k=4, w=3 the winnowing
+    # guarantee (shared run >= w+k-1 words => shared fingerprint) holds
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"one two {shared} x y"), (2, f"{shared} p q r s")],
+        "doc_id int, text string",
+    )
+    fp = winnow_fingerprints(df, k=4, w=3)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+
+    # a doc shorter than k words emits exactly one whole-text fingerprint
+    short = spark.createDataFrame([(3, "just two")], "doc_id int, text string")
+    rows = winnow_fingerprints(short, k=4, w=3).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 3
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(short, k=0)
+    # partitioning invariance: fingerprints are a pure function of text
+    again = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df.repartition(7), k=4, w=3).collect()
+    }
+    assert again == {(r["doc_id"], r["fp"]) for r in fp.collect()}
