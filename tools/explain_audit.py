@@ -429,6 +429,16 @@ def main():
     checks.append(("quantized search joins on bucket (no cross product)",
                    "Cartesian" not in p and "NestedLoop" not in p))
 
+    # 31b. winnowing: JVM k-grams + ONE per-doc sliding-min window —
+    # no Python, no cartesian; the only exchange is the doc partition
+    from semargl_spark.operators.dedup import winnow_fingerprints
+
+    p = plan_of(winnow_fingerprints(bench_docs, k=4, w=3))
+    sections.append(("winnow", p))
+    checks.append(("winnow: JVM-side, per-doc window, no cross product",
+                   "Python" not in p and "Cartesian" not in p
+                   and "NestedLoop" not in p))
+
     # 32. registry-wide recompute audit: no gate may plan more than 2
     # Python subtrees (ArrowEval/MapInArrow). >2 means a multi-consumer
     # pipeline is re-running its extraction/UDF upstream per consumer —
