@@ -92,6 +92,7 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
     )
 
     run_id = run_id or f"run-{int(time.time())}"
+    t_start = time.perf_counter()
     transcripts = spark.read.parquet(input_path)
 
     # checkpoint-resume (north_rule): the lineage table doubles as the
@@ -251,6 +252,10 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
     if resumed:
         summary["resumed_stages"] = resumed
     statements.unpersist()
+    # in-job wall (excludes JVM/session boot — the long-running-
+    # application view a cluster deployment amortizes); used by
+    # tools/bench_job_scaling.py
+    summary["wall_sec"] = round(time.perf_counter() - t_start, 2)
     return summary
 
 
