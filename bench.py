@@ -119,7 +119,7 @@ def main() -> None:
                  "kg_ppr", "kg_snapshot_diff", "kg_adjacency", "kg_random_walks", "kg_skipgram_pairs",
                  "transcripts_profile", "events_stream_sessions",
                  "pipeline_training", "text_search", "inverted_index",
-                 "skew_salted_join", "bm25_search",
+                 "skew_salted_join", "bm25_search", "hybrid_search",
                  "events_retention", "kg_entity_card", "kg_sparql",
                  "kg_sparql_construct", "kg_sparql_path",
                  "kg_sparql_values", "kg_sparql_having",

@@ -603,3 +603,53 @@ def bm25_search(
         .agg(F.sum("contrib").cast("long").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    scale: int = 10**6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists →
+    (doc_id, rrf_score, n_lists, best_rank): the standard way to merge
+    a lexical (BM25) and a semantic (embedding top-k) ranking without
+    comparable scores — only ranks cross the fusion boundary.
+
+    Each input carries (id_col, rank) with rank 1-based. The classic
+    RRF score Σ 1/(c + rank) is computed fraction-free as
+    Σ floor(scale / (c + rank)) with integer DIV, so the fused ranking
+    is bit-identical in any engine (same discipline as
+    :func:`bm25_search`); c = 60 is the constant from the original RRF
+    paper (Cormack/Clarke/Buettcher, SIGIR 2009). Ties break on doc_id
+    ascending. ``n_lists`` (how many lists retrieved the doc) and
+    ``best_rank`` come along for downstream filtering.
+
+    Plan shape: the inputs are top-m lists — a few hundred rows each no
+    matter the corpus size, because the expensive work (index scan,
+    candidate generation) already happened upstream in the per-list
+    retrieval operators. The fusion is a unionByName over tiny frames →
+    one map-side-partial groupBy → TakeOrderedAndProject top-k; at
+    10^12 documents the fusion cost is unchanged — it scales with m·L
+    (list length × list count), not with the corpus.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = [
+        r.select(F.col(id_col), F.col("rank").cast("long").alias("rank"))
+        for r in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.sum(F.expr(f"CAST({scale} AS BIGINT) DIV ({c} + rank)"))
+        .cast("long")
+        .alias("rrf_score"),
+        F.count("*").cast("int").alias("n_lists"),
+        F.min("rank").cast("int").alias("best_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)

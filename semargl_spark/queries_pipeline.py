@@ -2242,6 +2242,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "kg_growth_daily": q_kg_growth_daily,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         "turn_role_pivot": q_turn_role_pivot,
         "events_cube": q_events_cube,
         "kg_sparql": q_kg_sparql,
@@ -4372,6 +4373,114 @@ s AS (SELECT tf.doc_id,
       FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
       GROUP BY tf.doc_id)
 SELECT doc_id, score FROM s ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: integer BM25 top-20 ⊕ integer-dot semantic
+    top-20 (query = embedding of doc 7), fused by reciprocal-rank
+    fusion (text.rrf_fuse) — only 1-based ranks cross the fusion
+    boundary, so the lexical and semantic scorers never need
+    comparable scales. All-integer end to end (BM25 DIV scoring,
+    int8-quantized dot, floor(scale/(c+rank)) fusion), so the fused
+    ranking hashes identically in any engine.
+
+    Scale shape: each list is a TakeOrderedAndProject top-m over its
+    own index path (the corpus-sized work); the fusion itself is a
+    union of two 20-row frames → one groupBy → top-k, corpus-size
+    independent. The single query row broadcasts
+    (BroadcastNestedLoopJoin over ONE row — a dot-product map, not a
+    quadratic pair explosion)."""
+    from pyspark.sql.window import Window
+
+    from .operators.text import bm25_search, rrf_fuse
+
+    lex = bm25_search(_docs(spark, sf_dir), "dup merge spark", k=20)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_r = lex.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.row_number().over(wl).cast("long").alias("rank"),
+    )
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qz = similarity.quantize_embeddings(emb)
+    qa = qz.filter(F.col("vec_id") == 7).select(F.col("qvec").alias("qa"))
+    cand = qz.filter(F.col("vec_id") != 7).select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("qvec").alias("qb"),
+    )
+    dots = cand.crossJoin(F.broadcast(qa)).select(
+        "doc_id",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda a, b: a.cast("long") * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    sem20 = dots.orderBy(F.desc("dot"), F.asc("doc_id")).limit(20)
+    ws = Window.orderBy(F.desc("dot"), F.asc("doc_id"))
+    sem_r = sem20.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("rank")
+    )
+    return rrf_fuse([lex_r, sem_r], k=10)
+
+
+ORACLES["hybrid_search"] = r"""
+WITH x AS (SELECT doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ')) AS term
+      FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM x GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total
+      FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM x WHERE term IN ('dup', 'merge', 'spark') GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (SELECT term,
+        CAST(1000000 * (2 * (SELECT n FROM g) - 2 * df + 1)
+             // (2 * df + 1) AS BIGINT) AS idf FROM df),
+s AS (SELECT tf.doc_id,
+        CAST(SUM((idf.idf * (tf.tf * 2200 * (SELECT total FROM g)))
+             // (tf.tf * 1000 * (SELECT total FROM g)
+                 + 300 * (SELECT total FROM g)
+                 + 900 * dl.dl * (SELECT n FROM g))) AS BIGINT) AS score
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id),
+lex AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+            AS rank
+        FROM (SELECT doc_id, score FROM s
+              ORDER BY score DESC, doc_id ASC LIMIT 20)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS mx
+      FROM e),
+qv AS (SELECT vec_id,
+         CASE WHEN mx = 0 THEN list_transform(v, y -> 0)
+              ELSE list_transform(v,
+                     y -> CAST(floor(127.0 * y / mx) AS INT)) END AS qvec
+       FROM m),
+qa AS (SELECT qvec AS qa FROM qv WHERE vec_id = 7),
+dots AS (SELECT c.vec_id AS doc_id,
+           list_reduce(
+             list_transform(range(1, 65),
+                            j -> CAST(qa.qa[j] AS BIGINT) * c.qvec[j]),
+             (a, y) -> a + y) AS dot
+         FROM qv c CROSS JOIN qa WHERE c.vec_id <> 7),
+sem AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS BIGINT)
+            AS rank
+        FROM (SELECT doc_id, dot FROM dots
+              ORDER BY dot DESC, doc_id ASC LIMIT 20)),
+u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+f AS (SELECT doc_id,
+        CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+        CAST(COUNT(*) AS INT) AS n_lists,
+        CAST(MIN(rank) AS INT) AS best_rank
+      FROM u GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf_score, n_lists, best_rank
+FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 """
 
 

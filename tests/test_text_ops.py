@@ -229,3 +229,44 @@ def test_bm25_length_normalization_and_validation(spark):
         bm25_search(docs, "", k=3)
     with _pytest.raises(ValueError):
         bm25_search(docs, "apple", k=0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from semargl_spark.operators.text import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank long"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem], k=4).collect()}
+    s = 10**6
+    # doc 20: ranks 2 and 1 -> floor(s/62) + floor(s/61)
+    assert out[20]["rrf_score"] == s // 62 + s // 61
+    assert out[20]["n_lists"] == 2 and out[20]["best_rank"] == 1
+    # doc 10: ranks 1 and 3
+    assert out[10]["rrf_score"] == s // 61 + s // 63
+    # single-list docs
+    assert out[30]["rrf_score"] == s // 63 and out[30]["n_lists"] == 1
+    assert out[40]["rrf_score"] == s // 62 and out[40]["best_rank"] == 2
+    # both-list docs outrank single-list docs here
+    ranked = sorted(out.values(), key=lambda r: (-r["rrf_score"], r["doc_id"]))
+    assert [r["doc_id"] for r in ranked][:2] == [20, 10]
+
+
+def test_rrf_fuse_k_cut_ties_and_validation(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.text import rrf_fuse
+
+    # identical rank multisets -> tie on score, broken by doc_id asc
+    a = spark.createDataFrame([(5, 1), (3, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(5, 2), (3, 1)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], k=1).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 3
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], k=3)
+    with _pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
