@@ -135,6 +135,73 @@ def _bounded_closure(e: DataFrame, max_hops: int) -> DataFrame:
     return seen
 
 
+def kleene_closure(
+    edges: DataFrame,
+    pred: str,
+    sources: DataFrame | None = None,
+    max_rounds: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """SPARQL ``pred+`` evaluated to FIXPOINT → the reachability SET
+    (a, b). No hop column on purpose: ``p+`` is set semantics, and set
+    semantics is what lets both this loop and an external recursive-SQL
+    oracle terminate on cycles (a min-hop column would keep a cyclic
+    frontier alive forever in naive recursion).
+
+    Semi-naive BFS: the per-round frontier holds only pairs never seen
+    before (anti-join), so round count = graph diameter, not path
+    count. The frontier is checkpointed EAGERLY each round because two
+    consumers read it (the emptiness probe and the next extension
+    join) — lazy lineage would re-run the join per consumer. The
+    emptiness probe is ``isEmpty`` (a LIMIT-1 action, O(1) driver
+    memory, same discipline as canon.py's convergence fingerprint).
+
+    Scale honesty: run this only where the closure itself is bounded —
+    a seed-restricted query (pass ``sources``: one column of start
+    nodes) or a bounded-diameter predicate subgraph. Over a
+    chain-shaped 10^12-edge relation the OUTPUT is Θ(N²) no matter the
+    algorithm; that case belongs to :func:`bounded_paths` (`p{1,k}`),
+    and the ``max_rounds`` guard raises rather than silently grinding
+    through a high-diameter graph.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = (
+        edges.filter(F.col(pred_col) == pred)
+        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if sources is not None:
+        seed_col = sources.columns[0]
+        seeds = sources.select(F.col(seed_col).alias("a")).distinct()
+        seen = e.join(seeds, "a").localCheckpoint(eager=True)
+    else:
+        seen = e
+    frontier = seen
+    for _ in range(max_rounds):
+        ext = (
+            frontier.select("a", F.col("b").alias("mid"))
+            .join(e.select(F.col("a").alias("mid"), "b"), "mid")
+            .select("a", "b")
+            .distinct()
+        )
+        frontier = ext.join(
+            seen.select("a", "b"), ["a", "b"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            return seen
+        seen = seen.unionByName(frontier).localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"kleene_closure did not converge within {max_rounds} rounds — "
+        "the predicate subgraph has a longer diameter than expected; "
+        "use bounded_paths (p{1,k}) or raise max_rounds deliberately"
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",

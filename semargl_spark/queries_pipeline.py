@@ -2194,6 +2194,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": q_media_real_decode,
         "media_real_resize": q_media_real_resize,
         "kg_path": q_kg_path,
+        "kg_path_star": q_kg_path_star,
         "repetition_stats": q_repetition_stats,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
@@ -2297,6 +2298,37 @@ h2 AS (SELECT h1.a, k.dst AS b, 2 AS hops FROM h1 JOIN k ON k.src = h1.b),
 h3 AS (SELECT h2.a, k.dst AS b, 3 AS hops FROM h2 JOIN k ON k.src = h2.b),
 hall AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
 SELECT a, b, CAST(MIN(hops) AS INT) AS hops FROM hall GROUP BY a, b
+"""
+
+
+def q_kg_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``dcterms:relation+`` evaluated to FIXPOINT (set
+    semantics, no hop column) — graph.kleene_closure. The relation
+    subgraph breaks every 5 entities, so its diameter is ≤ 4 at ANY
+    corpus size: the loop converges in a constant number of rounds and
+    the closure stays O(|E|). The chain-shaped ``knows`` predicate
+    (diameter N, Θ(N²) closure) is deliberately NOT run unbounded —
+    that case is gated as the bounded ``kg_path`` query."""
+    from .operators.graph import kleene_closure
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return kleene_closure(edges, "http://purl.org/dc/terms/relation")
+
+
+# the recursive UNION is set-based and semi-naive in DuckDB, so it
+# terminates on any graph — same set semantics as the Spark fixpoint
+ORACLES["kg_path_star"] = _KG_EDGES_SQL.replace(
+    "WITH ids", "WITH RECURSIVE ids", 1
+) + """,
+k AS (SELECT DISTINCT src, dst FROM edges
+      WHERE pred = 'http://purl.org/dc/terms/relation'),
+reach(a, b) AS (
+  SELECT src, dst FROM k
+  UNION
+  SELECT r.a, k.dst FROM reach r JOIN k ON k.src = r.b
+)
+SELECT a, b FROM reach
 """
 
 

@@ -939,3 +939,58 @@ def test_quantized_search_differential_vs_numpy(spark):
         if m[i] > 0:
             err = np.abs(arr[i] - q[i] * m[i] / 127.0).max()
             assert err <= m[i] / 127.0 + 1e-12
+
+
+def test_kleene_closure_fixpoint_on_cycle(spark):
+    from semargl_spark.operators.graph import kleene_closure
+
+    # 3-cycle plus a tail: closure is every ordered pair within the
+    # cycle (incl. self-loops via the cycle) plus cycle-nodes → tail
+    t = _triples(
+        spark,
+        [
+            ("a", "p", "b"),
+            ("b", "p", "c"),
+            ("c", "p", "a"),
+            ("c", "p", "t"),
+            ("x", "other", "y"),  # filtered out by pred
+        ],
+    )
+    got = {(r["a"], r["b"]) for r in kleene_closure(t, "p").collect()}
+    cyc = {"a", "b", "c"}
+    expect = {(u, v) for u in cyc for v in cyc} | {(u, "t") for u in cyc}
+    assert got == expect
+
+
+def test_kleene_closure_seeded_restricts_sources(spark):
+    from semargl_spark.operators.graph import kleene_closure
+
+    t = _triples(
+        spark,
+        [("a", "p", "b"), ("b", "p", "c"), ("z", "p", "a")],
+    )
+    seeds = spark.createDataFrame([("b",)], "start string")
+    got = {(r["a"], r["b"]) for r in kleene_closure(t, "p", sources=seeds).collect()}
+    assert got == {("b", "c")}
+
+
+def test_kleene_closure_round_guard_raises(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.graph import kleene_closure
+
+    # a 5-chain needs 3 productive extension rounds plus one round to
+    # observe the empty frontier; max_rounds=1 must refuse rather than
+    # return a partial closure
+    t = _triples(
+        spark,
+        [("n0", "p", "n1"), ("n1", "p", "n2"), ("n2", "p", "n3"),
+         ("n3", "p", "n4")],
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kleene_closure(t, "p", max_rounds=1)
+    with _pytest.raises(ValueError):
+        kleene_closure(t, "p", max_rounds=0)
+    # and with an adequate bound the chain closure is complete
+    out = {(r["a"], r["b"]) for r in kleene_closure(t, "p", max_rounds=4).collect()}
+    assert len(out) == 4 + 3 + 2 + 1
