@@ -128,7 +128,7 @@ def main() -> None:
                  "kg_sparql_subquery",
                  "kg_sparql_agg_filter", "kg_sparql_group_concat",
                  "kg_sparql_describe_where", "ppmi", "kg_sparql_update",
-                 "knn_graph", "embedding_quantize", "quantized_topk",
+                 "knn_graph", "embedding_quantize", "quantized_topk", "knn_classify",
                  "semantic_clusters", "winnow"):
         if name in registry:
             try:

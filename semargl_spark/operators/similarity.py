@@ -588,3 +588,53 @@ def quantized_topk(
             F.col("nn.dot").alias("dot"),
         )
     )
+
+
+def knn_classify(
+    quantized: DataFrame,
+    labels: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote kNN label prediction over a
+    :func:`quantize_embeddings` index → (query_id, true_label,
+    pred_label, correct): the standard embedding-quality probe a
+    training pipeline runs after every encoder change (if nearest
+    neighbors don't share labels, the space is bad — catch it before a
+    10^12-token run, not after).
+
+    Composes :func:`quantized_topk` (pass an index built through
+    :func:`lsh_bucket` so candidates come from ONE bucket equi-join —
+    the scale path) with an integer vote: per query, count neighbor
+    labels and take the argmax, ties broken by the smaller label. A
+    query whose bucket holds no other vector is absent from the output
+    (no neighbors → no vote), deterministically.
+
+    Plan shape: the vote tally is |queries|·|labels| rows (tiny), the
+    per-query argmax window partitions by query_id — never a global
+    sort; the neighbor→label join is an equi-join where AQE broadcasts
+    the (queries × k)-row side.
+    """
+    nn = quantized_topk(quantized, query_ids, k=k, id_col=id_col)
+    votes = nn.join(
+        labels.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("vote")
+        ),
+        "neighbor_id",
+    )
+    tally = votes.groupBy("query_id", "vote").agg(F.count("*").alias("c"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vote"))
+    pred = tally.withColumn("pr", F.row_number().over(w)).filter(F.col("pr") == 1)
+    truth = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("vote").alias("pred_label"),
+        (F.col("vote") == F.col("true_label")).alias("correct"),
+    )

@@ -1410,6 +1410,93 @@ SELECT query_id, neighbor_id, dot FROM ranked WHERE rn <= 5
 ORACLES["quantized_topk"] = _quantized_topk_oracle()
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: majority-vote kNN label prediction over
+    the LSH-bucketed int8 index (similarity.knn_classify) — per query
+    (every 25th vector), the 5 same-bucket integer-dot neighbors vote
+    on the label; ties break on the smaller label. All-integer scoring
+    and counting, so prediction AND correctness flag hash identically
+    in any engine."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    qz = similarity.quantize_embeddings(
+        similarity.lsh_bucket(emb, "embedding", 64, 8)
+    )
+    labels = emb.select("vec_id", "label")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
+    return similarity.knn_classify(qz, labels, queries, k=5).select(
+        F.col("query_id").cast("long"),
+        "true_label",
+        "pred_label",
+        "correct",
+    )
+
+
+def _knn_classify_oracle() -> str:
+    """The quantized_topk recipe (planes, floor quantization, bucket
+    equi-join, dot-desc/neighbor-desc top-5) extended with the label
+    vote: per-query label counts, argmax with smaller-label tie-break,
+    joined back to the true label."""
+    planes = similarity._hyperplanes(64, 8, seed=42)
+    rows = ",\n".join(
+        f"  ({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pid, p) AS (VALUES
+{rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT e.vec_id,
+        CAST(SUM(CASE WHEN list_reduce(
+               list_transform(range(1, 65), j -> e.v[j] * planes.p[j]),
+               (a, x) -> a + x) >= 0
+             THEN (1 << pid) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes GROUP BY e.vec_id),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM e),
+qv AS (SELECT m.vec_id, b.bucket,
+         CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v,
+                     x -> CAST(floor(127.0 * x / mx) AS INT)) END AS qvec
+       FROM m JOIN b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, bucket, qvec AS qa FROM qv
+      WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, bucket, qvec AS qb FROM qv),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_reduce(
+           list_transform(range(1, 65),
+                          j -> CAST(q.qa[j] AS BIGINT) * c.qb[j]),
+           (a, x) -> a + x) AS dot
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id DESC) AS rn
+           FROM scored),
+votes AS (SELECT r.query_id, CAST(l.label AS INT) AS vote
+          FROM ranked r JOIN embeddings l ON l.vec_id = r.neighbor_id
+          WHERE r.rn <= 5),
+tally AS (SELECT query_id, vote, CAST(COUNT(*) AS BIGINT) AS c
+          FROM votes GROUP BY 1, 2),
+pred AS (SELECT query_id, vote,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, vote ASC) AS pr
+         FROM tally)
+SELECT CAST(p.query_id AS BIGINT) AS query_id,
+       CAST(t.label AS INT) AS true_label,
+       p.vote AS pred_label,
+       (p.vote = CAST(t.label AS INT)) AS correct
+FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+WHERE p.pr = 1
+"""
+
+
+ORACLES["knn_classify"] = _knn_classify_oracle()
+
+
 def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering end to end: mutual-kNN edges over the
     embedding corpus (similarity.knn_graph) fed into the SAME
@@ -2244,6 +2331,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_growth_daily": q_kg_growth_daily,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
+        "knn_classify": q_knn_classify,
         "turn_role_pivot": q_turn_role_pivot,
         "events_cube": q_events_cube,
         "kg_sparql": q_kg_sparql,

@@ -994,3 +994,39 @@ def test_kleene_closure_round_guard_raises(spark):
     # and with an adequate bound the chain closure is complete
     out = {(r["a"], r["b"]) for r in kleene_closure(t, "p", max_rounds=4).collect()}
     assert len(out) == 4 + 3 + 2 + 1
+
+
+def test_knn_classify_majority_vote_and_ties(spark):
+    from semargl_spark.operators import similarity as S
+
+    # 2-d vectors, no bucketing (brute integer dot): query [1, 0] has
+    # neighbors sorted by dot with itself; labels arranged so the
+    # 3-vote majority is label 1; the tie case votes {0: 1, 2: 1} and
+    # must pick the SMALLER label
+    rows = [
+        (0, [1.0, 0.0], 9),    # query; own label must not vote
+        (1, [1.0, 0.1], 1),
+        (2, [1.0, 0.2], 1),
+        (3, [0.9, 0.0], 1),
+        (4, [-1.0, 0.0], 0),
+        (50, [0.0, 1.0], 9),   # tie query
+        (51, [0.1, 1.0], 2),
+        (52, [0.0, 0.9], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    qz = S.quantize_embeddings(df)
+    labels = df.select("vec_id", "label")
+    queries = df.filter(F.col("vec_id").isin(0, 50)).select("vec_id")
+    out = {r["query_id"]: r for r in
+           S.knn_classify(qz, labels, queries, k=3).collect()}
+    assert out[0]["pred_label"] == 1 and out[0]["correct"] is False
+    assert out[0]["true_label"] == 9
+    # query 50's vote multiset is a 1-1-1 three-way tie at worst (its 3
+    # nearest come from labels {2, 0, 1-or-0}); the argmax must resolve
+    # it to the SMALLEST tied label — which is 0 here either way
+    assert out[50]["pred_label"] == 0
+    again = {r["query_id"]: r["pred_label"] for r in
+             S.knn_classify(qz, labels, queries, k=3).collect()}
+    assert again == {q: r["pred_label"] for q, r in out.items()}
