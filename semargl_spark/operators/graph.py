@@ -202,6 +202,97 @@ def kleene_closure(
     )
 
 
+def wl_colors(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    pred_col: str = "pred",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Weisfeiler–Leman (1-WL) color refinement over the labeled
+    multigraph → (node, color): after ``rounds`` iterations, two nodes
+    share a color only if their ``rounds``-hop neighborhood structure
+    (edge directions + predicates included) is identical. This is the
+    DISTRIBUTED analogue of the driver-side bnode-bijection search in
+    functions/graph_compare.py — canonical bnode labeling at 10^12
+    edges partitions bnodes by WL color first, so the per-color
+    bijection search touches a handful of candidates instead of the
+    whole graph (the standard RDF graph-canonicalization recipe).
+
+    One round: every edge sends ``>pred:color(dst)`` to its source and
+    ``<pred:color(src)`` to its destination; each node's new color is
+    ``md5(old_color | '#'-joined sorted message multiset)``. All string
+    building and hashing is byte-deterministic (ASCII preds, hex
+    colors, lexicographic sort), so the colors are oracle-exact in any
+    engine.
+
+    Plan shape per round: two equi-joins (colors onto edge endpoints) +
+    one node groupBy whose per-group state is one node's incident-edge
+    messages — bounded by degree, the same hub caveat as
+    adjacency_export (a 10^9-degree celebrity makes a long row; cap or
+    sample upstream if that exists). ``colors`` is consumed three times
+    per round, so it is localCheckpoint-ed each round — lineage stays
+    O(1) deep and nothing recomputes per consumer.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(pred_col).alias("pred"),
+            F.col(dst_col).alias("dst"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("dst").isNotNull()
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    colors = nodes.select("node", F.lit("0").alias("color")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(rounds):
+        c_dst = colors.select(F.col("node").alias("dst"), F.col("color").alias("c"))
+        m_out = e.join(c_dst, "dst").select(
+            F.col("src").alias("node"),
+            F.concat(F.lit(">"), F.col("pred"), F.lit(":"), F.col("c")).alias("msg"),
+        )
+        c_src = colors.select(F.col("node").alias("src"), F.col("color").alias("c"))
+        m_in = e.join(c_src, "src").select(
+            F.col("dst").alias("node"),
+            F.concat(F.lit("<"), F.col("pred"), F.lit(":"), F.col("c")).alias("msg"),
+        )
+        sigs = (
+            m_out.unionByName(m_in)
+            .groupBy("node")
+            .agg(
+                F.array_join(F.sort_array(F.collect_list("msg")), "#").alias("sig")
+            )
+        )
+        colors = (
+            colors.join(sigs, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat(
+                        F.col("color"),
+                        F.lit("|"),
+                        F.coalesce(F.col("sig"), F.lit("")),
+                    )
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return colors
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",

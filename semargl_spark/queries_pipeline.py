@@ -2282,6 +2282,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_resize": q_media_real_resize,
         "kg_path": q_kg_path,
         "kg_path_star": q_kg_path_star,
+        "kg_wl_colors": q_kg_wl_colors,
         "repetition_stats": q_repetition_stats,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
@@ -2417,6 +2418,47 @@ reach(a, b) AS (
   SELECT r.a, k.dst FROM reach r JOIN k ON k.src = r.b
 )
 SELECT a, b FROM reach
+"""
+
+
+def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler–Leman color refinement (2 rounds) over the
+    materialized KG (graph.wl_colors): the distributed first stage of
+    canonical bnode labeling — nodes with identical 2-hop labeled
+    neighborhoods get identical md5 colors, byte-deterministic in any
+    engine."""
+    from .operators.graph import wl_colors
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return wl_colors(edges, rounds=2)
+
+
+ORACLES["kg_wl_colors"] = _KG_EDGES_SQL + """,
+e AS (SELECT DISTINCT src, pred, dst FROM edges),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+c0 AS (SELECT node, '0' AS color FROM n),
+m1 AS (
+  SELECT e.src AS node, '>' || e.pred || ':' || c.color AS msg
+  FROM e JOIN c0 c ON c.node = e.dst
+  UNION ALL
+  SELECT e.dst, '<' || e.pred || ':' || c.color
+  FROM e JOIN c0 c ON c.node = e.src),
+s1 AS (SELECT node, array_to_string(list_sort(list(msg)), '#') AS sig
+       FROM m1 GROUP BY node),
+c1 AS (SELECT c0.node, md5(c0.color || '|' || COALESCE(s1.sig, '')) AS color
+       FROM c0 LEFT JOIN s1 USING (node)),
+m2 AS (
+  SELECT e.src AS node, '>' || e.pred || ':' || c.color AS msg
+  FROM e JOIN c1 c ON c.node = e.dst
+  UNION ALL
+  SELECT e.dst, '<' || e.pred || ':' || c.color
+  FROM e JOIN c1 c ON c.node = e.src),
+s2 AS (SELECT node, array_to_string(list_sort(list(msg)), '#') AS sig
+       FROM m2 GROUP BY node),
+c2 AS (SELECT c1.node, md5(c1.color || '|' || COALESCE(s2.sig, '')) AS color
+       FROM c1 LEFT JOIN s2 USING (node))
+SELECT node, color FROM c2
 """
 
 

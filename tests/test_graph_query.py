@@ -1030,3 +1030,32 @@ def test_knn_classify_majority_vote_and_ties(spark):
     again = {r["query_id"]: r["pred_label"] for r in
              S.knn_classify(qz, labels, queries, k=3).collect()}
     assert again == {q: r["pred_label"] for q, r in out.items()}
+
+
+def test_wl_colors_distinguishes_structure(spark):
+    from semargl_spark.operators.graph import wl_colors
+
+    # path a→b→c: ends a and c differ (out-only vs in-only); two
+    # disjoint isomorphic paths x→y→z get the SAME colors positionwise
+    t = _triples(
+        spark,
+        [("a", "p", "b"), ("b", "p", "c"), ("x", "p", "y"), ("y", "p", "z")],
+    )
+    got = {r["node"]: r["color"] for r in wl_colors(t, rounds=2).collect()}
+    assert got["a"] == got["x"] and got["b"] == got["y"] and got["c"] == got["z"]
+    assert len({got["a"], got["b"], got["c"]}) == 3  # head/mid/tail all differ
+
+
+def test_wl_colors_predicate_and_direction_sensitivity(spark):
+    from semargl_spark.operators.graph import wl_colors
+
+    # same shape, different predicate → different colors after 1 round
+    t = _triples(spark, [("a", "p", "b"), ("x", "q", "y")])
+    got = {r["node"]: r["color"] for r in wl_colors(t, rounds=1).collect()}
+    assert got["a"] != got["x"] and got["b"] != got["y"]
+    # direction: source vs sink of the same edge differ
+    assert got["a"] != got["b"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wl_colors(t, rounds=0)
