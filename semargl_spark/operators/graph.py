@@ -140,6 +140,7 @@ def kleene_closure(
     pred: str,
     sources: DataFrame | None = None,
     max_rounds: int = 64,
+    reflexive: bool = False,
     src_col: str = "src",
     dst_col: str = "dst",
     pred_col: str = "pred",
@@ -149,6 +150,11 @@ def kleene_closure(
     semantics is what lets both this loop and an external recursive-SQL
     oracle terminate on cycles (a min-hop column would keep a cyclic
     frontier alive forever in naive recursion).
+
+    ``reflexive=True`` gives ``pred*``: the zero-length pair (x, x) is
+    added for every node incident to the predicate subgraph (restricted
+    to ``sources`` when seeded) — one union of a node projection, no
+    extra rounds.
 
     Semi-naive BFS: the per-round frontier holds only pairs never seen
     before (anti-join), so round count = graph diameter, not path
@@ -175,12 +181,29 @@ def kleene_closure(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    seeds = None
     if sources is not None:
         seed_col = sources.columns[0]
         seeds = sources.select(F.col(seed_col).alias("a")).distinct()
         seen = e.join(seeds, "a").localCheckpoint(eager=True)
     else:
         seen = e
+
+    def _finish(closure: DataFrame) -> DataFrame:
+        if not reflexive:
+            return closure
+        ident = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        if seeds is not None:
+            ident = ident.join(seeds.withColumnRenamed("a", "node"), "node")
+        ident = ident.select(
+            F.col("node").alias("a"), F.col("node").alias("b")
+        )
+        return closure.unionByName(ident).distinct()
+
     frontier = seen
     for _ in range(max_rounds):
         ext = (
@@ -193,7 +216,7 @@ def kleene_closure(
             seen.select("a", "b"), ["a", "b"], "left_anti"
         ).localCheckpoint(eager=True)
         if frontier.isEmpty():
-            return seen
+            return _finish(seen)
         seen = seen.unionByName(frontier).localCheckpoint(eager=False)
     raise RuntimeError(
         f"kleene_closure did not converge within {max_rounds} rounds — "

@@ -1059,3 +1059,21 @@ def test_wl_colors_predicate_and_direction_sensitivity(spark):
 
     with _pytest.raises(ValueError):
         wl_colors(t, rounds=0)
+
+
+def test_kleene_closure_reflexive_star(spark):
+    from semargl_spark.operators.graph import kleene_closure
+
+    t = _triples(spark, [("a", "p", "b"), ("b", "p", "c")])
+    # p*: p+ pairs plus (x, x) for every node touching the p subgraph
+    got = {(r["a"], r["b"]) for r in
+           kleene_closure(t, "p", reflexive=True).collect()}
+    assert got == {
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("a", "a"), ("b", "b"), ("c", "c"),
+    }
+    # seeded p*: identity restricted to the seed set
+    seeds = spark.createDataFrame([("b",)], "start string")
+    got_s = {(r["a"], r["b"]) for r in
+             kleene_closure(t, "p", sources=seeds, reflexive=True).collect()}
+    assert got_s == {("b", "c"), ("b", "b")}
