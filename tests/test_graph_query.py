@@ -1077,3 +1077,30 @@ def test_kleene_closure_reflexive_star(spark):
     got_s = {(r["a"], r["b"]) for r in
              kleene_closure(t, "p", sources=seeds, reflexive=True).collect()}
     assert got_s == {("b", "c"), ("b", "b")}
+
+
+def test_wl_colors_isomorphism_invariant_multiset(spark):
+    """Renaming nodes with a bijection must leave the WL color MULTISET
+    unchanged (colors depend only on structure, not on node names)."""
+    from collections import Counter
+
+    from semargl_spark.operators.graph import wl_colors
+
+    base = [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a"), ("d", "p", "a")]
+    ren = {"a": "n1", "b": "n2", "c": "n3", "d": "n4"}
+    iso = [(ren[s], p, ren[o]) for s, p, o in base]
+    c1 = Counter(r["color"] for r in wl_colors(_triples(spark, base), rounds=3).collect())
+    c2 = Counter(r["color"] for r in wl_colors(_triples(spark, iso), rounds=3).collect())
+    assert c1 == c2
+
+
+def test_kleene_closure_matches_bounded_paths_reachability(spark):
+    """Differential: on a graph whose diameter fits the bound, the p+
+    fixpoint pair set equals bounded_paths' pair set."""
+    from semargl_spark.operators.graph import bounded_paths, kleene_closure
+
+    rows = [("n%d" % i, "p", "n%d" % ((i * 3 + 1) % 7)) for i in range(7)]
+    t = _triples(spark, rows)
+    fix = {(r["a"], r["b"]) for r in kleene_closure(t, "p").collect()}
+    bnd = {(r["a"], r["b"]) for r in bounded_paths(t, "p", max_hops=10).collect()}
+    assert fix == bnd
