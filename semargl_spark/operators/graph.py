@@ -225,6 +225,61 @@ def kleene_closure(
     )
 
 
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def schema_summary(
+    edges: DataFrame,
+    type_pred: str = RDF_TYPE,
+    src_col: str = "src",
+    pred_col: str = "pred",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """VoID-style schema profile of the KG → (src_type, pred, dst_type,
+    n_edges, n_src, n_dst): for every non-type predicate, how instances
+    of which classes link to instances of which classes — the first
+    thing a KG consumer asks of an unfamiliar 10^12-edge graph, and the
+    statistics a SPARQL join-order planner feeds on.
+
+    A node with no ``rdf:type`` contributes under the sentinel class
+    ``(untyped)``; a node with several types contributes one row per
+    type (the VoID linkset convention — each (edge, src class, dst
+    class) combination is one observation).
+
+    Plan shape: the type map is |typed nodes| rows joined twice onto
+    the edge list (plain equi-joins, AQE handles skew); the final
+    groupBy key space is SCHEMA-sized (|classes|²·|preds|), so map-side
+    partials collapse 10^12 edges to a handful of rows per task —
+    the same shape as corpus_mix.
+    """
+    types = edges.filter(F.col(pred_col) == type_pred).select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("t")
+    )
+    rel = edges.filter(F.col(pred_col) != type_pred).select(
+        F.col(src_col).alias("src"),
+        F.col(pred_col).alias("pred"),
+        F.col(dst_col).alias("dst"),
+    )
+    out = (
+        rel.join(types.withColumnRenamed("node", "src"), "src", "left")
+        .withColumnRenamed("t", "src_t")
+        .join(types.withColumnRenamed("node", "dst"), "dst", "left")
+        .withColumnRenamed("t", "dst_t")
+        .select(
+            F.coalesce(F.col("src_t"), F.lit("(untyped)")).alias("src_type"),
+            "pred",
+            F.coalesce(F.col("dst_t"), F.lit("(untyped)")).alias("dst_type"),
+            "src",
+            "dst",
+        )
+    )
+    return out.groupBy("src_type", "pred", "dst_type").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.countDistinct("src").cast("long").alias("n_src"),
+        F.countDistinct("dst").cast("long").alias("n_dst"),
+    )
+
+
 def wl_colors(
     edges: DataFrame,
     rounds: int = 2,

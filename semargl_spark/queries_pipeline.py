@@ -2283,6 +2283,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path": q_kg_path,
         "kg_path_star": q_kg_path_star,
         "kg_wl_colors": q_kg_wl_colors,
+        "kg_schema_summary": q_kg_schema_summary,
         "repetition_stats": q_repetition_stats,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
@@ -2459,6 +2460,37 @@ s2 AS (SELECT node, array_to_string(list_sort(list(msg)), '#') AS sig
 c2 AS (SELECT c1.node, md5(c1.color || '|' || COALESCE(s2.sig, '')) AS color
        FROM c1 LEFT JOIN s2 USING (node))
 SELECT node, color FROM c2
+"""
+
+
+def q_kg_schema_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style schema profile (graph.schema_summary): per
+    (src class, predicate, dst class), edge and distinct-endpoint
+    counts — untyped nodes under the '(untyped)' sentinel. The
+    statistics table a SPARQL join planner (and any new consumer of
+    the graph) reads first."""
+    from .operators.graph import schema_summary
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return schema_summary(edges)
+
+
+ORACLES["kg_schema_summary"] = _KG_EDGES_SQL + """,
+ty AS (SELECT src AS node, dst AS t FROM edges
+       WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+rel AS (SELECT src, pred, dst FROM edges
+        WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+obs AS (SELECT COALESCE(ts.t, '(untyped)') AS src_type, rel.pred,
+               COALESCE(td.t, '(untyped)') AS dst_type, rel.src, rel.dst
+        FROM rel
+        LEFT JOIN ty ts ON ts.node = rel.src
+        LEFT JOIN ty td ON td.node = rel.dst)
+SELECT src_type, pred, dst_type,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+       CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst
+FROM obs GROUP BY 1, 2, 3
 """
 
 

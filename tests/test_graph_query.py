@@ -1104,3 +1104,30 @@ def test_kleene_closure_matches_bounded_paths_reachability(spark):
     fix = {(r["a"], r["b"]) for r in kleene_closure(t, "p").collect()}
     bnd = {(r["a"], r["b"]) for r in bounded_paths(t, "p", max_hops=10).collect()}
     assert fix == bnd
+
+
+def test_schema_summary_types_sentinel_and_multitype(spark):
+    from semargl_spark.operators.graph import RDF_TYPE, schema_summary
+
+    t = _triples(
+        spark,
+        [
+            ("a", RDF_TYPE, "Person"),
+            ("b", RDF_TYPE, "City"),
+            ("a", "lives_in", "b"),
+            ("c", "lives_in", "b"),      # c untyped
+            ("a", RDF_TYPE, "Agent"),    # multi-type: one row per type
+            ("a", "knows", "d"),         # d untyped
+        ],
+    )
+    got = {
+        (r["src_type"], r["pred"], r["dst_type"]):
+            (r["n_edges"], r["n_src"], r["n_dst"])
+        for r in schema_summary(t).collect()
+    }
+    assert got[("Person", "lives_in", "City")] == (1, 1, 1)
+    assert got[("Agent", "lives_in", "City")] == (1, 1, 1)
+    assert got[("(untyped)", "lives_in", "City")] == (1, 1, 1)
+    assert got[("Person", "knows", "(untyped)")] == (1, 1, 1)
+    # the type predicate itself never appears as a relation row
+    assert not any(p == RDF_TYPE for (_, p, _) in got)
