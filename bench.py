@@ -103,7 +103,7 @@ def main() -> None:
                  "media_real_decode", "lang_id_ngram",
                  "vocab_expand", "render_turtle", "render_jsonld", "model_diff",
                  "pii_redact", "split_assign", "pack_sequences",
-                 "contamination", "kg_bgp", "kg_pagerank", "kg_path", "kg_path_star", "kg_wl_colors", "kg_schema_summary",
+                 "contamination", "kg_bgp", "kg_pagerank", "kg_path", "kg_path_star", "kg_wl_colors", "kg_schema_summary", "kg_literal_stats",
                  "extract_turtle", "repetition_stats", "kmeans_assign",
                  "events_asof", "events_interval", "events_funnel", "corpus_mix", "quota_resample",
                  "quality_topk", "entity_link_fuzzy", "global_shuffle",

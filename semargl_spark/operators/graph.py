@@ -280,6 +280,42 @@ def schema_summary(
     )
 
 
+def literal_stats(
+    statements: DataFrame,
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    kind_col: str = "obj_kind",
+    lang_col: str = "lang",
+    dtype_col: str = "dtype",
+) -> DataFrame:
+    """Literal-side profile of the extracted statements → (pred, dtype,
+    lang, n_literals, n_distinct, sum_len): the datatype/language
+    histogram that pairs with :func:`schema_summary`'s entity-side
+    profile — what fraction of ``p``'s values are typed decimals vs
+    plain strings vs ``@en`` tags, and how big they are (``sum_len`` is
+    an exact integer so the gate never touches float averages).
+
+    NULL lang/dtype normalize to '' (absent-is-empty, the same
+    convention as the lineage ledger's row hash).
+
+    Plan shape: one groupBy whose key space is |preds|·|dtypes|·|langs|
+    — schema-sized; countDistinct(obj) is the one corpus-cardinality
+    term and Spark executes it as a two-phase partial-distinct
+    aggregate, never a driver-side set.
+    """
+    lit = statements.filter(F.col(kind_col) == "literal").select(
+        F.col(pred_col).alias("pred"),
+        F.coalesce(F.col(dtype_col), F.lit("")).alias("dtype"),
+        F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+        F.col(obj_col).alias("obj"),
+    )
+    return lit.groupBy("pred", "dtype", "lang").agg(
+        F.count("*").cast("long").alias("n_literals"),
+        F.countDistinct("obj").cast("long").alias("n_distinct"),
+        F.sum(F.length("obj")).cast("long").alias("sum_len"),
+    )
+
+
 def wl_colors(
     edges: DataFrame,
     rounds: int = 2,

@@ -2284,6 +2284,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_star": q_kg_path_star,
         "kg_wl_colors": q_kg_wl_colors,
         "kg_schema_summary": q_kg_schema_summary,
+        "kg_literal_stats": q_kg_literal_stats,
         "repetition_stats": q_repetition_stats,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
@@ -2460,6 +2461,35 @@ s2 AS (SELECT node, array_to_string(list_sort(list(msg)), '#') AS sig
 c2 AS (SELECT c1.node, md5(c1.color || '|' || COALESCE(s2.sig, '')) AS color
        FROM c1 LEFT JOIN s2 USING (node))
 SELECT node, color FROM c2
+"""
+
+
+def q_kg_literal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-side KG profile (graph.literal_stats): per (predicate,
+    datatype, lang), literal count, distinct-value count, and exact
+    integer length sum — the datatype/language histogram pairing with
+    kg_schema_summary's entity-side profile."""
+    from .operators.graph import literal_stats
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    return literal_stats(triples(extract_statements(t)))
+
+
+ORACLES["kg_literal_stats"] = _SEED + r""",
+st AS (
+  SELECT 'urn:p:name' AS pred, '' AS dtype, '' AS lang,
+         CASE WHEN did%10=0 THEN 'Entity "'||did||'"'||chr(10)
+              ELSE 'Entity '||did END AS obj FROM t
+  UNION ALL
+  SELECT 'urn:p:score', 'http://www.w3.org/2001/XMLSchema#decimal', '',
+         (did%100)||'.5' FROM t
+  UNION ALL
+  SELECT 'urn:p:label', '', 'en', 'turn '||tix FROM t
+)
+SELECT pred, dtype, lang, CAST(COUNT(*) AS BIGINT) AS n_literals,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_distinct,
+       CAST(SUM(length(obj)) AS BIGINT) AS sum_len
+FROM st GROUP BY 1, 2, 3
 """
 
 

@@ -1131,3 +1131,27 @@ def test_schema_summary_types_sentinel_and_multitype(spark):
     assert got[("Person", "knows", "(untyped)")] == (1, 1, 1)
     # the type predicate itself never appears as a relation row
     assert not any(p == RDF_TYPE for (_, p, _) in got)
+
+
+def test_literal_stats_normalizes_and_counts(spark):
+    from semargl_spark.operators.graph import literal_stats
+
+    st = spark.createDataFrame(
+        [
+            ("s1", "p", "hello", "literal", None, None),
+            ("s2", "p", "hello", "literal", None, None),
+            ("s3", "p", "bye", "literal", None, None),
+            ("s4", "p", "bonjour", "literal", "fr", None),
+            ("s5", "q", "3.5", "literal", None, "xsd:decimal"),
+            ("s6", "p", "urn:x", "iri", None, None),  # non-literal: excluded
+        ],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string",
+    )
+    got = {(r["pred"], r["dtype"], r["lang"]):
+           (r["n_literals"], r["n_distinct"], r["sum_len"])
+           for r in literal_stats(st).collect()}
+    assert got[("p", "", "")] == (3, 2, 13)       # hello×2 + bye
+    assert got[("p", "", "fr")] == (1, 1, 7)
+    assert got[("q", "xsd:decimal", "")] == (1, 1, 3)
+    assert len(got) == 3
