@@ -1147,3 +1147,142 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count("*").cast("long").alias("weight"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities over the directed KG edge set →
+    (node, auth, hub) after ``iterations`` mutual-reinforcement rounds,
+    in UNNORMALIZED integer arithmetic:
+
+        auth'(v) = Σ_{u→v} hub(u)      hub'(u) = Σ_{u→v} auth'(v)
+
+    starting from hub = 1. Skipping the classic L2 normalization keeps
+    every score an exact BIGINT — bit-identical at any parallelism and
+    digit-for-digit reproducible by an unrolled SQL oracle (the same
+    discipline as :func:`pagerank`'s fixed-point micro-units); the
+    RANKING is unchanged because normalization is a positive scalar per
+    round. Scores grow like (max degree)^(2·iterations), so with the
+    default 2 rounds BIGINT holds up to max degree ~55k even at
+    10^12 edges; the guard raises rather than overflowing silently.
+
+    Plan shape: each half-round is one equi-join of the edge list with
+    the current score column followed by one hash aggregation with
+    map-side partials — 2·iterations shuffles total, no windows, no
+    driver-side data. The edge list is deduplicated and checkpointed
+    once up front."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if iterations > 4:
+        raise ValueError(
+            "more than 4 unnormalized rounds risks BIGINT overflow at "
+            "high-degree hubs; normalize externally or lower iterations"
+        )
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        auth = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").cast("long").alias("auth"))
+        )
+        hub = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").cast("long").alias("hub"))
+        )
+        # two consumers read each score column (the next half-round and
+        # the final assembly); truncate lineage per round like pagerank
+        auth = auth.localCheckpoint(eager=False)
+        hub = hub.localCheckpoint(eager=False)
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+        )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling over the UNDIRECTED simple graph of the KG edge
+    set → (node, degree) for the nodes surviving ``rounds`` peeling
+    rounds (each round deletes every node whose remaining degree < k;
+    the true k-core is the fixpoint).
+
+    A fixed round budget instead of a convergence loop: each round is
+    one degree aggregation + one semi-join filter of the edge list, so
+    round count — not graph size — bounds the job count, and the
+    result after r rounds is already a sound OVER-approximation of the
+    k-core (monotone peeling only ever removes non-members). Callers
+    needing the exact fixpoint raise ``rounds`` — peeling depth in
+    practice is tiny (a few rounds even on web graphs, since each round
+    removes whole degree-layers at once). Deterministic at any
+    parallelism: integer degrees only, no tie-breaks.
+
+    Scale: the edge list shrinks monotonically; each round shuffles
+    only the SURVIVING edges (checkpointed per round to keep the plan
+    O(1)), and the degree agg is a map-side-partial hash agg on short
+    string keys."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )

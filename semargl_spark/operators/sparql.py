@@ -8,6 +8,16 @@ Supported grammar (the subset that covers the engine's gated algebra):
     SELECT [DISTINCT] ?a ?b | *            (projection)
     WHERE {
         ?s pfx:p ?o . ?o a pfx:C .         (BGPs; 'a' = rdf:type)
+        ?s pfx:p1/pfx:p2/^pfx:p3 ?o .      (sequence paths → chained
+                                            patterns via fresh vars;
+                                            ^ = inverse step)
+        ?s !pfx:p ?o / ?s !(p1|p2) ?o .    (negated property sets →
+                                            fresh predicate variable +
+                                            inequality FILTERs)
+        ?s pfx:p+ ?o / p* / p? / p{0|1,k}  (sole-pattern property paths;
+                                            +/* bounded by max_hops;
+                                            */?/{0,k} add SPARQL
+                                            zero-length pairs, hops=0)
         FILTER(expr)                       (comparisons, &&/||/!,
                                             regex(?v,"re"),
                                             strstarts(?v,"s"))
@@ -111,21 +121,31 @@ class SparqlError(ValueError):
     pass
 
 
-_PATH_BOUND_RE = re.compile(r"^(?P<core>.+?)(?:(?P<plus>\+)|\{1,(?P<k>\d+)\})$")
+_PATH_BOUND_RE = re.compile(
+    r"^(?P<core>.+?)"
+    r"(?:(?P<plus>\+)|(?P<star>\*)|(?P<opt>\?)|\{(?P<lo>[01]),(?P<k>\d+)\})$"
+)
 _BOUND_RE = re.compile(r"\{\s*\d+\s*,\s*\d+\s*\}")
 
 
 def _parse_path(pred_tok: str, prefixes: dict[str, str]):
     """If the predicate token is a property-path expression, return
-    (forward_preds, inverse_preds, k_or_None_for_plus); else None.
+    (forward_preds, inverse_preds, k_or_None_for_unbounded, zero_ok);
+    else None.
 
-    Supported: ``p+``, ``p{1,k}``, ``(p|^q|...)+``, ``(p|^q|...){1,k}``
-    where each step is an IRI / prefixed name, ``^`` marks an inverse
-    step. ``+`` (unbounded in SPARQL) maps to the engine's bounded
-    closure with the caller-supplied ``max_hops`` — an unbounded
-    transitive closure over 10^12 edges is a quadratic blow-up, so the
-    bound is mandatory and explicit."""
-    m = _PATH_BOUND_RE.match(pred_tok.strip())
+    Supported: ``p+``, ``p*``, ``p?``, ``p{0|1,k}`` and the same four
+    closures over an alternation ``(p|^q|...)`` where each step is an
+    IRI / prefixed name and ``^`` marks an inverse step. ``+`` and
+    ``*`` (unbounded in SPARQL) map to the engine's bounded closure
+    with the caller-supplied ``max_hops`` — an unbounded transitive
+    closure over 10^12 edges is a quadratic blow-up, so the bound is
+    mandatory and explicit. ``zero_ok`` (``*``, ``?``, ``{0,k}``) adds
+    the SPARQL zero-length pairs: (t, t) for every term of the graph
+    when both ends are variables, (s, s) for a constant end."""
+    tok = pred_tok.strip()
+    if tok.startswith("?") and _VAR_RE.fullmatch(tok):
+        return None  # a variable predicate, not a path
+    m = _PATH_BOUND_RE.match(tok)
     if not m:
         return None
     core = m.group("core").strip()
@@ -136,7 +156,7 @@ def _parse_path(pred_tok: str, prefixes: dict[str, str]):
         alts = [a.strip() for a in core.split("|")]
     elif core.startswith("^"):
         alts = [core]
-    elif m.group("plus") or m.group("k"):
+    else:
         alts = [core]
     if alts is None:
         return None
@@ -151,8 +171,11 @@ def _parse_path(pred_tok: str, prefixes: dict[str, str]):
     for t in fwd + inv:
         if t.startswith("?"):
             raise SparqlError("variable steps in property paths not supported")
+    if m.group("opt"):
+        return fwd, inv, 1, True
+    zero = bool(m.group("star")) or m.group("lo") == "0"
     k = int(m.group("k")) if m.group("k") else None
-    return fwd, inv, k
+    return fwd, inv, k, zero
 
 
 def _term(tok: str, prefixes: dict[str, str]) -> str:
@@ -334,9 +357,128 @@ def _patterns(body: str, prefixes: dict[str, str]) -> list[tuple[str, str, str]]
                 "property paths are supported only as the sole pattern "
                 "of the WHERE group in this subset"
             )
+        if toks[1].startswith("!") or _split_seq(toks[1]) is not None:
+            # sequence / negated-property-set sugar is expanded only in
+            # the main SELECT group (sparql_select); never resolve the
+            # raw token as an IRI — it would silently match nothing
+            raise SparqlError(
+                "sequence paths and negated property sets compose only "
+                "in the main WHERE group in this subset"
+            )
         s, p, o = (_term(t, prefixes) for t in toks)
         pats.append((s, p, o))
     return pats
+
+
+def _split_seq(pred_tok: str) -> list[str] | None:
+    """Split a sequence-path predicate token ``p1/p2/...`` on top-level
+    ``/`` (slashes inside ``<...>`` IRIs are not separators). Returns
+    the step tokens, or None when the token is not a sequence."""
+    steps, buf, i, n = [], [], 0, len(pred_tok)
+    while i < n:
+        ch = pred_tok[i]
+        if ch == "<":
+            j = pred_tok.find(">", i)
+            j = n - 1 if j < 0 else j
+            buf.append(pred_tok[i:j + 1])
+            i = j + 1
+        elif ch == "/":
+            steps.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(ch)
+            i += 1
+    steps.append("".join(buf))
+    return steps if len(steps) > 1 else None
+
+
+def _rewrite_sugar(
+    body: str, prefixes: dict[str, str]
+) -> tuple[str, list[str], bool]:
+    """Expand path sugar in a plain (brace-free) group body into BGP
+    patterns the existing engine compiles directly:
+
+    * sequence paths ``?s p1/p2/^p3 ?o`` → chained patterns through
+      fresh ``?__seqN_M`` variables (an inverse step swaps its two
+      ends) — the compiled plan is the same statistics-ordered join
+      tree any multi-pattern BGP gets;
+    * negated property sets ``?s !p ?o`` / ``?s !(p1|p2) ?o`` → a fresh
+      ``?__npsN`` predicate variable plus inequality FILTERs (returned
+      separately, in SPARQL syntax, for the caller's filter list).
+
+    Returns (rewritten body, extra filter expressions, whether any
+    sugar was expanded). Closure suffixes on sequence steps or NPS
+    members (``p1/p2+``, ``!(p)+``, ``!(^p)``) raise — those compose a
+    closure with a join and are out of this subset."""
+    stmts = [s.strip() for s in _split_statements(body)]
+    out_stmts: list[str] = []
+    extra_filters: list[str] = []
+    sugared = False
+    counter = 0
+    for stmt in stmts:
+        if not stmt:
+            continue
+        toks = _tokenize_triple(stmt)
+        if len(toks) != 3:
+            out_stmts.append(stmt)
+            continue
+        pred = toks[1]
+        steps = _split_seq(pred)
+        if steps is not None:
+            if pred.startswith("!") or any(
+                _PATH_BOUND_RE.match(st.strip()) and not st.strip().startswith("?")
+                for st in steps
+            ):
+                raise SparqlError(
+                    f"closure or negation inside a sequence path is not "
+                    f"supported: {pred!r}"
+                )
+            subj = toks[0]
+            for i, step in enumerate(steps):
+                step = step.strip()
+                if not step:
+                    raise SparqlError(f"empty step in sequence path {pred!r}")
+                obj = (
+                    toks[2] if i == len(steps) - 1
+                    else f"?__seq{counter}_{i}"
+                )
+                if step.startswith("^"):
+                    out_stmts.append(f"{obj} {step[1:]} {subj}")
+                else:
+                    out_stmts.append(f"{subj} {step} {obj}")
+                subj = obj
+            counter += 1
+            sugared = True
+            continue
+        if pred.startswith("!"):
+            inner = pred[1:].strip()
+            if inner.startswith("(") and inner.endswith(")"):
+                members = [a.strip() for a in inner[1:-1].split("|")]
+            else:
+                members = [inner]
+            if not members or any(not a for a in members):
+                raise SparqlError(f"empty negated property set {pred!r}")
+            if any(a.startswith("^") for a in members):
+                raise SparqlError(
+                    "inverse members in a negated property set are not "
+                    "supported"
+                )
+            iris = [_term(a, prefixes) for a in members]
+            if any(t.startswith("?") for t in iris):
+                raise SparqlError(
+                    "variables in a negated property set are not supported"
+                )
+            var = f"?__nps{counter}"
+            counter += 1
+            out_stmts.append(f"{toks[0]} {var} {toks[2]}")
+            for iri in iris:
+                esc = iri.replace("\\", "\\\\").replace('"', '\\"')
+                extra_filters.append(f'{var} != "{esc}"')
+            sugared = True
+            continue
+        out_stmts.append(stmt)
+    return " . ".join(out_stmts), extra_filters, sugared
 
 
 def _tokenize_triple(stmt: str) -> list[str]:
@@ -518,6 +660,12 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
     body, filters = _split_filter(body)
     body, binds = _split_bind(body)
 
+    # sequence-path / negated-property-set sugar → plain BGP patterns
+    # (+ inequality filters); helper variables are dropped from a
+    # SELECT * projection below
+    body, sugar_filters, sugared = _rewrite_sugar(body, prefixes)
+    filters.extend(sugar_filters)
+
     # sole-pattern property path → bounded minimum-hop closure
     stmts = [s for s in (x.strip() for x in _split_statements(body)) if s]
     if len(stmts) == 1:
@@ -649,6 +797,12 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
         ]
         return _modifiers(out.select(*sel), "*", tail, distinct=distinct)
 
+    if sugared:
+        # fresh ?__seqN_M / ?__npsN helpers are internal: invisible to
+        # SELECT * (their filters have already been applied above)
+        helpers = [c for c in out.columns if c.startswith("__")]
+        if helpers:
+            out = out.drop(*helpers)
     if values:
         out = _apply_values(out, values)
     return _modifiers(out, proj, tail, distinct=distinct)
@@ -663,12 +817,19 @@ def _compile_path(
 ) -> DataFrame:
     """One path pattern → (s_var, o_var, hops) via the semi-naive
     bounded closure (operators/graph.bounded_paths_alt). Constant
-    subject/object positions become post-closure filters."""
+    subject/object positions become post-closure filters.
+
+    Zero-length closures (``*``, ``?``, ``{0,k}``) union the SPARQL
+    zero-length pairs before the constant filters: (t, t, hops=0) for
+    every term of the graph when both ends are variables (one distinct
+    node projection — O(|V|), never a closure blow-up), or the single
+    (const, const) pair when an end is constant; overlapping pairs keep
+    the minimum hop count via one hash re-aggregation."""
     from pyspark.sql import functions as F
 
     from .graph import bounded_paths_alt
 
-    fwd, inv, k = path
+    fwd, inv, k, zero = path
     k = k if k is not None else max_hops
     if k < 1:
         raise SparqlError("path bound must be >= 1")
@@ -676,6 +837,28 @@ def _compile_path(
     if s_t.startswith("?") and o_t.startswith("?") and s_t == o_t:
         raise SparqlError("identical subject/object variable in a path")
     out = bounded_paths_alt(edges, fwd, k, inverse_preds=inv or None)
+    if zero:
+        if not s_t.startswith("?"):
+            zdf = edges.sparkSession.createDataFrame(
+                [(s_t, s_t)], "a string, b string"
+            )
+        elif not o_t.startswith("?"):
+            zdf = edges.sparkSession.createDataFrame(
+                [(o_t, o_t)], "a string, b string"
+            )
+        else:
+            zdf = (
+                edges.select(F.col("src").alias("node"))
+                .unionByName(edges.select(F.col("dst").alias("node")))
+                .distinct()
+                .select(F.col("node").alias("a"), F.col("node").alias("b"))
+            )
+        out = (
+            out.unionByName(zdf.select(
+                "a", "b", F.lit(0).cast("int").alias("hops")))
+            .groupBy("a", "b")
+            .agg(F.min("hops").alias("hops"))
+        )
     for col, term in (("a", s_t), ("b", o_t)):
         if term.startswith("?"):
             out = out.withColumnRenamed(col, term[1:])

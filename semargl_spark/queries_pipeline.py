@@ -465,6 +465,79 @@ r{i} AS (SELECT n.node,
 ORACLES["kg_pagerank"] = _pagerank_oracle()
 
 
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 mutual-reinforcement rounds) over the
+    KG edge set in unnormalized BIGINT arithmetic — bit-exact at any
+    parallelism, digit-for-digit mirrored by the unrolled SQL oracle
+    (graph.hits; same integer discipline as kg_pagerank). The type-hub
+    'urn:t:Thing' dominates authority while chain nodes split hub mass,
+    so the scores are non-trivial."""
+    from .operators.graph import hits
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return hits(edges, iterations=2)
+
+
+ORACLES["kg_hits"] = _KG_EDGES_SQL + """,
+ue AS (SELECT DISTINCT src, dst FROM edges),
+nodes AS (SELECT src AS node FROM ue UNION SELECT dst FROM ue),
+a1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS auth
+       FROM ue GROUP BY dst),
+h1 AS (SELECT ue.src AS node, CAST(SUM(a1.auth) AS BIGINT) AS hub
+       FROM ue JOIN a1 ON a1.node = ue.dst GROUP BY ue.src),
+a2 AS (SELECT ue.dst AS node, CAST(SUM(h1.hub) AS BIGINT) AS auth
+       FROM ue JOIN h1 ON h1.node = ue.src GROUP BY ue.dst),
+h2 AS (SELECT ue.src AS node, CAST(SUM(a2.auth) AS BIGINT) AS hub
+       FROM ue JOIN a2 ON a2.node = ue.dst GROUP BY ue.src)
+SELECT n.node, COALESCE(a2.auth, 0) AS auth, COALESCE(h2.hub, 0) AS hub
+FROM nodes n
+LEFT JOIN a2 ON a2.node = n.node
+LEFT JOIN h2 ON h2.node = n.node
+"""
+
+
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core after 3 peeling rounds over the undirected KG
+    (graph.kcore): the knows/relation chain erodes one degree-1 layer
+    from each end per round while the type-hub star collapses, so the
+    output exercises both monotone shrinkage and the fixed-round
+    over-approximation contract. Integer degrees only — deterministic
+    at any parallelism; the oracle unrolls the same 3 rounds."""
+    from .operators.graph import kcore
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return kcore(edges, k=2, rounds=3)
+
+
+ORACLES["kg_kcore"] = _KG_EDGES_SQL + """,
+ue0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+d1 AS (SELECT node, COUNT(*) AS deg FROM
+       (SELECT a AS node FROM ue0 UNION ALL SELECT b FROM ue0)
+       GROUP BY node),
+k1 AS (SELECT node FROM d1 WHERE deg >= 2),
+ue1 AS (SELECT ue0.a, ue0.b FROM ue0
+        JOIN k1 x ON x.node = ue0.a JOIN k1 y ON y.node = ue0.b),
+d2 AS (SELECT node, COUNT(*) AS deg FROM
+       (SELECT a AS node FROM ue1 UNION ALL SELECT b FROM ue1)
+       GROUP BY node),
+k2 AS (SELECT node FROM d2 WHERE deg >= 2),
+ue2 AS (SELECT ue1.a, ue1.b FROM ue1
+        JOIN k2 x ON x.node = ue1.a JOIN k2 y ON y.node = ue1.b),
+d3 AS (SELECT node, COUNT(*) AS deg FROM
+       (SELECT a AS node FROM ue2 UNION ALL SELECT b FROM ue2)
+       GROUP BY node),
+k3 AS (SELECT node FROM d3 WHERE deg >= 2),
+ue3 AS (SELECT ue2.a, ue2.b FROM ue2
+        JOIN k3 x ON x.node = ue2.a JOIN k3 y ON y.node = ue2.b)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+(SELECT a AS node FROM ue3 UNION ALL SELECT b FROM ue3)
+GROUP BY node
+"""
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the undirected KG (the 'urn:t:Thing'
     type hub closes a triangle with every knows pair, so the counts are
@@ -2241,6 +2314,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_construct": q_kg_construct,
         "kg_triangles": q_kg_triangles,
+        "kg_hits": q_kg_hits,
+        "kg_kcore": q_kg_kcore,
         "kg_node_sim": q_kg_node_sim,
         "kg_pagerank": q_kg_pagerank,
         "stream_kg_edges": q_stream_kg_edges,
@@ -2342,6 +2417,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_values": q_kg_sparql_values,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_seq": q_kg_sparql_seq,
+        "kg_sparql_nps": q_kg_sparql_nps,
+        "kg_sparql_path_zero": q_kg_sparql_path_zero,
         "kg_sparql_having": q_kg_sparql_having,
         "kg_sparql_graph": q_kg_sparql_graph,
         "stream_canon": q_stream_canon,
@@ -4901,6 +4979,96 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["kg_sparql_path"] = ORACLES["kg_path"].replace(
     "SELECT a, b,", "SELECT a AS x, b AS y,"
 )
+
+
+def q_kg_sparql_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL sequence path from query TEXT: ``p:knows/dcterms:relation``
+    expanded into chained BGP patterns through a fresh internal
+    variable (operators/sparql._rewrite_sugar), composed with a plain
+    type pattern in the same group — the compiled plan is the same
+    statistics-ordered hash-join tree any 3-pattern BGP gets, so the
+    sugar adds zero new shuffle machinery. Reference n/a (query-surface
+    operator over the constructed KG)."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        PREFIX t: <urn:t:>
+        SELECT ?a ?c WHERE {
+            ?a p:knows/dcterms:relation ?c .
+            ?a a t:Thing .
+        }
+    """)
+
+
+ORACLES["kg_sparql_seq"] = _KG_EDGES_SQL + """
+SELECT e1.src AS a, e2.dst AS c
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+             AND e2.pred = 'http://purl.org/dc/terms/relation'
+JOIN edges ty ON ty.src = e1.src
+             AND ty.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+             AND ty.dst = 'urn:t:Thing'
+WHERE e1.pred = 'urn:p:knows'
+"""
+
+
+def q_kg_sparql_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negated property set from query TEXT:
+    ``!(p:knows|rdf:type)`` rewritten to a fresh predicate variable
+    plus pushed inequality filters — one filtered scan of the edge
+    table, no join, the filters land in the parquet scan's
+    PushedFilters at any scale. Reference n/a (query-surface
+    operator)."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?s ?o WHERE { ?s !(p:knows|rdf:type) ?o . }
+    """)
+
+
+ORACLES["kg_sparql_nps"] = _KG_EDGES_SQL + """
+SELECT src AS s, dst AS o FROM edges
+WHERE pred NOT IN ('urn:p:knows',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+"""
+
+
+def q_kg_sparql_path_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL zero-admitting property path from query TEXT:
+    ``p:knows{0,2}`` — the bounded minimum-hop closure unioned with the
+    SPARQL zero-length pairs ((t, t, hops=0) for every term of the
+    graph: one distinct node projection, O(|V|) extra rows, never a
+    closure blow-up) and re-minimized per pair in a single hash
+    aggregation. ``p:knows*``/``p:knows?`` ride the same code path
+    (star takes the engine's explicit max_hops bound)."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        SELECT ?x ?y ?hops WHERE { ?x p:knows{0,2} ?y . }
+    """)
+
+
+ORACLES["kg_sparql_path_zero"] = _KG_EDGES_SQL + """,
+k AS (SELECT DISTINCT src, dst FROM edges WHERE pred = 'urn:p:knows'),
+nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+h1 AS (SELECT src AS a, dst AS b, 1 AS hops FROM k),
+h2 AS (SELECT h1.a, k.dst AS b, 2 AS hops FROM h1 JOIN k ON k.src = h1.b),
+hall AS (SELECT n AS a, n AS b, 0 AS hops FROM nodes
+         UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+SELECT a AS x, b AS y, CAST(MIN(hops) AS INT) AS hops
+FROM hall GROUP BY a, b
+"""
 
 
 def q_kg_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:

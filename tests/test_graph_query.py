@@ -1155,3 +1155,71 @@ def test_literal_stats_normalizes_and_counts(spark):
     assert got[("p", "", "fr")] == (1, 1, 7)
     assert got[("q", "xsd:decimal", "")] == (1, 1, 3)
     assert len(got) == 3
+
+
+# --- HITS hubs & authorities ---
+
+
+def test_hits_star_hand_checked(spark):
+    from semargl_spark.operators.graph import hits
+
+    # u1,u2 -> h ; h -> v   (h is both the top authority target's hub
+    # and the star's authority)
+    t = _triples(
+        spark,
+        [("u1", "p", "h"), ("u2", "p", "h"), ("h", "p", "v")],
+    )
+    out = {r["node"]: (r["auth"], r["hub"]) for r in hits(t, iterations=1).collect()}
+    # round 1: auth = indegree; hub(u) = sum auth over out-neighbors
+    assert out == {
+        "u1": (0, 2), "u2": (0, 2),   # point at h (auth 2)
+        "h": (2, 1),                   # authority 2, points at v (auth 1)
+        "v": (1, 0),
+    }
+
+
+def test_hits_partition_invariant_and_guards(spark):
+    from semargl_spark.operators.graph import hits
+
+    rows = [(f"n{i}", "p", f"n{(i * 7 + 1) % 13}") for i in range(13)]
+    t = _triples(spark, rows)
+    a = sorted(map(tuple, hits(t, iterations=2).collect()))
+    b = sorted(map(tuple, hits(t.repartition(7), iterations=2).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match=">= 1"):
+        hits(t, iterations=0)
+    with pytest.raises(ValueError, match="overflow"):
+        hits(t, iterations=5)
+
+
+# --- k-core peeling ---
+
+
+def test_kcore_triangle_with_tail(spark):
+    from semargl_spark.operators.graph import kcore
+
+    # triangle a-b-c plus a pendant chain c-d-e: the 2-core is exactly
+    # the triangle once the chain peels (2 rounds)
+    t = _triples(
+        spark,
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"),
+         ("c", "p", "d"), ("d", "p", "e")],
+    )
+    out = {r["node"]: r["degree"] for r in kcore(t, k=2, rounds=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+    # one round is a sound over-approximation: e peels, d not yet
+    partial = {r["node"] for r in kcore(t, k=2, rounds=1).collect()}
+    assert partial == {"a", "b", "c", "d"}
+
+
+def test_kcore_direction_and_duplicate_insensitive(spark):
+    from semargl_spark.operators.graph import kcore
+
+    # parallel/reverse edges collapse to one undirected simple edge
+    t = _triples(
+        spark,
+        [("a", "p", "b"), ("b", "q", "a"), ("a", "r", "b")],
+    )
+    assert kcore(t, k=2, rounds=1).count() == 0
+    out = {r["node"]: r["degree"] for r in kcore(t, k=1, rounds=2).collect()}
+    assert out == {"a": 1, "b": 1}

@@ -661,3 +661,105 @@ def test_sparql_update_differential_vs_set_mirror(spark):
             for r in sparql_update(df.repartition(5), q).collect()
         }
         assert got == expect, f"trial {trial}"
+
+
+# --- path sugar: sequences, negated property sets, zero-length ---
+
+
+def _chain_edges(spark):
+    rows = [
+        ("a", "urn:p:knows", "b"), ("b", "urn:p:knows", "c"),
+        ("b", "urn:r", "x"), ("c", "urn:r", "y"), ("x", "urn:t", "z"),
+    ]
+    return spark.createDataFrame(rows, "src string, pred string, dst string")
+
+
+def test_sparql_sequence_path(spark):
+    q = """
+    PREFIX u: <urn:>
+    SELECT ?s ?o WHERE { ?s u:p:knows/u:r ?o . }
+    """
+    out = {(r["s"], r["o"]) for r in
+           sparql_select(_chain_edges(spark), q).collect()}
+    assert out == {("a", "x"), ("b", "y")}
+
+
+def test_sparql_sequence_inverse_step_and_star_projection(spark):
+    # r then inverse-r: every node with an r edge maps back to itself
+    q = "SELECT ?s ?o WHERE { ?s <urn:r>/^<urn:r> ?o . }"
+    out = {(r["s"], r["o"]) for r in
+           sparql_select(_chain_edges(spark), q).collect()}
+    assert out == {("b", "b"), ("c", "c")}
+    # SELECT * never leaks the internal __seq helper variables
+    cols = sparql_select(
+        _chain_edges(spark),
+        "SELECT * WHERE { ?s <urn:p:knows>/<urn:r> ?o . }",
+    ).columns
+    assert sorted(cols) == ["o", "s"]
+
+
+def test_sparql_sequence_composes_with_bgp_and_filter(spark):
+    q = """
+    SELECT ?s ?o WHERE {
+        ?s <urn:p:knows>/<urn:r> ?o . ?o <urn:t> ?z .
+        FILTER(?s != "b")
+    }
+    """
+    out = {(r["s"], r["o"]) for r in
+           sparql_select(_chain_edges(spark), q).collect()}
+    assert out == {("a", "x")}
+
+
+def test_sparql_negated_property_set(spark):
+    q = "SELECT ?s ?o WHERE { ?s !(<urn:p:knows>|<urn:r>) ?o . }"
+    out = {(r["s"], r["o"]) for r in
+           sparql_select(_chain_edges(spark), q).collect()}
+    assert out == {("x", "z")}
+    # single-member form
+    q1 = "SELECT ?s ?o WHERE { ?s !<urn:p:knows> ?o . }"
+    out1 = {(r["s"], r["o"]) for r in
+            sparql_select(_chain_edges(spark), q1).collect()}
+    assert out1 == {("b", "x"), ("c", "y"), ("x", "z")}
+
+
+def test_sparql_path_star_and_opt_zero_length(spark):
+    star = sparql_select(
+        _chain_edges(spark),
+        "SELECT ?x ?y ?hops WHERE { ?x <urn:p:knows>* ?y . }",
+    )
+    rows = {(r["x"], r["y"], r["hops"]) for r in star.collect()}
+    # zero-length pairs cover EVERY term of the graph, not just the
+    # predicate subgraph (SPARQL 1.1 zero-length path semantics)
+    assert ("z", "z", 0) in rows and ("y", "y", 0) in rows
+    assert ("a", "c", 2) in rows and ("a", "b", 1) in rows
+    opt = sparql_select(
+        _chain_edges(spark),
+        "SELECT ?x ?y ?hops WHERE { ?x <urn:p:knows>? ?y . }",
+    )
+    orows = {(r["x"], r["y"], r["hops"]) for r in opt.collect()}
+    assert ("a", "b", 1) in orows and ("a", "c", 2) not in orows
+    assert ("z", "z", 0) in orows
+
+
+def test_sparql_path_zero_k_constant_subject(spark):
+    out = sparql_select(
+        _chain_edges(spark),
+        'SELECT ?y ?hops WHERE { <a> <urn:p:knows>{0,2} ?y . }',
+    )
+    rows = {(r["y"], r["hops"]) for r in out.collect()}
+    # the constant end contributes exactly its own zero-length pair
+    assert rows == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_sparql_path_sugar_errors(spark):
+    e = _chain_edges(spark)
+    with pytest.raises(SparqlError, match="inverse members"):
+        sparql_select(e, "SELECT ?s ?o WHERE { ?s !(^<urn:r>) ?o . }")
+    with pytest.raises(SparqlError, match="closure or negation"):
+        sparql_select(e, "SELECT ?s ?o WHERE { ?s <urn:r>/<urn:t>+ ?o . }")
+    with pytest.raises(SparqlError, match="main WHERE group"):
+        sparql_select(
+            e,
+            "SELECT ?s ?o WHERE { OPTIONAL { ?s <urn:a>/<urn:b> ?o } "
+            "?s <urn:r> ?o . }",
+        )
