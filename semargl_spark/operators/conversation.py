@@ -191,3 +191,50 @@ def transcripts_profile(transcripts: DataFrame) -> DataFrame:
             F.col(f"{c}__maxlen").cast("long").alias("max_len"),
         ))
     return one.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")
+
+
+def agent_loops(transcripts: DataFrame, min_run: int = 2) -> DataFrame:
+    """Stuck-tool-loop detector over agent transcripts →
+    (conv_id, n_tool_calls, n_runs, max_run, n_stuck_runs): run-length
+    encode each conversation's consecutive tool-call subsequence
+    (intervening user/assistant turns are skipped, like
+    :func:`tool_chains`) and report the longest same-tool run plus the
+    number of runs of at least ``min_run`` repeats — the standard
+    degenerate-agent-loop signal used to filter stuck trajectories out
+    of training corpora.
+
+    Gaps-and-islands with ONE shuffle: both windows (the lag change
+    flag and its running sum) share the (conv_id ⟶ turn_idx) sort, so
+    Catalyst plans a single exchange + sort; the two downstream
+    aggregations are map-side-partial hash aggs on (conv_id, grp) then
+    conv_id. At 10^12 turns the tool filter prunes ~2/3 of rows before
+    the only wide stage, and per-conversation ordering is the same
+    stable window every transcript operator uses (north_rule).
+    Deterministic: integer counts only."""
+    if min_run < 2:
+        raise ValueError(f"min_run must be >= 2, got {min_run}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag("tool").over(w).isNull()
+                | (F.lag("tool").over(w) != F.col("tool")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("chg").over(w))
+    )
+    runs = x.groupBy("conv_id", "grp").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_tool_calls"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum(
+            F.when(F.col("run_len") >= min_run, 1).otherwise(0)
+        ).cast("long").alias("n_stuck_runs"),
+    )

@@ -365,6 +365,54 @@ GROUP BY 1, 2
 )
 
 
+def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-tool-loop detection (operators/conversation.agent_loops)
+    over a 12-turn corpus with tool names coarsened to two families
+    (web_search → 'search', the two execution tools → 'exec'), so every
+    conversation's tool subsequence carries a genuine repeated-family
+    run for the gaps-and-islands encoder to find."""
+    from .operators.conversation import agent_loops
+
+    t = synth_transcripts(spark, sf_dir, turns_per_doc=12)
+    t = t.withColumn(
+        "tool",
+        F.when(F.col("tool").isNull(), None)
+        .when(F.col("tool") == "web_search", "search")
+        .otherwise("exec"),
+    )
+    return agent_loops(t, min_run=2)
+
+
+_oracle(
+    "agent_loops",
+    """
+WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix
+           FROM documents
+           CROSS JOIN (SELECT unnest(generate_series(0,11)) AS tix)),
+tools AS (SELECT did, tix,
+                 CASE ((did + tix//3) % 3) WHEN 1 THEN 'search'
+                      ELSE 'exec' END AS fam
+          FROM t WHERE tix % 3 = 2),
+x AS (SELECT did, tix, fam,
+             CASE WHEN LAG(fam) OVER (PARTITION BY did ORDER BY tix)
+                       IS DISTINCT FROM fam THEN 1 ELSE 0 END AS chg
+      FROM tools),
+g AS (SELECT did, fam,
+             SUM(chg) OVER (PARTITION BY did ORDER BY tix) AS grp
+      FROM x),
+runs AS (SELECT did, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+         FROM g GROUP BY did, grp)
+SELECT 'c'||did AS conv_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_tool_calls,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stuck_runs
+FROM runs GROUP BY did
+""",
+)
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
     """Wrap a query so the package is shipped to executors first
     (programmatic --py-files; see spark_util.ensure_py_files)."""
@@ -403,6 +451,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_stats": q_role_stats,
         "tool_stats": q_tool_stats,
         "tool_chains": q_tool_chains,
+        "agent_loops": q_agent_loops,
         "entity_dictionary": q_entity_dictionary,
     }
 

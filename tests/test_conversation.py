@@ -127,3 +127,50 @@ def test_transcripts_profile_counts(spark):
     assert out["text"]["n_null"] == 1 and out["text"]["n_distinct"] == 2
     assert out["text"]["min_len"] == 2 and out["text"]["max_len"] == 11
     assert out["tool"]["n_null"] == 2 and out["tool"]["n_distinct"] == 1
+
+
+def test_agent_loops_run_length_encoding(spark):
+    import pytest
+
+    from semargl_spark.operators.conversation import agent_loops
+
+    # c1: grep grep grep ls grep grep  -> runs [3,1,2], 2 stuck runs
+    # c2: a b a                        -> runs [1,1,1], 0 stuck
+    # c3: no tool turns at all         -> absent from the output
+    rows = []
+    for i, tool in enumerate(["grep", "grep", "grep", "ls", "grep", "grep"]):
+        rows.append(("c1", i, "tool", "t", tool, _ts(i)))
+    for i, tool in enumerate(["a", "b", "a"]):
+        rows.append(("c2", i, "tool", "t", tool, _ts(i)))
+    rows.append(("c3", 0, "user", "hi", None, _ts(0)))
+    out = {r["conv_id"]: r for r in agent_loops(_t(spark, rows)).collect()}
+    assert set(out) == {"c1", "c2"}
+    c1 = out["c1"]
+    assert (c1["n_tool_calls"], c1["n_runs"], c1["max_run"],
+            c1["n_stuck_runs"]) == (6, 3, 3, 2)
+    c2 = out["c2"]
+    assert (c2["n_tool_calls"], c2["n_runs"], c2["max_run"],
+            c2["n_stuck_runs"]) == (3, 3, 1, 0)
+    # min_run raises the stuck threshold; user turns between tool calls
+    # do not break a run (the lag runs over the tool subsequence)
+    out3 = {r["conv_id"]: r for r in agent_loops(_t(spark, rows), min_run=3).collect()}
+    assert out3["c1"]["n_stuck_runs"] == 1
+    gap = [("c4", 0, "tool", "t", "x", _ts(0)),
+           ("c4", 1, "user", "u", None, _ts(1)),
+           ("c4", 2, "tool", "t", "x", _ts(2))]
+    g = agent_loops(_t(spark, gap)).collect()[0]
+    assert (g["max_run"], g["n_stuck_runs"]) == (2, 1)
+    with pytest.raises(ValueError, match=">= 2"):
+        agent_loops(_t(spark, rows), min_run=1)
+
+
+def test_agent_loops_single_exchange_plan(spark):
+    from semargl_spark.operators.conversation import agent_loops
+
+    rows = [("c1", i, "tool", "t", "x", _ts(i)) for i in range(4)]
+    plan = agent_loops(_t(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    # both windows share one (conv_id -> turn_idx) sort: exactly one
+    # exchange feeds the window stage (plus the two aggregations)
+    n_window_exchanges = plan.count("hashpartitioning(conv_id")
+    assert plan.count("Window") >= 1
+    assert n_window_exchanges <= 2, plan
