@@ -129,7 +129,10 @@ def main() -> None:
                  "kg_sparql_agg_filter", "kg_sparql_group_concat",
                  "kg_sparql_describe_where", "ppmi", "kg_sparql_update",
                  "knn_graph", "embedding_quantize", "quantized_topk", "knn_classify",
-                 "semantic_clusters", "winnow"):
+                 "semantic_clusters", "winnow",
+                 "kg_sparql_seq", "kg_sparql_nps", "kg_sparql_path_zero",
+                 "kg_hits", "kg_kcore", "agent_loops",
+                 "dedup_survivors_quality"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -551,6 +551,51 @@ def survivors(
     )
 
 
+def survivors_by_score(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keeper selection over a verified duplicate graph:
+    connected components as in :func:`survivors`, but the keeper per
+    cluster is the member with the HIGHEST ``score_col`` (ties broken
+    by the numerically smallest id), so dedup keeps the best copy
+    rather than the first-seen one — the standard curation policy when
+    near-dups differ in quality (truncation, boilerplate, OCR noise).
+
+    Deterministic: ordering is (score desc, zero-padded id asc), a
+    total order. The rank window partitions by COMPONENT — duplicate
+    clusters, which are tiny by construction — never by a corpus-wide
+    key, so the window stage is skew-free at any corpus size; rows in
+    no cluster bypass the window entirely (left anti on the component
+    map) and survive as-is."""
+    from pyspark.sql.window import Window
+
+    from .canon import connected_components
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 20, "0")
+
+    edges = dup_pairs.select(
+        pad(F.col("doc_a")).alias("src"), pad(F.col("doc_b")).alias("dst")
+    )
+    comp = connected_components(edges).withColumnRenamed("node", "__node")
+    keyed = docs.withColumn("__node", pad(F.col(id_col)))
+    solo = keyed.join(comp, "__node", "left_anti").drop("__node")
+    clustered = keyed.join(comp, "__node")
+    w = (
+        Window.partitionBy("component")
+        .orderBy(F.col(score_col).desc(), F.col("__node").asc())
+    )
+    best = (
+        clustered.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__node", "component")
+    )
+    return solo.unionByName(best)
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 4,

@@ -1187,6 +1187,54 @@ WHERE dr.doc_id IS NULL
 """
 
 
+def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection (dedup.survivors_by_score): the
+    same LSH → Jaccard → connected-components chain as dedup_survivors,
+    but each cluster keeps its HIGHEST-scoring member (score = text
+    length here, so the planted ' tail' copies beat their originals) —
+    the curation policy that keeps the best copy instead of the
+    first-seen one. The survivor set is therefore the exact complement
+    of the min-id gate's on every planted pair, which is what makes the
+    two gates jointly discriminating."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(copies).withColumn(
+        "score", F.length("text").cast("long")
+    )
+    pairs = dedup.near_dedup_minhash(
+        corpus.select("doc_id", "text"), threshold=0.5, hash_method="md5"
+    )
+    return dedup.survivors_by_score(corpus, pairs, "score").select(
+        F.col("doc_id").cast("long")
+    )
+
+
+ORACLES["dedup_survivors_quality"] = _minhash_oracle_body() + """
+, pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT s, d FROM und
+          UNION
+          SELECT r.s, u.d FROM reach r JOIN und u ON u.s = r.d),
+compm AS (SELECT s AS doc_id, least(min(d), s) AS comp
+          FROM reach GROUP BY s),
+members AS (SELECT c.doc_id, cm.comp, len(c.text) AS score
+            FROM corpus c JOIN compm cm ON cm.doc_id = c.doc_id),
+keep AS (SELECT doc_id FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (
+             PARTITION BY comp ORDER BY score DESC, doc_id ASC) AS rk
+           FROM members) WHERE rk = 1)
+SELECT c.doc_id FROM corpus c
+LEFT JOIN compm cm ON cm.doc_id = c.doc_id
+WHERE cm.doc_id IS NULL
+UNION ALL
+SELECT doc_id FROM keep
+"""
+
+
 # ---------------------------------------------------------------- similarity
 
 
@@ -2335,6 +2383,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_quality": q_dedup_survivors_quality,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,

@@ -371,6 +371,31 @@ def test_dedup_survivors_keeps_numeric_min_per_cluster(spark):
     assert kept == [7, 9, 42]
 
 
+def test_dedup_survivors_by_score_keeps_best_and_breaks_ties_by_id(spark):
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.dedup import survivors_by_score
+
+    docs = spark.createDataFrame(
+        [(7, "a"), (1000007, "a tail"), (9, "b"),
+         (42, "cc"), (43, "cc"), (44, "c")],
+        ["doc_id", "text"],
+    ).withColumn("score", F.length("text").cast("long"))
+    pairs = spark.createDataFrame(
+        [(7, 1000007), (42, 43), (43, 44)], ["doc_a", "doc_b"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in survivors_by_score(docs, pairs, "score").collect()
+    )
+    # {7,1000007}: the LONGER copy wins (opposite of the min-id policy);
+    # {42,43,44}: 42 and 43 tie on score → numerically smaller id wins;
+    # 9 is in no cluster and passes through
+    assert kept == [9, 42, 1000007]
+    # full rows survive, not just ids
+    cols = survivors_by_score(docs, pairs, "score").columns
+    assert cols == ["doc_id", "text", "score"]
+
+
 def test_fuzzy_link_recovers_distance1_and_rejects_beyond(spark):
     from semargl_spark.operators.link import fuzzy_link_entities
 

@@ -439,6 +439,52 @@ def main():
                    "Python" not in p and "Cartesian" not in p
                    and "NestedLoop" not in p))
 
+    # 31c. SPARQL path sugar: a sequence path plans as an ordinary
+    # equi-join tree (no cartesian), and a negated property set is a
+    # join-free filtered scan
+    from semargl_spark.operators.sparql import sparql_select
+
+    kg_edges_df = __import__(
+        "semargl_spark.operators.materialize", fromlist=["kg_edges"]
+    ).kg_edges(triples(extract_statements(synth_transcripts(spark, sf_dir))))
+    p = plan_of(sparql_select(kg_edges_df, """
+        PREFIX p: <urn:p:>
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?a ?c WHERE { ?a p:knows/dcterms:relation ?c . }
+    """))
+    sections.append(("kg_sparql_seq (sequence path)", p))
+    checks.append(("sequence path compiles to equi-joins (no cartesian)",
+                   "Cartesian" not in p and "NestedLoop" not in p
+                   and n_nodes(p, "SortMergeJoin") + n_nodes(p, "BroadcastHashJoin") >= 1))
+    p = plan_of(sparql_select(kg_edges_df, """
+        PREFIX p: <urn:p:>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?s ?o WHERE { ?s !(p:knows|rdf:type) ?o . }
+    """))
+    sections.append(("kg_sparql_nps (negated property set)", p))
+    checks.append(("negated property set is a join-free filtered scan",
+                   n_nodes(p, "SortMergeJoin") == 0
+                   and n_nodes(p, "BroadcastHashJoin") == 0
+                   and n_nodes(p, "Filter") >= 1))
+
+    # 31d. HITS / k-core: hash-agg + equi-join rounds, JVM-only, no
+    # cartesian anywhere in the unrolled iteration plan
+    from semargl_spark.operators.graph import hits, kcore
+
+    # per-round score frames are localCheckpoint-truncated (the same
+    # lineage discipline as pagerank), so the visible plan is the final
+    # assembly: two key-equi outer joins over checkpointed scans
+    p = plan_of(hits(kg_edges_df, iterations=2))
+    sections.append(("kg_hits", p))
+    checks.append(("HITS assembly is equi-joins over checkpointed rounds, JVM-only",
+                   "Cartesian" not in p and "Python" not in p
+                   and n_nodes(p, "SortMergeJoin")
+                   + n_nodes(p, "BroadcastHashJoin") >= 2))
+    p = plan_of(kcore(kg_edges_df, k=2, rounds=3))
+    sections.append(("kg_kcore", p))
+    checks.append(("k-core peels via semi-joins, JVM-only",
+                   "Cartesian" not in p and "Python" not in p))
+
     # 32. registry-wide recompute audit: no gate may plan more than 2
     # Python subtrees (ArrowEval/MapInArrow). >2 means a multi-consumer
     # pipeline is re-running its extraction/UDF upstream per consumer —
