@@ -2467,6 +2467,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values": q_kg_sparql_values,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_seq": q_kg_sparql_seq,
+        "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_reach_seeded": q_kg_reach_seeded,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_path_zero": q_kg_sparql_path_zero,
         "kg_sparql_having": q_kg_sparql_having,
@@ -5117,6 +5119,80 @@ hall AS (SELECT n AS a, n AS b, 0 AS hops FROM nodes
          UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2)
 SELECT a AS x, b AS y, CAST(MIN(hops) AS INT) AS hops
 FROM hall GROUP BY a, b
+"""
+
+
+def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK from query TEXT (sparql_ask): existence compiles to
+    SELECT capped with limit(1) — the engine probes one solution, never
+    materializing the set. Gated as a one-row frame with a positive and
+    a negative probe so BOTH outcomes are oracle-checked (EXISTS
+    mirrors in SQL)."""
+    from .operators.sparql import sparql_ask
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    pos = sparql_ask(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX t: <urn:t:>
+        ASK WHERE { ?a p:knows ?b . ?a a t:Thing . }
+    """)
+    neg = sparql_ask(edges, """
+        PREFIX p: <urn:p:>
+        ASK WHERE { ?a p:knows ?a . }
+    """)
+    return spark.createDataFrame(
+        [(bool(pos), bool(neg))], "ask_pos boolean, ask_neg boolean"
+    )
+
+
+ORACLES["kg_sparql_ask"] = _KG_EDGES_SQL + """
+SELECT
+  EXISTS(SELECT 1 FROM edges k
+         JOIN edges ty ON ty.src = k.src
+          AND ty.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+          AND ty.dst = 'urn:t:Thing'
+         WHERE k.pred = 'urn:p:knows') AS ask_pos,
+  EXISTS(SELECT 1 FROM edges
+         WHERE pred = 'urn:p:knows' AND src = dst) AS ask_neg
+"""
+
+
+def q_kg_reach_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEDED fixpoint reachability (graph.kleene_closure with
+    ``sources``): the closure explores only pairs reachable FROM the
+    seed set — the shape a 10^12-edge deployment actually runs (`p+`
+    anchored at query constants), where the frontier is seeds-bounded
+    instead of graph-bounded. Runs over the diameter-≤4 relation
+    subgraph from every 7th entity; the oracle is the same recursive
+    set-semantics CTE restricted to the seeds."""
+    from .operators.graph import kleene_closure
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    seeds = (
+        edges.filter(F.col("pred") == "http://purl.org/dc/terms/relation")
+        .select(F.col("src").alias("node"))
+        .filter(F.substring_index(F.col("node"), ":", -1).cast("int") % 7 == 0)
+    )
+    return kleene_closure(
+        edges, "http://purl.org/dc/terms/relation", sources=seeds
+    )
+
+
+ORACLES["kg_reach_seeded"] = _KG_EDGES_SQL.replace(
+    "WITH ids", "WITH RECURSIVE ids", 1
+) + """,
+k AS (SELECT DISTINCT src, dst FROM edges
+      WHERE pred = 'http://purl.org/dc/terms/relation'),
+seeds AS (SELECT DISTINCT src FROM k
+          WHERE CAST(string_split(src, ':')[-1] AS INT) % 7 = 0),
+reach(a, b) AS (
+  SELECT k.src, k.dst FROM k JOIN seeds s ON s.src = k.src
+  UNION
+  SELECT r.a, k.dst FROM reach r JOIN k ON k.src = r.b
+)
+SELECT a, b FROM reach
 """
 
 
