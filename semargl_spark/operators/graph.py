@@ -1286,3 +1286,51 @@ def kcore(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
     )
+
+
+def comention_edges(
+    statements: DataFrame,
+    entity_prefix: str = "urn:e:",
+    max_per_conv: int = 1000,
+) -> DataFrame:
+    """Entity co-mention graph from transcripts → (a, b, weight): an
+    undirected weighted edge between every pair of entities mentioned
+    in the same conversation (subjects plus IRI objects under
+    ``entity_prefix``), weight = number of co-mentioning conversations.
+    The KG-enrichment edge set that linking/canonicalization does not
+    produce — relatedness signals mined from discourse co-occurrence.
+
+    Scale: the pair blow-up is per-conversation-quadratic, so the
+    per-conv entity set is capped at ``max_per_conv`` — conversations
+    above the cap are DROPPED (boilerplate-hub discipline, same as
+    exact-substring dedup's hot-span guard: a 10^5-entity dump
+    conversation would contribute 10^10 pairs of pure noise).
+    One distinct, one conv-keyed self-join with a<b inside the join
+    condition, one pair groupBy with map-side partials. Deterministic:
+    counts only."""
+    if max_per_conv < 2:
+        raise ValueError(f"max_per_conv must be >= 2, got {max_per_conv}")
+    ents = (
+        statements.select(
+            "conv_id",
+            F.explode(
+                F.array(
+                    F.col("subj"),
+                    F.when(F.col("obj_kind") == "iri", F.col("obj")),
+                )
+            ).alias("ent"),
+        )
+        .filter(F.col("ent").startswith(entity_prefix))
+        .distinct()
+    )
+    sizes = ents.groupBy("conv_id").agg(F.count("*").alias("n_ents"))
+    ok = sizes.filter(F.col("n_ents") <= max_per_conv).select("conv_id")
+    ents = ents.join(ok, "conv_id", "left_semi").localCheckpoint(eager=False)
+    a = ents.select("conv_id", F.col("ent").alias("a"))
+    b = ents.select("conv_id", F.col("ent").alias("b"))
+    return (
+        a.join(b, on=["conv_id"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )

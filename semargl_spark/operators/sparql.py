@@ -37,7 +37,9 @@ Supported grammar (the subset that covers the engine's gated algebra):
                                             to the group pattern)
     HAVING(expr over aggregate aliases)    (post-aggregation filter)
     ORDER BY [ASC(?v)|DESC(?v)|?v] ...     (optional)
-    LIMIT n                                (optional)
+    LIMIT n / OFFSET k                     (optional; OFFSET requires
+                                            ORDER BY — an unordered
+                                            slice is nondeterministic)
 
 Also: ``{ ... } UNION { ... }`` as the entire WHERE body,
 ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (...) ... }`` inline data
@@ -100,6 +102,7 @@ _ORDER_RE = re.compile(
     re.IGNORECASE,
 )
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
+_OFFSET_RE = re.compile(r"OFFSET\s+(\d+)", re.IGNORECASE)
 _GROUP_RE = re.compile(r"(OPTIONAL|MINUS)\s*\{([^{}]*)\}", re.IGNORECASE)
 _VALUES_RE = re.compile(
     r"VALUES\s*(?P<vars>\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{(?P<data>[^{}]*)\}",
@@ -1104,6 +1107,14 @@ def _modifiers(out: DataFrame, proj: str, tail: str,
         # leaves ties implementation-defined; a gated pipeline cannot)
         keys.extend(F.col(c).asc() for c in out.columns if c not in named)
         out = out.orderBy(*keys)
+    fm = _OFFSET_RE.search(tail)
+    if fm:
+        k = int(fm.group(1))
+        if not om:
+            # an unordered slice is nondeterministic at any parallelism
+            raise SparqlError("OFFSET requires ORDER BY")
+        if k > 0:
+            out = out.offset(k)
     if lm:
         n = int(lm.group(1))
         if n < 1:

@@ -2469,6 +2469,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_seq": q_kg_sparql_seq,
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_reach_seeded": q_kg_reach_seeded,
+        "kg_sparql_page": q_kg_sparql_page,
+        "kg_comention": q_kg_comention,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_path_zero": q_kg_sparql_path_zero,
         "kg_sparql_having": q_kg_sparql_having,
@@ -5193,6 +5195,56 @@ reach(a, b) AS (
   SELECT r.a, k.dst FROM reach r JOIN k ON k.src = r.b
 )
 SELECT a, b FROM reach
+"""
+
+
+def q_kg_sparql_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL pagination from query TEXT: ORDER BY + LIMIT/OFFSET.
+    The engine's ORDER BY appends a total tie-break over the remaining
+    columns, so the returned PAGE is deterministic at any parallelism
+    (SPARQL leaves slice ties implementation-defined; a gated pipeline
+    cannot) — and OFFSET without ORDER BY raises rather than returning
+    an arbitrary slice. Plan: TakeOrderedAndProject-style top-(k+n)
+    then skip, never a global sort materialization."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        SELECT ?a ?b WHERE { ?a p:knows ?b . }
+        ORDER BY ?a LIMIT 20 OFFSET 10
+    """)
+
+
+ORACLES["kg_sparql_page"] = _KG_EDGES_SQL + """
+SELECT src AS a, dst AS b FROM edges WHERE pred = 'urn:p:knows'
+ORDER BY src, dst LIMIT 20 OFFSET 10
+"""
+
+
+def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention graph (graph.comention_edges): an undirected
+    weighted edge per pair of entities mentioned in the same
+    conversation — discourse-derived relatedness edges the
+    link/canonicalize stages don't produce. Per-conv entity sets are
+    capped (hot-conversation guard), the pair join is conv-keyed with
+    a<b inside the condition (never all-pairs across the corpus). The
+    8-turn NTriples corpus mentions {e:did, e:did+1} per conversation."""
+    from .operators.graph import comention_edges
+
+    st = triples(extract_statements(
+        synth_transcripts(spark, sf_dir, turns_per_doc=8, fmt="ntriples")
+    ))
+    return comention_edges(st)
+
+
+ORACLES["kg_comention"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents)
+SELECT least('urn:e:'||did, 'urn:e:'||(did+1)) AS a,
+       greatest('urn:e:'||did, 'urn:e:'||(did+1)) AS b,
+       CAST(1 AS BIGINT) AS weight
+FROM ids
 """
 
 

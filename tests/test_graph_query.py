@@ -1223,3 +1223,34 @@ def test_kcore_direction_and_duplicate_insensitive(spark):
     assert kcore(t, k=2, rounds=1).count() == 0
     out = {r["node"]: r["degree"] for r in kcore(t, k=1, rounds=2).collect()}
     assert out == {"a": 1, "b": 1}
+
+
+def test_comention_edges_weights_and_cap(spark):
+    import pytest
+
+    from semargl_spark.operators.graph import comention_edges
+
+    rows = [
+        # c1 mentions e1 (subj), e2 (iri obj); c2 mentions e1, e2, e3
+        ("c1", "urn:e:1", "p", "urn:e:2", "iri"),
+        ("c1", "urn:e:1", "p", "x", "literal"),     # literal obj ignored
+        ("c2", "urn:e:1", "p", "urn:e:2", "iri"),
+        ("c2", "urn:e:3", "p", "other", "literal"),
+        ("c2", "urn:e:1", "p", "urn:e:1", "iri"),   # self pair excluded
+        ("c3", "urn:x:9", "p", "urn:e:5", "iri"),   # non-entity subj ignored
+    ]
+    st = spark.createDataFrame(
+        rows, "conv_id string, subj string, pred string, obj string, "
+              "obj_kind string")
+    out = {(r["a"], r["b"]): r["weight"] for r in comention_edges(st).collect()}
+    assert out == {
+        ("urn:e:1", "urn:e:2"): 2,
+        ("urn:e:1", "urn:e:3"): 1,
+        ("urn:e:2", "urn:e:3"): 1,
+    }
+    # hot-conversation cap drops c2 (3 entities > 2)
+    capped = {(r["a"], r["b"]): r["weight"]
+              for r in comention_edges(st, max_per_conv=2).collect()}
+    assert capped == {("urn:e:1", "urn:e:2"): 1}
+    with pytest.raises(ValueError, match=">= 2"):
+        comention_edges(st, max_per_conv=1)

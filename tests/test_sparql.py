@@ -763,3 +763,20 @@ def test_sparql_path_sugar_errors(spark):
             "SELECT ?s ?o WHERE { OPTIONAL { ?s <urn:a>/<urn:b> ?o } "
             "?s <urn:r> ?o . }",
         )
+
+
+def test_sparql_offset_pagination(spark):
+    rows = [(f"s{i:02d}", "urn:p", f"o{i:02d}") for i in range(10)]
+    e = spark.createDataFrame(rows, "src string, pred string, dst string")
+    out = sparql_select(
+        e, "SELECT ?a ?b WHERE { ?a <urn:p> ?b . } ORDER BY ?a LIMIT 3 OFFSET 4"
+    ).collect()
+    assert [(r["a"], r["b"]) for r in out] == [
+        ("s04", "o04"), ("s05", "o05"), ("s06", "o06")
+    ]
+    # OFFSET 0 is a no-op; OFFSET without ORDER BY raises
+    assert len(sparql_select(
+        e, "SELECT ?a WHERE { ?a <urn:p> ?b . } ORDER BY ?a LIMIT 2 OFFSET 0"
+    ).collect()) == 2
+    with pytest.raises(SparqlError, match="OFFSET requires ORDER BY"):
+        sparql_select(e, "SELECT ?a WHERE { ?a <urn:p> ?b . } OFFSET 2")
