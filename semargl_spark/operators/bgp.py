@@ -335,6 +335,7 @@ def match_bgp_optional(
     s_col: str = "src",
     p_col: str = "pred",
     o_col: str = "dst",
+    group_filters: list[list[str]] | None = None,
 ) -> DataFrame:
     """SPARQL ``OPTIONAL``: the required BGP left-joined with each
     optional pattern group on their shared variables; variables bound
@@ -348,10 +349,35 @@ def match_bgp_optional(
     full pairing only when rows exist — we instead raise, because at
     10^12 triples a disconnected OPTIONAL is invariably a query bug.
     Plan: each group is an equi-left-join Catalyst can reorder/broadcast.
-    """
+
+    ``group_filters[i]`` (SQL boolean expressions) scope to optional
+    group i, applied to the group's solutions BEFORE its left join —
+    equivalent to SPARQL's ``LeftJoin(Ω1, Ω2, expr)`` whenever the
+    expression references only group variables (a required-side row
+    whose every candidate fails the filter keeps its NULL padding,
+    exactly the algebra's fallback), and cheaper: the filter prunes
+    the group BEFORE the join shuffle instead of riding the join
+    condition. Expressions over variables the group does not bind
+    raise (that form needs the filter inside the join condition, out
+    of this subset)."""
     acc = match_bgp(triples, patterns, s_col, p_col, o_col)
-    for group in optionals:
+    for i, group in enumerate(optionals):
         opt = match_bgp(triples, group, s_col, p_col, o_col)
+        for expr in (group_filters[i] if group_filters else []):
+            import re as _re
+
+            bare = _re.sub(r"'(?:[^'\\]|\\.)*'", "''", expr)
+            names = set(_re.findall(r"\b[a-zA-Z_]\w*\b(?!\s*\()", bare))
+            unknown = {
+                n for n in names
+                if n.lower() not in _SQL_WORDS and n not in opt.columns
+            }
+            if unknown:
+                raise ValueError(
+                    f"OPTIONAL-group filter {expr!r} references variables "
+                    f"{sorted(unknown)} the group does not bind"
+                )
+            opt = opt.filter(F.expr(expr))
         shared = sorted(set(acc.columns) & set(opt.columns))
         if not shared:
             raise ValueError(f"OPTIONAL group {group} shares no variable with the required BGP")

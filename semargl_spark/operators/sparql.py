@@ -26,7 +26,10 @@ Supported grammar (the subset that covers the engine's gated algebra):
         BIND(expr AS ?v)                   (computed column; any number)
         { SELECT ... }                     (subqueries; joined on their
                                             projected shared variables)
-        OPTIONAL { ... }                   (any number of groups)
+        OPTIONAL { ... FILTER(expr) }      (any number of groups; an
+                                            inner FILTER scopes to the
+                                            LeftJoin and may reference
+                                            group-bound variables)
         MINUS { ... }                      (one group)
     }
     GROUP BY ?v ...                        (COUNT/MIN/MAX/SUM/AVG/
@@ -639,17 +642,24 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
     body = _EXISTS_RE.sub(grab_exists, body)
 
     optionals: list[list[tuple[str, str, str]]] = []
+    optional_filters: list[list[str]] = []
     minus: list[tuple[str, str, str]] | None = None
 
     def grab(gm: re.Match) -> str:
         nonlocal minus
         kind = gm.group(1).upper()
         inner, inner_filters = _split_filter(gm.group(2))
-        if inner_filters:
+        if inner_filters and kind != "OPTIONAL":
             raise SparqlError(f"FILTER inside {kind} not supported")
         pats = _patterns(inner, prefixes)
         if kind == "OPTIONAL":
+            # a FILTER inside OPTIONAL scopes to the LeftJoin; over
+            # group-bound variables it applies to the group BEFORE the
+            # join (bgp.match_bgp_optional validates the variable scope)
             optionals.append(pats)
+            optional_filters.append(
+                [_filter_to_sql(f) for f in inner_filters]
+            )
         else:
             if minus is not None:
                 raise SparqlError("multiple MINUS groups not supported")
@@ -748,7 +758,10 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             out = out.withColumn(var, F.expr(expr))
         out = apply_filters(out, [_filter_to_sql(f) for f in filters])
     elif optionals:
-        out = match_bgp_optional(edges, required, optionals)
+        out = match_bgp_optional(
+            edges, required, optionals,
+            group_filters=optional_filters if any(optional_filters) else None,
+        )
     elif minus is not None:
         out = match_bgp_minus(edges, required, minus)
         if filters:

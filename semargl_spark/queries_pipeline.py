@@ -2471,6 +2471,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reach_seeded": q_kg_reach_seeded,
         "kg_sparql_page": q_kg_sparql_page,
         "kg_comention": q_kg_comention,
+        "kg_sparql_optional_filter": q_kg_sparql_optional_filter,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_path_zero": q_kg_sparql_path_zero,
         "kg_sparql_having": q_kg_sparql_having,
@@ -5195,6 +5196,37 @@ reach(a, b) AS (
   SELECT r.a, k.dst FROM reach r JOIN k ON k.src = r.b
 )
 SELECT a, b FROM reach
+"""
+
+
+def q_kg_sparql_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER inside OPTIONAL from query TEXT: the filter scopes to the
+    LeftJoin (SPARQL algebra LeftJoin(Ω1, Ω2, expr)) — a knows pair
+    whose relation target fails the filter keeps its row with NULL
+    padding, which a post-join WHERE would wrongly drop. Over
+    group-bound variables the engine prunes the group BEFORE the join
+    shuffle (bgp.match_bgp_optional group_filters)."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?a ?b ?d WHERE {
+            ?a p:knows ?b .
+            OPTIONAL { ?b dcterms:relation ?d . FILTER(strstarts(?d, "urn:e:2")) }
+        }
+    """)
+
+
+ORACLES["kg_sparql_optional_filter"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, k.dst AS b, r.dst AS d
+FROM edges k
+LEFT JOIN edges r ON r.src = k.dst
+                 AND r.pred = 'http://purl.org/dc/terms/relation'
+                 AND r.dst LIKE 'urn:e:2%'
+WHERE k.pred = 'urn:p:knows'
 """
 
 

@@ -780,3 +780,38 @@ def test_sparql_offset_pagination(spark):
     ).collect()) == 2
     with pytest.raises(SparqlError, match="OFFSET requires ORDER BY"):
         sparql_select(e, "SELECT ?a WHERE { ?a <urn:p> ?b . } OFFSET 2")
+
+
+def test_sparql_filter_inside_optional_leftjoin_semantics(spark):
+    e = spark.createDataFrame(
+        [("a1", "urn:p:knows", "b1"), ("a2", "urn:p:knows", "b2"),
+         ("b1", "urn:p:score", "9"), ("b2", "urn:p:score", "3")],
+        "src string, pred string, dst string")
+    out = {(r["y"], r["s"]) for r in sparql_select(e, """
+        PREFIX p: <urn:p:>
+        SELECT ?y ?s WHERE {
+            ?x p:knows ?y .
+            OPTIONAL { ?y p:score ?s . FILTER(?s > "5") }
+        }
+    """).collect()}
+    # b2's score fails the filter → the row SURVIVES with NULL (a post
+    # join WHERE would drop it)
+    assert out == {("b1", "9"), ("b2", None)}
+    # a filter over a variable the group does not bind raises
+    with pytest.raises(ValueError, match="does not bind"):
+        sparql_select(e, """
+            PREFIX p: <urn:p:>
+            SELECT ?y ?s WHERE {
+                ?x p:knows ?y .
+                OPTIONAL { ?y p:score ?s . FILTER(?x != "a1") }
+            }
+        """).collect()
+    # FILTER inside MINUS still raises cleanly
+    with pytest.raises(SparqlError, match="FILTER inside MINUS"):
+        sparql_select(e, """
+            PREFIX p: <urn:p:>
+            SELECT ?x WHERE {
+                ?x p:knows ?y .
+                MINUS { ?y p:score ?s . FILTER(?s > "5") }
+            }
+        """)
