@@ -20,7 +20,11 @@ Supported grammar (the subset that covers the engine's gated algebra):
                                             zero-length pairs, hops=0)
         FILTER(expr)                       (comparisons, &&/||/!,
                                             regex(?v,"re"),
-                                            strstarts(?v,"s"))
+                                            strstarts(?v,"s"),
+                                            bound(?v); outer FILTERs
+                                            run after OPTIONAL's
+                                            LeftJoin, so !bound gives
+                                            negation-by-failure)
         FILTER EXISTS { ... }              (semi-join; any number)
         FILTER NOT EXISTS { ... }          (anti-join; any number)
         BIND(expr AS ?v)                   (computed column; any number)
@@ -523,6 +527,11 @@ def _filter_to_sql(expr: str) -> str:
     bound variable columns."""
     e = expr
     e = re.sub(
+        r"(?i)bound\s*\(\s*\?(\w+)\s*\)",
+        lambda m: f"({m.group(1)} IS NOT NULL)",
+        e,
+    )
+    e = re.sub(
         r"(?i)regex\s*\(\s*\?(\w+)\s*,\s*\"((?:[^\"\\]|\\.)*)\"\s*\)",
         lambda m: f"{m.group(1)} RLIKE '{m.group(2)}'",
         e,
@@ -713,10 +722,9 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             "EXISTS/BIND/subqueries compose with plain BGP + FILTER/VALUES "
             "only in this subset"
         )
-    if optionals and (minus or filters):
-        # keep algebra composition simple and predictable: OPTIONAL
-        # composes with plain BGPs only in this subset
-        raise SparqlError("OPTIONAL cannot combine with MINUS/FILTER here")
+    if optionals and minus:
+        # keep algebra composition simple and predictable
+        raise SparqlError("OPTIONAL cannot combine with MINUS here")
     if has_exists or binds or subselects:
         from pyspark.sql import functions as F
 
@@ -762,6 +770,16 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             edges, required, optionals,
             group_filters=optional_filters if any(optional_filters) else None,
         )
+        if filters:
+            from pyspark.sql import functions as F
+
+            # outer FILTERs run AFTER the LeftJoin (SPARQL evaluation
+            # order), so they see NULL-padded optional variables —
+            # bound(?v)/!bound(?v) translate to IS [NOT] NULL, enabling
+            # the negation-by-failure idiom; other NULL-involving
+            # comparisons drop the row, matching SPARQL's error→false
+            for f in filters:
+                out = out.filter(F.expr(_filter_to_sql(f)))
     elif minus is not None:
         out = match_bgp_minus(edges, required, minus)
         if filters:

@@ -2472,6 +2472,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_page": q_kg_sparql_page,
         "kg_comention": q_kg_comention,
         "kg_sparql_optional_filter": q_kg_sparql_optional_filter,
+        "kg_sparql_neg_fail": q_kg_sparql_neg_fail,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_path_zero": q_kg_sparql_path_zero,
         "kg_sparql_having": q_kg_sparql_having,
@@ -5227,6 +5228,37 @@ LEFT JOIN edges r ON r.src = k.dst
                  AND r.pred = 'http://purl.org/dc/terms/relation'
                  AND r.dst LIKE 'urn:e:2%'
 WHERE k.pred = 'urn:p:knows'
+"""
+
+
+def q_kg_sparql_neg_fail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation by failure from query TEXT — the classic SPARQL 1.0
+    idiom OPTIONAL { } FILTER(!bound(?v)): knows pairs whose target has
+    NO relation edge. The outer filter runs AFTER the LeftJoin and
+    bound() translates to IS NOT NULL, so the plan is a left join
+    probed for null padding (the same anti-join shape MINUS compiles
+    to, reached through the 1.0 idiom instead)."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?a ?b WHERE {
+            ?a p:knows ?b .
+            OPTIONAL { ?b dcterms:relation ?d . }
+            FILTER(!bound(?d))
+        }
+    """)
+
+
+ORACLES["kg_sparql_neg_fail"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, k.dst AS b
+FROM edges k
+LEFT JOIN edges r ON r.src = k.dst
+                 AND r.pred = 'http://purl.org/dc/terms/relation'
+WHERE k.pred = 'urn:p:knows' AND r.dst IS NULL
 """
 
 

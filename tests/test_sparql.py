@@ -815,3 +815,38 @@ def test_sparql_filter_inside_optional_leftjoin_semantics(spark):
                 MINUS { ?y p:score ?s . FILTER(?s > "5") }
             }
         """)
+
+
+def test_sparql_negation_by_failure_and_bound(spark):
+    e = spark.createDataFrame(
+        [("a1", "urn:p:knows", "b1"), ("a2", "urn:p:knows", "b2"),
+         ("b1", "urn:p:score", "9")],
+        "src string, pred string, dst string")
+    # !bound: pairs whose target lacks a score
+    out = {r["y"] for r in sparql_select(e, """
+        PREFIX p: <urn:p:>
+        SELECT ?y WHERE {
+            ?x p:knows ?y . OPTIONAL { ?y p:score ?s . }
+            FILTER(!bound(?s))
+        }
+    """).collect()}
+    assert out == {"b2"}
+    # bound: the complement
+    out2 = {r["y"] for r in sparql_select(e, """
+        PREFIX p: <urn:p:>
+        SELECT ?y WHERE {
+            ?x p:knows ?y . OPTIONAL { ?y p:score ?s . }
+            FILTER(bound(?s))
+        }
+    """).collect()}
+    assert out2 == {"b1"}
+    # a non-bound outer filter over a NULL-padded optional var drops
+    # the row (SPARQL error -> false)
+    out3 = {r["y"] for r in sparql_select(e, """
+        PREFIX p: <urn:p:>
+        SELECT ?y WHERE {
+            ?x p:knows ?y . OPTIONAL { ?y p:score ?s . }
+            FILTER(?s > "5")
+        }
+    """).collect()}
+    assert out3 == {"b1"}
