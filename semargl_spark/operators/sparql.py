@@ -799,12 +799,30 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             raise SparqlError(
                 "non-aggregate projection must equal the GROUP BY variables"
             )
-        if optionals or minus is not None:
-            raise SparqlError("aggregates over OPTIONAL/MINUS not supported")
-        out = match_bgp_agg(
-            edges, required, group_vars, aggs,
-            filters=[_filter_to_sql(f) for f in filters] or None,
-        )
+        if minus is not None:
+            raise SparqlError("aggregates over MINUS not supported")
+        if optionals:
+            # aggregate the LeftJoin solution built above (group + outer
+            # filters already applied — SPARQL FILTER scopes to the
+            # group pattern, pre-aggregation). COUNT(?v) over the NULL
+            # padding skips non-matches, the SPARQL count semantics.
+            from pyspark.sql import functions as F
+
+            missing = [v for v in group_vars if v not in out.columns]
+            if missing:
+                raise SparqlError(f"GROUP BY unbound variables {missing}")
+            aggexprs = [
+                F.expr(sql).alias(name) for name, sql in aggs.items()
+            ]
+            out = (
+                out.groupBy(*group_vars).agg(*aggexprs)
+                if group_vars else out.agg(*aggexprs)
+            )
+        else:
+            out = match_bgp_agg(
+                edges, required, group_vars, aggs,
+                filters=[_filter_to_sql(f) for f in filters] or None,
+            )
         tail, having = _extract_having(tail)
         if having:
             from pyspark.sql import functions as F

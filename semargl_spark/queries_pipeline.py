@@ -2473,6 +2473,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_comention": q_kg_comention,
         "kg_sparql_optional_filter": q_kg_sparql_optional_filter,
         "kg_sparql_neg_fail": q_kg_sparql_neg_fail,
+        "kg_sparql_agg_optional": q_kg_sparql_agg_optional,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_path_zero": q_kg_sparql_path_zero,
         "kg_sparql_having": q_kg_sparql_having,
@@ -5228,6 +5229,35 @@ LEFT JOIN edges r ON r.src = k.dst
                  AND r.pred = 'http://purl.org/dc/terms/relation'
                  AND r.dst LIKE 'urn:e:2%'
 WHERE k.pred = 'urn:p:knows'
+"""
+
+
+def q_kg_sparql_agg_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over OPTIONAL from query TEXT: COUNT(?d) over the
+    LeftJoin solution — SPARQL count semantics skip the NULL padding,
+    so non-matching targets report 0. One left join feeding one hash
+    aggregation with map-side partials."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        PREFIX p: <urn:p:>
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?a (COUNT(?d) AS ?n_rel) WHERE {
+            ?a p:knows ?b .
+            OPTIONAL { ?b dcterms:relation ?d . }
+        } GROUP BY ?a
+    """)
+
+
+ORACLES["kg_sparql_agg_optional"] = _KG_EDGES_SQL + """
+SELECT k.src AS a, CAST(COUNT(r.dst) AS BIGINT) AS n_rel
+FROM edges k
+LEFT JOIN edges r ON r.src = k.dst
+                 AND r.pred = 'http://purl.org/dc/terms/relation'
+WHERE k.pred = 'urn:p:knows'
+GROUP BY k.src
 """
 
 

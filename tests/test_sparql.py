@@ -850,3 +850,27 @@ def test_sparql_negation_by_failure_and_bound(spark):
         }
     """).collect()}
     assert out3 == {"b1"}
+
+
+def test_sparql_aggregate_over_optional_counts_nulls_as_zero(spark):
+    e = spark.createDataFrame(
+        [("a1", "urn:p:knows", "b1"), ("a1", "urn:p:knows", "b2"),
+         ("a2", "urn:p:knows", "b3"),
+         ("b1", "urn:p:score", "9"), ("b1", "urn:p:score", "7")],
+        "src string, pred string, dst string")
+    out = {r["x"]: r["n"] for r in sparql_select(e, """
+        PREFIX p: <urn:p:>
+        SELECT ?x (COUNT(?s) AS ?n) WHERE {
+            ?x p:knows ?y . OPTIONAL { ?y p:score ?s . }
+        } GROUP BY ?x
+    """).collect()}
+    # a1: b1 matches twice + b2 pads NULL -> 2; a2: only NULL -> 0
+    assert out == {"a1": 2, "a2": 0}
+    # aggregates over MINUS still raise
+    with pytest.raises(SparqlError, match="MINUS"):
+        sparql_select(e, """
+            PREFIX p: <urn:p:>
+            SELECT ?x (COUNT(?y) AS ?n) WHERE {
+                ?x p:knows ?y . MINUS { ?y p:score ?s . }
+            } GROUP BY ?x
+        """)
