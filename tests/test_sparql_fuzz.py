@@ -118,3 +118,52 @@ def test_const_triples_raise_only_sparql_errors(body):
     from semargl_spark.operators.sparql import _const_triples
 
     _only_sparql_errors(_const_triples, body, PREFIXES)
+
+
+@given(_delims)
+@settings(max_examples=300, deadline=None)
+def test_rewrite_sugar_raise_only_sparql_errors(body):
+    from semargl_spark.operators.sparql import _rewrite_sugar
+
+    _only_sparql_errors(_rewrite_sugar, body, PREFIXES)
+
+
+@given(_delims)
+@settings(max_examples=300, deadline=None)
+def test_split_seq_total(tok):
+    from semargl_spark.operators.sparql import _split_seq
+
+    # pure splitter: never raises, preserves non-separator content
+    out = _split_seq(tok + "/x")
+    assert out is None or all(isinstance(s, str) for s in out)
+
+
+# slash/bang-heavy alphabet aimed at the sugar grammar specifically
+_sugar = st.text(
+    alphabet=string.ascii_letters + ':<>/!|^?*+(){}0123456789 ',
+    max_size=60,
+)
+
+
+@given(_sugar)
+@settings(max_examples=400, deadline=None)
+def test_sugar_alphabet_raise_only_sparql_errors(body):
+    from semargl_spark.operators.sparql import _parse_path, _rewrite_sugar
+
+    _only_sparql_errors(_rewrite_sugar, body, PREFIXES)
+    _only_sparql_errors(_parse_path, body, PREFIXES)
+
+
+def test_rewrite_sugar_roundtrip_well_formed():
+    from semargl_spark.operators.sparql import _patterns, _rewrite_sugar
+
+    body, fs, sugared = _rewrite_sugar(
+        "?s p:a/p:b ?o . ?s !(p:a|dc:x) ?z . ?s p:a ?w", PREFIXES
+    )
+    assert sugared and len(fs) == 2
+    pats = _patterns(body, PREFIXES)
+    # 2 chained + 1 nps + 1 plain = 4 patterns
+    assert len(pats) == 4
+    # helper variables are fresh and internal
+    helper_vars = [p for pat in pats for p in pat if p.startswith("?__")]
+    assert len(set(helper_vars)) == len(set(helper_vars)) and helper_vars
