@@ -520,6 +520,29 @@ def incremental_near_dedup(
     )
 
 
+def _pad_id(c):
+    """Zero-pad an id to width 20 so string ordering over the CC labels
+    is the NUMERIC ordering for integer ids (bare string ordering would
+    rank "1000007" below "7" and keep the copy instead of the
+    original). Shared by both keeper policies — the padding convention
+    must never diverge between them."""
+    return F.lpad(c.cast("string"), 20, "0")
+
+
+def _component_map(dup_pairs: DataFrame) -> DataFrame:
+    """Verified duplicate pairs → (node, component) over the padded-id
+    duplicate graph (canon.connected_components). Dup clusters are tiny
+    by construction, so the pointer-jumping CC converges in a couple of
+    rounds."""
+    from .canon import connected_components
+
+    edges = dup_pairs.select(
+        _pad_id(F.col("doc_a")).alias("src"),
+        _pad_id(F.col("doc_b")).alias("dst"),
+    )
+    return connected_components(edges)
+
+
 def survivors(
     docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -527,27 +550,13 @@ def survivors(
     components (duplicate-of is transitive once verified), keep the
     minimum id per cluster, return the surviving corpus rows.
 
-    Keeper order: ids are zero-padded to width 20 before the CC min-label
-    pass, so the keeper is the NUMERIC minimum for integer ids (bare
-    string ordering would rank "1000007" below "7" and keep the copy
-    instead of the original).
-
-    Scale shape: the dup graph has tiny components (dup clusters), so
-    the pointer-jumping CC converges in a couple of rounds; the final
-    anti-join is keyed on the padded id — AQE broadcasts the drop list
-    when the dup fraction is small."""
-    from .canon import connected_components
-
-    def pad(c):
-        return F.lpad(c.cast("string"), 20, "0")
-
-    edges = dup_pairs.select(
-        pad(F.col("doc_a")).alias("src"), pad(F.col("doc_b")).alias("dst")
-    )
-    comp = connected_components(edges)
+    Scale shape: tiny components (see :func:`_component_map`); the
+    final anti-join is keyed on the padded id — AQE broadcasts the drop
+    list when the dup fraction is small."""
+    comp = _component_map(dup_pairs)
     drops = comp.filter(F.col("node") != F.col("component")).select("node")
     return docs.join(
-        drops, pad(F.col(id_col)) == F.col("node"), "left_anti"
+        drops, _pad_id(F.col(id_col)) == F.col("node"), "left_anti"
     )
 
 
@@ -572,16 +581,8 @@ def survivors_by_score(
     map) and survive as-is."""
     from pyspark.sql.window import Window
 
-    from .canon import connected_components
-
-    def pad(c):
-        return F.lpad(c.cast("string"), 20, "0")
-
-    edges = dup_pairs.select(
-        pad(F.col("doc_a")).alias("src"), pad(F.col("doc_b")).alias("dst")
-    )
-    comp = connected_components(edges).withColumnRenamed("node", "__node")
-    keyed = docs.withColumn("__node", pad(F.col(id_col)))
+    comp = _component_map(dup_pairs).withColumnRenamed("node", "__node")
+    keyed = docs.withColumn("__node", _pad_id(F.col(id_col)))
     solo = keyed.join(comp, "__node", "left_anti").drop("__node")
     clustered = keyed.join(comp, "__node")
     w = (

@@ -1166,22 +1166,22 @@ def hits(
     digit-for-digit reproducible by an unrolled SQL oracle (the same
     discipline as :func:`pagerank`'s fixed-point micro-units); the
     RANKING is unchanged because normalization is a positive scalar per
-    round. Scores grow like (max degree)^(2·iterations), so with the
-    default 2 rounds BIGINT holds up to max degree ~55k even at
-    10^12 edges; the guard raises rather than overflowing silently.
+    round. Scores are bounded by D^(2·iterations) for max total degree
+    D, so the operator MEASURES D up front (one cheap degree
+    aggregation — the analogue of pagerank's node count) and raises
+    when the bound could exceed int64, rather than letting Spark's
+    non-ANSI sum wrap silently: at the default 2 rounds that admits
+    D up to ~55k; 4 rounds up to ~234.
 
     Plan shape: each half-round is one equi-join of the edge list with
     the current score column followed by one hash aggregation with
     map-side partials — 2·iterations shuffles total, no windows, no
     driver-side data. The edge list is deduplicated and checkpointed
     once up front."""
+    import math
+
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    if iterations > 4:
-        raise ValueError(
-            "more than 4 unnormalized rounds risks BIGINT overflow at "
-            "high-degree hubs; normalize externally or lower iterations"
-        )
     e = (
         edges.select(
             F.col(src_col).cast("string").alias("src"),
@@ -1191,6 +1191,21 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    max_deg = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d"))
+        .collect()[0][0]
+    ) or 1
+    if 2 * iterations * math.log2(max(max_deg, 2)) >= 62:
+        raise ValueError(
+            f"unnormalized HITS would overflow int64: max total degree "
+            f"{max_deg} at {iterations} iterations (bound "
+            f"D^(2*iterations) >= 2^62); lower iterations or normalize "
+            f"externally"
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

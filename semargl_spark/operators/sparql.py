@@ -133,25 +133,27 @@ class SparqlError(ValueError):
 
 _PATH_BOUND_RE = re.compile(
     r"^(?P<core>.+?)"
-    r"(?:(?P<plus>\+)|(?P<star>\*)|(?P<opt>\?)|\{(?P<lo>[01]),(?P<k>\d+)\})$"
+    r"(?:(?P<plus>\+)|(?P<star>\*)|(?P<opt>\?)|\{(?P<lo>\d+),(?P<k>\d+)\})$"
 )
 _BOUND_RE = re.compile(r"\{\s*\d+\s*,\s*\d+\s*\}")
 
 
 def _parse_path(pred_tok: str, prefixes: dict[str, str]):
     """If the predicate token is a property-path expression, return
-    (forward_preds, inverse_preds, k_or_None_for_unbounded, zero_ok);
-    else None.
+    (forward_preds, inverse_preds, k_or_None_for_unbounded, zero_ok,
+    min_hops); else None.
 
-    Supported: ``p+``, ``p*``, ``p?``, ``p{0|1,k}`` and the same four
-    closures over an alternation ``(p|^q|...)`` where each step is an
-    IRI / prefixed name and ``^`` marks an inverse step. ``+`` and
-    ``*`` (unbounded in SPARQL) map to the engine's bounded closure
-    with the caller-supplied ``max_hops`` — an unbounded transitive
-    closure over 10^12 edges is a quadratic blow-up, so the bound is
-    mandatory and explicit. ``zero_ok`` (``*``, ``?``, ``{0,k}``) adds
-    the SPARQL zero-length pairs: (t, t) for every term of the graph
-    when both ends are variables, (s, s) for a constant end."""
+    Supported: ``p+``, ``p*``, ``p?``, ``p{lo,k}`` (any 0 ≤ lo ≤ k)
+    and the same closures over an alternation ``(p|^q|...)`` where
+    each step is an IRI / prefixed name and ``^`` marks an inverse
+    step. ``+`` and ``*`` (unbounded in SPARQL) map to the engine's
+    bounded closure with the caller-supplied ``max_hops`` — an
+    unbounded transitive closure over 10^12 edges is a quadratic
+    blow-up, so the bound is mandatory and explicit. ``zero_ok``
+    (``*``, ``?``, ``{0,k}``) adds the SPARQL zero-length pairs:
+    (t, t) for every term of the graph when both ends are variables,
+    (s, s) for a constant end. ``min_hops ≥ 2`` (``{2,k}``) filters
+    the closure to paths of at least that length."""
     tok = pred_tok.strip()
     if tok.startswith("?") and _VAR_RE.fullmatch(tok):
         return None  # a variable predicate, not a path
@@ -182,10 +184,13 @@ def _parse_path(pred_tok: str, prefixes: dict[str, str]):
         if t.startswith("?"):
             raise SparqlError("variable steps in property paths not supported")
     if m.group("opt"):
-        return fwd, inv, 1, True
-    zero = bool(m.group("star")) or m.group("lo") == "0"
-    k = int(m.group("k")) if m.group("k") else None
-    return fwd, inv, k, zero
+        return fwd, inv, 1, True, 1
+    if m.group("lo") is not None:
+        lo, k = int(m.group("lo")), int(m.group("k"))
+        if lo > k:
+            raise SparqlError(f"empty path bound {{{lo},{k}}} in {pred_tok!r}")
+        return fwd, inv, k, lo == 0, max(lo, 1)
+    return fwd, inv, None, bool(m.group("star")), 1
 
 
 def _term(tok: str, prefixes: dict[str, str]) -> str:
@@ -473,6 +478,14 @@ def _rewrite_sugar(
                 raise SparqlError(
                     "inverse members in a negated property set are not "
                     "supported"
+                )
+            if any(_PATH_BOUND_RE.match(a) for a in members):
+                # never fold '+'/'*'/'?'/'{lo,k}' into the member IRI —
+                # the filter would exclude a nonexistent predicate and
+                # the NPS would silently match every edge
+                raise SparqlError(
+                    f"closure suffix inside a negated property set is "
+                    f"not supported: {pred!r}"
                 )
             iris = [_term(a, prefixes) for a in members]
             if any(t.startswith("?") for t in iris):
@@ -771,15 +784,13 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             group_filters=optional_filters if any(optional_filters) else None,
         )
         if filters:
-            from pyspark.sql import functions as F
-
             # outer FILTERs run AFTER the LeftJoin (SPARQL evaluation
             # order), so they see NULL-padded optional variables —
             # bound(?v)/!bound(?v) translate to IS [NOT] NULL, enabling
             # the negation-by-failure idiom; other NULL-involving
-            # comparisons drop the row, matching SPARQL's error→false
-            for f in filters:
-                out = out.filter(F.expr(_filter_to_sql(f)))
+            # comparisons drop the row, matching SPARQL's error→false.
+            # apply_filters keeps the engine's unbound-reference check
+            out = apply_filters(out, [_filter_to_sql(f) for f in filters])
     elif minus is not None:
         out = match_bgp_minus(edges, required, minus)
         if filters:
@@ -808,9 +819,24 @@ def sparql_select(edges: DataFrame, query: str, max_hops: int = 8) -> DataFrame:
             # padding skips non-matches, the SPARQL count semantics.
             from pyspark.sql import functions as F
 
+            from .bgp import _SQL_WORDS
+
             missing = [v for v in group_vars if v not in out.columns]
             if missing:
                 raise SparqlError(f"GROUP BY unbound variables {missing}")
+            for name, sql in aggs.items():
+                # same unbound-reference contract as match_bgp_agg
+                bare = re.sub(r"'(?:[^'\\]|\\.)*'", "''", sql)
+                names = set(re.findall(r"\b[a-zA-Z_]\w*\b(?!\s*\()", bare))
+                unknown = {
+                    n for n in names
+                    if n.lower() not in _SQL_WORDS and n not in out.columns
+                }
+                if unknown:
+                    raise SparqlError(
+                        f"aggregate {sql!r} references unbound variables "
+                        f"{sorted(unknown)}"
+                    )
             aggexprs = [
                 F.expr(sql).alias(name) for name, sql in aggs.items()
             ]
@@ -881,7 +907,7 @@ def _compile_path(
 
     from .graph import bounded_paths_alt
 
-    fwd, inv, k, zero = path
+    fwd, inv, k, zero, min_hops = path
     k = k if k is not None else max_hops
     if k < 1:
         raise SparqlError("path bound must be >= 1")
@@ -889,6 +915,14 @@ def _compile_path(
     if s_t.startswith("?") and o_t.startswith("?") and s_t == o_t:
         raise SparqlError("identical subject/object variable in a path")
     out = bounded_paths_alt(edges, fwd, k, inverse_preds=inv or None)
+    if min_hops >= 2:
+        # {lo,k} with lo >= 2 filters on the closure's MINIMUM hop
+        # count: pairs whose shortest path is shorter than lo are
+        # excluded even when a longer witness path exists. This is the
+        # engine's documented min-hop semantics (the hops column) —
+        # strict SPARQL would admit any-length witnesses, which
+        # requires the non-minimized (quadratic) closure
+        out = out.filter(F.col("hops") >= min_hops)
     if zero:
         if not s_t.startswith("?"):
             zdf = edges.sparkSession.createDataFrame(

@@ -1188,8 +1188,13 @@ def test_hits_partition_invariant_and_guards(spark):
     assert a == b
     with pytest.raises(ValueError, match=">= 1"):
         hits(t, iterations=0)
+    # the overflow guard MEASURES the max degree: a 100-spoke star at 5
+    # iterations exceeds the D^(2*it) int64 bound and must raise...
+    star = _triples(spark, [(f"u{i}", "p", "hub") for i in range(100)])
     with pytest.raises(ValueError, match="overflow"):
-        hits(t, iterations=5)
+        hits(star, iterations=5)
+    # ...while the low-degree cycle at the same iteration count is fine
+    assert hits(t, iterations=5).count() == 13
 
 
 # --- k-core peeling ---

@@ -874,3 +874,18 @@ def test_sparql_aggregate_over_optional_counts_nulls_as_zero(spark):
                 ?x p:knows ?y . MINUS { ?y p:score ?s . }
             } GROUP BY ?x
         """)
+
+
+def test_sparql_path_min_hop_window(spark):
+    # chain a->b->c->d: {2,3} keeps only pairs at shortest distance 2..3
+    e = spark.createDataFrame(
+        [("a", "urn:k", "b"), ("b", "urn:k", "c"), ("c", "urn:k", "d")],
+        "src string, pred string, dst string")
+    out = {(r["x"], r["y"], r["hops"]) for r in sparql_select(
+        e, "SELECT ?x ?y ?hops WHERE { ?x <urn:k>{2,3} ?y . }").collect()}
+    assert out == {("a", "c", 2), ("b", "d", 2), ("a", "d", 3)}
+    with pytest.raises(SparqlError, match="empty path bound"):
+        sparql_select(e, "SELECT ?x ?y WHERE { ?x <urn:k>{3,2} ?y . }")
+    # NPS with a closure suffix raises instead of matching everything
+    with pytest.raises(SparqlError, match="closure suffix"):
+        sparql_select(e, "SELECT ?s ?o WHERE { ?s !<urn:k>+ ?o . }")

@@ -164,6 +164,18 @@ def test_rewrite_sugar_roundtrip_well_formed():
     pats = _patterns(body, PREFIXES)
     # 2 chained + 1 nps + 1 plain = 4 patterns
     assert len(pats) == 4
-    # helper variables are fresh and internal
+    # helper variables are fresh and internal: the sequence's chain var
+    # and the NPS predicate var never collide
     helper_vars = [p for pat in pats for p in pat if p.startswith("?__")]
-    assert len(set(helper_vars)) == len(set(helper_vars)) and helper_vars
+    seq_vars = {v for v in helper_vars if v.startswith("?__seq")}
+    nps_vars = {v for v in helper_vars if v.startswith("?__nps")}
+    assert seq_vars and nps_vars and not (seq_vars & nps_vars)
+    # two NPS statements in one body get DISTINCT predicate variables —
+    # a collision would conflate their bindings through an unintended
+    # equi-join
+    body2, fs2, _ = _rewrite_sugar(
+        "?s !(p:a) ?o . ?o !(dc:x) ?z", PREFIXES
+    )
+    nps2 = {tok for stmt in body2.split(" . ")
+            for tok in stmt.split() if tok.startswith("?__nps")}
+    assert len(nps2) == 2, (body2, fs2)

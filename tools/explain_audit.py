@@ -444,9 +444,9 @@ def main():
     # join-free filtered scan
     from semargl_spark.operators.sparql import sparql_select
 
-    kg_edges_df = __import__(
-        "semargl_spark.operators.materialize", fromlist=["kg_edges"]
-    ).kg_edges(triples(extract_statements(synth_transcripts(spark, sf_dir))))
+    # the parquet-backed edge frame from section 8 — real scan plans,
+    # so pushed filters are visible
+    kg_edges_df = edges_disk
     p = plan_of(sparql_select(kg_edges_df, """
         PREFIX p: <urn:p:>
         PREFIX dcterms: <http://purl.org/dc/terms/>
