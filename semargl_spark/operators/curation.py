@@ -720,3 +720,103 @@ def ppmi(
             ).alias("lift"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Exact-size deterministic weighted sampling → the ``k`` selected
+    rows as (doc_id, weight, priority) — the corpus-mixing step that
+    draws a fixed-budget subcorpus where a document's selection odds
+    scale with its weight (token count, quality score, source boost).
+
+    Integer priority sampling: priority = md5_60(id#salt) DIV weight,
+    keep the k lowest (priority, id). Doubling a document's weight
+    halves its expected priority, so heavier documents win
+    proportionally more of the k slots; the md5 draw makes the choice
+    uniform within a weight class. Everything is integer arithmetic on
+    a salted md5 — reproducible at any parallelism and cluster size
+    (never ``rand()``), decorrelated from the split/resample coins by
+    the salt, and exactly replayable by an external SQL oracle (the
+    division is integer ``DIV``: float division of a 60-bit hash would
+    lose bits past the 53-bit double mantissa and tie-break
+    differently across engines).
+
+    Scale shape: one projection + TakeOrderedAndProject — each
+    partition keeps its local top-k, the driver merges p×k rows, never
+    a global sort of 10^12 docs. Weights are clamped to >= 1 so a
+    zero-weight row degrades to minimum odds instead of dividing by
+    zero.
+    """
+    from .dedup import md5_hash60
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    u = md5_hash60(F.col(id_col).cast("string"), seed=salt)
+    return (
+        docs.select(F.col(id_col), w.alias("weight"), u.alias("__u"))
+        .select(
+            id_col,
+            "weight",
+            F.expr("__u div weight").cast("long").alias("priority"),
+        )
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty → (doc_id, n_grams, n_unique,
+    novelty_pm): of a document's distinct word-``n``-grams, how many
+    appear in NO other document (corpus-wide document frequency 1), as
+    a per-mille ratio — the inverse-boilerplate curation signal (high
+    novelty = original text, low = template/mirror content).
+
+    Two hash aggregations: explode distinct n-grams per doc, count each
+    gram's document frequency (map-side partial combine — hot
+    boilerplate grams collapse before the shuffle), then join the df
+    back to the exploded grams and re-aggregate per document. The gram
+    df table is vocabulary-sized, the join is an equi-join on gram
+    (AQE handles residual hot-gram skew); no pairwise document
+    comparison anywhere. The ratio is integer per-mille (1000·unique
+    DIV total) so it is bit-identical at any parallelism; documents
+    shorter than ``n`` words have no grams → novelty_pm NULL.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    gram_df = grams.groupBy("gram").agg(F.count("*").cast("int").alias("__df"))
+    per_doc = (
+        grams.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("int")).cast("int").alias("n_unique"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.expr("CAST(1000 AS BIGINT) * n_unique div n_grams"),
+            ).alias("novelty_pm"),
+        )
+    )

@@ -152,7 +152,9 @@ _TRIGRAM_PROFILES = {
 }
 
 
-def lang_id_ngram(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+def lang_id_ngram(
+    docs: DataFrame, id_col="doc_id", text_col="text", keep: tuple = ()
+) -> DataFrame:
     """Character-trigram language ID (the classic n-gram heuristic):
     score(lang) = occurrences of the language's distinctive trigrams in
     the space-padded lowercased text, normalized by trigram count.
@@ -160,7 +162,10 @@ def lang_id_ngram(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFram
     a constant-folded ``trigram -> [lang indices]`` map (the broadcast
     side of a map-side join), so per-document work is O(len(text)) —
     not O(len(text) × |languages|) as per-language array scans would be.
-    Returns (doc_id, lang_pred, lang_score)."""
+    Returns (doc_id, lang_pred, lang_score[, *keep]) — ``keep`` columns
+    pass through so downstream rollups (e.g. the confusion matrix
+    against a labeled column) stay projection-only instead of joining
+    the prediction frame back on doc_id."""
     padded = F.concat(F.lit(" "), F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), F.lit(" "))
     t = docs.withColumn("_pt", padded)
     tris = F.expr("transform(sequence(1, greatest(length(_pt) - 2, 1)), i -> substr(_pt, i, 3))")
@@ -201,6 +206,29 @@ def lang_id_ngram(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFram
         .otherwise(F.element_at(lang_arr, best_idx.cast("int")))
         .alias("lang_pred"),
         F.round(F.array_max(scores) / total, 6).alias("lang_score"),
+        *[F.col(c) for c in keep],
+    )
+
+
+def lang_confusion(
+    docs: DataFrame, id_col="doc_id", text_col="text", true_col="lang"
+) -> DataFrame:
+    """Confusion matrix of the trigram language-ID against a labeled
+    column → (lang_true, lang_pred, n_docs) — the model-quality
+    evaluation a curation run reports per corpus snapshot (which
+    languages leak into which, how much lands in 'und').
+
+    The prediction is composed row-locally (``lang_id_ngram`` with the
+    label passed through), so the whole matrix is one projection plus a
+    single tiny-key hash aggregation (≤ (|langs|+1)² groups) with
+    map-side partials — no join of the prediction frame back onto the
+    corpus, no shuffle proportional to corpus size beyond the count
+    merge."""
+    pred = lang_id_ngram(docs, id_col=id_col, text_col=text_col, keep=(true_col,))
+    return (
+        pred.groupBy(
+            F.col(true_col).alias("lang_true"), F.col("lang_pred")
+        ).agg(F.count("*").cast("long").alias("n_docs"))
     )
 
 

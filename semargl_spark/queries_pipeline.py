@@ -2497,6 +2497,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "semantic_clusters": q_semantic_clusters,
         "winnow": q_winnow,
+        "weighted_sample": q_weighted_sample,
+        "ngram_novelty": q_ngram_novelty,
+        "lang_id_confusion": q_lang_id_confusion,
+        "kg_entity_timeline": q_kg_entity_timeline,
     }
 
 
@@ -5805,4 +5809,111 @@ SELECT src, pred, dst FROM (
     SELECT 'urn:e:root', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
            'urn:t:Root'
 )
+"""
+
+
+# ------------------------------------------------- round-2 curation additions
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic weighted priority sampling (md5 priority
+    DIV weight, k lowest) — one projection + TakeOrderedAndProject,
+    never a global sort."""
+    return curation.weighted_sample(
+        _docs(spark, sf_dir), k=200, weight_col="n_chars"
+    ).select(F.col("doc_id").cast("long"), "weight", "priority")
+
+
+ORACLES["weighted_sample"] = rf"""
+WITH s AS (SELECT doc_id,
+        greatest(CAST(n_chars AS BIGINT), 1) AS weight,
+        {_h60("CAST(doc_id AS VARCHAR)||'#ws'")} AS u
+      FROM documents)
+SELECT doc_id, weight, u // weight AS priority
+FROM s ORDER BY priority, doc_id LIMIT 200
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-uniqueness of word-5-grams (df==1 fraction,
+    integer per-mille) — two hash aggregations + a vocabulary-keyed
+    equi-join, no pairwise comparison."""
+    return curation.ngram_novelty(_docs(spark, sf_dir), n=5).select(
+        F.col("doc_id").cast("long"), "n_grams", "n_unique", "novelty_pm"
+    )
+
+
+ORACLES["ngram_novelty"] = r"""
+WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(ws) - 3),
+                                 i -> array_to_string(ws[i:i+4], ' ')) END) AS grams
+      FROM w),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+df AS (SELECT gram, CAST(COUNT(*) AS INT) AS df FROM e GROUP BY gram),
+pd AS (SELECT e.doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+         CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS INT) AS n_unique
+       FROM e JOIN df USING (gram) GROUP BY e.doc_id)
+SELECT d.doc_id,
+       COALESCE(pd.n_grams, 0) AS n_grams,
+       COALESCE(pd.n_unique, 0) AS n_unique,
+       CASE WHEN pd.n_grams IS NOT NULL
+            THEN CAST(1000 AS BIGINT) * pd.n_unique // pd.n_grams END AS novelty_pm
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram lang-ID confusion matrix against the corpus's labeled
+    ``lang`` column — row-local prediction (label passed through, no
+    self-join) + one tiny-key hash aggregation."""
+    return text.lang_confusion(_docs(spark, sf_dir))
+
+
+ORACLES["lang_id_confusion"] = rf"""
+WITH pred AS ({_lang_id_ngram_oracle()}),
+lab AS (SELECT doc_id, lang FROM documents)
+SELECT lab.lang AS lang_true, pred.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM lab JOIN pred USING (doc_id)
+GROUP BY lab.lang, pred.lang_pred
+"""
+
+
+def q_kg_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-canonical-entity mention timeline over the transcript
+    corpus: mention count plus first/last mention timestamps (epoch
+    micros — the integer form every ts oracle here uses). Linked
+    mentions join back to the transcript frame on (conv_id, turn_idx)
+    to pick up the real ``ts`` column, then one hash aggregation on
+    the entity IRI; mention counts are corpus-scale but the output is
+    entity-vocabulary-sized."""
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    linked = link_entities(st, entity_dictionary(spark, sf_dir))
+    return (
+        linked.join(
+            t.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+        )
+        .groupBy("canonical_iri")
+        .agg(
+            F.count("*").cast("long").alias("mentions"),
+            F.unix_micros(F.min("ts")).alias("first_ts_us"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        )
+    )
+
+
+ORACLES["kg_entity_timeline"] = _SEED + """,
+m AS (SELECT did, CAST((1704067200 + did*3600 + tix*60) AS BIGINT) * 1000000
+        AS ts_us FROM t WHERE did % 10 <> 0)
+SELECT 'urn:e:'||did AS canonical_iri,
+       CAST(COUNT(*) AS BIGINT) AS mentions,
+       MIN(ts_us) AS first_ts_us,
+       MAX(ts_us) AS last_ts_us
+FROM m GROUP BY did
 """

@@ -526,3 +526,82 @@ def test_winnow_guarantee_and_short_docs(spark):
         for r in winnow_fingerprints(df.repartition(7), k=4, w=3).collect()
     }
     assert again == {(r["doc_id"], r["fp"]) for r in fp.collect()}
+
+
+# ------------------------------------------------ weighted priority sampling
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_chars")
+    )
+    a = curation.weighted_sample(docs, k=50).collect()
+    assert len(a) == 50
+    b = curation.weighted_sample(docs.repartition(13), k=50).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+
+
+def test_weighted_sample_weight_bias(spark):
+    # two weight classes, 1 vs 100: the heavy class must win far more
+    # of the slots than its population share (50%)
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 100).otherwise(1).alias("n_chars"),
+    )
+    picked = curation.weighted_sample(docs, k=200).collect()
+    heavy = sum(1 for r in picked if r["doc_id"] % 2 == 0)
+    assert heavy > 180  # ~100:1 odds; 50% would be ~100
+
+
+def test_weighted_sample_clamps_nonpositive_weights(spark):
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("n_chars")
+    )
+    rows = curation.weighted_sample(docs, k=5).collect()
+    assert len(rows) == 5 and all(r["weight"] == 1 for r in rows)
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    import pytest
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"), F.lit(1).alias("n_chars"))
+    with pytest.raises(ValueError):
+        curation.weighted_sample(docs, k=0)
+
+
+# ----------------------------------------------------------- n-gram novelty
+
+
+def test_ngram_novelty_duplicates_vs_unique(spark):
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _df(
+        spark,
+        [
+            (1, dup),
+            (2, dup),  # exact mirror: every gram shared -> novelty 0
+            (3, "one two three four five six seven eight"),  # all unique
+            (4, "short text"),  # < 5 words: no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.ngram_novelty(docs, n=5).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["novelty_pm"] == 0
+    assert out[2]["novelty_pm"] == 0
+    assert out[3]["n_grams"] == 4 and out[3]["novelty_pm"] == 1000
+    assert out[4]["n_grams"] == 0 and out[4]["novelty_pm"] is None
+
+
+def test_ngram_novelty_partial_overlap(spark):
+    # doc 2 shares exactly its first gram with doc 1 -> 1 of 2 unique
+    docs = _df(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.ngram_novelty(docs, n=5).collect()}
+    assert out[1]["n_grams"] == 1 and out[1]["novelty_pm"] == 0
+    assert out[2]["n_grams"] == 2
+    assert out[2]["n_unique"] == 1 and out[2]["novelty_pm"] == 500

@@ -270,3 +270,29 @@ def test_rrf_fuse_k_cut_ties_and_validation(spark):
         rrf_fuse([], k=3)
     with _pytest.raises(ValueError):
         rrf_fuse([a], k=0)
+
+
+def test_lang_confusion_operator_diagonal(spark):
+    # labeled corpus of clear-language snippets: the confusion matrix
+    # operator must put every sample on the diagonal, counts intact
+    from semargl_spark.operators.text import lang_confusion
+
+    rows = [(i, text, lang) for i, (lang, text) in enumerate(SAMPLES.items())]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {(r["lang_true"], r["lang_pred"]): r["n_docs"]
+           for r in lang_confusion(df).collect()}
+    assert all(t == p for (t, p) in out), f"off-diagonal cells: {out}"
+    assert sum(out.values()) == len(SAMPLES)
+
+
+def test_lang_confusion_counts_off_diagonal(spark):
+    from semargl_spark.operators.text import lang_confusion
+
+    # two docs labeled 'en': one real English, one gibberish -> und
+    df = spark.createDataFrame(
+        [(1, SAMPLES["en"], "en"), (2, "zzz qqq xxx", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {(r["lang_true"], r["lang_pred"]): r["n_docs"]
+           for r in lang_confusion(df).collect()}
+    assert out == {("en", "en"): 1, ("en", "und"): 1}
