@@ -820,3 +820,55 @@ def ngram_novelty(
             ).alias("novelty_pm"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int = 20,
+    n_salts: int = 16,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sts",
+) -> DataFrame:
+    """Exact-k uniform sample per stratum → (stratum, doc_id, coin,
+    rank): the ``k`` documents with the smallest salted md5 coin in
+    each stratum — fixed-budget per-language/per-source eval-set
+    drawing, reproducible at any parallelism and independent of the
+    split/resample/weighted-sample coins by the salt.
+
+    Same skew-safe two-phase shape as quality_topk: a naive
+    ``row_number() over (partition by stratum)`` funnels the dominant
+    stratum through ONE reducer; phase 1 salts the window key so each
+    hot stratum sorts in n_salts independent partitions keeping k rows
+    each, phase 2 re-ranks the ≤ n_salts·k survivors. Each salt's
+    local bottom-k is a superset of the stratum's global bottom-k, so
+    the result is exact, and (coin, doc_id) is a total order, so ranks
+    are deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_hash60
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    coin = md5_hash60(F.col(id_col).cast("string"), seed=salt)
+    staged = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        coin.alias("coin"),
+        (F.col(id_col) % n_salts).cast("int").alias("salt"),
+    )
+    w1 = Window.partitionBy("stratum", "salt").orderBy(
+        F.asc("coin"), F.asc("doc_id")
+    )
+    survivors = (
+        staged.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("stratum").orderBy(F.asc("coin"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("stratum", "doc_id", "coin", "rank")
+    )

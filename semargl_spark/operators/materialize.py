@@ -257,3 +257,40 @@ def compact_parquet(
         "files_after": len(out_files),
         "rows": n_rows,
     }
+
+
+def edge_provenance(statements: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Temporal provenance per KG edge → (src, pred, dst, n_mentions,
+    n_convs, first_ts_us, last_ts_us): how many turn-level assertions
+    back each IRI/bnode-object edge, across how many conversations, and
+    the first/last assertion timestamps (epoch micros — the integer
+    form every ts oracle here uses). The temporal-KG counterpart of
+    kg_edges: the edge table says WHAT holds, this says WHEN and HOW
+    OFTEN the corpus asserted it (recency/support signals for KG
+    confidence scoring and snapshot diffing).
+
+    Mention rows join the transcript frame on (conv_id, turn_idx) to
+    pick up the real ``ts`` column — the same co-partitioned equi-join
+    every per-turn enrichment here uses — then one hash aggregation on
+    the edge triple (map-side partial merge; hot edges collapse before
+    the shuffle, with countDistinct planned as the standard two-phase
+    expand). Output is edge-vocabulary-sized, mentions are
+    corpus-scale."""
+    mentions = statements.filter(
+        F.col("obj_kind").isin("iri", "bnode")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("subj").alias("src"),
+        "pred",
+        F.col("obj").alias("dst"),
+    )
+    with_ts = mentions.join(
+        transcripts.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    return with_ts.groupBy("src", "pred", "dst").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )

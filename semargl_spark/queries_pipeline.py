@@ -2501,6 +2501,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "lang_id_confusion": q_lang_id_confusion,
         "kg_entity_timeline": q_kg_entity_timeline,
+        "kg_edge_provenance": q_kg_edge_provenance,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -5916,4 +5918,46 @@ SELECT 'urn:e:'||did AS canonical_iri,
        MIN(ts_us) AS first_ts_us,
        MAX(ts_us) AS last_ts_us
 FROM m GROUP BY did
+"""
+
+
+def q_kg_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal provenance per KG edge (assertion count, conversation
+    support, first/last assertion epoch-micros) — the temporal-KG
+    companion of kg_edges."""
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = extract_statements(t)
+    return materialize.edge_provenance(st, t)
+
+
+ORACLES["kg_edge_provenance"] = _SEED + """,
+m AS (SELECT did, CAST((1704067200 + did*3600 + tix*60) AS BIGINT) * 1000000
+        AS ts_us FROM t)
+SELECT 'urn:e:'||did AS src, 'urn:p:knows' AS pred,
+       'urn:e:'||(did+1) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(1 AS BIGINT) AS n_convs,
+       MIN(ts_us) AS first_ts_us,
+       MAX(ts_us) AS last_ts_us
+FROM m GROUP BY did
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-language uniform sample (salted md5 coin, skew-safe
+    two-phase bottom-k) over the labeled corpus."""
+    return curation.stratified_sample(_docs(spark, sf_dir), k=20).select(
+        "stratum", F.col("doc_id").cast("long"), "coin", "rank"
+    )
+
+
+ORACLES["stratified_sample"] = rf"""
+WITH c AS (SELECT lang AS stratum, doc_id,
+        {_h60("CAST(doc_id AS VARCHAR)||'#sts'")} AS coin
+      FROM documents),
+rk AS (SELECT stratum, doc_id, coin,
+         CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+                                 ORDER BY coin, doc_id) AS INT) AS rank
+       FROM c)
+SELECT stratum, doc_id, coin, rank FROM rk WHERE rank <= 20
 """

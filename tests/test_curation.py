@@ -605,3 +605,54 @@ def test_ngram_novelty_partial_overlap(spark):
     assert out[1]["n_grams"] == 1 and out[1]["novelty_pm"] == 0
     assert out[2]["n_grams"] == 2
     assert out[2]["n_unique"] == 1 and out[2]["novelty_pm"] == 500
+
+
+# ------------------------------------------------------- stratified sampling
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    docs = spark.range(900).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr").alias("lang"),
+    )
+    out = curation.stratified_sample(docs, k=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append(r["rank"])
+    assert set(per) == {"en", "de", "fr"}
+    for lang, ranks in per.items():
+        assert sorted(ranks) == list(range(1, 11)), lang
+
+
+def test_stratified_sample_matches_naive_and_is_partition_invariant(spark):
+    from pyspark.sql.window import Window
+
+    from semargl_spark.operators.dedup import md5_hash60
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, "en").otherwise("de").alias("lang"),
+    )
+    two_phase = {
+        (r["stratum"], r["doc_id"], r["rank"])
+        for r in curation.stratified_sample(docs, k=7, n_salts=4).collect()
+    }
+    # naive single-window reference (fine at test scale)
+    coin = md5_hash60(F.col("doc_id").cast("string"), seed="sts")
+    w = Window.partitionBy("lang").orderBy(F.asc("coin"), F.asc("doc_id"))
+    naive = {
+        (r["lang"], r["doc_id"], r["rank"])
+        for r in docs.select("lang", "doc_id", coin.alias("coin"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+    assert two_phase == naive
+    repart = {
+        (r["stratum"], r["doc_id"], r["rank"])
+        for r in curation.stratified_sample(
+            docs.repartition(11), k=7, n_salts=4
+        ).collect()
+    }
+    assert repart == two_phase

@@ -570,3 +570,33 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_parquet(spark, p, target_file_bytes=0)
+
+
+def test_edge_provenance_counts_and_timestamps(spark):
+    from semargl_spark.operators.materialize import edge_provenance
+
+    st = spark.createDataFrame(
+        [
+            # edge A->B asserted in two convs, three mentions total
+            ("c1", 0, "urn:a", "urn:p", "urn:b", "iri"),
+            ("c1", 2, "urn:a", "urn:p", "urn:b", "iri"),
+            ("c2", 1, "urn:a", "urn:p", "urn:b", "iri"),
+            # literal statements never become edges
+            ("c1", 0, "urn:a", "urn:n", "x", "literal"),
+        ],
+        "conv_id string, turn_idx int, subj string, pred string, obj string, obj_kind string",
+    )
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "2024-01-01 00:00:00"),
+            ("c1", 2, "2024-01-01 00:02:00"),
+            ("c2", 1, "2024-01-01 05:00:00"),
+        ],
+        "conv_id string, turn_idx int, ts_s string",
+    ).select("conv_id", "turn_idx", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = edge_provenance(st, t).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src"], r["pred"], r["dst"]) == ("urn:a", "urn:p", "urn:b")
+    assert r["n_mentions"] == 3 and r["n_convs"] == 2
+    assert r["last_ts_us"] - r["first_ts_us"] == 5 * 3600 * 1_000_000

@@ -502,6 +502,50 @@ def main():
     )
     # inherent chains longer than 2 Python stages, reviewed by hand:
     # decode → resample+re-encode → re-decode-features
+    # 32. round-2 curation additions: weighted sampling must plan as
+    # TakeOrderedAndProject (per-partition top-k, never a global sort);
+    # n-gram novelty is two hash aggs + an equi-join (no cartesian, no
+    # Python); the confusion matrix is one projection + one tiny-key agg
+    p = plan_of(curation.weighted_sample(docs, k=200))
+    sections.append(("weighted_sample", p))
+    checks.append(("weighted_sample plans TakeOrderedAndProject, no global Sort",
+                   "TakeOrderedAndProject" in p and n_nodes(p, "Sort") == 0
+                   and "Python" not in p))
+
+    p = plan_of(curation.ngram_novelty(docs, n=5))
+    sections.append(("ngram_novelty", p))
+    checks.append(("ngram_novelty: hash aggs + equi-join, JVM-only, no cartesian",
+                   "Python" not in p and "Cartesian" not in p
+                   and "NestedLoop" not in p and "HashAggregate" in p))
+
+    from semargl_spark.operators.text import lang_confusion
+
+    p = plan_of(lang_confusion(docs))
+    sections.append(("lang_id_confusion", p))
+    checks.append(("lang_confusion is projection + one agg (no join, JVM-only)",
+                   "Python" not in p and "Join" not in p))
+
+    # 32b. stratified sampling: both window phases must partition on
+    # (stratum, salt) / stratum — never a single global window — and
+    # stay JVM-only; edge provenance joins mentions to ts on the
+    # (conv_id, turn_idx) equi-key (no cartesian)
+    p = plan_of(curation.stratified_sample(docs, k=20))
+    sections.append(("stratified_sample", p))
+    flat = p.replace(" ", "")
+    specs = flat.split("windowspecdefinition(")[1:]
+    checks.append(("stratified_sample windows are stratum-keyed (no empty partitionBy)",
+                   "Python" not in p and len(specs) >= 1
+                   and all(s.startswith("stratum#") for s in specs)))
+
+    from semargl_spark.operators.materialize import edge_provenance
+
+    st_nt = triples(extract_statements(t))
+    p = plan_of(edge_provenance(st_nt, t))
+    sections.append(("kg_edge_provenance", p))
+    checks.append(("edge_provenance: equi-join + hash agg, no cartesian",
+                   "Cartesian" not in p and "NestedLoop" not in p
+                   and "HashAggregate" in p))
+
     allow = {"media_real_resize": 3}
     offenders = []
     for qname, qfn in sorted(Q.registry().items()):
