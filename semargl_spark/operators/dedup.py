@@ -654,3 +654,73 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide segment-level dedup with text reconstruction →
+    (doc_id, n_segs, n_kept, clean_text): split every document into
+    non-overlapping ``seg_words``-word segments, keep each distinct
+    segment only at its FIRST corpus occurrence (lowest (doc_id,
+    position)), and re-emit each document's surviving text — the
+    remove-repeated-spans pass of C4-style curation (produces the
+    cleaned corpus, where substring_dup_pairs only *reports* offending
+    pairs; same public method family as Lee et al. 2022 — the
+    reference engine has no dedup surface).
+
+    Shape: one narrow posexplode to (doc, pos, segment), one hash
+    aggregation per segment taking the min (doc_id, pos) struct
+    (map-side partial — a boilerplate segment repeated 10^6 times
+    collapses to one keeper row before the shuffle), an equi-join of
+    the keeper back on the segment key, and one per-document
+    reassembly aggregation (sort the kept (pos, seg) structs, join
+    with spaces). No pairwise document work anywhere; AQE covers
+    residual hot-segment join skew. First-occurrence-wins is a total
+    deterministic rule, so the cleaned corpus is identical at any
+    parallelism and under resume/replay.
+    """
+    if seg_words < 1:
+        raise ValueError(f"seg_words must be >= 1, got {seg_words}")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * seg_words + 1, seg_words)
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    keeper = exploded.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k")
+    )
+    kept = (
+        exploded.join(keeper, "seg")
+        .filter(
+            (F.col("__k")[id_col] == F.col(id_col))
+            & (F.col("__k")["pos"] == F.col("pos"))
+        )
+        .select(id_col, "pos", "seg")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(F.col(id_col), n_segs.alias("n_segs"))
+    return base.join(reassembled, on=id_col, how="left").select(
+        id_col,
+        "n_segs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -2503,6 +2503,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_timeline": q_kg_entity_timeline,
         "kg_edge_provenance": q_kg_edge_provenance,
         "stratified_sample": q_stratified_sample,
+        "segment_dedup": q_segment_dedup,
     }
 
 
@@ -5960,4 +5961,35 @@ rk AS (SELECT stratum, doc_id, coin,
                                  ORDER BY coin, doc_id) AS INT) AS rank
        FROM c)
 SELECT stratum, doc_id, coin, rank FROM rk WHERE rank <= 20
+"""
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 16-word-segment dedup with cleaned-text
+    reconstruction (first corpus occurrence wins) — the
+    produce-the-cleaned-corpus counterpart of dedup_substring."""
+    return dedup.segment_dedup(_docs(spark, sf_dir), seg_words=16).select(
+        F.col("doc_id").cast("long"), "n_segs", "n_kept", "clean_text"
+    )
+
+
+ORACLES["segment_dedup"] = r"""
+WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS ws
+           FROM documents),
+s AS (SELECT doc_id, i AS pos,
+        array_to_string(ws[(i*16+1):(i*16+16)], ' ') AS seg
+      FROM w, unnest(range(0, CAST(ceil(len(ws)/16.0) AS INT))) AS u(i)),
+k AS (SELECT doc_id, pos, seg,
+        ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM s),
+r AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+        string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      FROM k WHERE rn = 1 GROUP BY doc_id),
+n AS (SELECT doc_id, CAST(ceil(len(ws)/16.0) AS INT) AS n_segs FROM w)
+SELECT n.doc_id, n.n_segs,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM n LEFT JOIN r USING (doc_id)
 """

@@ -656,3 +656,52 @@ def test_stratified_sample_matches_naive_and_is_partition_invariant(spark):
         ).collect()
     }
     assert repart == two_phase
+
+
+# --------------------------------------------------------- segment dedup
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from semargl_spark.operators.dedup import segment_dedup
+
+    seg_a = "a b c d"          # 4-word segment shared by docs 1 and 2
+    docs = _df(
+        spark,
+        [
+            (1, seg_a + " w x y z"),   # segs: [a b c d, w x y z]
+            (2, seg_a + " p q r s"),   # first seg is a corpus dup
+            (3, "u v m n"),            # unique single segment
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_words=4).collect()}
+    assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "a b c d w x y z"
+    assert out[2]["n_segs"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "p q r s"
+    assert out[3]["clean_text"] == "u v m n"
+
+
+def test_segment_dedup_exact_mirror_doc_fully_dropped(spark):
+    from semargl_spark.operators.dedup import segment_dedup
+
+    t = "one two three four five six seven eight"
+    docs = _df(spark, [(1, t), (2, t)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_words=4).collect()}
+    assert out[1]["n_kept"] == 2 and out[1]["clean_text"] == t
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+
+
+def test_segment_dedup_partition_invariant(spark):
+    from semargl_spark.operators.dedup import segment_dedup
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared prefix words here "),
+            F.col("id").cast("string"), F.lit(" tail"),
+        ).alias("text"),
+    )
+    a = sorted(map(tuple, segment_dedup(docs, seg_words=4).collect()))
+    b = sorted(map(tuple, segment_dedup(docs.repartition(17), seg_words=4).collect()))
+    assert a == b

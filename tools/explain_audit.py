@@ -546,6 +546,14 @@ def main():
                    "Cartesian" not in p and "NestedLoop" not in p
                    and "HashAggregate" in p))
 
+    from semargl_spark.operators.dedup import segment_dedup
+
+    p = plan_of(segment_dedup(docs, seg_words=16))
+    sections.append(("segment_dedup", p))
+    checks.append(("segment_dedup: JVM-only, keeper agg + equi-join, no cartesian",
+                   "Python" not in p and "Cartesian" not in p
+                   and "NestedLoop" not in p and "HashAggregate" in p))
+
     allow = {"media_real_resize": 3}
     offenders = []
     for qname, qfn in sorted(Q.registry().items()):
