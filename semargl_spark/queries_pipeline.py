@@ -2504,6 +2504,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_provenance": q_kg_edge_provenance,
         "stratified_sample": q_stratified_sample,
         "segment_dedup": q_segment_dedup,
+        "graph_stats": q_graph_stats,
     }
 
 
@@ -5992,4 +5993,43 @@ SELECT n.doc_id, n.n_segs,
        COALESCE(r.n_kept, 0) AS n_kept,
        COALESCE(r.clean_text, '') AS clean_text
 FROM n LEFT JOIN r USING (doc_id)
+"""
+
+
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-named-graph profile over the quads corpus (triple count,
+    exact distinct subjects/predicates, bnode-subject count) — the
+    graph-dimension sibling of kg_degree_stats, exercising the quads
+    surface end-to-end (the reference's QuadSink carries the graph
+    through the chain, QuadSink.java; here it is a first-class column).
+    One hash aggregation on the graph key with map-side partials and
+    two-phase exact distincts; output is graph-vocabulary-sized."""
+    t = synth_transcripts(spark, sf_dir, fmt="nquads")
+    st = triples(extract_statements(t))
+    g = F.coalesce(F.col("graph"), F.lit("urn:default"))
+    return st.groupBy(g.alias("graph")).agg(
+        F.count("*").cast("long").alias("n_statements"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("pred").cast("long").alias("n_preds"),
+        F.sum(F.col("subj").startswith("_:").cast("int"))
+        .cast("long")
+        .alias("n_bnode_subj"),
+    )
+
+
+ORACLES["graph_stats"] = _SEED + """,
+q AS (
+  SELECT 'urn:g:'||(did%10) AS graph, 'urn:e:'||did AS subj,
+         'urn:p:name' AS pred FROM t
+  UNION ALL
+  SELECT 'urn:default', 'urn:e:'||did, 'urn:p:knows' FROM t
+  UNION ALL
+  SELECT 'urn:g:'||(did%10), '_:bc'||did||'_'||tix||'_n0',
+         'urn:p:label' FROM t)
+SELECT graph, CAST(COUNT(*) AS BIGINT) AS n_statements,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_preds,
+       CAST(SUM(CASE WHEN starts_with(subj, '_:') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bnode_subj
+FROM q GROUP BY graph
 """
