@@ -2505,6 +2505,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "segment_dedup": q_segment_dedup,
         "graph_stats": q_graph_stats,
+        "kg_sparql_count_distinct": q_kg_sparql_count_distinct,
     }
 
 
@@ -6032,4 +6033,26 @@ SELECT graph, CAST(COUNT(*) AS BIGINT) AS n_statements,
        CAST(SUM(CASE WHEN starts_with(subj, '_:') THEN 1 ELSE 0 END)
             AS BIGINT) AS n_bnode_subj
 FROM q GROUP BY graph
+"""
+
+
+def q_kg_sparql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DISTINCT aggregates from query TEXT: COUNT(DISTINCT ?v)
+    alongside a plain COUNT in one GROUP BY — compiles to Spark's
+    two-phase partial-distinct aggregate (the distinct never funnels a
+    predicate's edges through one reducer)."""
+    from .operators.sparql import sparql_select
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return sparql_select(edges, """
+        SELECT ?p (COUNT(DISTINCT ?a) AS ?nsrc) (COUNT(*) AS ?n)
+        WHERE { ?a ?p ?b . } GROUP BY ?p ORDER BY ?p
+    """)
+
+
+ORACLES["kg_sparql_count_distinct"] = _KG_EDGES_SQL + """
+SELECT pred AS p, CAST(COUNT(DISTINCT src) AS BIGINT) AS nsrc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM edges GROUP BY pred ORDER BY pred
 """

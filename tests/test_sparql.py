@@ -889,3 +889,15 @@ def test_sparql_path_min_hop_window(spark):
     # NPS with a closure suffix raises instead of matching everything
     with pytest.raises(SparqlError, match="closure suffix"):
         sparql_select(e, "SELECT ?s ?o WHERE { ?s !<urn:k>+ ?o . }")
+
+
+def test_select_count_distinct_aggregate(spark):
+    edges = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y"), ("b", "p", "x"), ("a", "q", "x")],
+        "src string, pred string, dst string",
+    )
+    rows = sparql_select(edges, """
+        SELECT ?p (COUNT(DISTINCT ?a) AS ?nsrc) (COUNT(*) AS ?n)
+        WHERE { ?a ?p ?b . } GROUP BY ?p ORDER BY ?p
+    """).collect()
+    assert [(r["p"], r["nsrc"], r["n"]) for r in rows] == [("p", 2, 3), ("q", 1, 1)]
