@@ -314,3 +314,58 @@ def gram_matrix(
 
     part = embeddings.select(vec_col).mapInArrow(run, "i int, j int, v long")
     return part.groupBy("i", "j").agg(F.sum("v").cast("long").alias("dot"))
+
+
+def pq_encode(
+    vecs: DataFrame,
+    m: int = 4,
+    sub: int = 16,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization → (vec_id, codes, recon_err_fp): train an
+    independent k-codeword quantizer per ``sub``-dim subspace (the same
+    Q20 fixed-point Lloyd's as :func:`kmeans_assign`, deterministically
+    seeded per subspace with the id<k rows) and encode every vector as
+    its ``m`` per-subspace argmin codes, plus the summed fixed-point
+    reconstruction error (the PQ quality signal). m·log2(k) bits per
+    vector — a 64-dim float32 embedding compresses 21x at m=4, k=8 —
+    which is what makes a 10^12-vector ANN index RAM-resident; the
+    asymmetric-distance search sums m lookup-table entries per
+    candidate instead of touching raw vectors.
+
+    Scale shape: ``m`` independent kmeans_assign runs (each broadcast-
+    centroid argmin + (cluster, pos)-keyed updates — never a corpus
+    self-join), then one vec_id-keyed aggregation assembling the code
+    array. All integer fixed-point, so codes are bit-identical at any
+    parallelism and externally replayable.
+    """
+    if m < 1 or sub < 1:
+        raise ValueError(f"m and sub must be >= 1, got m={m}, sub={sub}")
+    parts = []
+    for j in range(m):
+        sliced = vecs.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        a = kmeans_assign(
+            sliced, k=k, iterations=iterations, dims=sub,
+            id_col=id_col, vec_col=vec_col,
+        )
+        parts.append(
+            a.select(
+                "vec_id", F.lit(j).alias("subspace"), "cluster", "dist_fp"
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    return u.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "cluster"))),
+            lambda x: x["cluster"],
+        ).alias("codes"),
+        F.sum("dist_fp").cast("long").alias("recon_err_fp"),
+    )

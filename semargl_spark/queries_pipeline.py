@@ -2506,6 +2506,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "graph_stats": q_graph_stats,
         "kg_sparql_count_distinct": q_kg_sparql_count_distinct,
+        "pq_encode": q_pq_encode,
     }
 
 
@@ -6056,3 +6057,82 @@ SELECT pred AS p, CAST(COUNT(DISTINCT src) AS BIGINT) AS nsrc,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM edges GROUP BY pred ORDER BY pred
 """
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the embeddings (m=4 subspaces x
+    16 dims, 8 codewords each, Q20 fixed-point Lloyd's per subspace) +
+    summed reconstruction error — the compressed-index storage layer
+    that makes a 10^12-vector ANN index RAM-resident. Codes CSV-joined
+    for the cross-engine value hash."""
+    from .operators.clustering import pq_encode
+
+    out = pq_encode(_embeddings(spark, sf_dir), m=4, sub=16, k=8, iterations=2)
+    return out.select(
+        F.col("vec_id").cast("long"),
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda x: x.cast("string"))
+        ).alias("codes_csv"),
+        "recon_err_fp",
+    )
+
+
+def _pq_oracle(m: int = 4, sub: int = 16, k: int = 8, iters: int = 2) -> str:
+    """DuckDB mirror of pq_encode: one shared Q20 position table, then
+    an independent kmeans CTE chain per subspace restricted to its
+    position range (same init rule, truncating-division centroid
+    updates, and (dist, cluster) tie-break as _kmeans_ctes)."""
+    sql = """
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  list_transform(embedding[1:%(d)d],
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+           FROM embeddings),
+qpos AS (SELECT vec_id, i AS pos, qv[i] AS val
+         FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i))""" % {"d": m * sub}
+    finals = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        sql += """,
+s%(j)dc0 AS (SELECT CAST(vec_id AS INT) AS cluster, pos, val FROM qpos
+             WHERE vec_id < %(k)d AND pos BETWEEN %(lo)d AND %(hi)d)""" % {
+            "j": j, "k": k, "lo": lo, "hi": hi}
+        for i in range(1, iters + 1):
+            sql += """,
+s%(j)da%(i)d AS (SELECT p.vec_id, c.cluster,
+                   CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS dist
+                 FROM qpos p JOIN s%(j)dc%(prev)d c USING (pos)
+                 GROUP BY p.vec_id, c.cluster),
+s%(j)db%(i)d AS (SELECT vec_id, cluster, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+                 FROM s%(j)da%(i)d),
+s%(j)dc%(i)d AS (SELECT b.cluster, p.pos,
+                   CAST((SUM(p.val) - SUM(p.val) %% COUNT(*)) / COUNT(*) AS BIGINT) AS val
+                 FROM s%(j)db%(i)d b JOIN qpos p USING (vec_id)
+                 WHERE b.rn = 1 AND p.pos BETWEEN %(lo)d AND %(hi)d
+                 GROUP BY b.cluster, p.pos)""" % {
+                "j": j, "i": i, "prev": i - 1, "lo": lo, "hi": hi}
+        sql += """,
+s%(j)daf AS (SELECT p.vec_id, c.cluster,
+               CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS dist
+             FROM qpos p JOIN s%(j)dc%(last)d c USING (pos)
+             GROUP BY p.vec_id, c.cluster),
+s%(j)dbf AS (SELECT vec_id, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+             FROM s%(j)daf)""" % {"j": j, "last": iters}
+        finals.append(
+            "SELECT vec_id, %(j)d AS subspace, cluster, dist "
+            "FROM s%(j)dbf WHERE rn = 1" % {"j": j}
+        )
+    sql += """,
+u AS (%s)
+SELECT vec_id,
+       array_to_string(list(CAST(cluster AS VARCHAR) ORDER BY subspace), ',')
+         AS codes_csv,
+       CAST(SUM(dist) AS BIGINT) AS recon_err_fp
+FROM u GROUP BY vec_id""" % " UNION ALL ".join(finals)
+    return sql
+
+
+ORACLES["pq_encode"] = _pq_oracle()

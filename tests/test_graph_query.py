@@ -1259,3 +1259,42 @@ def test_comention_edges_weights_and_cap(spark):
     assert capped == {("urn:e:1", "urn:e:2"): 1}
     with pytest.raises(ValueError, match=">= 2"):
         comention_edges(st, max_per_conv=1)
+
+
+def test_pq_encode_codes_shape_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.clustering import pq_encode
+
+    # 2 well-separated groups per subspace: ids 0..7 seed the codebooks
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda d: F.when(F.col("id") % 2 == 0, 0.9).otherwise(-0.9)
+            + d.cast("double") * 0.0,
+        ).alias("embedding"),
+    )
+    out = pq_encode(vecs, m=2, sub=16, k=4, iterations=2)
+    rows = out.collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert len(r["codes"]) == 2
+        assert all(0 <= c < 4 for c in r["codes"])
+        assert r["recon_err_fp"] >= 0
+    # identical parity -> identical vector -> identical codes + zero err
+    by_parity = {}
+    for r in rows:
+        by_parity.setdefault(r["vec_id"] % 2, set()).add(
+            (tuple(r["codes"]), r["recon_err_fp"])
+        )
+    assert all(len(s) == 1 for s in by_parity.values())
+    assert all(next(iter(s))[1] == 0 for s in by_parity.values())
+    b = {
+        r["vec_id"]: (tuple(r["codes"]), r["recon_err_fp"])
+        for r in pq_encode(
+            vecs.repartition(9), m=2, sub=16, k=4, iterations=2
+        ).collect()
+    }
+    a = {r["vec_id"]: (tuple(r["codes"]), r["recon_err_fp"]) for r in rows}
+    assert a == b
