@@ -67,21 +67,56 @@ def _dist_fp(a, b) -> Column:
     )
 
 
-def kmeans_assign(
+def _assign(q: DataFrame, cents: DataFrame, k: int) -> DataFrame:
+    """Nearest-centroid assignment of a quantized frame ``q`` (vec_id,
+    qv) against a ``cents`` table (cluster, cv).
+
+    Argmin as a PACKED-LONG min — ``min(dist · 2^B + cluster)`` with
+    B = bits(k) — instead of ``min(struct(dist, cluster))``: struct
+    min has no mutable hash-agg buffer so Catalyst falls back to
+    SortAggregate, sorting all n·k scored rows per partition; the
+    packed min is a plain bigint HashAggregate inside whole-stage
+    codegen with map-side partials. Lexicographic (dist, cluster)
+    order is preserved exactly because cluster < 2^B. Overflow is
+    guarded per row (raise_error, still codegen'd): dist must stay
+    below 2^(62-B), comfortably true for Q20 unit-scale embeddings
+    (dist ≤ dims · 2^42 → dims ≤ 2^6 at k ≤ 2^13 leaves 2^61 < lim).
+    """
+    bbits = max(1, (k - 1).bit_length())
+    lim = 1 << (62 - bbits)
+    dist = _dist_fp(F.col("qv"), F.col("cv"))
+    packed = F.when(
+        dist < F.lit(lim),
+        F.shiftleft(dist, bbits) + F.col("cluster").cast("long"),
+    ).otherwise(
+        F.raise_error(F.lit("kmeans_assign: dist overflows packed argmin"))
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", packed.alias("pk")
+    )
+    best = scored.groupBy("vec_id").agg(F.min("pk").alias("pk"))
+    return best.select(
+        "vec_id",
+        (F.col("pk") % F.lit(1 << bbits)).cast("int").alias("cluster"),
+        F.shiftright(F.col("pk"), bbits).alias("dist_fp"),
+    )
+
+
+def kmeans_fit(
     vecs: DataFrame,
     k: int = 8,
     iterations: int = 3,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means, deterministically seeded with the vectors whose
-    ``id_col`` < k (ids are dense in the synthetic corpus; production
-    use passes any k chosen rows). Returns the FINAL assignment
-    ``(vec_id, cluster, dist_fp)`` after ``iterations`` update rounds —
-    ties in distance break to the smallest cluster id via the
-    struct-min ordering, so the output is total-order deterministic.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means training loop → (quantized frame ``(vec_id,
+    qv)``, final centroids ``(cluster, cv)``) — deterministically
+    seeded with the vectors whose ``id_col`` < k (ids are dense in the
+    synthetic corpus; production use passes any k chosen rows).
+    Centroids are localCheckpoint-ed per round so the iterative plan
+    stays flat; callers needing the codebook itself (PQ lookup tables,
+    IVF cell routing) take the second element."""
     q = vecs.select(
         F.col(id_col).cast("long").alias("vec_id"),
         quantize(F.col(vec_col), dims).alias("qv"),
@@ -93,39 +128,8 @@ def kmeans_assign(
         .localCheckpoint(eager=True)
     )
 
-    # Argmin as a PACKED-LONG min — ``min(dist · 2^B + cluster)`` with
-    # B = bits(k) — instead of ``min(struct(dist, cluster))``: struct
-    # min has no mutable hash-agg buffer so Catalyst falls back to
-    # SortAggregate, sorting all n·k scored rows per partition; the
-    # packed min is a plain bigint HashAggregate inside whole-stage
-    # codegen with map-side partials. Lexicographic (dist, cluster)
-    # order is preserved exactly because cluster < 2^B. Overflow is
-    # guarded per row (raise_error, still codegen'd): dist must stay
-    # below 2^(62-B), comfortably true for Q20 unit-scale embeddings
-    # (dist ≤ dims · 2^42 → dims ≤ 2^6 at k ≤ 2^13 leaves 2^61 < lim).
-    bbits = max(1, (k - 1).bit_length())
-    lim = 1 << (62 - bbits)
-
-    def assign(cents: DataFrame) -> DataFrame:
-        dist = _dist_fp(F.col("qv"), F.col("cv"))
-        packed = F.when(
-            dist < F.lit(lim),
-            F.shiftleft(dist, bbits) + F.col("cluster").cast("long"),
-        ).otherwise(
-            F.raise_error(F.lit("kmeans_assign: dist overflows packed argmin"))
-        )
-        scored = q.crossJoin(F.broadcast(cents)).select(
-            "vec_id", packed.alias("pk")
-        )
-        best = scored.groupBy("vec_id").agg(F.min("pk").alias("pk"))
-        return best.select(
-            "vec_id",
-            (F.col("pk") % F.lit(1 << bbits)).cast("int").alias("cluster"),
-            F.shiftright(F.col("pk"), bbits).alias("dist_fp"),
-        )
-
     for _ in range(iterations):
-        assigned = assign(centroids).join(q, "vec_id")
+        assigned = _assign(q, centroids, k).join(q, "vec_id")
         per_dim = assigned.select(
             "cluster", F.posexplode("qv").alias("pos", "val")
         ).groupBy("cluster", "pos").agg(
@@ -145,7 +149,26 @@ def kmeans_assign(
             .localCheckpoint(eager=True)
         )
 
-    return assign(centroids)
+    return q, centroids
+
+
+def kmeans_assign(
+    vecs: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means (see :func:`kmeans_fit`). Returns the FINAL
+    assignment ``(vec_id, cluster, dist_fp)`` after ``iterations``
+    update rounds — ties in distance break to the smallest cluster id,
+    so the output is total-order deterministic."""
+    q, centroids = kmeans_fit(
+        vecs, k=k, iterations=iterations, dims=dims,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return _assign(q, centroids, k)
 
 
 def semdedup(
@@ -368,4 +391,75 @@ def pq_encode(
             lambda x: x["cluster"],
         ).alias("codes"),
         F.sum("dist_fp").cast("long").alias("recon_err_fp"),
+    )
+
+
+def pq_search(
+    vecs: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    m: int = 4,
+    sub: int = 16,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search → the ``topk`` nearest neighbors
+    of ``query_id`` as (neighbor_id, adist_fp): per subspace, a lookup
+    table of the query subvector's Q20 distance to each of the k
+    codewords (m·k rows total — driver-free, built as a one-row
+    broadcast against the codebook), then every vector's approximate
+    distance is the SUM of m LUT entries selected by its codes — the
+    scan touches m small ints per candidate, never the raw vectors,
+    which is the whole point of PQ at 10^12 vectors.
+
+    Shape: the m kmeans_fit runs (scale notes there), one broadcast
+    equi-join of the corpus-scale code rows against the m·k-row LUT,
+    one vec_id-keyed sum, and TakeOrderedAndProject for the top-k
+    ((adist, id) total order — deterministic ties). All Q20 integer
+    arithmetic, bit-identical at any parallelism.
+    """
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    codes = []
+    luts = []
+    for j in range(m):
+        sliced = vecs.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        q, cents = kmeans_fit(
+            sliced, k=k, iterations=iterations, dims=sub,
+            id_col=id_col, vec_col=vec_col,
+        )
+        codes.append(
+            _assign(q, cents, k).select(
+                "vec_id", F.lit(j).alias("subspace"), "cluster"
+            )
+        )
+        qrow = q.filter(F.col("vec_id") == query_id).select(
+            F.col("qv").alias("query_qv")
+        )
+        luts.append(
+            cents.crossJoin(F.broadcast(qrow)).select(
+                F.lit(j).alias("subspace"),
+                "cluster",
+                _dist_fp(F.col("query_qv"), F.col("cv")).alias("ldist"),
+            )
+        )
+    code_u = codes[0]
+    for c in codes[1:]:
+        code_u = code_u.union(c)
+    lut_u = luts[0]
+    for l in luts[1:]:
+        lut_u = lut_u.union(l)
+    return (
+        code_u.join(F.broadcast(lut_u), ["subspace", "cluster"])
+        .groupBy("vec_id")
+        .agg(F.sum("ldist").cast("long").alias("adist_fp"))
+        .filter(F.col("vec_id") != query_id)
+        .orderBy("adist_fp", "vec_id")
+        .limit(topk)
+        .select(F.col("vec_id").alias("neighbor_id"), "adist_fp")
     )

@@ -2507,6 +2507,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "kg_sparql_count_distinct": q_kg_sparql_count_distinct,
         "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
     }
 
 
@@ -6136,3 +6137,59 @@ FROM u GROUP BY vec_id""" % " UNION ALL ".join(finals)
 
 
 ORACLES["pq_encode"] = _pq_oracle()
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-10 for a fixed query vector: per-
+    subspace LUT of query-to-codeword Q20 distances, candidate distance
+    = sum of m LUT entries selected by the codes (never the raw
+    vectors), TakeOrderedAndProject top-k."""
+    from .operators.clustering import pq_search
+
+    return pq_search(
+        _embeddings(spark, sf_dir), query_id=42, topk=10,
+        m=4, sub=16, k=8, iterations=2,
+    )
+
+
+def _pq_search_oracle(
+    query_id: int = 42, topk: int = 10,
+    m: int = 4, sub: int = 16, k: int = 8, iters: int = 2,
+) -> str:
+    """Mirror of pq_search: reuse the _pq_oracle subspace chains, then
+    per subspace a LUT (query row vs final centroids) and the code
+    rows, summed per vector."""
+    base = _pq_oracle(m=m, sub=sub, k=k, iters=iters)
+    # keep everything up to (and excluding) the final ",\nu AS" assembly
+    head = base.split(",\nu AS (")[0]
+    luts = []
+    codes = []
+    for j in range(m):
+        luts.append(
+            "SELECT %(j)d AS subspace, c.cluster,"
+            " CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS ldist"
+            " FROM qpos p JOIN s%(j)dc%(last)d c USING (pos)"
+            " WHERE p.vec_id = %(qid)d GROUP BY c.cluster"
+            % {"j": j, "last": iters, "qid": query_id}
+        )
+        codes.append(
+            "SELECT vec_id, %(j)d AS subspace, cluster FROM s%(j)dbf"
+            " WHERE rn = 1" % {"j": j}
+        )
+    return head + """,
+lut AS (%(luts)s),
+codes AS (%(codes)s),
+s AS (SELECT c.vec_id, CAST(SUM(l.ldist) AS BIGINT) AS adist_fp
+      FROM codes c JOIN lut l USING (subspace, cluster)
+      GROUP BY c.vec_id)
+SELECT vec_id AS neighbor_id, adist_fp FROM s
+WHERE vec_id <> %(qid)d
+ORDER BY adist_fp, vec_id LIMIT %(topk)d""" % {
+        "luts": " UNION ALL ".join(luts),
+        "codes": " UNION ALL ".join(codes),
+        "qid": query_id,
+        "topk": topk,
+    }
+
+
+ORACLES["pq_search"] = _pq_search_oracle()

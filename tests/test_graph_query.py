@@ -1298,3 +1298,29 @@ def test_pq_encode_codes_shape_and_partition_invariance(spark):
     }
     a = {r["vec_id"]: (tuple(r["codes"]), r["recon_err_fp"]) for r in rows}
     assert a == b
+
+
+def test_pq_search_returns_same_group_neighbors(spark):
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.clustering import pq_search
+
+    # even ids sit at +0.9^32, odd ids at -0.9^32: any sane quantizer
+    # separates them, so all neighbors of an even query must be even
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda d: F.when(F.col("id") % 2 == 0, 0.9).otherwise(-0.9)
+            + d.cast("double") * 0.0,
+        ).alias("embedding"),
+    )
+    out = pq_search(vecs, query_id=42, topk=5, m=2, sub=16, k=4, iterations=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["neighbor_id"] % 2 == 0 for r in rows)
+    assert all(r["adist_fp"] == 0 for r in rows)  # exact duplicates
+    again = pq_search(
+        vecs.repartition(7), query_id=42, topk=5, m=2, sub=16, k=4, iterations=2
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
