@@ -394,10 +394,9 @@ def pq_encode(
     )
 
 
-def pq_search(
+def _pq_adist(
     vecs: DataFrame,
     query_id: int,
-    topk: int = 10,
     m: int = 4,
     sub: int = 16,
     k: int = 8,
@@ -405,23 +404,14 @@ def pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Asymmetric-distance PQ search → the ``topk`` nearest neighbors
-    of ``query_id`` as (neighbor_id, adist_fp): per subspace, a lookup
-    table of the query subvector's Q20 distance to each of the k
-    codewords (m·k rows total — driver-free, built as a one-row
-    broadcast against the codebook), then every vector's approximate
-    distance is the SUM of m LUT entries selected by its codes — the
-    scan touches m small ints per candidate, never the raw vectors,
-    which is the whole point of PQ at 10^12 vectors.
-
-    Shape: the m kmeans_fit runs (scale notes there), one broadcast
-    equi-join of the corpus-scale code rows against the m·k-row LUT,
-    one vec_id-keyed sum, and TakeOrderedAndProject for the top-k
-    ((adist, id) total order — deterministic ties). All Q20 integer
-    arithmetic, bit-identical at any parallelism.
-    """
-    if topk < 1:
-        raise ValueError(f"topk must be >= 1, got {topk}")
+    """Asymmetric PQ distance of EVERY vector to ``query_id`` →
+    (vec_id, adist_fp): per subspace, a lookup table of the query
+    subvector's Q20 distance to each of the k codewords (m·k rows,
+    built as a one-row broadcast against the codebook), then each
+    vector's distance is the SUM of m LUT entries selected by its
+    codes — the scan touches m small ints per candidate, never the raw
+    vectors. Shared core of pq_search (global ranking) and
+    pq_ivf_search (cell-restricted ranking)."""
     codes = []
     luts = []
     for j in range(m):
@@ -458,6 +448,98 @@ def pq_search(
         code_u.join(F.broadcast(lut_u), ["subspace", "cluster"])
         .groupBy("vec_id")
         .agg(F.sum("ldist").cast("long").alias("adist_fp"))
+    )
+
+
+def pq_search(
+    vecs: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    m: int = 4,
+    sub: int = 16,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search → the ``topk`` nearest neighbors
+    of ``query_id`` as (neighbor_id, adist_fp) over the WHOLE corpus
+    (see :func:`_pq_adist` for the LUT mechanics; :func:`pq_ivf_search`
+    adds the cell-probing scan bound). TakeOrderedAndProject top-k with
+    a total (adist, id) tie-break; all Q20 integer arithmetic,
+    bit-identical at any parallelism."""
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    return (
+        _pq_adist(
+            vecs, query_id, m=m, sub=sub, k=k, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .filter(F.col("vec_id") != query_id)
+        .orderBy("adist_fp", "vec_id")
+        .limit(topk)
+        .select(F.col("vec_id").alias("neighbor_id"), "adist_fp")
+    )
+
+
+def pq_ivf_search(
+    vecs: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    nprobe: int = 2,
+    k_coarse: int = 8,
+    coarse_iterations: int = 2,
+    m: int = 4,
+    sub: int = 16,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-routed PQ search → top-k (neighbor_id, adist_fp) of
+    ``query_id``: a coarse full-space quantizer assigns every vector to
+    one of ``k_coarse`` cells, the query probes only its ``nprobe``
+    nearest cells, and asymmetric PQ distance is ranked ONLY over the
+    candidates in those cells — the production ANN shape (IVF bounds
+    the scan to ~nprobe/k_coarse of the corpus, PQ bounds per-candidate
+    cost to m LUT lookups). Plain PQ on raw vectors, not residuals —
+    the no-residual IVF-PQ variant; residual coding would need per-cell
+    codebooks.
+
+    Shape: the coarse kmeans_fit + a broadcast probe-cell semi-join
+    bounding the candidates, then the _pq_adist joins (broadcast m·k
+    LUT, vec_id sum) and TakeOrderedAndProject. The probe list is
+    nprobe rows; at 10^12 vectors the candidate set is
+    corpus·nprobe/k_coarse — the knob that trades recall for scan
+    cost. All Q20 integer, bit-exact at any parallelism.
+    """
+    if topk < 1 or nprobe < 1:
+        raise ValueError(f"topk and nprobe must be >= 1, got {topk}, {nprobe}")
+    dims = m * sub
+    q, coarse = kmeans_fit(
+        vecs, k=k_coarse, iterations=coarse_iterations, dims=dims,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cells = _assign(q, coarse, k_coarse).select("vec_id", "cluster")
+    qrow = q.filter(F.col("vec_id") == query_id).select(
+        F.col("qv").alias("query_qv")
+    )
+    probe = (
+        coarse.crossJoin(F.broadcast(qrow))
+        .select(
+            "cluster", _dist_fp(F.col("query_qv"), F.col("cv")).alias("cd")
+        )
+        .orderBy("cd", "cluster")
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cand = cells.join(F.broadcast(probe), "cluster").select("vec_id")
+    return (
+        _pq_adist(
+            vecs, query_id, m=m, sub=sub, k=k, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .join(cand, "vec_id")
         .filter(F.col("vec_id") != query_id)
         .orderBy("adist_fp", "vec_id")
         .limit(topk)

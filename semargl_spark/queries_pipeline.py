@@ -2508,6 +2508,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_count_distinct": q_kg_sparql_count_distinct,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
+        "pq_ivf_search": q_pq_ivf_search,
     }
 
 
@@ -6193,3 +6194,96 @@ ORDER BY adist_fp, vec_id LIMIT %(topk)d""" % {
 
 
 ORACLES["pq_search"] = _pq_search_oracle()
+
+
+def q_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed PQ top-10 for a fixed query: coarse 8-cell quantizer,
+    nprobe=2 probed cells bound the candidates, asymmetric PQ distance
+    ranks only those — the production trillion-vector ANN shape."""
+    from .operators.clustering import pq_ivf_search
+
+    return pq_ivf_search(
+        _embeddings(spark, sf_dir), query_id=42, topk=10, nprobe=2,
+        k_coarse=8, coarse_iterations=2, m=4, sub=16, k=8, iterations=2,
+    )
+
+
+def _pq_ivf_oracle(
+    query_id: int = 42, topk: int = 10, nprobe: int = 2,
+    k_coarse: int = 8, coarse_iters: int = 2,
+    m: int = 4, sub: int = 16, k: int = 8, iters: int = 2,
+) -> str:
+    """Mirror of pq_ivf_search: the _pq_oracle subspace chains plus a
+    full-space coarse chain (prefix g), the nprobe probe list, the cell
+    membership, and the candidate-restricted ADC ranking."""
+    head = _pq_oracle(m=m, sub=sub, k=k, iters=iters).split(",\nu AS (")[0]
+    # coarse kmeans chain over the full position range
+    sql = head + """,
+gc0 AS (SELECT CAST(vec_id AS INT) AS cluster, pos, val FROM qpos
+        WHERE vec_id < %(kc)d)""" % {"kc": k_coarse}
+    for i in range(1, coarse_iters + 1):
+        sql += """,
+ga%(i)d AS (SELECT p.vec_id, c.cluster,
+              CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS dist
+            FROM qpos p JOIN gc%(prev)d c USING (pos)
+            GROUP BY p.vec_id, c.cluster),
+gb%(i)d AS (SELECT vec_id, cluster, dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rn
+            FROM ga%(i)d),
+gc%(i)d AS (SELECT b.cluster, p.pos,
+              CAST((SUM(p.val) - SUM(p.val) %% COUNT(*)) / COUNT(*) AS BIGINT) AS val
+            FROM gb%(i)d b JOIN qpos p USING (vec_id)
+            WHERE b.rn = 1 GROUP BY b.cluster, p.pos)""" % {
+            "i": i, "prev": i - 1}
+    sql += """,
+gaf AS (SELECT p.vec_id, c.cluster,
+          CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS dist
+        FROM qpos p JOIN gc%(last)d c USING (pos)
+        GROUP BY p.vec_id, c.cluster),
+gbf AS (SELECT vec_id, cluster, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cluster) AS rn
+        FROM gaf),
+probe AS (SELECT c.cluster
+          FROM (SELECT c.cluster,
+                  CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS cd
+                FROM qpos p JOIN gc%(last)d c USING (pos)
+                WHERE p.vec_id = %(qid)d GROUP BY c.cluster) c
+          ORDER BY c.cd, c.cluster LIMIT %(np)d),
+cand AS (SELECT vec_id FROM gbf
+         WHERE rn = 1 AND cluster IN (SELECT cluster FROM probe))""" % {
+        "last": coarse_iters, "qid": query_id, "np": nprobe}
+    luts = []
+    codes = []
+    for j in range(m):
+        luts.append(
+            "SELECT %(j)d AS subspace, c.cluster,"
+            " CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS ldist"
+            " FROM qpos p JOIN s%(j)dc%(last)d c USING (pos)"
+            " WHERE p.vec_id = %(qid)d GROUP BY c.cluster"
+            % {"j": j, "last": iters, "qid": query_id}
+        )
+        codes.append(
+            "SELECT vec_id, %(j)d AS subspace, cluster FROM s%(j)dbf"
+            " WHERE rn = 1" % {"j": j}
+        )
+    sql += """,
+lut AS (%(luts)s),
+codes AS (%(codes)s),
+s AS (SELECT c.vec_id, CAST(SUM(l.ldist) AS BIGINT) AS adist_fp
+      FROM codes c JOIN lut l USING (subspace, cluster)
+      JOIN cand USING (vec_id)
+      GROUP BY c.vec_id)
+SELECT vec_id AS neighbor_id, adist_fp FROM s
+WHERE vec_id <> %(qid)d
+ORDER BY adist_fp, vec_id LIMIT %(topk)d""" % {
+        "luts": " UNION ALL ".join(luts),
+        "codes": " UNION ALL ".join(codes),
+        "qid": query_id,
+        "topk": topk,
+    }
+    return sql
+
+
+ORACLES["pq_ivf_search"] = _pq_ivf_oracle()

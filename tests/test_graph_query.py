@@ -1324,3 +1324,27 @@ def test_pq_search_returns_same_group_neighbors(spark):
         vecs.repartition(7), query_id=42, topk=5, m=2, sub=16, k=4, iterations=2
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_pq_ivf_search_restricts_to_probed_cells(spark):
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.clustering import pq_ivf_search, pq_search
+
+    # same two-group corpus: IVF must probe the query's (even) cell and
+    # return the same zero-distance duplicates the full scan finds
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda d: F.when(F.col("id") % 2 == 0, 0.9).otherwise(-0.9)
+            + d.cast("double") * 0.0,
+        ).alias("embedding"),
+    )
+    kw = dict(query_id=42, topk=5, m=2, sub=16, k=4, iterations=2)
+    ivf = pq_ivf_search(vecs, nprobe=1, k_coarse=4, coarse_iterations=2, **kw)
+    rows = ivf.collect()
+    assert len(rows) == 5
+    assert all(r["neighbor_id"] % 2 == 0 and r["adist_fp"] == 0 for r in rows)
+    full = pq_search(vecs, **kw).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in full]
