@@ -545,3 +545,38 @@ def pq_ivf_search(
         .limit(topk)
         .select(F.col("vec_id").alias("neighbor_id"), "adist_fp")
     )
+
+
+def exact_topk_fp(
+    vecs: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT Q20 L2 top-k of ``query_id`` → (neighbor_id, dist_fp) —
+    the ground truth an ANN quality evaluation compares against.
+    Corpus-×-one-row broadcast scan: linear, but it touches every raw
+    vector, so at 10^12 vectors this runs on an evaluation SAMPLE, not
+    the corpus (same stance as similarity.brute_force_topk — the gated
+    small-sf oracle / recall harness, never the production path)."""
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    q = vecs.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        quantize(F.col(vec_col), dims).alias("qv"),
+    )
+    qrow = q.filter(F.col("vec_id") == query_id).select(
+        F.col("qv").alias("query_qv")
+    )
+    return (
+        q.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id", _dist_fp(F.col("qv"), F.col("query_qv")).alias("dist_fp")
+        )
+        .filter(F.col("vec_id") != query_id)
+        .orderBy("dist_fp", "vec_id")
+        .limit(topk)
+        .select(F.col("vec_id").alias("neighbor_id"), "dist_fp")
+    )

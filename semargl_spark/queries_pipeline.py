@@ -2509,6 +2509,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
         "pq_ivf_search": q_pq_ivf_search,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -6287,3 +6288,109 @@ ORDER BY adist_fp, vec_id LIMIT %(topk)d""" % {
 
 
 ORACLES["pq_ivf_search"] = _pq_ivf_oracle()
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the PQ and IVF-PQ paths
+    against the exact Q20 brute-force ground truth for a fixed query —
+    measured, not guessed (at 10^12 vectors the ground-truth side runs
+    on an evaluation sample; the methodology and its bit-exact
+    replayability are what this gate verifies). One row per method:
+    (method, hits, k, recall_pm). Absolute recall is LOW here by
+    nature: the synthetic embeddings are near-uniform (little cluster
+    structure) and 4×log2(16)=16 bits/vector is severe compression, so
+    exact-NN recall at these tiny parameters is noise-dominated —
+    tests/test_graph_query.py shows the same code at recall 1.0 on
+    structured data, and production tuning moves m/k/nprobe up the
+    recall-cost curve."""
+    from .operators.clustering import exact_topk_fp, pq_ivf_search, pq_search
+
+    emb = _embeddings(spark, sf_dir)
+    kw = dict(query_id=42, topk=10, m=4, sub=16, k=16, iterations=3)
+    truth = exact_topk_fp(emb, query_id=42, topk=10, dims=64).select(
+        "neighbor_id"
+    )
+    out = []
+    for method, df in (
+        ("pq", pq_search(emb, **kw)),
+        ("ivf_pq", pq_ivf_search(emb, nprobe=4, k_coarse=8,
+                                 coarse_iterations=2, **kw)),
+    ):
+        hits = df.select("neighbor_id").join(truth, "neighbor_id")
+        out.append(
+            hits.agg(F.count("*").cast("int").alias("hits")).select(
+                F.lit(method).alias("method"),
+                "hits",
+                F.lit(10).alias("k"),
+                F.expr("CAST(1000 AS BIGINT) * hits div 10").alias("recall_pm"),
+            )
+        )
+    return out[0].union(out[1])
+
+
+def _ann_recall_oracle(
+    query_id: int = 42, topk: int = 10, nprobe: int = 2,
+    k_coarse: int = 8, coarse_iters: int = 2,
+    m: int = 4, sub: int = 16, k: int = 8, iters: int = 2,
+) -> str:
+    """Mirror of q_ann_recall: reuse the IVF-PQ oracle up to its
+    candidate CTE, add the unrestricted ADC ranking, the exact
+    ground-truth top-k, and the per-method hit counts."""
+    base = _pq_ivf_oracle(
+        query_id=query_id, topk=topk, nprobe=nprobe,
+        k_coarse=k_coarse, coarse_iters=coarse_iters,
+        m=m, sub=sub, k=k, iters=iters,
+    )
+    head = base.split(",\nlut AS (")[0]
+    luts = []
+    codes = []
+    for j in range(m):
+        luts.append(
+            "SELECT %(j)d AS subspace, c.cluster,"
+            " CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS ldist"
+            " FROM qpos p JOIN s%(j)dc%(last)d c USING (pos)"
+            " WHERE p.vec_id = %(qid)d GROUP BY c.cluster"
+            % {"j": j, "last": iters, "qid": query_id}
+        )
+        codes.append(
+            "SELECT vec_id, %(j)d AS subspace, cluster FROM s%(j)dbf"
+            " WHERE rn = 1" % {"j": j}
+        )
+    return head + """,
+lut AS (%(luts)s),
+codes AS (%(codes)s),
+s AS (SELECT c.vec_id, CAST(SUM(l.ldist) AS BIGINT) AS adist_fp
+      FROM codes c JOIN lut l USING (subspace, cluster)
+      GROUP BY c.vec_id),
+pt AS (SELECT vec_id FROM s WHERE vec_id <> %(qid)d
+       ORDER BY adist_fp, vec_id LIMIT %(topk)d),
+it AS (SELECT s.vec_id FROM s JOIN cand USING (vec_id)
+       WHERE s.vec_id <> %(qid)d
+       ORDER BY s.adist_fp, s.vec_id LIMIT %(topk)d),
+ex AS (SELECT p.vec_id,
+         CAST(SUM((p.val - qq.val) * (p.val - qq.val)) AS BIGINT) AS dist
+       FROM qpos p
+       JOIN (SELECT pos, val FROM qpos WHERE vec_id = %(qid)d) qq USING (pos)
+       GROUP BY p.vec_id),
+et AS (SELECT vec_id FROM ex WHERE vec_id <> %(qid)d
+       ORDER BY dist, vec_id LIMIT %(topk)d)
+SELECT 'pq' AS method,
+       CAST((SELECT COUNT(*) FROM pt JOIN et USING (vec_id)) AS INT) AS hits,
+       %(topk)d AS k,
+       CAST(1000 AS BIGINT)
+         * (SELECT COUNT(*) FROM pt JOIN et USING (vec_id)) // %(topk)d
+         AS recall_pm
+UNION ALL
+SELECT 'ivf_pq',
+       CAST((SELECT COUNT(*) FROM it JOIN et USING (vec_id)) AS INT),
+       %(topk)d,
+       CAST(1000 AS BIGINT)
+         * (SELECT COUNT(*) FROM it JOIN et USING (vec_id)) // %(topk)d""" % {
+        "luts": " UNION ALL ".join(luts),
+        "codes": " UNION ALL ".join(codes),
+        "qid": query_id,
+        "topk": topk,
+    }
+
+
+ORACLES["ann_recall"] = _ann_recall_oracle(nprobe=4, k=16, iters=3)

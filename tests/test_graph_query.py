@@ -1348,3 +1348,24 @@ def test_pq_ivf_search_restricts_to_probed_cells(spark):
     assert all(r["neighbor_id"] % 2 == 0 and r["adist_fp"] == 0 for r in rows)
     full = pq_search(vecs, **kw).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in full]
+
+
+def test_exact_topk_fp_ground_truth(spark):
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.clustering import exact_topk_fp
+
+    # 1-D line embedded in 4 dims: neighbors of id 5 are 4 and 6, then 3 and 7
+    vecs = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda d: F.col("id").cast("double") * 0.1 + d.cast("double") * 0.0,
+        ).alias("embedding"),
+    )
+    rows = exact_topk_fp(vecs, query_id=5, topk=4, dims=4).collect()
+    # Q20 floor() makes the two sides differ by one ulp, so assert the
+    # neighbor SETS per ring rather than a float-exact order
+    assert {r["neighbor_id"] for r in rows[:2]} == {4, 6}
+    assert {r["neighbor_id"] for r in rows[2:]} == {3, 7}
+    assert rows[0]["dist_fp"] <= rows[1]["dist_fp"] <= rows[2]["dist_fp"]
