@@ -244,3 +244,38 @@ def test_job_sparql_update_surface(spark, prepared, tmp_path):
     # the materialized edges table is untouched
     edges = spark.read.parquet(f"{out}/edges")
     assert edges.filter("pred = 'urn:p:knows'").count() > 0
+
+
+def test_run_query_job_lists_and_runs(tmp_path):
+    """jobs/run_query.py: --list enumerates the registry without a
+    Spark session; a named query writes parquet and reports rows."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(__import__("os").environ)
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/run_query.py",
+         "--sf-dir", SF_DIR, "--query", "x", "--list"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    names = r.stdout.split()
+    assert r.returncode == 0 and "extract_ntriples" in names
+    assert len(names) >= 180
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/run_query.py",
+         "--sf-dir", SF_DIR, "--query", "corpus_mix",
+         "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["query"] == "corpus_mix" and summary["rows"] > 0
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/run_query.py",
+         "--sf-dir", SF_DIR, "--query", "nope"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 2 and "unknown query" in r.stdout
