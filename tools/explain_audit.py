@@ -554,6 +554,19 @@ def main():
                    "Python" not in p and "Cartesian" not in p
                    and "NestedLoop" not in p and "HashAggregate" in p))
 
+    # 32c. PQ search: codes join the m·k-row LUT via broadcast and the
+    # top-k is TakeOrderedAndProject (per-partition heaps, no global
+    # sort of the candidate distances)
+    from semargl_spark.operators.clustering import pq_search
+
+    emb8 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(pq_search(emb8, query_id=42, topk=10, m=2, sub=16, k=4,
+                          iterations=1))
+    sections.append(("pq_search", p))
+    checks.append(("pq_search: broadcast LUT join + TakeOrderedAndProject top-k",
+                   "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p
+                   and "Python" not in p))
+
     allow = {"media_real_resize": 3}
     offenders = []
     for qname, qfn in sorted(Q.registry().items()):
