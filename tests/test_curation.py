@@ -705,3 +705,51 @@ def test_segment_dedup_partition_invariant(spark):
     a = sorted(map(tuple, segment_dedup(docs, seg_words=4).collect()))
     b = sorted(map(tuple, segment_dedup(docs.repartition(17), seg_words=4).collect()))
     assert a == b
+
+
+def test_segment_dedup_matches_python_mirror_random(spark):
+    """Differential: segment_dedup vs a pure-Python first-occurrence
+    mirror over randomized small corpora (tokenization edge cases the
+    fixed fixtures miss)."""
+    import random
+
+    from semargl_spark.operators.dedup import segment_dedup
+
+    rng = random.Random(20240819)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        docs = []
+        for did in range(12):
+            n = rng.randrange(0, 12)
+            docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+        sw = 3
+
+        # python mirror (same normalization: lower+trim+split on \s+)
+        def segs_of(text):
+            words = text.strip().lower().split()
+            if not words and text.strip() == "":
+                words = [""]  # split('') semantics of Spark on empty
+            return [
+                " ".join(words[i : i + sw])
+                for i in range(0, max(len(words), 1), sw)
+            ] if words else []
+
+        first = {}
+        expect = {}
+        for did, text in docs:
+            ss = segs_of(text)
+            for pos, seg in enumerate(ss):
+                first.setdefault(seg, (did, pos))
+        for did, text in docs:
+            ss = segs_of(text)
+            kept = [s for p, s in enumerate(ss) if first[s] == (did, p)]
+            expect[did] = (len(ss), len(kept), " ".join(kept))
+
+        out = {
+            r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_text"])
+            for r in segment_dedup(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                seg_words=sw,
+            ).collect()
+        }
+        assert out == expect, f"trial {trial}"
