@@ -1349,3 +1349,54 @@ def comention_edges(
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("weight"))
     )
+
+
+def scc_bounded(
+    edges: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge set, exact for
+    every SCC whose internal diameter is ≤ ``max_hops`` → (node,
+    component) with the lexicographically-smallest member as the
+    component label (the same labeling rule as the undirected CC in
+    operators/canon.py).
+
+    Composition of audited pieces: a semi-naive bounded closure
+    (:func:`bounded_paths` — capped at max_hops·|E| pairs, never the
+    quadratic unbounded closure), a mutual-reachability self-join
+    ((u,v) strongly connected iff u reaches v AND v reaches u — an
+    equi-join of the closure against its own reversal, no cartesian),
+    and the pointer-jumping CC over the mutual pairs. Nodes in no
+    mutual pair are their own component. Under the bound the result is
+    a sound REFINEMENT (never merges two true SCCs; may split one whose
+    diameter exceeds max_hops — same contract stance as kcore's fixed
+    round budget; real KG alias cycles are short).
+    """
+    from .canon import connected_components
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.lit("e").alias("pred"),
+    )
+    closure = bounded_paths(e, "e", max_hops=max_hops).select("a", "b")
+    rev = closure.select(
+        F.col("b").alias("a"), F.col("a").alias("b")
+    )
+    mutual = (
+        closure.join(rev, ["a", "b"])
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(mutual)
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )

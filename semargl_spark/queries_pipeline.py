@@ -2510,6 +2510,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search": q_pq_search,
         "pq_ivf_search": q_pq_ivf_search,
         "ann_recall": q_ann_recall,
+        "kg_scc": q_kg_scc,
     }
 
 
@@ -6394,3 +6395,38 @@ SELECT 'ivf_pq',
 
 
 ORACLES["ann_recall"] = _ann_recall_oracle(nprobe=4, k=16, iters=3)
+
+
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed strongly-connected components (bounded-diameter exact)
+    over the knows-chain with deterministic back edges (did%3==0 gets
+    did+1→did, forming disjoint 2-cycles) — closure + mutual-
+    reachability self-join + pointer-jumping CC."""
+    from .operators.graph import scc_bounded
+
+    t = synth_transcripts(spark, sf_dir, fmt="ntriples")
+    st = triples(extract_statements(t))
+    knows = (
+        st.filter(F.col("pred") == "urn:p:knows")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    did = F.regexp_extract("src", r"urn:e:(\d+)", 1).cast("long")
+    back = knows.filter(did % 3 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return scc_bounded(knows.union(back), max_hops=4)
+
+
+ORACLES["kg_scc"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+nmax AS (SELECT MAX(did) + 1 AS n FROM ids),
+nodes AS (SELECT did AS id FROM ids UNION SELECT n FROM nmax)
+SELECT 'urn:e:'||id AS node,
+       CASE WHEN id % 3 = 0 AND id < (SELECT n FROM nmax)
+              THEN LEAST('urn:e:'||id, 'urn:e:'||(id+1))
+            WHEN id % 3 = 1 AND id >= 1
+              THEN LEAST('urn:e:'||(id-1), 'urn:e:'||id)
+            ELSE 'urn:e:'||id END AS component
+FROM nodes
+"""

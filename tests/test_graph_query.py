@@ -1369,3 +1369,33 @@ def test_exact_topk_fp_ground_truth(spark):
     assert {r["neighbor_id"] for r in rows[:2]} == {4, 6}
     assert {r["neighbor_id"] for r in rows[2:]} == {3, 7}
     assert rows[0]["dist_fp"] <= rows[1]["dist_fp"] <= rows[2]["dist_fp"]
+
+
+def test_scc_bounded_cycles_and_chain(spark):
+    from semargl_spark.operators.graph import scc_bounded
+
+    edges = spark.createDataFrame(
+        [
+            # 3-cycle a->b->c->a
+            ("a", "b"), ("b", "c"), ("c", "a"),
+            # 2-cycle d<->e
+            ("d", "e"), ("e", "d"),
+            # acyclic chain f->g->h (all singletons)
+            ("f", "g"), ("g", "h"),
+            # bridge from the 3-cycle out (must NOT merge components)
+            ("c", "d"),
+        ],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["component"] for r in scc_bounded(edges, max_hops=4).collect()}
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["d"] == out["e"] == "d"
+    assert out["f"] == "f" and out["g"] == "g" and out["h"] == "h"
+    # sound refinement: a bound below the SCC diameter splits, never merges
+    tight = {r["node"]: r["component"]
+             for r in scc_bounded(edges, max_hops=1).collect()}
+    assert tight["d"] == tight["e"] == "d"      # diameter-1 SCC still exact
+    # the 3-cycle needs 2 hops for mutual reachability: at max_hops=1 it
+    # SPLITS into singletons (refinement) — it must never merge with d/e
+    assert tight["a"] == "a" and tight["b"] == "b" and tight["c"] == "c"
+    assert tight["f"] == "f" and tight["h"] == "h"
