@@ -1376,6 +1376,10 @@ def scc_bounded(
     """
     from .canon import connected_components
 
+    # two consumers (the closure and the node projection): checkpoint
+    # so an expensive upstream (extraction) is not planned once per
+    # consumer — Catalyst does not reuse non-exchange subtrees
+    edges = edges.localCheckpoint(eager=False)
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),

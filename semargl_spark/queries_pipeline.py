@@ -6410,6 +6410,9 @@ def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.filter(F.col("pred") == "urn:p:knows")
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .distinct()
+        # two consumers (forward + reversed back-edges): checkpoint so
+        # extraction is planned once, not once per union branch
+        .localCheckpoint(eager=False)
     )
     did = F.regexp_extract("src", r"urn:e:(\d+)", 1).cast("long")
     back = knows.filter(did % 3 == 0).select(
