@@ -67,9 +67,14 @@ def _dist_fp(a, b) -> Column:
     )
 
 
-def _assign(q: DataFrame, cents: DataFrame, k: int) -> DataFrame:
+def _assign(
+    q: DataFrame, cents: DataFrame, k: int, keys: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest-centroid assignment of a quantized frame ``q`` (vec_id,
-    qv) against a ``cents`` table (cluster, cv).
+    [*keys,] qv) against a ``cents`` table ([*keys,] cluster, cv).
+    With ``keys`` (e.g. ``("subspace",)``) the argmin runs
+    independently per key group — how :func:`pq_fit` trains all m
+    product-quantizer subspaces in ONE corpus pass per Lloyd round.
 
     Argmin as a PACKED-LONG min — ``min(dist · 2^B + cluster)`` with
     B = bits(k) — instead of ``min(struct(dist, cluster))``: struct
@@ -91,12 +96,18 @@ def _assign(q: DataFrame, cents: DataFrame, k: int) -> DataFrame:
     ).otherwise(
         F.raise_error(F.lit("kmeans_assign: dist overflows packed argmin"))
     )
-    scored = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id", packed.alias("pk")
-    )
-    best = scored.groupBy("vec_id").agg(F.min("pk").alias("pk"))
+    if keys:
+        scored = q.join(F.broadcast(cents), list(keys)).select(
+            "vec_id", *keys, packed.alias("pk")
+        )
+    else:
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            "vec_id", packed.alias("pk")
+        )
+    best = scored.groupBy("vec_id", *keys).agg(F.min("pk").alias("pk"))
     return best.select(
         "vec_id",
+        *keys,
         (F.col("pk") % F.lit(1 << bbits)).cast("int").alias("cluster"),
         F.shiftright(F.col("pk"), bbits).alias("dist_fp"),
     )
@@ -339,6 +350,79 @@ def gram_matrix(
     return part.groupBy("i", "j").agg(F.sum("v").cast("long").alias("dot"))
 
 
+def pq_fit(
+    vecs: DataFrame,
+    m: int = 4,
+    sub: int = 16,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train all ``m`` product-quantizer subspaces JOINTLY → (sliced
+    quantized frame ``(vec_id, subspace, qv)``, codebooks ``(subspace,
+    cluster, cv)``). Bit-identical to m independent :func:`kmeans_fit`
+    runs over the ``sub``-dim slices (same id<k seeding, same Q20
+    truncating means per (subspace, cluster, pos)), but each Lloyd
+    round is ONE job over the exploded (vec_id, subspace) rows instead
+    of a job per subspace — m× fewer corpus passes and m× fewer
+    scheduling barriers, which is both the small-scale latency win and
+    the 10^12-vector shape (the per-round shuffle is keyed by
+    (subspace, cluster, pos): m× more keys, m× fewer rounds)."""
+    if m < 1 or sub < 1:
+        raise ValueError(f"m and sub must be >= 1, got m={m}, sub={sub}")
+    q = vecs.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    quantize(
+                        F.slice(F.col(vec_col), j * sub + 1, sub), sub
+                    ).alias("qv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.subspace", "s.qv").localCheckpoint(eager=True)
+
+    centroids = (
+        q.filter(F.col("vec_id") < k)
+        .select(
+            "subspace",
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.col("qv").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(iterations):
+        assigned = _assign(q, centroids, k, keys=("subspace",)).join(
+            q, ["vec_id", "subspace"]
+        )
+        per_dim = assigned.select(
+            "subspace", "cluster", F.posexplode("qv").alias("pos", "val")
+        ).groupBy("subspace", "cluster", "pos").agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        centroids = (
+            per_dim.select(
+                "subspace", "cluster", "pos",
+                _tdiv(F.col("s"), F.col("n")).alias("m"),
+            )
+            .groupBy("subspace", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return q, centroids
+
+
 def pq_encode(
     vecs: DataFrame,
     m: int = 4,
@@ -359,32 +443,18 @@ def pq_encode(
     asymmetric-distance search sums m lookup-table entries per
     candidate instead of touching raw vectors.
 
-    Scale shape: ``m`` independent kmeans_assign runs (each broadcast-
-    centroid argmin + (cluster, pos)-keyed updates — never a corpus
-    self-join), then one vec_id-keyed aggregation assembling the code
-    array. All integer fixed-point, so codes are bit-identical at any
-    parallelism and externally replayable.
+    Scale shape: one joint :func:`pq_fit` training (all subspaces per
+    Lloyd round in a single corpus pass; broadcast-centroid argmin +
+    (subspace, cluster, pos)-keyed updates — never a corpus self-join),
+    then one vec_id-keyed aggregation assembling the code array. All
+    integer fixed-point, so codes are bit-identical at any parallelism
+    and externally replayable.
     """
-    if m < 1 or sub < 1:
-        raise ValueError(f"m and sub must be >= 1, got m={m}, sub={sub}")
-    parts = []
-    for j in range(m):
-        sliced = vecs.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
-        )
-        a = kmeans_assign(
-            sliced, k=k, iterations=iterations, dims=sub,
-            id_col=id_col, vec_col=vec_col,
-        )
-        parts.append(
-            a.select(
-                "vec_id", F.lit(j).alias("subspace"), "cluster", "dist_fp"
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.union(p)
+    q, cents = pq_fit(
+        vecs, m=m, sub=sub, k=k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    u = _assign(q, cents, k, keys=("subspace",))
     return u.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("subspace", "cluster"))),
@@ -394,7 +464,7 @@ def pq_encode(
     )
 
 
-def _pq_adist(
+def pq_adist(
     vecs: DataFrame,
     query_id: int,
     m: int = 4,
@@ -411,39 +481,27 @@ def _pq_adist(
     vector's distance is the SUM of m LUT entries selected by its
     codes — the scan touches m small ints per candidate, never the raw
     vectors. Shared core of pq_search (global ranking) and
-    pq_ivf_search (cell-restricted ranking)."""
-    codes = []
-    luts = []
-    for j in range(m):
-        sliced = vecs.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
-        )
-        q, cents = kmeans_fit(
-            sliced, k=k, iterations=iterations, dims=sub,
-            id_col=id_col, vec_col=vec_col,
-        )
-        codes.append(
-            _assign(q, cents, k).select(
-                "vec_id", F.lit(j).alias("subspace"), "cluster"
-            )
-        )
-        qrow = q.filter(F.col("vec_id") == query_id).select(
-            F.col("qv").alias("query_qv")
-        )
-        luts.append(
-            cents.crossJoin(F.broadcast(qrow)).select(
-                F.lit(j).alias("subspace"),
-                "cluster",
-                _dist_fp(F.col("query_qv"), F.col("cv")).alias("ldist"),
-            )
-        )
-    code_u = codes[0]
-    for c in codes[1:]:
-        code_u = code_u.union(c)
-    lut_u = luts[0]
-    for l in luts[1:]:
-        lut_u = lut_u.union(l)
+    pq_ivf_search (cell-restricted ranking); both accept a precomputed
+    (ideally checkpointed) frame from here via their ``adist=``
+    parameter, the train-once / search-many shape a real evaluation
+    uses — per search call the codebook training (m Lloyd's loops,
+    each a chain of Spark jobs) dominates at small scale, and at
+    10^12 vectors retraining per query would be absurd."""
+    q, cents = pq_fit(
+        vecs, m=m, sub=sub, k=k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    code_u = _assign(q, cents, k, keys=("subspace",)).select(
+        "vec_id", "subspace", "cluster"
+    )
+    qrows = q.filter(F.col("vec_id") == query_id).select(
+        "subspace", F.col("qv").alias("query_qv")
+    )
+    lut_u = cents.join(F.broadcast(qrows), "subspace").select(
+        "subspace",
+        "cluster",
+        _dist_fp(F.col("query_qv"), F.col("cv")).alias("ldist"),
+    )
     return (
         code_u.join(F.broadcast(lut_u), ["subspace", "cluster"])
         .groupBy("vec_id")
@@ -461,21 +519,25 @@ def pq_search(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adist: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ search → the ``topk`` nearest neighbors
     of ``query_id`` as (neighbor_id, adist_fp) over the WHOLE corpus
-    (see :func:`_pq_adist` for the LUT mechanics; :func:`pq_ivf_search`
+    (see :func:`pq_adist` for the LUT mechanics; :func:`pq_ivf_search`
     adds the cell-probing scan bound). TakeOrderedAndProject top-k with
     a total (adist, id) tie-break; all Q20 integer arithmetic,
-    bit-identical at any parallelism."""
+    bit-identical at any parallelism. Pass ``adist`` (a precomputed
+    :func:`pq_adist` frame) to reuse one trained codebook across
+    several search/evaluation calls."""
     if topk < 1:
         raise ValueError(f"topk must be >= 1, got {topk}")
-    return (
-        _pq_adist(
+    if adist is None:
+        adist = pq_adist(
             vecs, query_id, m=m, sub=sub, k=k, iterations=iterations,
             id_col=id_col, vec_col=vec_col,
         )
-        .filter(F.col("vec_id") != query_id)
+    return (
+        adist.filter(F.col("vec_id") != query_id)
         .orderBy("adist_fp", "vec_id")
         .limit(topk)
         .select(F.col("vec_id").alias("neighbor_id"), "adist_fp")
@@ -495,6 +557,7 @@ def pq_ivf_search(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adist: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-routed PQ search → top-k (neighbor_id, adist_fp) of
     ``query_id``: a coarse full-space quantizer assigns every vector to
@@ -507,7 +570,7 @@ def pq_ivf_search(
     codebooks.
 
     Shape: the coarse kmeans_fit + a broadcast probe-cell semi-join
-    bounding the candidates, then the _pq_adist joins (broadcast m·k
+    bounding the candidates, then the pq_adist joins (broadcast m·k
     LUT, vec_id sum) and TakeOrderedAndProject. The probe list is
     nprobe rows; at 10^12 vectors the candidate set is
     corpus·nprobe/k_coarse — the knob that trades recall for scan
@@ -534,12 +597,13 @@ def pq_ivf_search(
         .select("cluster")
     )
     cand = cells.join(F.broadcast(probe), "cluster").select("vec_id")
-    return (
-        _pq_adist(
+    if adist is None:
+        adist = pq_adist(
             vecs, query_id, m=m, sub=sub, k=k, iterations=iterations,
             id_col=id_col, vec_col=vec_col,
         )
-        .join(cand, "vec_id")
+    return (
+        adist.join(cand, "vec_id")
         .filter(F.col("vec_id") != query_id)
         .orderBy("adist_fp", "vec_id")
         .limit(topk)
