@@ -1399,3 +1399,44 @@ def test_scc_bounded_cycles_and_chain(spark):
     # SPLITS into singletons (refinement) — it must never merge with d/e
     assert tight["a"] == "a" and tight["b"] == "b" and tight["c"] == "c"
     assert tight["f"] == "f" and tight["h"] == "h"
+
+
+def test_pq_fit_matches_independent_subspace_training(spark):
+    """The joint (subspace-keyed) Lloyd loop must be BIT-IDENTICAL to
+    m independent kmeans_fit runs over the sub-dim slices — the
+    equivalence the pq_encode/pq_adist rework on pq_fit rests on."""
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.clustering import (
+        _assign, kmeans_fit, pq_fit,
+    )
+
+    m, sub, k, iters = 3, 8, 4, 2
+    # deterministic, per-(id, dim) varied values so subspaces train to
+    # genuinely different codebooks
+    vecs = spark.range(48).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(m * sub)),
+            lambda d: ((F.col("id") * 31 + d * 17) % 7 - 3).cast("double")
+            / 3.0,
+        ).alias("embedding"),
+    )
+    q, cents = pq_fit(vecs, m=m, sub=sub, k=k, iterations=iters)
+    joint_cb = {
+        (r["subspace"], r["cluster"]): tuple(r["cv"]) for r in cents.collect()
+    }
+    joint_asg = {
+        (r["vec_id"], r["subspace"]): (r["cluster"], r["dist_fp"])
+        for r in _assign(q, cents, k, keys=("subspace",)).collect()
+    }
+    for j in range(m):
+        sliced = vecs.select(
+            "vec_id",
+            F.slice(F.col("embedding"), j * sub + 1, sub).alias("embedding"),
+        )
+        qj, cj = kmeans_fit(sliced, k=k, iterations=iters, dims=sub)
+        for r in cj.collect():
+            assert joint_cb[(j, r["cluster"])] == tuple(r["cv"])
+        for r in _assign(qj, cj, k).collect():
+            assert joint_asg[(r["vec_id"], j)] == (r["cluster"], r["dist_fp"])
