@@ -135,7 +135,8 @@ def main() -> None:
                  "dedup_survivors_quality", "kg_sparql_ask", "kg_reach_seeded", "kg_sparql_page", "kg_comention", "kg_sparql_optional_filter", "kg_sparql_neg_fail", "kg_sparql_agg_optional",
                  "weighted_sample", "ngram_novelty", "lang_id_confusion", "kg_entity_timeline",
                  "kg_edge_provenance", "stratified_sample", "segment_dedup",
-                 "graph_stats", "kg_sparql_count_distinct", "pq_encode", "pq_search", "pq_ivf_search", "ann_recall", "kg_scc"):
+                 "graph_stats", "kg_sparql_count_distinct", "pq_encode", "pq_search", "pq_ivf_search", "ann_recall", "kg_scc",
+                 "bpe_train"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

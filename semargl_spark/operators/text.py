@@ -479,6 +479,101 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20, text_col="text") -> DataFrame:
     )
 
 
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col="text",
+) -> DataFrame:
+    """Full iterative BPE tokenizer training (subword-nmt semantics) →
+    the ordered merge table (step, pair, merged, n): per round, the
+    most frequent adjacent symbol pair over the corpus (frequency
+    desc, pair asc tie-break) is merged into one symbol everywhere,
+    exactly as ``learn_bpe`` does — pair statistics count every
+    adjacent position (overlaps included: [a,a,a] counts (a,a) twice)
+    while the merge itself is greedy left-to-right non-overlapping
+    ([a,a,a] → [aa, a]), matching subword-nmt's zero-width-boundary
+    ``re.sub``.
+
+    Scale shape (the reason distributed BPE training is feasible at
+    10^12 tokens): the corpus collapses to a word-frequency table ONCE
+    (the only corpus-sized shuffle); every merge round then runs over
+    the *vocabulary* (~10^7–10^8 rows at web scale), as (1) a
+    vocabulary-sized pair groupBy with map-side partials and a
+    1-row TakeOrderedAndProject argmax — O(1) driver state per round,
+    like canon.py's convergence fingerprint — and (2) a shuffle-free
+    JVM higher-order fold (``aggregate`` over the symbol array, whole-
+    stage codegen, no Python) applying the merge. The vocabulary is
+    ``localCheckpoint``-ed per round so the iterative plan stays flat.
+
+    The greedy merge is a string fold over symbols: append each symbol,
+    or — when the accumulated tail symbol equals the pair's left and
+    the incoming symbol equals its right — concatenate instead. A
+    just-merged symbol can never re-match as the left side (merged =
+    left||right ≠ left since right is non-empty), so the fold is exactly
+    the left-to-right scan. Words are restricted to ``[a-z0-9]+`` so
+    char splitting and binary collation agree across engines.
+
+    Reference parity: the reference (a parser framework) has no
+    tokenizer training; target-side surface for the documents table.
+    One-round pair statistics: :func:`bpe_pair_counts`.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    wf = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    # symbol string: chars joined by single spaces ('abc' -> 'a b c')
+    vocab = wf.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("s"), "c"
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        sy = F.split("s", " ")
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(sy, 1, F.size(sy) - 1),
+                    F.slice(sy, 2, F.size(sy) - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                )
+            ).alias("pair"),
+            "c",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("c").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word fully merged to one symbol
+            break
+        pair, n = best[0]["pair"], best[0]["n"]
+        a, b = pair.split(" ")
+        merges.append((step, pair, a + b, n))
+        sy2 = F.split("s", " ")
+        merged = F.aggregate(
+            F.slice(sy2, 2, F.size(sy2) - 1),
+            F.element_at(sy2, 1),
+            lambda acc, x: F.when(
+                ((acc == F.lit(a)) | acc.endswith(F.lit(" " + a)))
+                & (x == F.lit(b)),
+                F.concat(acc, F.lit(b)),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        vocab = vocab.select(merged.alias("s"), "c").localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, n long"
+    )
+
+
 def tfidf_search(
     docs: DataFrame,
     query: str,

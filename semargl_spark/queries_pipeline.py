@@ -2427,6 +2427,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "context_windows": q_context_windows,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "corpus_quantiles": q_corpus_quantiles,
         "kg_degree_stats": q_kg_degree_stats,
         "kg_node_index": q_kg_node_index,
@@ -3478,6 +3479,52 @@ p AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
 SELECT pair, CAST(SUM(c) AS BIGINT) AS n
 FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training, 8 merge rounds → the ordered
+    merge table (text.bpe_train): vocabulary-collapse-first, per-round
+    1-row argmax + JVM fold merge — subword-nmt semantics."""
+    return text.bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """Unrolled merge rounds: per round, a pair-count CTE over the
+    current vocabulary, a 1-row argmax, and a list_reduce greedy
+    left-to-right merge — the same string fold the Spark side runs."""
+    sql = r"""
+WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(regexp_replace(
+                            lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+                  FROM documents)
+            WHERE regexp_matches(word, '^[a-z0-9]+$') AND length(word) >= 2
+            GROUP BY word),
+v0 AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, c FROM wf)"""
+    for i in range(1, n_merges + 1):
+        sql += f""",
+y{i} AS (SELECT s, string_split(s, ' ') AS sy, c FROM v{i - 1}),
+p{i} AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                                      i -> sy[i] || ' ' || sy[i + 1])) AS pair, c
+         FROM y{i} WHERE len(sy) >= 2),
+best{i} AS (SELECT pair, string_split(pair, ' ')[1] AS a,
+                   string_split(pair, ' ')[2] AS b,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM p{i} GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+v{i} AS (SELECT CASE WHEN len(y.sy) < 2 THEN y.s ELSE
+                list_reduce(y.sy, (acc, x) ->
+                  CASE WHEN (acc = b.a OR ends_with(acc, ' ' || b.a))
+                            AND x = b.b
+                       THEN acc || b.b ELSE acc || ' ' || x END) END AS s, c
+         FROM y{i} y, best{i} b)"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, n"
+        f" FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return sql
+
+
+ORACLES["bpe_train"] = _bpe_train_oracle()
 
 
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

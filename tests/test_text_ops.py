@@ -174,6 +174,83 @@ def test_bpe_pair_counts_tiebreak_and_k(spark):
         bpe_pair_counts(df, k=0)
 
 
+def _bpe_train_mirror(word_counts, n_merges):
+    """subword-nmt-style reference: overlap-counting pair statistics,
+    greedy left-to-right non-overlapping merge on symbol lists."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        stats = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        (a, b), n = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, f"{a} {b}", a + b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_subword_nmt_mirror(spark):
+    from semargl_spark.operators.text import bpe_train
+
+    # adversarial: odd/even same-char runs (overlap counting + greedy
+    # left-to-right merge), alternations, and a merged symbol that is a
+    # prefix of a longer word
+    texts = [
+        "aaaaa aaaa aaa ababab",
+        "banana bandana aaaaa",
+        "low lower lowest low low",
+        "abab aa bb ab ba",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2:
+                wc[w] = wc.get(w, 0) + 1
+    expected = _bpe_train_mirror(wc, 6)
+    got = [
+        (r["step"], r["pair"], r["merged"], r["n"])
+        for r in bpe_train(df, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_early_stop_and_validation(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.text import bpe_train
+
+    # 2-char vocabulary collapses after one merge -> early stop
+    df = spark.createDataFrame(
+        [(1, "ab ab x")], "doc_id int, text string"
+    )
+    got = [
+        (r["step"], r["pair"], r["merged"], r["n"])
+        for r in bpe_train(df, n_merges=5).collect()
+    ]
+    assert got == [(1, "a b", "ab", 2)]
+    with _pytest.raises(ValueError):
+        bpe_train(df, n_merges=0)
+
+
 def test_tfidf_search_rare_term_dominates(spark):
     from semargl_spark.operators.text import tfidf_search
 
