@@ -517,9 +517,43 @@ def bpe_train(
     tokenizer training; target-side surface for the documents table.
     One-round pair statistics: :func:`bpe_pair_counts`.
     """
+    spark = docs.sparkSession
+    _, merges = _bpe_loop(docs, n_merges, text_col)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, n long"
+    )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col="text",
+) -> DataFrame:
+    """Corpus vocabulary segmented under ``n_merges`` trained BPE merges
+    → (word, segmented, n_subwords, c): the apply side of
+    :func:`bpe_train` — per distinct word, its subword decomposition
+    (space-joined) and subword count, plus the word's corpus frequency.
+    ``n_subwords/c``-weighted averages give tokenizer fertility, the
+    metric that decides whether a merge budget is large enough for a
+    corpus. Same scale shape as training: everything after the one
+    corpus→vocabulary collapse is vocabulary-sized, and segmenting NEW
+    text is a broadcast join of its words against this table.
+    """
+    vocab, _ = _bpe_loop(docs, n_merges, text_col)
+    return vocab.select(
+        F.regexp_replace("s", " ", "").alias("word"),
+        F.col("s").alias("segmented"),
+        F.size(F.split("s", " ")).cast("int").alias("n_subwords"),
+        F.col("c").cast("long").alias("c"),
+    )
+
+
+def _bpe_loop(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Shared BPE training loop: (final segmented vocabulary, merges)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    spark = docs.sparkSession
     wf = (
         docs.select(F.explode(_tokens(text_col)).alias("word"))
         .filter(F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") >= 2))
@@ -569,9 +603,7 @@ def bpe_train(
         vocab = vocab.select(merged.alias("s"), "c").localCheckpoint(
             eager=True
         )
-    return spark.createDataFrame(
-        merges, "step int, pair string, merged string, n long"
-    )
+    return vocab, merges
 
 
 def tfidf_search(

@@ -2428,6 +2428,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": q_context_windows,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "bpe_segment": q_bpe_segment,
         "corpus_quantiles": q_corpus_quantiles,
         "kg_degree_stats": q_kg_degree_stats,
         "kg_node_index": q_kg_node_index,
@@ -3488,7 +3489,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
-def _bpe_train_oracle(n_merges: int = 8) -> str:
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply side of BPE training: the corpus vocabulary segmented
+    under 8 trained merges → (word, segmented, n_subwords, c)
+    (text.bpe_segment) — the tokenizer-fertility table."""
+    return text.bpe_segment(_docs(spark, sf_dir), n_merges=8)
+
+
+def _bpe_ctes(n_merges: int = 8) -> str:
     """Unrolled merge rounds: per round, a pair-count CTE over the
     current vocabulary, a 1-row argmax, and a list_reduce greedy
     left-to-right merge — the same string fold the Spark side runs."""
@@ -3510,21 +3518,36 @@ best{i} AS (SELECT pair, string_split(pair, ' ')[1] AS a,
                    string_split(pair, ' ')[2] AS b,
                    CAST(SUM(c) AS BIGINT) AS n
             FROM p{i} GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
-v{i} AS (SELECT CASE WHEN len(y.sy) < 2 THEN y.s ELSE
+v{i} AS (SELECT CASE WHEN len(y.sy) < 2 OR b.a IS NULL THEN y.s ELSE
                 list_reduce(y.sy, (acc, x) ->
                   CASE WHEN (acc = b.a OR ends_with(acc, ' ' || b.a))
                             AND x = b.b
                        THEN acc || b.b ELSE acc || ' ' || x END) END AS s, c
-         FROM y{i} y, best{i} b)"""
-    sql += "\n" + "\nUNION ALL\n".join(
-        f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, n"
-        f" FROM best{i}"
-        for i in range(1, n_merges + 1)
-    )
+         FROM y{i} y LEFT JOIN best{i} b ON true)"""
     return sql
 
 
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    return (
+        _bpe_ctes(n_merges)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, n"
+            f" FROM best{i}"
+            for i in range(1, n_merges + 1)
+        )
+    )
+
+
+def _bpe_segment_oracle(n_merges: int = 8) -> str:
+    return _bpe_ctes(n_merges) + f"""
+SELECT replace(s, ' ', '') AS word, s AS segmented,
+       CAST(len(string_split(s, ' ')) AS INT) AS n_subwords, c
+FROM v{n_merges}"""
+
+
 ORACLES["bpe_train"] = _bpe_train_oracle()
+ORACLES["bpe_segment"] = _bpe_segment_oracle()
 
 
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,6 +233,44 @@ def test_bpe_train_matches_subword_nmt_mirror(spark):
     assert got == expected
 
 
+def test_bpe_segment_matches_mirror_vocab(spark):
+    from semargl_spark.operators.text import bpe_segment
+
+    texts = ["aaaaa aaaa ababab", "banana bandana low lower low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2:
+                wc[w] = wc.get(w, 0) + 1
+    # replay the mirror's merges over the vocab to get expected segments
+    vocab = {tuple(w): (w, c) for w, c in wc.items()}
+    for _, pair, merged, _n in _bpe_train_mirror(wc, 4):
+        a, b = pair.split(" ")
+        new = {}
+        for syms, (w, c) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = (w, c)
+        vocab = new
+    expected = {
+        w: (" ".join(syms), len(syms), c) for syms, (w, c) in vocab.items()
+    }
+    got = {
+        r["word"]: (r["segmented"], r["n_subwords"], r["c"])
+        for r in bpe_segment(df, n_merges=4).collect()
+    }
+    assert got == expected
+
+
 def test_bpe_train_early_stop_and_validation(spark):
     import pytest as _pytest
 
@@ -373,3 +411,86 @@ def test_lang_confusion_counts_off_diagonal(spark):
     out = {(r["lang_true"], r["lang_pred"]): r["n_docs"]
            for r in lang_confusion(df).collect()}
     assert out == {("en", "en"): 1, ("en", "und"): 1}
+
+
+def test_bpe_oracle_fold_fuzz_matches_mirror():
+    """The DuckDB list_reduce string fold in the bpe_train/bpe_segment
+    oracle must implement exactly the mirror's greedy left-to-right
+    merge — fuzzed over random small-alphabet words (repeated runs,
+    alternations, and merged-symbol re-participation all arise)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=2, max_size=10)
+    corpus = st.lists(word, min_size=1, max_size=12)
+
+    @given(corpus)
+    @settings(max_examples=200, deadline=None)
+    def check(words):
+        wc = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+        merges = _bpe_train_mirror(wc, 3)
+        con = duckdb.connect()
+        vals = ", ".join(f"('{w}', {c})" for w, c in wc.items())
+        sql = f"""
+WITH wf AS (SELECT word, CAST(c AS BIGINT) AS c
+            FROM (VALUES {vals}) AS t(word, c)),
+v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, c FROM wf)"""
+        for i in range(1, 4):
+            sql += f""",
+y{i} AS (SELECT s, string_split(s, ' ') AS sy, c FROM v{i - 1}),
+p{i} AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                                      i -> sy[i] || ' ' || sy[i + 1])) AS pair, c
+         FROM y{i} WHERE len(sy) >= 2),
+best{i} AS (SELECT pair, string_split(pair, ' ')[1] AS a,
+                   string_split(pair, ' ')[2] AS b,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM p{i} GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+v{i} AS (SELECT CASE WHEN len(y.sy) < 2 OR b.a IS NULL THEN y.s ELSE
+                list_reduce(y.sy, (acc, x) ->
+                  CASE WHEN (acc = b.a OR ends_with(acc, ' ' || b.a))
+                            AND x = b.b
+                       THEN acc || b.b ELSE acc || ' ' || x END) END AS s, c
+         FROM y{i} y LEFT JOIN best{i} b ON true)"""
+        sql += """
+SELECT 0 AS step, s AS pair, '' AS merged, c AS n FROM v3
+UNION ALL
+""" + "\nUNION ALL\n".join(
+            f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, n"
+            f" FROM best{i}"
+            for i in range(1, 4)
+        )
+        rows = con.sql(sql).fetchall()
+        got_merges = sorted(
+            (r[0], r[1], r[2], r[3]) for r in rows if r[0] > 0
+        )
+        got_vocab = sorted((r[1], r[3]) for r in rows if r[0] == 0)
+        assert got_merges == [tuple(m) for m in merges]
+        # replay mirror merges over the vocab for expected segments
+        vocab = {tuple(w): c for w, c in wc.items()}
+        for _, pair, merged, _n in merges:
+            a, b = pair.split(" ")
+            new = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            vocab = new
+        expected_vocab = sorted(
+            (" ".join(syms), c) for syms, c in vocab.items()
+        )
+        assert got_vocab == expected_vocab
+
+    check()
