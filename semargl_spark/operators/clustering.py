@@ -644,3 +644,61 @@ def exact_topk_fp(
         .limit(topk)
         .select(F.col("vec_id").alias("neighbor_id"), "dist_fp")
     )
+
+
+def prefix_dim_recall(
+    vecs: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    dims_list: tuple[int, ...] = (8, 16, 32, 64),
+    full_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style embedding-dimension ablation (MRL, arXiv:
+    2205.13147): recall@k of exact top-k under each PREFIX of the
+    embedding (first d dims, Q20 L2) against the full-dimension ground
+    truth → one row per d: (dims, hits, k, recall_pm). This is the
+    measurement that decides how far an embedding column can be
+    truncated before ANN quality collapses — truncation divides index
+    size, shuffle volume, and distance cost by full/d, so it's usually
+    the FIRST scale lever on a 10^12-vector corpus, tried before PQ.
+
+    Same evaluation stance as q_ann_recall: both sides are exact
+    corpus-×-one-row scans, so at production scale this runs on an
+    evaluation sample; the gate verifies the methodology is bit-exact.
+    The ground-truth top-k is localCheckpoint-ed so the per-d branches
+    and their union arms don't replan it (the standing recompute
+    audit), and the full-dims entry doubles as a self-check: its
+    recall is 1000 by construction.
+    """
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    if not dims_list or any(d < 1 or d > full_dims for d in dims_list):
+        raise ValueError(
+            f"dims_list must be non-empty with 1 <= d <= {full_dims}"
+        )
+    truth = (
+        exact_topk_fp(vecs, query_id, topk, full_dims, id_col, vec_col)
+        .select("neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for d in dims_list:
+        pref = exact_topk_fp(
+            vecs, query_id, topk, d, id_col, vec_col
+        ).select("neighbor_id")
+        row = (
+            pref.join(truth, "neighbor_id")
+            .agg(F.count("*").cast("int").alias("hits"))
+            .select(
+                F.lit(d).cast("int").alias("dims"),
+                "hits",
+                F.lit(topk).cast("int").alias("k"),
+                F.expr(f"CAST(1000 AS BIGINT) * hits div {topk}").alias(
+                    "recall_pm"
+                ),
+            )
+        )
+        out = row if out is None else out.union(row)
+    return out

@@ -1404,3 +1404,101 @@ def scc_bounded(
     return nodes.join(comp, "node", "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )
+
+
+def list_rank(rest: DataFrame, max_iter: int = 16) -> DataFrame:
+    """Distributed list ranking over ``rest(cell, nxt)`` successor
+    chains → (cell, head, pos): every chain cell mapped to its chain
+    head and 0-based position, via pointer jumping with distance
+    accumulation — the classic PRAM list-ranking algorithm, O(log L)
+    rounds for chains of length L, never a sequential walk.
+
+    This is the KG-side inverse of RDF collection parsing: the kernels
+    emit rdf:first/rdf:rest chains for @list / parseType="Collection"
+    (reference: rdf/.../RdfXmlParser.java parseType Collection,
+    jsonld @list containers); re-assembling ORDERED members from the
+    triple soup requires ranking each cell in its rest-chain. Callers
+    pass the rest triples with the rdf:nil terminator filtered out.
+
+    Mechanics: pointer state (cell, ptr, d) with d = distance walked
+    from cell BACK to ancestor ptr (edges reversed: chains are ranked
+    from the head side). Heads (cells that are no rest-target) self-
+    loop with d = 0, so jumps through a head are absorbing; each round
+    squares the pointer reach (ptr ← ptr's ptr, d ← d + ptr's d) in one
+    node-sized self-join, and convergence (all pointers at heads) is a
+    single-row fingerprint per round, O(1) driver memory, like
+    operators/canon.py. A malformed cell with several predecessors
+    takes the minimum (deterministic); a cyclic chain never converges
+    and raises instead of returning wrong positions.
+
+    Scale shape: state is 3 columns × #cells; rounds shuffle on the
+    pointer id only; localCheckpoint per round keeps the plan flat.
+    """
+    prev = (
+        rest.select(F.col("nxt").alias("cell"), F.col("cell").alias("prv"))
+        .groupBy("cell")
+        .agg(F.min("prv").alias("prv"))
+    )
+    cells = (
+        rest.select("cell")
+        .union(rest.select(F.col("nxt").alias("cell")))
+        .distinct()
+    )
+    state = (
+        cells.join(prev, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("prv", F.col("cell")).alias("ptr"),
+            F.when(F.col("prv").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _fp(df: DataFrame) -> int:
+        row = df.agg(
+            F.coalesce(F.sum(F.hash("cell", "ptr", "d")), F.lit(0)).alias("h")
+        ).collect()[0]
+        return int(row["h"])
+
+    prev_fp = _fp(state)
+    for _round in range(max_iter):
+        j = state.select(
+            F.col("cell").alias("jcell"),
+            F.col("ptr").alias("jptr"),
+            F.col("d").alias("jd"),
+        )
+        state = (
+            state.join(j, state.ptr == j.jcell)
+            .select(
+                "cell",
+                F.col("jptr").alias("ptr"),
+                (F.col("d") + F.col("jd")).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur = _fp(state)
+        if cur == prev_fp:
+            return state.select(
+                "cell", F.col("ptr").alias("head"), F.col("d").alias("pos")
+            )
+        prev_fp = cur
+    raise RuntimeError(
+        f"list_rank did not converge in {max_iter} rounds (covers chains "
+        f"to length ~2^{max_iter}); a cyclic rest-chain or longer lists — "
+        "raise max_iter"
+    )
+
+
+def list_members(first: DataFrame, rest: DataFrame,
+                 max_iter: int = 16) -> DataFrame:
+    """Ordered RDF collection members → (head, pos, member): ranks the
+    ``rest(cell, nxt)`` chains with :func:`list_rank`, then one equi-
+    join against ``first(cell, member)`` attaches each cell's member.
+    """
+    ranked = list_rank(rest, max_iter=max_iter)
+    return ranked.join(first, "cell").select(
+        "head", F.col("pos").cast("int").alias("pos"), "member"
+    )

@@ -2512,6 +2512,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search": q_pq_search,
         "pq_ivf_search": q_pq_ivf_search,
         "ann_recall": q_ann_recall,
+        "embedding_dim_recall": q_embedding_dim_recall,
+        "kg_list_members": q_kg_list_members,
         "kg_scc": q_kg_scc,
     }
 
@@ -6410,6 +6412,125 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].union(out[1])
+
+
+def q_kg_list_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered RDF collection reconstruction (graph.list_members):
+    rdf:first/rdf:rest chains → (head, pos, member) via distributed
+    list ranking (pointer jumping with distances, O(log L) rounds).
+    Chains are derived deterministically from the documents table —
+    per doc a chain of length (d%5)+2, every 97th doc a 40-cell chain
+    so the log-round doubling is actually exercised."""
+    from .operators.graph import list_members
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    ln = F.when(F.col("d") % 97 == 0, F.lit(40)).otherwise(
+        F.col("d") % 5 + 2
+    )
+    base = d.select(
+        "d",
+        ln.alias("len"),
+    ).select(
+        "d", "len",
+        F.explode(F.sequence(F.lit(0), F.col("len") - 1)).alias("j"),
+    )
+    cell = F.concat_ws(
+        "", F.lit("c"), F.col("d").cast("string"), F.lit("_"),
+        F.col("j").cast("string"),
+    )
+    rest = base.filter(F.col("j") < F.col("len") - 1).select(
+        cell.alias("cell"),
+        F.concat_ws(
+            "", F.lit("c"), F.col("d").cast("string"), F.lit("_"),
+            (F.col("j") + 1).cast("string"),
+        ).alias("nxt"),
+    )
+    first = base.select(
+        cell.alias("cell"),
+        F.concat_ws(
+            "", F.lit("m"), F.col("d").cast("string"), F.lit("_"),
+            F.col("j").cast("string"),
+        ).alias("member"),
+    )
+    return list_members(first, rest)
+
+
+ORACLES["kg_list_members"] = """
+WITH RECURSIVE d AS (SELECT CAST(doc_id AS BIGINT) AS d,
+            CASE WHEN CAST(doc_id AS BIGINT) % 97 = 0 THEN 40
+                 ELSE CAST(doc_id AS BIGINT) % 5 + 2 END AS len
+     FROM documents),
+base AS (SELECT d, len, j
+         FROM d, UNNEST(generate_series(0, len - 1)) AS t(j)),
+rest AS (SELECT 'c'||d||'_'||j AS cell, 'c'||d||'_'||(j+1) AS nxt
+         FROM base WHERE j < len - 1),
+fst AS (SELECT 'c'||d||'_'||j AS cell, 'm'||d||'_'||j AS member FROM base),
+cells AS (SELECT cell FROM rest UNION SELECT nxt FROM rest),
+heads AS (SELECT cell FROM cells
+          WHERE cell NOT IN (SELECT nxt FROM rest)),
+walk(head, cell, pos) AS (
+  SELECT cell, cell, 0 FROM heads
+  UNION ALL
+  SELECT w.head, r.nxt, w.pos + 1 FROM walk w JOIN rest r ON r.cell = w.cell
+)
+SELECT w.head, CAST(w.pos AS INT) AS pos, f.member
+FROM walk w JOIN fst f ON f.cell = w.cell
+"""
+
+
+def q_embedding_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension ablation: exact recall@10 of
+    each embedding prefix (8/16/32/64 dims, Q20 L2) vs the full-dim
+    ground truth (clustering.prefix_dim_recall) — the measurement
+    behind truncating the embedding column before reaching for PQ."""
+    from .operators.clustering import prefix_dim_recall
+
+    return prefix_dim_recall(
+        _embeddings(spark, sf_dir), query_id=42, topk=10,
+        dims_list=(8, 16, 32, 64), full_dims=64,
+    )
+
+
+def _dim_recall_oracle(
+    query_id: int = 42, topk: int = 10,
+    dims_list: tuple[int, ...] = (8, 16, 32, 64), full_dims: int = 64,
+) -> str:
+    sql = """
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  list_transform(embedding[1:%(fd)d],
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+           FROM embeddings),
+qpos AS (SELECT vec_id, i AS pos, qv[i] AS val
+         FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+d AS (SELECT p.vec_id, p.pos, (p.val - r.val) * (p.val - r.val) AS sq
+      FROM qpos p JOIN qpos r ON r.pos = p.pos AND r.vec_id = %(qid)d
+      WHERE p.vec_id <> %(qid)d),
+truth AS (SELECT vec_id FROM (
+            SELECT vec_id, CAST(SUM(sq) AS BIGINT) AS dist FROM d
+            GROUP BY vec_id)
+          ORDER BY dist, vec_id LIMIT %(topk)d)""" % {
+        "fd": full_dims, "qid": query_id, "topk": topk,
+    }
+    for dd in dims_list:
+        sql += """,
+t%(dd)d AS (SELECT vec_id FROM (
+              SELECT vec_id, CAST(SUM(sq) AS BIGINT) AS dist FROM d
+              WHERE pos <= %(dd)d GROUP BY vec_id)
+            ORDER BY dist, vec_id LIMIT %(topk)d),
+h%(dd)d AS (SELECT CAST(COUNT(*) AS INT) AS hits
+            FROM t%(dd)d JOIN truth USING (vec_id))""" % {
+            "dd": dd, "topk": topk,
+        }
+    sql += "\n" + "\nUNION ALL\n".join(
+        "SELECT CAST(%(dd)d AS INT) AS dims, hits, CAST(%(topk)d AS INT) AS k,"
+        " CAST(1000 * hits // %(topk)d AS BIGINT) AS recall_pm FROM h%(dd)d"
+        % {"dd": dd, "topk": topk}
+        for dd in dims_list
+    )
+    return sql
+
+
+ORACLES["embedding_dim_recall"] = _dim_recall_oracle()
 
 
 def _ann_recall_oracle(

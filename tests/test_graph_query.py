@@ -1440,3 +1440,85 @@ def test_pq_fit_matches_independent_subspace_training(spark):
             assert joint_cb[(j, r["cluster"])] == tuple(r["cv"])
         for r in _assign(qj, cj, k).collect():
             assert joint_asg[(r["vec_id"], j)] == (r["cluster"], r["dist_fp"])
+
+
+def test_prefix_dim_recall_hand_checked(spark):
+    """Prefix-1 ranking diverges from full-2 ranking by construction;
+    the full-dims row is recall 1000 by definition."""
+    from semargl_spark.operators.clustering import prefix_dim_recall
+
+    # query [0,0]; full-2 NN is v1 (1.81); prefix-1 NN is v2 (0.9025)
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [1.0, 0.9]),
+            (2, [0.95, 2.0]),
+            (3, [3.0, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["dims"]: (r["hits"], r["k"], r["recall_pm"])
+        for r in prefix_dim_recall(
+            vecs, query_id=0, topk=1, dims_list=(1, 2), full_dims=2
+        ).collect()
+    }
+    assert got[1] == (0, 1, 0)
+    assert got[2] == (1, 1, 1000)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prefix_dim_recall(vecs, 0, topk=0, dims_list=(1,), full_dims=2)
+    with _pytest.raises(ValueError):
+        prefix_dim_recall(vecs, 0, topk=1, dims_list=(3,), full_dims=2)
+
+
+def test_list_rank_chains_heads_positions(spark):
+    from semargl_spark.operators.graph import list_members, list_rank
+
+    # two chains: a0->a1->a2->a3 and b0->b1; plus a multi-prev cell
+    # (x and y both point to z — min prev wins deterministically)
+    rest = spark.createDataFrame(
+        [
+            ("a0", "a1"), ("a1", "a2"), ("a2", "a3"),
+            ("b0", "b1"),
+            ("x", "z"), ("y", "z"),
+        ],
+        "cell string, nxt string",
+    )
+    got = {
+        r["cell"]: (r["head"], r["pos"])
+        for r in list_rank(rest).collect()
+    }
+    assert got["a0"] == ("a0", 0) and got["a3"] == ("a0", 3)
+    assert got["b1"] == ("b0", 1)
+    # z has two predecessors; min('x','y') = 'x' is the kept chain
+    assert got["z"] == ("x", 1)
+
+    first = spark.createDataFrame(
+        [("a0", "m0"), ("a1", "m1"), ("a2", "m2"), ("a3", "m3")],
+        "cell string, member string",
+    )
+    members = {
+        (r["head"], r["pos"]): r["member"]
+        for r in list_members(
+            first, rest.filter(F.col("cell").startswith("a"))
+        ).collect()
+    }
+    assert members == {
+        ("a0", 0): "m0", ("a0", 1): "m1",
+        ("a0", 2): "m2", ("a0", 3): "m3",
+    }
+
+
+def test_list_rank_cycle_raises(spark):
+    import pytest as _pytest
+
+    from semargl_spark.operators.graph import list_rank
+
+    rest = spark.createDataFrame(
+        [("p", "q"), ("q", "r"), ("r", "p")], "cell string, nxt string"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        list_rank(rest, max_iter=6)
