@@ -2514,6 +2514,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "embedding_dim_recall": q_embedding_dim_recall,
         "kg_list_members": q_kg_list_members,
+        "kg_cardinality_sketch": q_kg_cardinality_sketch,
         "kg_scc": q_kg_scc,
     }
 
@@ -6412,6 +6413,56 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].union(out[1])
+
+
+def q_kg_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate distinct-object cardinality: KMV bottom-64 sketch
+    estimate vs the exact distinct, with signed per-mille error
+    (operators/sketch.kmv_distinct). The rdf:type predicate (1 distinct
+    object) exercises the exact small-set path; the entity predicates
+    exercise the order-statistics estimator."""
+    from .operators.sketch import kmv_distinct
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    sk = kmv_distinct(edges, ["pred"], "dst", k=64)
+    exact = edges.groupBy("pred").agg(
+        F.countDistinct("dst").cast("long").alias("n_exact")
+    )
+    return sk.join(exact, "pred").select(
+        "pred", "n_hashes", "kth_min", "est_distinct", "n_exact",
+        F.expr(
+            "CAST(CASE WHEN est_distinct >= n_exact THEN 1 ELSE -1 END"
+            " AS BIGINT) * ((1000 * abs(est_distinct - n_exact))"
+            " div greatest(n_exact, 1L))"
+        ).alias("err_pm"),
+    )
+
+
+ORACLES["kg_cardinality_sketch"] = _KG_EDGES_SQL + """,
+h AS (SELECT DISTINCT pred,
+        list_reduce(list_transform(range(1, 14), i ->
+          CAST(strpos('0123456789abcdef', substr(md5(dst), i, 1)) - 1
+               AS BIGINT)), (a, b) -> a * 16 + b) AS h
+      FROM edges),
+botk AS (SELECT pred, h,
+         row_number() OVER (PARTITION BY pred ORDER BY h) AS rn FROM h),
+sk AS (SELECT pred, CAST(COUNT(*) AS INT) AS n_hashes,
+              MAX(h) AS kth_min
+       FROM botk WHERE rn <= 64 GROUP BY pred),
+ex AS (SELECT pred, CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_exact
+       FROM edges GROUP BY pred)
+SELECT s.pred, s.n_hashes, s.kth_min,
+       CASE WHEN s.n_hashes < 64 THEN CAST(s.n_hashes AS BIGINT)
+            ELSE CAST(283726776524341248 // greatest(s.kth_min, 1)
+                      AS BIGINT) END AS est_distinct,
+       e.n_exact,
+       CAST(CASE WHEN est_distinct >= e.n_exact THEN 1 ELSE -1 END
+            AS BIGINT)
+       * CAST((1000 * abs(est_distinct - e.n_exact))
+              // greatest(e.n_exact, 1) AS BIGINT) AS err_pm
+FROM sk s JOIN ex e USING (pred)
+"""
 
 
 def q_kg_list_members(spark: SparkSession, sf_dir: str) -> DataFrame:

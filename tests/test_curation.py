@@ -753,3 +753,42 @@ def test_segment_dedup_matches_python_mirror_random(spark):
             ).collect()
         }
         assert out == expect, f"trial {trial}"
+
+
+def test_kmv_distinct_exact_small_and_estimator(spark):
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.sketch import kmv_distinct
+
+    # group 'small': 5 distinct values -> exact path (n_hashes < k)
+    # group 'big': 5000 distinct values -> estimator path, error ~1/8
+    rows = [("small", f"v{i % 5}") for i in range(50)] + [
+        ("big", f"w{i}") for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r["g"]: (r["n_hashes"], r["est_distinct"])
+        for r in kmv_distinct(df, ["g"], "v", k=64).collect()
+    }
+    assert got["small"] == (5, 5)
+    n, est = got["big"]
+    assert n == 64
+    # 1/sqrt(64) = 12.5% standard error; allow 4 sigma
+    assert 2500 <= est <= 7500
+
+    # prefilter with a valid lower bound must not change the sketch
+    pre = {
+        r["g"]: (r["n_hashes"], r["est_distinct"])
+        for r in kmv_distinct(
+            df.filter(F.col("g") == "big"), ["g"], "v", k=64,
+            prefilter_min_distinct=1000,
+        ).collect()
+    }
+    assert pre["big"] == got["big"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, ["g"], "v", k=1)
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, ["g"], "v", prefilter_min_distinct=0)
