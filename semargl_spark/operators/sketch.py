@@ -90,3 +90,81 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """All-pairs set-overlap estimation from per-set KMV sketches →
+    (set_a, set_b, n_union, union_est, inter_est, jaccard_pm) for every
+    set pair (a < b) — the theta-sketch set-operation trick (Dasgupta
+    et al., "Theta sketches"): the k smallest hashes of SA ∪ SB are a
+    valid KMV sketch of the union (both inputs are bottom-k), the
+    union's kth hash estimates |A ∪ B|, and the fraction c/k of those
+    union-sketch members present in BOTH input sketches estimates the
+    Jaccard similarity, giving |A ∩ B| ≈ (c/k)·|A ∪ B| — all without
+    ever joining the underlying sets.
+
+    This is the scale path for overlap questions (train/test
+    contamination rate, vocabulary sharing between corpus slices,
+    snapshot drift): the corpus is touched once to build k-row
+    sketches; every pairwise estimate then costs O(k) on tables of
+    sketch size. Sub-k sets degrade to exact sets, so small-set pairs
+    report exact overlap. All integer arithmetic (52-bit space,
+    truncating div) — bit-exact in any engine.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = _hash52(value_col)
+    dh = df.select(set_col, h.alias("h")).distinct()
+    w = Window.partitionBy(set_col).orderBy("h")
+    sk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col(set_col).alias("s"), "h")
+    )
+    a = sk.select(F.col("s").alias("set_a"), "h")
+    b = sk.select(F.col("s").alias("set_b"), "h")
+    # hash-keyed equi-union: tag membership, dedup common hashes per pair
+    # sketch-rows × set-list cartesian is sketch-sized by construction
+    # (n_sets · k rows × n_sets) — never corpus-sized
+    pairs = (
+        a.crossJoin(b.select(F.col("set_b")).distinct())
+        .filter(F.col("set_a") < F.col("set_b"))
+        .select("set_a", "set_b", "h", F.lit(1).alias("in_a"),
+                F.lit(0).alias("in_b"))
+        .union(
+            b.crossJoin(a.select(F.col("set_a")).distinct())
+            .filter(F.col("set_a") < F.col("set_b"))
+            .select("set_a", "set_b", "h", F.lit(0).alias("in_a"),
+                    F.lit(1).alias("in_b"))
+        )
+        .groupBy("set_a", "set_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("set_a", "set_b").orderBy("h")
+    union_k = pairs.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= k
+    )
+    num = (k - 1) * SPACE
+    agg = union_k.groupBy("set_a", "set_b").agg(
+        F.count("*").cast("int").alias("n_union"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("c"),
+    )
+    return agg.select(
+        "set_a", "set_b", "n_union",
+        F.when(F.col("n_union") < k, F.col("n_union").cast("long"))
+        .otherwise(F.expr(f"CAST({num} AS BIGINT) div greatest(theta, 1L)"))
+        .alias("union_est"),
+        "c",
+    ).select(
+        "set_a", "set_b", "n_union", "union_est",
+        F.expr("(c * union_est) div greatest(n_union, 1)")
+        .cast("long").alias("inter_est"),
+        F.expr("(1000 * c) div greatest(n_union, 1)")
+        .cast("long").alias("jaccard_pm"),
+    )

@@ -2515,6 +2515,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_recall": q_embedding_dim_recall,
         "kg_list_members": q_kg_list_members,
         "kg_cardinality_sketch": q_kg_cardinality_sketch,
+        "vocab_overlap_sketch": q_vocab_overlap_sketch,
         "kg_scc": q_kg_scc,
     }
 
@@ -6462,6 +6463,91 @@ SELECT s.pred, s.n_hashes, s.kth_min,
        * CAST((1000 * abs(est_distinct - e.n_exact))
               // greatest(e.n_exact, 1) AS BIGINT) AS err_pm
 FROM sk s JOIN ex e USING (pred)
+"""
+
+
+def q_vocab_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations over KMV sketches
+    (sketch.kmv_overlap): estimated union size, intersection size and
+    Jaccard of the word vocabularies of three corpus slices
+    (doc_id % 3), joined against the exact intersection counts — the
+    join-free scale path for contamination / slice-drift questions."""
+    from .operators.sketch import kmv_overlap
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.concat_ws(
+            "", F.lit("b"),
+            (F.col("doc_id").cast("long") % 3).cast("string"),
+        ).alias("bucket"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    sk = kmv_overlap(words, "bucket", "word", k=64)
+    ww = words.distinct()
+    exact = (
+        ww.alias("x")
+        .join(ww.alias("y"), F.expr("x.word = y.word AND x.bucket < y.bucket"))
+        .groupBy(
+            F.col("x.bucket").alias("set_a"),
+            F.col("y.bucket").alias("set_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_inter_exact"))
+    )
+    return (
+        sk.join(exact, ["set_a", "set_b"], "left")
+        .fillna(0, ["n_inter_exact"])
+    )
+
+
+ORACLES["vocab_overlap_sketch"] = r"""
+WITH w AS (SELECT 'b'||(CAST(doc_id AS BIGINT) % 3) AS bucket,
+                  unnest(string_split(regexp_replace(
+                    lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+           FROM documents),
+ww AS (SELECT DISTINCT bucket, word FROM w WHERE word <> ''),
+dh AS (SELECT DISTINCT bucket,
+         list_reduce(list_transform(range(1, 14), i ->
+           CAST(strpos('0123456789abcdef', substr(md5(word), i, 1)) - 1
+                AS BIGINT)), (a, b) -> a * 16 + b) AS h
+       FROM ww),
+sk AS (SELECT bucket, h FROM (
+         SELECT bucket, h,
+                row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn
+         FROM dh) WHERE rn <= 64),
+sets AS (SELECT DISTINCT bucket FROM sk),
+pr AS (SELECT a.bucket AS set_a, s.bucket AS set_b, a.h,
+              1 AS in_a, 0 AS in_b
+       FROM sk a, sets s WHERE a.bucket < s.bucket
+       UNION ALL
+       SELECT s.bucket, b.bucket, b.h, 0, 1
+       FROM sk b, sets s WHERE s.bucket < b.bucket),
+m AS (SELECT set_a, set_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM pr GROUP BY 1, 2, 3),
+uk AS (SELECT * FROM (
+         SELECT m.*, row_number() OVER (PARTITION BY set_a, set_b
+                                        ORDER BY h) AS rn
+         FROM m) WHERE rn <= 64),
+ag AS (SELECT set_a, set_b, CAST(COUNT(*) AS INT) AS n_union,
+              MAX(h) AS theta, CAST(SUM(in_a * in_b) AS BIGINT) AS c
+       FROM uk GROUP BY 1, 2),
+est AS (SELECT set_a, set_b, n_union,
+               CASE WHEN n_union < 64 THEN CAST(n_union AS BIGINT)
+                    ELSE CAST(283726776524341248 // greatest(theta, 1)
+                              AS BIGINT) END AS union_est, c
+        FROM ag),
+ex AS (SELECT x.bucket AS set_a, y.bucket AS set_b,
+              CAST(COUNT(*) AS BIGINT) AS n_inter_exact
+       FROM ww x JOIN ww y ON y.word = x.word AND x.bucket < y.bucket
+       GROUP BY 1, 2)
+SELECT e.set_a, e.set_b, e.n_union, e.union_est,
+       CAST((e.c * e.union_est) // greatest(e.n_union, 1) AS BIGINT)
+         AS inter_est,
+       CAST((1000 * e.c) // greatest(e.n_union, 1) AS BIGINT)
+         AS jaccard_pm,
+       COALESCE(x.n_inter_exact, 0) AS n_inter_exact
+FROM est e LEFT JOIN ex x USING (set_a, set_b)
 """
 
 

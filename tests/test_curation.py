@@ -792,3 +792,40 @@ def test_kmv_distinct_exact_small_and_estimator(spark):
         kmv_distinct(df, ["g"], "v", k=1)
     with _pytest.raises(ValueError):
         kmv_distinct(df, ["g"], "v", prefilter_min_distinct=0)
+
+
+def test_kmv_overlap_exact_smallsets_and_estimator(spark):
+    from semargl_spark.operators.sketch import kmv_overlap
+
+    # small sets (< k): the sketch IS the set -> exact overlap
+    rows = (
+        [("p", f"v{i}") for i in range(10)]
+        + [("q", f"v{i}") for i in range(5, 20)]  # |p∩q|=5, |p∪q|=20
+    )
+    df = spark.createDataFrame(rows, "s string, v string")
+    r = kmv_overlap(df, "s", "v", k=64).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["set_a"], row["set_b"]) == ("p", "q")
+    assert row["n_union"] == 20 and row["union_est"] == 20
+    assert row["inter_est"] == 5
+    assert row["jaccard_pm"] == 250  # 1000*5//20
+
+    # large sets: 3000 shared + 2×1000 exclusive -> J = 3000/5000 = 0.6
+    big = (
+        [("a", f"s{i}") for i in range(3000)]
+        + [("a", f"xa{i}") for i in range(1000)]
+        + [("b", f"s{i}") for i in range(3000)]
+        + [("b", f"xb{i}") for i in range(1000)]
+    )
+    bdf = spark.createDataFrame(big, "s string, v string")
+    row = kmv_overlap(bdf, "s", "v", k=64).collect()[0]
+    # jaccard se ~ sqrt(J(1-J)/k) = 6%; allow 4 sigma around 600
+    assert 350 <= row["jaccard_pm"] <= 850
+    assert 2500 <= row["union_est"] <= 7500
+    assert 1200 <= row["inter_est"] <= 5200
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_overlap(df, "s", "v", k=1)
