@@ -168,3 +168,86 @@ def kmv_overlap(
         F.expr("(1000 * c) div greatest(n_union, 1)")
         .cast("long").alias("jaccard_pm"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int = 3,
+    k: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """ANF / HyperANF-style neighborhood function → (node, r,
+    est_reach) for r = 1..rounds: the estimated number of DISTINCT
+    nodes reachable from each node within r hops (directed, following
+    out-edges), via iterated merging of per-node KMV sketches (Palmer
+    et al. KDD'02 ANF; Boldi-Rosa-Vigna WWW'11 HyperANF with HLL —
+    KMV here for engine-exact determinism).
+
+    Exact r-hop reach is a transitive-closure join whose intermediate
+    explodes quadratically on dense graphs; sketches make each round a
+    LINEAR pass: sketch(v, r) = bottom-k of sketch(v, r-1) ∪
+    ⋃_{v→u} sketch(u, r-1), because bottom-k sketches are mergeable
+    (the bottom-k of unions is the bottom-k of merged bottom-k's).
+    Per-node state is ≤ k rows, so a round shuffles ≤ k·|E| rows —
+    at 10^12 edges the per-round cost is k× the edge list, never the
+    closure. Effective-diameter questions read off where est_reach
+    plateaus.
+
+    Scale/skew: sketches are kept as ROWS (node, h), never arrays — a
+    celebrity hub's merge is a bottom-k window over k·degree rows,
+    which AQE splits like any skewed key, instead of one k·degree
+    element array in a single aggregation buffer. Sub-k neighborhoods
+    (the common case in sparse KGs) are EXACT distinct counts.
+    ``localCheckpoint`` per round keeps the iterative plan flat.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = nodes.select("node", _hash52(F.col("node")).alias("h"))
+    state = state.localCheckpoint(eager=True)
+
+    num = (k - 1) * SPACE
+    w = Window.partitionBy("node").orderBy("h")
+    out = None
+    for r in range(1, rounds + 1):
+        msgs = e.join(
+            state.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "h")
+        state = (
+            state.union(msgs)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("node", "h")
+            .localCheckpoint(eager=True)
+        )
+        est = state.groupBy("node").agg(
+            F.count("*").cast("int").alias("n_hashes"),
+            F.max("h").alias("kth"),
+        ).select(
+            "node",
+            F.lit(r).cast("int").alias("r"),
+            F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("long"))
+            .otherwise(
+                F.expr(f"CAST({num} AS BIGINT) div greatest(kth, 1L)")
+            )
+            .alias("est_reach"),
+        )
+        out = est if out is None else out.union(est)
+    return out

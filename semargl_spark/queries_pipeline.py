@@ -2516,6 +2516,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_list_members": q_kg_list_members,
         "kg_cardinality_sketch": q_kg_cardinality_sketch,
         "vocab_overlap_sketch": q_vocab_overlap_sketch,
+        "kg_neighborhood_anf": q_kg_neighborhood_anf,
         "kg_scc": q_kg_scc,
     }
 
@@ -6464,6 +6465,52 @@ SELECT s.pred, s.n_hashes, s.kth_min,
               // greatest(e.n_exact, 1) AS BIGINT) AS err_pm
 FROM sk s JOIN ex e USING (pred)
 """
+
+
+def q_kg_neighborhood_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF neighborhood function over the KG (sketch.
+    neighborhood_function): per node, the estimated r-hop directed
+    ball size for r = 1..3 via iterated KMV sketch merging — the
+    linear-pass substitute for a transitive-closure join; effective
+    diameter reads off where est_reach plateaus."""
+    from .operators.sketch import neighborhood_function
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return neighborhood_function(edges, rounds=3, k=16)
+
+
+def _anf_oracle(rounds: int = 3, k: int = 16) -> str:
+    num = (k - 1) * (1 << 52)
+    hexfold = (
+        "list_reduce(list_transform(range(1, 14), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(node), i, 1)) - 1 "
+        "AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+    sql = _KG_EDGES_SQL + f""",
+e AS (SELECT DISTINCT src, dst FROM edges),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+s0 AS (SELECT node, {hexfold} AS h FROM nodes)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+m{r} AS (SELECT e.src AS node, s.h FROM e JOIN s{r - 1} s ON s.node = e.dst
+         UNION SELECT node, h FROM s{r - 1}),
+s{r} AS (SELECT node, h FROM (
+           SELECT node, h, row_number() OVER (PARTITION BY node
+                                              ORDER BY h) AS rn
+           FROM m{r}) WHERE rn <= {k}),
+r{r} AS (SELECT node, CAST({r} AS INT) AS r,
+                CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS BIGINT)
+                     ELSE CAST({num} // greatest(MAX(h), 1) AS BIGINT)
+                END AS est_reach
+         FROM s{r} GROUP BY node)"""
+    sql += "\nSELECT node, r, est_reach FROM (\n" + "\nUNION ALL\n".join(
+        f"SELECT * FROM r{r}" for r in range(1, rounds + 1)
+    ) + "\n)"
+    return sql
+
+
+ORACLES["kg_neighborhood_anf"] = _anf_oracle()
 
 
 def q_vocab_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -829,3 +829,37 @@ def test_kmv_overlap_exact_smallsets_and_estimator(spark):
 
     with _pytest.raises(ValueError):
         kmv_overlap(df, "s", "v", k=1)
+
+
+def test_neighborhood_function_chain_and_star(spark):
+    from semargl_spark.operators.sketch import neighborhood_function
+
+    # directed chain a->b->c->d: ball(a, r) = r+1 until the end caps it
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        (r["node"], r["r"]): r["est_reach"]
+        for r in neighborhood_function(chain, rounds=3, k=16).collect()
+    }
+    assert got[("a", 1)] == 2 and got[("a", 2)] == 3 and got[("a", 3)] == 4
+    assert got[("d", 1)] == 1 and got[("d", 3)] == 1  # sink: only itself
+
+    # star hub -> 5000 leaves: sub-k is impossible, estimator kicks in
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5000)], "src string, dst string"
+    )
+    est = {
+        (r["node"], r["r"]): r["est_reach"]
+        for r in neighborhood_function(star, rounds=1, k=64).collect()
+    }
+    # true ball = 5001; 1/sqrt(64) = 12.5% sigma, allow 4 sigma
+    assert 2500 <= est[("hub", 1)] <= 7500
+    assert est[("leaf0", 1)] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        neighborhood_function(chain, rounds=0)
+    with _pytest.raises(ValueError):
+        neighborhood_function(chain, k=1)
