@@ -138,7 +138,8 @@ def main() -> None:
                  "graph_stats", "kg_sparql_count_distinct", "pq_encode", "pq_search", "pq_ivf_search", "ann_recall", "kg_scc",
                  "bpe_train", "bpe_segment", "embedding_dim_recall",
                  "kg_list_members", "kg_cardinality_sketch",
-                 "vocab_overlap_sketch", "kg_neighborhood_anf"):
+                 "vocab_overlap_sketch", "kg_neighborhood_anf",
+                 "token_freq_sketch"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

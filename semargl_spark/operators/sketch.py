@@ -251,3 +251,79 @@ def neighborhood_function(
         )
         out = est if out is None else out.union(est)
     return out
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode-Muthukrishnan
+    '05) checked against exact counts for the k most frequent values →
+    (value, n_exact, est, overest_pm): the corpus collapses into a
+    d × w counter table (one groupBy over d·w keys — constant-size
+    state no matter the input), each value's estimated count is the
+    MIN of its d counters, and est ≥ exact always (collisions only
+    ADD). Expected overestimate ≤ e·N/w per row, and taking the min
+    over d independent rows drives the error to N/w^d-ish in practice.
+
+    Scale: the sketch build is ONE map-side-partial aggregate with
+    d·w = 4096 output keys — the whole frequency table of a 10^12-token
+    corpus in a few KB, mergeable across partitions/days by counter
+    addition. Point queries are a d·w-row broadcast join. The exact
+    side here exists to gate the estimator; production uses the sketch
+    alone where exact per-key counts don't fit.
+
+    Buckets come from the 52-bit md5 fold of ``r || '#' || value`` mod
+    w — deterministic, engine-exact, and independent-enough across the
+    d rows (distinct salt prefix per row).
+    """
+    if d < 1 or w < 2 or k < 1:
+        raise ValueError(f"need d >= 1, w >= 2, k >= 1; got {d},{w},{k}")
+    vals = df.select(F.col(value_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull() & (F.col("v") != "")
+    )
+    rows = vals.select(
+        "v",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(d)])
+        ).alias("r"),
+    ).select(
+        "v", "r",
+        (
+            _hash52(F.concat(F.col("r").cast("string"), F.lit("#"),
+                             F.col("v"))) % w
+        ).alias("bucket"),
+    )
+    counters = rows.groupBy("r", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    top = (
+        vals.groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("v"))
+        .limit(k)
+    )
+    probes = top.select(
+        "v", "n_exact",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    ).select(
+        "v", "n_exact", "r",
+        (
+            _hash52(F.concat(F.col("r").cast("string"), F.lit("#"),
+                             F.col("v"))) % w
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        F.col("v").alias("value"), "n_exact", "est",
+        F.expr(
+            "(1000 * (est - n_exact)) div greatest(n_exact, 1)"
+        ).cast("long").alias("overest_pm"),
+    )

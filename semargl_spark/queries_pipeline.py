@@ -2517,6 +2517,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cardinality_sketch": q_kg_cardinality_sketch,
         "vocab_overlap_sketch": q_vocab_overlap_sketch,
         "kg_neighborhood_anf": q_kg_neighborhood_anf,
+        "token_freq_sketch": q_token_freq_sketch,
         "kg_scc": q_kg_scc,
     }
 
@@ -6464,6 +6465,51 @@ SELECT s.pred, s.n_hashes, s.kth_min,
        * CAST((1000 * abs(est_distinct - e.n_exact))
               // greatest(e.n_exact, 1) AS BIGINT) AS err_pm
 FROM sk s JOIN ex e USING (pred)
+"""
+
+
+def q_token_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the 20 most frequent
+    corpus words, gated against their exact counts
+    (sketch.cm_heavy_hitters): the whole corpus frequency table in a
+    4×1024 counter grid, est ≥ exact by construction."""
+    from .operators.sketch import cm_heavy_hitters
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "word"
+        )
+    )
+    return cm_heavy_hitters(words, "word", d=4, w=1024, k=20)
+
+
+ORACLES["token_freq_sketch"] = r"""
+WITH vals AS (SELECT unnest(string_split(regexp_replace(
+                 lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS v
+              FROM documents),
+vv AS (SELECT v FROM vals WHERE v IS NOT NULL AND v <> ''),
+rws AS (SELECT v, r,
+          list_reduce(list_transform(range(1, 14), i ->
+            CAST(strpos('0123456789abcdef',
+                 substr(md5(r||'#'||v), i, 1)) - 1 AS BIGINT)),
+            (a, b) -> a * 16 + b) % 1024 AS bucket
+        FROM vv, UNNEST([0, 1, 2, 3]) AS t(r)),
+counters AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM rws GROUP BY 1, 2),
+top AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_exact FROM vv
+        GROUP BY v ORDER BY n_exact DESC, v LIMIT 20),
+probes AS (SELECT t.v, t.n_exact, q.r,
+             list_reduce(list_transform(range(1, 14), i ->
+               CAST(strpos('0123456789abcdef',
+                    substr(md5(q.r||'#'||t.v), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 1024 AS bucket
+           FROM top t, UNNEST([0, 1, 2, 3]) AS q(r)),
+est AS (SELECT v, n_exact, MIN(cnt) AS est
+        FROM probes JOIN counters USING (r, bucket) GROUP BY 1, 2)
+SELECT v AS value, n_exact, est,
+       CAST((1000 * (est - n_exact)) // greatest(n_exact, 1) AS BIGINT)
+         AS overest_pm
+FROM est
 """
 
 

@@ -863,3 +863,23 @@ def test_neighborhood_function_chain_and_star(spark):
         neighborhood_function(chain, rounds=0)
     with _pytest.raises(ValueError):
         neighborhood_function(chain, k=1)
+
+
+def test_cm_heavy_hitters_never_underestimates(spark):
+    from semargl_spark.operators.sketch import cm_heavy_hitters
+
+    # zipf-ish corpus: token t{i} appears 200//(i+1) times
+    rows = [(f"t{i}",) for i in range(40) for _ in range(200 // (i + 1))]
+    df = spark.createDataFrame(rows, "v string")
+    got = cm_heavy_hitters(df, "v", d=4, w=64, k=10).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["est"] >= r["n_exact"], r  # CM never underestimates
+        assert r["overest_pm"] >= 0
+    top = max(got, key=lambda r: r["n_exact"])
+    assert top["value"] == "t0" and top["n_exact"] == 200
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cm_heavy_hitters(df, "v", d=0)
