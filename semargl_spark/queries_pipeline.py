@@ -2518,6 +2518,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap_sketch": q_vocab_overlap_sketch,
         "kg_neighborhood_anf": q_kg_neighborhood_anf,
         "token_freq_sketch": q_token_freq_sketch,
+        "stream_cardinality": q_stream_cardinality,
         "kg_scc": q_kg_scc,
     }
 
@@ -6465,6 +6466,48 @@ SELECT s.pred, s.n_hashes, s.kth_min,
        * CAST((1000 * abs(est_distinct - e.n_exact))
               // greatest(e.n_exact, 1) AS BIGINT) AS err_pm
 FROM sk s JOIN ex e USING (pred)
+"""
+
+
+def q_stream_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV sketch maintenance (streaming/stream_sketch):
+    the documents corpus lands in micro-batches; each foreachBatch
+    merges the batch's bottom-64 word-hash sketch into the persisted
+    state. Bottom-k merging is order-insensitive and idempotent, so
+    the drained sketch equals the batch sketch EXACTLY — which is what
+    the oracle checks."""
+    import tempfile
+
+    from .streaming.stream_sketch import sketch_estimate, stream_cardinality
+
+    base = tempfile.mkdtemp(prefix="semargl_q_scard_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # several input files -> several micro-batches under availableNow
+    docs.repartition(8).write.mode("overwrite").parquet(f"{base}/in")
+    q = stream_cardinality(
+        spark, f"{base}/in", f"{base}/state", f"{base}/ckpt", k=64
+    )
+    q.awaitTermination()
+    return sketch_estimate(spark, f"{base}/state", k=64)
+
+
+ORACLES["stream_cardinality"] = r"""
+WITH w AS (SELECT unnest(string_split(regexp_replace(
+             lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS v
+           FROM documents),
+dh AS (SELECT DISTINCT
+         list_reduce(list_transform(range(1, 14), i ->
+           CAST(strpos('0123456789abcdef', substr(md5(v), i, 1)) - 1
+                AS BIGINT)), (a, b) -> a * 16 + b) AS h
+       FROM w WHERE v <> ''),
+botk AS (SELECT h FROM dh ORDER BY h LIMIT 64)
+SELECT CAST(COUNT(*) AS INT) AS n_hashes, MAX(h) AS kth_min,
+       CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+            ELSE CAST(283726776524341248 // greatest(MAX(h), 1) AS BIGINT)
+       END AS est_distinct
+FROM botk
 """
 
 

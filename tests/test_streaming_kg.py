@@ -228,3 +228,36 @@ def test_stream_state_v2_totals_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_cardinality_merge_is_replay_idempotent(spark, tmp_path):
+    """Re-draining the same input with a FRESH checkpoint re-offers
+    every batch; bottom-k union merging must leave the persisted
+    sketch bit-identical (idempotent, order-insensitive)."""
+    from semargl_spark.streaming.stream_sketch import (
+        sketch_estimate,
+        stream_cardinality,
+    )
+
+    rows = [(i, f"w{i % 300} w{(i * 7) % 300} common") for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.repartition(4).write.mode("overwrite").parquet(
+        str(tmp_path / "in")
+    )
+    q = stream_cardinality(
+        spark, str(tmp_path / "in"), str(tmp_path / "state"),
+        str(tmp_path / "ckpt1"), k=32,
+    )
+    q.awaitTermination()
+    first = sketch_estimate(spark, str(tmp_path / "state"), k=32).collect()
+    # full replay into the same state, fresh checkpoint
+    q2 = stream_cardinality(
+        spark, str(tmp_path / "in"), str(tmp_path / "state"),
+        str(tmp_path / "ckpt2"), k=32,
+    )
+    q2.awaitTermination()
+    second = sketch_estimate(spark, str(tmp_path / "state"), k=32).collect()
+    assert first == second
+    assert first[0]["n_hashes"] == 32
+    # 301 distinct words; 12.5%-sigma estimator, allow 4 sigma
+    assert 150 <= first[0]["est_distinct"] <= 600
