@@ -6484,8 +6484,10 @@ def q_stream_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    # several input files -> several micro-batches under availableNow
-    docs.repartition(8).write.mode("overwrite").parquet(f"{base}/in")
+    # 4 input files at maxFilesPerTrigger=2 -> two micro-batches under
+    # availableNow: enough to prove the cross-batch merge while keeping
+    # the gate's wall dominated by work, not per-batch stream overhead
+    docs.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
     q = stream_cardinality(
         spark, f"{base}/in", f"{base}/state", f"{base}/ckpt", k=64
     )

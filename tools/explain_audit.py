@@ -567,6 +567,37 @@ def main():
                    "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p
                    and "Python" not in p))
 
+    # 32d. sketch family: JVM-only end to end; the CM probe side joins
+    # the 4096-row counter grid via broadcast; KMV bottom-k windows
+    # never plan a cartesian
+    from semargl_spark.operators.sketch import (
+        cm_heavy_hitters, kmv_distinct, neighborhood_function,
+    )
+
+    docs9 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words9 = docs9.selectExpr(
+        "explode(split(trim(lower(text)), '\\\\s+')) AS word"
+    ).filter("word <> ''")
+    p = plan_of(kmv_distinct(docs9.selectExpr(
+        "cast(doc_id % 3 as string) AS g", "text AS v"),
+        ["g"], "v", k=64))
+    sections.append(("kmv_distinct", p))
+    checks.append(("kmv_distinct: JVM-only, window bottom-k, no cartesian",
+                   "Python" not in p and "Cartesian" not in p
+                   and "Window" in p))
+    p = plan_of(cm_heavy_hitters(words9, "word", d=4, w=1024, k=20))
+    sections.append(("cm_heavy_hitters", p))
+    checks.append(("cm_heavy_hitters: JVM-only, broadcast counter-grid probe",
+                   "Python" not in p and "BroadcastHashJoin" in p))
+    edges9 = docs9.selectExpr(
+        "cast(doc_id as string) AS src",
+        "cast(doc_id + 1 as string) AS dst")
+    p = plan_of(neighborhood_function(edges9, rounds=1, k=16))
+    sections.append(("neighborhood_function", p))
+    checks.append(("neighborhood_function: JVM-only rounds, no cartesian",
+                   "Python" not in p and "Cartesian" not in p
+                   and "NestedLoop" not in p))
+
     allow = {"media_real_resize": 3}
     offenders = []
     for qname, qfn in sorted(Q.registry().items()):
