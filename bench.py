@@ -139,7 +139,8 @@ def main() -> None:
                  "bpe_train", "bpe_segment", "embedding_dim_recall",
                  "kg_list_members", "kg_cardinality_sketch",
                  "vocab_overlap_sketch", "kg_neighborhood_anf",
-                 "token_freq_sketch", "stream_cardinality"):
+                 "token_freq_sketch", "stream_cardinality",
+                 "kg_temporal_reach"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

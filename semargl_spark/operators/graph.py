@@ -1502,3 +1502,81 @@ def list_members(first: DataFrame, rest: DataFrame,
     return ranked.join(first, "cell").select(
         "head", F.col("pos").cast("int").alias("pos"), "member"
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-respecting reachability over a temporal edge set →
+    (origin, node, min_arr, min_hops): which nodes each seed reaches
+    within ``max_hops`` hops along paths whose edge timestamps are
+    NON-DECREASING (each step departs no earlier than the previous
+    edge's timestamp — information/influence can only flow forward in
+    time), with the earliest possible arrival timestamp and the fewest
+    hops. Plain closure over a temporal KG OVERSTATES reach: an edge
+    asserted before you got there can't carry you onward; this is the
+    temporal-KG query that gets it right.
+
+    Frontier iteration, one level per hop: level r extends level r-1
+    through edges with ``ts >= arr``. State is pruned to the MINIMUM
+    arrival per (origin, node, hops) — safe because with a
+    non-decreasing constraint an earlier arrival admits a superset of
+    continuations at the same depth (pure min-per-node pruning across
+    DIFFERENT depths would be wrong under a hop budget: a later but
+    shorter arrival can still out-reach a sooner, deeper one — hence
+    the per-level key). Seeds start at arrival 0, so every first hop
+    is admissible on positive timestamps.
+
+    Scale shape: each hop is one equi-join of the current frontier
+    against the edge table (shuffled on node id, AQE splits hub skew)
+    plus one min-groupBy; ``localCheckpoint`` per level keeps the plan
+    flat; frontiers are seed-limited, never all-pairs.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("esrc"),
+            F.col(dst_col).cast("string").alias("edst"),
+            F.col(ts_col).cast("long").alias("ets"),
+        )
+        .filter(
+            F.col("esrc").isNotNull()
+            & F.col("edst").isNotNull()
+            & F.col("ets").isNotNull()
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("origin")
+    ).distinct().select(
+        "origin",
+        F.col("origin").alias("node"),
+        F.lit(0).cast("long").alias("arr"),
+        F.lit(0).cast("int").alias("hops"),
+    ).localCheckpoint(eager=True)
+    walks = frontier
+    for r in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(e, frontier.node == e.esrc)
+            .filter(F.col("ets") >= F.col("arr"))
+            .groupBy("origin", F.col("edst").alias("node"))
+            .agg(F.min("ets").alias("arr"))
+            .select(
+                "origin", "node", "arr", F.lit(r).cast("int").alias("hops")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        walks = walks.unionByName(frontier).localCheckpoint(eager=False)
+    return walks.groupBy("origin", "node").agg(
+        F.min("arr").alias("min_arr"),
+        F.min("hops").cast("int").alias("min_hops"),
+    )

@@ -2519,6 +2519,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighborhood_anf": q_kg_neighborhood_anf,
         "token_freq_sketch": q_token_freq_sketch,
         "stream_cardinality": q_stream_cardinality,
+        "kg_temporal_reach": q_kg_temporal_reach,
         "kg_scc": q_kg_scc,
     }
 
@@ -6466,6 +6467,54 @@ SELECT s.pred, s.n_hashes, s.kth_min,
        * CAST((1000 * abs(est_distinct - e.n_exact))
               // greatest(e.n_exact, 1) AS BIGINT) AS err_pm
 FROM sk s JOIN ex e USING (pred)
+"""
+
+
+def q_kg_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (graph.temporal_reachability):
+    seeds' 8-hop reach along NON-DECREASING-timestamp paths, with
+    earliest arrival and fewest hops. The derived temporal graph makes
+    the constraint bite: forward chain edges carry increasing
+    timestamps (walkable), while every 7th node's back-edge lands on a
+    node whose outgoing timestamps are already in the past — reachable
+    but a temporal dead-end, where plain closure would keep going."""
+    from .operators.graph import temporal_reachability
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    u = lambda c: F.concat_ws("", F.lit("u"), c.cast("string"))  # noqa: E731
+    chain = d.select(
+        u(F.col("d")).alias("src"),
+        u(F.col("d") + 1).alias("dst"),
+        (F.col("d") + 1000).alias("ts"),
+    )
+    back = d.filter((F.col("d") % 7 == 0) & (F.col("d") >= 3)).select(
+        u(F.col("d")).alias("src"),
+        u(F.col("d") - 3).alias("dst"),
+        (F.col("d") + 1000).alias("ts"),
+    )
+    seeds = d.filter(F.col("d") % 50 == 0).select(
+        u(F.col("d")).alias("node")
+    )
+    return temporal_reachability(chain.union(back), seeds, max_hops=8)
+
+
+ORACLES["kg_temporal_reach"] = """
+WITH RECURSIVE d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+e AS (SELECT 'u'||d AS src, 'u'||(d+1) AS dst,
+             CAST(d + 1000 AS BIGINT) AS ts FROM d
+      UNION ALL
+      SELECT 'u'||d, 'u'||(d-3), CAST(d + 1000 AS BIGINT)
+      FROM d WHERE d % 7 = 0 AND d >= 3),
+seeds AS (SELECT 'u'||d AS node FROM d WHERE d % 50 = 0),
+walk(origin, node, hops, arr) AS (
+  SELECT node, node, 0, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT w.origin, e.dst, w.hops + 1, e.ts
+  FROM walk w JOIN e ON e.src = w.node AND e.ts >= w.arr
+  WHERE w.hops < 8
+)
+SELECT origin, node, MIN(arr) AS min_arr, CAST(MIN(hops) AS INT) AS min_hops
+FROM walk GROUP BY origin, node
 """
 
 

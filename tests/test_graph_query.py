@@ -1522,3 +1522,54 @@ def test_list_rank_cycle_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         list_rank(rest, max_iter=6)
+
+
+def test_temporal_reachability_blocks_backward_time(spark):
+    from semargl_spark.operators.graph import temporal_reachability
+
+    # a -ts10-> b -ts20-> c   : walkable (non-decreasing)
+    # a -ts30-> d -ts5--> e   : d reachable, but d's out-edge is in the
+    #                           past on arrival -> e NOT reachable
+    # f -ts7--> g at equal ts  : g -ts7-> h walkable (non-strict)
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10), ("b", "c", 20),
+            ("a", "d", 30), ("d", "e", 5),
+            ("f", "g", 7), ("g", "h", 7),
+        ],
+        "src string, dst string, ts long",
+    )
+    seeds = spark.createDataFrame([("a",), ("f",)], "node string")
+    got = {
+        (r["origin"], r["node"]): (r["min_arr"], r["min_hops"])
+        for r in temporal_reachability(edges, seeds, max_hops=4).collect()
+    }
+    assert got[("a", "a")] == (0, 0)
+    assert got[("a", "b")] == (10, 1)
+    assert got[("a", "c")] == (20, 2)
+    assert got[("a", "d")] == (30, 1)
+    assert ("a", "e") not in got  # temporal dead-end
+    assert got[("f", "h")] == (7, 2)  # equal timestamps chain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temporal_reachability(edges, seeds, max_hops=0)
+
+
+def test_temporal_reachability_earliest_arrival_dominates(spark):
+    """Two routes to x: early-arrival (ts 1) and late (ts 9); only the
+    early arrival can continue through x's ts-5 out-edge."""
+    from semargl_spark.operators.graph import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [("s", "x", 1), ("s", "m", 2), ("m", "x", 9), ("x", "y", 5)],
+        "src string, dst string, ts long",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {
+        r["node"]: (r["min_arr"], r["min_hops"])
+        for r in temporal_reachability(edges, seeds, max_hops=4).collect()
+    }
+    assert got["x"] == (1, 1)
+    assert got["y"] == (5, 2)  # via the ts-1 arrival only
