@@ -140,7 +140,7 @@ def main() -> None:
                  "kg_list_members", "kg_cardinality_sketch",
                  "vocab_overlap_sketch", "kg_neighborhood_anf",
                  "token_freq_sketch", "stream_cardinality",
-                 "kg_temporal_reach"):
+                 "kg_temporal_reach", "kg_asof_view"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

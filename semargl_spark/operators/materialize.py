@@ -294,3 +294,35 @@ def edge_provenance(statements: DataFrame, transcripts: DataFrame) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("first_ts_us"),
         F.unix_micros(F.max("ts")).alias("last_ts_us"),
     )
+
+
+def kg_asof(assertions: DataFrame, at_ts: int) -> DataFrame:
+    """Point-in-time KG view → (src, pred, dst, asserted_ts): for each
+    (subject, predicate), the LATEST assertion at or before ``at_ts``
+    — "what did the graph believe at time T". The temporal-KG
+    companion of :func:`edge_provenance` (which aggregates assertion
+    history) and kg_snapshot_diff (which compares two views): facts
+    re-asserted with new objects supersede older ones, facts first
+    asserted after T don't exist yet.
+
+    One window over (src, pred) — the natural near-unique key, no skew
+    by construction — ordered (ts desc, dst asc) so re-assertions at
+    the same timestamp resolve deterministically. The ``ts <= T``
+    filter is pushed to the scan; on a ts-partitioned assertion table
+    it prunes every later partition before any shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src", "pred").orderBy(
+        F.desc("ts"), F.asc("dst")
+    )
+    return (
+        assertions.filter(F.col("ts") <= F.lit(int(at_ts)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src", "pred", "dst", F.col("ts").cast("long").alias(
+                "asserted_ts"
+            )
+        )
+    )

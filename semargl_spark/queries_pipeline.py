@@ -2520,6 +2520,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_sketch": q_token_freq_sketch,
         "stream_cardinality": q_stream_cardinality,
         "kg_temporal_reach": q_kg_temporal_reach,
+        "kg_asof_view": q_kg_asof_view,
         "kg_scc": q_kg_scc,
     }
 
@@ -6467,6 +6468,42 @@ SELECT s.pred, s.n_hashes, s.kth_min,
        * CAST((1000 * abs(est_distinct - e.n_exact))
               // greatest(e.n_exact, 1) AS BIGINT) AS err_pm
 FROM sk s JOIN ex e USING (pred)
+"""
+
+
+def q_kg_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG view (materialize.kg_asof): each entity's name
+    is re-asserted over time (one assertion per version j at ts
+    1000+10j, versions 0..d%4); the view at T=1015 must show exactly
+    version min(1, d%4) — later re-assertions don't exist yet."""
+    from .operators.materialize import kg_asof
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    assertions = d.select(
+        "d",
+        F.explode(F.sequence(F.lit(0), F.col("d") % 4)).alias("j"),
+    ).select(
+        F.concat_ws("", F.lit("u"), F.col("d").cast("string")).alias("src"),
+        F.lit("urn:p:name").alias("pred"),
+        F.concat_ws(
+            "", F.lit("v"), F.col("d").cast("string"), F.lit("_"),
+            F.col("j").cast("string"),
+        ).alias("dst"),
+        (F.lit(1000) + F.col("j") * 10).cast("long").alias("ts"),
+    )
+    return kg_asof(assertions, at_ts=1015)
+
+
+ORACLES["kg_asof_view"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+a AS (SELECT 'u'||d AS src, 'urn:p:name' AS pred, 'v'||d||'_'||j AS dst,
+             CAST(1000 + j * 10 AS BIGINT) AS ts
+      FROM d, UNNEST(generate_series(0, d % 4)) AS t(j)),
+r AS (SELECT src, pred, dst, ts,
+             row_number() OVER (PARTITION BY src, pred
+                                ORDER BY ts DESC, dst ASC) AS rn
+      FROM a WHERE ts <= 1015)
+SELECT src, pred, dst, ts AS asserted_ts FROM r WHERE rn = 1
 """
 
 

@@ -1573,3 +1573,26 @@ def test_temporal_reachability_earliest_arrival_dominates(spark):
     }
     assert got["x"] == (1, 1)
     assert got["y"] == (5, 2)  # via the ts-1 arrival only
+
+
+def test_kg_asof_view_supersession_and_cutoff(spark):
+    from semargl_spark.operators.materialize import kg_asof
+
+    a = spark.createDataFrame(
+        [
+            ("e1", "p", "old", 10), ("e1", "p", "new", 20),
+            ("e1", "p", "future", 99),          # after T: invisible
+            ("e2", "p", "only", 5),
+            ("e3", "p", "b", 20), ("e3", "p", "a", 20),  # ts tie -> 'a'
+            ("e4", "p", "late", 50),            # first asserted after T
+        ],
+        "src string, pred string, dst string, ts long",
+    )
+    got = {
+        r["src"]: (r["dst"], r["asserted_ts"])
+        for r in kg_asof(a, at_ts=20).collect()
+    }
+    assert got["e1"] == ("new", 20)
+    assert got["e2"] == ("only", 5)
+    assert got["e3"] == ("a", 20)
+    assert "e4" not in got
