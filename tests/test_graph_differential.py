@@ -224,3 +224,62 @@ def test_new_pair_operators_plan_shapes(spark):
     for df in (walks, pairs, cooc, fun):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_temporal_reachability_matches_unpruned_enumeration(spark):
+    """The per-(node,hops) min-arrival pruning must be invisible:
+    compare against a mirror that enumerates ALL time-respecting walks
+    up to the hop budget with no pruning, over random small temporal
+    graphs (random ts assignments produce dead-ends, ties, and
+    dominance races)."""
+    import itertools
+    import random
+
+    from semargl_spark.operators.graph import temporal_reachability
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(4, 8)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = []
+        for s, t in itertools.permutations(nodes, 2):
+            if rng.random() < 0.35:
+                edges.append((s, t, rng.randint(1, 5)))
+        if not edges:
+            continue
+        seeds = rng.sample(nodes, 2)
+        max_hops = 4
+
+        # unpruned mirror: BFS over (node, arr) states per hop level
+        expect = {}
+        for o in seeds:
+            states = {(o, 0)}
+            best = {o: (0, 0)}
+            for hop in range(1, max_hops + 1):
+                nxt = set()
+                for (node, arr) in states:
+                    for (s, t, ts) in edges:
+                        if s == node and ts >= arr:
+                            nxt.add((t, ts))
+                            cur = best.get(t)
+                            cand = (ts, hop)
+                            if cur is None:
+                                best[t] = cand
+                            else:
+                                best[t] = (min(cur[0], ts),
+                                           min(cur[1], hop))
+                states = nxt
+                if not states:
+                    break
+            for node, (arr, hops) in best.items():
+                expect[(o, node)] = (arr, hops)
+
+        edf = spark.createDataFrame(edges, "src string, dst string, ts long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+        got = {
+            (r["origin"], r["node"]): (r["min_arr"], r["min_hops"])
+            for r in temporal_reachability(
+                edf, sdf, max_hops=max_hops
+            ).collect()
+        }
+        assert got == expect, f"trial {trial}: {got} != {expect}"
