@@ -13,8 +13,10 @@ what the ``stream_cardinality`` gate checks against the DuckDB oracle.
 State is ≤ k rows BY CONSTRUCTION — the merge collects at most k longs
 to the driver per micro-batch (the sketch's entire point is that this
 never grows), then atomically overwrites the state parquet. At 10^12
-rows/day the same shape holds: per-batch work is one distinct + one
-TakeOrdered over the batch, state I/O is k rows.
+rows/day the same shape holds: per-batch work is a two-level bottom-k
+(parallel per-partition unique-bottom-k, then one reduce task over
+≤ P·k survivors — no shuffle of the full distinct-hash set, unlike a
+naive ``distinct()``), state I/O is k rows.
 
 Production alternative: Spark's HLL-based approx_count_distinct over
 ``outputMode(update)`` — mergeable too, but engine-private registers
@@ -27,6 +29,73 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketch import SPACE, _hash52
+
+
+def _bottomk_local(k: int):
+    """mapInArrow kernel: unique-bottom-k of the h column within one
+    partition, O(k + arrow-batch) memory, ≤ k rows out per partition."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        best = None
+        for batch in batches:
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            if h.size == 0:
+                continue
+            u = np.unique(h)[:k]
+            best = (
+                u
+                if best is None
+                else np.unique(np.concatenate([best, u]))[:k]
+            )
+        if best is not None and best.size:
+            yield pa.record_batch(
+                [pa.array(best, type=pa.int64())], names=["h"]
+            )
+
+    return fn
+
+
+def bottomk_distinct(df, k: int):
+    """Exact bottom-k DISTINCT hashes of ``df.h`` without shuffling
+    the full hash set: every global bottom-k member is by definition
+    among the bottom-k distinct of its own partition, so a parallel
+    per-partition unique-bottom-k followed by one reduce task over the
+    ≤ P·k survivors is exact. The repartition(1) moves ≤ P·k longs —
+    at P = 10^5 partitions and k = 64 that is 6.4 M longs, one cheap
+    task — versus a ``distinct()`` that shuffles every distinct hash."""
+    local = df.select("h").mapInArrow(_bottomk_local(k), "h long")
+    return local.repartition(1).mapInArrow(_bottomk_local(k), "h long")
+
+
+def _read_state(state_path: str) -> list[int]:
+    """Driver-side read of the ≤ k-row sketch state (see merge())."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = os.path.join(state_path, "state.parquet")
+    if not os.path.exists(f):
+        return []
+    return pq.read_table(f).column("h").to_pylist()
+
+
+def _write_state(state_path: str, hashes: list[int]) -> None:
+    """Atomic driver-side overwrite of the sketch state: write a temp
+    file, then rename — a reader never sees a partial state."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(state_path, exist_ok=True)
+    tmp = os.path.join(state_path, ".state.tmp.parquet")
+    pq.write_table(
+        pa.table({"h": pa.array(hashes, type=pa.int64())}), tmp
+    )
+    os.replace(tmp, os.path.join(state_path, "state.parquet"))
 
 
 def read_document_stream(spark: SparkSession, input_path: str):
@@ -58,18 +127,16 @@ def stream_cardinality(
     hashes = words.select(_hash52(F.col("v")).alias("h"))
 
     def merge(batch_df, _batch_id):
-        batch_sk = batch_df.select("h").distinct().orderBy("h").limit(k)
-        sess = batch_df.sparkSession
-        try:
-            old = sess.read.parquet(state_path)
-        except Exception:
-            old = sess.createDataFrame([], "h long")
-        merged = (
-            old.union(batch_sk).distinct().orderBy("h").limit(k).collect()
-        )
-        sess.createDataFrame(
-            [(r["h"],) for r in merged], "h long"
-        ).coalesce(1).write.mode("overwrite").parquet(state_path)
+        batch_sk = [r["h"] for r in bottomk_distinct(batch_df, k).collect()]
+        # both sides are ≤ k longs — the sorted-set union in Python is
+        # the mergeable-sketch ⊕, and the state round-trips through
+        # driver-side Arrow parquet with an atomic rename (the same
+        # pattern as Spark's own offset/commit logs; on a cluster the
+        # rename goes through the checkpoint FileSystem API instead).
+        # A Spark job for k rows would cost more in scheduling than
+        # the whole merge.
+        merged = sorted(set(_read_state(state_path)) | set(batch_sk))[:k]
+        _write_state(state_path, merged)
 
     return (
         hashes.writeStream.foreachBatch(merge)
