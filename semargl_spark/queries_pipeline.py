@@ -2522,6 +2522,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_reach": q_kg_temporal_reach,
         "kg_asof_view": q_kg_asof_view,
         "kg_scc": q_kg_scc,
+        "kg_owl_infer": q_kg_owl_infer,
+        "kg_sameas_fuse": q_kg_sameas_fuse,
+        "kg_truth_vote": q_kg_truth_vote,
     }
 
 
@@ -6997,4 +7000,260 @@ SELECT 'urn:e:'||id AS node,
               THEN LEAST('urn:e:'||(id-1), 'urn:e:'||id)
             ELSE 'urn:e:'||id END AS component
 FROM nodes
+"""
+
+
+# ------------------------------------------- round-2 additions (r2c): fusion
+
+
+def _fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(did:long) id column of the documents table — the deterministic
+    seed the fusion queries derive their assertion corpora from
+    (mirrored closed-form by the oracles)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+
+
+def q_kg_owl_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL property-semantics materialization
+    (operators/fusion.owl_infer): a 5-axiom ontology — partOf
+    transitive with hasPart as inverse, adjacentTo symmetric, capital
+    functional, created inverse-functional — entails inverse/symmetric
+    mirrors, the partOf fixpoint closure (chains bounded at 3 hops by
+    the mod-8 construction), and owl:sameAs conclusions from the
+    (inverse-)functional clashes."""
+    from .operators.fusion import owl_infer
+
+    d = _fusion_docs(spark, sf_dir)
+    n = F.concat(F.lit("urn:n:"), F.col("did"))
+    n1 = F.concat(F.lit("urn:n:"), F.col("did") + 1)
+    n2 = F.concat(F.lit("urn:n:"), F.col("did") + 2)
+    part = d.filter(F.col("did") % 8 < 3).select(
+        n.alias("subj"), F.lit("urn:p:partOf").alias("pred"), n1.alias("obj")
+    )
+    adj = d.filter(F.col("did") % 4 == 0).select(
+        n.alias("subj"),
+        F.lit("urn:p:adjacentTo").alias("pred"),
+        n2.alias("obj"),
+    )
+    ct = F.concat(F.lit("urn:ct:"), F.col("did"))
+    cap = d.filter(F.col("did") % 10 == 0)
+    caps = cap.select(
+        ct.alias("subj"),
+        F.lit("urn:p:capital").alias("pred"),
+        F.concat(F.lit("urn:c:"), F.col("did")).alias("obj"),
+    ).unionByName(
+        cap.select(
+            ct.alias("subj"),
+            F.lit("urn:p:capital").alias("pred"),
+            F.concat(F.lit("urn:cc:"), F.col("did")).alias("obj"),
+        )
+    )
+    created = d.filter(F.col("did") % 9 == 0).select(
+        F.concat(F.lit("urn:u:"), F.col("did")).alias("subj"),
+        F.lit("urn:p:created").alias("pred"),
+        F.concat(
+            F.lit("urn:w:"), F.col("did") - F.col("did") % 18
+        ).alias("obj"),
+    )
+    g = (
+        part.unionByName(adj)
+        .unionByName(caps)
+        .unionByName(created)
+        # four rule joins + the closure loop read this; plan the
+        # parquet-derived union once
+        .localCheckpoint(eager=False)
+    )
+    return owl_infer(
+        g,
+        inverse=[("urn:p:partOf", "urn:p:hasPart")],
+        symmetric=["urn:p:adjacentTo"],
+        transitive=["urn:p:partOf"],
+        functional=["urn:p:capital"],
+        inverse_functional=["urn:p:created"],
+    )
+
+
+ORACLES["kg_owl_infer"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+e AS (SELECT 'urn:n:'||did AS s, 'urn:n:'||(did+1) AS o FROM ids
+      WHERE did % 8 < 3),
+e2 AS (SELECT a.s, b.o FROM e a JOIN e b ON a.o = b.s),
+e3 AS (SELECT a.s, b.o FROM e2 a JOIN e b ON a.o = b.s),
+clo_extra AS (SELECT s, o FROM e2 UNION SELECT s, o FROM e3
+              EXCEPT SELECT s, o FROM e),
+adj AS (SELECT 'urn:n:'||did AS s, 'urn:n:'||(did+2) AS o FROM ids
+        WHERE did % 4 = 0),
+cap AS (SELECT did FROM ids WHERE did % 10 = 0),
+cr AS (SELECT 'urn:u:'||did AS s, 'urn:w:'||(did - did % 18) AS o
+       FROM ids WHERE did % 9 = 0),
+inf AS (
+  SELECT o AS subj, 'urn:p:hasPart' AS pred, s AS obj FROM e
+  UNION
+  SELECT o, 'urn:p:adjacentTo', s FROM adj
+  UNION
+  SELECT s, 'urn:p:partOf', o FROM clo_extra
+  UNION
+  SELECT LEAST('urn:c:'||did, 'urn:cc:'||did),
+         'http://www.w3.org/2002/07/owl#sameAs',
+         GREATEST('urn:c:'||did, 'urn:cc:'||did) FROM cap
+  UNION
+  SELECT LEAST(a.s, b.s), 'http://www.w3.org/2002/07/owl#sameAs',
+         GREATEST(a.s, b.s)
+  FROM cr a JOIN cr b ON a.o = b.o AND a.s < b.s)
+SELECT subj, pred, obj FROM inf
+"""
+
+
+def q_kg_sameas_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity fusion (operators/fusion.sameas_fuse): sameAs chains
+    urn:e:d ~ urn:dup:d (~ urn:alt:d) are closed transitively by
+    connected components, every class collapses to its lexicographic
+    minimum, and the alias-mentioning triple corpus is rewritten
+    through the mapping — the dedup step between entity linking and
+    MERGE-materialization."""
+    from .operators.fusion import sameas_fuse
+
+    d = _fusion_docs(spark, sf_dir)
+    e = F.concat(F.lit("urn:e:"), F.col("did"))
+    dup = F.concat(F.lit("urn:dup:"), F.col("did"))
+    alt = F.concat(F.lit("urn:alt:"), F.col("did"))
+    sameas = (
+        d.filter(F.col("did") % 3 == 0)
+        .select(e.alias("src"), dup.alias("dst"))
+        .unionByName(
+            d.filter(F.col("did") % 6 == 0).select(
+                dup.alias("src"), alt.alias("dst")
+            )
+        )
+    )
+    mention = F.when(F.col("did") % 6 == 0, alt).when(
+        F.col("did") % 3 == 0, dup
+    ).otherwise(e)
+    g = d.select(
+        mention.alias("subj"),
+        F.lit("urn:p:knows").alias("pred"),
+        F.concat(F.lit("urn:e:"), F.col("did") + 1).alias("obj"),
+    ).unionByName(
+        d.select(
+            mention.alias("subj"),
+            F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias(
+                "pred"
+            ),
+            F.lit("urn:t:Thing").alias("obj"),
+        )
+    )
+    return sameas_fuse(g, sameas)
+
+
+ORACLES["kg_sameas_fuse"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+nmax AS (SELECT MAX(did) AS mx FROM ids),
+fused AS (
+  SELECT CASE WHEN did % 6 = 0 THEN 'urn:alt:'||did
+              WHEN did % 3 = 0 THEN 'urn:dup:'||did
+              ELSE 'urn:e:'||did END AS subj,
+         'urn:p:knows' AS pred,
+         CASE WHEN (did+1) <= (SELECT mx FROM nmax) AND (did+1) % 6 = 0
+                THEN 'urn:alt:'||(did+1)
+              WHEN (did+1) <= (SELECT mx FROM nmax) AND (did+1) % 3 = 0
+                THEN 'urn:dup:'||(did+1)
+              ELSE 'urn:e:'||(did+1) END AS obj
+  FROM ids
+  UNION
+  SELECT CASE WHEN did % 6 = 0 THEN 'urn:alt:'||did
+              WHEN did % 3 = 0 THEN 'urn:dup:'||did
+              ELSE 'urn:e:'||did END,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:t:Thing'
+  FROM ids)
+SELECT subj, pred, obj FROM fused
+"""
+
+
+def q_kg_truth_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery (operators/fusion.truth_discovery, 2 rounds):
+    five sources assert conflicting bornIn objects — three truthful
+    (silent on did%5==1), one 25%-accurate, one never right. Round 1
+    is plain majority; round 2 reweights by round-1 agreement, so on
+    the rows where only the unreliable sources speak the winner flips
+    from the lexicographic tie-break to the claim of the source that
+    agreed with the majority elsewhere."""
+    from .operators.fusion import truth_discovery
+
+    d = _fusion_docs(spark, sf_dir)
+    subj = F.concat(F.lit("urn:e:"), F.col("did"))
+    city = lambda c: F.concat(F.lit("urn:city:"), c)  # noqa: E731
+    pred = F.lit("urn:p:bornIn").alias("pred")
+    truthful = (
+        d.filter(F.col("did") % 5 != 1)
+        .select(
+            F.explode(
+                F.array(
+                    F.lit("urn:src:0"), F.lit("urn:src:1"), F.lit("urn:src:2")
+                )
+            ).alias("source"),
+            subj.alias("subj"),
+            pred,
+            city(F.col("did") % 7).alias("obj"),
+        )
+    )
+    s3 = d.select(
+        F.lit("urn:src:3").alias("source"),
+        subj.alias("subj"),
+        pred,
+        city(
+            F.when(F.col("did") % 4 == 0, F.col("did") % 7).otherwise(
+                (F.col("did") + 1) % 7
+            )
+        ).alias("obj"),
+    )
+    s4 = d.select(
+        F.lit("urn:src:4").alias("source"),
+        subj.alias("subj"),
+        pred,
+        city((F.col("did") + 2) % 7).alias("obj"),
+    )
+    a = truthful.unionByName(s3).unionByName(s4)
+    return truth_discovery(a, rounds=2).select(
+        "subj", "pred", "obj", F.col("score").cast("long").alias("score")
+    )
+
+
+ORACLES["kg_truth_vote"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+a AS (
+  SELECT 'urn:src:'||s AS source, 'urn:e:'||did AS subj,
+         'urn:city:'||(did % 7) AS obj
+  FROM ids CROSS JOIN (SELECT unnest(range(0, 3)) AS s)
+  WHERE did % 5 <> 1
+  UNION ALL
+  SELECT 'urn:src:3', 'urn:e:'||did,
+         'urn:city:'||(CASE WHEN did % 4 = 0 THEN did % 7
+                            ELSE (did + 1) % 7 END)
+  FROM ids
+  UNION ALL
+  SELECT 'urn:src:4', 'urn:e:'||did, 'urn:city:'||((did + 2) % 7)
+  FROM ids),
+r1 AS (SELECT subj, obj, COUNT(*) AS score FROM a GROUP BY subj, obj),
+w1 AS (SELECT subj, obj FROM (
+         SELECT subj, obj,
+                row_number() OVER (PARTITION BY subj
+                                   ORDER BY score DESC, obj ASC) AS rn
+         FROM r1) t WHERE rn = 1),
+agree AS (SELECT a.source, COUNT(*) AS n FROM a
+          JOIN w1 ON a.subj = w1.subj AND a.obj = w1.obj
+          GROUP BY a.source),
+rel AS (SELECT s.source, 1 + COALESCE(agree.n, 0) AS w
+        FROM (SELECT DISTINCT source FROM a) s
+        LEFT JOIN agree ON s.source = agree.source),
+r2 AS (SELECT a.subj, a.obj, SUM(rel.w) AS score FROM a
+       JOIN rel ON a.source = rel.source GROUP BY a.subj, a.obj),
+w2 AS (SELECT subj, obj, score FROM (
+         SELECT subj, obj, score,
+                row_number() OVER (PARTITION BY subj
+                                   ORDER BY score DESC, obj ASC) AS rn
+         FROM r2) t WHERE rn = 1)
+SELECT subj, 'urn:p:bornIn' AS pred, obj, CAST(score AS BIGINT) AS score
+FROM w2
 """

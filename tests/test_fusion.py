@@ -1,0 +1,175 @@
+"""Unit tests for the KG fusion operators
+(semargl_spark/operators/fusion.py): OWL property-semantics inference,
+sameAs entity fusion, and iterative truth discovery."""
+
+from __future__ import annotations
+
+import pytest
+
+from semargl_spark.operators.fusion import (
+    OWL_SAME_AS,
+    owl_infer,
+    sameas_fuse,
+    truth_discovery,
+)
+
+
+def _g(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestOwlInfer:
+    def test_inverse_both_directions(self, spark):
+        g = _g(spark, [
+            ("a", "urn:p:partOf", "b"),
+            ("c", "urn:p:hasPart", "d"),
+        ])
+        out = _rows(owl_infer(g, inverse=[("urn:p:partOf", "urn:p:hasPart")]))
+        assert out == {
+            ("b", "urn:p:hasPart", "a"),
+            ("d", "urn:p:partOf", "c"),
+        }
+
+    def test_symmetric_excludes_asserted(self, spark):
+        g = _g(spark, [
+            ("a", "urn:p:adj", "b"),
+            ("b", "urn:p:adj", "a"),  # mirror already asserted
+            ("c", "urn:p:adj", "d"),
+        ])
+        out = _rows(owl_infer(g, symmetric=["urn:p:adj"]))
+        assert out == {("d", "urn:p:adj", "c")}
+
+    def test_transitive_closure_new_pairs_only(self, spark):
+        g = _g(spark, [
+            ("a", "urn:p:in", "b"),
+            ("b", "urn:p:in", "c"),
+            ("c", "urn:p:in", "d"),
+            ("x", "urn:p:other", "y"),
+        ])
+        out = _rows(owl_infer(g, transitive=["urn:p:in"]))
+        assert out == {
+            ("a", "urn:p:in", "c"),
+            ("a", "urn:p:in", "d"),
+            ("b", "urn:p:in", "d"),
+        }
+
+    def test_transitive_cycle_terminates(self, spark):
+        g = _g(spark, [
+            ("a", "urn:p:in", "b"),
+            ("b", "urn:p:in", "a"),
+        ])
+        out = _rows(owl_infer(g, transitive=["urn:p:in"]))
+        # closure on a 2-cycle adds the self-loops
+        assert out == {("a", "urn:p:in", "a"), ("b", "urn:p:in", "b")}
+
+    def test_functional_emits_canonical_sameas(self, spark):
+        g = _g(spark, [
+            ("s", "urn:p:capital", "z"),
+            ("s", "urn:p:capital", "a"),
+            ("t", "urn:p:capital", "only"),
+        ])
+        out = _rows(owl_infer(g, functional=["urn:p:capital"]))
+        assert out == {("a", OWL_SAME_AS, "z")}
+
+    def test_inverse_functional(self, spark):
+        g = _g(spark, [
+            ("u1", "urn:p:made", "w"),
+            ("u2", "urn:p:made", "w"),
+            ("u3", "urn:p:made", "v"),
+        ])
+        out = _rows(owl_infer(g, inverse_functional=["urn:p:made"]))
+        assert out == {("u1", OWL_SAME_AS, "u2")}
+
+    def test_no_axioms_raises(self, spark):
+        g = _g(spark, [("a", "p", "b")])
+        with pytest.raises(ValueError):
+            owl_infer(g)
+
+
+class TestSameasFuse:
+    def test_chain_fuses_to_min_and_rewrites_both_sides(self, spark):
+        sameas = spark.createDataFrame(
+            [("e1", "m1"), ("m1", "a1")], "src string, dst string"
+        )
+        g = _g(spark, [
+            ("m1", "urn:p:knows", "e2"),   # subj rewrite
+            ("e2", "urn:p:knows", "e1"),   # obj rewrite
+            ("a1", "urn:p:knows", "e2"),   # collides with row 1 post-fuse
+            ("zz", "urn:p:knows", "zz"),   # untouched passthrough
+        ])
+        out = _rows(sameas_fuse(g, sameas))
+        assert out == {
+            ("a1", "urn:p:knows", "e2"),
+            ("e2", "urn:p:knows", "a1"),
+            ("zz", "urn:p:knows", "zz"),
+        }
+
+    def test_empty_sameas_is_identity_set(self, spark):
+        sameas = spark.createDataFrame([], "src string, dst string")
+        g = _g(spark, [("a", "p", "b"), ("a", "p", "b")])
+        assert _rows(sameas_fuse(g, sameas)) == {("a", "p", "b")}
+
+
+class TestTruthDiscovery:
+    def _a(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "source string, subj string, pred string, obj string"
+        )
+
+    def test_majority_vote_round1(self, spark):
+        a = self._a(spark, [
+            ("s1", "e", "p", "X"),
+            ("s2", "e", "p", "X"),
+            ("s3", "e", "p", "Y"),
+        ])
+        out = truth_discovery(a, rounds=1).collect()
+        assert [tuple(r) for r in out] == [("e", "p", "X", 2)]
+
+    def test_tie_breaks_to_min_obj(self, spark):
+        a = self._a(spark, [
+            ("s1", "e", "p", "B"),
+            ("s2", "e", "p", "A"),
+        ])
+        out = truth_discovery(a, rounds=1).collect()
+        assert [tuple(r) for r in out] == [("e", "p", "A", 1)]
+
+    def test_round2_reliability_flips_tied_claim(self, spark):
+        # s1 agrees with the majority on e1/e2; s2 never does. On e3
+        # only s1 and s2 speak and s2's claim wins the round-1 tie
+        # lexicographically — round 2's reliability weights flip it.
+        a = self._a(spark, [
+            ("s1", "e1", "p", "X"), ("s3", "e1", "p", "X"),
+            ("s1", "e2", "p", "Y"), ("s3", "e2", "p", "Y"),
+            ("s2", "e1", "p", "W"),
+            ("s1", "e3", "p", "Z"),
+            ("s2", "e3", "p", "A"),
+        ])
+        r1 = {(r.subj, r.obj) for r in truth_discovery(a, rounds=1).collect()}
+        assert ("e3", "A") in r1
+        r2 = {
+            (r.subj, r.obj): r.score
+            for r in truth_discovery(a, rounds=2).collect()
+        }
+        # s1 weight = 1 + 2 agreements (e1, e2) = 3;
+        # s2 weight = 1 + 1 (it won the e3 round-1 tie) = 2
+        assert r2[("e3", "Z")] == 3
+        assert ("e3", "A") not in {k for k in r2}
+
+    def test_duplicate_assertions_count_once(self, spark):
+        a = self._a(spark, [
+            ("s1", "e", "p", "X"),
+            ("s1", "e", "p", "X"),
+            ("s2", "e", "p", "Y"),
+        ])
+        out = truth_discovery(a, rounds=1).collect()
+        # X vs Y tie at weight 1 each → min obj wins
+        assert [tuple(r) for r in out] == [("e", "p", "X", 1)]
+
+    def test_invalid_rounds(self, spark):
+        a = self._a(spark, [("s1", "e", "p", "X")])
+        with pytest.raises(ValueError):
+            truth_discovery(a, rounds=0)
