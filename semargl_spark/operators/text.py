@@ -606,6 +606,116 @@ def _bpe_loop(
     return vocab, merges
 
 
+def wordpiece_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col="text",
+    precision: int = 10**12,
+) -> DataFrame:
+    """Iterative WordPiece tokenizer training (Schuster & Nakajima,
+    ICASSP'12; the likelihood-scored merge rule BERT's tokenizer was
+    trained with) → the ordered merge table
+    (step, pair, merged, score_q, n).
+
+    Differs from :func:`bpe_train` only in the per-round argmax: BPE
+    merges the most FREQUENT adjacent pair; WordPiece merges the pair
+    maximizing the corpus-likelihood gain count(ab) /
+    (count(a)·count(b)) — rare-but-strongly-associated pairs win over
+    merely common ones. The score is quantized to ``score_q =
+    ⌊count(ab)·precision / (count(a)·count(b))⌋`` in exact DECIMAL(38)
+    arithmetic (ties below 1/precision break on pair ascending), which
+    keeps every round's argmax bit-identical in any engine — the float
+    division HuggingFace's trainer uses cannot be externally
+    replayed. (HF also renders continuation pieces with a ``##``
+    prefix; that is tokenizer-output presentation, orthogonal to the
+    merge order learned here.)
+
+    Scale shape = bpe_train's: one corpus→word-frequency collapse,
+    then vocabulary-sized rounds — a pair aggregate, a symbol-count
+    aggregate (both map-side partial), two symbol-count joins (symbol
+    tables are tiny; AQE broadcasts), a 1-row TakeOrderedAndProject
+    argmax, and the shuffle-free JVM merge fold.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if precision < 1:
+        raise ValueError(f"precision must be >= 1, got {precision}")
+    spark = docs.sparkSession
+    wf = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = wf.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("s"), "c"
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, n_merges + 1):
+        sy = F.split("s", " ")
+        pair_counts = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(sy, 1, F.size(sy) - 1),
+                        F.slice(sy, 2, F.size(sy) - 1),
+                        lambda x, y: F.concat(x, F.lit(" "), y),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").cast("long").alias("n"))
+        )
+        sym_counts = (
+            vocab.select(F.explode(sy).alias("sym"), "c")
+            .groupBy("sym")
+            .agg(F.sum("c").cast("long").alias("m"))
+        )
+        scored = (
+            pair_counts.withColumn("a", F.split("pair", " ")[0])
+            .withColumn("b", F.split("pair", " ")[1])
+            .join(sym_counts.withColumnRenamed("sym", "a")
+                  .withColumnRenamed("m", "ma"), "a")
+            .join(sym_counts.withColumnRenamed("sym", "b")
+                  .withColumnRenamed("m", "mb"), "b")
+            .withColumn(
+                "score_q",
+                F.expr(
+                    f"CAST(n AS DECIMAL(38,0)) * {precision}"
+                    " DIV (CAST(ma AS DECIMAL(38,0)) * mb)"
+                ),
+            )
+        )
+        best = (
+            scored.orderBy(F.desc("score_q"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word fully merged to one symbol
+            break
+        pair, n, score_q = best[0]["pair"], best[0]["n"], best[0]["score_q"]
+        a, b = pair.split(" ")
+        merges.append((step, pair, a + b, int(score_q), int(n)))
+        sy2 = F.split("s", " ")
+        merged = F.aggregate(
+            F.slice(sy2, 2, F.size(sy2) - 1),
+            F.element_at(sy2, 1),
+            lambda acc, x: F.when(
+                ((acc == F.lit(a)) | acc.endswith(F.lit(" " + a)))
+                & (x == F.lit(b)),
+                F.concat(acc, F.lit(b)),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        vocab = vocab.select(merged.alias("s"), "c").localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, score_q long, n long"
+    )
+
+
 def tfidf_search(
     docs: DataFrame,
     query: str,

@@ -2525,6 +2525,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_infer": q_kg_owl_infer,
         "kg_sameas_fuse": q_kg_sameas_fuse,
         "kg_truth_vote": q_kg_truth_vote,
+        "wordpiece_train": q_wordpiece_train,
     }
 
 
@@ -7257,3 +7258,61 @@ w2 AS (SELECT subj, obj, score FROM (
 SELECT subj, 'urn:p:bornIn' AS pred, obj, CAST(score AS BIGINT) AS score
 FROM w2
 """
+
+
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative WordPiece tokenizer training, 8 merge rounds → the
+    ordered merge table with quantized likelihood scores
+    (text.wordpiece_train): BPE's loop with the argmax switched to
+    count(ab)/(count(a)·count(b)), exact DECIMAL arithmetic."""
+    return text.wordpiece_train(_docs(spark, sf_dir), n_merges=8)
+
+
+def _wordpiece_train_oracle(n_merges: int = 8, precision: int = 10**12) -> str:
+    """Unrolled WordPiece rounds: per round a pair-count CTE, a
+    symbol-count CTE, the HUGEINT-exact quantized likelihood score,
+    a 1-row argmax, and the same greedy merge fold as BPE."""
+    sql = r"""
+WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(regexp_replace(
+                            lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+                  FROM documents)
+            WHERE regexp_matches(word, '^[a-z0-9]+$') AND length(word) >= 2
+            GROUP BY word),
+v0 AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, c FROM wf)"""
+    for i in range(1, n_merges + 1):
+        sql += f""",
+y{i} AS MATERIALIZED (SELECT s, string_split(s, ' ') AS sy, c FROM v{i - 1}),
+p{i} AS (SELECT pair, string_split(pair, ' ')[1] AS a,
+                string_split(pair, ' ')[2] AS b,
+                CAST(SUM(c) AS BIGINT) AS n
+         FROM (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                                            i -> sy[i] || ' ' || sy[i + 1])) AS pair, c
+               FROM y{i} WHERE len(sy) >= 2)
+         GROUP BY pair),
+m{i} AS MATERIALIZED (SELECT sym, CAST(SUM(c) AS BIGINT) AS m
+         FROM (SELECT unnest(sy) AS sym, c FROM y{i}) GROUP BY sym),
+best{i} AS (SELECT p.pair, p.a, p.b, p.n,
+                   CAST(CAST(p.n AS HUGEINT) * {precision}
+                        // (CAST(ma.m AS HUGEINT) * mb.m) AS BIGINT) AS q
+            FROM p{i} p JOIN m{i} ma ON ma.sym = p.a
+                        JOIN m{i} mb ON mb.sym = p.b
+            ORDER BY q DESC, p.pair LIMIT 1),
+v{i} AS (SELECT CASE WHEN len(y.sy) < 2 OR b.a IS NULL THEN y.s ELSE
+                list_reduce(y.sy, (acc, x) ->
+                  CASE WHEN (acc = b.a OR ends_with(acc, ' ' || b.a))
+                            AND x = b.b
+                       THEN acc || b.b ELSE acc || ' ' || x END) END AS s, c
+         FROM y{i} y LEFT JOIN best{i} b ON true)"""
+    return (
+        sql
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged,"
+            f" q AS score_q, n FROM best{i}"
+            for i in range(1, n_merges + 1)
+        )
+    )
+
+
+ORACLES["wordpiece_train"] = _wordpiece_train_oracle()

@@ -494,3 +494,44 @@ UNION ALL
         assert got_vocab == expected_vocab
 
     check()
+
+
+class TestWordpieceTrain:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def test_likelihood_beats_raw_frequency(self, spark):
+        from semargl_spark.operators.text import bpe_train, wordpiece_train
+
+        # 'xq' is rare but exclusive (x only ever precedes q); 'ab' is
+        # frequent but both symbols are diluted across other words.
+        docs = self._docs(
+            spark,
+            ["ab ab ab ab ab", "an an an an", "ax ax ax ax", "xq xq"],
+        )
+        wp = wordpiece_train(docs, n_merges=1).collect()[0]
+        bp = bpe_train(docs, n_merges=1).collect()[0]
+        assert bp["pair"] == "a b"      # frequency argmax
+        assert wp["pair"] == "x q"      # likelihood argmax
+        # score_q = n*P/(ma*mb) = 2*1e12/(6*2)
+        assert wp["score_q"] == 2 * 10**12 // 12
+        assert wp["n"] == 2
+
+    def test_merge_table_is_ordered_and_applies(self, spark):
+        from semargl_spark.operators.text import wordpiece_train
+
+        docs = self._docs(spark, ["zz zz zz"])
+        out = wordpiece_train(docs, n_merges=3).collect()
+        # one mergeable pair exists; the loop stops when words are
+        # fully merged rather than emitting degenerate rounds
+        assert [(r["step"], r["merged"]) for r in out] == [(1, "zz")]
+
+    def test_invalid_args(self, spark):
+        from semargl_spark.operators.text import wordpiece_train
+
+        docs = self._docs(spark, ["ab"])
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            wordpiece_train(docs, n_merges=0)
+        with _pytest.raises(ValueError):
+            wordpiece_train(docs, precision=0)
