@@ -173,3 +173,88 @@ class TestTruthDiscovery:
         a = self._a(spark, [("s1", "e", "p", "X")])
         with pytest.raises(ValueError):
             truth_discovery(a, rounds=0)
+
+
+class TestDifferential:
+    """Fusion operators vs pure-Python mirrors on seeded random
+    instances — structural variety beyond the fixed oracle corpus."""
+
+    def test_truth_discovery_matches_python_mirror(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(3):
+            rows = []
+            for _ in range(60):
+                rows.append((
+                    f"s{rng.randrange(5)}",
+                    f"e{rng.randrange(8)}",
+                    "p",
+                    f"o{rng.randrange(4)}",
+                ))
+            a = spark.createDataFrame(
+                rows, "source string, subj string, pred string, obj string"
+            )
+            for rounds in (1, 2, 3):
+                got = {
+                    (r.subj, r.pred): (r.obj, r.score)
+                    for r in truth_discovery(a, rounds=rounds).collect()
+                }
+                assert got == _truth_mirror(set(rows), rounds)
+
+    def test_owl_transitive_matches_python_closure(self, spark):
+        import random
+
+        rng = random.Random(11)
+        from semargl_spark.operators.fusion import owl_infer
+
+        for trial in range(3):
+            edges = {
+                (f"v{rng.randrange(10)}", f"v{rng.randrange(10)}")
+                for _ in range(14)
+            }
+            edges = {(a, b) for a, b in edges}
+            g = spark.createDataFrame(
+                [(a, "urn:p:in", b) for a, b in edges],
+                "subj string, pred string, obj string",
+            )
+            got = {
+                (r.subj, r.obj)
+                for r in owl_infer(g, transitive=["urn:p:in"]).collect()
+            }
+            # warshall closure minus asserted
+            clo = set(edges)
+            changed = True
+            while changed:
+                changed = False
+                for a, b in list(clo):
+                    for c, d in list(clo):
+                        if b == c and (a, d) not in clo:
+                            clo.add((a, d))
+                            changed = True
+            assert got == clo - edges
+
+
+def _truth_mirror(assertions, rounds):
+    """Pure-Python truth_discovery: same integer weights/tie-breaks."""
+    a = sorted(assertions)
+    sources = sorted({s for s, *_ in a})
+    w = {s: 1 for s in sources}
+    winners = {}
+    for r in range(rounds):
+        score = {}
+        for s, subj, pred, obj in a:
+            score[(subj, pred, obj)] = score.get((subj, pred, obj), 0) + w[s]
+        winners = {}
+        for (subj, pred, obj), sc in score.items():
+            cur = winners.get((subj, pred))
+            # max score, tie → lexicographic min obj
+            if cur is None or (-sc, obj) < (-cur[1], cur[0]):
+                winners[(subj, pred)] = (obj, sc)
+        if r + 1 < rounds:
+            agree = {s: 0 for s in sources}
+            for s, subj, pred, obj in a:
+                if winners.get((subj, pred), (None,))[0] == obj:
+                    agree[s] += 1
+            w = {s: 1 + agree[s] for s in sources}
+    return winners
