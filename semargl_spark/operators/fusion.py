@@ -206,6 +206,62 @@ def sameas_fuse(g: DataFrame, sameas: DataFrame) -> DataFrame:
     )
 
 
+def predicate_align(
+    g1: DataFrame,
+    g2: DataFrame,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Extensional predicate alignment between two graphs (the
+    instance-based leg of ontology matching, PARIS/Ferrara-style
+    reduced to exact integers): for every predicate pair whose
+    (subj, obj) extensions intersect, emit
+    (pred1, pred2, n1, n2, inter, jaccard_pm) with
+    ``jaccard_pm = ⌊1000·|∩| / |∪|⌋``.
+
+    Use: after two extraction runs with different vocabularies (two
+    source systems, or a vocabulary migration), high-jaccard pairs are
+    equivalence candidates (owl:equivalentProperty) and asymmetric
+    containment (inter ≈ n1 ≪ n2) suggests subPropertyOf — exactly the
+    alias discovery that feeds :func:`owl_infer`/:func:`sameas_fuse`
+    on the schema level rather than the instance level.
+
+    Scale shape: each side collapses to its DISTINCT (subj, pred, obj)
+    once (map-side partial); the intersection is ONE equi-join on
+    (subj, obj) — partitioned by entity pair, so skew equals entity-pair
+    fan-in across predicates (bounded by each side's predicate count),
+    never a predicate-pair cross product. Per-predicate sizes join on
+    after aggregation at predicate-pair granularity (tiny, AQE
+    broadcasts). The per-mille Jaccard is BIGINT division — engine-exact.
+    """
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    e1 = g1.select("subj", "pred", "obj").distinct()
+    e2 = g2.select("subj", "pred", "obj").distinct()
+    inter = (
+        e1.withColumnRenamed("pred", "pred1")
+        .join(e2.withColumnRenamed("pred", "pred2"), ["subj", "obj"])
+        .groupBy("pred1", "pred2")
+        .agg(F.count("*").cast("long").alias("inter"))
+        .filter(F.col("inter") >= min_overlap)
+    )
+    n1 = e1.groupBy(F.col("pred").alias("pred1")).agg(
+        F.count("*").cast("long").alias("n1")
+    )
+    n2 = e2.groupBy(F.col("pred").alias("pred2")).agg(
+        F.count("*").cast("long").alias("n2")
+    )
+    return (
+        inter.join(n1, "pred1")
+        .join(n2, "pred2")
+        .select(
+            "pred1", "pred2", "n1", "n2", "inter",
+            F.expr("1000L * inter div (n1 + n2 - inter)").alias(
+                "jaccard_pm"
+            ),
+        )
+    )
+
+
 def truth_discovery(
     assertions: DataFrame, rounds: int = 2
 ) -> DataFrame:

@@ -1580,3 +1580,49 @@ def temporal_reachability(
         F.min("arr").alias("min_arr"),
         F.min("hops").cast("int").alias("min_hops"),
     )
+
+
+def quotient_graph(
+    edges: DataFrame,
+    colors: DataFrame,
+    src_col: str = "src",
+    pred_col: str = "pred",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Structural graph summarization: contract every color class of a
+    node partition (typically :func:`wl_colors` output — then this is
+    the bisimulation-quotient summary of SNAP/k-bisimulation lineage)
+    to one super-node and aggregate the edge multiset between classes →
+    (src_color, pred, dst_color, n_edges, n_src, n_dst).
+
+    ``n_edges`` counts distinct member edges of the super-edge;
+    ``n_src``/``n_dst`` count the distinct member endpoints actually
+    incident to it, so n_edges = n_src·n_dst identifies a complete
+    bipartite (perfectly regular) block while smaller values expose
+    structural variance inside the summary edge.
+
+    Scale shape: two equi-joins mapping endpoints through the
+    (node, color) partition — node-sized build side, broadcastable
+    when the partition is — then ONE map-side-partial aggregate over
+    (src_color, pred, dst_color). The summary is color-class-count
+    sized, i.e. orders of magnitude below the edge count; this is the
+    10^12-edge exploration tool that lets a human (or a query planner
+    collecting statistics) look at the whole KG at once.
+    """
+    e = edges.select(src_col, pred_col, dst_col).distinct()
+    csrc = colors.select(
+        F.col("node").alias(src_col), F.col("color").alias("src_color")
+    )
+    cdst = colors.select(
+        F.col("node").alias(dst_col), F.col("color").alias("dst_color")
+    )
+    return (
+        e.join(csrc, src_col)
+        .join(cdst, dst_col)
+        .groupBy("src_color", pred_col, "dst_color")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.countDistinct(src_col).cast("long").alias("n_src"),
+            F.countDistinct(dst_col).cast("long").alias("n_dst"),
+        )
+    )

@@ -2526,6 +2526,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_fuse": q_kg_sameas_fuse,
         "kg_truth_vote": q_kg_truth_vote,
         "wordpiece_train": q_wordpiece_train,
+        "kg_quotient": q_kg_quotient,
+        "kg_pred_align": q_kg_pred_align,
     }
 
 
@@ -7316,3 +7318,92 @@ v{i} AS (SELECT CASE WHEN len(y.sy) < 2 OR b.a IS NULL THEN y.s ELSE
 
 
 ORACLES["wordpiece_train"] = _wordpiece_train_oracle()
+
+
+def q_kg_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisimulation-quotient KG summary (graph.quotient_graph over
+    2-round WL colors): color classes contract to super-nodes, edges
+    aggregate to (src_color, pred, dst_color) super-edges with member
+    edge/endpoint counts — the whole-graph view a 10^12-edge KG is
+    explored through."""
+    from .operators.graph import quotient_graph, wl_colors
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st).localCheckpoint(eager=False)
+    return quotient_graph(edges, wl_colors(edges, rounds=2))
+
+
+ORACLES["kg_quotient"] = None  # assembled below from the WL oracle
+
+
+def q_kg_pred_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extensional predicate alignment (fusion.predicate_align)
+    between two extraction vocabularies over the same entities:
+    knows↔friendOf overlap on the even half (jaccard 500‰),
+    rel↔linked coincide exactly (1000‰), and the disjoint predicates
+    produce no candidate row."""
+    from .operators.fusion import predicate_align
+
+    d = _fusion_docs(spark, sf_dir)
+    e = lambda off: F.concat(F.lit("urn:e:"), F.col("did") + off)  # noqa: E731
+
+    def tri(flt, pred, off):
+        src = d.filter(flt) if flt is not None else d
+        return src.select(
+            e(0).alias("subj"), F.lit(pred).alias("pred"), e(off).alias("obj")
+        )
+
+    g1 = tri(None, "urn:p:knows", 1).unionByName(
+        tri(F.col("did") % 3 != 0, "urn:p:rel", 2)
+    )
+    g2 = (
+        tri(F.col("did") % 2 == 0, "urn:q:friendOf", 1)
+        .unionByName(tri(F.col("did") % 3 != 0, "urn:q:linked", 2))
+        .unionByName(tri(None, "urn:q:knowsAbout", 5))
+    )
+    return predicate_align(g1, g2)
+
+
+ORACLES["kg_pred_align"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+g1 AS (
+  SELECT 'urn:e:'||did AS subj, 'urn:p:knows' AS pred,
+         'urn:e:'||(did+1) AS obj FROM ids
+  UNION ALL
+  SELECT 'urn:e:'||did, 'urn:p:rel', 'urn:e:'||(did+2) FROM ids
+  WHERE did % 3 <> 0),
+g2 AS (
+  SELECT 'urn:e:'||did AS subj, 'urn:q:friendOf' AS pred,
+         'urn:e:'||(did+1) AS obj FROM ids WHERE did % 2 = 0
+  UNION ALL
+  SELECT 'urn:e:'||did, 'urn:q:linked', 'urn:e:'||(did+2) FROM ids
+  WHERE did % 3 <> 0
+  UNION ALL
+  SELECT 'urn:e:'||did, 'urn:q:knowsAbout', 'urn:e:'||(did+5) FROM ids),
+e1 AS (SELECT DISTINCT subj, pred, obj FROM g1),
+e2 AS (SELECT DISTINCT subj, pred, obj FROM g2),
+i AS (SELECT e1.pred AS pred1, e2.pred AS pred2,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM e1 JOIN e2 ON e1.subj = e2.subj AND e1.obj = e2.obj
+      GROUP BY e1.pred, e2.pred),
+n1 AS (SELECT pred AS pred1, CAST(COUNT(*) AS BIGINT) AS n1
+       FROM e1 GROUP BY pred),
+n2 AS (SELECT pred AS pred2, CAST(COUNT(*) AS BIGINT) AS n2
+       FROM e2 GROUP BY pred)
+SELECT pred1, pred2, n1, n2, inter,
+       CAST(1000 * inter // (n1 + n2 - inter) AS BIGINT) AS jaccard_pm
+FROM i JOIN n1 USING (pred1) JOIN n2 USING (pred2)
+WHERE inter >= 1
+"""
+
+ORACLES["kg_quotient"] = ORACLES["kg_wl_colors"].replace(
+    "SELECT node, color FROM c2",
+    """, qe AS (SELECT e.src, e.pred, e.dst, cs.color AS src_color,
+               cd.color AS dst_color
+        FROM e JOIN c2 cs ON cs.node = e.src
+               JOIN c2 cd ON cd.node = e.dst)
+SELECT src_color, pred, dst_color, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+       CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst
+FROM qe GROUP BY src_color, pred, dst_color""",
+)

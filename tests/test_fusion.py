@@ -258,3 +258,69 @@ def _truth_mirror(assertions, rounds):
                     agree[s] += 1
             w = {s: 1 + agree[s] for s in sources}
     return winners
+
+
+class TestPredicateAlign:
+    def test_overlap_containment_and_disjoint(self, spark):
+        from semargl_spark.operators.fusion import predicate_align
+
+        g1 = _g(spark, [
+            ("a", "p:knows", "b"), ("c", "p:knows", "d"),
+            ("a", "p:rel", "x"),
+        ])
+        g2 = _g(spark, [
+            ("a", "q:friend", "b"),            # half of knows
+            ("a", "q:rel2", "x"),              # all of rel
+            ("zz", "q:other", "zz"),           # disjoint
+        ])
+        out = {
+            (r.pred1, r.pred2): (r.n1, r.n2, r.inter, r.jaccard_pm)
+            for r in predicate_align(g1, g2).collect()
+        }
+        assert out == {
+            ("p:knows", "q:friend"): (2, 1, 1, 500),
+            ("p:rel", "q:rel2"): (1, 1, 1, 1000),
+        }
+
+    def test_min_overlap_filters(self, spark):
+        from semargl_spark.operators.fusion import predicate_align
+
+        g1 = _g(spark, [("a", "p", "b")])
+        g2 = _g(spark, [("a", "q", "b")])
+        assert predicate_align(g1, g2, min_overlap=2).count() == 0
+        with pytest.raises(ValueError):
+            predicate_align(g1, g2, min_overlap=0)
+
+    def test_duplicates_collapse_to_set_semantics(self, spark):
+        from semargl_spark.operators.fusion import predicate_align
+
+        g1 = _g(spark, [("a", "p", "b"), ("a", "p", "b")])
+        g2 = _g(spark, [("a", "q", "b")])
+        r = predicate_align(g1, g2).collect()[0]
+        assert (r.n1, r.n2, r.inter, r.jaccard_pm) == (1, 1, 1, 1000)
+
+
+class TestQuotientGraph:
+    def test_regular_block_and_counts(self, spark):
+        from semargl_spark.operators.graph import quotient_graph
+
+        edges = spark.createDataFrame(
+            [("a1", "p", "b1"), ("a1", "p", "b2"),
+             ("a2", "p", "b1"), ("a2", "p", "b2"),
+             ("a1", "p", "a2"),
+             ("a1", "p", "b1")],  # duplicate edge collapses
+            "src string, pred string, dst string",
+        )
+        colors = spark.createDataFrame(
+            [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+            "node string, color string",
+        )
+        out = {
+            (r.src_color, r.pred, r.dst_color): (r.n_edges, r.n_src, r.n_dst)
+            for r in quotient_graph(edges, colors).collect()
+        }
+        # A→B is the complete bipartite block: n_edges == n_src * n_dst
+        assert out == {
+            ("A", "p", "B"): (4, 2, 2),
+            ("A", "p", "A"): (1, 1, 1),
+        }
