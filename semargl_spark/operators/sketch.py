@@ -285,37 +285,48 @@ def cm_heavy_hitters(
     vals = df.select(F.col(value_col).cast("string").alias("v")).filter(
         F.col("v").isNotNull() & (F.col("v") != "")
     )
-    rows = vals.select(
-        "v",
-        F.explode(
-            F.array(*[F.lit(r) for r in range(d)])
-        ).alias("r"),
-    ).select(
-        "v", "r",
-        (
-            _hash52(F.concat(F.col("r").cast("string"), F.lit("#"),
-                             F.col("v"))) % w
-        ).alias("bucket"),
-    )
-    counters = rows.groupBy("r", "bucket").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
+    counters = cm_grid(vals, d, w)
     top = (
         vals.groupBy("v")
         .agg(F.count("*").cast("long").alias("n_exact"))
         .orderBy(F.desc("n_exact"), F.asc("v"))
         .limit(k)
     )
+    return cm_probe(counters, top, d=d, w=w)
+
+
+def cm_bucket(col, w: int) -> F.Column:
+    """CM bucket of row ``r`` (column "r") for value column ``col``:
+    52-bit md5 fold of ``r || '#' || value`` mod w — the shared hash of
+    the batch and streaming sketch builds and of every probe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        _hash52(F.concat(F.col("r").cast("string"), F.lit("#"), c)) % w
+    )
+
+
+def cm_grid(vals: DataFrame, d: int, w: int) -> DataFrame:
+    """CM counter grid of a value column "v" → (r, bucket, cnt):
+    one map-side-partial aggregate with d·w output keys. Grids are
+    mergeable by counter ADDITION — sum per (r, bucket) across
+    partitions, micro-batches, or days."""
+    rows = vals.select(
+        "v",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    ).select("v", "r", cm_bucket("v", w).alias("bucket"))
+    return rows.groupBy("r", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cm_probe(counters: DataFrame, top: DataFrame, d: int, w: int) -> DataFrame:
+    """Point-query a CM counter grid for the rows of ``top``
+    (v, n_exact) → (value, n_exact, est, overest_pm): est = min over
+    the d counters, always >= exact."""
     probes = top.select(
         "v", "n_exact",
         F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
-    ).select(
-        "v", "n_exact", "r",
-        (
-            _hash52(F.concat(F.col("r").cast("string"), F.lit("#"),
-                             F.col("v"))) % w
-        ).alias("bucket"),
-    )
+    ).select("v", "n_exact", "r", cm_bucket("v", w).alias("bucket"))
     est = (
         probes.join(F.broadcast(counters), ["r", "bucket"])
         .groupBy("v", "n_exact")

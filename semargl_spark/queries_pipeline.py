@@ -2528,6 +2528,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": q_wordpiece_train,
         "kg_quotient": q_kg_quotient,
         "kg_pred_align": q_kg_pred_align,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
     }
 
 
@@ -7407,3 +7408,42 @@ SELECT src_color, pred, dst_color, CAST(COUNT(*) AS BIGINT) AS n_edges,
        CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst
 FROM qe GROUP BY src_color, pred, dst_color""",
 )
+
+
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance (streaming/stream_sketch.
+    stream_heavy_hitters): each micro-batch persists its own counter
+    grid (replay-idempotent overwrite of its batch partition); the
+    summed grids equal the batch sketch because counter addition
+    commutes across batch boundaries — so the drained estimates for
+    the exact top-20 words match token_freq_sketch's oracle exactly."""
+    import tempfile
+
+    from .operators.sketch import cm_probe
+    from .streaming.stream_sketch import hh_counters, stream_heavy_hitters
+
+    base = tempfile.mkdtemp(prefix="semargl_q_shh_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # two micro-batches under availableNow (4 files, 2 per trigger):
+    # proves the cross-batch counter sum without per-batch overhead
+    # dominating the gate
+    docs.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+    q = stream_heavy_hitters(
+        spark, f"{base}/in", f"{base}/state", f"{base}/ckpt", d=4, w=1024
+    )
+    q.awaitTermination()
+    vals = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("v")
+    ).filter(F.col("v") != "")
+    top = (
+        vals.groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("v"))
+        .limit(20)
+    )
+    return cm_probe(hh_counters(spark, f"{base}/state"), top, d=4, w=1024)
+
+
+ORACLES["stream_heavy_hitters"] = ORACLES["token_freq_sketch"]

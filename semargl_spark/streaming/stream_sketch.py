@@ -163,3 +163,62 @@ def sketch_estimate(spark: SparkSession, state_path: str, k: int = 64):
         )
         .alias("est_distinct"),
     )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    d: int = 4,
+    w: int = 1024,
+):
+    """documents parquet dir (streamed) → persisted Count-Min counter
+    grids of the word stream, one grid per micro-batch under
+    ``state_path`` (partition dir ``batch_id=N``). Returns the
+    StreamingQuery; read estimates off with :func:`hh_estimate`.
+
+    Exactly-once without idempotent-merge math: unlike bottom-k,
+    counter ADDITION is not replay-idempotent, so each batch writes its
+    OWN deterministic grid partition (overwrite) instead of read-
+    modify-writing a shared total — an at-least-once replay of batch N
+    rewrites ``batch_id=N`` with identical bytes. The summed state
+    equals the batch grid over the same rows because addition commutes
+    across batch boundaries. State is n_batches·d·w counter rows —
+    compact forever at daily-batch cadence; fold old partitions into
+    one by re-writing their sum under a reserved id when n_batches
+    itself needs bounding.
+    """
+    from ..operators.sketch import cm_grid
+
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2; got {d},{w}")
+    stream = read_document_stream(spark, input_path)
+
+    def apply_batch(batch_df, batch_id):
+        vals = batch_df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("v")
+        ).filter(F.col("v") != "")
+        cm_grid(vals, d, w).write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hh_counters(spark: SparkSession, state_path: str):
+    """Summed CM grid across all persisted batch partitions →
+    (r, bucket, cnt) — the same shape cm_probe point-queries."""
+    return (
+        spark.read.option("basePath", state_path)
+        .parquet(f"{state_path}/batch_id=*")
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -261,3 +261,48 @@ def test_stream_cardinality_merge_is_replay_idempotent(spark, tmp_path):
     assert first[0]["n_hashes"] == 32
     # 301 distinct words; 12.5%-sigma estimator, allow 4 sigma
     assert 150 <= first[0]["est_distinct"] <= 600
+
+
+def test_stream_heavy_hitters_replay_and_batch_parity(spark, tmp_path):
+    """A full re-drain with a fresh checkpoint re-offers every batch;
+    per-batch grid overwrite must leave the summed counters identical
+    (no double counting), and the summed grid must equal the batch CM
+    grid over the same rows (counter addition commutes across batch
+    boundaries)."""
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.sketch import cm_grid, cm_probe
+    from semargl_spark.streaming.stream_sketch import (
+        hh_counters,
+        stream_heavy_hitters,
+    )
+
+    rows = [(i, f"w{i % 50} w{(i * 3) % 50} common") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    for ckpt in ("ckpt1", "ckpt2"):  # second run is a full replay
+        q = stream_heavy_hitters(
+            spark, str(tmp_path / "in"), str(tmp_path / "state"),
+            str(tmp_path / ckpt), d=4, w=256,
+        )
+        q.awaitTermination()
+    streamed = {
+        (r.r, r.bucket): r.cnt
+        for r in hh_counters(spark, str(tmp_path / "state")).collect()
+    }
+    vals = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("v")
+    ).filter(F.col("v") != "")
+    batch = {
+        (r.r, r.bucket): r.cnt for r in cm_grid(vals, 4, 256).collect()
+    }
+    assert streamed == batch
+    # estimates upper-bound exact counts
+    top = (
+        vals.groupBy("v").agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("v")).limit(5)
+    )
+    for r in cm_probe(
+        hh_counters(spark, str(tmp_path / "state")), top, d=4, w=256
+    ).collect():
+        assert r.est >= r.n_exact
