@@ -2,10 +2,14 @@
 (north_rule: ``spark-submit --py-files semargl_spark.zip
 jobs/run_pipeline.py --input ... --output ...``).
 
-Stages: extract → link → canon → merge, with per-stage lineage rows and
+Stages: extract → link → canon → [infer] → [owl] → [resolve] → [fuse] →
+[validate] → merge → [sparql], with per-stage lineage rows and
 idempotent partitioned writes (checkpoint-resume: re-running overwrites
 only the partitions it produces; the lineage table records per-partition
-row counts + checksums for audit).
+row counts + checksums for audit). Bracketed stages are opt-in flags:
+--ontology (RDFS), --owl-axioms (OWL-RL property semantics),
+--resolve-functional (truth-discovery conflict resolution),
+--fuse-sameas (sameAs entity fusion), --shapes (SHACL-lite), --sparql.
 
 Build the zip with:  python -c "from semargl_spark.spark_util import \
 build_pyfiles_zip; print(build_pyfiles_zip('semargl_spark.zip'))"
@@ -46,6 +50,26 @@ def main(argv=None) -> int:
                          "subPropertyOf/domain/range); entailed triples are "
                          "materialized into the edge tables "
                          "(operators/vocab.rdfs_infer)")
+    ap.add_argument("--owl-axioms", default=None,
+                    help="JSON file of OWL-RL property axioms "
+                         '({"inverse": [[p,q],...], "symmetric": [...], '
+                         '"transitive": [...], "functional": [...], '
+                         '"inverse_functional": [...]}); entailed triples '
+                         "— including owl:sameAs conclusions from "
+                         "(inverse-)functional clashes — join the edge "
+                         "tables (operators/fusion.owl_infer)")
+    ap.add_argument("--fuse-sameas", action="store_true",
+                    help="close the owl:sameAs pairs present after "
+                         "inference into equivalence classes and rewrite "
+                         "every IRI subject/object to its canonical "
+                         "(lexicographic-min) member before the merge; "
+                         "the absorbed sameAs rows are dropped "
+                         "(operators/fusion.sameas_mapping)")
+    ap.add_argument("--resolve-functional", default=None,
+                    help="comma-separated predicate list: for each listed "
+                         "predicate keep ONE object per subject, chosen by "
+                         "2-round source-reliability voting with conv_id "
+                         "as the source (operators/fusion.truth_discovery)")
     ap.add_argument("--sparql", default=None,
                     help="SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE or a SPARQL "
                          "1.1 Update request (operators/sparql.py subset) to "
@@ -68,6 +92,9 @@ def main(argv=None) -> int:
                   run_id=args.run_id, dictionary=args.dictionary,
                   resume=args.resume, fuzzy_link=args.fuzzy_link,
                   shapes=args.shapes, ontology=args.ontology,
+                  owl_axioms=args.owl_axioms,
+                  fuse_sameas=args.fuse_sameas,
+                  resolve_functional=args.resolve_functional,
                   sparql=args.sparql)
     print(json.dumps(summary))
     spark.stop()
@@ -77,7 +104,9 @@ def main(argv=None) -> int:
 def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         dictionary: str | None = None, resume: bool = False,
         fuzzy_link: bool = False, shapes: str | None = None,
-        ontology: str | None = None, sparql: str | None = None) -> dict:
+        ontology: str | None = None, owl_axioms: str | None = None,
+        fuse_sameas: bool = False, resolve_functional: str | None = None,
+        sparql: str | None = None) -> dict:
     """The pipeline body, callable in-process (tests, notebooks) — does
     not stop the session. ``main`` wraps it for spark-submit."""
     from pyspark.sql import functions as F
@@ -152,10 +181,13 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
             lineage_rows(components, run_id, "canon"), f"{output}/lineage"
         )
 
-    if ontology and "infer" not in done_stages:
+    if ontology:
         # RDFS materialization BEFORE merge: entailed triples join the
         # asserted ones in the edge tables (closure pre-composed on the
-        # driver, one broadcast join per rule)
+        # driver, one broadcast join per rule). The TRANSFORMATION runs
+        # unconditionally — a resumed run whose merge is still pending
+        # must re-derive the same statement set; only the (idempotent)
+        # lineage write is skipped
         from semargl_spark.kernels.ntriples import parse as parse_ntriples
         from semargl_spark.operators.vocab import rdfs_infer
 
@@ -176,8 +208,114 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
             F.lit(0).cast("int").alias("turn_idx"),
         )
         st = st.unionByName(inferred, allowMissingColumns=True)
-        write_lineage(lineage_rows(inferred, run_id, "infer"),
-                      f"{output}/lineage")
+        if "infer" not in done_stages:
+            write_lineage(lineage_rows(inferred, run_id, "infer"),
+                          f"{output}/lineage")
+
+    summary_owl = None
+    if owl_axioms:
+        # OWL-RL property semantics over the IRI-valued statement set:
+        # inverse/symmetric mirrors, transitive fixpoints, and
+        # owl:sameAs conclusions from (inverse-)functional clashes
+        from semargl_spark.operators.fusion import owl_infer
+
+        with open(owl_axioms) as f:
+            cfg = json.load(f)
+        unknown = set(cfg) - {
+            "inverse", "symmetric", "transitive", "functional",
+            "inverse_functional",
+        }
+        if unknown:
+            raise ValueError(f"unknown owl axiom kinds: {sorted(unknown)}")
+        iri_st = st.filter(F.col("obj_kind") == "iri").select(
+            "subj", "pred", "obj"
+        )
+        owl_inf = owl_infer(
+            iri_st,
+            inverse=[tuple(p) for p in cfg.get("inverse", [])] or None,
+            symmetric=cfg.get("symmetric") or None,
+            transitive=cfg.get("transitive") or None,
+            functional=cfg.get("functional") or None,
+            inverse_functional=cfg.get("inverse_functional") or None,
+        ).select(
+            "subj", "pred", "obj",
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype"),
+            F.lit(None).cast("string").alias("graph"),
+            F.lit("owl").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+        ).localCheckpoint(eager=False)
+        st = st.unionByName(owl_inf, allowMissingColumns=True)
+        if "owl" not in done_stages:
+            write_lineage(lineage_rows(owl_inf, run_id, "owl"),
+                          f"{output}/lineage")
+        summary_owl = owl_inf.count()
+
+    summary_resolved = None
+    if resolve_functional:
+        # conflict resolution: for each listed predicate keep ONE object
+        # per subject by 2-round source-reliability voting (conv_id is
+        # the source — transcripts that agree with the majority
+        # elsewhere outvote noisy ones)
+        from semargl_spark.operators.fusion import truth_discovery
+
+        preds = [p.strip() for p in resolve_functional.split(",") if p.strip()]
+        if not preds:
+            raise ValueError("--resolve-functional lists no predicates")
+        contested = F.col("pred").isin(preds)
+        claims = st.filter(contested).select(
+            F.col("conv_id").alias("source"), "subj", "pred", "obj"
+        )
+        winners = truth_discovery(claims, rounds=2).select(
+            "subj", "pred", "obj"
+        ).localCheckpoint(eager=False)
+        st = st.filter(~contested).unionByName(
+            st.filter(contested).join(
+                winners, ["subj", "pred", "obj"], "left_semi"
+            )
+        )
+        if "resolve" not in done_stages:
+            write_lineage(lineage_rows(winners, run_id, "resolve"),
+                          f"{output}/lineage")
+        summary_resolved = winners.count()
+
+    summary_fused = None
+    if fuse_sameas:
+        # entity fusion: close the sameAs pairs now present (asserted +
+        # owl-inferred) into classes, rewrite IRI subjects/objects to
+        # the canonical member, drop the absorbed sameAs rows (they
+        # would all be self-loops post-rewrite)
+        from semargl_spark.operators.fusion import OWL_SAME_AS, sameas_mapping
+
+        pairs = st.filter(
+            (F.col("pred") == OWL_SAME_AS) & (F.col("obj_kind") == "iri")
+        ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        mapping = sameas_mapping(pairs).localCheckpoint(eager=False)
+        sub_map = mapping.select(
+            F.col("node").alias("subj"), F.col("component").alias("_csub")
+        )
+        obj_map = mapping.select(
+            F.col("node").alias("obj"), F.col("component").alias("_cobj")
+        )
+        st = (
+            st.filter(F.col("pred") != OWL_SAME_AS)
+            .join(sub_map, "subj", "left")
+            .join(obj_map, "obj", "left")
+            .withColumn("subj", F.coalesce("_csub", "subj"))
+            .withColumn(
+                "obj",
+                F.when(
+                    F.col("obj_kind") == "iri",
+                    F.coalesce("_cobj", "obj"),
+                ).otherwise(F.col("obj")),
+            )
+            .drop("_csub", "_cobj")
+        )
+        if "fuse" not in done_stages:
+            write_lineage(lineage_rows(mapping, run_id, "fuse"),
+                          f"{output}/lineage")
+        summary_fused = mapping.count()
 
     if shapes and "validate" not in done_stages:
         # data-quality side output: violation rows only, never the
@@ -208,6 +346,12 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         summary = materialize_kg(st, components, output, run_id)
     if summary_violations is not None:
         summary["violations"] = summary_violations
+    if summary_owl is not None:
+        summary["owl_inferred"] = summary_owl
+    if summary_resolved is not None:
+        summary["resolved_claims"] = summary_resolved
+    if summary_fused is not None:
+        summary["fused_nodes"] = summary_fused
     summary["errors"] = err.count()
     summary["statements"] = st.count()
     try:

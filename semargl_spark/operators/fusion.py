@@ -162,6 +162,22 @@ def owl_infer(
     return inf.distinct().join(base, list(_TRIPLE), "left_anti")
 
 
+def sameas_mapping(sameas: DataFrame) -> DataFrame:
+    """(src, dst) sameAs pair set → (node, component) canonical mapping:
+    transitive closure by connected components, representative = the
+    lexicographic minimum of the class (the shared contract of
+    :func:`sameas_fuse` and the pipeline job's --fuse-sameas stage,
+    which rewrites wider statement schemas through this mapping
+    itself)."""
+    from .canon import connected_components
+
+    return connected_components(
+        sameas.select(
+            F.col("src").cast("string"), F.col("dst").cast("string")
+        )
+    )
+
+
 def sameas_fuse(g: DataFrame, sameas: DataFrame) -> DataFrame:
     """Entity fusion: collapse every owl:sameAs equivalence class to
     its canonical member (lexicographic minimum, the deterministic
@@ -180,13 +196,7 @@ def sameas_fuse(g: DataFrame, sameas: DataFrame) -> DataFrame:
     previously distinct triples collide — the final ``distinct`` is
     the set semantics of a fused graph.
     """
-    from .canon import connected_components
-
-    mapping = connected_components(
-        sameas.select(
-            F.col("src").cast("string"), F.col("dst").cast("string")
-        )
-    )
+    mapping = sameas_mapping(sameas)
     sub_map = mapping.select(
         F.col("node").alias("subj"), F.col("component").alias("_csub")
     )

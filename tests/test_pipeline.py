@@ -600,3 +600,81 @@ def test_edge_provenance_counts_and_timestamps(spark):
     assert (r["src"], r["pred"], r["dst"]) == ("urn:a", "urn:p", "urn:b")
     assert r["n_mentions"] == 3 and r["n_convs"] == 2
     assert r["last_ts_us"] - r["first_ts_us"] == 5 * 3600 * 1_000_000
+
+
+def test_pipeline_fusion_stages(spark, tmp_path):
+    """--owl-axioms + --resolve-functional + --fuse-sameas end-to-end:
+    a functional clash entails sameAs, voting resolves a contested
+    capital, and fusion rewrites every alias mention to the canonical
+    member and drops the absorbed sameAs rows."""
+    import json as _json
+
+    from jobs.run_pipeline import run
+
+    # three transcripts (sources): t1/t2 agree urn:c:rome is the
+    # capital; t3 dissents with urn:c:york. t1 also asserts the same
+    # city under an alias (functional clash -> sameAs -> fusion), and
+    # a partOf chain for the transitive closure.
+    def nt(s, p, o):
+        return f"<{s}> <{p}> <{o}> ."
+
+    cap = "urn:p:capital"
+    rows = [
+        ("t1", 0, nt("urn:s:it", cap, "urn:c:rome")),
+        ("t1", 1, nt("urn:s:it", cap, "urn:alias:rome")),
+        ("t1", 2, nt("urn:a:1", "urn:p:partOf", "urn:a:2")),
+        ("t1", 3, nt("urn:a:2", "urn:p:partOf", "urn:a:3")),
+        ("t2", 0, nt("urn:s:it", cap, "urn:c:rome")),
+        ("t2", 1, nt("urn:s:de", cap, "urn:c:berlin")),
+        ("t3", 0, nt("urn:s:it", cap, "urn:c:york")),
+        ("t3", 1, nt("urn:s:de", cap, "urn:c:berlin")),
+    ]
+    t = spark.createDataFrame(
+        [(c, i, x, "user", None, None) for c, i, x in rows],
+        "conv_id string, turn_idx int, text string, role string, "
+        "tool string, ts timestamp",
+    ).withColumn("fmt", F.lit("ntriples"))
+    t.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    axioms = {"transitive": ["urn:p:partOf"], "functional": [cap]}
+    ax_path = tmp_path / "axioms.json"
+    ax_path.write_text(_json.dumps(axioms))
+
+    summary = run(
+        spark,
+        input_path=str(tmp_path / "in"),
+        output=str(tmp_path / "out"),
+        run_id="rfuse",
+        owl_axioms=str(ax_path),
+        resolve_functional=cap,
+        fuse_sameas=True,
+    )
+    edges = {
+        (r.src, r.pred, r.dst)
+        for r in spark.read.parquet(str(tmp_path / "out") + "/edges")
+        .select("src", "pred", "dst").collect()
+    }
+    # voting: rome (2 truthful sources) beats york; the sameAs clash
+    # rome~alias:rome and york-vs-rome conflicts all collapse to ONE
+    # winning object, rewritten to the class minimum urn:alias:rome
+    assert ("urn:s:it", cap, "urn:alias:rome") in edges
+    assert not any(d in ("urn:c:rome", "urn:c:york")
+                   for s, p, d in edges if p == cap and s == "urn:s:it")
+    assert ("urn:s:de", cap, "urn:c:berlin") in edges
+    # transitive closure materialized
+    assert ("urn:a:1", "urn:p:partOf", "urn:a:3") in edges
+    # absorbed sameAs rows dropped
+    assert not any(p.endswith("sameAs") for _, p, _ in edges)
+    assert summary["owl_inferred"] >= 2  # sameAs + a1->a3
+    assert summary["resolved_claims"] == 2  # it + de
+    # the functional axiom fires BEFORE voting, so all three clashing
+    # objects (rome, alias:rome, york) join one sameAs class — OWL
+    # treats a functional clash as identity; voting then picks the
+    # winning ROW and fusion renames it to the class minimum
+    assert summary["fused_nodes"] == 3
+    # lineage records all three new stages
+    stages = {
+        r.stage
+        for r in spark.read.parquet(str(tmp_path / "out") + "/lineage")
+        .select("stage").distinct().collect()
+    }
+    assert {"owl", "resolve", "fuse"} <= stages
