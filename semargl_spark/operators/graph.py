@@ -1626,3 +1626,85 @@ def quotient_graph(
             F.countDistinct(dst_col).cast("long").alias("n_dst"),
         )
     )
+
+
+def weighted_paths(
+    edges: DataFrame,
+    max_hops: int,
+    weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Hop-bounded weighted shortest paths → (a, b, min_cost): the
+    minimum total BIGINT edge weight over all paths of 1..``max_hops``
+    edges — distributed Bellman-Ford, one relaxation round per hop.
+
+    Semi-naive relaxation: the per-round frontier carries only
+    (a, b, cost) rows that IMPROVED on the best cost known so far
+    (join + groupBy-min + improvement anti-filter), so a converged
+    region of the graph stops generating work — on a graph whose
+    weighted diameter < max_hops the trailing rounds are empty and
+    cheap. Costs are BIGINT sums, so results are bit-identical at any
+    parallelism and replayable by an unrolled SQL oracle (float
+    weights would accumulate in join order).
+
+    ``sources`` (one ``node`` column) restricts origins — the
+    single/multi-source form that makes 10^12-edge runs tractable;
+    unseeded all-pairs is capped by the same Θ(reachable-pairs) output
+    bound as :func:`bounded_paths` and should only run on bounded
+    subgraphs. Negative weights are rejected: with hop-bounded
+    semantics they would be *well-defined* but are almost always a
+    modeling error feeding a cost that pruning assumes monotone.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("a"),
+            F.col(dst_col).alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & F.col("w").isNotNull()
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+    )
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("weighted_paths requires non-negative weights")
+    e = e.localCheckpoint(eager=True)
+    start = e
+    if sources is not None:
+        start = e.join(
+            sources.select(F.col("node").alias("a")).distinct(), "a"
+        )
+    best = start.select("a", "b", F.col("w").alias("min_cost"))
+    frontier = best
+    for _hop in range(2, max_hops + 1):
+        ext = (
+            frontier.select("a", F.col("b").alias("mid"), "min_cost")
+            .join(e.select(F.col("a").alias("mid"), "b", "w"), "mid")
+            .select("a", "b", (F.col("min_cost") + F.col("w")).alias("cost"))
+            .groupBy("a", "b")
+            .agg(F.min("cost").alias("cost"))
+        )
+        # keep only genuine improvements: new pairs, or cheaper costs
+        improved = (
+            ext.join(best.withColumnRenamed("min_cost", "old"),
+                     ["a", "b"], "left")
+            .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
+            .select("a", "b", F.col("cost").alias("min_cost"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.unionByName(improved)
+            .groupBy("a", "b")
+            .agg(F.min("min_cost").alias("min_cost"))
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    return best

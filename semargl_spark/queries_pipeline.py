@@ -2529,6 +2529,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quotient": q_kg_quotient,
         "kg_pred_align": q_kg_pred_align,
         "stream_heavy_hitters": q_stream_heavy_hitters,
+        "kg_weighted_path": q_kg_weighted_path,
     }
 
 
@@ -7447,3 +7448,47 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_heavy_hitters"] = ORACLES["token_freq_sketch"]
+
+
+def q_kg_weighted_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (graph.weighted_paths,
+    distributed Bellman-Ford, 4 relaxation rounds): BIGINT edge costs
+    over the chain (weight did%3+1) plus cheap did%7 shortcut edges
+    (weight 2), seeded from the did%11 nodes — the shortcut beats the
+    3-step chain wherever it exists, which is what the min must find."""
+    from .operators.graph import weighted_paths
+
+    d = _fusion_docs(spark, sf_dir)
+    n = lambda off: F.concat(F.lit("urn:e:"), F.col("did") + off)  # noqa: E731
+    chain = d.select(
+        n(0).alias("src"), n(1).alias("dst"),
+        (F.col("did") % 3 + 1).cast("long").alias("weight"),
+    )
+    shortcut = d.filter(F.col("did") % 7 == 0).select(
+        n(0).alias("src"), n(3).alias("dst"),
+        F.lit(2).cast("long").alias("weight"),
+    )
+    seeds = d.filter(F.col("did") % 11 == 0).select(n(0).alias("node"))
+    return weighted_paths(
+        chain.unionByName(shortcut), max_hops=4, sources=seeds
+    )
+
+
+ORACLES["kg_weighted_path"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+e AS (
+  SELECT 'urn:e:'||did AS a, 'urn:e:'||(did+1) AS b,
+         CAST(did % 3 + 1 AS BIGINT) AS w FROM ids
+  UNION ALL
+  SELECT 'urn:e:'||did, 'urn:e:'||(did+3), CAST(2 AS BIGINT) FROM ids
+  WHERE did % 7 = 0),
+p1 AS (SELECT e.a, e.b, e.w AS c FROM e
+       JOIN (SELECT 'urn:e:'||did AS a FROM ids WHERE did % 11 = 0) s
+       USING (a)),
+p2 AS (SELECT p.a, e.b, p.c + e.w AS c FROM p1 p JOIN e ON e.a = p.b),
+p3 AS (SELECT p.a, e.b, p.c + e.w AS c FROM p2 p JOIN e ON e.a = p.b),
+p4 AS (SELECT p.a, e.b, p.c + e.w AS c FROM p3 p JOIN e ON e.a = p.b),
+allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+SELECT a, b, CAST(MIN(c) AS BIGINT) AS min_cost FROM allp GROUP BY a, b
+"""

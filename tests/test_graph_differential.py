@@ -283,3 +283,60 @@ def test_temporal_reachability_matches_unpruned_enumeration(spark):
             ).collect()
         }
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_weighted_paths_matches_brute_force(spark):
+    """weighted_paths vs exhaustive path enumeration on seeded random
+    weighted digraphs — covers the dominance-pruning edge cases
+    (cheap-but-long vs expensive-but-short prefixes under hop budgets)."""
+    from itertools import product as _unused  # noqa: F401
+
+    from semargl_spark.operators.graph import weighted_paths
+
+    rng = random.Random(23)
+    for trial in range(3):
+        edges = {}
+        for _ in range(24):
+            a, b = rng.randrange(10), rng.randrange(10)
+            if a != b:
+                w = rng.randrange(0, 9)
+                k = (f"v{a}", f"v{b}")
+                edges[k] = min(edges.get(k, 1 << 60), w)
+        df = spark.createDataFrame(
+            [(a, b, w) for (a, b), w in edges.items()],
+            "src string, dst string, weight long",
+        )
+        max_hops = 4
+        got = {
+            (r.a, r.b): r.min_cost
+            for r in weighted_paths(df, max_hops=max_hops).collect()
+        }
+        # brute force: min cost over all simple-or-not paths <= 4 edges
+        exp = {}
+        frontier = {(a, b): w for (a, b), w in edges.items()}
+        for (a, b), w in frontier.items():
+            exp[(a, b)] = min(exp.get((a, b), 1 << 60), w)
+        for _ in range(max_hops - 1):
+            nxt = {}
+            for (a, m), c in frontier.items():
+                for (m2, b), w in edges.items():
+                    if m2 == m:
+                        key = (a, b)
+                        nxt[key] = min(nxt.get(key, 1 << 60), c + w)
+            for k, c in nxt.items():
+                exp[k] = min(exp.get(k, 1 << 60), c)
+            frontier = nxt
+        assert got == exp
+
+
+def test_weighted_paths_rejects_negative(spark):
+    from semargl_spark.operators.graph import weighted_paths
+
+    df = spark.createDataFrame(
+        [("a", "b", -1)], "src string, dst string, weight long"
+    )
+    try:
+        weighted_paths(df, max_hops=2)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
