@@ -140,7 +140,11 @@ def main() -> None:
                  "kg_list_members", "kg_cardinality_sketch",
                  "vocab_overlap_sketch", "kg_neighborhood_anf",
                  "token_freq_sketch", "stream_cardinality",
-                 "kg_temporal_reach", "kg_asof_view"):
+                 "kg_temporal_reach", "kg_asof_view",
+                 "kg_owl_infer", "kg_sameas_fuse", "kg_truth_vote",
+                 "wordpiece_train", "kg_quotient", "kg_pred_align",
+                 "stream_heavy_hitters", "kg_weighted_path",
+                 "dsir_select", "kg_harmonic"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -872,3 +872,108 @@ def stratified_sample(
         .filter(F.col("rank") <= k)
         .select("stratum", "doc_id", "coin", "rank")
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance score per document → (doc_id, n_feats,
+    score_micro): how much more a document looks like the ``target``
+    distribution than the raw corpus, under hashed word uni+bigram
+    bag-of-features models (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169).
+
+    Features are md5-hashed into ``n_buckets`` buckets; target and raw
+    bucket profiles are add-one smoothed, and each bucket gets an
+    integer micro-unit likelihood ratio
+
+        ratio_micro(b) = floor(10^6 · (t_b+1)(R+B) / ((r_b+1)(T+B)))
+
+    where t/r are target/raw bucket occurrence counts and T/R their
+    totals. A document scores the count-weighted MEAN ratio of its
+    buckets. DSIR proper scores the log-product; the arithmetic mean of
+    per-bucket ratios is the same monotone-per-bucket family quantized
+    to integers — the exactness stance of operators/lm.py: every step
+    is DECIMAL(38) multiply / integer floor-div / sum, so the result is
+    bit-identical at any parallelism and replayable by an external SQL
+    oracle (a float log-sum would tie-break differently per shuffle).
+
+    Scale shape (10^12-doc corpus): per-doc bucket counts first (one
+    row per (doc, bucket), map-side partial), the two profile groupBys
+    reduce to ≤ n_buckets rows each, the ratio table is a B-row
+    broadcast join, and the final per-doc aggregate is one hash agg.
+    No pairwise work, no Python in the hot path. The caller feeds the
+    selected slice to :func:`weighted_sample` with
+    ``weight_col='score_micro'`` for the Gumbel-top-k-analogous
+    weighted draw (integer priority sampling, same guarantees).
+
+    Documents with no features (empty after normalization never happens
+    — the splitter yields [''] — but a disjoint hash universe could)
+    return score_micro NULL.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from .dedup import md5_hash60
+
+    def bucket_counts(d: DataFrame) -> DataFrame:
+        grams = F.concat(
+            _word_ngrams(F.col(text_col), 1), _word_ngrams(F.col(text_col), 2)
+        )
+        return (
+            d.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+            .select(
+                "doc_id",
+                (md5_hash60("gram", seed=salt) % n_buckets).alias("b"),
+            )
+            .groupBy("doc_id", "b")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    fb = bucket_counts(docs)
+    tb = bucket_counts(target).groupBy("b").agg(F.sum("c").alias("t"))
+    raw = fb.groupBy("b").agg(F.sum("c").alias("r"))
+    totals = raw.agg(
+        F.sum("r").cast("long").alias("R_tot")
+    ).crossJoin(
+        tb.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("T_tot"))
+    )
+    ratio = (
+        raw.join(tb, "b", "left")
+        .crossJoin(totals)  # one-row broadcast
+        .select(
+            "b",
+            F.expr(
+                # both sides widen to DECIMAL(38,0) BEFORE multiplying:
+                # (r+1)*(T_tot+B) as BIGINT*BIGINT overflows once bucket
+                # counts pass ~3e9 (certain at the 10^12-doc target)
+                f"CAST((CAST(1000000 AS DECIMAL(38,0))"
+                f" * (coalesce(t, 0) + 1) * (R_tot + {n_buckets}))"
+                f" div (CAST(r + 1 AS DECIMAL(38,0))"
+                f" * (T_tot + {n_buckets})) AS BIGINT)"
+            ).alias("rm"),
+        )
+    )
+    scored = (
+        fb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * rm) div sum(c) AS BIGINT)"
+            ).alias("score_micro"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.col("score_micro"),
+        )
+    )

@@ -1708,3 +1708,45 @@ def weighted_paths(
         )
         frontier = improved
     return best
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Hop-bounded harmonic closeness centrality → (node, n_reachable,
+    harmonic_pm): for each origin, Σ over the nodes it reaches within
+    ``max_hops`` of floor(1000 / hop-distance) — the
+    disconnected-graph-safe closeness variant (Boldi & Vigna 2014,
+    "Axioms for Centrality"), in integer per-mille so the sum is exact
+    at any parallelism.
+
+    Distances come from :func:`weighted_paths` on unit weights (the
+    same semi-naive relaxation; BFS as degenerate Bellman-Ford), so the
+    scale posture is inherited: seed with ``sources`` for the bounded
+    frontier a 10^12-edge run needs; unseeded all-origins cost is
+    Θ(reachable pairs within max_hops). Self-loops/cycles back to the
+    origin are excluded (distance to self is 0 by definition, not a
+    cycle length). Origins reaching nothing are absent from the result
+    (no 0-row padding — the caller's seed table is the spine).
+    """
+    d = weighted_paths(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.lit(1).alias("weight"),
+        ),
+        max_hops=max_hops,
+        sources=sources,
+    )
+    return (
+        d.filter(F.col("a") != F.col("b"))
+        .groupBy(F.col("a").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("n_reachable"),
+            F.sum(F.expr("1000 div min_cost")).cast("long").alias("harmonic_pm"),
+        )
+    )

@@ -2530,6 +2530,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_align": q_kg_pred_align,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "kg_weighted_path": q_kg_weighted_path,
+        "dsir_select": q_dsir_select,
+        "kg_harmonic": q_kg_harmonic,
     }
 
 
@@ -7491,4 +7493,91 @@ p4 AS (SELECT p.a, e.b, p.c + e.w AS c FROM p3 p JOIN e ON e.a = p.b),
 allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
          UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
 SELECT a, b, CAST(MIN(c) AS BIGINT) AS min_cost FROM allp GROUP BY a, b
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (curation.dsir_scores): hashed word
+    uni+bigram likelihood-ratio of every document against the
+    deterministic doc_id % 7 == 0 target slice, 256 md5 buckets,
+    integer micro-units throughout so the external gate recomputes the
+    exact same scores."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return curation.dsir_scores(docs, target, n_buckets=256)
+
+
+ORACLES["dsir_select"] = rf"""
+WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+        list_concat(ws,
+          CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(ws)),
+                                   i -> array_to_string(ws[i:i+1], ' ')) END)
+          AS grams
+      FROM w),
+fb AS (SELECT doc_id, {_h60("gram || '#dsir'")} % 256 AS b,
+              CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+       GROUP BY doc_id, b),
+tb AS (SELECT b, SUM(c) AS t FROM fb WHERE doc_id % 7 = 0 GROUP BY b),
+raw AS (SELECT b, SUM(c) AS r FROM fb GROUP BY b),
+tot AS (SELECT (SELECT SUM(r) FROM raw) AS R_tot,
+               (SELECT COALESCE(SUM(t), 0) FROM tb) AS T_tot),
+ratio AS (SELECT b,
+            (CAST(1000000 AS HUGEINT) * (COALESCE(t, 0) + 1) * (R_tot + 256))
+              // (CAST(r + 1 AS HUGEINT) * (T_tot + 256)) AS rm
+          FROM raw LEFT JOIN tb USING (b) CROSS JOIN tot),
+sc AS (SELECT doc_id, SUM(c) AS n_feats,
+              SUM(CAST(c AS HUGEINT) * rm) // SUM(c) AS score_micro
+       FROM fb JOIN ratio USING (b) GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(sc.score_micro AS BIGINT) AS score_micro
+FROM documents d LEFT JOIN sc ON CAST(d.doc_id AS BIGINT) = sc.doc_id
+"""
+
+
+def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded harmonic closeness (graph.harmonic_closeness) over
+    the same chain + did%7 shortcut graph as kg_weighted_path, origins
+    seeded at the did % 11 == 0 nodes: per origin, the count of nodes
+    reached within 4 hops and the exact per-mille harmonic sum
+    sum(1000 div hops)."""
+    from .operators.graph import harmonic_closeness
+
+    d = _fusion_docs(spark, sf_dir)
+    n = lambda off: F.concat(F.lit("urn:e:"), F.col("did") + off)  # noqa: E731
+    edges = d.select(n(0).alias("src"), n(1).alias("dst")).unionByName(
+        d.filter(F.col("did") % 7 == 0).select(
+            n(0).alias("src"), n(3).alias("dst")
+        )
+    )
+    seeds = d.filter(F.col("did") % 11 == 0).select(n(0).alias("node"))
+    return harmonic_closeness(edges, max_hops=4, sources=seeds)
+
+
+ORACLES["kg_harmonic"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+e AS (
+  SELECT 'urn:e:'||did AS a, 'urn:e:'||(did+1) AS b FROM ids
+  UNION ALL
+  SELECT 'urn:e:'||did, 'urn:e:'||(did+3) FROM ids WHERE did % 7 = 0),
+p1 AS (SELECT e.a, e.b, 1 AS c FROM e
+       JOIN (SELECT 'urn:e:'||did AS a FROM ids WHERE did % 11 = 0) s
+       USING (a)),
+p2 AS (SELECT p.a, e.b, p.c + 1 AS c FROM p1 p JOIN e ON e.a = p.b),
+p3 AS (SELECT p.a, e.b, p.c + 1 AS c FROM p2 p JOIN e ON e.a = p.b),
+p4 AS (SELECT p.a, e.b, p.c + 1 AS c FROM p3 p JOIN e ON e.a = p.b),
+allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4),
+d AS (SELECT a, b, MIN(c) AS dist FROM allp WHERE a <> b GROUP BY a, b)
+SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_reachable,
+       CAST(SUM(1000 // dist) AS BIGINT) AS harmonic_pm
+FROM d GROUP BY a
 """

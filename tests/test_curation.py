@@ -883,3 +883,97 @@ def test_cm_heavy_hitters_never_underestimates(spark):
 
     with _pytest.raises(ValueError):
         cm_heavy_hitters(df, "v", d=0)
+
+
+def _dsir_mirror(rows, target_ids, n_buckets):
+    """Pure-Python replay of curation.dsir_scores (md5 buckets, add-one
+    smoothing, integer micro-unit ratios, floor-mean per doc)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    def grams(t):
+        ws = re.split(r"\s+", t.strip().lower())
+        gs = list(ws)
+        if len(ws) >= 2:
+            gs += [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        return gs
+
+    fb = Counter()
+    for did, t in rows:
+        for g in grams(t):
+            b = int(hashlib.md5((g + "#dsir").encode()).hexdigest()[:15], 16)
+            fb[(did, b % n_buckets)] += 1
+    tb, raw = Counter(), Counter()
+    for (did, b), c in fb.items():
+        raw[b] += c
+        if did in target_ids:
+            tb[b] += c
+    R, T = sum(raw.values()), sum(tb.values())
+    rm = {
+        b: (10**6 * (tb.get(b, 0) + 1) * (R + n_buckets))
+        // ((raw[b] + 1) * (T + n_buckets))
+        for b in raw
+    }
+    out = {}
+    for did, _ in rows:
+        bs = [(b, c) for (d, b), c in fb.items() if d == did]
+        n = sum(c for _, c in bs)
+        out[did] = (n, sum(c * rm[b] for b, c in bs) // n)
+    return out
+
+
+def test_dsir_scores_matches_python_mirror(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog ran in the park"),
+        (3, "quantum flux capacitor phase variance"),
+        (4, "the cat and the dog sat"),
+        (5, "zeta eta theta iota kappa"),
+        (6, ""),
+    ]
+    docs = _df(spark, rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id").isin(1, 4))
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_micro"])
+        for r in curation.dsir_scores(docs, target, n_buckets=32).collect()
+    }
+    assert got == _dsir_mirror(rows, {1, 4}, 32)
+
+
+def test_dsir_scores_ranks_target_like_above_alien(spark):
+    # docs sharing the target's vocabulary must outscore disjoint ones
+    rows = [(i, "alpha beta gamma delta") for i in range(1, 5)] + [
+        (9, "alpha beta gamma delta"),
+        (10, "xerox yonder zipline quay"),
+    ]
+    docs = _df(spark, rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") <= 4)
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in curation.dsir_scores(docs, target, n_buckets=64).collect()
+    }
+    assert got[9] > got[10]
+
+
+def test_dsir_scores_partition_invariant(spark):
+    rows = [(i, f"tok{i % 5} tok{i % 3} shared words here") for i in range(40)]
+    docs = _df(spark, rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") % 4 == 0)
+    a = sorted(
+        map(tuple, curation.dsir_scores(
+            docs.repartition(1), target, n_buckets=16).collect())
+    )
+    b = sorted(
+        map(tuple, curation.dsir_scores(
+            docs.repartition(7), target.repartition(3), n_buckets=16).collect())
+    )
+    assert a == b
+
+
+def test_dsir_scores_rejects_tiny_bucket_count(spark):
+    import pytest
+
+    docs = _df(spark, [(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curation.dsir_scores(docs, docs, n_buckets=1)

@@ -340,3 +340,39 @@ def test_weighted_paths_rejects_negative(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_harmonic_closeness_chain_and_cycle(spark):
+    from semargl_spark.operators.graph import harmonic_closeness
+
+    # chain 1->2->3->4->5 plus a 2-cycle 10<->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: (r["n_reachable"], r["harmonic_pm"])
+        for r in harmonic_closeness(edges, max_hops=3).collect()
+    }
+    # node 1 reaches 2,3,4 at hops 1,2,3 -> 1000+500+333
+    assert got[1] == (3, 1833)
+    assert got[2] == (3, 1833)
+    assert got[4] == (1, 1000)
+    # cycle: the path back to the origin is excluded
+    assert got[10] == (1, 1000)
+    assert got[11] == (1, 1000)
+    assert 5 not in got  # sinks reach nothing -> absent
+
+
+def test_harmonic_closeness_seeded_sources_only(spark):
+    from semargl_spark.operators.graph import harmonic_closeness
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(2,)], "node long")
+    got = {
+        r["node"]: (r["n_reachable"], r["harmonic_pm"])
+        for r in harmonic_closeness(edges, max_hops=2, sources=seeds).collect()
+    }
+    assert got == {2: (2, 1500)}  # 3 at hop 1, 1 at hop 2; origin excluded
