@@ -89,6 +89,7 @@ def main() -> None:
         "extract_rdfa",
         "extract_rdfxml",
         "extract_nquads",
+        "extract_trig",
         "turn_ordering",
     ):
         if name in registry:

@@ -71,7 +71,7 @@ _TOKEN = re.compile(
     | (?P<decimal>[+-]?\d*\.\d+)
     | (?P<integer>[+-]?\d+(?![\w.]))
     | (?P<hat>\^\^)
-    | (?P<punct>[\[\]();,.])
+    | (?P<punct>[\[\](){};,.])
     | (?P<pname>(?:[A-Za-z_][\w.\-]*)?:(?:[\w:%\-]|\\.|\.)*)
     | (?P<word>[A-Za-z][\w\-]*)
     """,
@@ -103,7 +103,8 @@ def _tokenize(doc: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, text: str, base_uri: str, bnodes: BnodeAllocator):
+    def __init__(self, text: str, base_uri: str, bnodes: BnodeAllocator,
+                 trig: bool = False):
         self.toks = _tokenize(text)
         self.i = 0
         self.base = base_uri
@@ -111,6 +112,8 @@ class _Parser:
         self.bnodes = bnodes
         self.out: list[Triple] = []
         self.errors: list[str] = []
+        self.trig = trig
+        self.graph: str | None = None  # TriG: label of the open block
 
     # ------------------------------------------------------------ plumbing
 
@@ -119,7 +122,8 @@ class _Parser:
 
     def take(self) -> tuple[str, str]:
         t = self.toks[self.i]
-        self.i += 1
+        if t[0] != "eof":  # eof is sticky: recovery paths that consume
+            self.i += 1    # it must not run the cursor off the list
         return t
 
     def expect_punct(self, ch: str) -> None:
@@ -135,9 +139,29 @@ class _Parser:
             if kind == "eof":
                 return
             if kind == "punct":
-                if text in "[(":
+                if text in "[({":
                     depth += 1
-                elif text in "])" and depth > 0:
+                elif text in "])}" and depth > 0:
+                    depth -= 1
+                elif text == "." and depth == 0:
+                    return
+
+    def _skip_in_graph(self) -> None:
+        """Error recovery inside a TriG graph block: consume to the next
+        '.' at depth 0, or stop BEFORE the block's closing '}' (which
+        belongs to wrapped_graph) — never past the block."""
+        depth = 0
+        while True:
+            kind, text = self.peek()
+            if kind == "eof":
+                return
+            if kind == "punct" and text == "}" and depth == 0:
+                return
+            self.take()
+            if kind == "punct":
+                if text in "[({":
+                    depth += 1
+                elif text in "])}" and depth > 0:
                     depth -= 1
                 elif text == "." and depth == 0:
                     return
@@ -155,6 +179,8 @@ class _Parser:
                     kind == "word" and text.lower() in ("prefix", "base")
                 ):
                     self.directive()
+                elif self.trig:
+                    self.block()
                 else:
                     self.statement()
             except ParseError as exc:
@@ -182,6 +208,98 @@ class _Parser:
             self.base = self._iri(iri)
         if not sparql_style:
             self.expect_punct(".")
+
+    # --------------------------------------------------------- TriG blocks
+
+    def _tok_at(self, off: int) -> tuple[str, str]:
+        return self.toks[min(self.i + off, len(self.toks) - 1)]
+
+    def block(self) -> None:
+        """TriG top level: GRAPH label {..} | label {..} | {..} | triples.
+
+        Graph labels are single-token IRIs / prefixed names / bnodes (or
+        the anonymous '[]'), so one/two-token lookahead for the opening
+        '{' is enough to tell a labeled block from a plain statement."""
+        kind, text = self.peek()
+        if kind == "word" and text.lower() == "graph":
+            self.take()
+            self.wrapped_graph(self.graph_label())
+            return
+        if kind == "punct" and text == "{":
+            self.wrapped_graph(None)
+            return
+        if kind in ("iri", "pname", "bnode") and self._tok_at(1) == ("punct", "{"):
+            self.wrapped_graph(self.graph_label())
+            return
+        if (
+            kind == "punct" and text == "["
+            and self._tok_at(1) == ("punct", "]")
+            and self._tok_at(2) == ("punct", "{")
+        ):
+            self.wrapped_graph(self.graph_label())
+            return
+        self.statement()
+
+    def graph_label(self) -> str:
+        kind, text = self.take()
+        if kind == "iri":
+            return self._resolve(self._iri(text))
+        if kind == "pname":
+            return self._pname(text)
+        if kind == "bnode":
+            return self.bnodes.rename(text)
+        if kind == "punct" and text == "[":
+            self.expect_punct("]")
+            return self.bnodes.fresh()
+        raise ParseError(f"bad graph label {text!r}")
+
+    def wrapped_graph(self, label: str | None) -> None:
+        """'{' triples ('.' triples?)* '}' with the current graph set to
+        ``label`` (None = default graph); per-statement error recovery
+        stays INSIDE the block so one bad statement never swallows the
+        closing '}' or leaks the graph label past it."""
+        self.expect_punct("{")
+        self.graph = label
+        try:
+            while True:
+                kind, text = self.peek()
+                if kind == "punct" and text == "}":
+                    self.take()
+                    return
+                if kind == "eof":
+                    raise ParseError("unterminated graph block")
+                start = self.i
+                try:
+                    self.graph_statement()
+                except ParseError as exc:
+                    self.errors.append(str(exc))
+                    if self.i == start:
+                        self.i += 1  # guarantee progress
+                    self._skip_in_graph()
+        finally:
+            self.graph = None
+
+    def graph_statement(self) -> None:
+        """A triples statement inside a graph block: same as statement()
+        but the trailing '.' is optional immediately before '}'."""
+        kind, text = self.peek()
+        if kind == "punct" and text == "[":
+            subj = self.bnode_property_list()
+            kind, text = self.peek()
+            if kind == "punct" and text in ".}":
+                if text == ".":
+                    self.take()
+                return  # bare blankNodePropertyList statement
+        else:
+            subj = self.subject()
+        self.predicate_object_list(subj)
+        kind, text = self.peek()
+        if kind == "punct" and text == ".":
+            self.take()
+            return
+        if kind == "punct" and text == "}":
+            return
+        raise ParseError(f"expected '.' or '}}' in graph block, got {text!r}")
 
     def statement(self) -> None:
         kind, text = self.peek()
@@ -271,15 +389,15 @@ class _Parser:
                     dtype = self._pname(dt)
                 else:
                     raise ParseError(f"bad datatype {dt!r}")
-            self.out.append(Triple(subj, pred, value, "literal", lang, dtype, None))
+            self.out.append(Triple(subj, pred, value, "literal", lang, dtype, self.graph))
         elif kind == "integer":
-            self.out.append(Triple(subj, pred, text, "literal", None, _XSD_INTEGER, None))
+            self.out.append(Triple(subj, pred, text, "literal", None, _XSD_INTEGER, self.graph))
         elif kind == "decimal":
-            self.out.append(Triple(subj, pred, text, "literal", None, _XSD_DECIMAL, None))
+            self.out.append(Triple(subj, pred, text, "literal", None, _XSD_DECIMAL, self.graph))
         elif kind == "double":
-            self.out.append(Triple(subj, pred, text, "literal", None, _XSD_DOUBLE, None))
+            self.out.append(Triple(subj, pred, text, "literal", None, _XSD_DOUBLE, self.graph))
         elif kind == "word" and text in ("true", "false"):
-            self.out.append(Triple(subj, pred, text, "literal", None, _XSD_BOOLEAN, None))
+            self.out.append(Triple(subj, pred, text, "literal", None, _XSD_BOOLEAN, self.graph))
         else:
             raise ParseError(f"bad object {text!r}")
 
@@ -309,12 +427,12 @@ class _Parser:
             if prev is None:
                 items_head = node
             else:
-                self.out.append(Triple(prev, RDF_REST, node, "bnode", None, None, None))
+                self.out.append(Triple(prev, RDF_REST, node, "bnode", None, None, self.graph))
             self.object(node, RDF_FIRST)
             prev = node
         if prev is None:
             return RDF_NIL
-        self.out.append(Triple(prev, RDF_REST, RDF_NIL, "iri", None, None, None))
+        self.out.append(Triple(prev, RDF_REST, RDF_NIL, "iri", None, None, self.graph))
         return items_head  # type: ignore[return-value]
 
     # ---------------------------------------------------------------- terms
@@ -324,7 +442,10 @@ class _Parser:
         return unescape(tok[1:-1])
 
     def _resolve(self, iri: str) -> str:
-        got = resolve_iri(self.base, iri)
+        try:
+            got = resolve_iri(self.base, iri)
+        except Exception as exc:  # MalformedIriError must become a
+            raise ParseError(str(exc)) from exc  # recoverable parse error
         if got is None:
             raise ParseError(f"unresolvable IRI {iri!r} against base {self.base!r}")
         return got
@@ -342,7 +463,7 @@ class _Parser:
         return ns + local
 
     def emit(self, subj: str, pred: str, obj: str, kind: str) -> None:
-        self.out.append(Triple(subj, pred, obj, kind, None, None, None))
+        self.out.append(Triple(subj, pred, obj, kind, None, None, self.graph))
 
 
 def parse(
@@ -354,9 +475,34 @@ def parse(
     the ENABLE_ERROR_RECOVERY contract every other kernel follows
     (StreamProcessor.java:47-48).
     """
+    return _parse(text, base_uri, doc_key, recover, trig=False)
+
+
+def parse_trig(
+    text: str, *, base_uri: str = "", doc_key: str = "", recover: bool = True
+) -> tuple[list[Triple], list[str]]:
+    """Parse a TriG document → ``(quads, errors)``: the full Turtle
+    surface above plus TriG 1.1 graph blocks — ``GRAPH <label> {...}``,
+    the labeled shorthand ``<label> {...}`` (label = IRI, prefixed name,
+    ``_:b`` or anonymous ``[]``), ``{...}`` for the wrapped default
+    graph, and bare top-level triples (default graph, ``graph`` None).
+    The trailing '.' inside a block is optional before '}', per the
+    grammar. Error recovery is block-scoped: a malformed statement
+    inside a graph never consumes the closing '}' (E10 contract).
+
+    Like the Turtle reader this is target-side surface the reference
+    never had (it ships no TriG support); the quads align with
+    kernels/ntriples.py parse_nquads so the NQuads serializer and the
+    named-graph query surface consume both interchangeably."""
+    return _parse(text, base_uri, doc_key, recover, trig=True)
+
+
+def _parse(
+    text: str, base_uri: str, doc_key: str, recover: bool, trig: bool
+) -> tuple[list[Triple], list[str]]:
     bnodes = BnodeAllocator(doc_key)
     try:
-        p = _Parser(text, base_uri, bnodes)
+        p = _Parser(text, base_uri, bnodes, trig=trig)
     except ParseError as exc:
         if not recover:
             raise

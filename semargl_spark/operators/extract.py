@@ -77,6 +77,12 @@ def _parse_text(fmt: str, name_keyed: bool = False):
             return lambda text, base, key: turtle_read.parse(
                 text, base_uri=base, doc_key=key
             )
+        if fmt == "trig":
+            from ..kernels import turtle_read
+
+            return lambda text, base, key: turtle_read.parse_trig(
+                text, base_uri=base, doc_key=key
+            )
     except ImportError:  # format kernel not built yet
         return None
     return None

@@ -40,7 +40,7 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 def _extract_single_fmt(fmt: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = synth_transcripts(spark, sf_dir, fmt=fmt)
-        cols = STMT_COLS + (["graph"] if fmt == "nquads" else [])
+        cols = STMT_COLS + (["graph"] if fmt in ("nquads", "trig") else [])
         return triples(extract_statements(t)).select(*cols)
 
     return q
@@ -136,6 +136,29 @@ SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
 UNION ALL
 SELECT 'c'||did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label', 'g',
        'literal', 'en', {_V}, 'urn:g:'||(did%10) FROM t
+""",
+)
+
+_oracle(
+    "extract_trig",
+    _SEED
+    + f"""
+SELECT 'c'||did AS conv_id, tix AS turn_idx, 'urn:e:'||did AS subj,
+       'urn:p:name' AS pred, 'Entity '||did AS obj, 'literal' AS obj_kind,
+       {_V} AS lang, {_V} AS dtype, {_V} AS graph FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:knows', 'urn:e:'||(did+1),
+       'iri', {_V}, {_V}, 'urn:g:'||(did%10) FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did, 'urn:p:score', CAST(did%100 AS VARCHAR),
+       'literal', {_V}, '{XSD}integer', 'urn:g:'||(did%10) FROM t
+UNION ALL
+SELECT 'c'||did, tix, '_:bc'||did||'_'||tix||'_n0', 'urn:p:label',
+       'turn '||tix, 'literal', 'en', {_V}, 'urn:g:meta' FROM t
+UNION ALL
+SELECT 'c'||did, tix, 'urn:e:'||did,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:t:Thing',
+       'iri', {_V}, {_V}, 'urn:g:meta' FROM t
 """,
 )
 
@@ -439,6 +462,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_ntriples": _extract_single_fmt("ntriples"),
         "extract_nquads": _extract_single_fmt("nquads"),
+        "extract_trig": _extract_single_fmt("trig"),
         "extract_jsonld": _extract_single_fmt("jsonld"),
         "extract_rdfa": _extract_single_fmt("rdfa"),
         "extract_rdfxml": _extract_single_fmt("rdfxml"),

@@ -112,6 +112,20 @@ def rdfxml_text(did, tix):
     )
 
 
+
+def trig_text(did, tix):
+    """TriG payload: a default-graph triple, a GRAPH-keyword block, and
+    a label-shorthand block (bnode + 'a' + optional final '.')."""
+    return F.format_string(
+        "@prefix e: <urn:e:> .\n"
+        "@prefix p: <urn:p:> .\n"
+        'e:%d p:name "Entity %d" .\n'
+        "GRAPH <urn:g:%d> { e:%d p:knows e:%d ; p:score %d }\n"
+        '<urn:g:meta> { _:m p:label "turn %d"@en . e:%d a <urn:t:Thing> }\n',
+        did, did, did % 10, did, did + 1, did % 100, tix, did,
+    )
+
+
 def prose_text(did, tix):
     return F.format_string(
         "the quick brown fox jumps over turn %d of conversation %d", tix, did
@@ -125,6 +139,7 @@ def malformed_text(did, tix):
 _FMT_BUILDERS = {
     "ntriples": nt_text,
     "nquads": nq_text,
+    "trig": trig_text,
     "jsonld": jsonld_text,
     "rdfa": rdfa_text,
     "rdfa_role": rdfa_role_text,

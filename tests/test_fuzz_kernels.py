@@ -108,3 +108,26 @@ def test_deletion_blocking_is_complete_for_distance_1(a, b):
     levenshtein verify, so over-generation is harmless)."""
     if _lev(a, b) <= 1:
         assert _del_variants_py(a) & _del_variants_py(b)
+
+
+_TRIG_SPICE = st.sampled_from(
+    [
+        "@prefix ex: <urn:ex:> . GRAPH ex:g { ex:a ex:p ",
+        "GRAPH { oops }",
+        "ex:g { ex:a ex:p 1 ",
+        "{ [ <urn:p> ( 1 2 ] ) }",
+        "[] { _:x <urn:p> '''a''' @en ",
+        "GRAPH [ <urn:a> <urn:b> { } . }",
+        "<urn:g> { <urn:a> <urn:b> 1.5e }",
+        "@prefix : <u> . :a :b :c } { .",
+    ]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(_spiced, _TRIG_SPICE))
+def test_turtle_and_trig_never_raise(text):
+    from semargl_spark.kernels import turtle_read
+
+    _assert_clean(*turtle_read.parse(text, doc_key="f"))
+    _assert_clean(*turtle_read.parse_trig(text, doc_key="f"))

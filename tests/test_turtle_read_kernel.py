@@ -132,3 +132,89 @@ def test_serializer_roundtrip_through_kernel():
     back, errs2 = parse(doc, doc_key="rt")
     assert errs2 == []
     assert isomorphic(orig, back)
+
+
+# ------------------------------------------------------------------ TriG
+
+
+def _qset(triples):
+    return {
+        (t.subj, t.pred, t.obj, t.obj_kind, t.lang, t.dtype, t.graph)
+        for t in triples
+    }
+
+
+def test_trig_block_forms():
+    from semargl_spark.kernels.turtle_read import parse_trig
+
+    doc = """
+    @prefix ex: <urn:ex:> .
+    ex:top ex:p "default" .
+    GRAPH ex:g1 { ex:a ex:p 1 ; ex:q "x"@en }
+    ex:g2 { ex:b ex:knows ex:c . }
+    { ex:d a ex:T }
+    """
+    ts, errs = parse_trig(doc, doc_key="k")
+    assert errs == []
+    assert _qset(ts) == {
+        ("urn:ex:top", "urn:ex:p", "default", "literal", None, None, None),
+        ("urn:ex:a", "urn:ex:p", "1", "literal", None, XSD_NS + "integer",
+         "urn:ex:g1"),
+        ("urn:ex:a", "urn:ex:q", "x", "literal", "en", None, "urn:ex:g1"),
+        ("urn:ex:b", "urn:ex:knows", "urn:ex:c", "iri", None, None,
+         "urn:ex:g2"),
+        ("urn:ex:d", RDF_TYPE, "urn:ex:T", "iri", None, None, None),
+    }
+
+
+def test_trig_bnode_graph_labels_and_collections():
+    from semargl_spark.kernels.turtle_read import parse_trig
+
+    doc = """
+    @prefix ex: <urn:ex:> .
+    _:g { ex:a ex:p ( 1 2 ) . }
+    [] { ex:e ex:p true }
+    """
+    ts, errs = parse_trig(doc, doc_key="k")
+    assert errs == []
+    graphs = {t.graph for t in ts}
+    # the labeled bnode graph and the anonymous one are distinct bnodes
+    assert len(graphs) == 2 and all(g.startswith("_:b") for g in graphs)
+    labeled = next(g for g in graphs if any(
+        t.graph == g and t.pred == RDF_FIRST for t in ts))
+    chain = [t for t in ts if t.graph == labeled]
+    # collection chain fully inside the labeled graph: first/rest/nil
+    assert {t.pred for t in chain} >= {RDF_FIRST, RDF_REST, "urn:ex:p"}
+    assert any(t.obj == RDF_NIL for t in chain)
+
+
+def test_trig_error_recovery_is_block_scoped():
+    from semargl_spark.kernels.turtle_read import parse_trig
+
+    doc = """
+    @prefix ex: <urn:ex:> .
+    GRAPH ex:g { ex:ok ex:p 1 . ex:bad ex:p . }
+    ex:after ex:p 3 .
+    """
+    ts, errs = parse_trig(doc, doc_key="k")
+    assert len(errs) == 1
+    got = {(t.subj, t.obj, t.graph) for t in ts}
+    # the good statement in the block and the statement AFTER the block
+    # both survive; the bad one is dropped without eating the '}'
+    assert ("urn:ex:ok", "1", "urn:ex:g") in got
+    assert ("urn:ex:after", "3", None) in got
+
+
+def test_trig_truncated_never_raises():
+    from semargl_spark.kernels.turtle_read import parse_trig
+
+    for bad in ("{", "GRAPH", "GRAPH {", "ex:g {", "{ ex:a ex:p ",
+                "}}}", "{{{", "GRAPH [ ] { _:x ex:p "):
+        ts, errs = parse_trig("@prefix ex: <urn:ex:> .\n" + bad, doc_key="z")
+        assert errs, bad
+
+
+def test_turtle_truncated_statement_records_error():
+    # regression: a doc cut mid-object used to run the cursor past EOF
+    ts, errs = parse("@prefix ex: <urn:ex:> .\nex:a ex:p ")
+    assert ts == [] and len(errs) == 1
