@@ -145,7 +145,8 @@ def main() -> None:
                  "kg_owl_infer", "kg_sameas_fuse", "kg_truth_vote",
                  "wordpiece_train", "kg_quotient", "kg_pred_align",
                  "stream_heavy_hitters", "kg_weighted_path",
-                 "dsir_select", "kg_harmonic"):
+                 "dsir_select", "kg_harmonic",
+                 "unigram_vocab", "unigram_segment"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -918,3 +918,157 @@ def rrf_fuse(
         F.min("rank").cast("int").alias("best_rank"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    n_pieces: int = 256,
+    max_piece_len: int = 4,
+    text_col="text",
+) -> DataFrame:
+    """Substring piece inventory for unigram segmentation → (piece, cnt):
+    every contiguous substring of length 1..``max_piece_len`` of every
+    corpus word, weighted by the word's corpus frequency — ALL single
+    characters (the coverage guarantee SentencePiece keeps so every
+    word stays segmentable) plus the top ``n_pieces`` multi-character
+    substrings by (cnt desc, piece asc).
+
+    This is the seed-inventory step of unigram-LM tokenizer training
+    (Kudo 2018, arXiv:1804.10959 §3.2 seeds from frequent substrings);
+    :func:`unigram_segment` is the Viterbi step over it.
+
+    Scale shape: the corpus collapses to the word-frequency table once
+    (the only corpus-sized shuffle, shared with bpe_train); substring
+    expansion then runs over the VOCABULARY (≤ max_piece_len rows per
+    word-char), one map-side-partial groupBy, and the top-N is a
+    TakeOrderedAndProject — never a global sort.
+    """
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if n_pieces < 0:
+        raise ValueError(f"n_pieces must be >= 0, got {n_pieces}")
+    wf = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    def _substrs(plen: int):
+        # single-parameter lambda: a 2-arg lambda would be bound by
+        # F.transform as (element, index) and silently shadow plen
+        return lambda i: F.col("word").substr(i, F.lit(plen))
+
+    parts = []
+    for plen in range(1, max_piece_len + 1):
+        parts.append(
+            wf.filter(F.length("word") >= plen).select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word") - plen + 1),
+                        _substrs(plen),
+                    )
+                ).alias("piece"),
+                "c",
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    agg = allp.groupBy("piece").agg(F.sum("c").cast("long").alias("cnt"))
+    chars = agg.filter(F.length("piece") == 1)
+    multi = (
+        agg.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(n_pieces)
+    )
+    return chars.unionByName(multi)
+
+
+def unigram_segment(
+    docs: DataFrame,
+    n_pieces: int = 256,
+    max_piece_len: int = 4,
+    text_col="text",
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """SentencePiece-style Viterbi subword segmentation over the
+    :func:`unigram_vocab` inventory → (word, segmented, n_pieces,
+    piece_cnt_sum, c) per distinct corpus word.
+
+    Objective (exact-integer stand-in for unigram-LM likelihood):
+    lexicographically minimize (number of pieces, -Σ piece corpus
+    count, segmented string). True unigram-LM maximizes Π p(piece) —
+    a transcendental-log sum whose float rounding ties break
+    differently per engine; under the per-word DP lattice this
+    objective is the same Viterbi recurrence with an exactly-orderable
+    cost, so the result is bit-identical at any parallelism and
+    replayable by an external SQL oracle (the stance of bpe_train /
+    wordpiece_train). Fewest-pieces-first IS the dominant term of the
+    likelihood whenever pieces have comparable probability mass, and
+    the frequency sum arbitrates within equal piece counts.
+
+    The lexicographic string tie-break composes under the DP because
+    two segmentations of the same prefix spell the same characters —
+    their first difference is always a space-vs-letter position, which
+    appending a common suffix never moves.
+
+    Scale shape: vocabulary-sized, not corpus-sized — the DP runs once
+    per DISTINCT word via mapInPandas (O(len·max_piece_len) per word)
+    with the piece table shipped in the task closure (bounded by
+    ``n_pieces`` + alphabet, the same driver-side dictionary pattern as
+    operators/link.py); re-tokenizing the corpus is then a broadcast
+    join of this table. ``max_word_len`` optionally bounds the lattice
+    (gate queries use it so the SQL oracle's unrolled DP stays small).
+    """
+    vocab = unigram_vocab(docs, n_pieces, max_piece_len, text_col)
+    pieces = {r["piece"]: r["cnt"] for r in vocab.collect()}
+    wf = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    if max_word_len is not None:
+        wf = wf.filter(F.length("word") <= max_word_len)
+    K = max_piece_len
+
+    def seg_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for word, c in zip(pdf["word"], pdf["c"]):
+                dp = [None] * (len(word) + 1)
+                dp[0] = (0, 0, "")
+                for j in range(1, len(word) + 1):
+                    best = None
+                    for plen in range(1, min(K, j) + 1):
+                        cnt = pieces.get(word[j - plen:j])
+                        prev = dp[j - plen]
+                        if cnt is None or prev is None:
+                            continue
+                        piece = word[j - plen:j]
+                        cand = (
+                            prev[0] + 1,
+                            prev[1] - cnt,
+                            (prev[2] + " " + piece) if prev[2] else piece,
+                        )
+                        if best is None or cand < best:
+                            best = cand
+                    dp[j] = best
+                fin = dp[len(word)]
+                if fin is None:  # unreachable for corpus words (all
+                    rows.append((word, None, None, None, int(c)))  # chars
+                else:           # are in the inventory) — kept for safety
+                    rows.append((word, fin[2], fin[0], -fin[1], int(c)))
+            yield pd.DataFrame(
+                rows,
+                columns=["word", "segmented", "n_pieces",
+                         "piece_cnt_sum", "c"],
+            )
+
+    return wf.mapInPandas(
+        seg_iter,
+        "word string, segmented string, n_pieces int, "
+        "piece_cnt_sum long, c long",
+    )

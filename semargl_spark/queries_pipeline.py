@@ -2532,6 +2532,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_weighted_path": q_kg_weighted_path,
         "dsir_select": q_dsir_select,
         "kg_harmonic": q_kg_harmonic,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_segment": q_unigram_segment,
     }
 
 
@@ -7581,3 +7583,83 @@ SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_reachable,
        CAST(SUM(1000 // dist) AS BIGINT) AS harmonic_pm
 FROM d GROUP BY a
 """
+
+
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM seed piece inventory (text.unigram_vocab): corpus
+    substrings of length ≤3, all single chars + top-64 multi-char by
+    (cnt desc, piece asc)."""
+    return text.unigram_vocab(_docs(spark, sf_dir), n_pieces=64,
+                              max_piece_len=3)
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style Viterbi segmentation (text.unigram_segment)
+    of every distinct corpus word ≤16 chars under the 64-piece
+    inventory; the gate checks the exact DP optimum (piece count and
+    frequency sum — the segmented string itself is covered by the
+    Python-mirror unit tests, the oracle replays the cost DP as 16
+    unrolled relaxation rounds like kg_weighted_path's)."""
+    return text.unigram_segment(
+        _docs(spark, sf_dir), n_pieces=64, max_piece_len=3, max_word_len=16
+    ).select("word", "n_pieces", "piece_cnt_sum", "c")
+
+
+_UNI_VOCAB_CTES = r"""
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM
+    (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY word),
+agg AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt FROM
+    (SELECT unnest(list_transform(range(1, len(word) - l + 2),
+                                  i -> substr(word, i, l))) AS piece, c
+     FROM wf CROSS JOIN (SELECT unnest([1,2,3]) AS l) WHERE len(word) >= l)
+  GROUP BY piece),
+v AS MATERIALIZED (
+  SELECT piece, cnt FROM agg WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (SELECT piece, cnt FROM agg WHERE len(piece) >= 2
+                          ORDER BY cnt DESC, piece ASC LIMIT 64))
+"""
+
+ORACLES["unigram_vocab"] = "WITH " + _UNI_VOCAB_CTES + \
+    "SELECT piece, cnt FROM v"
+
+
+def _unigram_segment_oracle() -> str:
+    """Cost-DP replay: positions are lattice nodes, vocab pieces are
+    edges of cost C - cnt (C=10^12 >> any frequency sum, so MIN(cost)
+    is lexicographic (pieces asc, cnt-sum desc) in one BIGINT); 16
+    materialized relaxation rounds cover every word ≤16 chars."""
+    C = 10**12
+    rounds = "\n".join(
+        f"d{k} AS MATERIALIZED (SELECT word, p, MIN(cost) AS cost FROM ("
+        f"SELECT d.word, e.t AS p, d.cost + {C} - e.cnt AS cost "
+        f"FROM d{k-1} d JOIN e ON e.word = d.word AND e.s = d.p "
+        f"UNION ALL SELECT word, p, cost FROM d{k-1}) GROUP BY word, p),"
+        for k in range(1, 17)
+    )
+    return (
+        "WITH " + _UNI_VOCAB_CTES + "," + r"""
+wrds AS MATERIALIZED (SELECT word, c FROM wf WHERE len(word) <= 16),
+e AS MATERIALIZED (
+  SELECT p.word, p.s, p.s + l AS t, v.cnt
+  FROM (SELECT word, unnest(CAST(range(1, len(word) + 1) AS BIGINT[])) AS s FROM wrds) p
+  CROSS JOIN (SELECT unnest([1,2,3]) AS l)
+  JOIN v ON v.piece = substr(p.word, CAST(p.s AS INT), l)
+  WHERE p.s + l <= len(p.word) + 1),
+d0 AS (SELECT word, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cost FROM wrds),
+""" + rounds + f"""
+fin AS (SELECT d.word, d.cost FROM d16 d JOIN wrds USING (word)
+        WHERE d.p = len(d.word) + 1)
+SELECT w2.word,
+       CAST((f.cost + {C} - 1) // {C} AS INT) AS n_pieces,
+       CAST(((f.cost + {C} - 1) // {C}) * {C} - f.cost AS BIGINT) AS piece_cnt_sum,
+       w2.c
+FROM wrds w2 LEFT JOIN fin f USING (word)
+"""
+    )
+
+
+ORACLES["unigram_segment"] = _unigram_segment_oracle()

@@ -535,3 +535,118 @@ class TestWordpieceTrain:
             wordpiece_train(docs, n_merges=0)
         with _pytest.raises(ValueError):
             wordpiece_train(docs, precision=0)
+
+
+# ------------------------------------------------------- unigram tokenizer
+
+
+def _unigram_mirror(texts, n_pieces, K):
+    """Pure-Python replay of unigram_vocab + unigram_segment."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if re.fullmatch(r"[a-z0-9]+", w):
+                wf[w] += 1
+    agg = Counter()
+    for w, c in wf.items():
+        for L in range(1, K + 1):
+            for i in range(len(w) - L + 1):
+                agg[w[i:i + L]] += c
+    pieces = {p: c for p, c in agg.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in agg.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:n_pieces]
+    pieces.update(dict(multi))
+    segs = {}
+    for w, c in wf.items():
+        dp = [None] * (len(w) + 1)
+        dp[0] = (0, 0, "")
+        for j in range(1, len(w) + 1):
+            best = None
+            for L in range(1, min(K, j) + 1):
+                cnt = pieces.get(w[j - L:j])
+                prev = dp[j - L]
+                if cnt is None or prev is None:
+                    continue
+                cand = (prev[0] + 1, prev[1] - cnt,
+                        (prev[2] + " " + w[j - L:j]) if prev[2] else w[j - L:j])
+                if best is None or cand < best:
+                    best = cand
+            dp[j] = best
+        n, negs, seg = dp[len(w)]
+        segs[w] = (seg, n, -negs, c)
+    return pieces, segs
+
+
+def test_unigram_matches_python_mirror(spark):
+    from semargl_spark.operators.text import unigram_segment, unigram_vocab
+
+    texts = [
+        "the cat catalog categorical",
+        "stream streams streaming streamer",
+        "the the the concat cats",
+        "zebra quartz 42 code42",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exp_pieces, exp_segs = _unigram_mirror(texts, n_pieces=12, K=3)
+    got_v = {
+        r["piece"]: r["cnt"]
+        for r in unigram_vocab(docs, n_pieces=12, max_piece_len=3).collect()
+    }
+    assert got_v == exp_pieces
+    got_s = {
+        r["word"]: (r["segmented"], r["n_pieces"], r["piece_cnt_sum"], r["c"])
+        for r in unigram_segment(docs, n_pieces=12, max_piece_len=3).collect()
+    }
+    assert got_s == exp_segs
+
+
+def test_unigram_segment_objective_and_tiebreaks(spark):
+    from semargl_spark.operators.text import unigram_segment
+
+    # 'abab' repeated makes 'ab' (and 'ba','aba','bab') top pieces;
+    # the DP must pick the 2-piece 'ab ab' split, never 4 singles
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab xyz")], "doc_id long, text string"
+    )
+    # n_pieces=4 keeps ab/aba/ba/bab and EXCLUDES xy/yz/xyz, so xyz
+    # must fall back to the single-char coverage inventory
+    got = {
+        r["word"]: r
+        for r in unigram_segment(docs, n_pieces=4, max_piece_len=3).collect()
+    }
+    assert got["abab"]["n_pieces"] == 2
+    assert got["abab"]["segmented"] == "ab ab"
+    assert got["xyz"]["n_pieces"] == 3
+    assert got["xyz"]["segmented"] == "x y z"
+
+
+def test_unigram_segment_partition_invariant(spark):
+    from semargl_spark.operators.text import unigram_segment
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 7}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, unigram_segment(
+        docs.repartition(1), n_pieces=16, max_piece_len=3).collect()))
+    b = sorted(map(tuple, unigram_segment(
+        docs.repartition(7), n_pieces=16, max_piece_len=3).collect()))
+    assert a == b
+
+
+def test_unigram_validation(spark):
+    import pytest
+
+    from semargl_spark.operators.text import unigram_vocab
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        unigram_vocab(docs, max_piece_len=0)
+    with pytest.raises(ValueError):
+        unigram_vocab(docs, n_pieces=-1)
