@@ -146,7 +146,8 @@ def main() -> None:
                  "wordpiece_train", "kg_quotient", "kg_pred_align",
                  "stream_heavy_hitters", "kg_weighted_path",
                  "dsir_select", "kg_harmonic",
-                 "unigram_vocab", "unigram_segment"):
+                 "unigram_vocab", "unigram_segment",
+                 "kg_link_predict"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -1750,3 +1750,58 @@ def harmonic_closeness(
             F.sum(F.expr("1000 div min_cost")).cast("long").alias("harmonic_pm"),
         )
     )
+
+
+def resource_allocation(
+    edges: DataFrame,
+    max_nbr_degree: int = 64,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resource-allocation link-prediction index between node pairs
+    sharing a neighbor → (x, y, n_common, ra_micro) with x < y:
+    ra_micro = Σ over common neighbors z of ``scale div deg(z)`` (Zhou,
+    Lü & Zhang 2009, "Predicting missing links via local information")
+    — the link predictor that consistently beats raw common-neighbor
+    counts because a shared LOW-degree neighbor is strong evidence
+    while a shared hub is noise. Adamic–Adar divides by log deg(z); RA
+    divides by deg(z) itself, which is why it is expressible in exact
+    integer micro-units (no transcendental log) — bit-identical at any
+    parallelism, replayable by an external SQL oracle.
+
+    Scale shape = :func:`node_jaccard`'s: wedges are generated only
+    through pivots with degree ≤ ``max_nbr_degree`` (a hub pivot emits
+    deg² wedges and contributes ≤ scale/deg ≈ 0 signal anyway, so the
+    cap changes scores by at most scale/max_nbr_degree per hub), then
+    one groupBy over the candidate pairs. Never all-pairs.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    pivots = deg.filter(F.col("deg") <= max_nbr_degree).select(
+        F.col("node").alias("nbr"), F.col("deg").alias("pdeg")
+    )
+    wadj = adj.join(pivots, "nbr")
+    return (
+        wadj.select("nbr", "pdeg", F.col("node").alias("x"))
+        .join(wadj.select("nbr", F.col("node").alias("y")), "nbr")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.expr(f"{scale} div pdeg")).cast("long").alias("ra_micro"),
+        )
+    )

@@ -2534,6 +2534,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic": q_kg_harmonic,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
+        "kg_link_predict": q_kg_link_predict,
     }
 
 
@@ -7663,3 +7664,41 @@ FROM wrds w2 LEFT JOIN fin f USING (word)
 
 
 ORACLES["unigram_segment"] = _unigram_segment_oracle()
+
+
+def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (graph.resource_allocation)
+    over the chain + did%7 shortcut graph: candidate pairs share a
+    neighbor, scored Σ 10^6 div deg(common neighbor) in exact integer
+    micro-units."""
+    from .operators.graph import resource_allocation
+
+    d = _fusion_docs(spark, sf_dir)
+    n = lambda off: F.concat(F.lit("urn:e:"), F.col("did") + off)  # noqa: E731
+    edges = d.select(n(0).alias("src"), n(1).alias("dst")).unionByName(
+        d.filter(F.col("did") % 7 == 0).select(
+            n(0).alias("src"), n(3).alias("dst")
+        )
+    )
+    return resource_allocation(edges, max_nbr_degree=64)
+
+
+ORACLES["kg_link_predict"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+raw AS (
+  SELECT 'urn:e:'||did AS s, 'urn:e:'||(did+1) AS t FROM ids
+  UNION ALL
+  SELECT 'urn:e:'||did, 'urn:e:'||(did+3) FROM ids WHERE did % 7 = 0),
+und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw WHERE s <> t),
+adj AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+piv AS (SELECT node AS nbr, deg AS pdeg FROM deg WHERE deg <= 64),
+w AS (SELECT adj.nbr, piv.pdeg, adj.node FROM adj JOIN piv USING (nbr))
+SELECT wx.node AS x, wy.node AS y,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(SUM(1000000 // wx.pdeg) AS BIGINT) AS ra_micro
+FROM w wx JOIN w wy ON wx.nbr = wy.nbr AND wx.node < wy.node
+GROUP BY wx.node, wy.node
+"""

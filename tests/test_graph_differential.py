@@ -376,3 +376,56 @@ def test_harmonic_closeness_seeded_sources_only(spark):
         for r in harmonic_closeness(edges, max_hops=2, sources=seeds).collect()
     }
     assert got == {2: (2, 1500)}  # 3 at hop 1, 1 at hop 2; origin excluded
+
+
+def test_resource_allocation_star_and_hub_cap(spark):
+    from semargl_spark.operators.graph import resource_allocation
+
+    # star: hub h connects 1..4; every leaf pair shares only h (deg 4)
+    star = [(0, i) for i in range(1, 5)]
+    # plus a triangle 10-11-12: each pair shares one deg-2 neighbor
+    tri = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(star + tri, "src long, dst long")
+    got = {
+        (r["x"], r["y"]): (r["n_common"], r["ra_micro"])
+        for r in resource_allocation(edges, max_nbr_degree=64).collect()
+    }
+    assert got[(1, 2)] == (1, 10**6 // 4)
+    assert got[(10, 11)] == (1, 10**6 // 2)
+    # hub cap: with max_nbr_degree=3 the deg-4 hub stops generating
+    # wedges, so leaf pairs vanish; the triangle (deg-2 pivots) stays
+    capped = {
+        (r["x"], r["y"])
+        for r in resource_allocation(edges, max_nbr_degree=3).collect()
+    }
+    assert (1, 2) not in capped and (10, 11) in capped
+
+
+def test_resource_allocation_matches_python_mirror(spark):
+    import itertools
+    import random
+
+    from semargl_spark.operators.graph import resource_allocation
+
+    rng = random.Random(11)
+    raw = {(rng.randrange(14), rng.randrange(14)) for _ in range(40)}
+    edges = [(a, b) for a, b in raw if a != b]
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    exp = {}
+    for x, y in itertools.combinations(sorted(nbrs), 2):
+        common = nbrs[x] & nbrs[y]
+        if common:
+            exp[(x, y)] = (
+                len(common),
+                sum(10**6 // len(nbrs[z]) for z in common),
+            )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["x"], r["y"]): (r["n_common"], r["ra_micro"])
+        for r in resource_allocation(df, max_nbr_degree=64).collect()
+    }
+    assert got == exp
