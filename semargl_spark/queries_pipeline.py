@@ -2535,6 +2535,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "kg_link_predict": q_kg_link_predict,
+        "kg_c14n": q_kg_c14n,
+        "kg_c14n_hash": q_kg_c14n_hash,
     }
 
 
@@ -7701,4 +7703,97 @@ SELECT wx.node AS x, wy.node AS y,
        CAST(SUM(1000000 // wx.pdeg) AS BIGINT) AS ra_micro
 FROM w wx JOIN w wy ON wx.nbr = wy.nbr AND wx.node < wy.node
 GROUP BY wx.node, wy.node
+"""
+
+
+def _c14n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-doc statement set with two DISTINGUISHABLE bnodes
+    (_:x anchored by "x{did}", _:y by "y{did%5}", linked x→y, plus an
+    IRI owner edge) — first-degree hashes differ, so the oracle can
+    replay RDFC-1.0 as two sha256 calls and a comparison."""
+    d = _fusion_docs(spark, sf_dir)
+    conv = F.concat(F.lit("c"), F.col("did"))
+    V = F.lit(None).cast("string")
+    rows = [
+        d.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                 F.lit("_:x").alias("subj"), F.lit("urn:p:label").alias("pred"),
+                 F.concat(F.lit("x"), F.col("did")).alias("obj"),
+                 F.lit("literal").alias("obj_kind"), V.alias("lang"),
+                 V.alias("dtype"), V.alias("graph")),
+        d.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                 F.lit("_:y").alias("subj"), F.lit("urn:p:label").alias("pred"),
+                 F.concat(F.lit("y"), F.col("did") % 5).alias("obj"),
+                 F.lit("literal").alias("obj_kind"), V.alias("lang"),
+                 V.alias("dtype"), V.alias("graph")),
+        d.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                 F.lit("_:x").alias("subj"), F.lit("urn:p:knows").alias("pred"),
+                 F.lit("_:y").alias("obj"), F.lit("bnode").alias("obj_kind"),
+                 V.alias("lang"), V.alias("dtype"), V.alias("graph")),
+        d.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                 F.concat(F.lit("urn:e:"), F.col("did")).alias("subj"),
+                 F.lit("urn:p:owner").alias("pred"),
+                 F.lit("_:x").alias("obj"), F.lit("bnode").alias("obj_kind"),
+                 V.alias("lang"), V.alias("dtype"), V.alias("graph")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_kg_c14n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFC-1.0 canonical bnode labels (operators/c14n_ops.c14n_labels)
+    per closed-form document; the gate recomputes both first-degree
+    hashes in SQL and checks the hash-order label assignment."""
+    from .operators.c14n_ops import c14n_labels
+
+    return c14n_labels(_c14n_docs(spark, sf_dir))
+
+
+def q_kg_c14n_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical N-Quads document sha256 (c14n_ops.c14n_doc_hashes) —
+    the isomorphism-invariant content address; oracle rebuilds the
+    exact canonical document text per hash-order branch."""
+    from .operators.c14n_ops import c14n_doc_hashes
+
+    return c14n_doc_hashes(_c14n_docs(spark, sf_dir))
+
+
+_C14N_HX = ("sha256('<urn:e:'||did||'> <urn:p:owner> _:a .'||chr(10)"
+            "||'_:a <urn:p:knows> _:z .'||chr(10)"
+            "||'_:a <urn:p:label> \"x'||did||'\" .'||chr(10))")
+_C14N_HY = ("sha256('_:a <urn:p:label> \"y'||(did%5)||'\" .'||chr(10)"
+            "||'_:z <urn:p:knows> _:a .'||chr(10))")
+
+ORACLES["kg_c14n"] = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+h AS (SELECT did, {_C14N_HX} AS hx, {_C14N_HY} AS hy FROM ids)
+SELECT 'c'||did AS conv_id, 0 AS turn_idx, '_:x' AS label,
+       CASE WHEN hx < hy THEN '_:c14n0' ELSE '_:c14n1' END AS canon,
+       CAST(NULL AS VARCHAR) AS error
+FROM h
+UNION ALL
+SELECT 'c'||did, 0, '_:y',
+       CASE WHEN hy < hx THEN '_:c14n0' ELSE '_:c14n1' END,
+       CAST(NULL AS VARCHAR)
+FROM h
+"""
+
+ORACLES["kg_c14n_hash"] = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+h AS (SELECT did, {_C14N_HX} AS hx, {_C14N_HY} AS hy FROM ids),
+doc AS (SELECT did, CASE WHEN hx < hy THEN
+  '<urn:e:'||did||'> <urn:p:owner> _:c14n0 .'||chr(10)
+  ||'_:c14n0 <urn:p:knows> _:c14n1 .'||chr(10)
+  ||'_:c14n0 <urn:p:label> "x'||did||'" .'||chr(10)
+  ||'_:c14n1 <urn:p:label> "y'||(did%5)||'" .'||chr(10)
+ELSE
+  '<urn:e:'||did||'> <urn:p:owner> _:c14n1 .'||chr(10)
+  ||'_:c14n0 <urn:p:label> "y'||(did%5)||'" .'||chr(10)
+  ||'_:c14n1 <urn:p:knows> _:c14n0 .'||chr(10)
+  ||'_:c14n1 <urn:p:label> "x'||did||'" .'||chr(10)
+END AS body FROM h)
+SELECT 'c'||did AS conv_id, 0 AS turn_idx, 4 AS n_quads,
+       sha256(body) AS doc_sha256, CAST(NULL AS VARCHAR) AS error
+FROM doc
 """
