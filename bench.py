@@ -147,7 +147,8 @@ def main() -> None:
                  "stream_heavy_hitters", "kg_weighted_path",
                  "dsir_select", "kg_harmonic",
                  "unigram_vocab", "unigram_segment",
-                 "kg_link_predict", "kg_c14n", "kg_c14n_hash"):
+                 "kg_link_predict", "kg_c14n", "kg_c14n_hash",
+                 "stream_c14n_dedup"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -2537,6 +2537,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_predict": q_kg_link_predict,
         "kg_c14n": q_kg_c14n,
         "kg_c14n_hash": q_kg_c14n_hash,
+        "stream_c14n_dedup": q_stream_c14n_dedup,
     }
 
 
@@ -7796,4 +7797,81 @@ END AS body FROM h)
 SELECT 'c'||did AS conv_id, 0 AS turn_idx, 4 AS n_quads,
        sha256(body) AS doc_sha256, CAST(NULL AS VARCHAR) AS error
 FROM doc
+"""
+
+
+def q_stream_c14n_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content-address dedup: closed-form docs whose RDFC-1.0
+    canonical form depends only on did % 10 (10 planted duplicate
+    classes), landed doc-colocated, drained through stream_c14n
+    (per-batch canonical hashing, batch_id overwrite), then resolved
+    read-time to (doc_sha256, keep_conv, n_docs). Replay or duplicate
+    emission would inflate n_docs — the exactly-once check."""
+    import tempfile
+
+    from .streaming.stream_c14n import c14n_first_seen, stream_c14n
+
+    base = tempfile.mkdtemp(prefix="semargl_q_sc14n_")
+    d = _fusion_docs(spark, sf_dir)
+    conv = F.concat(F.lit("c"), F.col("did"))
+    r = F.col("did") % 10
+    V = F.lit(None).cast("string")
+    rows = [
+        d.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                 F.lit("_:x").alias("subj"), F.lit("urn:p:label").alias("pred"),
+                 F.concat(F.lit("x"), r).alias("obj"),
+                 F.lit("literal").alias("obj_kind"), V.alias("lang"),
+                 V.alias("dtype"), V.alias("graph")),
+        d.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                 F.lit("_:y").alias("subj"), F.lit("urn:p:label").alias("pred"),
+                 F.concat(F.lit("y"), r % 5).alias("obj"),
+                 F.lit("literal").alias("obj_kind"), V.alias("lang"),
+                 V.alias("dtype"), V.alias("graph")),
+        d.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                 F.lit("_:x").alias("subj"), F.lit("urn:p:knows").alias("pred"),
+                 F.lit("_:y").alias("obj"), F.lit("bnode").alias("obj_kind"),
+                 V.alias("lang"), V.alias("dtype"), V.alias("graph")),
+        d.select(conv.alias("conv_id"), F.lit(0).alias("turn_idx"),
+                 F.concat(F.lit("urn:e:"), r).alias("subj"),
+                 F.lit("urn:p:owner").alias("pred"),
+                 F.lit("_:x").alias("obj"), F.lit("bnode").alias("obj_kind"),
+                 V.alias("lang"), V.alias("dtype"), V.alias("graph")),
+    ]
+    st = rows[0]
+    for x in rows[1:]:
+        st = st.unionByName(x)
+    # doc-colocated landing: 4 files, 2 per trigger → 2 micro-batches
+    st.repartition(4, "conv_id", "turn_idx").write.mode("overwrite").parquet(
+        f"{base}/in"
+    )
+    q = stream_c14n(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return c14n_first_seen(spark, f"{base}/out")
+
+
+ORACLES["stream_c14n_dedup"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+cls AS (SELECT did % 10 AS r, MIN(did) AS keep_did,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM ids GROUP BY did % 10),
+h AS (SELECT r, keep_did, n_docs,
+  sha256('<urn:e:'||r||'> <urn:p:owner> _:a .'||chr(10)
+         ||'_:a <urn:p:knows> _:z .'||chr(10)
+         ||'_:a <urn:p:label> "x'||r||'" .'||chr(10)) AS hx,
+  sha256('_:a <urn:p:label> "y'||(r%5)||'" .'||chr(10)
+         ||'_:z <urn:p:knows> _:a .'||chr(10)) AS hy
+  FROM cls)
+SELECT CASE WHEN hx < hy THEN
+  sha256('<urn:e:'||r||'> <urn:p:owner> _:c14n0 .'||chr(10)
+         ||'_:c14n0 <urn:p:knows> _:c14n1 .'||chr(10)
+         ||'_:c14n0 <urn:p:label> "x'||r||'" .'||chr(10)
+         ||'_:c14n1 <urn:p:label> "y'||(r%5)||'" .'||chr(10))
+ELSE
+  sha256('<urn:e:'||r||'> <urn:p:owner> _:c14n1 .'||chr(10)
+         ||'_:c14n0 <urn:p:label> "y'||(r%5)||'" .'||chr(10)
+         ||'_:c14n1 <urn:p:knows> _:c14n0 .'||chr(10)
+         ||'_:c14n1 <urn:p:label> "x'||r||'" .'||chr(10))
+END AS doc_sha256,
+'c'||keep_did AS keep_conv, n_docs
+FROM h
 """

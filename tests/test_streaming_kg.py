@@ -306,3 +306,60 @@ def test_stream_heavy_hitters_replay_and_batch_parity(spark, tmp_path):
         hh_counters(spark, str(tmp_path / "state")), top, d=4, w=256
     ).collect():
         assert r.est >= r.n_exact
+
+
+def test_stream_c14n_replay_and_batch_parity(spark, tmp_path):
+    """Streaming content addresses == batch c14n_doc_hashes; a re-drain
+    is a no-op and a replayed batch overwrites its own partition."""
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.c14n_ops import c14n_doc_hashes
+    from semargl_spark.streaming.stream_c14n import (
+        c14n_first_seen,
+        stream_c14n,
+    )
+
+    rows = []
+    for d in range(12):
+        conv = f"c{d}"
+        r = d % 3  # 3 duplicate classes
+        rows += [
+            (conv, 0, "_:x", "urn:p:label", f"x{r}", "literal",
+             None, None, None),
+            (conv, 0, "_:x", "urn:p:knows", "_:y", "bnode",
+             None, None, None),
+            (conv, 0, "_:y", "urn:p:label", f"y{r}", "literal",
+             None, None, None),
+        ]
+    ddl = ("conv_id string, turn_idx int, subj string, pred string,"
+           " obj string, obj_kind string, lang string, dtype string,"
+           " graph string")
+    st = spark.createDataFrame(rows, ddl)
+    st.repartition(4, "conv_id", "turn_idx").write.mode("overwrite").parquet(
+        str(tmp_path / "in")
+    )
+    q = stream_c14n(spark, str(tmp_path / "in"), str(tmp_path / "out"),
+                    str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = {
+        r["doc_sha256"]: (r["keep_conv"], r["n_docs"])
+        for r in c14n_first_seen(spark, str(tmp_path / "out")).collect()
+    }
+    batch = c14n_doc_hashes(st)
+    exp = {
+        r["doc_sha256"]: (f"c{r['mn']}", r["n"])
+        for r in batch.groupBy("doc_sha256").agg(
+            F.min(F.substring("conv_id", 2, 9).cast("long")).alias("mn"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    assert got == exp and len(got) == 3
+    # re-drain: checkpoint makes it a no-op, counts unchanged
+    q2 = stream_c14n(spark, str(tmp_path / "in"), str(tmp_path / "out"),
+                     str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    again = {
+        r["doc_sha256"]: (r["keep_conv"], r["n_docs"])
+        for r in c14n_first_seen(spark, str(tmp_path / "out")).collect()
+    }
+    assert again == got
