@@ -238,3 +238,59 @@ def agent_loops(transcripts: DataFrame, min_run: int = 2) -> DataFrame:
             F.when(F.col("run_len") >= min_run, 1).otherwise(0)
         ).cast("long").alias("n_stuck_runs"),
     )
+
+
+def topic_shifts(
+    transcripts: DataFrame, boundary_permille: int = 100
+) -> DataFrame:
+    """Intra-conversation topic-shift detection → (conv_id, turn_idx,
+    jaccard_pm, is_shift): the exact integer per-mille Jaccard between
+    each turn's distinct word set and its predecessor's under the
+    stable (conv_id, turn_idx) ordering; a turn opens a new topic
+    segment when overlap falls below ``boundary_permille`` — the
+    classic lexical-cohesion segmenter (TextTiling, Hearst 1997)
+    reduced to its exactly-replayable core: set Jaccard instead of
+    cosine over smoothed term vectors, so the external gate recomputes
+    it bit-for-bit.
+
+    Shape: one lag window over the per-conversation ordering (the same
+    window every turn-ordering query already shuffles by — at 10^12
+    turns this is the partitioning the table is stored under), then
+    row-local array intersect/union; no joins, no Python. First turns
+    have NULL jaccard_pm and is_shift=0 (nothing to compare against);
+    two empty turns count as identical (1000), not a shift.
+    """
+    words = F.array_distinct(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        words.alias("ws"),
+        F.lag(words).over(w).alias("prev"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("prev").isNull().alias("first"),
+        F.size(F.array_intersect("ws", "prev")).cast("long").alias("i"),
+        F.size(F.array_union("ws", "prev")).cast("long").alias("u"),
+    )
+    jac = F.when(F.col("first"), F.lit(None).cast("long")).otherwise(
+        F.when(F.col("u") == 0, F.lit(1000)).otherwise(
+            F.expr("(i * 1000) div u")
+        ).cast("long")
+    )
+    return x.select(
+        "conv_id",
+        "turn_idx",
+        jac.alias("jaccard_pm"),
+        F.when(F.col("first"), F.lit(0))
+        .when(jac < boundary_permille, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_shift"),
+    )

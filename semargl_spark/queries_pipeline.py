@@ -2538,6 +2538,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_c14n": q_kg_c14n,
         "kg_c14n_hash": q_kg_c14n_hash,
         "stream_c14n_dedup": q_stream_c14n_dedup,
+        "conv_topic_shifts": q_conv_topic_shifts,
     }
 
 
@@ -7874,4 +7875,52 @@ ELSE
 END AS doc_sha256,
 'c'||keep_did AS keep_conv, n_docs
 FROM h
+"""
+
+
+def q_conv_topic_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-cohesion topic segmentation (conversation.topic_shifts):
+    4-turn conversations whose word sets repeat within a 2-turn topic
+    block and swap one token across blocks — consecutive-turn Jaccard
+    is 1000 inside a block, 714 across, so boundary 800 marks exactly
+    the block transitions."""
+    from .operators.conversation import topic_shifts
+
+    d = _fusion_docs(spark, sf_dir)
+    t = d.select(
+        F.concat(F.lit("c"), F.col("did")).alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("turn_idx"),
+        F.col("did"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.format_string(
+            "w%d shared common words turn %d",
+            F.col("did") % 3, F.floor(F.col("turn_idx") / 2).cast("int"),
+        ).alias("text"),
+    )
+    return topic_shifts(t, boundary_permille=800)
+
+
+ORACLES["conv_topic_shifts"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+t AS (SELECT 'c'||did AS conv_id, tix,
+             'w'||(did%3)||' shared common words turn '||(tix // 2) AS text
+      FROM ids CROSS JOIN (SELECT unnest(generate_series(0,3)) AS tix)),
+l AS (SELECT conv_id, tix, list_distinct(string_split(text, ' ')) AS ws
+      FROM t),
+p AS (SELECT conv_id, tix, ws,
+             lag(ws) OVER (PARTITION BY conv_id ORDER BY tix) AS prev
+      FROM l),
+j AS (SELECT conv_id, tix,
+        CASE WHEN prev IS NULL THEN NULL
+             WHEN len(list_distinct(list_concat(ws, prev))) = 0 THEN 1000
+             ELSE (len(list_intersect(ws, prev)) * 1000)
+                  // len(list_distinct(list_concat(ws, prev))) END AS jac
+      FROM p)
+SELECT conv_id, CAST(tix AS INT) AS turn_idx,
+       CAST(jac AS BIGINT) AS jaccard_pm,
+       CAST(CASE WHEN jac IS NOT NULL AND jac < 800 THEN 1 ELSE 0 END AS INT)
+         AS is_shift
+FROM j
 """

@@ -174,3 +174,31 @@ def test_agent_loops_single_exchange_plan(spark):
     n_window_exchanges = plan.count("hashpartitioning(conv_id")
     assert plan.count("Window") >= 1
     assert n_window_exchanges <= 2, plan
+
+
+def test_topic_shifts_exact_values_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.conversation import topic_shifts
+
+    rows = [
+        ("c1", 0, "alpha beta gamma"),
+        ("c1", 1, "alpha beta gamma"),          # identical -> 1000
+        ("c1", 2, "alpha beta delta"),          # 2/4 -> 500
+        ("c1", 3, "zeta eta theta"),            # 0/6 -> 0, shift
+        ("c1", 4, ""),                          # 0/3 -> 0, shift
+        ("c1", 5, ""),                          # empty vs empty -> 1000
+        ("c2", 0, "solo"),                      # first turn: NULL, no shift
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["jaccard_pm"], r["is_shift"])
+        for r in topic_shifts(t, boundary_permille=400).collect()
+    }
+    assert got[("c1", 0)] == (None, 0)
+    assert got[("c1", 1)] == (1000, 0)
+    assert got[("c1", 2)] == (500, 0)
+    assert got[("c1", 3)] == (0, 1)
+    assert got[("c1", 4)] == (0, 1)
+    assert got[("c1", 5)] == (1000, 0)
+    assert got[("c2", 0)] == (None, 0)
