@@ -3,13 +3,14 @@
 jobs/run_pipeline.py --input ... --output ...``).
 
 Stages: extract → link → canon → [infer] → [owl] → [resolve] → [fuse] →
-[validate] → merge → [sparql], with per-stage lineage rows and
+[validate] → [c14n] → merge → [sparql], with per-stage lineage rows and
 idempotent partitioned writes (checkpoint-resume: re-running overwrites
 only the partitions it produces; the lineage table records per-partition
 row counts + checksums for audit). Bracketed stages are opt-in flags:
 --ontology (RDFS), --owl-axioms (OWL-RL property semantics),
 --resolve-functional (truth-discovery conflict resolution),
---fuse-sameas (sameAs entity fusion), --shapes (SHACL-lite), --sparql.
+--fuse-sameas (sameAs entity fusion), --shapes (SHACL-lite),
+--content-address (RDFC-1.0 per-document hashes), --sparql.
 
 Build the zip with:  python -c "from semargl_spark.spark_util import \
 build_pyfiles_zip; print(build_pyfiles_zip('semargl_spark.zip'))"
@@ -70,6 +71,11 @@ def main(argv=None) -> int:
                          "predicate keep ONE object per subject, chosen by "
                          "2-round source-reliability voting with conv_id "
                          "as the source (operators/fusion.truth_discovery)")
+    ap.add_argument("--content-address", action="store_true",
+                    help="side output <output>/content_addresses: the "
+                         "RDFC-1.0 canonical sha256 per source document "
+                         "(operators/c14n_ops.c14n_doc_hashes) — the "
+                         "isomorphism-invariant graph-level dedup key")
     ap.add_argument("--sparql", default=None,
                     help="SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE or a SPARQL "
                          "1.1 Update request (operators/sparql.py subset) to "
@@ -95,6 +101,7 @@ def main(argv=None) -> int:
                   owl_axioms=args.owl_axioms,
                   fuse_sameas=args.fuse_sameas,
                   resolve_functional=args.resolve_functional,
+                  content_address=args.content_address,
                   sparql=args.sparql)
     print(json.dumps(summary))
     spark.stop()
@@ -106,7 +113,7 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         fuzzy_link: bool = False, shapes: str | None = None,
         ontology: str | None = None, owl_axioms: str | None = None,
         fuse_sameas: bool = False, resolve_functional: str | None = None,
-        sparql: str | None = None) -> dict:
+        content_address: bool = False, sparql: str | None = None) -> dict:
     """The pipeline body, callable in-process (tests, notebooks) — does
     not stop the session. ``main`` wraps it for spark-submit."""
     from pyspark.sql import functions as F
@@ -335,6 +342,26 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
     else:
         summary_violations = None
 
+    summary_content = None
+    if content_address:
+        # content addressing runs over the ORIGINAL per-document
+        # statements (pre-fusion rewrites — the address identifies what
+        # the source said, not what the pipeline resolved it to)
+        from semargl_spark.operators.c14n_ops import c14n_doc_hashes
+
+        addrs = c14n_doc_hashes(
+            st.filter(F.col("conv_id") != "owl")
+        ).localCheckpoint(eager=False)
+        if "c14n" not in done_stages:
+            addrs.write.mode("overwrite").parquet(
+                f"{output}/content_addresses"
+            )
+            write_lineage(lineage_rows(addrs, run_id, "c14n"),
+                          f"{output}/lineage")
+        summary_content = addrs.filter(F.col("error").isNull()).select(
+            "doc_sha256"
+        ).distinct().count()
+
     if "merge" in done_stages:
         # whole run already completed: report from the materialized tables
         summary = {
@@ -352,6 +379,8 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         summary["resolved_claims"] = summary_resolved
     if summary_fused is not None:
         summary["fused_nodes"] = summary_fused
+    if summary_content is not None:
+        summary["distinct_content"] = summary_content
     summary["errors"] = err.count()
     summary["statements"] = st.count()
     try:

@@ -279,3 +279,34 @@ def test_run_query_job_lists_and_runs(tmp_path):
         capture_output=True, text=True, env=env, timeout=120,
     )
     assert r.returncode == 2 and "unknown query" in r.stdout
+
+
+def test_content_address_stage_and_resume(spark, prepared):
+    """--content-address lands <out>/content_addresses + a c14n lineage
+    stage; a resumed rerun skips the stage but still reports the count."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_pipeline import run
+
+    out = str(prepared / "out_c14n")
+    kw = dict(input_path=str(prepared / "in"), output=out,
+              dictionary=str(prepared / "dict"), run_id="rc14n",
+              content_address=True)
+    s0 = run(spark, **kw)
+    addrs = spark.read.parquet(f"{out}/content_addresses")
+    assert addrs.filter(F.col("error").isNotNull()).count() == 0
+    n_docs = addrs.count()
+    assert n_docs > 0 and s0["distinct_content"] <= n_docs
+    stages = {
+        r["stage"]
+        for r in spark.read.parquet(f"{out}/lineage").select("stage").distinct().collect()
+    }
+    assert "c14n" in stages
+    s1 = run(spark, **kw, resume=True)
+    assert "c14n" in s1.get("resumed_stages", [])
+    assert s1["distinct_content"] == s0["distinct_content"]
+    # ledger stays duplicate-free across the rerun
+    assert _ledger_copies(spark, out) == 1
