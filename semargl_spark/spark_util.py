@@ -89,6 +89,15 @@ def tuned_session(
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # local mode = ONE JVM doing all executors' work: the 1g
+        # spark.driver.memory default leaves 16-32 Arrow-heavy tasks
+        # GC-bound (observed: GCLocker allocation stalls at local[32]).
+        # Takes effect only when this session launches the JVM — the
+        # cluster analogue is executor memory, set by spark-submit.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"),
+        )
         .config("spark.ui.enabled", "false")
         .appName(app_name)
         .getOrCreate()

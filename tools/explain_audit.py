@@ -598,6 +598,61 @@ def main():
                    "Python" not in p and "Cartesian" not in p
                    and "NestedLoop" not in p))
 
+    # 33. round-2b operators: DSIR broadcast ratio join, RA wedge
+    # equi-joins, topic-shift single-window, c14n one-exchange
+    # FlatMapGroupsInPandas, unigram top-N without a global sort
+    from semargl_spark.operators.curation import dsir_scores
+    from semargl_spark.operators.graph import resource_allocation
+    from semargl_spark.operators.conversation import topic_shifts
+    from semargl_spark.operators.c14n_ops import c14n_labels
+    from semargl_spark.operators.text import unigram_vocab
+
+    docs10 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(dsir_scores(docs10, docs10.filter("doc_id % 7 = 0"),
+                            n_buckets=64))
+    sections.append(("dsir_scores", p))
+    checks.append(("dsir_scores: JVM-only, broadcast ratio join, no cartesian "
+                   "pairwise work",
+                   "Python" not in p and "CartesianProduct" not in p
+                   and "BroadcastHashJoin" in p))
+
+    edges10 = docs10.selectExpr("cast(doc_id as string) AS src",
+                                "cast(doc_id + 1 as string) AS dst")
+    p = plan_of(resource_allocation(edges10, max_nbr_degree=16))
+    sections.append(("resource_allocation", p))
+    checks.append(("resource_allocation: wedge equi-joins only — no "
+                   "cartesian, no nested loop, JVM-only",
+                   "Python" not in p and "Cartesian" not in p
+                   and "NestedLoop" not in p))
+
+    t10 = docs10.selectExpr("cast(doc_id as string) AS conv_id",
+                            "cast(doc_id % 4 as int) AS turn_idx", "text")
+    p = plan_of(topic_shifts(t10))
+    sections.append(("topic_shifts", p))
+    checks.append(("topic_shifts: one window over the turn ordering, no "
+                   "joins, JVM-only",
+                   "Python" not in p and "Join" not in p and "Window" in p
+                   and p.count("Exchange") <= 2))
+
+    st10 = t10.selectExpr(
+        "conv_id", "turn_idx", "'_:b' AS subj", "'urn:p:x' AS pred",
+        "text AS obj", "'literal' AS obj_kind",
+        "cast(null as string) AS lang", "cast(null as string) AS dtype",
+        "cast(null as string) AS graph")
+    p = plan_of(c14n_labels(st10))
+    sections.append(("c14n_labels", p))
+    checks.append(("c14n_labels: per-doc FlatMapGroupsInPandas behind ONE "
+                   "hash exchange, no joins",
+                   "FlatMapGroupsInPandas" in p and "Join" not in p
+                   # formatted plans list each node twice (tree + detail)
+                   and p.count("Exchange") <= 2))
+
+    p = plan_of(unigram_vocab(docs10, n_pieces=64, max_piece_len=3))
+    sections.append(("unigram_vocab", p))
+    checks.append(("unigram_vocab: top-N via TakeOrderedAndProject — never "
+                   "a global sort; JVM-only",
+                   "TakeOrderedAndProject" in p and "Python" not in p))
+
     allow = {"media_real_resize": 3}
     offenders = []
     for qname, qfn in sorted(Q.registry().items()):
