@@ -5,12 +5,19 @@ Each (conv_id, turn_idx) document is canonicalized INDEPENDENTLY —
 bnode scopes never cross documents in the extraction model (kernels'
 BnodeAllocator keys labels by doc), so per-doc RDFC-1.0 gives the
 canonical form a signer/deduper needs without any cross-document
-shuffle beyond the one groupBy. Scale shape: one hash-partition on the
-doc key, then per-group Python (kernels/c14n.py) inside applyInPandas;
-work per group is linear in the doc's quads except for automorphic
-bnode clusters, which are bounded by ``max_degree_nodes`` (poison-graph
-guard, raised documents surface as error rows, never task failures —
-the E10 contract).
+shuffle beyond one hash exchange.
+
+Execution shape: documents are hashed into ``num_buckets`` groups and
+each BUCKET is one applyInPandas group; the per-document split inside
+a bucket is a C-speed ``pandas.groupby``. Grouping directly on the doc
+key would be semantically identical but pays Spark's per-group
+grouped-map overhead (~ms) once per DOCUMENT — measured 17 s for 5k
+tiny docs vs ~2 s bucketed. Size ``num_buckets`` so a bucket's rows
+fit an executor (at 10^12 turns: n_docs / ~10^5 buckets); it defaults
+to spark.sql.shuffle.partitions. Work per doc is linear in its quads
+except automorphic bnode clusters, bounded by ``max_degree_nodes``
+(poison-graph guard → error rows, never task failures — the E10
+contract).
 """
 
 from __future__ import annotations
@@ -27,13 +34,14 @@ _DOCS_SCHEMA = (
     "error string"
 )
 
+_COLS = ["subj", "pred", "obj", "obj_kind", "lang", "dtype", "graph"]
+
 
 def _to_triples(pdf):
     from ..kernels.model import Triple
 
-    cols = ["subj", "pred", "obj", "obj_kind", "lang", "dtype", "graph"]
     out = []
-    for row in pdf[cols].itertuples(index=False, name=None):
+    for row in pdf[_COLS].itertuples(index=False, name=None):
         s, p, o, k, lang, dt, g = (
             None if v is None or (isinstance(v, float) and v != v) else v
             for v in row
@@ -42,66 +50,83 @@ def _to_triples(pdf):
     return out
 
 
-def c14n_labels(statements: DataFrame, max_degree_nodes: int = 8) -> DataFrame:
+def _per_bucket(statements: DataFrame, per_doc, schema: str,
+                out_cols: list[str], num_buckets: int | None) -> DataFrame:
+    nb = num_buckets or int(
+        statements.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        rows = []
+        for (conv, tix), g in pdf.groupby(
+            ["conv_id", "turn_idx"], sort=True
+        ):
+            rows.extend(per_doc(conv, int(tix), g))
+        return pd.DataFrame(rows, columns=out_cols)
+
+    bucket = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(nb))
+    return (
+        statements.withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .applyInPandas(lambda _key, pdf: run(pdf), schema)
+    )
+
+
+def c14n_labels(
+    statements: DataFrame,
+    max_degree_nodes: int = 8,
+    num_buckets: int | None = None,
+) -> DataFrame:
     """→ (conv_id, turn_idx, label, canon, error): the RDFC-1.0
     canonical identifier for every blank node of every document.
     Documents with no bnodes emit nothing; documents exceeding the
     automorphic-group guard emit one error row."""
 
-    def run(key, pdf):
-        import pandas as pd
-
+    def per_doc(conv, tix, pdf):
         from ..kernels.c14n import canonical_labels
 
-        conv_id, turn_idx = key
         try:
             labels = canonical_labels(
                 _to_triples(pdf), max_degree_nodes=max_degree_nodes
             )
-            rows = [
-                (conv_id, turn_idx, lab, can, None)
+            return [
+                (conv, tix, lab, can, None)
                 for lab, can in sorted(labels.items())
             ]
         except ValueError as exc:
-            rows = [(conv_id, turn_idx, None, None, str(exc))]
-        return pd.DataFrame(
-            rows, columns=["conv_id", "turn_idx", "label", "canon", "error"]
-        )
+            return [(conv, tix, None, None, str(exc))]
 
-    return statements.groupBy("conv_id", "turn_idx").applyInPandas(
-        run, _LABELS_SCHEMA
-    )
+    return _per_bucket(statements, per_doc, _LABELS_SCHEMA,
+                       ["conv_id", "turn_idx", "label", "canon", "error"],
+                       num_buckets)
 
 
 def c14n_doc_hashes(
-    statements: DataFrame, max_degree_nodes: int = 8
+    statements: DataFrame,
+    max_degree_nodes: int = 8,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """→ (conv_id, turn_idx, n_quads, doc_sha256, error): SHA-256 of
     each document's canonical N-Quads form — the content address two
     isomorphic documents share (exact graph-level dedup key that ignores
     bnode naming and statement order, unlike text-level fingerprints)."""
 
-    def run(key, pdf):
+    def per_doc(conv, tix, pdf):
         import hashlib
-
-        import pandas as pd
 
         from ..kernels.c14n import canonical_nquads
 
-        conv_id, turn_idx = key
         try:
             doc = canonical_nquads(
                 _to_triples(pdf), max_degree_nodes=max_degree_nodes
             )
-            rows = [(conv_id, turn_idx, len(pdf),
+            return [(conv, tix, len(pdf),
                      hashlib.sha256(doc.encode("utf-8")).hexdigest(), None)]
         except ValueError as exc:
-            rows = [(conv_id, turn_idx, len(pdf), None, str(exc))]
-        return pd.DataFrame(
-            rows,
-            columns=["conv_id", "turn_idx", "n_quads", "doc_sha256", "error"],
-        )
+            return [(conv, tix, len(pdf), None, str(exc))]
 
-    return statements.groupBy("conv_id", "turn_idx").applyInPandas(
-        run, _DOCS_SCHEMA
-    )
+    return _per_bucket(statements, per_doc, _DOCS_SCHEMA,
+                       ["conv_id", "turn_idx", "n_quads", "doc_sha256",
+                        "error"], num_buckets)

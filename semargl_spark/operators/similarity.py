@@ -638,3 +638,114 @@ def knn_classify(
         F.col("vote").alias("pred_label"),
         (F.col("vote") == F.col("true_label")).alias("correct"),
     )
+
+
+def binarize_embeddings(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit sign quantization → (vec_id, bvec: array<bigint>): each
+    group of 64 dimensions packs MSB-first into one BIGINT word, bit =
+    1 iff v[j] > 0 (zeros and missing tail dims pack as 0) — the 32×
+    compression tier below :func:`quantize_embeddings`'s int8 (4×).
+    Sign-bit + Hamming preserves cosine neighborhoods in expectation
+    (it is hyperplane-LSH with axis-aligned planes: Charikar 2002,
+    "Similarity estimation techniques from rounding algorithms"), which
+    is why binary rerank front-ends are the standard first tier of a
+    10^12-vector serving stack: the whole index is dims/8 bytes per
+    vector and distance is XOR+popcount.
+
+    Packing is pure bitwise (shiftleft/or folds — no arithmetic
+    overflow paths, ANSI-safe) over JVM higher-order functions: a
+    shuffle-free, Python-free projection. ``dim`` fixes the word count
+    statically so the plan shape is data-independent.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.col(vec_col)
+    n_words = (dim + 63) // 64
+
+    def word(w: int):
+        return F.aggregate(
+            F.sequence(F.lit(w * 64), F.lit(w * 64 + 63)),
+            F.lit(0).cast("long"),
+            lambda acc, j: F.shiftleft(acc, 1).bitwiseOR(
+                F.when(F.get(v, j) > 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ),
+        )
+
+    passthrough = (
+        [F.col("bucket")] if "bucket" in embeddings.columns else []
+    )
+    return embeddings.select(
+        F.col(id_col),
+        *passthrough,
+        F.array(*[word(w) for w in range(n_words)]).alias("bvec"),
+    )
+
+
+def hamming_topk(
+    binarized: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact Hamming top-k over a :func:`binarize_embeddings` index →
+    (query_id, neighbor_id, hamming): k rows per query, distance =
+    Σ bit_count(xor(word_a, word_b)) — ascending, ties broken by
+    neighbor_id ascending, self excluded. Bit-identical in any engine
+    (integer popcounts, no floats).
+
+    Plan shape mirrors :func:`quantized_topk`: with a ``bucket``
+    column (compose :func:`lsh_bucket` first) candidates come from one
+    bucket equi-join; without it this is the brute-force tier — which
+    for BINARY codes is the production reality far longer than for
+    floats (a 10^12-vector binary index is dims/8 TB and scans at
+    memory bandwidth; pair with IVF routing when even that is too
+    much).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    binarized = binarized.localCheckpoint(eager=False)
+    on_bucket = "bucket" in binarized.columns
+    qcols = [F.col(id_col).alias("query_id"), F.col("bvec").alias("ba")]
+    ccols = [F.col(id_col).alias("neighbor_id"), F.col("bvec").alias("bb")]
+    if on_bucket:
+        qcols.append(F.col("bucket"))
+        ccols.append(F.col("bucket"))
+    q = query_ids.join(binarized, id_col).select(*qcols)
+    c = binarized.select(*ccols)
+    pairs = q.join(c, "bucket") if on_bucket else q.crossJoin(c)
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                "ba", "bb", lambda a, b: F.bit_count(a.bitwiseXOR(b))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("hamming"),
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("hamming", "neighbor_id"))
+                ),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select("query_id", F.explode("nn").alias("nn"))
+        .select(
+            "query_id",
+            F.col("nn.neighbor_id").alias("neighbor_id"),
+            F.col("nn.hamming").alias("hamming"),
+        )
+    )

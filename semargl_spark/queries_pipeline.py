@@ -2539,6 +2539,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_c14n_hash": q_kg_c14n_hash,
         "stream_c14n_dedup": q_stream_c14n_dedup,
         "conv_topic_shifts": q_conv_topic_shifts,
+        "hamming_topk": q_hamming_topk,
     }
 
 
@@ -7923,4 +7924,40 @@ SELECT conv_id, CAST(tix AS INT) AS turn_idx,
        CAST(CASE WHEN jac IS NOT NULL AND jac < 800 THEN 1 ELSE 0 END AS INT)
          AS is_shift
 FROM j
+"""
+
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-code ANN (similarity.binarize_embeddings → hamming_topk):
+    sign-bit packing of the 64-dim embeddings into one BIGINT word,
+    exact XOR+popcount top-5 for the vec_id % 50 == 0 queries — the
+    32×-compressed first tier of a trillion-vector serving stack."""
+    from .operators.similarity import binarize_embeddings, hamming_topk
+
+    emb = _embeddings(spark, sf_dir)
+    b = binarize_embeddings(emb, dim=64)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+    return hamming_topk(b, queries, k=5)
+
+
+ORACLES["hamming_topk"] = """
+WITH b AS (SELECT vec_id,
+        list_reduce(list_transform(range(1, 65),
+          j -> CAST(CASE WHEN embedding[j] > 0 THEN 1 ELSE 0 END AS HUGEINT)),
+          (a, x) -> a * 2 + x) AS h
+      FROM embeddings),
+bw AS (SELECT vec_id,
+        CAST(h - CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN CAST('18446744073709551616' AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS w
+       FROM b),
+p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             bit_count(xor(q.w, c.w)) AS hamming
+      FROM bw q JOIN bw c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 50 = 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rn
+      FROM p)
+SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming
+FROM r WHERE rn <= 5
 """

@@ -977,3 +977,60 @@ def test_dsir_scores_rejects_tiny_bucket_count(spark):
     docs = _df(spark, [(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         curation.dsir_scores(docs, docs, n_buckets=1)
+
+
+def test_binarize_and_hamming_multiword(spark):
+    """130-dim vectors pack into 3 words (tail zero-padded); Hamming
+    matches a Python mirror including cross-word bits and ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.similarity import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(130)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = binarize_embeddings(emb, dim=130)
+    got_words = {r["vec_id"]: r["bvec"] for r in b.collect()}
+
+    def pack(v):
+        words = []
+        for w in range(3):
+            acc = 0
+            for j in range(w * 64, w * 64 + 64):
+                bit = 1 if j < len(v) and v[j] > 0 else 0
+                acc = ((acc << 1) | bit) & ((1 << 64) - 1)
+            if acc >= 1 << 63:
+                acc -= 1 << 64
+            words.append(acc)
+        return words
+
+    assert got_words == {i: pack(v) for i, v in rows}
+
+    queries = spark.createDataFrame([(0,), (7,)], "vec_id long")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["hamming"]
+        for r in hamming_topk(b, queries, k=3).collect()
+    }
+
+    def ham(a, b_):
+        return sum(
+            bin((x ^ y) & ((1 << 64) - 1)).count("1")
+            for x, y in zip(a, b_)
+        )
+
+    mirror = {}
+    for qid in (0, 7):
+        ds = sorted(
+            (ham(pack(dict(rows)[qid]), pack(v)), i)
+            for i, v in rows if i != qid
+        )[:3]
+        for d, i in ds:
+            mirror[(qid, i)] = d
+    assert got == mirror
