@@ -294,3 +294,116 @@ def topic_shifts(
         .cast("int")
         .alias("is_shift"),
     )
+
+
+def chat_render(
+    transcripts: DataFrame,
+    mask_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """Chat-template rendering with loss-mask spans → (conv_id,
+    rendered, n_chars, n_mask, mask_spans): each conversation becomes
+    ONE training document under the fixed template
+
+        ``<|{role}|>\\n{text}\\n<|end|>\\n``   (one block per turn)
+
+    concatenated in the stable (conv_id, turn_idx) ordering, plus the
+    character spans a supervised-finetuning loss should actually train
+    on — the text body (template tokens and non-``mask_roles`` turns
+    excluded).  ``mask_spans`` is ``;``-joined ``start-end`` pairs
+    (0-based, end-exclusive, turn order), chosen over an array column
+    so the external gate hashes a flat string.
+
+    This is the canonical transcripts→pretraining-text exit of the
+    pipeline: downstream packing (curation.pack_sequences) and
+    context-window chunking (curation.context_windows) consume the
+    rendered column; span offsets survive both because they are
+    relative to the rendered document.
+
+    Shape: ONE hash aggregation keyed by conv_id (map-side partials,
+    the same key the table is stored under at 10^12 turns — no window
+    sort): collect_list → array_sort restores turn order inside the
+    row, rendering is a linear JVM array_join over the sorted blocks,
+    and offsets come from a single F.aggregate fold that carries only
+    (running char offset, span list) — never a quadratic running
+    string.  A pathological conversation is bounded by the same
+    chunking guard as extract.reassemble_conversations; spans stay
+    correct under chunking because each chunk re-renders from offset 0.
+    """
+    roles = [str(r) for r in mask_roles]
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("i"),
+                F.col("role").alias("r"),
+                F.col("text").alias("x"),
+            )
+        )
+    )
+    block = lambda t: F.concat(  # noqa: E731 — inline template
+        F.lit("<|"), t["r"], F.lit("|>\n"), t["x"], F.lit("\n<|end|>\n")
+    )
+    # per-block char accounting: header "<|"+role+"|>\n" = len(role)+5,
+    # trailer "\n<|end|>\n" = 9  →  block = len(role)+len(text)+14
+    spans = F.aggregate(
+        F.col("_items"),
+        F.struct(
+            F.lit(0).cast("long").alias("off"),
+            F.expr("cast(array() as array<string>)").alias("sp"),
+        ),
+        lambda acc, t: F.struct(
+            (acc["off"] + F.length(t["r"]) + F.length(t["x"]) + 14).alias(
+                "off"
+            ),
+            F.when(
+                t["r"].isin(roles),
+                F.concat(
+                    acc["sp"],
+                    F.array(
+                        F.concat_ws(
+                            "-",
+                            (acc["off"] + F.length(t["r"]) + 5).cast(
+                                "string"
+                            ),
+                            (
+                                acc["off"]
+                                + F.length(t["r"])
+                                + 5
+                                + F.length(t["x"])
+                            ).cast("string"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(acc["sp"])
+            .alias("sp"),
+        ),
+        lambda acc: acc["sp"],
+    )
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(items.alias("_items"))
+        .select(
+            "conv_id",
+            F.array_join(F.transform(F.col("_items"), block), "").alias(
+                "rendered"
+            ),
+            F.aggregate(
+                F.col("_items"),
+                F.lit(0).cast("long"),
+                lambda a, t: a + F.length(t["r"]) + F.length(t["x"]) + 14,
+            ).alias("n_chars"),
+            F.size(
+                F.filter(F.col("_items"), lambda t: t["r"].isin(roles))
+            )
+            .cast("int")
+            .alias("n_mask"),
+            spans.alias("_sp"),
+        )
+        .select(
+            "conv_id",
+            "rendered",
+            "n_chars",
+            "n_mask",
+            F.array_join(F.col("_sp"), ";").alias("mask_spans"),
+        )
+    )

@@ -2540,6 +2540,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_c14n_dedup": q_stream_c14n_dedup,
         "conv_topic_shifts": q_conv_topic_shifts,
         "hamming_topk": q_hamming_topk,
+        "chat_render": q_chat_render,
     }
 
 
@@ -7960,4 +7961,48 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM p)
 SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming
 FROM r WHERE rn <= 5
+"""
+
+
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering with SFT loss-mask spans
+    (conversation.chat_render): the prose transcript corpus flattened
+    to one training document per conversation under the fixed
+    ``<|role|>\\n{text}\\n<|end|>\\n`` template, with ``;``-joined
+    ``start-end`` character spans over the assistant turn bodies —
+    the transcripts→pretraining-text exit the packing and
+    context-window stages consume."""
+    from .operators.conversation import chat_render
+    from .sources.transcripts import synth_transcripts
+
+    return chat_render(synth_transcripts(spark, sf_dir, fmt="text"))
+
+
+ORACLES["chat_render"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+t AS (SELECT 'c'||did AS conv_id, tix,
+        CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+             ELSE 'tool' END AS role,
+        'the quick brown fox jumps over turn '||tix
+          ||' of conversation '||did AS text
+      FROM ids CROSS JOIN (SELECT unnest(generate_series(0,3)) AS tix)),
+p AS (SELECT conv_id, tix, role, text,
+        '<|'||role||'|>'||chr(10)||text||chr(10)||'<|end|>'||chr(10)
+          AS piece,
+        length(role) + 5 AS hlen, length(text) AS tlen
+      FROM t),
+o AS (SELECT *,
+        COALESCE(SUM(length(piece)) OVER (
+          PARTITION BY conv_id ORDER BY tix
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM p)
+SELECT conv_id,
+  string_agg(piece, '' ORDER BY tix) AS rendered,
+  CAST(SUM(length(piece)) AS BIGINT) AS n_chars,
+  CAST(COUNT(*) FILTER (WHERE role = 'assistant') AS INT) AS n_mask,
+  COALESCE(string_agg(
+      CASE WHEN role = 'assistant'
+           THEN (off + hlen)||'-'||(off + hlen + tlen) END,
+      ';' ORDER BY tix), '') AS mask_spans
+FROM o GROUP BY conv_id
 """

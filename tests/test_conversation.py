@@ -202,3 +202,60 @@ def test_topic_shifts_exact_values_and_edges(spark):
     assert got[("c1", 4)] == (0, 1)
     assert got[("c1", 5)] == (1000, 0)
     assert got[("c2", 0)] == (None, 0)
+
+
+def test_chat_render_exact_template_and_spans(spark):
+    from semargl_spark.operators.conversation import chat_render
+
+    t = _t(
+        spark,
+        [
+            # shuffled input order: rendering must follow turn_idx
+            ("c1", 1, "assistant", "hello there", None, _ts(1)),
+            ("c1", 0, "user", "hi", None, _ts(0)),
+            ("c1", 2, "tool", "{}", "search", _ts(2)),
+            ("c2", 0, "tool", "x", "t", _ts(0)),  # no assistant turns
+        ],
+    )
+    out = {r["conv_id"]: r for r in chat_render(t).collect()}
+    c1 = out["c1"]
+    expected = (
+        "<|user|>\nhi\n<|end|>\n"
+        "<|assistant|>\nhello there\n<|end|>\n"
+        "<|tool|>\n{}\n<|end|>\n"
+    )
+    assert c1["rendered"] == expected
+    assert c1["n_chars"] == len(expected)
+    # assistant text starts after "<|user|>\nhi\n<|end|>\n<|assistant|>\n"
+    start = len("<|user|>\nhi\n<|end|>\n") + len("<|assistant|>\n")
+    end = start + len("hello there")
+    assert c1["mask_spans"] == f"{start}-{end}"
+    assert c1["n_mask"] == 1
+    assert expected[start:end] == "hello there"
+    c2 = out["c2"]
+    assert c2["mask_spans"] == "" and c2["n_mask"] == 0
+    assert c2["rendered"] == "<|tool|>\nx\n<|end|>\n"
+
+
+def test_chat_render_custom_mask_roles_multi_span(spark):
+    from semargl_spark.operators.conversation import chat_render
+
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "a", None, _ts(0)),
+            ("c1", 1, "assistant", "bb", None, _ts(1)),
+            ("c1", 2, "user", "c", None, _ts(2)),
+            ("c1", 3, "assistant", "dd", None, _ts(3)),
+        ],
+    )
+    row = chat_render(t, mask_roles=("user", "assistant")).collect()[0]
+    spans = [
+        tuple(int(v) for v in s.split("-"))
+        for s in row["mask_spans"].split(";")
+    ]
+    assert len(spans) == 4 and row["n_mask"] == 4
+    texts = [row["rendered"][s:e] for s, e in spans]
+    assert texts == ["a", "bb", "c", "dd"]
+    # spans are emitted in turn order and non-overlapping
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(3))
