@@ -977,3 +977,125 @@ def dsir_scores(
             F.col("score_micro"),
         )
     )
+
+
+def bradley_terry(
+    pairs: DataFrame,
+    winner_col: str = "chosen_id",
+    loser_col: str = "rejected_id",
+    rounds: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bradley–Terry strength scores from pairwise preference outcomes
+    → (item_id, wins, games, strength_mu): the reward-model side of the
+    RLHF data pipeline — collapse a corpus of (winner, loser)
+    comparisons (human votes, LLM-judge verdicts, A/B outcomes) into
+    one scalar strength per item via ``rounds`` iterations of the
+    classic minorization–maximization update (Hunter 2004)
+
+        w_i ← W_i / Σ_j n_ij / (w_i + w_j)
+
+    regularized with one virtual win and one virtual loss against a
+    fixed opponent of strength 1.0 (the standard BT prior), so
+    never-winning items stay positive and the update is total.
+
+    All arithmetic is fixed-point micro-units with integer floor
+    division (the ``wordpiece_train`` stance): strengths start at
+    ``scale`` (1.0), each pair contributes
+    ``n_ij·scale² div (w_i + w_j)`` to the denominator, and the update
+    is ``(W_i+1)·scale² div den`` under DECIMAL(38) so a 10^12-vote
+    item cannot overflow — bit-identical at any parallelism and
+    replayable by an external engine, unlike float MM.
+
+    Scale shape, per round: the undirected comparison table (built
+    once, n summed per pair — bounded by distinct pairs, not votes)
+    joins the weight table on each endpoint (two hash equi-joins on
+    item keys), the per-pair terms collapse through ONE map-side
+    partial sum keyed by item, and the update is a |items|-row join.
+    A celebrity item (compared against everything) skews the endpoint
+    join → AQE skew split applies; the vote volume itself was already
+    absorbed in the one-time pair aggregation. Weights are
+    ``localCheckpoint``-ed per round (|items| rows) so the plan stays
+    flat across rounds.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    s2 = scale * scale
+    directed = (
+        pairs.select(
+            F.col(winner_col).cast("long").alias("a"),
+            F.col(loser_col).cast("long").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    und = (
+        directed.select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+            "n",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    wins = directed.groupBy(F.col("a").alias("item_id")).agg(
+        F.sum("n").alias("wins")
+    )
+    items = (
+        und.select(F.col("u").alias("item_id"), "n")
+        .unionByName(und.select(F.col("v").alias("item_id"), "n"))
+        .groupBy("item_id")
+        .agg(F.sum("n").alias("games"))
+        .join(wins, "item_id", "left")
+        .select(
+            "item_id",
+            F.coalesce(F.col("wins"), F.lit(0)).cast("long").alias("wins"),
+            F.col("games").cast("long").alias("games"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    weights = items.select(
+        "item_id", F.lit(scale).cast("long").alias("w")
+    )
+    for _ in range(rounds):
+        wu = weights.select(
+            F.col("item_id").alias("u"), F.col("w").alias("wu")
+        )
+        wv = weights.select(
+            F.col("item_id").alias("v"), F.col("w").alias("wv")
+        )
+        terms = (
+            und.join(wu, "u")
+            .join(wv, "v")
+            .select(
+                "u",
+                "v",
+                F.expr(f"(n * CAST({s2} AS DECIMAL(38,0)))"
+                       " div (wu + wv)").alias("t"),
+            )
+        )
+        den = (
+            terms.select(F.col("u").alias("item_id"), "t")
+            .unionByName(terms.select(F.col("v").alias("item_id"), "t"))
+            .groupBy("item_id")
+            .agg(F.sum("t").alias("den"))
+        )
+        weights = (
+            items.join(den, "item_id")
+            .join(weights, "item_id")
+            .select(
+                "item_id",
+                F.expr(
+                    f"((wins + 1) * CAST({s2} AS DECIMAL(38,0)))"
+                    f" div (den + (2 * CAST({s2} AS DECIMAL(38,0)))"
+                    f" div (w + {scale}))"
+                )
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return items.join(weights, "item_id").select(
+        "item_id", "wins", "games", F.col("w").alias("strength_mu")
+    )

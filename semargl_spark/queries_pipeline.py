@@ -2541,6 +2541,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_topic_shifts": q_conv_topic_shifts,
         "hamming_topk": q_hamming_topk,
         "chat_render": q_chat_render,
+        "preference_bt": q_preference_bt,
     }
 
 
@@ -8005,4 +8006,85 @@ SELECT conv_id,
            THEN (off + hlen)||'-'||(off + hlen + tlen) END,
       ';' ORDER BY tix), '') AS mask_spans
 FROM o GROUP BY conv_id
+"""
+
+
+def q_preference_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry reward strengths (curation.bradley_terry): a
+    deterministic comparison tournament over the document corpus —
+    each doc plays its +1 and +3 neighbors, the winner chosen by a
+    fixed modular upset rule — collapsed to per-item fixed-point
+    strengths by two MM rounds. Two unrolled rounds keep the external
+    replay readable; the operator itself iterates arbitrarily."""
+    from .operators.curation import bradley_terry
+
+    ids = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("a")
+    )
+    mx = ids.agg(F.max("a").alias("m"))
+    p = (
+        ids.select(
+            "a", F.explode(F.array(F.lit(1), F.lit(3))).alias("k")
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("a") + F.col("k") <= F.col("m"))
+        .select("a", (F.col("a") + F.col("k")).alias("b"))
+    )
+    upset = (F.col("a") * 7 + F.col("b") * 13) % 5 < 3
+    pairs = p.select(
+        F.when(upset, F.col("a")).otherwise(F.col("b")).alias("chosen_id"),
+        F.when(upset, F.col("b")).otherwise(F.col("a")).alias(
+            "rejected_id"
+        ),
+    )
+    return bradley_terry(pairs, rounds=2)
+
+
+ORACLES["preference_bt"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+mx AS (SELECT MAX(did) AS m FROM ids),
+p AS (SELECT did AS a, did + k AS b
+      FROM ids CROSS JOIN (SELECT unnest([1,3]) AS k) CROSS JOIN mx
+      WHERE did + k <= m),
+d0 AS (SELECT CASE WHEN (a*7+b*13)%5 < 3 THEN a ELSE b END AS w,
+              CASE WHEN (a*7+b*13)%5 < 3 THEN b ELSE a END AS l
+       FROM p),
+dn AS (SELECT w AS a, l AS b, COUNT(*) AS n FROM d0 GROUP BY 1, 2),
+und AS (SELECT least(a,b) AS u, greatest(a,b) AS v, SUM(n) AS n
+        FROM dn GROUP BY 1, 2),
+wins AS (SELECT a AS item_id, SUM(n) AS wins FROM dn GROUP BY 1),
+items AS (SELECT item_id, SUM(n) AS games FROM (
+            SELECT u AS item_id, n FROM und
+            UNION ALL SELECT v, n FROM und) GROUP BY 1),
+it AS (SELECT i.item_id, COALESCE(w.wins, 0) AS wins, i.games
+       FROM items i LEFT JOIN wins w USING (item_id)),
+w0 AS (SELECT item_id, CAST(1000000 AS HUGEINT) AS w FROM it),
+t1 AS (SELECT u, v,
+         (n * CAST(1000000000000 AS HUGEINT)) // (wu.w + wv.w) AS t
+       FROM und JOIN w0 wu ON wu.item_id = und.u
+                JOIN w0 wv ON wv.item_id = und.v),
+d1 AS (SELECT item_id, SUM(t) AS den FROM (
+         SELECT u AS item_id, t FROM t1
+         UNION ALL SELECT v, t FROM t1) GROUP BY 1),
+w1 AS (SELECT it.item_id,
+         ((it.wins + 1) * CAST(1000000000000 AS HUGEINT))
+           // (d1.den + (2 * CAST(1000000000000 AS HUGEINT))
+               // (w0.w + 1000000)) AS w
+       FROM it JOIN d1 USING (item_id) JOIN w0 USING (item_id)),
+t2 AS (SELECT u, v,
+         (n * CAST(1000000000000 AS HUGEINT)) // (wu.w + wv.w) AS t
+       FROM und JOIN w1 wu ON wu.item_id = und.u
+                JOIN w1 wv ON wv.item_id = und.v),
+d2 AS (SELECT item_id, SUM(t) AS den FROM (
+         SELECT u AS item_id, t FROM t2
+         UNION ALL SELECT v, t FROM t2) GROUP BY 1),
+w2 AS (SELECT it.item_id,
+         ((it.wins + 1) * CAST(1000000000000 AS HUGEINT))
+           // (d2.den + (2 * CAST(1000000000000 AS HUGEINT))
+               // (w1.w + 1000000)) AS w
+       FROM it JOIN d2 USING (item_id) JOIN w1 USING (item_id))
+SELECT it.item_id, CAST(it.wins AS BIGINT) AS wins,
+       CAST(it.games AS BIGINT) AS games,
+       CAST(w2.w AS BIGINT) AS strength_mu
+FROM it JOIN w2 USING (item_id)
 """

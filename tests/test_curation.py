@@ -1034,3 +1034,63 @@ def test_binarize_and_hamming_multiword(spark):
         for d, i in ds:
             mirror[(qid, i)] = d
     assert got == mirror
+
+
+def _bt_mirror(pairs, rounds=3, scale=1_000_000):
+    """Pure-Python Bradley–Terry MM mirror (integer floor division)."""
+    from collections import defaultdict
+
+    s2 = scale * scale
+    n = defaultdict(int)
+    wins = defaultdict(int)
+    for w, l in pairs:
+        n[(min(w, l), max(w, l))] += 1
+        wins[w] += 1
+    games = defaultdict(int)
+    for (u, v), c in n.items():
+        games[u] += c
+        games[v] += c
+    items = sorted(games)
+    wt = {i: scale for i in items}
+    for _ in range(rounds):
+        den = defaultdict(int)
+        for (u, v), c in n.items():
+            t = (c * s2) // (wt[u] + wt[v])
+            den[u] += t
+            den[v] += t
+        wt = {
+            i: ((wins[i] + 1) * s2)
+            // (den[i] + (2 * s2) // (wt[i] + scale))
+            for i in items
+        }
+    return {i: (wins[i], games[i], wt[i]) for i in items}
+
+
+def test_bradley_terry_matches_python_mirror(spark):
+    # deterministic tournament with upsets and repeat games
+    pairs = []
+    for d in range(40):
+        for k in (1, 3):
+            a, b = d, d + k
+            if b >= 40:
+                continue
+            w, l = (a, b) if (a * 7 + b * 13) % 5 < 3 else (b, a)
+            pairs.append((w, l))
+    pairs += pairs[:10]  # repeated comparisons accumulate as n_ij
+    df = spark.createDataFrame(pairs, "chosen_id long, rejected_id long")
+    got = {
+        r["item_id"]: (r["wins"], r["games"], r["strength_mu"])
+        for r in curation.bradley_terry(df, rounds=3).collect()
+    }
+    assert got == _bt_mirror(pairs, rounds=3)
+
+
+def test_bradley_terry_strength_orders_by_dominance(spark):
+    # 0 beats everyone, 3 loses to everyone
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 3), (2, 3), (1, 2)]
+    df = spark.createDataFrame(pairs, "chosen_id long, rejected_id long")
+    out = {r["item_id"]: r for r in curation.bradley_terry(df).collect()}
+    s = {i: out[i]["strength_mu"] for i in range(4)}
+    assert s[0] > s[1] > s[3] and s[0] > s[2] > s[3]
+    assert out[3]["strength_mu"] > 0  # prior keeps all-loss items positive
+    assert out[0]["wins"] == 3 and out[0]["games"] == 3
