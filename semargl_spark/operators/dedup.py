@@ -724,3 +724,72 @@ def segment_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def conv_turn_shingles(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation turn-sequence shingles → (conv_id, shingles):
+    each turn collapses to one md5 of (role, text), consecutive turn
+    hashes pair into order-sensitive 2-shingles, and the distinct
+    shingle set feeds the standard minhash/LSH machinery. A
+    single-turn conversation contributes its lone turn hash.
+
+    This is the conversation-grain analogue of word-shingling: two
+    agent sessions that replay the same turn sequence (retries,
+    resubmissions, forked sessions) overlap heavily even when no
+    single turn is corpus-duplicated, while reordered turns do NOT
+    match — the 2-gram keeps the sequence, not the bag.
+
+    Shape: ONE hash aggregation keyed by conv_id (sorted collect_list,
+    no window sort), then row-local zip_with over the shifted hash
+    array — the same O(n) shingling as dedup.shingles. The heavy text
+    column collapses to a 32-char hash BEFORE the shuffle, so the
+    aggregation moves hashes, not bodies.
+    """
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("i"),
+                F.md5(F.concat_ws("\x1f", "role", "text")).alias("h"),
+            )
+        )
+    )
+    g = transcripts.groupBy("conv_id").agg(items.alias("it"))
+    hs = F.transform(F.col("it"), lambda t: t["h"])
+    n = F.size(F.col("it"))
+    sh = F.zip_with(
+        F.slice(hs, 1, n - 1),
+        F.slice(hs, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    out = F.when(n < 2, F.array(F.element_at(hs, 1))).otherwise(sh)
+    return g.select("conv_id", F.array_distinct(out).alias("shingles"))
+
+
+def conv_near_dups(
+    transcripts: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Conversation-level near-duplicate pairs → (conv_a, conv_b,
+    jaccard): turn-sequence shingling (conv_turn_shingles) delegated
+    through the SAME banded-LSH candidate generator and exact-Jaccard
+    verifier as document dedup — never all-pairs; the bucket self-join
+    is keyed by (band, band_hash) and verification touches only
+    candidates. De-duplicating retried / forked agent sessions before
+    chat_render keeps repeated trajectories out of a training corpus.
+    """
+    sh = conv_turn_shingles(transcripts).localCheckpoint(eager=False)
+    cands = minhash_lsh_candidates(
+        transcripts, "conv_id", "text", num_hashes, bands,
+        precomputed_shingles=sh, hash_method=hash_method,
+    )
+    verified = ngram_jaccard_pairs(
+        transcripts, cands, "conv_id", "text", precomputed_shingles=sh
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )

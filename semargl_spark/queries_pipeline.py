@@ -2542,6 +2542,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_topk": q_hamming_topk,
         "chat_render": q_chat_render,
         "preference_bt": q_preference_bt,
+        "conv_near_dup": q_conv_near_dup,
     }
 
 
@@ -8087,4 +8088,94 @@ SELECT it.item_id, CAST(it.wins AS BIGINT) AS wins,
        CAST(it.games AS BIGINT) AS games,
        CAST(w2.w AS BIGINT) AS strength_mu
 FROM it JOIN w2 USING (item_id)
+"""
+
+
+def q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-dup pairs (dedup.conv_near_dups): the
+    8-turn prose corpus unioned with a forked copy of every session
+    (last turn perturbed → turn-shingle jaccard 0.75), pushed through
+    turn-hash 2-shingles → md5 minhash → banded LSH → exact verify.
+    The oracle replays the full chain, so candidate generation (which
+    bands fire) is value-checked, not just the verified survivors."""
+    from .operators.dedup import conv_near_dups
+    from .sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, sf_dir, turns_per_doc=8, fmt="text")
+    forked = t.withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") == 7, F.concat(F.col("text"), F.lit(" tail"))
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "conv_id",
+        F.concat(F.lit("d"), F.expr("substring(conv_id, 2)")),
+    )
+    corpus = t.unionByName(forked)
+    return conv_near_dups(
+        corpus, threshold=0.5, hash_method="md5"
+    ).select("conv_a", "conv_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLES["conv_near_dup"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+base AS (SELECT did, tix,
+        CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+             ELSE 'tool' END AS role,
+        'the quick brown fox jumps over turn '||tix
+          ||' of conversation '||did AS text
+      FROM ids CROSS JOIN (SELECT unnest(generate_series(0,7)) AS tix)),
+turns AS (
+  SELECT 'c'||did AS conv_id, tix, role, text FROM base
+  UNION ALL
+  SELECT 'd'||did, tix, role,
+         CASE WHEN tix = 7 THEN text||' tail' ELSE text END FROM base),
+h AS (SELECT conv_id, tix, md5(role||chr(31)||text) AS h FROM turns),
+hl AS (SELECT conv_id, list(h ORDER BY tix) AS hs FROM h GROUP BY conv_id),
+sh AS (SELECT conv_id,
+        list_distinct(CASE WHEN len(hs) < 2 THEN [hs[1]]
+          ELSE list_transform(range(1, len(hs)),
+                              i -> hs[i]||' '||hs[i+1]) END) AS s
+       FROM hl),
+shx AS (SELECT conv_id, unnest(s) AS x FROM sh),
+hh AS (SELECT conv_id, (list_reduce(list_transform(range(1,16),
+         i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1
+              AS BIGINT)), (a,b) -> a*16+b)) % 2147483647 AS b FROM shx),
+sig AS (SELECT conv_id,
+  MIN((506952117 * b + 1025862119) % 2147483647) AS m0,
+  MIN((506952119 * b + 1224539839) % 2147483647) AS m1,
+  MIN((506952121 * b + 1423217559) % 2147483647) AS m2,
+  MIN((506952123 * b + 1621895279) % 2147483647) AS m3,
+  MIN((506952125 * b + 1820572999) % 2147483647) AS m4,
+  MIN((506952127 * b + 2019250719) % 2147483647) AS m5,
+  MIN((506952129 * b + 70444792) % 2147483647) AS m6,
+  MIN((506952131 * b + 269122512) % 2147483647) AS m7,
+  MIN((506952133 * b + 467800232) % 2147483647) AS m8,
+  MIN((506952135 * b + 666477952) % 2147483647) AS m9,
+  MIN((506952137 * b + 865155672) % 2147483647) AS m10,
+  MIN((506952139 * b + 1063833392) % 2147483647) AS m11,
+  MIN((506952141 * b + 1262511112) % 2147483647) AS m12,
+  MIN((506952143 * b + 1461188832) % 2147483647) AS m13,
+  MIN((506952145 * b + 1659866552) % 2147483647) AS m14,
+  MIN((506952147 * b + 1858544272) % 2147483647) AS m15
+  FROM hh GROUP BY conv_id),
+banded AS (
+  SELECT conv_id, 0 AS band, array_to_string([m0,m1,m2,m3], ',') AS key
+    FROM sig
+  UNION ALL
+  SELECT conv_id, 1, array_to_string([m4,m5,m6,m7], ',') FROM sig
+  UNION ALL
+  SELECT conv_id, 2, array_to_string([m8,m9,m10,m11], ',') FROM sig
+  UNION ALL
+  SELECT conv_id, 3, array_to_string([m12,m13,m14,m15], ',') FROM sig),
+cand AS (SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.conv_id < b.conv_id),
+j AS (SELECT conv_a, conv_b,
+        len(list_intersect(x.s, y.s)) /
+          greatest(len(list_distinct(list_concat(x.s, y.s))), 1) AS jac
+      FROM cand
+      JOIN sh x ON x.conv_id = cand.conv_a
+      JOIN sh y ON y.conv_id = cand.conv_b)
+SELECT conv_a, conv_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
 """

@@ -678,3 +678,53 @@ def test_pipeline_fusion_stages(spark, tmp_path):
         .select("stage").distinct().collect()
     }
     assert {"owl", "resolve", "fuse"} <= stages
+
+
+def test_conv_near_dups_sequence_sensitive(spark):
+    """Replayed conversations pair at jaccard 1.0; reordered turn
+    sequences do NOT (2-shingles keep order, not the bag)."""
+    from semargl_spark.operators import dedup
+
+    rows = []
+    for conv, seq in [
+        ("a1", ["x", "y", "z"]),
+        ("a2", ["x", "y", "z"]),      # exact replay of a1
+        ("a3", ["z", "y", "x"]),      # same bag, reversed order
+        ("b1", ["x", "y", "z", "w"]), # one extra turn vs a1
+        ("s1", ["solo"]),
+        ("s2", ["solo"]),             # single-turn replay
+    ]:
+        for i, txt in enumerate(seq):
+            rows.append((conv, i, "user", txt))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r["conv_a"], r["conv_b"]): r["jaccard"]
+        for r in dedup.conv_near_dups(t, threshold=0.1).collect()
+    }
+    assert got[("a1", "a2")] == 1.0
+    assert got[("s1", "s2")] == 1.0
+    # reversal shares zero 2-shingles with the forward order
+    assert ("a1", "a3") not in got and ("a2", "a3") not in got
+    # b1 = a1's shingles plus one: jaccard 2/3 when LSH buckets them
+    for pair in (("a1", "b1"), ("a2", "b1")):
+        if pair in got:
+            assert abs(got[pair] - 2 / 3) < 1e-9
+
+
+def test_conv_turn_shingles_shapes(spark):
+    from semargl_spark.operators import dedup
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c1", 1, "assistant", "b"),
+         ("c1", 2, "user", "a"), ("c2", 0, "user", "only")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {r["conv_id"]: r["shingles"] for r in
+           dedup.conv_turn_shingles(t).collect()}
+    assert len(out["c1"]) == 2  # h0-h1 and h1-h2, distinct
+    assert len(out["c2"]) == 1  # lone turn hash
+    for s in out["c1"]:
+        h1, h2 = s.split(" ")
+        assert len(h1) == 32 and len(h2) == 32
