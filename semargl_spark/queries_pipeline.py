@@ -2543,6 +2543,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_render": q_chat_render,
         "preference_bt": q_preference_bt,
         "conv_near_dup": q_conv_near_dup,
+        "pipeline_sft": q_pipeline_sft,
     }
 
 
@@ -8178,4 +8179,77 @@ j AS (SELECT conv_a, conv_b,
       JOIN sh x ON x.conv_id = cand.conv_a
       JOIN sh y ON y.conv_id = cand.conv_b)
 SELECT conv_a, conv_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+"""
+
+
+def q_pipeline_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SFT exit: the transcript corpus plus an exact replay
+    of every session ('d'-prefixed fork) → conversation-level minhash
+    dedup (dedup.conv_near_dups, threshold 0.99) → CC keeper selection
+    (dedup.survivors, min-id keeps the 'c' original) → chat-template
+    rendering (conversation.chat_render) → greedy sequence packing
+    (curation.pack_sequences, capacity 256 whitespace tokens).  Every
+    stage is the already-gated operator; this gate checks the SEAMS —
+    id plumbing across dedup→render→pack — the way pipeline_training
+    does for the pretraining path."""
+    from .operators.conversation import chat_render
+    from .operators.curation import pack_sequences
+    from .operators.dedup import conv_near_dups, survivors
+    from .sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, sf_dir, fmt="text")
+    replay = t.withColumn(
+        "conv_id", F.concat(F.lit("d"), F.expr("substring(conv_id, 2)"))
+    )
+    corpus = t.unionByName(replay)
+    dup_pairs = conv_near_dups(
+        corpus, threshold=0.99, hash_method="md5"
+    ).select(
+        F.col("conv_a").alias("doc_a"), F.col("conv_b").alias("doc_b")
+    )
+    kept = survivors(corpus, dup_pairs, id_col="conv_id")
+    rendered = chat_render(kept)
+    staged = rendered.select(
+        F.expr("CAST(substring(conv_id, 2) AS BIGINT)").alias("conv_num"),
+        "rendered",
+    )
+    return pack_sequences(
+        staged, capacity=256, n_shards=8,
+        id_col="conv_num", text_col="rendered",
+    )
+
+
+ORACLES["pipeline_sft"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+t AS (SELECT did, tix,
+        CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+             ELSE 'tool' END AS role,
+        'the quick brown fox jumps over turn '||tix
+          ||' of conversation '||did AS text
+      FROM ids CROSS JOIN (SELECT unnest(generate_series(0,3)) AS tix)),
+-- identical-replay forks are always LSH-caught (equal shingle sets ⇒
+-- equal signatures ⇒ every band fires, jaccard 1.0) and the min-id
+-- keeper retains the 'c' original, so survivors = the base corpus
+p AS (SELECT did, tix,
+        '<|'||role||'|>'||chr(10)||text||chr(10)||'<|end|>'||chr(10)
+          AS piece
+      FROM t),
+ren AS (SELECT did AS conv_num,
+          string_agg(piece, '' ORDER BY tix) AS rendered
+        FROM p GROUP BY did),
+tok AS (SELECT conv_num,
+          CASE WHEN length(trim(rendered)) = 0 THEN 0
+               ELSE len(string_split(regexp_replace(
+                      lower(trim(rendered)), '\s+', ' ', 'g'), ' ')) END
+            AS n_tokens
+        FROM ren),
+o AS (SELECT conv_num, CAST(conv_num % 8 AS INT) AS shard, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY conv_num % 8 ORDER BY conv_num
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM tok)
+SELECT conv_num, shard, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(prev // 256 AS INT) AS bin_id,
+       CAST(prev % 256 AS INT) AS offset_in_bin
+FROM o
 """
