@@ -1805,3 +1805,114 @@ def resource_allocation(
             F.sum(F.expr(f"{scale} div pdeg")).cast("long").alias("ra_micro"),
         )
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_out: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016,
+    arXiv:1607.00653) → (start, walk, step, node): like
+    :func:`random_walks`, but the next hop is drawn with the p/q bias
+    over the PREVIOUS node — a candidate that returns to it weighs
+    ``w_return`` (1/p), one the previous node also points to weighs
+    ``w_common`` (distance 1), anything else ``w_out`` (1/q) —
+    interpolating between BFS-like (structural) and DFS-like
+    (homophilous) neighborhoods for the downstream skip-gram corpus
+    (:func:`skipgram_pairs` consumes these walks unchanged).
+
+    Bias ratios are INTEGER weights (w_return : w_common : w_out ∝
+    1/p : 1 : 1/q), and the weighted draw is the integer
+    Efraimidis–Spirakis analogue: choose the candidate minimizing
+    ``md5_60(start#walk#step#cand) div weight`` (ties by candidate) —
+    a pure function of the graph, bit-identical at any parallelism,
+    replayable for resume, and exactly recomputable by the external
+    gate. Step 1 has no previous node and draws uniformly. Common-ness
+    is directed membership prev→cand, the KG-native reading of
+    node2vec's undirected d(prev, cand)=1.
+
+    Shape, per hop: the frontier⋈edges candidate join of
+    :func:`random_walks` plus ONE (prev, cand) membership left-join
+    against the edge list, then the same (start, walk) min-aggregation
+    with map-side partials (the div-key prefixes the candidate, so one
+    ``min`` resolves choice + tie-break). Frontier cardinality stays
+    nodes×walks regardless of edge count; a celebrity hub fans into
+    the GROUPed aggregation, and the membership join keys on
+    (prev, cand) pairs — uniform unless the graph itself is a clique.
+    """
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("walk_len and walks_per_node must be >= 1")
+    if min(w_return, w_common, w_out) < 1:
+        raise ValueError("bias weights must be positive integers")
+    from .dedup import md5_hash60
+
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct().localCheckpoint(eager=False)
+    mark = e.select(
+        F.col("_s").alias("_ps"), F.col("_d").alias("_pd"),
+        F.lit(1).alias("_m"),
+    )
+    starts = e.select(F.col("_s").alias("start")).distinct()
+    frontier = starts.select(
+        "start",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("walk"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("start").alias("node"),
+    )
+    out = frontier.select(
+        "start", "walk", F.lit(0).alias("step"), "node"
+    )
+    for s in range(1, walk_len + 1):
+        cand = frontier.join(e, frontier["node"] == e["_s"]).join(
+            mark,
+            (F.col("prev") == F.col("_ps"))
+            & (F.col("_d") == F.col("_pd")),
+            "left",
+        )
+        weight = (
+            F.when(F.col("prev").isNull(), w_common)
+            .when(F.col("_d") == F.col("prev"), w_return)
+            .when(F.col("_m").isNotNull(), w_common)
+            .otherwise(w_out)
+        )
+        tagged = cand.select(
+            "start", "walk", "node",
+            md5_hash60(
+                F.concat_ws("#", "start", "walk", F.lit(s), "_d")
+            ).alias("_h"),
+            weight.alias("_w"),
+            F.col("_d"),
+        ).select(
+            "start", "walk", "node",
+            F.concat(
+                F.lpad(F.expr("_h div _w").cast("string"), 20, "0"),
+                F.lit("#"), F.col("_d"),
+            ).alias("key"),
+        )
+        frontier = (
+            tagged.groupBy("start", "walk", "node")
+            .agg(F.substring(F.min("key"), 22, 1 << 20).alias("_next"))
+            .select(
+                "start", "walk",
+                F.col("node").alias("prev"),
+                F.col("_next").alias("node"),
+            )
+            # same lineage discipline as random_walks: each frontier
+            # feeds the output union AND the next hop
+            .localCheckpoint(eager=False)
+        )
+        out = out.union(
+            frontier.select(
+                "start", "walk", F.lit(s).alias("step"), "node"
+            )
+        )
+    return out

@@ -2544,6 +2544,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_bt": q_preference_bt,
         "conv_near_dup": q_conv_near_dup,
         "pipeline_sft": q_pipeline_sft,
+        "kg_node2vec": q_kg_node2vec,
     }
 
 
@@ -8252,4 +8253,70 @@ SELECT conv_num, shard, CAST(n_tokens AS INT) AS n_tokens,
        CAST(prev // 256 AS INT) AS bin_id,
        CAST(prev % 256 AS INT) AS offset_in_bin
 FROM o
+"""
+
+
+def q_kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walk corpus (graph.node2vec_walks) over the
+    symmetrized KG edge set — the p/q-interpolated skip-gram input
+    (w_return:w_common:w_out = 1:4:2 → p=4, q=2: homophily-leaning).
+    Symmetrization gives every hop a live return/common/out choice;
+    the oracle replays the integer Efraimidis–Spirakis draw exactly,
+    membership join included."""
+    from .operators.graph import node2vec_walks
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return node2vec_walks(sym, walk_len=3, walks_per_node=2)
+
+
+ORACLES["kg_node2vec"] = _KG_EDGES_SQL + """,
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges
+        UNION ALL SELECT dst, src FROM edges)),
+w AS (SELECT n.src AS start, t.w AS walk
+      FROM (SELECT DISTINCT src FROM e) n
+      CROSS JOIN (SELECT unnest([0, 1]) AS w) t),
+s0 AS (SELECT start, walk, CAST(NULL AS VARCHAR) AS prev, start AS node
+       FROM w),
+s1 AS (SELECT f.start, f.walk, f.node AS prev,
+         substr(min(lpad(CAST(
+           (list_reduce(list_transform(range(1,16),
+              i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(f.start||'#'||f.walk||'#1#'||e.dst), i, 1))
+                   - 1 AS BIGINT)), (a,b) -> a*16+b)) // 4
+           AS VARCHAR), 20, '0')||'#'||e.dst), 22) AS node
+       FROM s0 f JOIN e ON e.src = f.node
+       GROUP BY f.start, f.walk, f.node),
+s2 AS (SELECT f.start, f.walk, f.node AS prev,
+         substr(min(lpad(CAST(
+           (list_reduce(list_transform(range(1,16),
+              i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(f.start||'#'||f.walk||'#2#'||e.dst), i, 1))
+                   - 1 AS BIGINT)), (a,b) -> a*16+b)) //
+           (CASE WHEN e.dst = f.prev THEN 1
+                 WHEN m.src IS NOT NULL THEN 4 ELSE 2 END)
+           AS VARCHAR), 20, '0')||'#'||e.dst), 22) AS node
+       FROM s1 f JOIN e ON e.src = f.node
+       LEFT JOIN e m ON m.src = f.prev AND m.dst = e.dst
+       GROUP BY f.start, f.walk, f.node),
+s3 AS (SELECT f.start, f.walk, f.node AS prev,
+         substr(min(lpad(CAST(
+           (list_reduce(list_transform(range(1,16),
+              i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(f.start||'#'||f.walk||'#3#'||e.dst), i, 1))
+                   - 1 AS BIGINT)), (a,b) -> a*16+b)) //
+           (CASE WHEN e.dst = f.prev THEN 1
+                 WHEN m.src IS NOT NULL THEN 4 ELSE 2 END)
+           AS VARCHAR), 20, '0')||'#'||e.dst), 22) AS node
+       FROM s2 f JOIN e ON e.src = f.node
+       LEFT JOIN e m ON m.src = f.prev AND m.dst = e.dst
+       GROUP BY f.start, f.walk, f.node)
+SELECT start, CAST(walk AS INT) AS walk, 0 AS step, node FROM s0
+UNION ALL SELECT start, CAST(walk AS INT), 1, node FROM s1
+UNION ALL SELECT start, CAST(walk AS INT), 2, node FROM s2
+UNION ALL SELECT start, CAST(walk AS INT), 3, node FROM s3
 """

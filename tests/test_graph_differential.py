@@ -429,3 +429,77 @@ def test_resource_allocation_matches_python_mirror(spark):
         for r in resource_allocation(df, max_nbr_degree=64).collect()
     }
     assert got == exp
+
+
+def test_node2vec_walks_match_python_mirror(spark):
+    import hashlib
+
+    from semargl_spark.operators.graph import node2vec_walks
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("b", "d"), ("a", "c"),
+             ("c", "a"), ("d", "sink"), ("hub", "x1"), ("hub", "x2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    wr, wc, wo = 1, 4, 2
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def mirror(walk_len=3, walks_per_node=2):
+        eset = set(edges)
+        adj: dict[str, set[str]] = {}
+        for s, d in eset:
+            adj.setdefault(s, set()).add(d)
+        rows = set()
+        for start in adj:
+            for w in range(walks_per_node):
+                prev, node = None, start
+                rows.add((start, w, 0, node))
+                for step in range(1, walk_len + 1):
+                    nbrs = adj.get(node)
+                    if not nbrs:
+                        break
+
+                    def wt(c):
+                        if prev is None:
+                            return wc
+                        if c == prev:
+                            return wr
+                        return wc if (prev, c) in eset else wo
+
+                    def key(c):
+                        return (
+                            str(h60(f"{start}#{w}#{step}#{c}") // wt(c))
+                            .zfill(20) + "#" + c
+                        )
+
+                    prev, node = node, min(nbrs, key=key)
+                    rows.add((start, w, step, node))
+        return rows
+
+    got = {(r["start"], r["walk"], r["step"], r["node"])
+           for r in node2vec_walks(df, 3, 2, wr, wc, wo).collect()}
+    assert got == mirror()
+    # partition-invariant (pure function of the graph)
+    got2 = {(r["start"], r["walk"], r["step"], r["node"])
+            for r in node2vec_walks(df.repartition(5), 3, 2, wr, wc, wo)
+            .collect()}
+    assert got2 == got
+
+
+def test_node2vec_extreme_return_weight_forces_backtrack(spark):
+    from semargl_spark.operators.graph import node2vec_walks
+
+    # from b with prev=a the huge return weight must pick a again
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("b", "d")],
+        "src string, dst string",
+    )
+    out = {(r["start"], r["walk"], r["step"]): r["node"]
+           for r in node2vec_walks(
+               df, walk_len=2, walks_per_node=1,
+               w_return=10**15, w_common=1, w_out=1).collect()}
+    for (start, w, step), node in out.items():
+        if start == "a" and step == 1:
+            assert node == "b"
+        if start == "a" and step == 2:
+            assert node == "a"  # forced backtrack b→a
