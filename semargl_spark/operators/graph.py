@@ -1916,3 +1916,87 @@ def node2vec_walks(
             )
         )
     return out
+
+
+def ranking_metrics(
+    scored: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query",
+    cand_col: str = "cand",
+    score_col: str = "score",
+    ks: tuple[int, ...] = (1, 3, 10),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Filtered ranking evaluation of a link predictor / retriever →
+    ONE row ``(n_truth, n_ranked, mrr_micro, hits{k}_pm, ...)``: for
+    every held-out true (query, cand) pair, its FILTERED rank among
+    the query's scored candidates (other true candidates ranked above
+    it are discounted — the standard KG-embedding protocol of Bordes
+    et al. 2013), then MRR and Hits@k aggregated in exact integer
+    units (micro for MRR, per-mille for hits; floor division). A true
+    pair the scorer never ranked counts in the denominator with zero
+    contribution, so missing candidates hurt the score instead of
+    silently vanishing — ``n_ranked`` says how many were found.
+
+    Ties break by candidate id ascending — a total order, so the rank
+    (and every metric) is bit-identical at any parallelism and
+    externally replayable.
+
+    Shape: one truth-marker equi-join, ONE window partitioned by query
+    (a query's candidate list is top-k-bounded by the producer, so the
+    per-partition sort is constant work — never a corpus sort), one
+    left join back to the truth set, one global single-row aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    if not ks or min(ks) < 1:
+        raise ValueError(f"ks must be positive ranks, got {ks}")
+    t = truth.select(
+        F.col(query_col).alias("_q"), F.col(cand_col).alias("_c")
+    ).distinct()
+    s = scored.select(
+        F.col(query_col).alias("_q"),
+        F.col(cand_col).alias("_c"),
+        F.col(score_col).alias("_s"),
+    )
+    marked = s.join(
+        t.withColumn("_true", F.lit(1)), ["_q", "_c"], "left"
+    ).withColumn("_true", F.coalesce(F.col("_true"), F.lit(0)))
+    w = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_c").asc()
+    )
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = marked.select(
+        "_q", "_c", "_true",
+        F.row_number().over(w).alias("_rn"),
+        F.coalesce(F.sum("_true").over(wprev), F.lit(0)).alias("_ta"),
+    )
+    tr = ranked.filter(F.col("_true") == 1).select(
+        "_q", "_c", (F.col("_rn") - F.col("_ta")).cast("long").alias("_rank")
+    )
+    ev = t.join(tr, ["_q", "_c"], "left")
+    hit_aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("_rank") <= k, 1)), F.lit(0)
+        ).alias(f"_h{k}")
+        for k in ks
+    ]
+    a = ev.agg(
+        F.count("*").cast("long").alias("n_truth"),
+        F.count("_rank").cast("long").alias("n_ranked"),
+        F.coalesce(F.sum(F.expr(f"{scale} div _rank")), F.lit(0)).alias(
+            "_srr"
+        ),
+        *hit_aggs,
+    )
+    return a.select(
+        "n_truth",
+        "n_ranked",
+        F.expr("_srr div n_truth").cast("long").alias("mrr_micro"),
+        *[
+            F.expr(f"(1000 * _h{k}) div n_truth")
+            .cast("long")
+            .alias(f"hits{k}_pm")
+            for k in ks
+        ],
+    )

@@ -2545,6 +2545,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dup": q_conv_near_dup,
         "pipeline_sft": q_pipeline_sft,
         "kg_node2vec": q_kg_node2vec,
+        "kg_link_ranking": q_kg_link_ranking,
     }
 
 
@@ -8319,4 +8320,77 @@ SELECT start, CAST(walk AS INT) AS walk, 0 AS step, node FROM s0
 UNION ALL SELECT start, CAST(walk AS INT), 1, node FROM s1
 UNION ALL SELECT start, CAST(walk AS INT), 2, node FROM s2
 UNION ALL SELECT start, CAST(walk AS INT), 3, node FROM s3
+"""
+
+
+def q_kg_link_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered MRR / Hits@k of the resource-allocation link predictor
+    (graph.ranking_metrics over graph.resource_allocation): held-out
+    positives are the 2-hop closures (did, did+2) for did%3==0, scored
+    against every RA candidate pair keyed by its x endpoint — the
+    standard KG link-prediction evaluation, integer-exact."""
+    from .operators.graph import ranking_metrics, resource_allocation
+
+    d = _fusion_docs(spark, sf_dir)
+    n = lambda off: F.concat(F.lit("urn:e:"), F.col("did") + off)  # noqa: E731
+    edges = d.select(n(0).alias("src"), n(1).alias("dst")).unionByName(
+        d.filter(F.col("did") % 7 == 0).select(
+            n(0).alias("src"), n(3).alias("dst")
+        )
+    )
+    scored = resource_allocation(edges, max_nbr_degree=64)
+    truth = d.filter(F.col("did") % 3 == 0).select(
+        F.least(n(0), n(2)).alias("x"), F.greatest(n(0), n(2)).alias("y")
+    )
+    return ranking_metrics(
+        scored, truth, query_col="x", cand_col="y", score_col="ra_micro"
+    )
+
+
+ORACLES["kg_link_ranking"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+raw AS (
+  SELECT 'urn:e:'||did AS s, 'urn:e:'||(did+1) AS t FROM ids
+  UNION ALL
+  SELECT 'urn:e:'||did, 'urn:e:'||(did+3) FROM ids WHERE did % 7 = 0),
+und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw WHERE s <> t),
+adj AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+piv AS (SELECT node AS nbr, deg AS pdeg FROM deg WHERE deg <= 64),
+wdg AS (SELECT adj.nbr, piv.pdeg, adj.node FROM adj JOIN piv USING (nbr)),
+sc AS (SELECT wx.node AS x, wy.node AS y,
+         CAST(SUM(1000000 // wx.pdeg) AS BIGINT) AS ra_micro
+       FROM wdg wx JOIN wdg wy ON wx.nbr = wy.nbr AND wx.node < wy.node
+       GROUP BY wx.node, wy.node),
+tru AS (SELECT DISTINCT
+          least('urn:e:'||did, 'urn:e:'||(did+2)) AS x,
+          greatest('urn:e:'||did, 'urn:e:'||(did+2)) AS y
+        FROM ids WHERE did % 3 = 0),
+m AS (SELECT sc.x, sc.y, sc.ra_micro,
+        CASE WHEN tru.x IS NOT NULL THEN 1 ELSE 0 END AS ist
+      FROM sc LEFT JOIN tru ON tru.x = sc.x AND tru.y = sc.y),
+r AS (SELECT x, y, ist,
+        row_number() OVER (PARTITION BY x
+          ORDER BY ra_micro DESC, y ASC) AS rn,
+        COALESCE(SUM(ist) OVER (PARTITION BY x
+          ORDER BY ra_micro DESC, y ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ta
+      FROM m),
+tr AS (SELECT x, y, rn - ta AS rnk FROM r WHERE ist = 1),
+ev AS (SELECT tru.x, tru.y, tr.rnk FROM tru LEFT JOIN tr USING (x, y)),
+a AS (SELECT COUNT(*) AS n_truth, COUNT(rnk) AS n_ranked,
+        COALESCE(SUM(1000000 // rnk), 0) AS srr,
+        COALESCE(SUM(CASE WHEN rnk <= 1 THEN 1 END), 0) AS h1,
+        COALESCE(SUM(CASE WHEN rnk <= 3 THEN 1 END), 0) AS h3,
+        COALESCE(SUM(CASE WHEN rnk <= 10 THEN 1 END), 0) AS h10
+      FROM ev)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_ranked AS BIGINT) AS n_ranked,
+       CAST(srr // n_truth AS BIGINT) AS mrr_micro,
+       CAST((1000 * h1) // n_truth AS BIGINT) AS hits1_pm,
+       CAST((1000 * h3) // n_truth AS BIGINT) AS hits3_pm,
+       CAST((1000 * h10) // n_truth AS BIGINT) AS hits10_pm
+FROM a
 """

@@ -503,3 +503,38 @@ def test_node2vec_extreme_return_weight_forces_backtrack(spark):
             assert node == "b"
         if start == "a" and step == 2:
             assert node == "a"  # forced backtrack b→a
+
+
+def test_ranking_metrics_filtered_protocol_exact(spark):
+    from semargl_spark.operators.graph import ranking_metrics
+
+    # q1: candidates b(9) a(7,true) c(7) d(1,true)
+    #   raw ranks: b=1 a=2 c=3 d=4; filtered: a=2, d=4-1(a above)=3
+    # q2: true pair never scored → counts as a miss
+    scored = spark.createDataFrame(
+        [("q1", "b", 9), ("q1", "a", 7), ("q1", "c", 7), ("q1", "d", 1),
+         ("q2", "x", 5)],
+        "query string, cand string, score long",
+    )
+    truth = spark.createDataFrame(
+        [("q1", "a"), ("q1", "d"), ("q2", "zz")],
+        "query string, cand string",
+    )
+    row = ranking_metrics(scored, truth, ks=(1, 3)).collect()[0]
+    assert row["n_truth"] == 3 and row["n_ranked"] == 2
+    # MRR = (1/2 + 1/3 + 0)/3 in floor micro-units
+    assert row["mrr_micro"] == (10**6 // 2 + 10**6 // 3) // 3
+    assert row["hits1_pm"] == 0
+    assert row["hits3_pm"] == 1000 * 2 // 3  # a(2) and d(3) inside top-3
+
+
+def test_ranking_metrics_tie_break_is_candidate_order(spark):
+    from semargl_spark.operators.graph import ranking_metrics
+
+    scored = spark.createDataFrame(
+        [("q", "m", 5), ("q", "z", 5)], "query string, cand string, score long"
+    )
+    truth = spark.createDataFrame([("q", "z")], "query string, cand string")
+    row = ranking_metrics(scored, truth, ks=(1,)).collect()[0]
+    # equal scores: 'm' < 'z' ranks first, so z's filtered rank is 2
+    assert row["hits1_pm"] == 0 and row["mrr_micro"] == 10**6 // 2
