@@ -1099,3 +1099,59 @@ def bradley_terry(
     return items.join(weights, "item_id").select(
         "item_id", "wins", "games", F.col("w").alias("strength_mu")
     )
+
+
+def pack_manifest(
+    docs: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Bin manifest for packed training sequences → (shard, bin_id,
+    n_docs, fill_tokens, members): the per-bin companion of
+    :func:`pack_sequences` a data loader actually consumes — which
+    documents land in each bin, in order, with their start offsets
+    (``members`` is ``;``-joined ``id:offset`` pairs), plus the bin's
+    document count and token fill. Offsets are the attention-reset
+    boundaries: training masks cross-document attention at each
+    member's start. A document is listed in the bin its FIRST token
+    falls in (the straddle convention of pack_sequences), so
+    ``fill_tokens`` of a bin with a straddling tail exceeds
+    ``capacity`` — the loader's signal that the tail continues into
+    the next bin.
+
+    Shape: pack_sequences' shard window, then ONE hash aggregation
+    keyed by (shard, bin_id) — sorted struct collect_list over a
+    capacity-bounded member list (a bin holds at most
+    capacity/min_doc_tokens + 1 documents), map-side partials, no
+    second window.
+    """
+    packed = pack_sequences(docs, capacity, n_shards, id_col, text_col)
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("offset_in_bin").alias("o"),
+                F.col(id_col).alias("i"),
+                F.col("n_tokens").alias("t"),
+            )
+        )
+    )
+    g = packed.groupBy("shard", "bin_id").agg(items.alias("_m"))
+    return g.select(
+        "shard",
+        "bin_id",
+        F.size(F.col("_m")).cast("int").alias("n_docs"),
+        F.aggregate(
+            F.col("_m"), F.lit(0).cast("long"), lambda a, x: a + x["t"]
+        ).alias("fill_tokens"),
+        F.array_join(
+            F.transform(
+                F.col("_m"),
+                lambda x: F.concat_ws(
+                    ":", x["i"].cast("string"), x["o"].cast("string")
+                ),
+            ),
+            ";",
+        ).alias("members"),
+    )

@@ -2546,6 +2546,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sft": q_pipeline_sft,
         "kg_node2vec": q_kg_node2vec,
         "kg_link_ranking": q_kg_link_ranking,
+        "pack_manifest": q_pack_manifest,
     }
 
 
@@ -8393,4 +8394,39 @@ SELECT CAST(n_truth AS BIGINT) AS n_truth,
        CAST((1000 * h3) // n_truth AS BIGINT) AS hits3_pm,
        CAST((1000 * h10) // n_truth AS BIGINT) AS hits10_pm
 FROM a
+"""
+
+
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin packing manifest (curation.pack_manifest): ordered
+    ``id:offset`` member lists + fill per 256-token bin — the
+    attention-reset metadata a training data loader reads alongside
+    the packed corpus."""
+    return curation.pack_manifest(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        capacity=256,
+        n_shards=8,
+    )
+
+
+ORACLES["pack_manifest"] = rf"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(doc_id % 8 AS INT) AS shard,
+                  {_WS_TOKENS_SQL} AS n_tokens
+           FROM documents),
+p AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t),
+b AS (SELECT doc_id, shard, n_tokens,
+        CAST(prev // 256 AS INT) AS bin_id,
+        CAST(prev % 256 AS INT) AS off
+      FROM p)
+SELECT shard, bin_id,
+  CAST(COUNT(*) AS INT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+  string_agg(doc_id||':'||off, ';' ORDER BY off, doc_id) AS members
+FROM b GROUP BY shard, bin_id
 """

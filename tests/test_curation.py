@@ -1094,3 +1094,22 @@ def test_bradley_terry_strength_orders_by_dominance(spark):
     assert s[0] > s[1] > s[3] and s[0] > s[2] > s[3]
     assert out[3]["strength_mu"] > 0  # prior keeps all-loss items positive
     assert out[0]["wins"] == 3 and out[0]["games"] == 3
+
+
+def test_pack_manifest_members_and_straddle(spark):
+    # shard 0 only (ids all ≡ 0 mod 1): capacity 10, docs of 4/4/5 tokens
+    # doc 0 at offset 0, doc 1 at 4, doc 2 starts at 8 and straddles
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (8, "e f g h"), (16, "i j k l m")],
+        "doc_id long, text string",
+    )
+    rows = curation.pack_manifest(
+        docs, capacity=10, n_shards=8
+    ).collect()
+    by_bin = {(r["shard"], r["bin_id"]): r for r in rows}
+    b0 = by_bin[(0, 0)]
+    assert b0["members"] == "0:0;8:4;16:8"
+    assert b0["n_docs"] == 3
+    # fill exceeds capacity: doc 16 straddles into bin 1
+    assert b0["fill_tokens"] == 13
+    assert (0, 1) not in by_bin  # straddling tail opens no manifest row
