@@ -148,7 +148,10 @@ def main() -> None:
                  "dsir_select", "kg_harmonic",
                  "unigram_vocab", "unigram_segment",
                  "kg_link_predict", "kg_c14n", "kg_c14n_hash",
-                 "stream_c14n_dedup", "conv_topic_shifts", "hamming_topk"):
+                 "stream_c14n_dedup", "conv_topic_shifts", "hamming_topk",
+                 "chat_render", "preference_bt", "conv_near_dup",
+                 "pipeline_sft", "kg_node2vec", "kg_link_ranking",
+                 "pack_manifest"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))
