@@ -2000,3 +2000,60 @@ def ranking_metrics(
             for k in ks
         ],
     )
+
+
+def transitive_reduction2(
+    edges: DataFrame,
+    max_pivot_work: int = 1 << 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded transitive reduction → the edge set minus every edge
+    (a, c) witnessed by a 2-path a→b→c — the KG-cleanup pass that
+    drops redundant shortcut assertions a transitive predicate already
+    implies (skos:broader, partOf, subClassOf chains accumulate these
+    from independent extractions). Each removed edge has an EXPLICIT
+    two-hop witness, so the operation is sound for transitive
+    predicates at any depth; iterate for longer-range redundancy
+    (every pass only shrinks the set — same fixed-round contract as
+    :func:`kcore`). Exact full-reachability reduction needs the
+    closure; this is the bounded form a 10^12-edge run can afford.
+
+    Shape: one in/out-degree groupBy, ONE wedge self-join through
+    pivots whose witness work in(b)·out(b) ≤ ``max_pivot_work``, one
+    distinct, one left-anti join back. A celebrity pivot would emit
+    in·out wedge rows — the cap routes it out (its edges stay,
+    conservatively unreduced) instead of letting one hub quadratically
+    dominate the stage; self-loops are never witnesses and never
+    removed.
+    """
+    if max_pivot_work < 1:
+        raise ValueError("max_pivot_work must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=False)
+    simple = e.filter(F.col("src") != F.col("dst"))
+    outd = simple.groupBy(F.col("src").alias("b")).agg(
+        F.count("*").alias("_out")
+    )
+    ind = simple.groupBy(F.col("dst").alias("b")).agg(
+        F.count("*").alias("_in")
+    )
+    ok = (
+        outd.join(ind, "b")
+        .filter(F.col("_in") * F.col("_out") <= max_pivot_work)
+        .select("b")
+    )
+    left = simple.join(ok, simple["dst"] == ok["b"]).select(
+        F.col("src").alias("a"), F.col("dst").alias("b2")
+    )
+    right = simple.select(
+        F.col("src").alias("b2"), F.col("dst").alias("c")
+    )
+    implied = (
+        left.join(right, "b2")
+        .filter(F.col("a") != F.col("c"))
+        .select(F.col("a").alias("src"), F.col("c").alias("dst"))
+        .distinct()
+    )
+    return e.join(implied, ["src", "dst"], "left_anti")

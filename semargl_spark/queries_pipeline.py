@@ -2547,6 +2547,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec": q_kg_node2vec,
         "kg_link_ranking": q_kg_link_ranking,
         "pack_manifest": q_pack_manifest,
+        "kg_transitive_reduce": q_kg_transitive_reduce,
     }
 
 
@@ -8429,4 +8430,55 @@ SELECT shard, bin_id,
   CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
   string_agg(doc_id||':'||off, ';' ORDER BY off, doc_id) AS members
 FROM b GROUP BY shard, bin_id
+"""
+
+
+def q_kg_transitive_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive reduction (graph.transitive_reduction2) of a
+    chain + shortcut graph: did→did+2 shortcuts (did%4==0) carry an
+    explicit 2-hop witness through did+1 and are dropped; did→did+5
+    shortcuts (did%6==0) have no 2-path and survive — the redundant-
+    assertion cleanup a transitive predicate accumulates."""
+    from .operators.graph import transitive_reduction2
+
+    d = _fusion_docs(spark, sf_dir)
+    n = lambda off: F.concat(F.lit("urn:e:"), F.col("did") + off)  # noqa: E731
+    edges = (
+        d.select(n(0).alias("src"), n(1).alias("dst"))
+        .unionByName(
+            d.filter(F.col("did") % 4 == 0).select(
+                n(0).alias("src"), n(2).alias("dst")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("did") % 6 == 0).select(
+                n(0).alias("src"), n(5).alias("dst")
+            )
+        )
+    )
+    return transitive_reduction2(edges)
+
+
+ORACLES["kg_transitive_reduce"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+edges AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'urn:e:'||did AS src, 'urn:e:'||(did+1) AS dst FROM ids
+    UNION ALL
+    SELECT 'urn:e:'||did, 'urn:e:'||(did+2) FROM ids WHERE did % 4 = 0
+    UNION ALL
+    SELECT 'urn:e:'||did, 'urn:e:'||(did+5) FROM ids WHERE did % 6 = 0)),
+simple AS (SELECT src, dst FROM edges WHERE src <> dst),
+outd AS (SELECT src AS b, COUNT(*) AS o FROM simple GROUP BY src),
+ind AS (SELECT dst AS b, COUNT(*) AS i FROM simple GROUP BY dst),
+ok AS (SELECT outd.b FROM outd JOIN ind USING (b)
+       WHERE i * o <= 1048576),
+implied AS (SELECT DISTINCT l.src, r.dst
+            FROM simple l
+            JOIN ok ON ok.b = l.dst
+            JOIN simple r ON r.src = l.dst
+            WHERE l.src <> r.dst)
+SELECT e.src, e.dst FROM edges e
+LEFT JOIN implied m ON m.src = e.src AND m.dst = e.dst
+WHERE m.src IS NULL
 """

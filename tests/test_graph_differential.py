@@ -538,3 +538,32 @@ def test_ranking_metrics_tie_break_is_candidate_order(spark):
     row = ranking_metrics(scored, truth, ks=(1,)).collect()[0]
     # equal scores: 'm' < 'z' ranks first, so z's filtered rank is 2
     assert row["hits1_pm"] == 0 and row["mrr_micro"] == 10**6 // 2
+
+
+def test_transitive_reduction2_removes_witnessed_edges(spark):
+    from semargl_spark.operators.graph import transitive_reduction2
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),   # a→c witnessed
+             ("a", "d"),                            # no witness: kept
+             ("x", "x"), ("x", "y"),                # self-loop kept, not a witness
+             ("p", "q"), ("q", "p")]                # 2-cycle: no removal (a==c guard)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"])
+           for r in transitive_reduction2(df).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "d"), ("x", "x"),
+                   ("x", "y"), ("p", "q"), ("q", "p")}
+
+
+def test_transitive_reduction2_pivot_cap_is_conservative(spark):
+    from semargl_spark.operators.graph import transitive_reduction2
+
+    # hub pivot h with 2 in × 2 out = work 4 > cap 3 → its shortcuts stay
+    edges = [("a", "h"), ("b", "h"), ("h", "c"), ("h", "d"),
+             ("a", "c"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"])
+           for r in transitive_reduction2(df, max_pivot_work=3).collect()}
+    assert got == set(edges)  # nothing removed under the cap
+    got2 = {(r["src"], r["dst"])
+            for r in transitive_reduction2(df, max_pivot_work=4).collect()}
+    assert got2 == set(edges) - {("a", "c"), ("b", "d")}
