@@ -2057,3 +2057,76 @@ def transitive_reduction2(
         .distinct()
     )
     return e.join(implied, ["src", "dst"], "left_anti")
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation → (node, label, round): a
+    small labeled seed set spreads over an (undirected) graph — each
+    round, every still-unlabeled node adopts the PLURALITY label of
+    its already-labeled neighbors (ties: smallest label), and once
+    adopted a label is FIXED (label spreading as monotone frontier
+    growth, so the result is a pure function of graph + seeds: no
+    oscillation, bit-identical at any parallelism). Seeds report
+    round 0. The standard cheap labeler over an embedding kNN graph:
+    hand-label a sliver, propagate to the corpus.
+
+    Shape, per round: one labels⋈edges equi-join (messages flow only
+    FROM labeled nodes — the frontier, not the corpus), one
+    (node, label) count aggregation with map-side partials, one
+    per-node argmin over a ``(-count, label)`` struct (resolves
+    plurality + tie in ONE min, no window), one anti-join against the
+    assigned set. Labeled state is (node, label) pairs,
+    localCheckpoint-ed per round; a hub's fan-in collapses in the
+    count aggregation.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    assigned = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(label_col).alias("label"),
+        F.lit(0).alias("round"),
+    ).localCheckpoint(eager=False)
+    for r in range(1, rounds + 1):
+        msgs = und.join(
+            assigned.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count("*").alias("_c")
+        )
+        pick = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("_nc"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("_m")
+            )
+            .select("node", F.col("_m.label").alias("label"))
+        )
+        newly = pick.join(
+            assigned.select("node"), "node", "left_anti"
+        ).withColumn("round", F.lit(r))
+        assigned = assigned.unionByName(newly).localCheckpoint(
+            eager=False
+        )
+    return assigned

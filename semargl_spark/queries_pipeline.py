@@ -1384,10 +1384,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_oracle() -> str:
-    """Same hyperplane/bucket/top-k mirror as _ann_lsh_oracle with every
-    vector as a query, then the (least, greatest) symmetrization whose
-    pair count distinguishes mutual from one-sided kNN edges."""
+def _knn_graph_with() -> str:
+    """Shared WITH-prefix: hyperplane/bucket/top-k mirror (same recipe
+    as _ann_lsh_oracle) with every vector as a query, symmetrized to
+    (least, greatest) pairs in ``und`` — consumed by the knn_graph
+    oracle's final select and by the label-propagation oracle built on
+    the same edge set."""
     planes = similarity._hyperplanes(64, 8, seed=42)
     rows = ",\n".join(
         f"  ({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
@@ -1419,7 +1421,11 @@ knn AS (SELECT query_id, neighbor_id, round(cos, 6) AS cosine
         FROM ranked WHERE rn <= 3),
 und AS (SELECT least(query_id, neighbor_id) AS src_id,
                greatest(query_id, neighbor_id) AS dst_id, cosine
-        FROM knn)
+        FROM knn)"""
+
+
+def _knn_graph_oracle() -> str:
+    return _knn_graph_with() + """
 SELECT src_id, dst_id, max(cosine) AS cosine,
        COUNT(*) = 2 AS mutual
 FROM und GROUP BY src_id, dst_id
@@ -2548,6 +2554,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_ranking": q_kg_link_ranking,
         "pack_manifest": q_pack_manifest,
         "kg_transitive_reduce": q_kg_transitive_reduce,
+        "embedding_label_prop": q_embedding_label_prop,
     }
 
 
@@ -8482,3 +8489,65 @@ SELECT e.src, e.dst FROM edges e
 LEFT JOIN implied m ON m.src = e.src AND m.dst = e.dst
 WHERE m.src IS NULL
 """
+
+
+def q_embedding_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised corpus labeling (graph.seeded_label_propagation
+    over similarity.knn_graph): the vec_id%5==0 sliver keeps its human
+    label, everything else adopts the plurality label of its
+    already-labeled kNN neighbors over two monotone frontier rounds —
+    hand-label 20%, propagate to the corpus."""
+    from .operators.graph import seeded_label_propagation
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    g = similarity.knn_graph(emb, dim=64, k=3, n_planes=8).select(
+        F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("node"),
+        F.col("label").cast("int").alias("label"),
+    )
+    out = seeded_label_propagation(g, seeds, rounds=2)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("int").alias("label"),
+        F.col("round").cast("int").alias("round"),
+    )
+
+
+def _embedding_label_prop_oracle() -> str:
+    return _knn_graph_with() + """,
+g AS (SELECT DISTINCT a, b FROM (
+        SELECT src_id AS a, dst_id AS b FROM und
+        UNION ALL SELECT dst_id, src_id FROM und)),
+a0 AS (SELECT vec_id AS node, CAST(label AS INT) AS label, 0 AS rnd
+       FROM embeddings WHERE vec_id % 5 = 0),
+m1 AS (SELECT g.a AS node, x.label, COUNT(*) AS c
+       FROM g JOIN a0 x ON x.node = g.b GROUP BY g.a, x.label),
+p1 AS (SELECT node, label FROM (
+         SELECT node, label, row_number() OVER (
+           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         FROM m1) WHERE rn = 1),
+n1 AS (SELECT p1.node, p1.label, 1 AS rnd FROM p1
+       LEFT JOIN a0 ON a0.node = p1.node WHERE a0.node IS NULL),
+a1 AS (SELECT * FROM a0 UNION ALL SELECT * FROM n1),
+m2 AS (SELECT g.a AS node, x.label, COUNT(*) AS c
+       FROM g JOIN a1 x ON x.node = g.b GROUP BY g.a, x.label),
+p2 AS (SELECT node, label FROM (
+         SELECT node, label, row_number() OVER (
+           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         FROM m2) WHERE rn = 1),
+n2 AS (SELECT p2.node, p2.label, 2 AS rnd FROM p2
+       LEFT JOIN a1 ON a1.node = p2.node WHERE a1.node IS NULL),
+a2 AS (SELECT * FROM a1 UNION ALL SELECT * FROM n2)
+SELECT CAST(node AS BIGINT) AS node, label,
+       CAST(rnd AS INT) AS "round"
+FROM a2
+"""
+
+
+ORACLES["embedding_label_prop"] = _embedding_label_prop_oracle()

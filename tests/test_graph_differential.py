@@ -567,3 +567,39 @@ def test_transitive_reduction2_pivot_cap_is_conservative(spark):
     got2 = {(r["src"], r["dst"])
             for r in transitive_reduction2(df, max_pivot_work=4).collect()}
     assert got2 == set(edges) - {("a", "c"), ("b", "d")}
+
+
+def test_seeded_label_propagation_frontier_and_ties(spark):
+    from semargl_spark.operators.graph import seeded_label_propagation
+
+    # chain s1-a-b; s2-a (tie at a: labels 1 and 2 each count 1 → min=1)
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s2", "a"), ("a", "b"), ("b", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("s1", 1), ("s2", 2)], "node string, label int"
+    )
+    out = {r["node"]: (r["label"], r["round"])
+           for r in seeded_label_propagation(edges, seeds, rounds=3)
+           .collect()}
+    assert out["s1"] == (1, 0) and out["s2"] == (2, 0)
+    assert out["a"] == (1, 1)       # tie 1v2 → smallest label
+    assert out["b"] == (1, 2)       # frontier reaches b in round 2
+    assert out["c"] == (1, 3)
+    assert "x" not in out and "y" not in out  # disconnected stays unlabeled
+
+
+def test_seeded_label_propagation_plurality_beats_tiebreak(spark):
+    from semargl_spark.operators.graph import seeded_label_propagation
+
+    edges = spark.createDataFrame(
+        [("s1", "t"), ("s2", "t"), ("s3", "t")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("s1", 9), ("s2", 9), ("s3", 1)], "node string, label int"
+    )
+    out = {r["node"]: r["label"]
+           for r in seeded_label_propagation(edges, seeds, rounds=1)
+           .collect()}
+    assert out["t"] == 9  # plurality 2x9 beats smaller label 1
