@@ -76,6 +76,14 @@ def main(argv=None) -> int:
                          "RDFC-1.0 canonical sha256 per source document "
                          "(operators/c14n_ops.c14n_doc_hashes) — the "
                          "isomorphism-invariant graph-level dedup key")
+    ap.add_argument("--sft-render", action="store_true",
+                    help="side outputs <output>/sft (chat-template "
+                    "rendered conversations with loss-mask spans) and "
+                    "<output>/sft_manifest (packed-bin manifest) — the "
+                    "training-data exit of the same run")
+    ap.add_argument("--sft-capacity", type=int, default=2048,
+                    help="packing bin capacity in whitespace tokens "
+                    "for the sft manifest (default 2048)")
     ap.add_argument("--sparql", default=None,
                     help="SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE or a SPARQL "
                          "1.1 Update request (operators/sparql.py subset) to "
@@ -102,6 +110,8 @@ def main(argv=None) -> int:
                   fuse_sameas=args.fuse_sameas,
                   resolve_functional=args.resolve_functional,
                   content_address=args.content_address,
+                  sft_render=args.sft_render,
+                  sft_capacity=args.sft_capacity,
                   sparql=args.sparql)
     print(json.dumps(summary))
     spark.stop()
@@ -113,7 +123,8 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         fuzzy_link: bool = False, shapes: str | None = None,
         ontology: str | None = None, owl_axioms: str | None = None,
         fuse_sameas: bool = False, resolve_functional: str | None = None,
-        content_address: bool = False, sparql: str | None = None) -> dict:
+        content_address: bool = False, sft_render: bool = False,
+        sft_capacity: int = 2048, sparql: str | None = None) -> dict:
     """The pipeline body, callable in-process (tests, notebooks) — does
     not stop the session. ``main`` wraps it for spark-submit."""
     from pyspark.sql import functions as F
@@ -362,6 +373,43 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
             "doc_sha256"
         ).distinct().count()
 
+    summary_sft = None
+    if sft_render:
+        # SFT exit over the SAME input transcripts (pre-extraction
+        # surface): chat-template rendering with loss-mask spans plus
+        # the packed-bin manifest a loader consumes; both writes are
+        # idempotent overwrites, resume-skipped via the lineage ledger
+        from semargl_spark.operators.conversation import chat_render
+        from semargl_spark.operators.curation import pack_manifest
+
+        rendered = chat_render(transcripts).localCheckpoint(eager=False)
+        staged = rendered.select(
+            # stable non-negative numeric id for the shard modulo
+            F.shiftrightunsigned(F.xxhash64("conv_id"), 1).alias(
+                "conv_num"
+            ),
+            "rendered",
+        )
+        manifest = pack_manifest(
+            staged, capacity=sft_capacity, n_shards=64,
+            id_col="conv_num", text_col="rendered",
+        )
+        if "sft" not in done_stages:
+            rendered.write.mode("overwrite").parquet(f"{output}/sft")
+            manifest.write.mode("overwrite").parquet(
+                f"{output}/sft_manifest"
+            )
+            write_lineage(lineage_rows(rendered, run_id, "sft"),
+                          f"{output}/lineage")
+        summary_sft = {
+            "sft_conversations": spark.read.parquet(
+                f"{output}/sft"
+            ).count(),
+            "sft_bins": spark.read.parquet(
+                f"{output}/sft_manifest"
+            ).count(),
+        }
+
     if "merge" in done_stages:
         # whole run already completed: report from the materialized tables
         summary = {
@@ -381,6 +429,8 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         summary["fused_nodes"] = summary_fused
     if summary_content is not None:
         summary["distinct_content"] = summary_content
+    if summary_sft is not None:
+        summary.update(summary_sft)
     summary["errors"] = err.count()
     summary["statements"] = st.count()
     try:

@@ -310,3 +310,39 @@ def test_content_address_stage_and_resume(spark, prepared):
     assert s1["distinct_content"] == s0["distinct_content"]
     # ledger stays duplicate-free across the rerun
     assert _ledger_copies(spark, out) == 1
+
+
+def test_sft_render_stage_and_resume(spark, prepared):
+    """--sft-render lands <out>/sft + <out>/sft_manifest with an 'sft'
+    lineage stage; a resumed rerun skips the stage and reports the
+    same counts; rendered spans index into the rendered text."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_pipeline import run
+
+    out = str(prepared / "out_sft")
+    kw = dict(input_path=str(prepared / "in"), output=out,
+              dictionary=str(prepared / "dict"), run_id="rsft",
+              sft_render=True, sft_capacity=64)
+    s0 = run(spark, **kw)
+    sft = spark.read.parquet(f"{out}/sft")
+    n_convs = sft.count()
+    assert s0["sft_conversations"] == n_convs > 0
+    assert s0["sft_bins"] > 0
+    row = sft.filter(F.col("mask_spans") != "").limit(1).collect()[0]
+    a, b = (int(v) for v in row["mask_spans"].split(";")[0].split("-"))
+    assert 0 <= a < b <= len(row["rendered"])
+    stages = {
+        r["stage"]
+        for r in spark.read.parquet(f"{out}/lineage")
+        .select("stage").distinct().collect()
+    }
+    assert "sft" in stages
+    s1 = run(spark, **kw, resume=True)
+    assert "sft" in s1.get("resumed_stages", [])
+    assert s1["sft_conversations"] == n_convs
+    assert s1["sft_bins"] == s0["sft_bins"]
+    assert _ledger_copies(spark, out) == 1
