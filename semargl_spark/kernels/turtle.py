@@ -77,6 +77,11 @@ def _is_bnode(value: str, kind: str) -> bool:
     return kind == "bnode" or (kind != "literal" and value.startswith(BNODE_PREFIX))
 
 
+def _header(base: str | None) -> str:
+    h = f"@base <{escape_iri(base)}> .\n" if base else ""
+    return h + f"@prefix rdf: <{RDF_NS}> .\n\n"
+
+
 def serialize(triples: list[Triple], base: str | None = None) -> str:
     """Statements → Turtle document (grouped, header included,
     shortenable bnodes inlined as ``[...]``).
@@ -89,10 +94,16 @@ def serialize(triples: list[Triple], base: str | None = None) -> str:
     (addNonLiteral:73-77). The reference keeps its stack in a FIFO Queue
     (offer/poll), which only matters past nesting depth 1 — mirrored
     verbatim for parity."""
+    return _header(base) + _serialize_body(triples, base)
+
+
+def _serialize_body(triples: list[Triple], base: str | None = None) -> str:
+    """The grouped statement text of :func:`serialize`, header-less —
+    shared by the Turtle writer and the per-graph blocks of
+    :func:`serialize_trig` (bnode/grouping state is per body: bnode
+    scopes never cross graph blocks, matching the parser's per-block
+    scoping in turtle_read)."""
     w: list[str] = []
-    if base:
-        w.append(f"@base <{escape_iri(base)}> .\n")
-    w.append(f"@prefix rdf: <{RDF_NS}> .\n\n")
 
     prev_subj: str | None = None
     prev_pred: str | None = None
@@ -162,3 +173,37 @@ def serialize(triples: list[Triple], base: str | None = None) -> str:
     if prev_pred is not None:
         w.append(" .\n")
     return "".join(w)
+
+
+def serialize_trig(triples: list[Triple], base: str | None = None) -> str:
+    """Statements → TriG document: the writer-side completion of the
+    TriG reader (turtle_read.parse_trig) — default-graph statements
+    first as bare Turtle, then one ``<graph> { ... }`` block per named
+    graph in FIRST-APPEARANCE order (deterministic for a fixed
+    statement sequence, the same stance as the streaming writer's
+    subject grouping). Graph labels shorten like subjects; each block's
+    body reuses the full Turtle grouping/inlining state machine with
+    fresh per-block bnode state, so a document round-trips through
+    parse_trig to an isomorphic dataset. (Reference parity n/a: the
+    reference writes Turtle only, TurtleSerializer.java:32 — this is
+    the target-side quad analogue.)"""
+    default: list[Triple] = []
+    order: list[str] = []
+    groups: dict[str, list[Triple]] = {}
+    for t in triples:
+        if t.graph is None:
+            default.append(t)
+        else:
+            if t.graph not in groups:
+                groups[t.graph] = []
+                order.append(t.graph)
+            groups[t.graph].append(t)
+    parts = [_header(base)]
+    if default:
+        parts.append(_serialize_body(default, base))
+    for g in order:
+        label = g if g.startswith(BNODE_PREFIX) else _shorten(g, base)
+        parts.append(label + " {\n")
+        parts.append(_serialize_body(groups[g], base))
+        parts.append("}\n")
+    return "".join(parts)

@@ -73,21 +73,40 @@ def render_turtle_docs(transcripts: DataFrame, fmt: str = "ntriples") -> DataFra
     (rdfa/src/test/java/.../RdfaParserTest.java:61,
     rdf/.../TurtleSerializer.java:32-238). Returns
     (conv_id, turn_idx, turtle)."""
+    from ..kernels import turtle as turtle_kernel
+
+    return _render_docs(transcripts, fmt, turtle_kernel.serialize, "turtle")
+
+
+def render_trig_docs(transcripts: DataFrame, fmt: str = "nquads") -> DataFrame:
+    """One TriG document per turn (kernels/turtle.serialize_trig):
+    default-graph statements as bare Turtle, named graphs as
+    ``<g> { ... }`` blocks in first-appearance order — the writer-side
+    completion of the TriG reader, same fused shuffle-free
+    ``mapInArrow`` shape as render_turtle_docs. Returns
+    (conv_id, turn_idx, trig)."""
+    from ..kernels import turtle as turtle_kernel
+
+    return _render_docs(
+        transcripts, fmt, turtle_kernel.serialize_trig, "trig"
+    )
+
+
+def _render_docs(transcripts, fmt, serializer, out_col) -> DataFrame:
     import pyarrow as pa
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-    from ..kernels import turtle as turtle_kernel
     from .extract import _parse_text, doc_uri
 
     schema = StructType(
         [
             StructField("conv_id", StringType(), False),
             StructField("turn_idx", IntegerType(), False),
-            StructField("turtle", StringType(), True),
+            StructField(out_col, StringType(), True),
         ]
     )
     arrow_schema = pa.schema(
-        [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("turtle", pa.string())]
+        [("conv_id", pa.string()), ("turn_idx", pa.int32()), (out_col, pa.string())]
     )
 
     def run(batches):
@@ -105,7 +124,7 @@ def render_turtle_docs(transcripts: DataFrame, fmt: str = "ntriples") -> DataFra
                     )
                 except Exception:  # error recovery: empty doc, never a task failure
                     stmts = []
-                docs.append(turtle_kernel.serialize(stmts))
+                docs.append(serializer(stmts))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(convs, pa.string()),

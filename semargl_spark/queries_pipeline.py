@@ -2555,6 +2555,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": q_pack_manifest,
         "kg_transitive_reduce": q_kg_transitive_reduce,
         "embedding_label_prop": q_embedding_label_prop,
+        "render_trig": q_render_trig,
     }
 
 
@@ -8551,3 +8552,29 @@ FROM a2
 
 
 ORACLES["embedding_label_prop"] = _embedding_label_prop_oracle()
+
+
+def q_render_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriG rendering (serialize_ops.render_trig_docs): the nquads
+    corpus re-serialized as one TriG document per turn — default-graph
+    statements bare, named graphs as first-appearance-ordered blocks.
+    Byte-exact oracle from the closed-form corpus (the writer-side
+    completion of the extract_trig reader; reference writes Turtle
+    only, TurtleSerializer.java:32)."""
+    from .operators.serialize_ops import render_trig_docs
+
+    t = synth_transcripts(spark, sf_dir, fmt="nquads")
+    return render_trig_docs(t, fmt="nquads")
+
+
+ORACLES["render_trig"] = _SEED + """
+SELECT 'c'||did AS conv_id, tix AS turn_idx,
+  '@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .'
+  ||chr(10)||chr(10)
+  ||'<urn:e:'||did||'> <urn:p:knows> <urn:e:'||(did+1)||'> .'||chr(10)
+  ||'<urn:g:'||(did%10)||'> {'||chr(10)
+  ||'<urn:e:'||did||'> <urn:p:name> "Entity '||did||'" .'||chr(10)
+  ||'_:bc'||did||'_'||tix||'_n0 <urn:p:label> "g"@en .'||chr(10)
+  ||'}'||chr(10) AS trig
+FROM t
+"""

@@ -218,3 +218,46 @@ def test_turtle_truncated_statement_records_error():
     # regression: a doc cut mid-object used to run the cursor past EOF
     ts, errs = parse("@prefix ex: <urn:ex:> .\nex:a ex:p ")
     assert ts == [] and len(errs) == 1
+
+
+# ---------------------------------------------------------------- writer
+
+
+def test_serialize_trig_blocks_and_order():
+    from semargl_spark.kernels.model import Triple, non_literal, plain_literal
+    from semargl_spark.kernels.turtle import serialize_trig
+    from semargl_spark.kernels.turtle_read import parse_trig
+
+    ts = [
+        non_literal("urn:a", "urn:p:x", "urn:b", "urn:g:2"),
+        non_literal("urn:a", "urn:p:y", "urn:c"),          # default graph
+        plain_literal("urn:a", "urn:p:z", "v", None, "urn:g:1"),
+        non_literal("urn:d", "urn:p:x", "urn:e", "urn:g:2"),
+    ]
+    doc = serialize_trig(ts)
+    # default graph first, then g:2 (first appearance), then g:1
+    i_def = doc.index("<urn:a> <urn:p:y> <urn:c> .")
+    i_g2 = doc.index("<urn:g:2> {")
+    i_g1 = doc.index("<urn:g:1> {")
+    assert i_def < i_g2 < i_g1
+    # same-graph statements share one block (subject grouping intact)
+    assert doc.count("<urn:g:2> {") == 1
+    back, errs = parse_trig(doc, base_uri="urn:base", doc_key="rt")
+    assert errs == []
+    assert sorted((t.subj, t.pred, t.obj, t.graph) for t in back) == sorted(
+        (t.subj, t.pred, t.obj, t.graph) for t in ts
+    )
+
+
+def test_serialize_trig_bnode_graph_label_and_grouping():
+    from semargl_spark.kernels.model import non_literal
+    from semargl_spark.kernels.turtle import serialize_trig
+
+    ts = [
+        non_literal("urn:s", "urn:p:a", "urn:o1", "_:g"),
+        non_literal("urn:s", "urn:p:a", "urn:o2", "_:g"),
+    ]
+    doc = serialize_trig(ts)
+    assert "_:g {\n" in doc
+    # same subject+predicate: ',' object grouping inside the block
+    assert "<urn:o1>, <urn:o2>" in doc

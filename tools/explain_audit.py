@@ -653,6 +653,31 @@ def main():
                    "a global sort; JVM-only",
                    "TakeOrderedAndProject" in p and "Python" not in p))
 
+    from semargl_spark.operators.conversation import chat_render
+
+    t10r = t10.selectExpr("conv_id", "turn_idx",
+                          "case when turn_idx % 2 = 0 then 'user' else "
+                          "'assistant' end AS role", "text")
+    p = plan_of(chat_render(t10r))
+    sections.append(("chat_render", p))
+    checks.append(("chat_render: ONE conv_id hash agg, no window sort, "
+                   "JVM-only",
+                   "Python" not in p and "Sort" not in p
+                   and "Join" not in p and p.count("Exchange") <= 2))
+
+    from semargl_spark.operators.graph import ranking_metrics
+
+    sc10 = docs10.selectExpr("cast(doc_id as string) AS query",
+                             "text AS cand", "doc_id AS score")
+    tr10 = docs10.selectExpr("cast(doc_id as string) AS query",
+                             "text AS cand")
+    p = plan_of(ranking_metrics(sc10, tr10))
+    sections.append(("ranking_metrics", p))
+    checks.append(("ranking_metrics: query-partitioned window (never a "
+                   "global sort), JVM-only",
+                   "Python" not in p and "Window" in p
+                   and "CartesianProduct" not in p))
+
     allow = {"media_real_resize": 3}
     offenders = []
     for qname, qfn in sorted(Q.registry().items()):
