@@ -151,7 +151,8 @@ def main() -> None:
                  "stream_c14n_dedup", "conv_topic_shifts", "hamming_topk",
                  "chat_render", "preference_bt", "conv_near_dup",
                  "pipeline_sft", "kg_node2vec", "kg_link_ranking",
-                 "pack_manifest"):
+                 "pack_manifest", "kg_transitive_reduce",
+                 "embedding_label_prop", "render_trig"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))
