@@ -407,3 +407,94 @@ def chat_render(
             F.array_join(F.col("_sp"), ";").alias("mask_spans"),
         )
     )
+
+
+_KNOWN_ROLES = ("user", "assistant", "tool", "system")
+
+
+def validate_transcripts(
+    transcripts: DataFrame,
+    roles: tuple[str, ...] = _KNOWN_ROLES,
+) -> DataFrame:
+    """Input-contract validation of the transcripts table → violation
+    rows (conv_id, turn_idx, check, detail): the schema-on-read gate a
+    10^12-turn ingest runs BEFORE extraction, because every downstream
+    stage assumes the (conv_id, turn_idx) contract the north rule
+    states. Emitted checks:
+
+    * ``null_text``   — text NULL or empty after trim;
+    * ``dup_turn``    — (conv_id, turn_idx) appears more than once;
+    * ``turn_gap``    — ordering breaks: first turn_idx ≠ 0, or a turn
+      doesn't follow its predecessor by exactly 1 (detail carries the
+      expected index);
+    * ``bad_role``    — role outside the known vocabulary (NULL
+      included);
+    * ``ts_regress``  — ts earlier than the previous turn's ts.
+
+    Conforming rows emit nothing — violations only, like
+    validate_shapes. Shape: ONE (conv_id ⟶ turn_idx) window exchange
+    shared by the lag/dup checks (the same partitioning the table is
+    stored under), row-local predicates, a shuffle-free union of the
+    violation projections. Every check is exactly replayable.
+    """
+    from pyspark.sql.window import Window
+
+    # ts as a secondary sort key: duplicate turn_idx rows (the very
+    # thing dup_turn flags) would otherwise make lag(ts) depend on the
+    # arbitrary tie order; identical full duplicates remain
+    # indistinguishable (and emit identical rows either way)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    wd = Window.partitionBy("conv_id", "turn_idx")
+    x = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "ts",
+        F.lag("turn_idx").over(w).alias("_prev_i"),
+        F.lag("ts").over(w).alias("_prev_ts"),
+        F.count("*").over(wd).alias("_n_dup"),
+    )
+
+    def v(cond, check, detail):
+        return x.filter(cond).select(
+            "conv_id",
+            "turn_idx",
+            F.lit(check).alias("check"),
+            detail.cast("string").alias("detail"),
+        )
+
+    null_text = v(
+        F.col("text").isNull() | (F.length(F.trim("text")) == 0),
+        "null_text",
+        F.lit("empty"),
+    )
+    dup = v(
+        F.col("_n_dup") > 1, "dup_turn", F.concat(F.lit("n="), "_n_dup")
+    )
+    gap = v(
+        F.when(F.col("_prev_i").isNull(), F.col("turn_idx") != 0).otherwise(
+            F.col("turn_idx") != F.col("_prev_i") + 1
+        ),
+        "turn_gap",
+        F.concat(
+            F.lit("expected="),
+            F.coalesce(F.col("_prev_i") + 1, F.lit(0)).cast("string"),
+        ),
+    )
+    bad_role = v(
+        F.col("role").isNull() | ~F.col("role").isin(list(roles)),
+        "bad_role",
+        F.coalesce(F.col("role"), F.lit("NULL")),
+    )
+    ts_regress = v(
+        F.col("_prev_ts").isNotNull() & (F.col("ts") < F.col("_prev_ts")),
+        "ts_regress",
+        F.lit("ts<prev"),
+    )
+    return (
+        null_text.unionByName(dup)
+        .unionByName(gap)
+        .unionByName(bad_role)
+        .unionByName(ts_regress)
+    )

@@ -1816,6 +1816,7 @@ def node2vec_walks(
     w_out: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_membership: bool = True,
 ) -> DataFrame:
     """Second-order biased walks (node2vec, Grover & Leskovec 2016,
     arXiv:1607.00653) → (start, walk, step, node): like
@@ -1843,7 +1844,12 @@ def node2vec_walks(
     with map-side partials (the div-key prefixes the candidate, so one
     ``min`` resolves choice + tie-break). Frontier cardinality stays
     nodes×walks regardless of edge count; a celebrity hub fans into
-    the GROUPed aggregation, and the membership join keys on
+    the GROUPed aggregation. The membership side is BROADCAST by
+    default — without the hint Catalyst sees no stats behind the
+    checkpointed edge list and sort-merge-shuffles the full hub-
+    amplified candidate stream once per hop (measured 13× slower at
+    sf0.1); past the broadcast budget (~10^7 edges) set
+    ``broadcast_membership=False`` for the shuffled equi-join on
     (prev, cand) pairs — uniform unless the graph itself is a clique.
     """
     if walk_len < 1 or walks_per_node < 1:
@@ -1871,9 +1877,10 @@ def node2vec_walks(
     out = frontier.select(
         "start", "walk", F.lit(0).alias("step"), "node"
     )
+    mark_side = F.broadcast(mark) if broadcast_membership else mark
     for s in range(1, walk_len + 1):
         cand = frontier.join(e, frontier["node"] == e["_s"]).join(
-            mark,
+            mark_side,
             (F.col("prev") == F.col("_ps"))
             & (F.col("_d") == F.col("_pd")),
             "left",

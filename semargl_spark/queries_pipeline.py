@@ -2556,6 +2556,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transitive_reduce": q_kg_transitive_reduce,
         "embedding_label_prop": q_embedding_label_prop,
         "render_trig": q_render_trig,
+        "transcripts_validate": q_transcripts_validate,
     }
 
 
@@ -8278,8 +8279,15 @@ def q_kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
     edges = materialize.kg_edges(st)
+    # symmetrize entity-entity edges only: reversing the rdf:type edges
+    # would hand urn:t:Thing a corpus-sized out-degree and every walk
+    # parked there a |corpus| candidate fan-out per hop (measured 20x
+    # the whole query at sf0.1) — the class hub stays a sink, exactly
+    # like the directed random_walks corpus
     sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges.filter(F.col("dst").startswith("urn:e:")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
     )
     return node2vec_walks(sym, walk_len=3, walks_per_node=2)
 
@@ -8287,7 +8295,8 @@ def q_kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["kg_node2vec"] = _KG_EDGES_SQL + """,
 e AS (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM edges
-        UNION ALL SELECT dst, src FROM edges)),
+        UNION ALL SELECT dst, src FROM edges
+                  WHERE dst LIKE 'urn:e:%')),
 w AS (SELECT n.src AS start, t.w AS walk
       FROM (SELECT DISTINCT src FROM e) n
       CROSS JOIN (SELECT unnest([0, 1]) AS w) t),
@@ -8577,4 +8586,93 @@ SELECT 'c'||did AS conv_id, tix AS turn_idx,
   ||'_:bc'||did||'_'||tix||'_n0 <urn:p:label> "g"@en .'||chr(10)
   ||'}'||chr(10) AS trig
 FROM t
+"""
+
+
+def q_transcripts_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-contract validation (conversation.validate_transcripts)
+    over a corpus with planted violations: dropped turns (did%10),
+    duplicated turns (did%7), an unknown role (did%9), blank text
+    (did%11), and a timestamp regression (did%13) — the schema-on-read
+    gate an ingest runs before extraction; conforming rows emit
+    nothing."""
+    from .operators.conversation import validate_transcripts
+
+    t = synth_transcripts(spark, sf_dir, fmt="text")
+    did = F.expr("CAST(substring(conv_id, 2) AS BIGINT)")
+    t = t.withColumn("_did", did)
+    t = t.filter(
+        ~((F.col("_did") % 10 == 0) & (F.col("turn_idx") == 2))
+    )
+    dup = t.filter((F.col("_did") % 7 == 0) & (F.col("turn_idx") == 1))
+    t = t.unionByName(dup)
+    t = (
+        t.withColumn(
+            "role",
+            F.when(
+                (F.col("_did") % 9 == 0) & (F.col("turn_idx") == 0),
+                F.lit("narrator"),
+            ).otherwise(F.col("role")),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("_did") % 11 == 0) & (F.col("turn_idx") == 3),
+                F.lit("  "),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "ts",
+            F.when(
+                (F.col("_did") % 13 == 0) & (F.col("turn_idx") == 2),
+                F.col("ts") - F.expr("INTERVAL 300 SECONDS"),
+            ).otherwise(F.col("ts")),
+        )
+        .drop("_did")
+    )
+    return validate_transcripts(t)
+
+
+ORACLES["transcripts_validate"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+base AS (SELECT did, tix
+         FROM ids CROSS JOIN (SELECT unnest(generate_series(0,3)) AS tix)
+         WHERE NOT (did % 10 = 0 AND tix = 2)),
+rows0 AS (SELECT did, tix FROM base
+          UNION ALL
+          SELECT did, tix FROM base WHERE did % 7 = 0 AND tix = 1),
+r AS (SELECT 'c'||did AS conv_id, CAST(tix AS INT) AS turn_idx,
+        CASE WHEN did % 9 = 0 AND tix = 0 THEN 'narrator'
+             WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+             ELSE 'tool' END AS role,
+        CASE WHEN did % 11 = 0 AND tix = 3 THEN '  '
+             ELSE 'the quick brown fox jumps over turn '||tix
+                  ||' of conversation '||did END AS text,
+        (did*3600 + tix*60
+         + CASE WHEN did % 13 = 0 AND tix = 2 THEN -300 ELSE 0 END) AS ts_s
+      FROM rows0),
+w AS (SELECT *,
+        lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts_s)
+          AS prev_i,
+        lag(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts_s)
+          AS prev_ts,
+        COUNT(*) OVER (PARTITION BY conv_id, turn_idx) AS n_dup
+      FROM r)
+SELECT conv_id, turn_idx, 'null_text' AS "check", 'empty' AS detail
+FROM w WHERE text IS NULL OR length(trim(text)) = 0
+UNION ALL
+SELECT conv_id, turn_idx, 'dup_turn', 'n='||n_dup
+FROM w WHERE n_dup > 1
+UNION ALL
+SELECT conv_id, turn_idx, 'turn_gap',
+       'expected='||COALESCE(prev_i + 1, 0)
+FROM w WHERE CASE WHEN prev_i IS NULL THEN turn_idx <> 0
+                  ELSE turn_idx <> prev_i + 1 END
+UNION ALL
+SELECT conv_id, turn_idx, 'bad_role', COALESCE(role, 'NULL')
+FROM w WHERE role IS NULL
+         OR role NOT IN ('user', 'assistant', 'tool', 'system')
+UNION ALL
+SELECT conv_id, turn_idx, 'ts_regress', 'ts<prev'
+FROM w WHERE prev_ts IS NOT NULL AND ts_s < prev_ts
 """

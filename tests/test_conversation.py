@@ -259,3 +259,49 @@ def test_chat_render_custom_mask_roles_multi_span(spark):
     assert texts == ["a", "bb", "c", "dd"]
     # spans are emitted in turn order and non-overlapping
     assert all(spans[i][1] <= spans[i + 1][0] for i in range(3))
+
+
+def test_validate_transcripts_all_checks(spark):
+    from semargl_spark.operators.conversation import validate_transcripts
+
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "hi", None, _ts(0)),
+            ("c1", 1, "assistant", "", None, _ts(1)),      # null_text
+            ("c1", 3, "user", "late", None, _ts(0)),       # turn_gap + ts_regress
+            ("c2", 1, "user", "starts at 1", None, _ts(0)),  # turn_gap (first != 0)
+            ("c3", 0, "narrator", "x", None, _ts(0)),      # bad_role
+            ("c4", 0, "user", "a", None, _ts(0)),
+            ("c4", 0, "user", "a", None, _ts(0)),          # dup_turn ×2
+        ],
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["check"], r["detail"])
+        for r in validate_transcripts(t).collect()
+    )
+    assert got == sorted([
+        ("c1", 1, "null_text", "empty"),
+        ("c1", 3, "turn_gap", "expected=2"),
+        ("c1", 3, "ts_regress", "ts<prev"),
+        ("c2", 1, "turn_gap", "expected=0"),
+        ("c3", 0, "bad_role", "narrator"),
+        ("c4", 0, "dup_turn", "n=2"),
+        ("c4", 0, "dup_turn", "n=2"),
+        # the second copy also breaks the ordering contract itself
+        ("c4", 0, "turn_gap", "expected=1"),
+    ])
+
+
+def test_validate_transcripts_clean_corpus_is_empty(spark):
+    from semargl_spark.operators.conversation import validate_transcripts
+
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "hi", None, _ts(0)),
+            ("c1", 1, "assistant", "yo", None, _ts(5)),
+            ("c1", 2, "tool", "{}", "search", _ts(6)),
+        ],
+    )
+    assert validate_transcripts(t).count() == 0
