@@ -152,7 +152,8 @@ def main() -> None:
                  "chat_render", "preference_bt", "conv_near_dup",
                  "pipeline_sft", "kg_node2vec", "kg_link_ranking",
                  "pack_manifest", "kg_transitive_reduce",
-                 "embedding_label_prop", "render_trig"):
+                 "embedding_label_prop", "render_trig",
+                 "transcripts_validate"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))
