@@ -1072,3 +1072,145 @@ def unigram_segment(
         "word string, segmented string, n_pieces int, "
         "piece_cnt_sum long, c long",
     )
+
+
+def textrank_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+    max_chunks: int = 12,
+    threshold_pm: int = 100,
+    rounds: int = 2,
+    top_k: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Key-passage extraction per document (TextRank, Mihalcea &
+    Tarau 2004, over fixed ``chunk_words``-word segments) →
+    (doc_id, sid, score_micro, segment): each document's first
+    ``max_chunks`` segments form a tiny similarity graph (edge when
+    word-set Jaccard ≥ ``threshold_pm`` per-mille), integer-exact
+    PageRank runs ``rounds`` iterations over ALL documents' graphs in
+    one batched plan, and the ``top_k`` highest-scoring segments per
+    document survive — the central-passage signal summarization-style
+    curation uses to pick what a document is about.
+
+    All arithmetic is fixed-point (d = 85/100 damping, floor
+    division): ``r' = 15·scale div 100 + 85·Σ(r_j div deg_j) div
+    100`` — bit-identical at any parallelism and exactly replayable.
+    Isolated segments keep the base (1-d) mass.
+
+    Shape: this is the batched-tiny-graphs pattern — every join and
+    aggregation keys on (doc_id[, sid]), so per-document work is
+    bounded by ``max_chunks``² ≈ 150 pair rows regardless of corpus
+    size, the key space is uniform (no cross-document edges exist by
+    construction), and rounds add join depth, not row volume. The
+    final selection window partitions by doc_id over ≤ max_chunks
+    rows. A 10^12-document corpus is 10^12 independent 150-row
+    problems in one plan.
+    """
+    if rounds < 1 or top_k < 1 or chunk_words < 1 or max_chunks < 1:
+        raise ValueError("rounds/top_k/chunk_words/max_chunks must be >= 1")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    n_chunks = F.least(
+        F.expr(f"(size(_w) + {chunk_words - 1}) div {chunk_words}"),
+        F.lit(max_chunks),
+    )
+    segs = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(F.size("_w") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("_w"),
+                            i * chunk_words + 1,
+                            chunk_words,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("sid", "segment"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ws = segs.select(
+        "doc_id", "sid",
+        F.array_distinct(F.split("segment", " ")).alias("ws"),
+    )
+    a = ws.select("doc_id", F.col("sid").alias("i"), F.col("ws").alias("wi"))
+    b = ws.select("doc_id", F.col("sid").alias("j"), F.col("ws").alias("wj"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "doc_id", "i", "j",
+            F.expr("(1000 * size(array_intersect(wi, wj)))"
+                   " div greatest(size(array_union(wi, wj)), 1)")
+            .alias("jac_pm"),
+        )
+        .filter(F.col("jac_pm") >= threshold_pm)
+        .select("doc_id", "i", "j")
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("doc_id", F.col("i").alias("j")).agg(
+        F.count("*").alias("deg")
+    )
+    nodes = ws.select("doc_id", "sid")
+    r = nodes.select(
+        "doc_id", "sid", F.lit(scale).cast("long").alias("r")
+    )
+    base = (15 * scale) // 100
+    for _ in range(rounds):
+        flow = (
+            edges.join(
+                r.select(
+                    "doc_id", F.col("sid").alias("j"), F.col("r").alias("rj")
+                ),
+                ["doc_id", "j"],
+            )
+            .join(deg, ["doc_id", "j"])
+            .select(
+                "doc_id", F.col("i").alias("sid"),
+                F.expr("rj div deg").alias("f"),
+            )
+            .groupBy("doc_id", "sid")
+            .agg(F.sum("f").alias("inflow"))
+        )
+        r = (
+            nodes.join(flow, ["doc_id", "sid"], "left")
+            .select(
+                "doc_id", "sid",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        "(85 * coalesce(inflow, 0)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("r").desc(), F.col("sid").asc()
+    )
+    return (
+        r.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .join(segs, ["doc_id", "sid"])
+        .select(
+            "doc_id",
+            "sid",
+            F.col("r").alias("score_micro"),
+            "segment",
+        )
+    )

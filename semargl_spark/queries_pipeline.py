@@ -2557,6 +2557,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_prop": q_embedding_label_prop,
         "render_trig": q_render_trig,
         "transcripts_validate": q_transcripts_validate,
+        "textrank_summary": q_textrank_summary,
     }
 
 
@@ -8675,4 +8676,69 @@ FROM w WHERE role IS NULL
 UNION ALL
 SELECT conv_id, turn_idx, 'ts_regress', 'ts<prev'
 FROM w WHERE prev_ts IS NOT NULL AND ts_s < prev_ts
+"""
+
+
+def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-passage extraction (text.textrank_segments): each document's
+    10-word segments form a Jaccard similarity graph, integer-exact
+    PageRank runs two rounds over all documents' graphs in ONE batched
+    plan, top-2 segments per document survive — the batched-tiny-graphs
+    pattern at corpus scale."""
+    from .operators.text import textrank_segments
+
+    return textrank_segments(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        chunk_words=10, max_chunks=8, threshold_pm=100,
+        rounds=2, top_k=2,
+    )
+
+
+ORACLES["textrank_summary"] = r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        list_filter(string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' '), x -> x <> '') AS w
+      FROM documents),
+nz AS (SELECT * FROM t WHERE len(w) > 0),
+sg AS (SELECT doc_id, w,
+        unnest(range(0, least((len(w)+9)//10, 8))) AS sid
+       FROM nz),
+seg AS (SELECT doc_id, CAST(sid AS INT) AS sid,
+         array_to_string(w[sid*10+1 : sid*10+10], ' ') AS segment
+        FROM sg),
+ws AS (SELECT doc_id, sid,
+        list_distinct(string_split(segment, ' ')) AS ws
+       FROM seg),
+e AS (SELECT a.doc_id, a.sid AS i, b.sid AS j
+      FROM ws a JOIN ws b
+        ON a.doc_id = b.doc_id AND a.sid <> b.sid
+      WHERE (1000 * len(list_intersect(a.ws, b.ws)))
+            // greatest(len(list_distinct(list_concat(a.ws, b.ws))), 1)
+            >= 100),
+deg AS (SELECT doc_id, i AS j, COUNT(*) AS deg FROM e GROUP BY 1, 2),
+n0 AS (SELECT doc_id, sid, CAST(1000000 AS BIGINT) AS r FROM ws),
+f1 AS (SELECT e.doc_id, e.i AS sid, SUM(r0.r // deg.deg) AS inflow
+       FROM e JOIN n0 r0 ON r0.doc_id = e.doc_id AND r0.sid = e.j
+              JOIN deg ON deg.doc_id = e.doc_id AND deg.j = e.j
+       GROUP BY 1, 2),
+n1 AS (SELECT n0.doc_id, n0.sid,
+         150000 + (85 * COALESCE(f1.inflow, 0)) // 100 AS r
+       FROM n0 LEFT JOIN f1 USING (doc_id, sid)),
+f2 AS (SELECT e.doc_id, e.i AS sid, SUM(r1.r // deg.deg) AS inflow
+       FROM e JOIN n1 r1 ON r1.doc_id = e.doc_id AND r1.sid = e.j
+              JOIN deg ON deg.doc_id = e.doc_id AND deg.j = e.j
+       GROUP BY 1, 2),
+n2 AS (SELECT n1.doc_id, n1.sid,
+         150000 + (85 * COALESCE(f2.inflow, 0)) // 100 AS r
+       FROM n1 LEFT JOIN f2 USING (doc_id, sid)),
+rk AS (SELECT doc_id, sid, r,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY r DESC, sid ASC) AS rn
+       FROM n2)
+SELECT rk.doc_id, rk.sid, CAST(rk.r AS BIGINT) AS score_micro,
+       seg.segment
+FROM rk JOIN seg ON seg.doc_id = rk.doc_id AND seg.sid = rk.sid
+WHERE rk.rn <= 2
 """

@@ -650,3 +650,63 @@ def test_unigram_validation(spark):
         unigram_vocab(docs, max_piece_len=0)
     with pytest.raises(ValueError):
         unigram_vocab(docs, n_pieces=-1)
+
+
+def _textrank_mirror(doc_texts, chunk_words=10, max_chunks=12,
+                     threshold_pm=100, rounds=2, top_k=2, scale=10**6):
+    out = {}
+    for doc_id, text in doc_texts:
+        w = [t for t in text.strip().lower().split() if t]
+        if not w:
+            continue
+        n = min((len(w) + chunk_words - 1) // chunk_words, max_chunks)
+        segs = [" ".join(w[i*chunk_words:(i+1)*chunk_words])
+                for i in range(n)]
+        ws = [set(s.split(" ")) for s in segs]
+        edges = []
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                u = len(ws[i] | ws[j])
+                jac = (1000 * len(ws[i] & ws[j])) // max(u, 1)
+                if jac >= threshold_pm:
+                    edges.append((i, j))
+        deg = {}
+        for i, _j in edges:
+            deg[i] = deg.get(i, 0) + 1
+        r = {i: scale for i in range(n)}
+        for _ in range(rounds):
+            inflow = {i: 0 for i in range(n)}
+            for i, j in edges:  # symmetric edge set: j receives from i
+                inflow[j] += r[i] // deg[i]
+            r = {i: (15 * scale) // 100 + (85 * inflow[i]) // 100
+                 for i in range(n)}
+        ranked = sorted(range(n), key=lambda i: (-r[i], i))[:top_k]
+        out[doc_id] = [(i, r[i], segs[i]) for i in ranked]
+    return out
+
+
+def test_textrank_segments_matches_python_mirror(spark):
+    from semargl_spark.operators.text import textrank_segments
+
+    texts = [
+        (1, "alpha beta gamma delta " * 8),          # repetitive: all linked
+        (2, "one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen "
+            "one two three four five six seven eight nine ten"),
+        (3, "solo"),                                  # single short chunk
+        (4, "  "),                                    # empty after trim: dropped
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for row in textrank_segments(df, chunk_words=5, max_chunks=6,
+                                 top_k=2).collect():
+        got.setdefault(row["doc_id"], []).append(
+            (row["sid"], row["score_micro"], row["segment"]))
+    for k in got:
+        got[k].sort(key=lambda t: (-t[1], t[0]))
+    mirror = _textrank_mirror(texts, chunk_words=5, max_chunks=6, top_k=2)
+    mirror = {k: v for k, v in mirror.items() if v}
+    assert got == mirror
+    assert 4 not in got  # blank doc emits nothing
