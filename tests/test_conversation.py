@@ -305,3 +305,31 @@ def test_validate_transcripts_clean_corpus_is_empty(spark):
         ],
     )
     assert validate_transcripts(t).count() == 0
+
+
+def test_chat_render_spans_exact_under_tricky_content(spark):
+    """Span offsets must slice the rendered document to the exact turn
+    body for multi-byte, newline, quote, and template-collision
+    content (offsets are codepoint-based on both engines)."""
+    from semargl_spark.operators.conversation import chat_render
+
+    texts = [
+        "héllo wörld éè",          # latin accents
+        "emoji \U0001F600\U0001F680 end",     # astral plane
+        "line1\nline2\n\nline4",              # embedded newlines
+        'quotes "x" and <|end|> inside',      # template collision
+        "",                                    # empty body
+        "\t tab \t",
+    ]
+    rows = [("c1", i, "assistant" if i % 2 else "user", t, None, _ts(i))
+            for i, t in enumerate(texts)]
+    df = _t(spark, rows)
+    out = chat_render(df).collect()[0]
+    spans = ([tuple(int(v) for v in s.split("-"))
+              for s in out["mask_spans"].split(";")]
+             if out["mask_spans"] else [])
+    # assistant turns are indices 1, 3, 5
+    assert [out["rendered"][a:b] for a, b in spans] == [
+        texts[1], texts[3], texts[5]
+    ]
+    assert out["n_chars"] == len(out["rendered"])
