@@ -431,7 +431,18 @@ def triangle_counts(
     handles residual skew. This survives a 10^12-edge KG; the naive
     per-node neighbor-intersection does not.
     """
-    und = (
+    und = _simple_pairs(edges, src_col, dst_col)
+    tris = _oriented_triangles(und)
+    return (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+
+
+def _simple_pairs(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected simple (a < b) pair list of an edge set."""
+    return (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
@@ -439,6 +450,13 @@ def triangle_counts(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
         .distinct()
     )
+
+
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Each triangle of the (a < b) pair list exactly once → (u, x, y),
+    via the degree-ordered orientation of :func:`triangle_counts` (hub
+    out-degrees bounded by O(sqrt(|E|)), so the wedge self-join never
+    explodes on a celebrity node)."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -462,14 +480,9 @@ def triangle_counts(
     e1 = oriented.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
     e2 = oriented.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
     wedges = e1.join(e2, "u").filter(F.col("kx") < F.col("ky"))
-    tris = wedges.join(
+    return wedges.join(
         oriented.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
     ).select("u", "x", "y")
-    return (
-        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("triangles"))
-    )
 
 
 def node_jaccard(
@@ -2137,3 +2150,81 @@ def seeded_label_propagation(
             eager=False
         )
     return assigned
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-truss peeling over the undirected simple graph → (a, b,
+    support): the edges surviving ``rounds`` rounds of deleting every
+    edge in fewer than ``k-2`` triangles, with each survivor's
+    triangle support in the surviving graph. The k-truss is the
+    triangle-reinforced core — strictly stronger than the k-core
+    (every k-truss edge's endpoints sit in the (k-1)-core) and the
+    standard cohesive-subgraph cut for mining tightly-knit alias /
+    community clusters out of a noisy KG.
+
+    Same fixed-round contract as :func:`kcore`: deletion is monotone,
+    so the result after r rounds is a sound OVER-approximation of the
+    true k-truss (no member edge is ever removed); raise ``rounds``
+    for the exact fixpoint. Integer support counts, no tie-breaks —
+    bit-identical at any parallelism.
+
+    Shape, per round: the degree-ordered triangle enumeration of
+    :func:`triangle_counts` (hub-safe wedge join) on the CURRENT edge
+    set, one explode to the 3 member edges, one (a, b) support count,
+    one left-join + filter. The edge list shrinks monotonically and is
+    checkpointed per round, so round count bounds job depth and later
+    rounds run on ever-smaller graphs.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = _simple_pairs(edges, src_col, dst_col).localCheckpoint(
+        eager=False
+    )
+
+    def support(pairs: DataFrame) -> DataFrame:
+        tris = _oriented_triangles(pairs)
+        member = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "x").alias("a"),
+                        F.greatest("u", "x").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("u", "y").alias("a"),
+                        F.greatest("u", "y").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+        return member.groupBy("a", "b").agg(
+            F.count("*").cast("long").alias("support")
+        )
+
+    for _ in range(rounds):
+        sup = support(und)
+        und = (
+            und.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return und.join(support(und), ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias(
+            "support"
+        ),
+    )

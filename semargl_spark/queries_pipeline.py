@@ -2558,6 +2558,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_trig": q_render_trig,
         "transcripts_validate": q_transcripts_validate,
         "textrank_summary": q_textrank_summary,
+        "kg_ktruss": q_kg_ktruss,
     }
 
 
@@ -8741,4 +8742,52 @@ SELECT rk.doc_id, rk.sid, CAST(rk.r AS BIGINT) AS score_micro,
        seg.segment
 FROM rk JOIN seg ON seg.doc_id = rk.doc_id AND seg.sid = rk.sid
 WHERE rk.rn <= 2
+"""
+
+
+def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss cohesive edges (graph.ktruss, k=3, two peeling rounds)
+    over the materialized KG — the triangle-reinforced core that cuts
+    tightly-knit alias/community clusters out of the noisy edge set;
+    strictly stronger than k-core."""
+    from .operators.graph import ktruss
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    return ktruss(edges, k=3, rounds=2)
+
+
+ORACLES["kg_ktruss"] = _KG_EDGES_SQL + """,
+p0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM edges WHERE src <> dst),
+t1 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       FROM p0 e1
+       JOIN p0 e2 ON e2.a = e1.b
+       JOIN p0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+m1 AS (SELECT x AS a, y AS b FROM t1
+       UNION ALL SELECT x, z FROM t1
+       UNION ALL SELECT y, z FROM t1),
+s1 AS (SELECT a, b, COUNT(*) AS s FROM m1 GROUP BY a, b),
+p1 AS (SELECT p0.a, p0.b FROM p0 LEFT JOIN s1 USING (a, b)
+       WHERE COALESCE(s1.s, 0) >= 1),
+t2 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       FROM p1 e1
+       JOIN p1 e2 ON e2.a = e1.b
+       JOIN p1 e3 ON e3.a = e1.a AND e3.b = e2.b),
+m2 AS (SELECT x AS a, y AS b FROM t2
+       UNION ALL SELECT x, z FROM t2
+       UNION ALL SELECT y, z FROM t2),
+s2 AS (SELECT a, b, COUNT(*) AS s FROM m2 GROUP BY a, b),
+p2 AS (SELECT p1.a, p1.b FROM p1 LEFT JOIN s2 USING (a, b)
+       WHERE COALESCE(s2.s, 0) >= 1),
+t3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       FROM p2 e1
+       JOIN p2 e2 ON e2.a = e1.b
+       JOIN p2 e3 ON e3.a = e1.a AND e3.b = e2.b),
+m3 AS (SELECT x AS a, y AS b FROM t3
+       UNION ALL SELECT x, z FROM t3
+       UNION ALL SELECT y, z FROM t3),
+s3 AS (SELECT a, b, COUNT(*) AS s FROM m3 GROUP BY a, b)
+SELECT p2.a, p2.b, CAST(COALESCE(s3.s, 0) AS BIGINT) AS support
+FROM p2 LEFT JOIN s3 USING (a, b)
 """

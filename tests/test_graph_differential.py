@@ -603,3 +603,44 @@ def test_seeded_label_propagation_plurality_beats_tiebreak(spark):
            for r in seeded_label_propagation(edges, seeds, rounds=1)
            .collect()}
     assert out["t"] == 9  # plurality 2x9 beats smaller label 1
+
+
+def test_ktruss_peels_to_known_truss(spark):
+    from semargl_spark.operators.graph import ktruss
+
+    # K4 on {a,b,c,d} (every edge in 2 triangles) + a pendant triangle
+    # {d,e,f} (each edge in exactly 1) + a bare edge f-g (0 triangles)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    tail = [("d", "e"), ("d", "f"), ("e", "f")]
+    bare = [("f", "g")]
+    df = spark.createDataFrame(k4 + tail + bare, "src string, dst string")
+
+    t3 = {(r["a"], r["b"]): r["support"]
+          for r in ktruss(df, k=3, rounds=3).collect()}
+    assert set(t3) == set(k4 + tail)  # bare edge peeled, both triangles stay
+    assert t3[("e", "f")] == 1 and t3[("a", "b")] == 2
+
+    t4 = {(r["a"], r["b"]): r["support"]
+          for r in ktruss(df, k=4, rounds=3).collect()}
+    assert set(t4) == set(k4)  # only the K4 is a 4-truss
+    assert all(s == 2 for s in t4.values())
+
+    assert ktruss(df, k=5, rounds=4).count() == 0  # no 5-truss anywhere
+
+    import pytest
+    with pytest.raises(ValueError, match=">= 3"):
+        ktruss(df, k=2)
+
+
+def test_ktruss_cascade_needs_rounds(spark):
+    from semargl_spark.operators.graph import ktruss
+
+    # chain of triangles: t1={a,b,c}, t2={b,c,d} share edge (b,c);
+    # bare spur (d,x). With k=3: spur peels round 1; everything else
+    # is in a triangle and survives — and rounds=1 already suffices.
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("d", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    t = {(r["a"], r["b"]) for r in ktruss(df, k=3, rounds=1).collect()}
+    assert t == set(edges) - {("d", "x")}
