@@ -153,7 +153,7 @@ def main() -> None:
                  "pipeline_sft", "kg_node2vec", "kg_link_ranking",
                  "pack_manifest", "kg_transitive_reduce",
                  "embedding_label_prop", "render_trig",
-                 "transcripts_validate"):
+                 "transcripts_validate", "textrank_summary", "kg_ktruss"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))
