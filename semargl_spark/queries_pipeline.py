@@ -2559,6 +2559,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_validate": q_transcripts_validate,
         "textrank_summary": q_textrank_summary,
         "kg_ktruss": q_kg_ktruss,
+        "stream_sft": q_stream_sft,
     }
 
 
@@ -8791,3 +8792,43 @@ s3 AS (SELECT a, b, COUNT(*) AS s FROM m3 GROUP BY a, b)
 SELECT p2.a, p2.b, CAST(COALESCE(s3.s, 0) AS BIGINT) AS support
 FROM p2 LEFT JOIN s3 USING (a, b)
 """
+
+
+def q_stream_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SFT exit (streaming/stream_sft.py): turns of every
+    conversation arrive SPREAD ACROSS micro-batches (files partitioned
+    by turn range), the per-conversation state buffers them, and each
+    conversation emits its chat-rendered document with loss-mask spans
+    exactly once on completion — the drained stream must equal the
+    batch chat_render oracle byte-for-byte."""
+    import tempfile
+    import uuid
+
+    from .streaming.stream_extract import read_transcript_stream
+    from .streaming.stream_sft import stream_chat_render
+
+    base = tempfile.mkdtemp(prefix="semargl_q_stream_sft_")
+    t = synth_transcripts(spark, sf_dir, fmt="text")
+    # one file per TURN bucket: every conversation spans several files,
+    # so completion genuinely happens mid-stream, batches apart
+    t.repartition(8, "conv_id", "turn_idx").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/in")
+    stream = read_transcript_stream(spark, f"{base}/in")
+    rendered = stream_chat_render(stream, expected_turns=4)
+    sink = f"q_stream_sft_{uuid.uuid4().hex[:8]}"
+    q = (
+        rendered.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "conv_id", "rendered", "n_chars", "n_mask", "mask_spans"
+    )
+
+
+ORACLES["stream_sft"] = ORACLES["chat_render"]

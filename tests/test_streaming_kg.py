@@ -363,3 +363,54 @@ def test_stream_c14n_replay_and_batch_parity(spark, tmp_path):
         for r in c14n_first_seen(spark, str(tmp_path / "out")).collect()
     }
     assert again == got
+
+
+def test_render_conversation_matches_batch_chat_render(spark):
+    """The streaming renderer's pure kernel must be byte-identical to
+    the batch chat_render template, spans included."""
+    from semargl_spark.operators.conversation import chat_render
+    from semargl_spark.streaming.stream_sft import render_conversation
+
+    turns = [
+        (1, "assistant", "héllo\nwörld"),
+        (0, "user", "hi"),
+        (2, "tool", '{"a": 1}'),
+        (3, "assistant", ""),
+    ]
+    df = spark.createDataFrame(
+        [("c1", i, r, x) for i, r, x in turns],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    batch = chat_render(df).collect()[0]
+    rendered, n_chars, n_mask, spans = render_conversation(turns)
+    assert rendered == batch["rendered"]
+    assert n_chars == batch["n_chars"]
+    assert n_mask == batch["n_mask"]
+    assert spans == batch["mask_spans"]
+
+
+def test_stream_chat_render_emits_once_across_batches(spark, tmp_path):
+    """Turns split across micro-batches: each conversation emits
+    exactly once, on the batch where it completes."""
+    from semargl_spark.streaming.stream_extract import read_transcript_stream
+    from semargl_spark.streaming.stream_sft import stream_chat_render
+    import pyspark.sql.functions as F
+
+    rows = [("c%d" % c, i, "user" if i % 2 == 0 else "assistant",
+             f"t{c}-{i}", None, None) for c in range(3) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    df.repartition(6, "conv_id", "turn_idx").write.mode("overwrite")\
+      .parquet(str(tmp_path / "in"))
+    stream = read_transcript_stream(spark, str(tmp_path / "in"))
+    out = stream_chat_render(stream, expected_turns=4)
+    q = (out.writeStream.format("memory").queryName("sft_once")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("sft_once").collect()
+    assert sorted(r["conv_id"] for r in got) == ["c0", "c1", "c2"]
+    for r in got:
+        assert r["n_mask"] == 2 and r["rendered"].count("<|end|>") == 4
