@@ -2001,6 +2001,8 @@ def ranking_metrics(
         ).alias(f"_h{k}")
         for k in ks
     ]
+    # greatest(n_truth, 1): an empty truth set yields a well-defined
+    # zero-metrics row instead of NULL division
     a = ev.agg(
         F.count("*").cast("long").alias("n_truth"),
         F.count("_rank").cast("long").alias("n_ranked"),
@@ -2012,9 +2014,9 @@ def ranking_metrics(
     return a.select(
         "n_truth",
         "n_ranked",
-        F.expr("_srr div n_truth").cast("long").alias("mrr_micro"),
+        F.expr("_srr div greatest(n_truth, 1)").cast("long").alias("mrr_micro"),
         *[
-            F.expr(f"(1000 * _h{k}) div n_truth")
+            F.expr(f"(1000 * _h{k}) div greatest(n_truth, 1)")
             .cast("long")
             .alias(f"hits{k}_pm")
             for k in ks
@@ -2119,11 +2121,18 @@ def seeded_label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    assigned = seeds.select(
-        F.col(node_col).alias("node"),
-        F.col(label_col).alias("label"),
-        F.lit(0).alias("round"),
-    ).localCheckpoint(eager=False)
+    # conflicting duplicate seeds for one node resolve to the smallest
+    # label — a total deterministic rule, so downstream rounds (and the
+    # external gate) never depend on seed-row order
+    assigned = (
+        seeds.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("label")
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .withColumn("round", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
     for r in range(1, rounds + 1):
         msgs = und.join(
             assigned.select(F.col("node").alias("b"), "label"), "b"

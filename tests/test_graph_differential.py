@@ -644,3 +644,28 @@ def test_ktruss_cascade_needs_rounds(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     t = {(r["a"], r["b"]) for r in ktruss(df, k=3, rounds=1).collect()}
     assert t == set(edges) - {("d", "x")}
+
+
+def test_seeded_label_propagation_conflicting_seeds_resolve_min(spark):
+    from semargl_spark.operators.graph import seeded_label_propagation
+
+    edges = spark.createDataFrame([("s", "t")], "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("s", 7), ("s", 3)], "node string, label int"
+    )
+    out = {r["node"]: r["label"]
+           for r in seeded_label_propagation(edges, seeds, rounds=1)
+           .collect()}
+    assert out == {"s": 3, "t": 3}  # one seed row per node, min label
+
+
+def test_ranking_metrics_empty_truth_zero_row(spark):
+    from semargl_spark.operators.graph import ranking_metrics
+
+    scored = spark.createDataFrame(
+        [("q", "a", 1)], "query string, cand string, score long"
+    )
+    truth = scored.filter("1=0").select("query", "cand")
+    row = ranking_metrics(scored, truth, ks=(1,)).collect()[0]
+    assert (row["n_truth"], row["n_ranked"], row["mrr_micro"],
+            row["hits1_pm"]) == (0, 0, 0, 0)
