@@ -153,7 +153,8 @@ def main() -> None:
                  "pipeline_sft", "kg_node2vec", "kg_link_ranking",
                  "pack_manifest", "kg_transitive_reduce",
                  "embedding_label_prop", "render_trig",
-                 "transcripts_validate", "textrank_summary", "kg_ktruss"):
+                 "transcripts_validate", "textrank_summary", "kg_ktruss", "stream_sft",
+                 "events_allen", "embedding_drift"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -141,3 +141,67 @@ def interval_join(
         (F.col(on) >= F.col(start_col)) & (F.col(on) < F.col(end_col))
     )
     return out.drop("__bucket")
+
+
+ALLEN_RELATIONS = (
+    "precedes", "meets", "overlaps", "starts", "during", "finishes",
+    "equals", "finished_by", "contains", "started_by", "overlapped_by",
+    "met_by", "preceded_by",
+)
+
+
+def allen_relations(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Allen's interval algebra census → (relation, n): every left×right
+    interval pair sharing the join key, classified into the 13
+    exhaustive and mutually exclusive temporal relations (Allen 1983)
+    — the temporal-join companion of the as-of/point-in-interval
+    operators for auditing how two interval streams (sessions vs
+    campaigns, tool spans vs assistant spans) actually interact.
+    Intervals are half-open-agnostic: the classification uses only
+    <, =, > on the integer endpoints, so it is exactly replayable.
+
+    Shape: ONE hash equi-join on the shared key + a row-local CASE +
+    a 13-key groupBy with map-side partials. Pair volume is per-key
+    |L_k|·|R_k| — the same hot-key discipline as the interval join
+    applies (cap or split pathological keys upstream); the output is
+    13 rows regardless of scale.
+    """
+    ls, le = F.col("_ls"), F.col("_le")
+    rs, re_ = F.col("_rs"), F.col("_re")
+    a = left.select(
+        F.col(on).alias("_k"),
+        F.col(start_col).cast("long").alias("_ls"),
+        F.col(end_col).cast("long").alias("_le"),
+    )
+    b = right.select(
+        F.col(on).alias("_k"),
+        F.col(start_col).cast("long").alias("_rs"),
+        F.col(end_col).cast("long").alias("_re"),
+    )
+    rel = (
+        F.when(le < rs, "precedes")
+        .when(re_ < ls, "preceded_by")
+        .when(le == rs, "meets")
+        .when(re_ == ls, "met_by")
+        .when((ls == rs) & (le == re_), "equals")
+        .when((ls == rs) & (le < re_), "starts")
+        .when((ls == rs) & (le > re_), "started_by")
+        .when((le == re_) & (ls > rs), "finishes")
+        .when((le == re_) & (ls < rs), "finished_by")
+        .when((ls > rs) & (le < re_), "during")
+        .when((ls < rs) & (le > re_), "contains")
+        .when((ls < rs) & (le < re_), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        a.join(b, "_k")
+        .select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

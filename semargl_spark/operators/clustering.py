@@ -702,3 +702,64 @@ def prefix_dim_recall(
         )
         out = row if out is None else out.union(row)
     return out
+
+
+def centroid_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid alignment between two corpus slices →
+    (label, n_a, n_b, dot_q, cos2_signed_micro): the drift monitor a
+    training-data pipeline runs between deliveries — for every label,
+    both slices' Q20 mean vectors, their exact integer dot product,
+    and the SIGNED SQUARED cosine in micro-units
+    (``sign(dot) · dot² · 10⁶ div (‖a‖²·‖b‖²)``) — squared because the
+    square avoids an inexact square root, keeping the metric
+    bit-identical everywhere (1,000,000 = perfectly aligned, 0 =
+    orthogonal, negative = pointing away). Labels present in only one
+    slice are dropped (no centroid to compare).
+
+    Shape: one posexplode + (label, dim) sum per slice — cardinality
+    |labels|·d, NEVER the corpus — then a (label, dim) equi-join and a
+    |labels|-row aggregate. Means are truncating integer divisions of
+    Q20 sums; products run in DECIMAL(38) (dot² ≤ ~10³⁶ for
+    unit-scale embeddings) so nothing overflows before the final
+    division. The corpus is touched exactly once per slice.
+    """
+
+    def means(df, m):
+        per = df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(quantize(F.col(vec_col), dim)).alias("dim", "v"),
+        )
+        return per.groupBy("label", "dim").agg(
+            _tdiv(F.sum("v"), F.count("*")).alias(m),
+            F.count("*").alias(f"n_{m}"),
+        )
+    ma = means(emb_a, "ma")
+    mb = means(emb_b, "mb")
+    j = ma.join(mb, ["label", "dim"])
+    g = j.groupBy("label").agg(
+        F.first("n_ma").cast("long").alias("n_a"),
+        F.first("n_mb").cast("long").alias("n_b"),
+        F.sum(F.col("ma") * F.col("mb")).alias("dot_q"),
+        F.sum(F.col("ma") * F.col("ma")).alias("_na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("_nb2"),
+    )
+    mag = F.expr(
+        "CAST(abs(dot_q) AS DECIMAL(38,0)) * abs(dot_q) * 1000000"
+        " div greatest(CAST(_na2 AS DECIMAL(38,0)) * _nb2, 1)"
+    )
+    return g.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.col("dot_q").cast("long").alias("dot_q"),
+        F.when(F.col("dot_q") < 0, -mag)
+        .otherwise(mag)
+        .cast("long")
+        .alias("cos2_signed_micro"),
+    )

@@ -2560,6 +2560,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_summary": q_textrank_summary,
         "kg_ktruss": q_kg_ktruss,
         "stream_sft": q_stream_sft,
+        "events_allen": q_events_allen,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -8832,3 +8834,104 @@ def q_stream_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_sft"] = ORACLES["chat_render"]
+
+
+def q_events_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra census (asof.allen_relations): per-user
+    view spans (10 min) × click spans (5 min) classified into the 13
+    exhaustive temporal relations — the interval-interaction audit
+    companion of events_asof / events_interval."""
+    from .operators.asof import allen_relations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("s").alias("start"),
+        (F.col("s") + 600).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("s").alias("start"),
+        (F.col("s") + 300).alias("end"),
+    )
+    return allen_relations(views, clicks)
+
+
+ORACLES["events_allen"] = r"""
+WITH ev AS (SELECT user_id, event_type,
+              CAST(epoch(ts) AS BIGINT) AS s FROM events),
+a AS (SELECT user_id, s AS ls, s + 600 AS le FROM ev
+      WHERE event_type = 'view'),
+b AS (SELECT user_id, s AS rs, s + 300 AS re FROM ev
+      WHERE event_type = 'click'),
+p AS (SELECT CASE
+        WHEN le < rs THEN 'precedes'
+        WHEN re < ls THEN 'preceded_by'
+        WHEN le = rs THEN 'meets'
+        WHEN re = ls THEN 'met_by'
+        WHEN ls = rs AND le = re THEN 'equals'
+        WHEN ls = rs AND le < re THEN 'starts'
+        WHEN ls = rs AND le > re THEN 'started_by'
+        WHEN le = re AND ls > rs THEN 'finishes'
+        WHEN le = re AND ls < rs THEN 'finished_by'
+        WHEN ls > rs AND le < re THEN 'during'
+        WHEN ls < rs AND le > re THEN 'contains'
+        WHEN ls < rs AND le < re THEN 'overlaps'
+        ELSE 'overlapped_by' END AS relation
+      FROM a JOIN b USING (user_id))
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY relation
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two deterministic corpus slices
+    (clustering.centroid_drift over vec_id parity): exact Q20 mean
+    vectors, integer dot product, and signed squared cosine in
+    micro-units — the between-deliveries drift monitor."""
+    from .operators.clustering import centroid_drift
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", "embedding", F.col("label").cast("int").alias("label")
+    )
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        dim=64,
+    )
+
+
+ORACLES["embedding_drift"] = r"""
+WITH e AS (SELECT vec_id, CAST(label AS INT) AS label,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qa AS (SELECT label, u.d AS dim,
+         CAST(floor(v[u.d + 1] * 1048576) AS BIGINT) AS q
+       FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS d) u
+       WHERE vec_id % 2 = 0),
+qb AS (SELECT label, u.d AS dim,
+         CAST(floor(v[u.d + 1] * 1048576) AS BIGINT) AS q
+       FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS d) u
+       WHERE vec_id % 2 = 1),
+ma AS (SELECT label, dim,
+         CAST((SUM(q) - SUM(q) % COUNT(*)) / COUNT(*) AS BIGINT) AS ma,
+         COUNT(*) AS n_a
+       FROM qa GROUP BY label, dim),
+mb AS (SELECT label, dim,
+         CAST((SUM(q) - SUM(q) % COUNT(*)) / COUNT(*) AS BIGINT) AS mb,
+         COUNT(*) AS n_b
+       FROM qb GROUP BY label, dim),
+g AS (SELECT label,
+        MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        SUM(ma * mb) AS dot_q,
+        SUM(ma * ma) AS na2, SUM(mb * mb) AS nb2
+      FROM ma JOIN mb USING (label, dim) GROUP BY label)
+SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(dot_q AS BIGINT) AS dot_q,
+  CAST(CASE WHEN dot_q < 0 THEN
+    -((CAST(abs(dot_q) AS HUGEINT) * abs(dot_q) * 1000000)
+      // greatest(CAST(na2 AS HUGEINT) * nb2, 1))
+  ELSE
+    ((CAST(abs(dot_q) AS HUGEINT) * abs(dot_q) * 1000000)
+      // greatest(CAST(na2 AS HUGEINT) * nb2, 1))
+  END AS BIGINT) AS cos2_signed_micro
+FROM g
+"""

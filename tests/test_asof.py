@@ -132,3 +132,28 @@ def test_funnel_ordering_horizon_and_strictness(spark):
     import pytest
     with pytest.raises(ValueError, match="at least 2"):
         funnel(df, ["view"])
+
+
+def test_allen_relations_all_thirteen(spark):
+    from semargl_spark.operators.asof import ALLEN_RELATIONS, allen_relations
+
+    # one left interval [10, 20] per key, right intervals chosen to hit
+    # each of the 13 relations exactly once
+    rights = {
+        "precedes": (30, 40), "preceded_by": (0, 5), "meets": (20, 30),
+        "met_by": (5, 10), "equals": (10, 20), "starts": (10, 15),
+        "started_by": (10, 25), "finishes": (15, 20),
+        "finished_by": (5, 20), "during": (5, 25), "contains": (12, 18),
+        "overlaps": (15, 25), "overlapped_by": (5, 15),
+    }
+    left = spark.createDataFrame(
+        [(k, 10, 20) for k in rights], "user_id string, start long, end long"
+    )
+    right = spark.createDataFrame(
+        [(k, s, e) for k, (s, e) in rights.items()],
+        "user_id string, start long, end long",
+    )
+    got = {r["relation"]: r["n"]
+           for r in allen_relations(left, right, on="user_id").collect()}
+    # note orientation: rights dict keys name the relation of LEFT wrt RIGHT
+    assert got == {k: 1 for k in ALLEN_RELATIONS}

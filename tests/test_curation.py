@@ -1113,3 +1113,19 @@ def test_pack_manifest_members_and_straddle(spark):
     # fill exceeds capacity: doc 16 straddles into bin 1
     assert b0["fill_tokens"] == 13
     assert (0, 1) not in by_bin  # straddling tail opens no manifest row
+
+
+def test_centroid_drift_aligned_and_opposed(spark):
+    from semargl_spark.operators.clustering import centroid_drift
+
+    rows_a = [(1, [1.0, 0.0, 2.0, 0.5], 0), (2, [1.0, 0.0, 2.0, 0.5], 0),
+              (3, [0.0, 1.0, 0.0, 0.0], 1)]
+    rows_b = [(4, [1.0, 0.0, 2.0, 0.5], 0),          # identical centroid
+              (5, [0.0, -1.0, 0.0, 0.0], 1)]          # exactly opposed
+    a = spark.createDataFrame(rows_a, "vec_id long, embedding array<double>, label int")
+    b = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in centroid_drift(a, b, dim=4).collect()}
+    assert out[0]["cos2_signed_micro"] == 1_000_000   # perfectly aligned
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 1
+    assert out[1]["cos2_signed_micro"] == -1_000_000  # pointing away
+    assert out[1]["dot_q"] < 0
