@@ -8859,7 +8859,10 @@ def q_events_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["events_allen"] = r"""
 WITH ev AS (SELECT user_id, event_type,
-              CAST(epoch(ts) AS BIGINT) AS s FROM events),
+              -- floor, not round: Spark's unix_timestamp truncates
+              -- sub-second parts, and a half-second difference flips
+              -- meets/equals at the boundary
+              CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
 a AS (SELECT user_id, s AS ls, s + 600 AS le FROM ev
       WHERE event_type = 'view'),
 b AS (SELECT user_id, s AS rs, s + 300 AS re FROM ev
