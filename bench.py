@@ -154,7 +154,7 @@ def main() -> None:
                  "pack_manifest", "kg_transitive_reduce",
                  "embedding_label_prop", "render_trig",
                  "transcripts_validate", "textrank_summary", "kg_ktruss", "stream_sft",
-                 "events_allen", "embedding_drift"):
+                 "events_allen", "embedding_drift", "kg_sparql_cbd"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

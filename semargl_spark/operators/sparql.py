@@ -1361,3 +1361,66 @@ def sparql_update(
             continue
         raise SparqlError(f"unrecognized update operation: {op[:80]!r}")
     return state
+
+
+def concise_bounded_description(
+    statements: DataFrame,
+    resources: list[str],
+    max_depth: int = 8,
+) -> DataFrame:
+    """Concise Bounded Description (Stickler, the canonical DESCRIBE
+    semantics) of the named resources over a PRE-canonicalization
+    statement set → the resources' own statements plus, transitively,
+    every statement whose subject is a blank node reached in OBJECT
+    position — the closure that ships a self-contained description
+    when bnode-structured values (addresses, geo points, reified
+    qualifiers) are still unresolved. ``sparql_describe`` stays the
+    post-canonicalization fast path; this is the spec-faithful variant
+    for raw extraction output.
+
+    Semi-naive: the frontier is the NEW bnode objects only (a seen-set
+    anti-join kills cycles), each hop is one left-semi join of the
+    statement table against a bnode-id frontier, and the per-hop
+    emptiness probe bounds the loop — depth beyond ``max_depth`` with
+    a live frontier raises instead of silently truncating the
+    description. Bnode closure depth in real data is tiny (a handful
+    of levels); the statement table is touched once per level through
+    an equi-join on its natural subject key.
+    """
+    from pyspark.sql import functions as F
+
+    if not resources:
+        raise ValueError("resources must be a non-empty list of IRIs")
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    seed = statements.filter(F.col("subj").isin(list(resources)))
+    out = seed
+    frontier = (
+        seed.filter(F.col("obj_kind") == "bnode")
+        .select(F.col("obj").alias("subj"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier
+    for _ in range(max_depth):
+        if not frontier.take(1):
+            return out.distinct()
+        nxt = statements.join(frontier, "subj", "leftsemi").localCheckpoint(
+            eager=False
+        )
+        out = out.unionByName(nxt)
+        frontier = (
+            nxt.filter(F.col("obj_kind") == "bnode")
+            .select(F.col("obj").alias("subj"))
+            .distinct()
+            .join(seen, "subj", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        seen = seen.unionByName(frontier).localCheckpoint(eager=False)
+    if frontier.take(1):
+        raise RuntimeError(
+            f"CBD bnode closure exceeded max_depth={max_depth}; raise the "
+            "bound (real closures are shallow — a deep chain usually "
+            "means a pathological or adversarial document)"
+        )
+    return out.distinct()

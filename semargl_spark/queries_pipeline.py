@@ -2562,6 +2562,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sft": q_stream_sft,
         "events_allen": q_events_allen,
         "embedding_drift": q_embedding_drift,
+        "kg_sparql_cbd": q_kg_sparql_cbd,
     }
 
 
@@ -8937,4 +8938,62 @@ SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
       // greatest(CAST(na2 AS HUGEINT) * nb2, 1))
   END AS BIGINT) AS cos2_signed_micro
 FROM g
+"""
+
+
+def q_kg_sparql_cbd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concise Bounded Description (sparql.concise_bounded_description)
+    over a PRE-canonicalization statement set with bnode-structured
+    values: described entities pull their literal/IRI statements plus
+    the transitive closure through blank-node objects (address → geo
+    chains), the spec-faithful DESCRIBE for raw extraction output."""
+    from .operators.sparql import concise_bounded_description
+
+    d = _fusion_docs(spark, sf_dir)
+    did = F.col("did")
+    e = F.concat(F.lit("urn:e:"), did)
+    a = F.concat(F.lit("_:a"), did)
+    g = F.concat(F.lit("_:g"), did)
+
+    def rows(subj, pred, obj, kind, cond=None):
+        x = d if cond is None else d.filter(cond)
+        return x.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            obj.alias("obj"), F.lit(kind).alias("obj_kind"),
+        )
+
+    st = (
+        rows(e, "urn:p:addr", a, "bnode")
+        .unionByName(rows(
+            e, "urn:p:name",
+            F.concat(F.lit("entity "), did), "literal"))
+        .unionByName(rows(
+            a, "urn:p:city",
+            F.concat(F.lit("c"), did % 10), "literal"))
+        .unionByName(rows(a, "urn:p:geo", g, "bnode", did % 2 == 0))
+        .unionByName(rows(
+            g, "urn:p:lat", (did % 90).cast("string"), "literal",
+            did % 2 == 0))
+    )
+    return concise_bounded_description(
+        st, ["urn:e:5", "urn:e:10", "urn:e:11"]
+    )
+
+
+ORACLES["kg_sparql_cbd"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents
+             WHERE doc_id IN (5, 10, 11))
+SELECT * FROM (
+  SELECT 'urn:e:'||did AS subj, 'urn:p:addr' AS pred,
+         '_:a'||did AS obj, 'bnode' AS obj_kind FROM ids
+  UNION ALL
+  SELECT 'urn:e:'||did, 'urn:p:name', 'entity '||did, 'literal' FROM ids
+  UNION ALL
+  SELECT '_:a'||did, 'urn:p:city', 'c'||(did%10), 'literal' FROM ids
+  UNION ALL
+  SELECT '_:a'||did, 'urn:p:geo', '_:g'||did, 'bnode' FROM ids
+  WHERE did % 2 = 0
+  UNION ALL
+  SELECT '_:g'||did, 'urn:p:lat', CAST(did%90 AS VARCHAR), 'literal'
+  FROM ids WHERE did % 2 = 0)
 """

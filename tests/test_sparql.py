@@ -901,3 +901,43 @@ def test_select_count_distinct_aggregate(spark):
         WHERE { ?a ?p ?b . } GROUP BY ?p ORDER BY ?p
     """).collect()
     assert [(r["p"], r["nsrc"], r["n"]) for r in rows] == [("p", 2, 3), ("q", 1, 1)]
+
+
+def test_cbd_bnode_closure_depth_and_cycle(spark):
+    from semargl_spark.operators.sparql import concise_bounded_description
+
+    rows = [
+        # e1 → b1 → b2 chain, plus a literal at each level
+        ("urn:e:1", "urn:p:addr", "_:b1", "bnode"),
+        ("urn:e:1", "urn:p:name", "one", "literal"),
+        ("_:b1", "urn:p:city", "c", "literal"),
+        ("_:b1", "urn:p:geo", "_:b2", "bnode"),
+        ("_:b2", "urn:p:lat", "9", "literal"),
+        # bnode cycle hanging off e2: must terminate
+        ("urn:e:2", "urn:p:x", "_:c1", "bnode"),
+        ("_:c1", "urn:p:y", "_:c2", "bnode"),
+        ("_:c2", "urn:p:z", "_:c1", "bnode"),
+        # unrelated resource: excluded
+        ("urn:e:3", "urn:p:name", "three", "literal"),
+        # IRI object: NOT followed (CBD follows bnodes only)
+        ("urn:e:1", "urn:p:knows", "urn:e:3", "iri"),
+    ]
+    st = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string"
+    )
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in concise_bounded_description(st, ["urn:e:1"]).collect()}
+    assert got == {
+        ("urn:e:1", "urn:p:addr", "_:b1"),
+        ("urn:e:1", "urn:p:name", "one"),
+        ("urn:e:1", "urn:p:knows", "urn:e:3"),
+        ("_:b1", "urn:p:city", "c"),
+        ("_:b1", "urn:p:geo", "_:b2"),
+        ("_:b2", "urn:p:lat", "9"),
+    }
+    both = concise_bounded_description(st, ["urn:e:1", "urn:e:2"])
+    assert both.count() == 9  # + e2's edge and the 2-cycle, once each
+
+    import pytest
+    with pytest.raises(RuntimeError, match="max_depth"):
+        concise_bounded_description(st, ["urn:e:1"], max_depth=1)
