@@ -154,7 +154,8 @@ def main() -> None:
                  "pack_manifest", "kg_transitive_reduce",
                  "embedding_label_prop", "render_trig",
                  "transcripts_validate", "textrank_summary", "kg_ktruss", "stream_sft",
-                 "events_allen", "embedding_drift", "kg_sparql_cbd"):
+                 "events_allen", "embedding_drift", "kg_sparql_cbd",
+                 "span_corruption"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -1155,3 +1155,107 @@ def pack_manifest(
             ";",
         ).alias("members"),
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pm: int = 150,
+) -> DataFrame:
+    """T5-style span-corruption training pairs (Raffel et al. 2020,
+    arXiv:1910.10683) → (doc_id, n_words, n_masked, n_spans,
+    corrupted, targets): each word is masked by a deterministic salted
+    coin (``md5_60(doc#pos) % 1000 < rate_pm`` — partition-invariant,
+    replayable, externally recomputable), consecutive masked words
+    merge into one span, the input keeps unmasked words with each span
+    replaced by its ``<extra_id_K>`` sentinel, and the target is the
+    sentinel-prefixed span contents terminated by the final sentinel —
+    the denoising-objective data generator next to the causal-LM exits
+    (chat_render, context_windows).
+
+    Shape: ZERO shuffles — the whole construction is one row-local
+    JVM fold over the word array (the chat_render stance: the
+    accumulator carries only the sentinel counter, the previous-word
+    mask bit, and the two token lists), so it pipelines straight into
+    the writer at any corpus size. Empty documents are dropped.
+    """
+    if not 0 < rate_pm < 1000:
+        raise ValueError(f"rate_pm must be in (0, 1000), got {rate_pm}")
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    indexed = F.transform(
+        words, lambda x, i: F.struct(i.alias("i"), x.alias("w"))
+    )
+    flag = lambda t: (  # noqa: E731 — the salted coin
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("doc_id").cast("string"), t["i"]
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1000
+        < rate_pm
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("prev"),
+        F.lit(0).alias("k"),
+        F.expr("cast(array() as array<string>)").alias("cor"),
+        F.expr("cast(array() as array<string>)").alias("tgt"),
+    )
+
+    def step(acc, t):
+        sent = F.concat(
+            F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">")
+        )
+        is_m = flag(t)
+        opens = is_m & (acc["prev"] == 0)
+        return F.struct(
+            F.when(is_m, 1).otherwise(0).alias("prev"),
+            F.when(opens, acc["k"] + 1).otherwise(acc["k"]).alias("k"),
+            F.when(opens, F.concat(acc["cor"], F.array(sent)))
+            .when(is_m, acc["cor"])
+            .otherwise(F.concat(acc["cor"], F.array(t["w"])))
+            .alias("cor"),
+            F.when(
+                opens,
+                F.concat(acc["tgt"], F.array(sent), F.array(t["w"])),
+            )
+            .when(is_m, F.concat(acc["tgt"], F.array(t["w"])))
+            .otherwise(acc["tgt"])
+            .alias("tgt"),
+        )
+
+    folded = F.aggregate(F.col("_iw"), acc0, step)
+    terminal = F.concat(
+        F.lit("<extra_id_"), F.col("_f.k").cast("string"), F.lit(">")
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), indexed.alias("_iw")
+        )
+        .filter(F.size("_iw") > 0)
+        .select("doc_id", F.size("_iw").alias("_n"), folded.alias("_f"))
+        .select(
+            "doc_id",
+            F.col("_n").cast("int").alias("n_words"),
+            (F.col("_n") - F.size("_f.cor")
+             + F.col("_f.k")).cast("int").alias("n_masked"),
+            F.col("_f.k").cast("int").alias("n_spans"),
+            F.array_join(F.col("_f.cor"), " ").alias("corrupted"),
+            F.when(
+                F.col("_f.k") == 0, terminal
+            ).otherwise(
+                F.concat(
+                    F.array_join(F.col("_f.tgt"), " "),
+                    F.lit(" "), terminal,
+                )
+            ).alias("targets"),
+        )
+    )

@@ -2563,6 +2563,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_allen": q_events_allen,
         "embedding_drift": q_embedding_drift,
         "kg_sparql_cbd": q_kg_sparql_cbd,
+        "span_corruption": q_span_corruption,
     }
 
 
@@ -8996,4 +8997,55 @@ SELECT * FROM (
   UNION ALL
   SELECT '_:g'||did, 'urn:p:lat', CAST(did%90 AS VARCHAR), 'literal'
   FROM ids WHERE did % 2 = 0)
+"""
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption pairs (curation.span_corruption) over the
+    document corpus: 15% deterministic word masking, consecutive masks
+    merged into sentinel spans, corrupted input + sentinel-delimited
+    targets — the denoising-objective generator, zero shuffles."""
+    return curation.span_corruption(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+
+
+ORACLES["span_corruption"] = r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        list_filter(string_split(regexp_replace(trim(text),
+                    '\s+', ' ', 'g'), ' '), x -> x <> '') AS w
+      FROM documents),
+nz AS (SELECT * FROM t WHERE len(w) > 0),
+u AS (SELECT doc_id, len(w) AS n,
+        unnest(range(0, len(w))) AS pos, w FROM nz),
+pw AS (SELECT doc_id, n, pos, w[pos+1] AS word,
+        ((list_reduce(list_transform(range(1,16),
+            i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(doc_id||'#'||pos), i, 1)) - 1 AS BIGINT)),
+            (a,b) -> a*16+b)) % 1000 < 150) AS m
+      FROM u),
+f AS (SELECT *, CASE WHEN m AND NOT COALESCE(
+        lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+        THEN 1 ELSE 0 END AS opens FROM pw),
+g AS (SELECT *, SUM(opens) OVER (PARTITION BY doc_id
+        ORDER BY pos) AS k FROM f),
+agg AS (SELECT doc_id, MAX(n) AS n_words,
+         SUM(CASE WHEN m THEN 1 ELSE 0 END) AS n_masked,
+         SUM(opens) AS n_spans,
+         string_agg(CASE WHEN NOT m THEN word
+                         WHEN opens = 1 THEN '<extra_id_'||(k-1)||'>'
+                    END, ' ' ORDER BY pos) AS corrupted,
+         string_agg(CASE WHEN opens = 1
+                         THEN '<extra_id_'||(k-1)||'> '||word
+                         WHEN m THEN word END, ' ' ORDER BY pos) AS tgt
+        FROM g GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+  CAST(n_masked AS INT) AS n_masked,
+  CAST(n_spans AS INT) AS n_spans,
+  COALESCE(corrupted, '') AS corrupted,
+  CASE WHEN n_spans = 0 THEN '<extra_id_0>'
+       ELSE tgt||' <extra_id_'||n_spans||'>' END AS targets
+FROM agg
 """

@@ -1129,3 +1129,63 @@ def test_centroid_drift_aligned_and_opposed(spark):
     assert out[0]["n_a"] == 2 and out[0]["n_b"] == 1
     assert out[1]["cos2_signed_micro"] == -1_000_000  # pointing away
     assert out[1]["dot_q"] < 0
+
+
+def _span_corruption_mirror(doc_id, text, rate_pm=150):
+    import hashlib
+
+    words = [w for w in text.strip().split() if w]
+    cor, tgt = [], []
+    k, prev = 0, False
+    n_masked = 0
+    for i, w in enumerate(words):
+        h = int(hashlib.md5(f"{doc_id}#{i}".encode()).hexdigest()[:15], 16)
+        m = h % 1000 < rate_pm
+        if m:
+            n_masked += 1
+            if not prev:
+                cor.append(f"<extra_id_{k}>")
+                tgt.append(f"<extra_id_{k}>")
+                k += 1
+            tgt.append(w)
+        else:
+            cor.append(w)
+        prev = m
+    targets = (" ".join(tgt) + f" <extra_id_{k}>") if k else f"<extra_id_{k}>"
+    return (len(words), n_masked, k, " ".join(cor), targets)
+
+
+def test_span_corruption_matches_python_mirror(spark):
+    texts = [(i, "w%d " % i + " ".join(f"t{j}" for j in range(30)))
+             for i in range(20)]
+    texts.append((99, "single"))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_masked"], r["n_spans"],
+                         r["corrupted"], r["targets"])
+           for r in curation.span_corruption(df, rate_pm=300).collect()}
+    for doc_id, text in texts:
+        assert got[doc_id] == _span_corruption_mirror(doc_id, text, 300), doc_id
+    # reconstruction property: unmasking restores the original text
+    for doc_id, text in texts:
+        n_words, n_masked, k, cor, tgt = got[doc_id]
+        restored = cor
+        parts = tgt.split(" ")
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for p in parts:
+            if p.startswith("<extra_id_"):
+                cur = p
+                spans[cur] = []
+            else:
+                spans[cur].append(p)
+        for sent, ws in spans.items():
+            if ws:
+                restored = restored.replace(sent, " ".join(ws))
+        assert restored.split() == text.split()
+
+
+def test_span_corruption_empty_doc_dropped(spark):
+    df = spark.createDataFrame([(1, "  "), (2, "a b")],
+                               "doc_id long, text string")
+    rows = curation.span_corruption(df).collect()
+    assert [r["doc_id"] for r in rows] == [2]
