@@ -155,7 +155,7 @@ def main() -> None:
                  "embedding_label_prop", "render_trig",
                  "transcripts_validate", "textrank_summary", "kg_ktruss", "stream_sft",
                  "events_allen", "embedding_drift", "kg_sparql_cbd",
-                 "span_corruption"):
+                 "span_corruption", "fim_transform", "instruction_pairs"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -498,3 +498,32 @@ def validate_transcripts(
         .unionByName(bad_role)
         .unionByName(ts_regress)
     )
+
+
+def instruction_pairs(transcripts: DataFrame) -> DataFrame:
+    """SFT pair mining → (conv_id, turn_idx, instruction, response):
+    every assistant turn that immediately follows a user turn in the
+    stable ordering becomes one (instruction, response) training pair
+    — the single-turn extraction complementing chat_render's
+    whole-conversation exit (multi-turn context lives there; this is
+    the classic instruction-tuning table). One lag window over the
+    same (conv_id ⟶ turn_idx) exchange every turn query shuffles by;
+    row-local filter, no joins.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lag("role").over(w).alias("_pr"),
+        F.lag("text").over(w).alias("_pt"),
+    )
+    return x.filter(
+        (F.col("role") == "assistant") & (F.col("_pr") == "user")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("_pt").alias("instruction"),
+        F.col("text").alias("response"),
+    )

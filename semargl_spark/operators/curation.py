@@ -1259,3 +1259,70 @@ def span_corruption(
             ).alias("targets"),
         )
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle training pairs (Bavarian et al. 2022,
+    arXiv:2207.14255) → (doc_id, n_words, cut_a, cut_b, fim): the
+    document's words split at two deterministic cut points into
+    prefix/middle/suffix and re-emitted in PSM order
+    ``<|fim_pre|> P <|fim_suf|> S <|fim_mid|> M`` — the infilling
+    objective used alongside causal LM for code and structured text.
+    Cut points are salted md5 draws over [0, n]
+    (``md5_60(doc#cut{0,1}) % (n+1)``, sorted), so the transformation
+    is a pure function of (doc_id, text): partition-invariant,
+    resume-replayable, externally recomputable. Degenerate cuts
+    (empty prefix/middle/suffix) are legal FIM instances and kept.
+
+    Shape: ZERO shuffles — two hash draws and three array slices per
+    row, all JVM; pipelines into the writer.
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+
+    def draw(salt):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("doc_id").cast("string"), F.lit(salt)
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % (F.col("_n") + 1)
+
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(F.size("_w") > 0)
+        .withColumn("_n", F.size("_w").cast("long"))
+        .withColumn("_c0", draw("cut0"))
+        .withColumn("_c1", draw("cut1"))
+        .select(
+            "doc_id", "_w", "_n",
+            F.least("_c0", "_c1").cast("int").alias("cut_a"),
+            F.greatest("_c0", "_c1").cast("int").alias("cut_b"),
+        )
+    )
+    part = lambda s, length: F.array_join(  # noqa: E731
+        F.slice(F.col("_w"), s, length), " "
+    )
+    return base.select(
+        "doc_id",
+        F.col("_n").cast("int").alias("n_words"),
+        "cut_a",
+        "cut_b",
+        F.concat(
+            F.lit("<|fim_pre|> "), part(F.lit(1), F.col("cut_a")),
+            F.lit(" <|fim_suf|> "),
+            part(F.col("cut_b") + 1, F.col("_n").cast("int") - F.col("cut_b")),
+            F.lit(" <|fim_mid|> "),
+            part(F.col("cut_a") + 1, F.col("cut_b") - F.col("cut_a")),
+        ).alias("fim"),
+    )

@@ -2564,6 +2564,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "kg_sparql_cbd": q_kg_sparql_cbd,
         "span_corruption": q_span_corruption,
+        "fim_transform": q_fim_transform,
+        "instruction_pairs": q_instruction_pairs,
     }
 
 
@@ -9048,4 +9050,65 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words,
   CASE WHEN n_spans = 0 THEN '<extra_id_0>'
        ELSE tgt||' <extra_id_'||n_spans||'>' END AS targets
 FROM agg
+"""
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pairs (curation.fim_transform): deterministic
+    md5 cut points split each document into prefix/middle/suffix,
+    re-emitted in PSM sentinel order — the infilling objective beside
+    span_corruption; zero shuffles."""
+    return curation.fim_transform(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+
+
+ORACLES["fim_transform"] = r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        list_filter(string_split(regexp_replace(trim(text),
+                    '\s+', ' ', 'g'), ' '), x -> x <> '') AS w
+      FROM documents),
+nz AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+c AS (SELECT doc_id, w, n,
+        (list_reduce(list_transform(range(1,16),
+           i -> CAST(strpos('0123456789abcdef',
+                substr(md5(doc_id||'#cut0'), i, 1)) - 1 AS BIGINT)),
+           (a,b) -> a*16+b)) % (n + 1) AS c0,
+        (list_reduce(list_transform(range(1,16),
+           i -> CAST(strpos('0123456789abcdef',
+                substr(md5(doc_id||'#cut1'), i, 1)) - 1 AS BIGINT)),
+           (a,b) -> a*16+b)) % (n + 1) AS c1
+      FROM nz),
+s AS (SELECT doc_id, w, n,
+        least(c0, c1) AS a, greatest(c0, c1) AS b FROM c)
+SELECT doc_id, CAST(n AS INT) AS n_words,
+  CAST(a AS INT) AS cut_a, CAST(b AS INT) AS cut_b,
+  -- COALESCE: DuckDB's array_to_string yields NULL on empty slices
+  '<|fim_pre|> '||COALESCE(array_to_string(w[1:a], ' '), '')
+  ||' <|fim_suf|> '||COALESCE(array_to_string(w[b+1:n], ' '), '')
+  ||' <|fim_mid|> '||COALESCE(array_to_string(w[a+1:b], ' '), '') AS fim
+FROM s
+"""
+
+
+def q_instruction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair mining (conversation.instruction_pairs):
+    every user→assistant adjacency in the stable turn ordering becomes
+    one (instruction, response) row — the single-turn SFT table beside
+    chat_render's whole-conversation exit."""
+    from .operators.conversation import instruction_pairs
+
+    return instruction_pairs(synth_transcripts(spark, sf_dir, fmt="text"))
+
+
+ORACLES["instruction_pairs"] = r"""
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents)
+SELECT 'c'||did AS conv_id, 1 AS turn_idx,
+  'the quick brown fox jumps over turn 0 of conversation '||did
+    AS instruction,
+  'the quick brown fox jumps over turn 1 of conversation '||did
+    AS response
+FROM ids
 """

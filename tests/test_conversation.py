@@ -333,3 +333,23 @@ def test_chat_render_spans_exact_under_tricky_content(spark):
         texts[1], texts[3], texts[5]
     ]
     assert out["n_chars"] == len(out["rendered"])
+
+
+def test_instruction_pairs_adjacency_only(spark):
+    from semargl_spark.operators.conversation import instruction_pairs
+
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "ask1", None, _ts(0)),
+            ("c1", 1, "assistant", "ans1", None, _ts(1)),
+            ("c1", 2, "tool", "{}", "x", _ts(2)),
+            ("c1", 3, "assistant", "after tool", None, _ts(3)),  # no pair
+            ("c2", 0, "assistant", "unprompted", None, _ts(0)),  # no pair
+            ("c2", 1, "user", "ask2", None, _ts(1)),
+            ("c2", 2, "assistant", "ans2", None, _ts(2)),
+        ],
+    )
+    got = {(r["conv_id"], r["turn_idx"]): (r["instruction"], r["response"])
+           for r in instruction_pairs(t).collect()}
+    assert got == {("c1", 1): ("ask1", "ans1"), ("c2", 2): ("ask2", "ans2")}

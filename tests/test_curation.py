@@ -1189,3 +1189,38 @@ def test_span_corruption_empty_doc_dropped(spark):
                                "doc_id long, text string")
     rows = curation.span_corruption(df).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_fim_transform_matches_python_mirror(spark):
+    import hashlib
+
+    def mirror(doc_id, text):
+        w = [x for x in text.strip().split() if x]
+        n = len(w)
+
+        def draw(salt):
+            h = int(hashlib.md5(f"{doc_id}#{salt}".encode())
+                    .hexdigest()[:15], 16)
+            return h % (n + 1)
+
+        a, b = sorted((draw("cut0"), draw("cut1")))
+        return (n, a, b,
+                "<|fim_pre|> " + " ".join(w[:a])
+                + " <|fim_suf|> " + " ".join(w[b:])
+                + " <|fim_mid|> " + " ".join(w[a:b]))
+
+    texts = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(25)]
+    texts.append((99, "one"))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["cut_a"], r["cut_b"], r["fim"])
+           for r in curation.fim_transform(df).collect()}
+    for doc_id, text in texts:
+        assert got[doc_id] == mirror(doc_id, text), doc_id
+    # reconstruction: PRE + MID + SUF restores the original word order
+    for doc_id, text in texts:
+        fim = got[doc_id][3]
+        pre = fim.split(" <|fim_suf|> ")[0].removeprefix("<|fim_pre|> ")
+        suf = fim.split(" <|fim_suf|> ")[1].split(" <|fim_mid|> ")[0]
+        mid = fim.split(" <|fim_mid|> ")[1]
+        joined = " ".join(x for x in (pre, mid, suf) if x)
+        assert joined.split() == text.split()
