@@ -155,7 +155,8 @@ def main() -> None:
                  "embedding_label_prop", "render_trig",
                  "transcripts_validate", "textrank_summary", "kg_ktruss", "stream_sft",
                  "events_allen", "embedding_drift", "kg_sparql_cbd",
-                 "span_corruption", "fim_transform", "instruction_pairs"):
+                 "span_corruption", "fim_transform", "instruction_pairs",
+                 "curriculum_order"):
         if name in registry:
             try:
                 timed(name, lambda n=name: registry[n](spark, sf_dir))

@@ -1326,3 +1326,78 @@ def fim_transform(
             part(F.col("cut_a") + 1, F.col("cut_b") - F.col("cut_a")),
         ).alias("fim"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str,
+    thresholds: tuple[int, ...],
+    n_blocks: int = 64,
+    seed: str = "cur",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum training order → (doc_id, bucket, pos): documents
+    grouped into quality buckets by explicit ascending ``thresholds``
+    (bucket = how many thresholds the score clears), HIGHER buckets
+    first, hash-shuffled within a bucket — the anneal-from-clean data
+    ordering (easy/high-quality early, long tail later) layered on the
+    same deterministic machinery as :func:`global_shuffle`.
+
+    Thresholds are explicit integers (not corpus quantiles) so the
+    bucket of a document is a pure row-local function — stable under
+    resume, re-partitioning, and corpus growth; derive thresholds once
+    from :func:`length_quantiles`-style reports if corpus-relative
+    cuts are wanted.
+
+    Scale shape: the global order is (inverse bucket asc, md5 asc,
+    id), realized as ``(len(thresholds)+1)·n_blocks`` ORDER-PRESERVING
+    composite blocks: per-block rank windows over ~n/blocks rows each,
+    an O(buckets·n_blocks) driver prefix sum broadcast back — never a
+    corpus-wide row_number through one partition.
+    """
+    from pyspark.sql.window import Window
+
+    if not thresholds or list(thresholds) != sorted(set(thresholds)):
+        raise ValueError(
+            f"thresholds must be strictly ascending and non-empty, "
+            f"got {thresholds}"
+        )
+    if not 1 <= n_blocks <= 65536 or 65536 % n_blocks:
+        raise ValueError(f"n_blocks must divide 65536, got {n_blocks}")
+    width = 65536 // n_blocks
+    n_buckets = len(thresholds) + 1
+    bucket = sum(
+        (F.col(score_col) >= t).cast("int") for t in thresholds
+    )
+    inv = F.lit(n_buckets - 1) - bucket
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    prefix = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    staged = docs.select(
+        F.col(id_col),
+        bucket.cast("int").alias("bucket"),
+        h.alias("__h"),
+        (inv * n_blocks + (prefix / width).cast("int"))
+        .cast("int")
+        .alias("__blk"),
+    )
+    w = Window.partitionBy("__blk").orderBy("__h", id_col)
+    ranked = staged.withColumn("__rank", F.row_number().over(w) - 1)
+    counts = (
+        staged.groupBy("__blk").agg(F.count("*").alias("__n")).collect()
+    )
+    sizes = {r["__blk"]: r["__n"] for r in counts}
+    offsets, acc = {}, 0
+    for blk in sorted(sizes):
+        offsets[blk] = acc
+        acc += sizes[blk]
+    off_df = staged.sparkSession.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "__blk int, __off long"
+    )
+    return (
+        ranked.join(F.broadcast(off_df), "__blk")
+        .select(
+            F.col(id_col),
+            "bucket",
+            (F.col("__rank") + F.col("__off")).cast("long").alias("pos"),
+        )
+    )

@@ -2566,6 +2566,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "fim_transform": q_fim_transform,
         "instruction_pairs": q_instruction_pairs,
+        "curriculum_order": q_curriculum_order,
     }
 
 
@@ -9111,4 +9112,33 @@ SELECT 'c'||did AS conv_id, 1 AS turn_idx,
   'the quick brown fox jumps over turn 1 of conversation '||did
     AS response
 FROM ids
+"""
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (curation.curriculum_order): documents
+    bucketed by length thresholds (200/400 chars), longest bucket
+    first, hash-shuffled within — the anneal-from-clean ordering on
+    the global_shuffle machinery (composite order-preserving blocks,
+    never a one-partition row_number)."""
+    return curation.curriculum_order(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        ),
+        "n_chars",
+        thresholds=(200, 400),
+    )
+
+
+ORACLES["curriculum_order"] = r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+         + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS bucket,
+        md5('cur:'||CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+  CAST(row_number() OVER (ORDER BY (2 - bucket), h, doc_id) - 1
+       AS BIGINT) AS pos
+FROM t
 """

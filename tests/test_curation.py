@@ -1224,3 +1224,35 @@ def test_fim_transform_matches_python_mirror(spark):
         mid = fim.split(" <|fim_mid|> ")[1]
         joined = " ".join(x for x in (pre, mid, suf) if x)
         assert joined.split() == text.split()
+
+
+def test_curriculum_order_buckets_then_hash(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, (i % 3) * 100) for i in range(30)],
+        "doc_id long, score long",
+    )
+    out = curation.curriculum_order(
+        docs, "score", thresholds=(100, 200), n_blocks=4
+    ).collect()
+    rows = sorted(out, key=lambda r: r["pos"])
+    # positions are a 0..n-1 permutation
+    assert [r["pos"] for r in rows] == list(range(30))
+    # higher buckets come first, contiguously
+    assert [r["bucket"] for r in rows] == [2] * 10 + [1] * 10 + [0] * 10
+    # within a bucket, order is (md5, id) ascending
+    for b in (0, 1, 2):
+        seg = [r for r in rows if r["bucket"] == b]
+        keys = [
+            (hashlib.md5(f"cur:{r['doc_id']}".encode()).hexdigest(),
+             r["doc_id"]) for r in seg
+        ]
+        assert keys == sorted(keys)
+    # partition-invariant
+    out2 = curation.curriculum_order(
+        docs.repartition(7), "score", thresholds=(100, 200), n_blocks=4
+    ).collect()
+    assert {(r["doc_id"], r["pos"]) for r in out2} == {
+        (r["doc_id"], r["pos"]) for r in out
+    }
