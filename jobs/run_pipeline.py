@@ -382,14 +382,19 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         from semargl_spark.operators.conversation import chat_render
         from semargl_spark.operators.curation import pack_manifest
 
-        rendered = chat_render(transcripts).localCheckpoint(eager=False)
-        staged = rendered.select(
-            # stable non-negative numeric id for the shard modulo
-            F.shiftrightunsigned(F.xxhash64("conv_id"), 1).alias(
-                "conv_num"
-            ),
-            "rendered",
+        from semargl_spark.operators.dedup import md5_hash60
+
+        # stable non-negative numeric id for the shard modulo; the
+        # md5-fold family (not xxhash64) so a data loader can replay
+        # conv_id -> conv_num externally, and conv_num is WRITTEN INTO
+        # the sft parquet so manifest bin members join back to rendered
+        # documents without re-deriving any Spark-internal hash
+        rendered = (
+            chat_render(transcripts)
+            .withColumn("conv_num", md5_hash60(F.col("conv_id")))
+            .localCheckpoint(eager=False)
         )
+        staged = rendered.select("conv_num", "rendered")
         manifest = pack_manifest(
             staged, capacity=sft_capacity, n_shards=64,
             id_col="conv_num", text_col="rendered",

@@ -165,6 +165,12 @@ def allen_relations(
     campaigns, tool spans vs assistant spans) actually interact.
     Intervals are half-open-agnostic: the classification uses only
     <, =, > on the integer endpoints, so it is exactly replayable.
+    Allen's 13 relations are only exhaustive/exclusive over PROPER
+    intervals — any pair where an endpoint is NULL or start >= end
+    (point or inverted intervals) is routed to an explicit
+    ``invalid`` bucket instead of silently falling through the CASE
+    chain into ``overlapped_by`` (NULL comparisons) or ``meets``
+    (two equal point intervals hit le == rs before equals).
 
     Shape: ONE hash equi-join on the shared key + a row-local CASE +
     a 13-key groupBy with map-side partials. Pair volume is per-key
@@ -184,8 +190,13 @@ def allen_relations(
         F.col(start_col).cast("long").alias("_rs"),
         F.col(end_col).cast("long").alias("_re"),
     )
+    improper = (
+        ls.isNull() | le.isNull() | rs.isNull() | re_.isNull()
+        | (ls >= le) | (rs >= re_)
+    )
     rel = (
-        F.when(le < rs, "precedes")
+        F.when(improper, "invalid")
+        .when(le < rs, "precedes")
         .when(re_ < ls, "preceded_by")
         .when(le == rs, "meets")
         .when(re_ == ls, "met_by")

@@ -2034,20 +2034,28 @@ def transitive_reduction2(
     (a, c) witnessed by a 2-path a→b→c — the KG-cleanup pass that
     drops redundant shortcut assertions a transitive predicate already
     implies (skos:broader, partOf, subClassOf chains accumulate these
-    from independent extractions). Each removed edge has an EXPLICIT
-    two-hop witness, so the operation is sound for transitive
-    predicates at any depth; iterate for longer-range redundancy
-    (every pass only shrinks the set — same fixed-round contract as
-    :func:`kcore`). Exact full-reachability reduction needs the
+    from independent extractions). Removal is SOUND ON ANY DIGRAPH,
+    cycles included: an edge (a, c) is dropped only when some 2-hop
+    witness a→b→c consists of two edges that themselves SURVIVE the
+    pass, so every deletion keeps an explicit live witness path and
+    reachability is preserved edge-by-edge (no induction over witness
+    chains needed — the naive one-pass rule is unsound on cyclic
+    inputs, e.g. a symmetric triangle where every edge witnesses the
+    others and all would vanish together). Iterate for longer-range
+    redundancy (every pass only shrinks the set — same fixed-round
+    contract as :func:`kcore`); mutually-witnessed clusters are
+    conservatively kept. Exact full-reachability reduction needs the
     closure; this is the bounded form a 10^12-edge run can afford.
 
-    Shape: one in/out-degree groupBy, ONE wedge self-join through
-    pivots whose witness work in(b)·out(b) ≤ ``max_pivot_work``, one
-    distinct, one left-anti join back. A celebrity pivot would emit
-    in·out wedge rows — the cap routes it out (its edges stay,
-    conservatively unreduced) instead of letting one hub quadratically
-    dominate the stage; self-loops are never witnesses and never
-    removed.
+    Shape: one in/out-degree groupBy, TWO wedge self-joins through
+    pivots whose witness work in(b)·out(b) ≤ ``max_pivot_work`` (pass
+    1 condemns every 2-hop-witnessed candidate; pass 2 re-derives
+    wedges over the kept = non-candidate edges and only candidates
+    re-witnessed there are removed), one distinct each, anti/semi
+    joins back. A celebrity pivot would emit in·out wedge rows — the
+    cap routes it out (its edges stay, conservatively unreduced)
+    instead of letting one hub quadratically dominate the stage;
+    self-loops are never witnesses and never removed.
     """
     if max_pivot_work < 1:
         raise ValueError("max_pivot_work must be >= 1")
@@ -2065,20 +2073,31 @@ def transitive_reduction2(
         outd.join(ind, "b")
         .filter(F.col("_in") * F.col("_out") <= max_pivot_work)
         .select("b")
+        .localCheckpoint(eager=False)
     )
-    left = simple.join(ok, simple["dst"] == ok["b"]).select(
-        F.col("src").alias("a"), F.col("dst").alias("b2")
+
+    def _wedges(base: DataFrame) -> DataFrame:
+        left = base.join(ok, base["dst"] == ok["b"]).select(
+            F.col("src").alias("a"), F.col("dst").alias("b2")
+        )
+        right = base.select(
+            F.col("src").alias("b2"), F.col("dst").alias("c")
+        )
+        return (
+            left.join(right, "b2")
+            .filter(F.col("a") != F.col("c"))
+            .select(F.col("a").alias("src"), F.col("c").alias("dst"))
+            .distinct()
+        )
+
+    candidates = (
+        _wedges(simple)
+        .join(e, ["src", "dst"], "left_semi")
+        .localCheckpoint(eager=False)
     )
-    right = simple.select(
-        F.col("src").alias("b2"), F.col("dst").alias("c")
-    )
-    implied = (
-        left.join(right, "b2")
-        .filter(F.col("a") != F.col("c"))
-        .select(F.col("a").alias("src"), F.col("c").alias("dst"))
-        .distinct()
-    )
-    return e.join(implied, ["src", "dst"], "left_anti")
+    kept = simple.join(candidates, ["src", "dst"], "left_anti")
+    condemned = _wedges(kept).join(candidates, ["src", "dst"], "left_semi")
+    return e.join(condemned, ["src", "dst"], "left_anti")
 
 
 def seeded_label_propagation(

@@ -73,6 +73,8 @@ def real_decode(payload: bytes, mime: str):
         return media_codecs.wav_features(payload)
     if mime == "image/bmp":
         return media_codecs.bmp_features(payload)
+    if mime == "image/png":
+        return media_codecs.png_features(payload)
     raise DecodeUnavailable(
         f"no codec for {mime}: install PIL/ffmpeg in the cluster image"
     )
@@ -135,10 +137,34 @@ def synth_bmp_payload(did: int) -> bytes:
     return encode_bmp(w, h, rows)
 
 
+def synth_png_payload(did: int) -> bytes:
+    """Closed-form truecolor PNG for doc ``did``: same dimensions and
+    pixel formula as :func:`synth_bmp_payload` (so ONE analytic oracle
+    branch covers both image codecs), encoded with the default
+    cycling per-scanline filters — every payload exercises the full
+    None/Sub/Up/Average/Paeth bank through a real zlib stream."""
+    from .media_codecs import encode_png
+
+    w, h = 8 + did % 5, 8 + did % 7
+    rows = [
+        [
+            (
+                (did + 7 * x + 13 * y) % 256,
+                (3 * did + 11 * x + y) % 256,
+                (5 * did + x * y) % 256,
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return encode_png(w, h, rows)
+
+
 def synth_real_media(spark, sf_dir: str) -> DataFrame:
-    """Deterministic REAL media table: genuine WAV blobs (even doc ids)
-    and BMP blobs (odd doc ids), built executor-side per Arrow batch —
-    the payloads parse with any standards-conforming reader."""
+    """Deterministic REAL media table: genuine WAV blobs (doc ids ≡ 0
+    mod 3), BMP blobs (≡ 1), and PNG blobs (≡ 2), built executor-side
+    per Arrow batch — the payloads parse with any standards-conforming
+    reader."""
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -160,12 +186,15 @@ def synth_real_media(spark, sf_dir: str) -> DataFrame:
             mids, mimes, blobs = [], [], []
             for did in rb.column(0).to_pylist():
                 mids.append(f"m{did}")
-                if did % 2 == 0:
+                if did % 3 == 0:
                     mimes.append("audio/wav")
                     blobs.append(synth_wav_payload(did))
-                else:
+                elif did % 3 == 1:
                     mimes.append("image/bmp")
                     blobs.append(synth_bmp_payload(did))
+                else:
+                    mimes.append("image/png")
+                    blobs.append(synth_png_payload(did))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(mids, pa.string()),
@@ -180,11 +209,12 @@ def synth_real_media(spark, sf_dir: str) -> DataFrame:
 
 def resize_real(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize: decode → nearest-neighbor resample → re-encode per
-    Arrow batch. BMP only in this container (media_codecs.resize_bmp);
-    other mimes raise :class:`DecodeUnavailable` — filter first."""
+    Arrow batch. BMP and PNG in this container (media_codecs.resize_bmp
+    / resize_png); other mimes raise :class:`DecodeUnavailable` —
+    filter first."""
     import pyarrow as pa
 
-    from .media_codecs import resize_bmp
+    from .media_codecs import resize_bmp, resize_png
 
     src = media.select("media_id", "mime", "payload")
     out_schema = StructType(
@@ -215,13 +245,17 @@ def resize_real(media: DataFrame, width: int, height: int) -> DataFrame:
                 rb.column(names.index("mime")).to_pylist(),
                 rb.column(names.index("payload")).to_pylist(),
             ):
-                if mime != "image/bmp":
+                if mime == "image/bmp":
+                    resized = resize_bmp(bytes(payload), width, height)
+                elif mime == "image/png":
+                    resized = resize_png(bytes(payload), width, height)
+                else:
                     raise DecodeUnavailable(
                         f"real resize needs a codec for {mime}"
                     )
                 mids.append(mid)
                 mimes.append(mime)
-                blobs.append(resize_bmp(bytes(payload), width, height))
+                blobs.append(resized)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(mids, pa.string()),

@@ -18,7 +18,11 @@ from .operators.canon import connected_components
 from .operators.extract import extract_statements, triples
 from .operators.link import link_entities
 from .operators.serialize_ops import render_ntriples
-from .sources.transcripts import synth_transcripts, entity_dictionary
+from .sources.transcripts import (
+    synth_transcripts,
+    synth_transcripts_zipf,
+    entity_dictionary,
+)
 
 _SEED = (
     "WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix "
@@ -2116,11 +2120,13 @@ def _real_feature_cols(feats: DataFrame) -> DataFrame:
 
 def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec decode (no sha256 fake anywhere in this path): genuine
-    RIFF/PCM WAV and 24-bit BMP payloads are synthesized executor-side
-    from closed forms of doc_id, then byte-level parsed by the pure-
-    Python codecs (operators/media_codecs.py) inside the same mapInArrow
-    stage as media_features. The oracle recomputes every waveform/pixel
-    statistic analytically."""
+    RIFF/PCM WAV, 24-bit BMP, and zlib-compressed truecolor PNG
+    payloads (cycling through all five scanline filters) are synthesized
+    executor-side from closed forms of doc_id, then byte-level parsed by
+    the pure-Python codecs (operators/media_codecs.py) inside the same
+    mapInArrow stage as media_features. The oracle recomputes every
+    waveform/pixel statistic analytically — BMP and PNG share one pixel
+    formula, so one image branch covers both codecs."""
     from .operators import multimodal
 
     media = multimodal.synth_real_media(spark, sf_dir)
@@ -2133,7 +2139,7 @@ WITH d AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
 wav AS (
   SELECT did, list_transform(range(0, 64 + did % 64),
                  i -> ((did*31 + CAST(i AS INT)*7) % 256) - 128) AS smp
-  FROM d WHERE did % 2 = 0),
+  FROM d WHERE did % 3 = 0),
 wavf AS (
   SELECT 'm'||did AS media_id, 0 AS frame_idx,
          CAST(1 AS BIGINT) AS f0, CAST(8000 AS BIGINT) AS f1,
@@ -2147,7 +2153,8 @@ wavf AS (
          CAST(list_sum(list_transform(smp, x -> x*x)) % 16777216 AS BIGINT) AS f6,
          CAST(smp[1] AS BIGINT) AS f7
   FROM wav),
-bmp AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h FROM d WHERE did % 2 = 1),
+-- dids ≡ 1 mod 3 are BMP, ≡ 2 mod 3 are PNG; identical pixel formula
+bmp AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h FROM d WHERE did % 3 > 0),
 px AS (
   SELECT did, w, h,
          list_transform(range(0, w*h), p -> (did + 7*(CAST(p AS INT) % w)
@@ -2173,14 +2180,16 @@ SELECT * FROM wavf UNION ALL SELECT * FROM bmpf
 
 
 def q_media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL resize: decode the genuine BMP payloads, nearest-neighbor
-    resample to 4×4, re-encode, then re-decode the resized bytes and
-    gate the resulting pixel statistics. Exercises decode → resample →
-    encode → decode end-to-end with zero fakes."""
+    """REAL resize: decode the genuine BMP and PNG payloads, nearest-
+    neighbor resample to 4×4, re-encode in the source format, then
+    re-decode the resized bytes and gate the resulting pixel
+    statistics. Exercises decode → resample → encode → decode
+    end-to-end with zero fakes, through a real zlib stream on the PNG
+    side."""
     from .operators import multimodal
 
     media = multimodal.synth_real_media(spark, sf_dir).filter(
-        F.col("mime") == "image/bmp"
+        F.col("mime").isin("image/bmp", "image/png")
     )
     resized = multimodal.resize_media(media, 4, 4, use_fake=False)
     feats = multimodal.extract_features(resized, use_fake=False)
@@ -2189,7 +2198,7 @@ def q_media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["media_real_resize"] = """
 WITH d AS (SELECT CAST(doc_id AS INT) AS did FROM documents
-           WHERE CAST(doc_id AS INT) % 2 = 1),
+           WHERE CAST(doc_id AS INT) % 3 > 0),
 dim AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h FROM d),
 -- nearest-neighbor source coordinates for target pixel p of a 4x4 grid:
 -- sx = (p % 4) * w // 4, sy = (p // 4) * h // 4  (floor mapping)
@@ -2567,6 +2576,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "instruction_pairs": q_instruction_pairs,
         "curriculum_order": q_curriculum_order,
+        "canonicalize_skew": q_canonicalize_skew,
+        "dedup_minhash_skew": q_dedup_minhash_skew,
+        "quality_topk_skew": q_quality_topk_skew,
+        "entity_link_skew": q_entity_link_skew,
     }
 
 
@@ -8500,13 +8513,25 @@ outd AS (SELECT src AS b, COUNT(*) AS o FROM simple GROUP BY src),
 ind AS (SELECT dst AS b, COUNT(*) AS i FROM simple GROUP BY dst),
 ok AS (SELECT outd.b FROM outd JOIN ind USING (b)
        WHERE i * o <= 1048576),
-implied AS (SELECT DISTINCT l.src, r.dst
-            FROM simple l
-            JOIN ok ON ok.b = l.dst
-            JOIN simple r ON r.src = l.dst
-            WHERE l.src <> r.dst)
+candidates AS (SELECT DISTINCT l.src, r.dst
+               FROM simple l
+               JOIN ok ON ok.b = l.dst
+               JOIN simple r ON r.src = l.dst
+               WHERE l.src <> r.dst
+                 AND EXISTS (SELECT 1 FROM edges e
+                             WHERE e.src = l.src AND e.dst = r.dst)),
+kept AS (SELECT s.src, s.dst FROM simple s
+         LEFT JOIN candidates c ON c.src = s.src AND c.dst = s.dst
+         WHERE c.src IS NULL),
+condemned AS (SELECT DISTINCT l.src, r.dst
+              FROM kept l
+              JOIN ok ON ok.b = l.dst
+              JOIN kept r ON r.src = l.dst
+              WHERE l.src <> r.dst
+                AND EXISTS (SELECT 1 FROM candidates c
+                            WHERE c.src = l.src AND c.dst = r.dst))
 SELECT e.src, e.dst FROM edges e
-LEFT JOIN implied m ON m.src = e.src AND m.dst = e.dst
+LEFT JOIN condemned m ON m.src = e.src AND m.dst = e.dst
 WHERE m.src IS NULL
 """
 
@@ -8873,6 +8898,8 @@ a AS (SELECT user_id, s AS ls, s + 600 AS le FROM ev
 b AS (SELECT user_id, s AS rs, s + 300 AS re FROM ev
       WHERE event_type = 'click'),
 p AS (SELECT CASE
+        WHEN ls IS NULL OR le IS NULL OR rs IS NULL OR re IS NULL
+             OR ls >= le OR rs >= re THEN 'invalid'
         WHEN le < rs THEN 'precedes'
         WHEN re < ls THEN 'preceded_by'
         WHEN le = rs THEN 'meets'
@@ -9140,5 +9167,270 @@ WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
 SELECT doc_id, CAST(bucket AS INT) AS bucket,
   CAST(row_number() OVER (ORDER BY (2 - bucket), h, doc_id) - 1
        AS BIGINT) AS pos
+FROM t
+"""
+
+
+# --------------------------------------- round-3 additions (r3): skew gates
+#
+# Every other gate runs on uniform synthetic data; these four feed the
+# zipf-skewed corpus (sources/transcripts.synth_transcripts_zipf — hot
+# conversations, a hub entity absorbing half of all mentions, geometric
+# duplicate-cluster sizes, one dominant language) through the operators
+# whose skew machinery only unit tests exercised before: hub absorption
+# in connected_components, LSH band buckets with a 500× hot bucket,
+# the salted two-phase top-k, and the broadcast-side hot dictionary key.
+# Oracles stay closed-form: zipf_level is one CASE expression.
+
+def _zipf_sql(v: str) -> str:
+    from .sources.transcripts import zipf_level_sql
+
+    return zipf_level_sql(v)
+
+
+def q_canonicalize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the zipf corpus's turn-0 mention edges:
+    entity urn:z:0 is a hub star absorbing HALF the corpus (one giant
+    component, geometric tail of small ones) — the skewed shape where a
+    naive CC implementation funnels the hub's whole neighborhood
+    through one reducer. Each doc contributes exactly one turn-0 edge,
+    so the oracle computes components in closed form."""
+    t = synth_transcripts_zipf(spark, sf_dir)
+    st = triples(extract_statements(t))
+    edges = (
+        st.filter(
+            (F.col("pred") == "urn:p:mentions") & (F.col("turn_idx") == 0)
+        )
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    return connected_components(edges)
+
+
+ORACLES["canonicalize_skew"] = f"""
+WITH d AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+e0 AS (SELECT did, {_zipf_sql('(did * 31) % 64')} AS eid FROM d),
+nodes AS (SELECT 'urn:e:'||did AS node, eid FROM e0
+          UNION SELECT DISTINCT 'urn:z:'||eid, eid FROM e0),
+r AS (SELECT eid, MIN(node) AS root FROM nodes GROUP BY eid)
+SELECT n.node, r.root AS component FROM nodes n JOIN r USING (eid)
+"""
+
+
+def _zipf_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster corpus with geometric cluster sizes: within
+    every 64-doc block the docs split into clusters of size
+    [32, 16, 8, 4, 2, 1, 1] (zipf_level over did % 64); cluster members
+    share 7 of 8 words (a ``var{did%2}`` token differs), so
+    within-cluster Jaccard ≥ 5/7 and cross-cluster is 0. The size-32
+    cluster's band bucket carries ~500× the candidate pairs of the
+    median — the hot-bucket shape of boilerplate at corpus scale."""
+    from .sources.transcripts import zipf_level
+
+    did = F.col("doc_id").cast("long")
+    c = (
+        F.floor(did / 64) * 7 + zipf_level(did % 64)
+    ).cast("string")
+    text = F.concat_ws(
+        " ",
+        *[F.concat(F.lit("tok"), c, F.lit(ch)) for ch in "abcdefg"],
+        F.concat(F.lit("var"), (did % 2).cast("string")),
+    )
+    return _docs(spark, sf_dir).select(
+        did.alias("doc_id"), text.alias("text")
+    )
+
+
+def q_dedup_minhash_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup over the geometric-cluster corpus (md5 hash
+    method → the oracle replays shingle→minhash→band→verify exactly).
+    Verifies the banded pipeline keeps exact pair semantics when one
+    bucket is pathologically hot."""
+    corpus = _zipf_dedup_corpus(spark, sf_dir)
+    return dedup.near_dedup_minhash(
+        corpus, threshold=0.5, hash_method="md5"
+    ).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _minhash_skew_oracle() -> str:
+    from .operators.dedup import _MH_A, _MH_B, _MH_P
+
+    sig_cols = ", ".join(
+        f"MIN(({_MH_A[j]} * b + {_MH_B[j]}) % {_MH_P}) AS m{j}"
+        for j in range(16)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        f"array_to_string([m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}], ',') AS key "
+        "FROM sig"
+        for b in range(4)
+    )
+    lvl = _zipf_sql("(doc_id % 64)")
+    words = " ".join(
+        "tok'||c||'" + ch for ch in "abcdefg"
+    )
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, '{words} var'||(doc_id % 2) AS text
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               (CAST(doc_id AS BIGINT) // 64) * 7 + ({lvl}) AS c
+        FROM documents)),
+t AS (SELECT doc_id, {_NORM_W} AS w FROM corpus),
+sh AS (SELECT doc_id,
+       list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w[1:3], ' ')]
+            ELSE list_transform(range(1, len(w)-1),
+                                i -> w[i]||' '||w[i+1]||' '||w[i+2]) END) AS s
+       FROM t),
+shx AS (SELECT doc_id, unnest(s) AS x FROM sh),
+hh AS (SELECT doc_id, ({_h60('x')}) % {_MH_P} AS b FROM shx),
+sig AS (SELECT doc_id, {sig_cols} FROM hh GROUP BY doc_id),
+banded AS (
+{bands}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b,
+      len(list_intersect(x.s, y.s)) /
+          greatest(len(list_distinct(list_concat(x.s, y.s))), 1) AS jac
+      FROM cand
+      JOIN sh x ON x.doc_id = cand.doc_a
+      JOIN sh y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+"""
+
+
+ORACLES["dedup_minhash_skew"] = _minhash_skew_oracle()
+
+
+def q_quality_topk_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality top-5 where language mass is geometric
+    (en 50%, de 25%, es 12.5%, fr ~6%, und tail — the real shape of a
+    web corpus, where English funnels through one window partition
+    unless salted). Texts are closed-form: two unambiguous stopwords of
+    the language plus did%4 unique filler words, so quality and rank
+    replay exactly in SQL."""
+    did = F.col("doc_id").cast("long")
+    v = did % 16
+    sw = (
+        F.when(v < 8, "the and")
+        .when(v < 12, "der ist")
+        .when(v < 14, "el los")
+        .when(v == 14, "les des")
+        .otherwise("zz qq")
+    )
+    fillers = F.concat_ws(
+        " ",
+        *[
+            F.when(
+                did % 4 > k,
+                F.concat(
+                    F.lit("f"), did.cast("string"), F.lit(f"w{k}")
+                ),
+            )
+            for k in range(3)
+        ],
+    )
+    text = F.trim(F.concat_ws(" ", sw, fillers))
+    docs = _docs(spark, sf_dir).select(
+        did.alias("doc_id"), text.alias("text")
+    )
+    return curation.quality_topk(docs, k=5, n_salts=16)
+
+
+ORACLES["quality_topk_skew"] = rf"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    trim(CASE WHEN doc_id % 16 < 8 THEN 'the and'
+              WHEN doc_id % 16 < 12 THEN 'der ist'
+              WHEN doc_id % 16 < 14 THEN 'el los'
+              WHEN doc_id % 16 = 14 THEN 'les des'
+              ELSE 'zz qq' END
+      || CASE WHEN doc_id % 4 > 0 THEN ' f'||doc_id||'w0' ELSE '' END
+      || CASE WHEN doc_id % 4 > 1 THEN ' f'||doc_id||'w1' ELSE '' END
+      || CASE WHEN doc_id % 4 > 2 THEN ' f'||doc_id||'w2' ELSE '' END
+    ) AS text
+  FROM documents),
+t AS (SELECT doc_id, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wall,
+        list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM base),
+s AS (SELECT doc_id, wall, w,
+  len(list_intersect(w, {_sql_list(_SW['en'])})) AS en,
+  len(list_intersect(w, {_sql_list(_SW['de'])})) AS de,
+  len(list_intersect(w, {_sql_list(_SW['es'])})) AS es,
+  len(list_intersect(w, {_sql_list(_SW['fr'])})) AS fr
+  FROM t),
+l AS (SELECT doc_id, wall, w,
+  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+       WHEN de >= es AND de >= fr THEN 'de'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang
+  FROM s),
+m AS (SELECT doc_id, lang,
+  round(least(len(wall) / 64.0, 1.0) * 0.4 +
+        least((len(list_filter(wall, x -> list_contains({_ALL_SW}, x))) /
+               greatest(len(wall), 1)) * 4, 1.0) * 0.3 +
+        (len(list_distinct(wall)) / greatest(len(wall), 1)) * 0.3, 6) AS quality
+  FROM l),
+rk AS (SELECT lang, doc_id, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY quality DESC, doc_id) AS INT) AS rank
+       FROM m)
+SELECT lang, doc_id, quality, rank FROM rk WHERE rank <= 5
+"""
+
+
+def q_entity_link_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking where mention popularity is geometric: half of
+    all mention surfaces name the hub entity ("Entity 0") — the hot
+    dictionary key that melts a shuffle join and is exactly why
+    link_entities broadcasts the dictionary. Four turns per doc, each
+    asserting one name mention; the oracle enumerates the expected
+    links in closed form."""
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("int").alias("did"))
+    turns = d.select(
+        "did",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("turn_idx"),
+    )
+    did, tix = F.col("did"), F.col("turn_idx")
+    e = F.lit(0)
+    from .sources.transcripts import EPOCH_2024, zipf_level
+
+    e = zipf_level((did * 31 + tix * 17) % 64)
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = F.concat(
+        F.lit("<urn:m:"), s(did), F.lit("_"), s(tix),
+        F.lit('> <urn:p:name> "Entity '), s(e), F.lit('" .\n'),
+    )
+    t = turns.select(
+        F.concat(F.lit("c"), s(did)).alias("conv_id"),
+        tix.cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(
+            F.lit(EPOCH_2024) + did * 3600 + tix * 60
+        ).alias("ts"),
+        F.lit("ntriples").alias("fmt"),
+    )
+    st = triples(extract_statements(t))
+    return link_entities(st, entity_dictionary(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "mention_node", "canonical_iri",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+ORACLES["entity_link_skew"] = f"""
+WITH d AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
+t AS (SELECT did, CAST(tix AS INT) AS tix
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS tix))
+SELECT 'c'||did AS conv_id, tix AS turn_idx,
+       'urn:m:'||did||'_'||tix AS mention_node,
+       'urn:e:'||({_zipf_sql('(did * 31 + tix * 17) % 64')}) AS canonical_iri,
+       1.0 AS score
 FROM t
 """

@@ -270,3 +270,80 @@ def entity_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.5).alias("weight"),
     )
     return full.unionByName(alias)
+
+
+# ---------------------------------------------------------------- zipf skew
+
+def zipf_level(v):
+    """Geometric popularity level of a residue ``v`` in [0, 64): level 0
+    takes mass 32/64, level 1 takes 16/64, … level 5 and 6 take 1/64
+    each — the deterministic stand-in for zipf-distributed popularity
+    (hot head, long tail) that a SQL oracle replays with one CASE.
+    Column-in/Column-out; keep in sync with :func:`zipf_level_sql`."""
+    return (
+        F.when(v < 32, 0)
+        .when(v < 48, 1)
+        .when(v < 56, 2)
+        .when(v < 60, 3)
+        .when(v < 62, 4)
+        .when(v == 62, 5)
+        .otherwise(6)
+    )
+
+
+def zipf_level_sql(v: str) -> str:
+    """DuckDB mirror of :func:`zipf_level` over the SQL expression ``v``."""
+    return (
+        f"CASE WHEN {v} < 32 THEN 0 WHEN {v} < 48 THEN 1 "
+        f"WHEN {v} < 56 THEN 2 WHEN {v} < 60 THEN 3 "
+        f"WHEN {v} < 62 THEN 4 WHEN {v} = 62 THEN 5 ELSE 6 END"
+    )
+
+
+def synth_transcripts_zipf(
+    spark: SparkSession, sf_dir: str, cap: int = 48
+) -> DataFrame:
+    """Zipf-SKEWED transcript corpus (same schema as
+    :func:`synth_transcripts`): conversation lengths decay harmonically
+    — ``n_turns(did) = clamp(192 // (did%512 + 1), 1, cap)`` so a few
+    conversations are ``cap`` turns while the tail is single-turn — and
+    each turn's ntriples payload asserts a mention whose target entity
+    follows the geometric :func:`zipf_level` popularity (entity
+    ``urn:z:0`` absorbs HALF of all mentions — the hub key that breaks
+    naive groupBy/join plans at scale). The ``%512`` block makes the
+    hot-conversation count grow with the corpus instead of pinning one
+    global maximum, so the shape is scale-invariant.
+
+    Every payload stays a closed form of (did, turn_idx): the skew
+    gates' DuckDB oracles recompute expected outputs analytically.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("int").alias("did")
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    did = F.col("did")
+    n_turns = F.least(
+        F.lit(cap),
+        F.greatest(
+            F.lit(1), F.floor(F.lit(192) / ((did % 512) + 1)).cast("int")
+        ),
+    )
+    turns = docs.select(
+        "did",
+        F.explode(
+            F.sequence(F.lit(0), (n_turns - 1).cast("int"))
+        ).alias("turn_idx"),
+    )
+    tix = F.col("turn_idx")
+    eid = zipf_level((did * 31 + tix * 17) % 64)
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = F.concat(
+        F.lit("<urn:e:"), s(did),
+        F.lit("> <urn:p:mentions> <urn:z:"), s(eid), F.lit("> .\n"),
+        F.lit("<urn:e:"), s(did),
+        F.lit('> <urn:p:name> "Entity '), s(did), F.lit('" .\n'),
+    )
+    out = turns.withColumn("text", text).withColumn(
+        "fmt", F.lit("ntriples")
+    )
+    return _finish(out)

@@ -157,3 +157,22 @@ def test_allen_relations_all_thirteen(spark):
            for r in allen_relations(left, right, on="user_id").collect()}
     # note orientation: rights dict keys name the relation of LEFT wrt RIGHT
     assert got == {k: 1 for k in ALLEN_RELATIONS}
+
+
+def test_allen_relations_improper_intervals_route_to_invalid(spark):
+    from semargl_spark.operators.asof import allen_relations
+
+    left = spark.createDataFrame(
+        [("a", 10, 10),      # point interval (vs point right: NOT 'meets')
+         ("b", 20, 10),      # inverted
+         ("c", None, 20),    # NULL start (vs any right: NOT 'overlapped_by')
+         ("d", 10, 20)],     # proper, but right side is improper
+        "user_id string, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 10), ("b", 0, 5), ("c", 0, 5), ("d", 15, None)],
+        "user_id string, start long, end long",
+    )
+    got = {r["relation"]: r["n"]
+           for r in allen_relations(left, right, on="user_id").collect()}
+    assert got == {"invalid": 4}

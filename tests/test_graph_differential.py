@@ -554,6 +554,46 @@ def test_transitive_reduction2_removes_witnessed_edges(spark):
                    ("x", "y"), ("p", "q"), ("q", "p")}
 
 
+def test_transitive_reduction2_symmetric_k3_keeps_all(spark):
+    from semargl_spark.operators.graph import transitive_reduction2
+
+    # symmetric triangle a<->b<->c<->a: every edge is 2-hop-witnessed,
+    # but every witness edge is itself condemned — the two-pass rule
+    # keeps all six (the naive one-pass rule erased the whole cluster)
+    edges = [(a, b) for a in "abc" for b in "abc" if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"])
+           for r in transitive_reduction2(df).collect()}
+    assert got == set(edges)
+
+
+def test_transitive_reduction2_mutual_witness_diamond_keeps_all(spark):
+    from semargl_spark.operators.graph import transitive_reduction2
+
+    # a→b witnessed only via a→c→b, a→c only via a→b→c (b<->c 2-cycle):
+    # the witnesses are mutually condemned, so both edges must survive
+    # or node a is silently disconnected
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"])
+           for r in transitive_reduction2(df).collect()}
+    assert got == set(edges)
+
+
+def test_transitive_reduction2_scc_fanout_keeps_reachability(spark):
+    from semargl_spark.operators.graph import transitive_reduction2
+
+    # 3-cycle x→u→v→x each with an edge to y: every *→y edge is
+    # witnessed by another condemned *→y edge (no 2-cycles involved);
+    # naive removal would cut y off from the component entirely
+    edges = [("x", "u"), ("u", "v"), ("v", "x"),
+             ("x", "y"), ("u", "y"), ("v", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"])
+           for r in transitive_reduction2(df).collect()}
+    assert got == set(edges)
+
+
 def test_transitive_reduction2_pivot_cap_is_conservative(spark):
     from semargl_spark.operators.graph import transitive_reduction2
 

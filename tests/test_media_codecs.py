@@ -17,18 +17,24 @@ from hypothesis import strategies as st
 
 from semargl_spark.operators.media_codecs import (
     MediaFormatError,
+    _png_chunk,
     bmp_features,
     decode_bmp,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
+    png_features,
     resize_bmp,
+    resize_png,
     wav_features,
 )
 from semargl_spark.operators.multimodal import (
     DecodeUnavailable,
     real_decode,
     synth_bmp_payload,
+    synth_png_payload,
     synth_wav_payload,
 )
 
@@ -163,3 +169,146 @@ def test_real_media_pipeline_on_spark(spark):
     r = resized.limit(5).collect()
     assert all((x["width"], x["height"]) == (4, 4) for x in r)
     assert all(decode_bmp(bytes(x["payload"]))[0] == 4 for x in r)
+    pngs = media.filter("mime = 'image/png'")
+    rp = multimodal.resize_media(pngs, 4, 4, use_fake=False).limit(5).collect()
+    assert rp and all(decode_png(bytes(x["payload"]))[:2] == (4, 4) for x in rp)
+
+
+# --------------------------------------------------------------------- PNG
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _rows(w, h, f=lambda x, y: (x * 7 % 256, y * 13 % 256, (x + y) % 256)):
+    return [[f(x, y) for x in range(w)] for y in range(h)]
+
+
+def test_png_roundtrip_every_filter_type():
+    rows = _rows(9, 6)
+    for ft in range(5):
+        blob = encode_png(9, 6, rows, filters=[ft] * 6)
+        assert decode_png(blob) == (9, 6, rows)
+    # default cycling filters + trailing frame-tag bytes ignored
+    blob = encode_png(9, 6, rows)
+    assert decode_png(blob + b"|f0") == (9, 6, rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, seed):
+    rows = [
+        [
+            (
+                (seed + 7 * x + 13 * y) % 256,
+                (3 * seed + 11 * x + y) % 256,
+                (5 * seed + x * y) % 256,
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    assert decode_png(encode_png(w, h, rows)) == (w, h, rows)
+
+
+def _manual_png(color_type, depth, width, height, raw_rows, extra=b"",
+                interlace=0):
+    """Hand-assemble a PNG from raw (unfiltered) scanline bytes."""
+    import zlib as _z
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, interlace
+    )
+    body = b"".join(b"\x00" + r for r in raw_rows)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + extra
+        + _png_chunk(b"IDAT", _z.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_grayscale_palette_rgba_color_types():
+    # grayscale (type 0): value replicated to r=g=b
+    g = _manual_png(0, 8, 3, 2, [bytes([10, 20, 30]), bytes([40, 50, 60])])
+    assert decode_png(g) == (
+        3, 2, [[(10, 10, 10), (20, 20, 20), (30, 30, 30)],
+               [(40, 40, 40), (50, 50, 50), (60, 60, 60)]])
+    # RGBA (type 6): alpha dropped
+    rgba = _manual_png(6, 8, 2, 1, [bytes([1, 2, 3, 255, 4, 5, 6, 0])])
+    assert decode_png(rgba) == (2, 1, [[(1, 2, 3), (4, 5, 6)]])
+    # palette (type 3)
+    plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    pal = _manual_png(3, 8, 2, 2, [bytes([0, 1]), bytes([1, 0])],
+                      extra=plte)
+    assert decode_png(pal) == (
+        2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 255, 0), (255, 0, 0)]])
+
+
+def test_png_rejects_malformed():
+    rows = _rows(4, 4)
+    good = encode_png(4, 4, rows)
+    with pytest.raises(MediaFormatError, match="not a PNG"):
+        decode_png(b"JUNK" + good[4:])
+    # corrupt one IDAT byte -> CRC failure
+    i = good.index(b"IDAT") + 10
+    bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1:]
+    with pytest.raises(MediaFormatError, match="CRC"):
+        decode_png(bad)
+    with pytest.raises(MediaFormatError, match="bit depth"):
+        decode_png(_manual_png(0, 16, 1, 1, [b"\x00\x00"]))
+    with pytest.raises(MediaFormatError, match="interlace"):
+        decode_png(_manual_png(2, 8, 1, 1, [b"\x00\x00\x00"], interlace=1))
+    with pytest.raises(MediaFormatError, match="missing PLTE"):
+        decode_png(_manual_png(3, 8, 1, 1, [b"\x00"]))
+    with pytest.raises(MediaFormatError, match="truncated"):
+        decode_png(good[:len(good) - 8])
+    # bad filter byte inside a valid zlib stream
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    bad_filter = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x07\x01\x02\x03"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaFormatError, match="filter type"):
+        decode_png(bad_filter)
+
+
+def test_png_resize_and_features_match_closed_form():
+    for did in (2, 5, 14):
+        w, h = 8 + did % 5, 8 + did % 7
+        f = png_features(synth_png_payload(did))
+        px = [
+            ((did + 7 * x + 13 * y) % 256, (3 * did + 11 * x + y) % 256,
+             (5 * did + x * y) % 256)
+            for y in range(h) for x in range(w)
+        ]
+        assert f[0] == w and f[1] == h
+        assert f[2] == sum(r for r, _, _ in px)
+        assert f[3] == sum(g for _, g, _ in px)
+        assert f[4] == sum(b for _, _, b in px)
+        assert f[5] == sum(1 for r, g, _ in px if r > g)
+        # png and bmp synthetic payloads decode to identical pixels
+        assert decode_png(synth_png_payload(did)) == decode_bmp(
+            synth_bmp_payload(did)
+        )
+    small = decode_png(resize_png(synth_png_payload(5), 4, 4))
+    w, h, _ = decode_png(synth_png_payload(5))
+    assert (small[0], small[1]) == (4, 4)
+    ref = decode_bmp(resize_bmp(synth_bmp_payload(5), 4, 4))
+    assert small == ref  # resample parity across the two image codecs
+
+
+def test_real_decode_dispatch_png():
+    assert real_decode(synth_png_payload(8), "image/png") == png_features(
+        synth_png_payload(8)
+    )
+    with pytest.raises(DecodeUnavailable):
+        real_decode(b"xx", "video/mp4")

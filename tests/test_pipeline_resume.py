@@ -335,6 +335,26 @@ def test_sft_render_stage_and_resume(spark, prepared):
     row = sft.filter(F.col("mask_spans") != "").limit(1).collect()[0]
     a, b = (int(v) for v in row["mask_spans"].split(";")[0].split("-"))
     assert 0 <= a < b <= len(row["rendered"])
+    # manifest identity is recoverable: bin members (conv_num) join back
+    # to rendered docs, and conv_num is the externally-replayable
+    # md5-fold of conv_id (not a Spark-internal hash)
+    import hashlib
+
+    assert "conv_num" in sft.columns
+    r0 = sft.limit(1).collect()[0]
+    assert r0["conv_num"] == int(
+        hashlib.md5(r0["conv_id"].encode()).hexdigest()[:15], 16
+    )
+    man = spark.read.parquet(f"{out}/sft_manifest")
+    member_ids = man.select(
+        F.explode(F.split("members", ";")).alias("m")
+    ).select(
+        F.split("m", ":")[0].cast("long").alias("conv_num")
+    ).distinct()
+    unmatched = member_ids.join(
+        sft.select("conv_num").distinct(), "conv_num", "left_anti"
+    ).count()
+    assert unmatched == 0
     stages = {
         r["stage"]
         for r in spark.read.parquet(f"{out}/lineage")

@@ -414,3 +414,77 @@ def test_stream_chat_render_emits_once_across_batches(spark, tmp_path):
     assert sorted(r["conv_id"] for r in got) == ["c0", "c1", "c2"]
     for r in got:
         assert r["n_mask"] == 2 and r["rendered"].count("<|end|>") == 4
+
+
+def test_stream_chat_render_dedupes_redelivered_turns(spark, tmp_path):
+    """An at-least-once upstream redelivers turns: the duplicate must
+    neither double-render in the document nor fake completion."""
+    from semargl_spark.streaming.stream_extract import read_transcript_stream
+    from semargl_spark.streaming.stream_sft import stream_chat_render
+
+    rows = [("c0", i, "user" if i % 2 == 0 else "assistant",
+             f"t{i}", None, None) for i in range(4)]
+    rows += rows[:2]  # turns 0 and 1 delivered twice
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    df.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    stream = read_transcript_stream(spark, str(tmp_path / "in"))
+    out = stream_chat_render(stream, expected_turns=4)
+    q = (out.writeStream.format("memory").queryName("sft_dedup")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("sft_dedup").collect()
+    assert len(got) == 1
+    assert got[0]["rendered"].count("<|end|>") == 4
+    assert got[0]["n_mask"] == 2
+
+
+def test_stream_chat_render_ttl_reclaims_stale_state(spark, tmp_path):
+    """A conversation that never completes is reclaimed by the TTL:
+    with on_timeout='emit' its partial render surfaces instead of
+    pinning the state store forever. ProcessingTimeTimeout keeps an
+    availableNow query alive indefinitely (see the operator
+    docstring), so this runs a continuous processingTime trigger and
+    stops it once both documents surface."""
+    import time
+
+    from semargl_spark.schema import TRANSCRIPTS_SCHEMA
+    from semargl_spark.streaming.stream_sft import stream_chat_render
+
+    # file a: incomplete conversation (2 of 4 turns); file b (a later
+    # micro-batch under maxFilesPerTrigger=1) advances processing time
+    # past the 1 ms TTL so the timeout fires
+    a = [("stale", 0, "user", "u0", None, None),
+         ("stale", 1, "assistant", "a1", None, None)]
+    b = [("done", i, "user" if i % 2 == 0 else "assistant",
+          f"t{i}", None, None) for i in range(4)]
+    (tmp_path / "in").mkdir()
+    spark.createDataFrame(a, TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(tmp_path / "in"))
+    time.sleep(1.1)  # file-source batch order follows mod time
+    spark.createDataFrame(b, TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(tmp_path / "in"))
+    stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "in")))
+    out = stream_chat_render(stream, expected_turns=4,
+                             ttl_ms=1, on_timeout="emit")
+    q = (out.writeStream.format("memory").queryName("sft_ttl")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("sft_ttl").count() >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {r["conv_id"]: r for r in spark.table("sft_ttl").collect()}
+    assert got["done"]["rendered"].count("<|end|>") == 4
+    assert got["stale"]["rendered"].count("<|end|>") == 2  # partial emit
+    assert got["stale"]["n_mask"] == 1
