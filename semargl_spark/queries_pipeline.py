@@ -33,16 +33,20 @@ ORACLES: dict[str, str] = {}
 
 
 def _docs(spark, sf_dir):
+    from .spark_util import default_parallelism
+
     # the seed parquet is one small file → one input partition; spread it
     # so the expression-heavy text operators use every core
     return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
+        default_parallelism(spark)
     )
 
 
 def _embeddings(spark, sf_dir):
+    from .spark_util import default_parallelism
+
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism
+        default_parallelism(spark)
     )
 
 
@@ -2580,6 +2584,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_skew": q_dedup_minhash_skew,
         "quality_topk_skew": q_quality_topk_skew,
         "entity_link_skew": q_entity_link_skew,
+        "ann_recall_structured": q_ann_recall_structured,
     }
 
 
@@ -9433,4 +9438,84 @@ SELECT 'c'||did AS conv_id, tix AS turn_idx,
        'urn:e:'||({_zipf_sql('(did * 31 + tix * 17) % 64')}) AS canonical_iri,
        1.0 AS score
 FROM t
+"""
+
+
+def _structured_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered synthetic embeddings with an exact-duplicate planted
+    neighbor set: vector v = one-hot block of its cluster ``v % 8``
+    (dims [8c, 8c+8)) plus a jitter ``((v*13 + d*7) % 5) * 0.01`` whose
+    pattern repeats with period lcm(5, 8)=40 — so the vectors
+    ``v ≡ 42 (mod 40)`` are EXACT copies of query 42's vector and
+    everything else differs by ≥ 0.01 somewhere. The exact top-10 of
+    query 42 is therefore the 10 smallest-id other copies, in closed
+    form, and a correct PQ/IVF-PQ path must recall all of them (15
+    distinct patterns per 16-dim subspace < k=16 codewords)."""
+    v = F.col("vec_id")
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.when(
+            F.floor(d / F.lit(8)) == v % 8, F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        + ((v * 13 + d * 7) % 5).cast("double") * 0.01,
+    )
+    return _embeddings(spark, sf_dir).select(
+        "vec_id", arr.alias("embedding")
+    )
+
+
+def q_ann_recall_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall gate on CLUSTERED data where retrieval quality is
+    decidable: unlike ``ann_recall`` (whose near-uniform corpus makes
+    absolute recall noise-dominated by design), the structured corpus
+    plants 12 exact duplicates of the query vector, so both the PQ and
+    IVF-PQ paths must achieve recall@10 = 1.0 and the oracle asserts
+    that constant — a drop below the 0.9 floor also flips the gated
+    ``meets_floor`` flag. Same evaluation code and parameters as
+    ann_recall."""
+    from .operators.clustering import (
+        exact_topk_fp, pq_adist, pq_ivf_search, pq_search,
+    )
+
+    emb = _structured_embeddings(spark, sf_dir)
+    kw = dict(query_id=42, topk=10, m=4, sub=16, k=16, iterations=3)
+    shared = pq_adist(
+        emb, query_id=42, m=4, sub=16, k=16, iterations=3
+    ).localCheckpoint(eager=False)
+    truth = (
+        exact_topk_fp(emb, query_id=42, topk=10, dims=64)
+        .select("neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    out = []
+    for method, df in (
+        ("pq", pq_search(emb, adist=shared, **kw)),
+        ("ivf_pq", pq_ivf_search(emb, nprobe=4, k_coarse=8,
+                                 coarse_iterations=2, adist=shared, **kw)),
+    ):
+        hits = df.select("neighbor_id").join(truth, "neighbor_id")
+        out.append(
+            hits.agg(F.count("*").cast("int").alias("hits")).select(
+                F.lit(method).alias("method"),
+                "hits",
+                F.lit(10).alias("k"),
+                F.expr("CAST(1000 AS BIGINT) * hits div 10").alias(
+                    "recall_pm"
+                ),
+                F.expr(
+                    "CAST(1000 AS BIGINT) * hits div 10 >= 900"
+                ).alias("meets_floor"),
+            )
+        )
+    return out[0].union(out[1])
+
+
+# closed-form assertion, not a replay: the planted-duplicate corpus has
+# a decidable answer (the 10 lowest-id exact copies), so the oracle pins
+# perfect recall — any quantizer/ranking regression fails the gate
+ORACLES["ann_recall_structured"] = """
+SELECT 'pq' AS method, CAST(10 AS INT) AS hits, 10 AS k,
+       CAST(1000 AS BIGINT) AS recall_pm, TRUE AS meets_floor
+UNION ALL
+SELECT 'ivf_pq', CAST(10 AS INT), 10, CAST(1000 AS BIGINT), TRUE
 """

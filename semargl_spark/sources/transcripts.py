@@ -162,7 +162,9 @@ def _seed_turns(spark: SparkSession, sf_dir: str, turns_per_doc: int) -> DataFra
     # order-insensitive)
     # one partition per core: extraction cost is uniform per turn, so
     # more-but-smaller tasks only add per-task Arrow/scheduling overhead
-    target = spark.sparkContext.defaultParallelism
+    from ..spark_util import default_parallelism
+
+    target = default_parallelism(spark)
     docs = docs.repartition(target)
     if turns_per_doc < 1:
         # sequence(0, -1) would generate a DESCENDING [0, -1] pair, not
@@ -320,7 +322,9 @@ def synth_transcripts_zipf(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("int").alias("did")
     )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    from ..spark_util import default_parallelism
+
+    docs = docs.repartition(default_parallelism(spark))
     did = F.col("did")
     n_turns = F.least(
         F.lit(cap),

@@ -59,8 +59,40 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
     return dest
 
 
+def is_connect(spark: SparkSession) -> bool:
+    """True for a Spark Connect session (no SparkContext, gRPC plan
+    channel). Detected structurally, not by import, so classic-only
+    builds never pay the connect import."""
+    return type(spark).__module__.startswith("pyspark.sql.connect")
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    """Connect-safe cluster width for repartition() of small seed
+    tables: classic sessions report the scheduler's
+    ``defaultParallelism``; Connect sessions expose no SparkContext, so
+    fall back to ``spark.sql.shuffle.partitions`` (the session's own
+    sizing knob — same order of magnitude, and exactness is irrelevant
+    here: the value only spreads generator work across cores)."""
+    if not is_connect(spark):
+        return spark.sparkContext.defaultParallelism
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 8
+
+
 def ensure_py_files(spark: SparkSession) -> None:
-    """Ship the package to executors once per application."""
+    """Ship the package to executors once per application. Classic
+    sessions use ``sparkContext.addPyFile``; Connect sessions ship the
+    same zip through the session-scoped artifact channel
+    (``addArtifacts(..., pyfile=True)``)."""
+    if is_connect(spark):
+        key = f"connect-{id(spark)}"
+        if key in _SHIPPED:
+            return
+        spark.addArtifacts(build_pyfiles_zip(), pyfile=True)
+        _SHIPPED.add(key)
+        return
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED:
         return
@@ -72,12 +104,15 @@ def tuned_session(
     parallelism: int = 8,
     app_name: str = "semargl-spark",
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Session with the scale-oriented defaults used by bench and jobs:
     AQE on (runtime re-plan + skew-join), Arrow enabled, shuffle
-    partitions sized to the parallelism level."""
+    partitions sized to the parallelism level. ``extra_conf`` entries
+    are applied LAST, so callers (e.g. the stress harness enabling the
+    UI for its REST metrics) can override any default."""
     sp = shuffle_partitions if shuffle_partitions is not None else max(parallelism * 2, 8)
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{parallelism}]")
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
@@ -100,7 +135,9 @@ def tuned_session(
         )
         .config("spark.ui.enabled", "false")
         .appName(app_name)
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     ensure_py_files(spark)
     return spark
