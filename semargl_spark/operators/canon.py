@@ -1,41 +1,36 @@
 """Canonicalization: connected components over equivalence edges
 (SURVEY.md §2.5 J4, north_star "canon" stage).
 
-Algorithm: min-label propagation with **pointer jumping** — each round
-every node takes the minimum label over its neighborhood (one join over
-a pre-materialized *bidirectional* edge list — half the edge-shuffle of
-the naive two-join formulation), then labels are short-circuited through
-two pointer-jump steps (L(v) ← L(L(v)), twice). Pointer jumping shrinks the
-remaining path length geometrically, giving O(log diameter) rounds like
-the large-star/small-star formulation (Kiveris et al., SoCC'14), all
-JVM-side. Round 0 (label(v) = min(v, neighbors)) is fused into the
-label-initialization groupBy, saving one full propagate round.
+Algorithm: min-label propagation with **pointer jumping and graph
+contraction** — round 0 fuses label(v) = min(v, neighbors) into the
+initialization groupBy over a bidirectional edge list, followed by two
+pointer-jump steps (L(v) ← L(L(v))). Every later round runs on the
+CONTRACTED label graph: the edge list rewritten through the current
+assignment, keeping only the still-merging inter-label edges — so
+round n+1's shuffle volume is the unresolved frontier, which shrinks
+geometrically, instead of the full corpus-sized edge list every round.
+Combined with the per-round double jump this keeps the O(log diameter)
+round bound of the large-star/small-star formulation (Kiveris et al.,
+SoCC'14), all JVM-side.
 
 Scale notes (10^12-turn corpus):
-* the dominant shuffle is the edges⋈labels join, shuffled on node id —
-  materializing edges bidirectionally once means each round shuffles the
-  label side only once; AQE coalesces small partitions and splits skewed
-  hubs (skewJoin enabled in spark_util.tuned_session); a celebrity
-  sameAs hub converges in one round since all neighbors adopt its
-  minimum directly;
+* the dominant shuffle is round 0's groupBy + the first contraction
+  (both corpus-sized, shuffled on node id); every later round touches
+  only surviving inter-component edges. AQE coalesces small partitions
+  and splits skewed hubs (skewJoin enabled in spark_util.tuned_session);
+  a celebrity sameAs hub collapses in round 0 since all neighbors adopt
+  its minimum in the map-side partial min;
 * per-round ``localCheckpoint`` truncates lineage so the plan stays flat
   across iterations (no exponential reoptimization);
-* convergence is detected with a single-row aggregate fingerprint over
-  the already-checkpointed labels, one cheap job per round, O(1) driver
-  memory.
+* convergence is detected with ``isEmpty()`` on the contracted edge
+  graph — a limit-1 probe on the (shrinking) frontier, not a full-label
+  aggregate.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _fingerprint(labels: DataFrame) -> int:
-    row = labels.agg(
-        F.coalesce(F.sum(F.hash("node", "component")), F.lit(0)).alias("h")
-    ).collect()[0]
-    return int(row["h"])
 
 
 def _jump(labels: DataFrame) -> DataFrame:
@@ -71,52 +66,100 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         .distinct()
     )
-    # materialize once in both directions: every subsequent round does a
-    # single equi-join instead of one join per direction
+    # materialize once in both directions for the fused first round
     bidir = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
     # fused round 0: label(v) = min(v, min neighbor) straight off the
-    # edge list — no join needed for the first propagation. The lazy
-    # checkpoint is materialized by the fingerprint action, so each
-    # round costs exactly one Spark job.
+    # edge list — no join needed for the first propagation — then two
+    # pointer jumps (label-sized self-joins, each halves the remaining
+    # pointer-path length)
     labels = (
         bidir.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.min("dst"), F.min("src")).alias("component"))
-        .localCheckpoint(eager=False)
     )
+    labels = _jump(_jump(labels)).localCheckpoint(eager=False)
 
-    prev = _fingerprint(labels)
+    # contraction loop: every subsequent round runs on the LABEL graph —
+    # only the surviving inter-component edges, rewritten through the
+    # current assignment — instead of re-joining the full edge list each
+    # round (the stress profile of the join-every-round formulation was
+    # ~6 full-volume shuffles; contraction makes round n+1's volume the
+    # edges still merging, which shrinks geometrically). Invariants:
+    # every label is a node id inside its own component and only ever
+    # decreases, and the component minimum m keeps label m throughout
+    # (its neighbors — original or contracted — are all larger), so on
+    # convergence (no inter-label edges left) every label equals the
+    # component min, exactly the contract the oracles replay.
+    def _contract(g: DataFrame, lab: DataFrame) -> DataFrame:
+        a = g.join(
+            lab.select(
+                F.col("node").alias("src"), F.col("component").alias("_sa")
+            ),
+            "src",
+            "left",
+        ).join(
+            lab.select(
+                F.col("node").alias("dst"), F.col("component").alias("_da")
+            ),
+            "dst",
+            "left",
+        ).select(
+            F.coalesce("_sa", "src").alias("src"),
+            F.coalesce("_da", "dst").alias("dst"),
+        )
+        return (
+            a.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    g = _contract(e, labels)
     converged = False
     for _round in range(max_iter):
-        # 1. neighbor-min: every node proposes its label to its neighbors
-        msgs = (
-            bidir.join(labels.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), "component")
-        )
-        labels = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        # 2. double pointer jump: follow the label chain two steps —
-        # node-sized self-joins, cheap next to the edge join, and each
-        # halves the remaining pointer-path length
-        labels = _jump(_jump(labels)).localCheckpoint(eager=False)
-        cur = _fingerprint(labels)
-        if cur == prev:
+        if g.isEmpty():
             converged = True
             break
-        prev = cur
+        gb = g.union(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        l2 = gb.groupBy(F.col("src").alias("node")).agg(
+            F.least(F.min("dst"), F.min("src")).alias("component")
+        )
+        l2 = _jump(_jump(l2)).localCheckpoint(eager=False)
+        # fold the contracted round into the full assignment: a node's
+        # label is itself a contracted-graph node, so one label-keyed
+        # left join pointer-jumps EVERY member of a merging class at once
+        labels = (
+            labels.join(
+                l2.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("_nc"),
+                ),
+                "component",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("_nc", "component").alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        g = _contract(g, l2)
 
     if not converged:
-        # pointer jumping covers diameter ~2^max_iter, so hitting the cap
-        # means something is structurally wrong — returning partial
-        # components would silently merge/split entities downstream
+        # each round contracts paths ≥4× (neighbor-min + two jumps), so
+        # hitting the cap means something is structurally wrong —
+        # returning partial components would silently merge/split
+        # entities downstream
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"(pointer jumping covers diameter ~2^{max_iter}); raise max_iter"
+            f"(contraction covers diameter ~4^{max_iter}); raise max_iter"
         )
     return labels
 

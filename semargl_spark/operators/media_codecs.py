@@ -182,6 +182,339 @@ def resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
     return encode_bmp(new_w, new_h, out)
 
 
+# ------------------------------------------------------------- µ-law audio
+
+def mulaw_decode_byte(b: int) -> int:
+    """G.711 µ-law code byte → linear 16-bit sample. Pure arithmetic
+    (u = 255-b; magnitude = (mant·8 + 132)·2^exp − 132), so a SQL
+    oracle recomputes it with integer expressions, no table."""
+    u = (~b) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84) << exp
+    mag -= 0x84
+    return -mag if sign else mag
+
+
+def mulaw_encode_sample(x: int) -> int:
+    """Linear 16-bit sample → µ-law code byte (G.711 segment search).
+    Inverse of :func:`mulaw_decode_byte` up to quantization."""
+    BIAS, CLIP = 0x84, 32635
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x = min(x, CLIP) + BIAS
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not (x & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def decode_wav_mulaw(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a µ-law (format tag 7) RIFF/WAVE blob → (rate, channels,
+    linear samples of channel 0). Same chunk walk as :func:`decode_wav`
+    but each stored byte is a G.711 code expanded through
+    :func:`mulaw_decode_byte`."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaFormatError("not a RIFF/WAVE blob")
+    pos = 12
+    rate = channels = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise MediaFormatError("fmt chunk too short")
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 7:
+                raise MediaFormatError(
+                    f"not a mu-law WAV (format tag {fmt_tag})"
+                )
+            if bits != 8:
+                raise MediaFormatError(f"mu-law must be 8-bit, got {bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if rate is None or data is None or channels in (None, 0):
+        raise MediaFormatError("missing fmt or data chunk")
+    return rate, channels, [
+        mulaw_decode_byte(data[i]) for i in range(0, len(data), channels)
+    ]
+
+
+def encode_wav_mulaw(rate: int, channels: int, codes: list[int]) -> bytes:
+    """Build a µ-law WAV from raw code bytes (replicated per channel)."""
+    frame = b"".join(bytes([c & 0xFF]) * channels for c in codes)
+    block = channels
+    fmt = struct.pack("<HHIIHH", 7, channels, rate, rate * block, block, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def mulaw_features(payload: bytes) -> list[float]:
+    """Same 8 integer statistics as :func:`wav_features`, over the
+    µ-law-expanded samples."""
+    rate, channels, s = decode_wav_mulaw(payload)
+    n = len(s)
+    zc = sum(
+        1 for i in range(1, n)
+        if (s[i - 1] < 0 <= s[i]) or (s[i] < 0 <= s[i - 1])
+    )
+    return [
+        float(channels),
+        float(rate),
+        float(n),
+        float(sum(abs(x) for x in s)),
+        float(zc),
+        float(max((abs(x) for x in s), default=0)),
+        float(sum(x * x for x in s) % (1 << 24)),
+        float(s[0]) if n else 0.0,
+    ]
+
+
+# --------------------------------------------------------------------- GIF
+
+def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> list[int]:
+    """GIF-variant LZW → color-index list. Variable code width starting
+    at min_code_size+1, CLEAR resets the table, EOI terminates; the
+    table grows by prev+head(current) per emitted code (width bumps at
+    2^width, capped at 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    prev: list[int] | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = bits = 0
+    pos = 0
+    while pos < len(data) or bits >= width:
+        while bits < width and pos < len(data):
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        if bits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise MediaFormatError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise MediaFormatError("LZW stream ended early")
+    return out[:n_expected]
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse a non-interlaced GIF87a/89a (first image, global color
+    table) → (width, height, rows of (r,g,b) top-down). REAL decode:
+    sub-block reassembly + the full variable-width LZW with table
+    growth, CLEAR and EOI handling. Extensions are skipped; interlace
+    and local color tables are rejected explicitly."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaFormatError("not a GIF blob")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise MediaFormatError("GIF without a global color table")
+    gct_size = 2 << (flags & 7)
+    if pos + 3 * gct_size > len(payload):
+        raise MediaFormatError("truncated global color table")
+    palette = [
+        (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+         payload[pos + 3 * i + 2])
+        for i in range(gct_size)
+    ]
+    pos += 3 * gct_size
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            raise MediaFormatError("GIF has no image data")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise MediaFormatError("truncated image descriptor")
+            _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if iflags & 0x80:
+                raise MediaFormatError("local color tables unsupported")
+            if iflags & 0x40:
+                raise MediaFormatError("interlaced GIF unsupported")
+            if iw != width or ih != height:
+                width, height = iw, ih  # sub-rectangle = whole frame here
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + n])
+                pos += 1 + n
+            idx = _lzw_decode(min_code, b"".join(chunks), width * height)
+            try:
+                return width, height, [
+                    [palette[idx[y * width + x]] for x in range(width)]
+                    for y in range(height)
+                ]
+            except IndexError:
+                raise MediaFormatError("palette index out of range") from None
+        raise MediaFormatError(f"unexpected GIF block 0x{b:02x}")
+    raise MediaFormatError("truncated GIF")
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    rows: list[list[tuple[int, int, int]]],
+    palette: list[tuple[int, int, int]],
+) -> bytes:
+    """Build a GIF89a from top-down rows whose colors all appear in
+    ``palette`` (≤ 256 entries). The LZW stream uses the real growing
+    code table (same construction as any standard encoder), so decoding
+    exercises table growth and width bumps, not just literals."""
+    import math
+
+    n = max(2, 1 << max(1, math.ceil(math.log2(max(len(palette), 2)))))
+    if n > 256:
+        raise MediaFormatError("palette too large")
+    pal = palette + [(0, 0, 0)] * (n - len(palette))
+    lut = {c: i for i, c in enumerate(palette)}
+    try:
+        indexes = [lut[px] for row in rows for px in row]
+    except KeyError:
+        raise MediaFormatError("pixel color missing from palette") from None
+    min_code = max(2, n.bit_length() - 1)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    # LZW encode with the growing-string table
+    codes: list[tuple[int, int]] = []  # (code, width)
+    width_bits = min_code + 1
+    table = {(-1, i): i for i in range(clear)}
+    next_code = eoi + 1
+    codes.append((clear, width_bits))
+    cur = -1
+    for sym in indexes:
+        if (cur, sym) in table:
+            cur = table[(cur, sym)]
+            continue
+        codes.append((cur, width_bits))
+        if next_code < 4096:
+            table[(cur, sym)] = next_code
+            next_code += 1
+            # deferred bump: the decoder creates each entry one code
+            # AFTER the encoder does (its first read adds nothing), so
+            # the encoder grows its width one entry later than the
+            # count rule — at capacity+1, not capacity — to stay in
+            # sync with the decoder's read width
+            if next_code == (1 << width_bits) + 1 and width_bits < 12:
+                width_bits += 1
+        cur = sym
+    if cur != -1:
+        codes.append((cur, width_bits))
+    codes.append((eoi, width_bits))
+    acc = bits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(out) - i)]) + bytes(out[i:i + 255])
+        for i in range(0, len(out), 255)
+    ) + b"\x00"
+    gct = b"".join(bytes(c) for c in pal)
+    flags = 0x80 | (n.bit_length() - 2)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, flags, 0, 0)
+        + gct
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code])
+        + blocks
+        + b"\x3B"
+    )
+
+
+def resize_gif(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample (floor mapping, matching
+    :func:`resize_bmp`) re-encoded as GIF. The output palette is the
+    sorted set of surviving colors — deterministic, and the decoded
+    pixels are what the gates compare."""
+    w, h, rows = decode_gif(payload)
+    out = [
+        [rows[y * h // new_h][x * w // new_w] for x in range(new_w)]
+        for y in range(new_h)
+    ]
+    pal = sorted({px for row in out for px in row})
+    return encode_gif(new_w, new_h, out, pal)
+
+
+def gif_features(payload: bytes) -> list[float]:
+    """Same 8 integer statistics as :func:`bmp_features`, over the
+    decoded GIF pixels."""
+    w, h, rows = decode_gif(payload)
+    sr = sg = sb = rg = 0
+    for row in rows:
+        for (r, g, b) in row:
+            sr += r
+            sg += g
+            sb += b
+            if r > g:
+                rg += 1
+    return [
+        float(w),
+        float(h),
+        float(sr),
+        float(sg),
+        float(sb),
+        float(rg),
+        float(rows[0][0][0]),
+        float(rows[h - 1][w - 1][2]),
+    ]
+
+
 # --------------------------------------------------------------------- PNG
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

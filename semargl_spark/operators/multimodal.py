@@ -57,16 +57,17 @@ FEATURES_SCHEMA = StructType(
 
 class DecodeUnavailable(NotImplementedError):
     """Raised by the real decode path for formats whose codecs are not
-    installed in this environment (compressed image/video/audio). WAV-PCM
-    and 24-bit BMP decode for real via the pure-Python codecs in
-    :mod:`.media_codecs`; wire PIL/ffmpeg here for the rest on a cluster
-    image that ships them."""
+    installed in this environment (JPEG, compressed video/audio).
+    WAV-PCM, G.711 µ-law WAV, 24-bit BMP, 8-bit PNG, and GIF decode
+    for real via the pure-Python codecs in :mod:`.media_codecs`; wire
+    PIL/ffmpeg here for the rest on a cluster image that ships them."""
 
 
 def real_decode(payload: bytes, mime: str):
-    """Real decode dispatch. ``audio/wav`` and ``image/bmp`` parse the
-    actual container bytes (media_codecs.py); everything else needs a
-    codec library this container doesn't ship."""
+    """Real decode dispatch. ``audio/wav``, ``audio/basic`` (µ-law),
+    ``image/bmp``, ``image/png``, and ``image/gif`` parse the actual
+    container bytes (media_codecs.py); everything else needs a codec
+    library this container doesn't ship."""
     from . import media_codecs
 
     if mime == "audio/wav":
@@ -75,6 +76,10 @@ def real_decode(payload: bytes, mime: str):
         return media_codecs.bmp_features(payload)
     if mime == "image/png":
         return media_codecs.png_features(payload)
+    if mime == "audio/basic":
+        return media_codecs.mulaw_features(payload)
+    if mime == "image/gif":
+        return media_codecs.gif_features(payload)
     raise DecodeUnavailable(
         f"no codec for {mime}: install PIL/ffmpeg in the cluster image"
     )
@@ -160,11 +165,50 @@ def synth_png_payload(did: int) -> bytes:
     return encode_png(w, h, rows)
 
 
+def synth_mulaw_payload(did: int) -> bytes:
+    """Closed-form G.711 µ-law WAV for doc ``did``: mono 8 kHz,
+    ``64 + did % 64`` code bytes ``c[i] = (did*7 + i*13) % 256`` stored
+    directly (every byte is a valid µ-law code), so the expanded linear
+    samples — and every feature statistic — are pure integer functions
+    of (did, i) a SQL oracle replays with the segment-expansion
+    formula."""
+    from .media_codecs import encode_wav_mulaw
+
+    n = 64 + did % 64
+    return encode_wav_mulaw(
+        8000, 1, [(did * 7 + i * 13) % 256 for i in range(n)]
+    )
+
+
+def _gif_palette() -> list[tuple[int, int, int]]:
+    # unique tuples (i*7+1 is a mod-256 bijection) so the encoder's
+    # color->index lut is well-defined
+    return [((i * 7 + 1) % 256, (i * 3) % 256, (i * 5) % 256)
+            for i in range(256)]
+
+
+def synth_gif_payload(did: int) -> bytes:
+    """Closed-form GIF for doc ``did``: same dimensions as the BMP/PNG
+    payloads, pixel (x, y) = palette[(did + 7x + 13y) % 256] with the
+    fixed bijective palette — the decoded r/g/b are affine functions of
+    the index, so the oracle stays closed-form while the payload goes
+    through a REAL growing-table LZW stream."""
+    from .media_codecs import encode_gif
+
+    w, h = 8 + did % 5, 8 + did % 7
+    pal = _gif_palette()
+    rows = [
+        [pal[(did + 7 * x + 13 * y) % 256] for x in range(w)]
+        for y in range(h)
+    ]
+    return encode_gif(w, h, rows, pal)
+
+
 def synth_real_media(spark, sf_dir: str) -> DataFrame:
-    """Deterministic REAL media table: genuine WAV blobs (doc ids ≡ 0
-    mod 3), BMP blobs (≡ 1), and PNG blobs (≡ 2), built executor-side
-    per Arrow batch — the payloads parse with any standards-conforming
-    reader."""
+    """Deterministic REAL media table: genuine PCM WAV blobs (doc ids
+    ≡ 0 mod 5), 24-bit BMP (≡ 1), PNG (≡ 2), µ-law WAV (≡ 3), and GIF
+    (≡ 4), built executor-side per Arrow batch — the payloads parse
+    with any standards-conforming reader."""
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -186,15 +230,22 @@ def synth_real_media(spark, sf_dir: str) -> DataFrame:
             mids, mimes, blobs = [], [], []
             for did in rb.column(0).to_pylist():
                 mids.append(f"m{did}")
-                if did % 3 == 0:
+                k = did % 5
+                if k == 0:
                     mimes.append("audio/wav")
                     blobs.append(synth_wav_payload(did))
-                elif did % 3 == 1:
+                elif k == 1:
                     mimes.append("image/bmp")
                     blobs.append(synth_bmp_payload(did))
-                else:
+                elif k == 2:
                     mimes.append("image/png")
                     blobs.append(synth_png_payload(did))
+                elif k == 3:
+                    mimes.append("audio/basic")
+                    blobs.append(synth_mulaw_payload(did))
+                else:
+                    mimes.append("image/gif")
+                    blobs.append(synth_gif_payload(did))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(mids, pa.string()),
@@ -209,12 +260,12 @@ def synth_real_media(spark, sf_dir: str) -> DataFrame:
 
 def resize_real(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize: decode → nearest-neighbor resample → re-encode per
-    Arrow batch. BMP and PNG in this container (media_codecs.resize_bmp
-    / resize_png); other mimes raise :class:`DecodeUnavailable` —
-    filter first."""
+    Arrow batch. BMP, PNG, and GIF in this container
+    (media_codecs.resize_bmp / resize_png / resize_gif); other mimes
+    raise :class:`DecodeUnavailable` — filter first."""
     import pyarrow as pa
 
-    from .media_codecs import resize_bmp, resize_png
+    from .media_codecs import resize_bmp, resize_gif, resize_png
 
     src = media.select("media_id", "mime", "payload")
     out_schema = StructType(
@@ -249,6 +300,8 @@ def resize_real(media: DataFrame, width: int, height: int) -> DataFrame:
                     resized = resize_bmp(bytes(payload), width, height)
                 elif mime == "image/png":
                     resized = resize_png(bytes(payload), width, height)
+                elif mime == "image/gif":
+                    resized = resize_gif(bytes(payload), width, height)
                 else:
                     raise DecodeUnavailable(
                         f"real resize needs a codec for {mime}"

@@ -2124,13 +2124,15 @@ def _real_feature_cols(feats: DataFrame) -> DataFrame:
 
 def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec decode (no sha256 fake anywhere in this path): genuine
-    RIFF/PCM WAV, 24-bit BMP, and zlib-compressed truecolor PNG
-    payloads (cycling through all five scanline filters) are synthesized
-    executor-side from closed forms of doc_id, then byte-level parsed by
-    the pure-Python codecs (operators/media_codecs.py) inside the same
-    mapInArrow stage as media_features. The oracle recomputes every
-    waveform/pixel statistic analytically — BMP and PNG share one pixel
-    formula, so one image branch covers both codecs."""
+    RIFF/PCM WAV, 24-bit BMP, zlib-compressed truecolor PNG (cycling
+    through all five scanline filters), G.711 µ-law WAV, and
+    LZW-compressed GIF payloads are synthesized executor-side from
+    closed forms of doc_id, then byte-level parsed by the pure-Python
+    codecs (operators/media_codecs.py) inside the same mapInArrow stage
+    as media_features. The oracle recomputes every waveform/pixel
+    statistic analytically — BMP and PNG share one pixel formula, µ-law
+    expands through the integer segment formula, and GIF maps indexes
+    through the bijective affine palette."""
     from .operators import multimodal
 
     media = multimodal.synth_real_media(spark, sf_dir)
@@ -2143,7 +2145,7 @@ WITH d AS (SELECT CAST(doc_id AS INT) AS did FROM documents),
 wav AS (
   SELECT did, list_transform(range(0, 64 + did % 64),
                  i -> ((did*31 + CAST(i AS INT)*7) % 256) - 128) AS smp
-  FROM d WHERE did % 3 = 0),
+  FROM d WHERE did % 5 = 0),
 wavf AS (
   SELECT 'm'||did AS media_id, 0 AS frame_idx,
          CAST(1 AS BIGINT) AS f0, CAST(8000 AS BIGINT) AS f1,
@@ -2157,8 +2159,9 @@ wavf AS (
          CAST(list_sum(list_transform(smp, x -> x*x)) % 16777216 AS BIGINT) AS f6,
          CAST(smp[1] AS BIGINT) AS f7
   FROM wav),
--- dids ≡ 1 mod 3 are BMP, ≡ 2 mod 3 are PNG; identical pixel formula
-bmp AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h FROM d WHERE did % 3 > 0),
+-- dids ≡ 1 mod 5 are BMP, ≡ 2 mod 5 are PNG; identical pixel formula
+bmp AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h FROM d
+        WHERE did % 5 IN (1, 2)),
 px AS (
   SELECT did, w, h,
          list_transform(range(0, w*h), p -> (did + 7*(CAST(p AS INT) % w)
@@ -2178,22 +2181,70 @@ bmpf AS (
               i -> rs[CAST(i AS INT)] > gs[CAST(i AS INT)])) AS BIGINT) AS f5,
          CAST(did % 256 AS BIGINT) AS f6,
          CAST((5*did + (w-1)*(h-1)) % 256 AS BIGINT) AS f7
-  FROM px)
+  FROM px),
+-- mu-law (did % 5 = 3): code c -> u = 255-c, sign = u >= 128,
+-- e = (u//16) % 8, m = u % 16, |s| = (m*8+132)*2^e - 132
+mu AS (SELECT did,
+         list_transform(range(0, 64 + did % 64),
+           i -> (did*7 + CAST(i AS INT)*13) % 256) AS cs
+       FROM d WHERE did % 5 = 3),
+mud AS (SELECT did,
+          list_transform(cs, c -> CASE WHEN (255 - c) >= 128 THEN
+              -((((255 - c) % 16) * 8 + 132)
+                * (1 << (((255 - c) // 16) % 8)) - 132)
+            ELSE ((((255 - c) % 16) * 8 + 132)
+                * (1 << ((255 - c) // 16)) - 132) END) AS smp
+        FROM mu),
+muf AS (
+  SELECT 'm'||did AS media_id, 0 AS frame_idx,
+         CAST(1 AS BIGINT) AS f0, CAST(8000 AS BIGINT) AS f1,
+         CAST(len(smp) AS BIGINT) AS f2,
+         CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS f3,
+         CAST(len(list_filter(range(1, len(smp)),
+              i -> (smp[CAST(i AS INT)] < 0 AND smp[CAST(i AS INT)+1] >= 0)
+                OR (smp[CAST(i AS INT)+1] < 0 AND smp[CAST(i AS INT)] >= 0)))
+              AS BIGINT) AS f4,
+         CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS f5,
+         CAST(list_sum(list_transform(smp, x -> x*x)) % 16777216 AS BIGINT) AS f6,
+         CAST(smp[1] AS BIGINT) AS f7
+  FROM mud),
+-- gif (did % 5 = 4): pixel index p -> palette (7i+1, 3i, 5i) mod 256
+gif AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h
+        FROM d WHERE did % 5 = 4),
+gx AS (
+  SELECT did, w, h,
+         list_transform(range(0, w*h),
+           p -> (did + 7*(CAST(p AS INT) % w)
+                 + 13*(CAST(p AS INT) // w)) % 256) AS ix
+  FROM gif),
+giff AS (
+  SELECT 'm'||did AS media_id, 0 AS frame_idx,
+         CAST(w AS BIGINT) AS f0, CAST(h AS BIGINT) AS f1,
+         CAST(list_sum(list_transform(ix, i -> (i*7 + 1) % 256)) AS BIGINT) AS f2,
+         CAST(list_sum(list_transform(ix, i -> (i*3) % 256)) AS BIGINT) AS f3,
+         CAST(list_sum(list_transform(ix, i -> (i*5) % 256)) AS BIGINT) AS f4,
+         CAST(len(list_filter(ix, i -> (i*7 + 1) % 256 > (i*3) % 256))
+              AS BIGINT) AS f5,
+         CAST(((did % 256)*7 + 1) % 256 AS BIGINT) AS f6,
+         CAST((((did + 7*(w-1) + 13*(h-1)) % 256)*5) % 256 AS BIGINT) AS f7
+  FROM gx)
 SELECT * FROM wavf UNION ALL SELECT * FROM bmpf
+UNION ALL SELECT * FROM muf UNION ALL SELECT * FROM giff
 """
 
 
 def q_media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL resize: decode the genuine BMP and PNG payloads, nearest-
-    neighbor resample to 4×4, re-encode in the source format, then
-    re-decode the resized bytes and gate the resulting pixel
+    """REAL resize: decode the genuine BMP, PNG, and GIF payloads,
+    nearest-neighbor resample to 4×4, re-encode in the source format,
+    then re-decode the resized bytes and gate the resulting pixel
     statistics. Exercises decode → resample → encode → decode
     end-to-end with zero fakes, through a real zlib stream on the PNG
-    side."""
+    side and a real growing-table LZW stream (both directions) on the
+    GIF side."""
     from .operators import multimodal
 
     media = multimodal.synth_real_media(spark, sf_dir).filter(
-        F.col("mime").isin("image/bmp", "image/png")
+        F.col("mime").isin("image/bmp", "image/png", "image/gif")
     )
     resized = multimodal.resize_media(media, 4, 4, use_fake=False)
     feats = multimodal.extract_features(resized, use_fake=False)
@@ -2202,7 +2253,7 @@ def q_media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["media_real_resize"] = """
 WITH d AS (SELECT CAST(doc_id AS INT) AS did FROM documents
-           WHERE CAST(doc_id AS INT) % 3 > 0),
+           WHERE CAST(doc_id AS INT) % 5 IN (1, 2)),
 dim AS (SELECT did, 8 + did % 5 AS w, 8 + did % 7 AS h FROM d),
 -- nearest-neighbor source coordinates for target pixel p of a 4x4 grid:
 -- sx = (p % 4) * w // 4, sy = (p // 4) * h // 4  (floor mapping)
@@ -2226,6 +2277,26 @@ SELECT 'm'||did AS media_id, 0 AS frame_idx,
        CAST(rs[1] AS BIGINT) AS f6,
        CAST(bs[16] AS BIGINT) AS f7
 FROM px
+UNION ALL
+-- gif (did % 5 = 4): resampled index through the affine palette
+SELECT 'm'||did AS media_id, 0 AS frame_idx,
+       CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(list_sum(list_transform(ix, i -> (i*7 + 1) % 256)) AS BIGINT),
+       CAST(list_sum(list_transform(ix, i -> (i*3) % 256)) AS BIGINT),
+       CAST(list_sum(list_transform(ix, i -> (i*5) % 256)) AS BIGINT),
+       CAST(len(list_filter(ix, i -> (i*7 + 1) % 256 > (i*3) % 256))
+            AS BIGINT),
+       CAST((ix[1]*7 + 1) % 256 AS BIGINT),
+       CAST((ix[16]*5) % 256 AS BIGINT)
+FROM (
+  SELECT did,
+    list_transform(range(0, 16),
+      p -> (did + 7*((CAST(p AS INT) % 4) * w // 4)
+            + 13*((CAST(p AS INT) // 4) * h // 4)) % 256) AS ix
+  FROM (SELECT CAST(doc_id AS INT) AS did,
+               8 + CAST(doc_id AS INT) % 5 AS w,
+               8 + CAST(doc_id AS INT) % 7 AS h
+        FROM documents WHERE CAST(doc_id AS INT) % 5 = 4))
 """
 
 

@@ -312,3 +312,113 @@ def test_real_decode_dispatch_png():
     )
     with pytest.raises(DecodeUnavailable):
         real_decode(b"xx", "video/mp4")
+
+
+# ------------------------------------------------------------ µ-law + GIF
+
+def test_mulaw_codec_roundtrip_all_codes():
+    from semargl_spark.operators.media_codecs import (
+        decode_wav_mulaw, encode_wav_mulaw, mulaw_decode_byte,
+        mulaw_encode_sample,
+    )
+
+    # every byte is a valid code; encode(decode(b)) must re-quantize to
+    # the same linear value
+    for b in range(256):
+        x = mulaw_decode_byte(b)
+        assert mulaw_decode_byte(mulaw_encode_sample(x)) == x
+    # segment formula spot checks: 0xFF -> 0, 0x7F -> -0
+    assert mulaw_decode_byte(0xFF) == 0
+    assert mulaw_decode_byte(0x7F) == 0
+    codes = [(i * 37 + 11) % 256 for i in range(100)]
+    blob = encode_wav_mulaw(8000, 2, codes)
+    r, ch, s = decode_wav_mulaw(blob)
+    assert (r, ch) == (8000, 2)
+    assert s == [mulaw_decode_byte(c) for c in codes]
+    assert decode_wav_mulaw(blob + b"|f0")[2] == s
+    # a PCM wav must be rejected by the mulaw decoder and vice versa
+    with pytest.raises(MediaFormatError, match="format tag"):
+        decode_wav_mulaw(encode_wav(8000, 1, [1, 2, 3]))
+
+
+def test_mulaw_matches_stdlib_audioop_table():
+    # cross-check the segment expansion against the classic reference
+    # table values (G.711): code 0x00 is the most negative magnitude
+    from semargl_spark.operators.media_codecs import mulaw_decode_byte
+
+    assert mulaw_decode_byte(0x00) == -8031 * 4 + 0x84 - 0x84 - (0)  # == -32124
+    assert mulaw_decode_byte(0x00) == -32124
+    assert mulaw_decode_byte(0x80) == 32124
+    assert mulaw_decode_byte(0xFE) == 8
+
+
+def test_gif_roundtrip_with_table_growth():
+    from semargl_spark.operators.media_codecs import decode_gif, encode_gif
+
+    pal = [(i, (7 * i) % 256, (11 * i) % 256) for i in range(256)]
+    w, h = 33, 21
+    rows = [[pal[(x * 91 + y * 53) % 256] for x in range(w)]
+            for y in range(h)]
+    blob = encode_gif(w, h, rows, pal)
+    assert decode_gif(blob) == (w, h, rows)
+    assert decode_gif(blob + b"|f0") == (w, h, rows)
+    # small palettes exercise narrow code widths
+    pal4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    rows4 = [[pal4[(x + y) % 4] for x in range(7)] for y in range(5)]
+    assert decode_gif(encode_gif(7, 5, rows4, pal4)) == (7, 5, rows4)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**31))
+def test_gif_roundtrip_property(w, h, seed):
+    from semargl_spark.operators.media_codecs import decode_gif, encode_gif
+
+    pal = [((i * 7 + 1) % 256, (i * 3) % 256, (i * 5) % 256)
+           for i in range(256)]
+    rows = [[pal[(seed + 7 * x + 13 * y) % 256] for x in range(w)]
+            for y in range(h)]
+    assert decode_gif(encode_gif(w, h, rows, pal)) == (w, h, rows)
+
+
+def test_gif_rejects_malformed():
+    from semargl_spark.operators.media_codecs import decode_gif, encode_gif
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = encode_gif(2, 2, [[pal[0], pal[1]], [pal[1], pal[0]]], pal)
+    with pytest.raises(MediaFormatError, match="not a GIF"):
+        decode_gif(b"JUNK" + good[4:])
+    with pytest.raises(MediaFormatError):
+        decode_gif(good[:20])
+    # truncated LZW data: chop the image sub-blocks
+    i = good.index(b"\x2C")
+    with pytest.raises(MediaFormatError):
+        decode_gif(good[:i + 11] + b"\x00" + good[-1:])
+
+
+def test_gif_resize_and_real_decode_dispatch():
+    from semargl_spark.operators.media_codecs import (
+        decode_gif, gif_features, mulaw_features, resize_gif,
+    )
+    from semargl_spark.operators.multimodal import (
+        synth_gif_payload, synth_mulaw_payload,
+    )
+
+    for did in (4, 9, 19):
+        w, h = 8 + did % 5, 8 + did % 7
+        f = gif_features(synth_gif_payload(did))
+        idx = [(did + 7 * x + 13 * y) % 256
+               for y in range(h) for x in range(w)]
+        assert f[0] == w and f[1] == h
+        assert f[2] == sum((i * 7 + 1) % 256 for i in idx)
+        assert f[3] == sum((i * 3) % 256 for i in idx)
+        assert f[4] == sum((i * 5) % 256 for i in idx)
+    small = decode_gif(resize_gif(synth_gif_payload(9), 4, 4))
+    assert (small[0], small[1]) == (4, 4)
+    mf = mulaw_features(synth_mulaw_payload(3))
+    assert mf[0] == 1.0 and mf[1] == 8000.0 and mf[2] == 64 + 3 % 64
+    assert real_decode(synth_gif_payload(4), "image/gif") == gif_features(
+        synth_gif_payload(4)
+    )
+    assert real_decode(
+        synth_mulaw_payload(3), "audio/basic"
+    ) == mulaw_features(synth_mulaw_payload(3))
