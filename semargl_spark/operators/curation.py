@@ -1401,3 +1401,55 @@ def curriculum_order(
             (F.col("__rank") + F.col("__off")).cast("long").alias("pos"),
         )
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    k: int = 10,
+    n_salts: int = 16,
+    id_col="doc_id",
+    url_col="url",
+    text_col="text",
+) -> DataFrame:
+    """Per-domain document cap → (domain, doc_id, quality, rank): keep
+    the best ``k`` documents of each REGISTERED domain (last two host
+    labels) by the blended quality score — the RefinedWeb/C4-style
+    guard against one crawler-friendly site dominating the corpus.
+
+    Skew-safe like :func:`quality_topk`: web domains are zipf-extreme
+    (one host can be >10 % of a crawl), so phase 1 salts the window to
+    (domain, id mod n_salts) and keeps k per salt, phase 2 re-ranks
+    the ≤ n_salts·k survivors — exact, and never funnels a hot domain
+    through one reducer. URL parsing is two Catalyst regexes (scheme
+    strip + last-two-labels), whole-stage codegen.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import quality_col
+
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        domain.alias("domain"),
+        quality_col(text_col).alias("quality"),
+        (F.col(id_col) % n_salts).cast("int").alias("salt"),
+    )
+    w1 = Window.partitionBy("domain", "salt").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    survivors = (
+        staged.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("domain").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        survivors.withColumn(
+            "rank", F.row_number().over(w2).cast("int")
+        )
+        .filter(F.col("rank") <= k)
+        .select("domain", "doc_id", "quality", "rank")
+    )

@@ -1214,3 +1214,83 @@ def textrank_segments(
             "segment",
         )
     )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode normalization pass → (doc_id, text_norm, changed,
+    n_chars_raw, n_chars_norm): NFC composition, C0 control stripping
+    (tab and newline survive), and horizontal-whitespace collapse with
+    outer trim — the canonical first stage of a pretraining text
+    pipeline, where un-normalized combining sequences defeat exact
+    dedup and token counts.
+
+    NFC has no Catalyst expression, so this is one ``mapInArrow``
+    batch pass (the same documented Python seam as the parser
+    kernels); the regex passes use classes with identical semantics in
+    Python ``re`` and the oracle's RE2. Shape: a narrow 1→1 projection
+    — no shuffle, no driver involvement; peak memory one Arrow batch.
+    """
+    import re as _re
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    out_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text_norm", StringType(), True),
+        StructField("changed", BooleanType(), True),
+        StructField("n_chars_raw", IntegerType(), True),
+        StructField("n_chars_norm", IntegerType(), True),
+    ])
+    arrow_schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("text_norm", pa.string()),
+        ("changed", pa.bool_()),
+        ("n_chars_raw", pa.int32()),
+        ("n_chars_norm", pa.int32()),
+    ])
+    ctrl = _re.compile("[\x00-\x08\x0b-\x1f\x7f]")
+    hspace = _re.compile("[ \t]+")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            norms, chg, nr, nn = [], [], [], []
+            for t in texts:
+                if t is None:
+                    norms.append(None)
+                    chg.append(None)
+                    nr.append(None)
+                    nn.append(None)
+                    continue
+                s = unicodedata.normalize("NFC", t)
+                s = ctrl.sub("", s)
+                s = hspace.sub(" ", s).strip()
+                norms.append(s)
+                chg.append(s != t)
+                nr.append(len(t))
+                nn.append(len(s))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(norms, pa.string()),
+                    pa.array(chg, pa.bool_()),
+                    pa.array(nr, pa.int32()),
+                    pa.array(nn, pa.int32()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return src.mapInArrow(run, schema=out_schema)

@@ -2656,6 +2656,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk_skew": q_quality_topk_skew,
         "entity_link_skew": q_entity_link_skew,
         "ann_recall_structured": q_ann_recall_structured,
+        "text_normalize": q_text_normalize,
+        "domain_cap": q_domain_cap,
     }
 
 
@@ -9589,4 +9591,93 @@ SELECT 'pq' AS method, CAST(10 AS INT) AS hits, 10 AS k,
        CAST(1000 AS BIGINT) AS recall_pm, TRUE AS meets_floor
 UNION ALL
 SELECT 'ivf_pq', CAST(10 AS INT), 10, CAST(1000 AS BIGINT), TRUE
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip + whitespace-collapse normalization
+    (text.normalize_text): each document gets a closed-form dirty
+    suffix — a combining acute that NFC composes into é, a BEL control
+    that must vanish, an ﬁ ligature NFC must preserve, and doubled
+    spaces that collapse — so the oracle replays the exact pass with
+    DuckDB's nfc_normalize + RE2 regexes."""
+    from .operators.text import normalize_text
+
+    dirty = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            # explicit combining sequence (e + U+0301): the Python NFC
+            # pass must COMPOSE it, not just pass through a precomposed
+            F.lit(" e\u0301 \x07 \ufb01  y\t\tz"),
+        ).alias("text"),
+    )
+    return normalize_text(dirty)
+
+
+ORACLES["text_normalize"] = r"""
+WITH dirty AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || ' e' || chr(769) || ' ' || chr(7) || ' '
+              || chr(64257) || '  y' || chr(9) || chr(9) || 'z' AS text
+  FROM documents),
+n AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(
+      regexp_replace(nfc_normalize(text), '[\x00-\x08\x0b-\x1f\x7f]',
+                     '', 'g'),
+      '[ \t]+', ' ', 'g')) AS text_norm
+  FROM dirty)
+SELECT doc_id, text_norm, text_norm <> text AS changed,
+       CAST(length(text) AS INT) AS n_chars_raw,
+       CAST(length(text_norm) AS INT) AS n_chars_norm
+FROM n
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (curation.domain_cap): synthetic URLs put ~1/7 of
+    the corpus on each registered domain (zipf-free but hot enough to
+    need the salted two-phase) — keep the quality top-10 per domain,
+    the RefinedWeb guard against a crawler-friendly site dominating
+    the mix."""
+    from .operators.curation import domain_cap
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://sub"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.element_at(
+                F.array(F.lit(".com"), F.lit(".org"), F.lit(".net")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return domain_cap(docs, k=10)
+
+
+ORACLES["domain_cap"] = rf"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        'site' || (doc_id % 7) ||
+        CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                        ELSE '.net' END AS domain,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+q AS (SELECT doc_id, domain,
+  round(least(len(w) / 64.0, 1.0) * 0.4 +
+        least((len(list_filter(w, x -> list_contains({_ALL_SW}, x))) /
+               greatest(len(w), 1)) * 4, 1.0) * 0.3 +
+        (len(list_distinct(w)) / greatest(len(w), 1)) * 0.3, 6) AS quality
+  FROM t),
+rk AS (SELECT domain, doc_id, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                                 ORDER BY quality DESC, doc_id) AS INT) AS rank
+       FROM q)
+SELECT domain, doc_id, quality, rank FROM rk WHERE rank <= 10
 """

@@ -1256,3 +1256,29 @@ def test_curriculum_order_buckets_then_hash(spark):
     assert {(r["doc_id"], r["pos"]) for r in out2} == {
         (r["doc_id"], r["pos"]) for r in out
     }
+
+
+def test_domain_cap_parses_urls_and_caps(spark):
+    from semargl_spark.operators.curation import domain_cap
+
+    rows = [
+        (i, f"https://www.hotsite.com/page/{i}", f"the and of doc {i} " + "w " * (i % 5))
+        for i in range(30)
+    ] + [
+        (100, "http://a.b.tiny.org/x", "the and unique text here"),
+        (101, "https://tiny.org/y", "the and another unique doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = domain_cap(df, k=5).collect()
+    by_domain = {}
+    for r in out:
+        by_domain.setdefault(r["domain"], []).append(r)
+    # registered domain = last two labels: www.hotsite.com -> hotsite.com
+    assert set(by_domain) == {"hotsite.com", "tiny.org"}
+    assert len(by_domain["hotsite.com"]) == 5          # capped
+    assert len(by_domain["tiny.org"]) == 2             # under cap
+    ranks = sorted(r["rank"] for r in by_domain["hotsite.com"])
+    assert ranks == [1, 2, 3, 4, 5]
+    # determinism at different parallelism
+    again = domain_cap(df.repartition(7), k=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -710,3 +710,30 @@ def test_textrank_segments_matches_python_mirror(spark):
     mirror = {k: v for k, v in mirror.items() if v}
     assert got == mirror
     assert 4 not in got  # blank doc emits nothing
+
+
+def test_normalize_text_nfc_controls_whitespace(spark):
+    import unicodedata
+
+    from semargl_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "compose é now"),          # -> é (single codepoint)
+        (2, "bell\x07strip\x00me"),
+        (3, "  lots \t of   space\t\t"),
+        (4, "keep\nnewlines\nand\ttabs-as-space"),
+        (5, None),
+        (6, "ﬁ ligature stays"),         # NFC preserves ﬁ
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert got[0]["text_norm"] == "plain ascii" and not got[0]["changed"]
+    assert got[1]["text_norm"] == "compose é now"
+    assert got[1]["changed"] and got[1]["n_chars_norm"] == got[1]["n_chars_raw"] - 1
+    assert got[2]["text_norm"] == "bellstripme"
+    assert got[3]["text_norm"] == "lots of space"
+    assert got[4]["text_norm"] == "keep\nnewlines\nand tabs-as-space"
+    assert got[5]["text_norm"] is None and got[5]["changed"] is None
+    assert got[6]["text_norm"] == "ﬁ ligature stays"
+    assert unicodedata.normalize("NFC", got[6]["text_norm"]) == got[6]["text_norm"]
