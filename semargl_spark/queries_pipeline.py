@@ -9475,7 +9475,6 @@ def q_entity_link_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("turn_idx"),
     )
     did, tix = F.col("did"), F.col("turn_idx")
-    e = F.lit(0)
     from .sources.transcripts import EPOCH_2024, zipf_level
 
     e = zipf_level((did * 31 + tix * 17) % 64)
