@@ -709,3 +709,12 @@ def test_ranking_metrics_empty_truth_zero_row(spark):
     row = ranking_metrics(scored, truth, ks=(1,)).collect()[0]
     assert (row["n_truth"], row["n_ranked"], row["mrr_micro"],
             row["hits1_pm"]) == (0, 0, 0, 0)
+
+
+def test_transitive_reduction2_empty_and_single_edge(spark):
+    from semargl_spark.operators.graph import transitive_reduction2
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert transitive_reduction2(empty).count() == 0
+    one = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert [(r["src"], r["dst"]) for r in transitive_reduction2(one).collect()] == [("a", "b")]

@@ -488,3 +488,44 @@ def test_stream_chat_render_ttl_reclaims_stale_state(spark, tmp_path):
     assert got["done"]["rendered"].count("<|end|>") == 4
     assert got["stale"]["rendered"].count("<|end|>") == 2  # partial emit
     assert got["stale"]["n_mask"] == 1
+
+
+def test_stream_chat_render_ttl_drop_discards_stale(spark, tmp_path):
+    """on_timeout='drop' (the default): the stale conversation's state
+    is reclaimed and nothing partial is emitted."""
+    import time
+
+    from semargl_spark.schema import TRANSCRIPTS_SCHEMA
+    from semargl_spark.streaming.stream_sft import stream_chat_render
+
+    a = [("stale", 0, "user", "u0", None, None)]
+    b = [("done", i, "user" if i % 2 == 0 else "assistant",
+          f"t{i}", None, None) for i in range(2)]
+    (tmp_path / "in").mkdir()
+    spark.createDataFrame(a, TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(tmp_path / "in"))
+    time.sleep(1.1)
+    spark.createDataFrame(b, TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(tmp_path / "in"))
+    stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "in")))
+    out = stream_chat_render(stream, expected_turns=2, ttl_ms=1)
+    q = (out.writeStream.format("memory").queryName("sft_ttl_drop")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.table("sft_ttl_drop").collect()
+            if any(r["conv_id"] == "done" for r in rows):
+                # give the timeout batch a moment to run, then confirm
+                # the stale conversation never surfaced
+                time.sleep(4)
+                rows = spark.table("sft_ttl_drop").collect()
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sorted(r["conv_id"] for r in rows) == ["done"]
