@@ -53,7 +53,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
-            if clen < 16:
+            # len(body), not clen: a truncated payload can declare a
+            # full-size chunk whose bytes are missing
+            if len(body) < 16:
                 raise MediaFormatError("fmt chunk too short")
             fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
@@ -229,7 +231,9 @@ def decode_wav_mulaw(payload: bytes) -> tuple[int, int, list[int]]:
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
-            if clen < 16:
+            # len(body), not clen: a truncated payload can declare a
+            # full-size chunk whose bytes are missing
+            if len(body) < 16:
                 raise MediaFormatError("fmt chunk too short")
             fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
@@ -289,6 +293,12 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> list[int]:
     at min_code_size+1, CLEAR resets the table, EOI terminates; the
     table grows by prev+head(current) per emitted code (width bumps at
     2^width, capped at 12 bits)."""
+    if not 2 <= min_code_size <= 11:
+        # codes are capped at 12 bits; a forged size would otherwise
+        # drive a 2^size table allocation before any data is read
+        raise MediaFormatError(
+            f"bad LZW minimum code size {min_code_size}"
+        )
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -381,6 +391,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
                 raise MediaFormatError("interlaced GIF unsupported")
             if iw != width or ih != height:
                 width, height = iw, ih  # sub-rectangle = whole frame here
+            if pos >= len(payload):
+                raise MediaFormatError("truncated GIF image data")
             min_code = payload[pos]
             pos += 1
             chunks = []
@@ -613,9 +625,9 @@ def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
             raise MediaFormatError("truncated PNG chunk stream")
         (clen,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + clen]
-        if len(body) < clen:
+        if pos + 12 + clen > len(payload):
             raise MediaFormatError("truncated PNG chunk body")
+        body = payload[pos + 8:pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise MediaFormatError(f"bad CRC in PNG chunk {ctype!r}")

@@ -422,3 +422,72 @@ def test_gif_resize_and_real_decode_dispatch():
     assert real_decode(
         synth_mulaw_payload(3), "audio/basic"
     ) == mulaw_features(synth_mulaw_payload(3))
+
+
+# --------------------------------------------------- malformed-input safety
+
+def test_decoders_raise_mediaformaterror_never_crash():
+    """The extraction error contract: a decoder confronted with ANY
+    malformed bytes raises MediaFormatError — never IndexError /
+    struct.error, and never an unbounded allocation (a forged GIF LZW
+    minimum-code-size of 68 previously drove a 2^68-entry table)."""
+    import random
+
+    from semargl_spark.operators.media_codecs import (
+        decode_gif, decode_wav_mulaw, encode_gif,
+    )
+    from semargl_spark.operators.multimodal import (
+        synth_gif_payload, synth_mulaw_payload,
+    )
+
+    # the four regressions found by fuzzing:
+    # 1. GIF with a forged LZW min code size (allocation bomb)
+    pal = [(0, 0, 0), (1, 1, 1)]
+    g = encode_gif(2, 1, [[pal[0], pal[1]]], pal)
+    i = g.index(b"\x2C") + 10  # min-code-size byte
+    with pytest.raises(MediaFormatError, match="minimum code size"):
+        decode_gif(g[:i] + bytes([68]) + g[i + 1:])
+    # 2. PNG chunk body extending past the buffer (struct.error before)
+    png = encode_png(2, 2, [[(0, 0, 0), (1, 1, 1)]] * 2)
+    with pytest.raises(MediaFormatError):
+        decode_png(png[:len(png) - 6])
+    # 3./4. WAV fmt chunk declaring 16 bytes it doesn't have
+    wav = encode_wav(8000, 1, [1, 2, 3])
+    with pytest.raises(MediaFormatError):
+        decode_wav(wav[:20])
+    mu = synth_mulaw_payload(3)
+    with pytest.raises(MediaFormatError):
+        decode_wav_mulaw(mu[:22])
+
+    # standing mutation fuzz: every decoder either succeeds or raises
+    # MediaFormatError on mutated-valid payloads
+    from semargl_spark.operators import media_codecs as mc
+    from semargl_spark.operators.multimodal import (
+        synth_bmp_payload, synth_png_payload, synth_wav_payload,
+    )
+
+    cases = [
+        (mc.decode_wav, synth_wav_payload(4)),
+        (mc.decode_bmp, synth_bmp_payload(3)),
+        (mc.decode_png, synth_png_payload(5)),
+        (mc.decode_gif, synth_gif_payload(7)),
+        (mc.decode_wav_mulaw, synth_mulaw_payload(8)),
+    ]
+    rng = random.Random(11)
+    for trial in range(600):
+        dec, payload = cases[trial % 5]
+        b = bytearray(payload)
+        for _ in range(rng.randrange(1, 4)):
+            op = rng.randrange(3)
+            if op == 0 and b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op == 1 and len(b) > 2:
+                del b[rng.randrange(len(b)):]
+            else:
+                b[rng.randrange(len(b) + 1):0] = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(8))
+                )
+        try:
+            dec(bytes(b))
+        except MediaFormatError:
+            pass
