@@ -527,3 +527,56 @@ def instruction_pairs(transcripts: DataFrame) -> DataFrame:
         F.col("_pt").alias("instruction"),
         F.col("text").alias("response"),
     )
+
+
+def turn_edit_sim(
+    transcripts: DataFrame, role: str = "assistant", near_pm: int = 250
+) -> DataFrame:
+    """Consecutive same-role turn similarity via Levenshtein distance —
+    the regeneration / self-repair signal: an agent retrying a response
+    leaves two adjacent assistant turns that are near-copies, and a
+    training pipeline wants to keep only the final attempt.
+
+    → (conv_id, turn_idx, prev_turn_idx, edit_dist, max_len, dist_pm,
+    is_near): one row per consecutive pair of ``role`` turns within a
+    conversation, with the normalized distance in integer permil
+    (``1000·dist div max_len`` — engine-exact, no float drift) and the
+    near-duplicate verdict at ``near_pm``.
+
+    Scale shape: filter-then-lag (the role filter prunes ~2/3 of rows
+    BEFORE the window shuffle, same discipline as tool_chains); one
+    per-conversation window over the stable (conv_id ⟶ turn_idx)
+    ordering every turn query already shuffles by; Levenshtein is a
+    JVM codegen expression (O(len²) per pair, but row-local — no join,
+    no Python). Pathologically long turns should be length-capped
+    upstream like every text operator here.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = (
+        transcripts.filter(F.col("role") == role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "text",
+            F.lag("turn_idx").over(w).alias("prev_turn_idx"),
+            F.lag("text").over(w).alias("prev_text"),
+        )
+        .filter(F.col("prev_turn_idx").isNotNull())
+    )
+    return x.select(
+        "conv_id",
+        "turn_idx",
+        "prev_turn_idx",
+        F.levenshtein("text", "prev_text").cast("int").alias("edit_dist"),
+        F.greatest(F.length("text"), F.length("prev_text"))
+        .cast("int")
+        .alias("max_len"),
+    ).selectExpr(
+        "conv_id",
+        "turn_idx",
+        "prev_turn_idx",
+        "edit_dist",
+        "max_len",
+        "CAST(1000 * edit_dist div greatest(max_len, 1) AS BIGINT) AS dist_pm",
+        f"1000 * edit_dist div greatest(max_len, 1) <= {int(near_pm)} AS is_near",
+    )

@@ -326,3 +326,4 @@ def kg_asof(assertions: DataFrame, at_ts: int) -> DataFrame:
             )
         )
     )
+

@@ -436,6 +436,57 @@ FROM runs GROUP BY did
 )
 
 
+def q_turn_edit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regeneration detection (operators/conversation.turn_edit_sim):
+    consecutive assistant turns carry closed-form near-copy texts whose
+    Levenshtein distance both engines compute natively, so the permil
+    distance and near-duplicate verdict replay exactly."""
+    from .operators.conversation import turn_edit_sim
+
+    t = synth_transcripts(spark, sf_dir, turns_per_doc=8)
+    did = F.substring("conv_id", 2, 18).cast("int")
+    t = t.withColumn(
+        "text",
+        F.concat(
+            F.lit("try "),
+            F.col("conv_id"),
+            F.lit(" v"),
+            ((F.col("turn_idx") * 2 + did) % 5).cast("string"),
+            F.repeat(F.lit("!"), ((did + F.col("turn_idx")) % 3).cast("int")),
+        ),
+    )
+    return turn_edit_sim(t, role="assistant", near_pm=250)
+
+
+_oracle(
+    "turn_edit_sim",
+    """
+WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix
+           FROM documents
+           CROSS JOIN (SELECT unnest(generate_series(0,7)) AS tix)),
+a AS (SELECT 'c'||did AS conv_id, tix,
+             'try c'||did||' v'||((tix*2+did)%5)
+               || repeat('!', (did+tix)%3) AS text
+      FROM t WHERE tix % 3 = 1),
+p AS (SELECT conv_id, tix, text,
+             LAG(tix) OVER (PARTITION BY conv_id ORDER BY tix) AS ptix,
+             LAG(text) OVER (PARTITION BY conv_id ORDER BY tix) AS ptext
+      FROM a)
+SELECT conv_id, CAST(tix AS INT) AS turn_idx,
+       CAST(ptix AS INT) AS prev_turn_idx,
+       CAST(levenshtein(text, ptext) AS INT) AS edit_dist,
+       CAST(GREATEST(LENGTH(text), LENGTH(ptext)) AS INT) AS max_len,
+       CAST(1000 * levenshtein(text, ptext)
+            // GREATEST(GREATEST(LENGTH(text), LENGTH(ptext)), 1)
+            AS BIGINT) AS dist_pm,
+       1000 * levenshtein(text, ptext)
+         // GREATEST(GREATEST(LENGTH(text), LENGTH(ptext)), 1) <= 250
+         AS is_near
+FROM p WHERE ptix IS NOT NULL
+""",
+)
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
     """Wrap a query so the package is shipped to executors first
     (programmatic --py-files; see spark_util.ensure_py_files)."""
@@ -476,6 +527,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_stats": q_tool_stats,
         "tool_chains": q_tool_chains,
         "agent_loops": q_agent_loops,
+        "turn_edit_sim": q_turn_edit_sim,
         "entity_dictionary": q_entity_dictionary,
     }
 

@@ -2658,6 +2658,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_structured": q_ann_recall_structured,
         "text_normalize": q_text_normalize,
         "domain_cap": q_domain_cap,
+        "jsonld_expand": q_jsonld_expand,
+        "kg_bucketed_join": q_kg_bucketed_join,
+        "jsonld_flatten": q_jsonld_flatten,
+        "jsonld_compact": q_jsonld_compact,
     }
 
 
@@ -9679,4 +9683,165 @@ rk AS (SELECT domain, doc_id, quality,
                                  ORDER BY quality DESC, doc_id) AS INT) AS rank
        FROM q)
 SELECT domain, doc_id, quality, rank FROM rk WHERE rank <= 10
+"""
+
+
+def q_jsonld_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD expansion API (operators/jsonld_api_ops.py): each
+    document becomes a deterministic JSON-LD doc exercising terms,
+    CURIEs, @id coercion, a @list container, and a native integer; the
+    oracle writes the canonical expanded form closed-form. The API's
+    semantics are separately property-tested against the vendored
+    json-ld-org toRdf corpus (toRdf(expand(doc)) isomorphic to
+    toRdf(doc), tests/test_jsonld_api.py)."""
+    from .operators.jsonld_api_ops import jsonld_api_transform
+
+    d = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit('{"@context":{"ex":"urn:ex:","name":"urn:p:name",'
+                  '"knows":{"@id":"urn:p:knows","@type":"@id"},'
+                  '"rank":"urn:p:rank",'
+                  '"tags":{"@id":"urn:p:tag","@container":"@list"}},'
+                  '"@id":"urn:e:'),
+            d.cast("string"),
+            F.lit('","@type":"ex:Doc","name":"Entity '),
+            d.cast("string"),
+            F.lit('","knows":"urn:e:'),
+            (d + 1).cast("string"),
+            F.lit('","tags":["a'),
+            (d % 3).cast("string"),
+            F.lit('","b"],"rank":'),
+            (d % 5).cast("string"),
+            F.lit("}"),
+        ).alias("text"),
+    )
+    return jsonld_api_transform(docs, "expand")
+
+
+ORACLES["jsonld_expand"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  '[{"@id":"urn:e:' || doc_id || '","@type":["urn:ex:Doc"],'
+  || '"urn:p:knows":[{"@id":"urn:e:' || (doc_id + 1) || '"}],'
+  || '"urn:p:name":[{"@value":"Entity ' || doc_id || '"}],'
+  || '"urn:p:rank":[{"@value":' || (doc_id % 5) || '}],'
+  || '"urn:p:tag":[{"@list":[{"@value":"a' || (doc_id % 3)
+  || '"},{"@value":"b"}]}]}]' AS json,
+  CAST(1 AS INT) AS n_nodes, CAST(0 AS INT) AS n_errors
+FROM documents
+"""
+
+
+def q_jsonld_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD flattening API: a doc with a nested anonymous node and a
+    leaf reference flattens to a node map with issuer-assigned _:b0,
+    deterministic @id ordering, and reference-only nodes surfaced —
+    the closed-form oracle pins the exact canonical JSON."""
+    from .operators.jsonld_api_ops import jsonld_api_transform
+
+    d = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit('{"@context":{"name":"urn:p:name","child":"urn:p:child"},'
+                  '"@id":"urn:e:'),
+            d.cast("string"),
+            F.lit('","name":"Entity '),
+            d.cast("string"),
+            F.lit('","child":{"name":"Kid '),
+            d.cast("string"),
+            F.lit('","child":{"@id":"urn:e:'),
+            d.cast("string"),
+            F.lit('x"}}}'),
+        ).alias("text"),
+    )
+    return jsonld_api_transform(docs, "flatten")
+
+
+ORACLES["jsonld_flatten"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  '[{"@id":"_:b0","urn:p:child":[{"@id":"urn:e:' || doc_id || 'x"}],'
+  || '"urn:p:name":[{"@value":"Kid ' || doc_id || '"}]},'
+  || '{"@id":"urn:e:' || doc_id || '","urn:p:child":[{"@id":"_:b0"}],'
+  || '"urn:p:name":[{"@value":"Entity ' || doc_id || '"}]},'
+  || '{"@id":"urn:e:' || doc_id || 'x"}]' AS json,
+  CAST(3 AS INT) AS n_nodes, CAST(0 AS INT) AS n_errors
+FROM documents
+"""
+
+
+def q_jsonld_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD compaction API: expanded-form input compacts against an
+    application context — term selection for the @id-coerced property,
+    CURIE fallback for the uncovered predicate, vocab-style @type
+    compaction, singleton-array collapse. Compaction is conservative
+    by construction (a term is selected only when re-expansion provably
+    reproduces the value) and every chosen key is verified by
+    re-expansion, so toRdf is invariant."""
+    from .operators.jsonld_api_ops import jsonld_api_transform
+
+    context = {
+        "ex": "urn:ex:",
+        "name": "urn:p:name",
+        "knows": {"@id": "urn:p:knows", "@type": "@id"},
+    }
+    d = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit('[{"@id":"urn:e:'),
+            d.cast("string"),
+            F.lit('","@type":["urn:ex:Doc"],"urn:p:name":[{"@value":"Entity '),
+            d.cast("string"),
+            F.lit('"}],"urn:p:knows":[{"@id":"urn:e:'),
+            (d + 1).cast("string"),
+            F.lit('"}],"urn:ex:extra":[{"@value":7}]}]'),
+        ).alias("text"),
+    )
+    return jsonld_api_transform(docs, "compact", context=context)
+
+
+ORACLES["jsonld_compact"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  '{"@context":{"ex":"urn:ex:","knows":{"@id":"urn:p:knows","@type":"@id"},'
+  || '"name":"urn:p:name"},"@id":"urn:e:' || doc_id
+  || '","@type":"ex:Doc","ex:extra":7,"knows":"urn:e:' || (doc_id + 1)
+  || '","name":"Entity ' || doc_id || '"}' AS json,
+  CAST(1 AS INT) AS n_nodes, CAST(0 AS INT) AS n_errors
+FROM documents
+"""
+
+
+def q_kg_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over the bucketed edge layout
+    (operators/bucketing.py): the extracted KG edges are persisted
+    bucketed+sorted by src, then the knows×relation per-subject
+    self-join runs over the bucketing-aware scans — exchange-free on
+    both sides (plan-asserted in tests/test_pipeline.py::
+    test_bucketed_join_is_shuffle_free; this gate pins the VALUES so
+    the layout path stays correct, not just shuffle-free)."""
+    import tempfile
+    import uuid
+
+    from .operators.bucketing import read_bucketed, write_bucketed
+
+    st = triples(extract_statements(synth_transcripts(spark, sf_dir)))
+    edges = materialize.kg_edges(st)
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="semargl_q_bj_")
+    write_bucketed(edges, f"q_bj_{tag}", f"{base}/edges", key="src", buckets=16)
+    b = read_bucketed(spark, f"q_bj_{tag}")
+    knows = b.filter(F.col("pred") == "urn:p:knows").select("src", "dst")
+    rel = b.filter(
+        F.col("pred") == "http://purl.org/dc/terms/relation"
+    ).select("src", F.col("dst").alias("rel_dst"))
+    return knows.join(rel.hint("merge"), "src").select("src", "dst", "rel_dst")
+
+
+ORACLES["kg_bucketed_join"] = """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents)
+SELECT 'urn:e:'||did AS src, 'urn:e:'||(did+1) AS dst,
+       'urn:e:'||(did+1) AS rel_dst
+FROM ids WHERE did % 5 <> 4
 """

@@ -353,3 +353,29 @@ def test_instruction_pairs_adjacency_only(spark):
     got = {(r["conv_id"], r["turn_idx"]): (r["instruction"], r["response"])
            for r in instruction_pairs(t).collect()}
     assert got == {("c1", 1): ("ask1", "ans1"), ("c2", 2): ("ask2", "ans2")}
+
+
+def test_turn_edit_sim_regeneration_signal(spark):
+    from semargl_spark.operators.conversation import turn_edit_sim
+
+    t = spark.createDataFrame(
+        [
+            # near-identical retry: 1-char edit over 12 chars → 83 permil
+            ("c1", 0, "user", "question"),
+            ("c1", 1, "assistant", "answer is 42"),
+            ("c1", 2, "assistant", "answer is 43"),
+            # full rewrite → far
+            ("c1", 3, "assistant", "completely different reply"),
+            # single assistant turn in c2 → no pair emitted
+            ("c2", 0, "assistant", "solo"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    rows = {(r.conv_id, r.turn_idx): r
+            for r in turn_edit_sim(t, near_pm=250).collect()}
+    assert set(rows) == {("c1", 2), ("c1", 3)}
+    retry = rows[("c1", 2)]
+    assert retry.prev_turn_idx == 1 and retry.edit_dist == 1
+    assert retry.dist_pm == 83 and bool(retry.is_near)
+    rewrite = rows[("c1", 3)]
+    assert rewrite.prev_turn_idx == 2 and not rewrite.is_near
