@@ -1,4 +1,4 @@
-"""JSON-LD document API: expand / compact / flatten.
+"""JSON-LD document API: expand / compact / flatten / frame.
 
 The reference ships only the toRdf direction (jsonld/src/main/java/org/
 semarglproject/jsonld/JsonLdParser.java — tokenizer — and
@@ -454,13 +454,16 @@ def compact(expanded: list, context: Any, *, base_uri: str = "") -> tuple[dict, 
                     return False
                 elif isinstance(v["@value"], str) and ctx.language:
                     return False  # bare string would re-expand with default lang
-            else:  # node object / reference
-                if td.type_mapping not in ("@id", "@vocab"):
+            elif set(v) == {"@id"}:
+                # a bare reference compacts to a plain string: only an
+                # @id-typed term re-expands that string to a node
+                if td.type_mapping != "@id":
                     return False
-                if set(v) != {"@id"}:
-                    return False  # embedded nodes stay expanded
-                if td.type_mapping == "@vocab":
-                    return False  # conservative: keep @id-typed only
+            else:
+                # an EMBEDDED node object re-expands as a node under any
+                # term (coercion/language apply to strings only), so it
+                # never disqualifies the term
+                pass
         return True
 
     def select_term(iri: str, values: list):
@@ -499,7 +502,7 @@ def compact(expanded: list, context: Any, *, base_uri: str = "") -> tuple[dict, 
             if td is not None and td.type_mapping == "@id":
                 return v["@id"]
             return {"@id": compact_iri(v["@id"], vocab=False)}
-        return compact_node(v)
+        return compact_node(v)  # embedded node: safe under any term
 
     def compact_node(node: dict) -> dict:
         out: dict = {}
@@ -656,3 +659,155 @@ def flatten(expanded: list) -> list:
         return nodes
 
     return finalize("@default")
+
+
+# ------------------------------------------------------------------ frame
+
+
+def frame(expanded: list, frame_doc: Any, *, base_uri: str = "") -> tuple[dict, list[str]]:
+    """Conservative JSON-LD framing subset: reshape ``expanded`` into
+    the tree described by ``frame_doc``.
+
+    Supported frame surface: ``@context`` (applied to the output via
+    :func:`compact`), matching on ``@id`` / ``@type`` / required
+    property presence (a property whose frame value is ``{}`` or
+    ``[{}]``), per-property sub-frames (nested dicts recurse), and the
+    ``@explicit`` flag (true → only frame-listed properties appear).
+    Defaults mirror the spec's: ``@embed`` always (each referenced node
+    embeds at its use site; cycles fall back to a node reference),
+    ``@explicit`` false.
+
+    The input's graphs are MERGED before matching (named-graph
+    membership is not preserved through framing — documented
+    deviation; framing a quads dataset graph-by-graph is the caller's
+    composition). Matched nodes that end up embedded inside another
+    match are dropped from the top level, standard framing behavior.
+
+    Guarantee (property-tested): with the trivial frame ``{}`` on a
+    single-graph document, ``toRdf(frame(expand(doc), {}))`` is
+    isomorphic to ``toRdf(doc)`` — framing reshapes, never invents or
+    silently drops triples reachable from the emitted tree.
+    """
+    st = _api_state(base_uri)
+    if not isinstance(frame_doc, dict):
+        frame_doc = {}
+    fctx_val = frame_doc.get("@context")
+    ctx = _process_context(_Context(base_uri or None), fctx_val, st) \
+        if fctx_val is not None else _Context(base_uri or None)
+
+    # --- frame-expansion: keys → IRIs, flags kept, {} stays wildcard
+    def exp_frame(fnode: dict) -> dict:
+        out: dict = {"@explicit": bool(fnode.get("@explicit", False))}
+        id_v = fnode.get("@id")
+        if isinstance(id_v, str):
+            id_v = [id_v]
+        if isinstance(id_v, list):
+            ids = [_expand_node_ref(v, ctx, st) for v in id_v
+                   if isinstance(v, str)]
+            out["@id"] = [i for i in ids if i]
+        type_v = fnode.get("@type")
+        if isinstance(type_v, str):
+            type_v = [type_v]
+        if isinstance(type_v, list):
+            ts = [_expand_type(v, ctx, st) for v in type_v
+                  if isinstance(v, str)]
+            out["@type"] = [t for t in ts if t]
+        props: dict = {}
+        for key, value in fnode.items():
+            if key.startswith("@"):
+                continue
+            pred = _expand_pred(key, ctx, st)
+            if pred is None or pred.startswith("@"):
+                continue
+            sub = value[0] if isinstance(value, list) and value else value
+            props[pred] = exp_frame(sub) if isinstance(sub, dict) and sub \
+                else None  # None = wildcard (presence only)
+        out["@props"] = props
+        return out
+
+    fexp = exp_frame(frame_doc)
+
+    # --- merged node map from the flattened input
+    nodes: dict[str, dict] = {}
+
+    def absorb(arr: list) -> None:
+        for n in arr:
+            entry = nodes.setdefault(n["@id"], {"@id": n["@id"]})
+            for k, v in n.items():
+                if k == "@id":
+                    continue
+                if k == "@graph":
+                    absorb(v)
+                    continue
+                if k == "@type":
+                    ts = entry.setdefault("@type", [])
+                    for t in v:
+                        if t not in ts:
+                            ts.append(t)
+                    continue
+                tgt = entry.setdefault(k, [])
+                for item in v:
+                    key = canonical_json(item)
+                    if all(canonical_json(x) != key for x in tgt):
+                        tgt.append(item)
+
+    absorb(flatten(expanded))
+
+    def matches(node: dict, fr: dict) -> bool:
+        if fr.get("@id"):
+            return node["@id"] in fr["@id"]
+        if fr.get("@type"):
+            return bool(set(node.get("@type", ())) & set(fr["@type"]))
+        props = fr.get("@props", {})
+        return all(p in node for p in props) if props else True
+
+    embedded: set[str] = set()
+
+    def build(node: dict, fr: dict, path: tuple) -> dict:
+        out: dict = {"@id": node["@id"]}
+        if "@type" in node:
+            out["@type"] = node["@type"]
+        explicit = fr.get("@explicit", False)
+        fprops = fr.get("@props", {})
+        for pred in sorted(k for k in node if not k.startswith("@")):
+            if explicit and pred not in fprops:
+                continue
+            sub = fprops.get(pred)
+            vals = []
+            for v in node[pred]:
+                vals.append(_frame_value(v, sub, path))
+            out[pred] = vals
+        return out
+
+    def _frame_value(v: dict, sub, path: tuple):
+        if "@list" in v:
+            return {"@list": [_frame_value(c, sub, path) for c in v["@list"]]}
+        if "@value" in v:
+            return v
+        ref = v["@id"]
+        target = nodes.get(ref)
+        if target is None or ref in path:
+            return {"@id": ref}  # dangling or cyclic: keep the reference
+        if sub is not None and not matches(target, sub):
+            return {"@id": ref}  # sub-frame rejects: reference only
+        embedded.add(ref)
+        return build(target, sub if sub is not None
+                     else {"@explicit": False, "@props": {}},
+                     path + (ref,))
+
+    # build trees in sorted-id order; a match already embedded by an
+    # EARLIER kept tree is skipped (dropping retroactively would empty
+    # the output entirely on reference cycles — every node embedded
+    # into another, none left at the top)
+    framed = []
+    for nid in sorted(nodes):
+        if nid in embedded or not matches(nodes[nid], fexp):
+            continue
+        framed.append(build(nodes[nid], fexp, (nid,)))
+
+    if fctx_val is not None:
+        out, cerrs = compact(framed, fctx_val, base_uri=base_uri)
+        return out, st.errors + cerrs
+    if len(framed) == 1:
+        return framed[0], st.errors
+    return {"@graph": framed}, st.errors

@@ -39,18 +39,21 @@ def jsonld_api_transform(
     """``(doc_id, text)`` → ``(doc_id, json, n_nodes, n_errors)``.
 
     ``mode``: ``expand`` (canonical expanded form), ``flatten``
-    (node-map flattened form, ``_:b0``-issued labels), or ``compact``
+    (node-map flattened form, ``_:b0``-issued labels), ``compact``
     (compacted against ``context``, which becomes the output's
-    ``@context``). ``json`` is canonical (sorted keys, minimal
+    ``@context``), or ``frame`` (reshaped by the frame document passed
+    via ``context``). ``json`` is canonical (sorted keys, minimal
     separators) so equal documents are byte-equal at any parallelism.
     Malformed documents never fail the task: they produce ``[]`` /
     ``{}`` plus an error count (reference recovery contract,
     core/.../BaseStreamProcessor.java:111-119).
     """
-    if mode not in ("expand", "flatten", "compact"):
+    if mode not in ("expand", "flatten", "compact", "frame"):
         raise ValueError(f"unknown mode: {mode}")
     if mode == "compact" and context is None:
         raise ValueError("compact mode requires a context")
+    if mode == "frame" and context is None:
+        raise ValueError("frame mode requires a frame document (context=)")
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..kernels import jsonld_api as api
@@ -74,6 +77,11 @@ def jsonld_api_transform(
                         result: Any = expanded
                     elif mode == "flatten":
                         result = api.flatten(expanded)
+                    elif mode == "frame":
+                        result, cerrs = api.frame(
+                            expanded, context, base_uri=base_uri
+                        )
+                        errors = errors + cerrs
                     else:
                         result, cerrs = api.compact(
                             expanded, context, base_uri=base_uri

@@ -2662,6 +2662,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bucketed_join": q_kg_bucketed_join,
         "jsonld_flatten": q_jsonld_flatten,
         "jsonld_compact": q_jsonld_compact,
+        "jsonld_frame": q_jsonld_frame,
     }
 
 
@@ -9844,4 +9845,55 @@ WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents)
 SELECT 'urn:e:'||did AS src, 'urn:e:'||(did+1) AS dst,
        'urn:e:'||(did+1) AS rel_dst
 FROM ids WHERE did % 5 <> 4
+"""
+
+
+def q_jsonld_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD framing API: each document carries a two-node graph
+    (a typed Book referencing its Author); framing by @type embeds the
+    author at its use site and compacts under the frame's context —
+    the closed-form oracle pins the exact reshaped JSON. Framing
+    fidelity is separately property-tested (trivial frame ≡ toRdf,
+    tests/test_jsonld_api.py)."""
+    from .operators.jsonld_api_ops import jsonld_api_transform
+
+    frame_doc = {
+        "@context": {
+            "name": "urn:p:name",
+            "author": {"@id": "urn:p:author", "@type": "@id"},
+        },
+        "@type": "urn:t:Book",
+    }
+    d = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit('{"@context":{"name":"urn:p:name",'
+                  '"author":{"@id":"urn:p:author","@type":"@id"},'
+                  '"Book":"urn:t:Book"},"@graph":['
+                  '{"@id":"urn:b:'),
+            d.cast("string"),
+            F.lit('","@type":"Book","name":"Book '),
+            d.cast("string"),
+            F.lit('","author":"urn:a:'),
+            d.cast("string"),
+            F.lit('"},{"@id":"urn:a:'),
+            d.cast("string"),
+            F.lit('","name":"Author '),
+            d.cast("string"),
+            F.lit('"}]}'),
+        ).alias("text"),
+    )
+    return jsonld_api_transform(docs, "frame", context=frame_doc)
+
+
+ORACLES["jsonld_frame"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  '{"@context":{"author":{"@id":"urn:p:author","@type":"@id"},'
+  || '"name":"urn:p:name"},"@id":"urn:b:' || doc_id
+  || '","@type":"urn:t:Book","author":{"@id":"urn:a:' || doc_id
+  || '","name":"Author ' || doc_id || '"},"name":"Book ' || doc_id
+  || '"}' AS json,
+  CAST(1 AS INT) AS n_nodes, CAST(0 AS INT) AS n_errors
+FROM documents
 """

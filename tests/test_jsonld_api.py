@@ -255,3 +255,97 @@ def test_compact_fuzz_toRdf_invariant_or_flagged(text):
         api.canonical_json(comp), base_uri="urn:base:x", doc_key="f"
     )
     assert isomorphic(orig, rt) or any("unrepresentable" in e for e in cerrs), text
+
+
+# ---------------------------------------------------------------- framing
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR), reason="reference suite absent")
+def test_frame_trivial_is_toRdf_invariant_on_corpus():
+    """Trivial frame {} (and {@context: own}) on every single-graph
+    conformance doc: the framed tree re-parses to an isomorphic graph —
+    framing reshapes, never invents or drops reachable triples."""
+    n = 0
+    for case in _cases():
+        base = f"http://json-ld.org/test-suite/tests/{case}-in.jsonld"
+        text = _read(f"{REF_DIR}/{case}-in.jsonld")
+        orig, _ = jsonld.parse(text, base_uri=base, doc_key="t")
+        if any(t[6] is not None for t in orig):
+            continue  # named graphs are merged by frame(); not invariant
+        n += 1
+        expanded, _ = api.expand(text, base_uri=base)
+        fr, _errs = api.frame(expanded, {}, base_uri=base)
+        rt, _ = jsonld.parse(api.canonical_json(fr), base_uri=base, doc_key="t")
+        assert isomorphic(orig, rt), f"trivial frame broke: {case}"
+        doc = json.loads(text)
+        ctxv = doc.get("@context") if isinstance(doc, dict) else None
+        if ctxv is not None and not isinstance(ctxv, str):
+            fr2, errs2 = api.frame(expanded, {"@context": ctxv}, base_uri=base)
+            rt2, _ = jsonld.parse(
+                api.canonical_json(fr2), base_uri=base, doc_key="t"
+            )
+            assert isomorphic(orig, rt2) or any(
+                "unrepresentable" in e for e in errs2
+            ), f"own-context frame broke: {case}"
+    assert n >= 90
+
+
+def test_frame_type_match_embeds_and_compacts():
+    doc = {"@context": {"name": "urn:p:name",
+                        "author": {"@id": "urn:p:author", "@type": "@id"},
+                        "Book": "urn:t:Book"},
+           "@graph": [
+               {"@id": "urn:b:1", "@type": "Book", "name": "Moby Dick",
+                "author": "urn:a:1"},
+               {"@id": "urn:a:1", "name": "Melville"}]}
+    expanded, _ = api.expand(json.dumps(doc))
+    frm = {"@context": {"name": "urn:p:name",
+                        "author": {"@id": "urn:p:author", "@type": "@id"}},
+           "@type": "urn:t:Book"}
+    out, errs = api.frame(expanded, frm)
+    assert errs == []
+    # author node embedded at its use site; only the Book at top level
+    assert out["@id"] == "urn:b:1"
+    assert out["author"] == {"@id": "urn:a:1", "name": "Melville"}
+
+
+def test_frame_explicit_prunes_unlisted_properties():
+    expanded = [{"@id": "urn:e:1", "@type": ["urn:t:T"],
+                 "urn:p:keep": [{"@value": "k"}],
+                 "urn:p:drop": [{"@value": "d"}]}]
+    out, _ = api.frame(expanded, {"@type": "urn:t:T", "@explicit": True,
+                                  "urn:p:keep": {}})
+    assert "urn:p:keep" in out and "urn:p:drop" not in out
+
+
+def test_frame_cycle_keeps_one_complete_tree():
+    expanded, _ = api.expand(json.dumps({"@graph": [
+        {"@id": "urn:x:a", "urn:p:next": {"@id": "urn:x:b"}},
+        {"@id": "urn:x:b", "urn:p:next": {"@id": "urn:x:a"}}]}))
+    out, _ = api.frame(expanded, {})
+    # a embeds b; b's back-edge stays a reference; b not re-emitted
+    assert out["@id"] == "urn:x:a"
+    assert out["urn:p:next"][0]["@id"] == "urn:x:b"
+    assert out["urn:p:next"][0]["urn:p:next"] == [{"@id": "urn:x:a"}]
+
+
+def test_frame_property_presence_match():
+    expanded = [{"@id": "urn:e:1", "urn:p:a": [{"@value": 1}]},
+                {"@id": "urn:e:2", "urn:p:b": [{"@value": 2}]}]
+    out, _ = api.frame(expanded, {"urn:p:a": {}})
+    assert out["@id"] == "urn:e:1"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_fdoc)
+def test_frame_fuzz_trivial_toRdf_invariant(text):
+    orig, _ = jsonld.parse(text, base_uri="urn:base:x", doc_key="f")
+    if any(t[6] is not None for t in orig):
+        return  # named graphs merge under framing
+    expanded, _ = api.expand(text, base_uri="urn:base:x")
+    fr, errs = api.frame(expanded, {}, base_uri="urn:base:x")
+    assert all(isinstance(e, str) for e in errs)
+    rt, _ = jsonld.parse(
+        api.canonical_json(fr), base_uri="urn:base:x", doc_key="f"
+    )
+    assert isomorphic(orig, rt), text
