@@ -108,18 +108,30 @@ class _Context:
 
 
 class _State:
-    def __init__(self, base_uri: str, doc_key: str):
+    def __init__(self, base_uri: str, doc_key: str,
+                 context_registry: dict | None = None):
         self.bnodes = BnodeAllocator(doc_key)
         self.triples: list[Triple] = []
         self.errors: list[str] = []
         self.doc_base = base_uri
+        # offline remote-context resolution: IRI → parsed context value
+        # (executors must NEVER fetch — the registry is caller-supplied
+        # and ships like a broadcast dict; unresolved IRIs stay errors)
+        self.context_registry = context_registry or {}
 
 
 def parse(
-    text: str, *, base_uri: str = "", doc_key: str = "", recover: bool = True
+    text: str, *, base_uri: str = "", doc_key: str = "", recover: bool = True,
+    context_registry: dict | None = None,
 ) -> tuple[list[Triple], list[str]]:
-    """Parse a JSON-LD document into quads. Returns ``(triples, errors)``."""
-    st = _State(base_uri, doc_key)
+    """Parse a JSON-LD document into quads. Returns ``(triples, errors)``.
+
+    ``context_registry`` maps remote @context IRIs to their (already
+    parsed) context values, enabling schema.org-style corpora offline;
+    a string @context not present in the registry is an error row, as
+    before — executors never fetch.
+    """
+    st = _State(base_uri, doc_key, context_registry)
     try:
         doc = json.loads(text, parse_float=_Float)
     except Exception as exc:
@@ -153,6 +165,30 @@ _CTX_CACHE: dict = {}
 _CTX_CACHE_MAX = 4096
 
 
+def _resolve_remote(local: Any, st: _State) -> Any:
+    """Substitute registry-known remote @context IRIs with their parsed
+    values (splicing lists), so downstream processing and the context
+    cache both see the resolved content — the cache key can never alias
+    two different registries. Unknown strings pass through to the
+    error path. Registry values may themselves reference registry IRIs
+    (one level per round, bounded to avoid cycles)."""
+    if not st.context_registry:
+        return local
+    items = local if isinstance(local, list) else [local]
+    for _ in range(5):
+        if not any(isinstance(i, str) and i in st.context_registry for i in items):
+            break
+        out: list = []
+        for item in items:
+            if isinstance(item, str) and item in st.context_registry:
+                val = st.context_registry[item]
+                out.extend(val if isinstance(val, list) else [val])
+            else:
+                out.append(item)
+        items = out
+    return items
+
+
 def _base_independent(local: Any) -> bool:
     items = local if isinstance(local, list) else [local]
     for item in items:
@@ -164,6 +200,7 @@ def _base_independent(local: Any) -> bool:
 
 
 def _process_context(active: _Context, local: Any, st: _State) -> _Context:
+    local = _resolve_remote(local, st)
     cache_key = None
     if (
         not active.terms

@@ -73,8 +73,8 @@ class _KeepLabels:
         raise AssertionError("expansion allocates no bnodes")
 
 
-def _api_state(base_uri: str) -> _State:
-    st = _State(base_uri, "")
+def _api_state(base_uri: str, context_registry: dict | None = None) -> _State:
+    st = _State(base_uri, "", context_registry)
     st.bnodes = _KeepLabels()
     return st
 
@@ -88,15 +88,18 @@ def canonical_json(value: Any) -> str:
 # ------------------------------------------------------------------ expand
 
 
-def expand(text: str, *, base_uri: str = "") -> tuple[list, list[str]]:
+def expand(text: str, *, base_uri: str = "",
+           context_registry: dict | None = None) -> tuple[list, list[str]]:
     """Expand a JSON-LD document. Returns ``(expanded_nodes, errors)``.
 
     The result is always an array of node objects (possibly empty) with
     keyword aliases normalized, terms/CURIEs resolved to absolute IRIs,
     every property value wrapped in an array of value objects / node
     objects / ``{"@list": [...]}``, and containers flattened.
+    ``context_registry`` resolves remote @context IRIs offline
+    (kernels/jsonld.py:_resolve_remote).
     """
-    st = _api_state(base_uri)
+    st = _api_state(base_uri, context_registry)
     try:
         doc = json.loads(text, parse_float=_Float)
     except Exception as exc:

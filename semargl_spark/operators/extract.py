@@ -42,7 +42,8 @@ ARROW_SCHEMA = _arrow_schema()
 # (NTriplesParser.java:39)
 ERROR_CLASS = "http://semarglproject.org/{fmt}/Error"
 
-def _parse_text(fmt: str, name_keyed: bool = False):
+def _parse_text(fmt: str, name_keyed: bool = False,
+                context_registry: dict | None = None):
     """Lazy import of the format kernels so partially-built formats never
     break the module import.
 
@@ -62,7 +63,10 @@ def _parse_text(fmt: str, name_keyed: bool = False):
         if fmt == "jsonld":
             from ..kernels import jsonld
 
-            return lambda text, base, key: jsonld.parse(text, base_uri=base, doc_key=key)
+            return lambda text, base, key: jsonld.parse(
+                text, base_uri=base, doc_key=key,
+                context_registry=context_registry,
+            )
         if fmt == "rdfa":
             from ..kernels import rdfa
 
@@ -116,12 +120,21 @@ def doc_uri(conv_id: str, turn_idx: int) -> str:
     return f"urn:transcript:{conv_id}:{turn_idx}"
 
 
-def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -> DataFrame:
+def extract_statements(
+    transcripts: DataFrame,
+    default_fmt: str | None = None,
+    context_registry: dict | None = None,
+) -> DataFrame:
     """transcripts(conv_id, turn_idx, text[, fmt]) → statements.
 
     Rows with obj_kind='error' are the processor-graph side channel; use
     :func:`triples` / :func:`errors` to split. ``default_fmt`` overrides
     the per-row fmt column; when both are absent the format is sniffed.
+
+    ``context_registry`` maps remote JSON-LD @context IRIs to parsed
+    context values so schema.org-style corpora extract OFFLINE — the
+    dict ships once per task inside the closure (broadcast semantics);
+    executors never fetch, and unregistered IRIs remain error rows.
     """
     has_fmt = "fmt" in transcripts.columns
     # an explicit doc_key column (emitted by chunked reassembly) scopes
@@ -157,7 +170,10 @@ def extract_statements(transcripts: DataFrame, default_fmt: str | None = None) -
                 if fmt == "text" or not text:
                     continue
                 if fmt not in kernels:
-                    kernels[fmt] = _parse_text(fmt, name_keyed=has_key)
+                    kernels[fmt] = _parse_text(
+                        fmt, name_keyed=has_key,
+                        context_registry=context_registry,
+                    )
                 kernel = kernels[fmt]
                 tix = int(tix)
                 base = doc_uri(conv, tix)

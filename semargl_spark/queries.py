@@ -487,6 +487,59 @@ FROM p WHERE ptix IS NOT NULL
 )
 
 
+def q_extract_remote_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline remote-@context extraction: every document references its
+    vocabulary by IRI (the schema.org shape) and the caller-supplied
+    context registry resolves it executor-side without any fetch
+    (kernels/jsonld.py:_resolve_remote) — the closed-form oracle pins
+    the triples the registered context must produce."""
+    registry = {
+        "https://kg.example/ctx/v1": {
+            "name": "urn:p:name",
+            "knows": {"@id": "urn:p:knows", "@type": "@id"},
+        },
+    }
+    did = F.col("doc_id").cast("int")
+    t = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(F.lit("c"), did.cast("string")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.concat(
+                F.lit('{"@context":"https://kg.example/ctx/v1",'
+                      '"@id":"urn:e:'),
+                did.cast("string"),
+                F.lit('","name":"Entity '),
+                did.cast("string"),
+                F.lit('","knows":"urn:e:'),
+                (did + 1).cast("string"),
+                F.lit('"}'),
+            ).alias("text"),
+        )
+    )
+    return triples(
+        extract_statements(t, default_fmt="jsonld", context_registry=registry)
+    ).select(*STMT_COLS)
+
+
+_oracle(
+    "extract_remote_ctx",
+    """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents)
+SELECT 'c'||did AS conv_id, CAST(0 AS INT) AS turn_idx,
+       'urn:e:'||did AS subj, 'urn:p:name' AS pred,
+       'Entity '||did AS obj, 'literal' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
+FROM ids
+UNION ALL
+SELECT 'c'||did, CAST(0 AS INT), 'urn:e:'||did, 'urn:p:knows',
+       'urn:e:'||(did+1), 'iri', CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM ids
+""",
+)
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
     """Wrap a query so the package is shipped to executors first
     (programmatic --py-files; see spark_util.ensure_py_files)."""
@@ -521,6 +574,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mixed": q_extract_mixed,
         "extract_files": q_extract_files,
         "extract_errors": q_extract_errors,
+        "extract_remote_ctx": q_extract_remote_ctx,
         "turn_ordering": q_turn_ordering,
         "turn_transitions": q_turn_transitions,
         "role_stats": q_role_stats,

@@ -158,3 +158,48 @@ def test_invalid_json_gives_error_row():
 def test_remote_context_rejected_offline():
     ts, errs = p('{"@context": "http://remote.example/ctx", "@id": "http://ex.org/a"}')
     assert any("remote" in e for e in errs)
+
+
+def test_remote_context_registry_resolves_offline():
+    reg = {
+        "https://kg.example/ctx/v1": {
+            "name": "urn:p:name",
+            "knows": {"@id": "urn:p:knows", "@type": "@id"},
+        },
+        # registry values may reference registry IRIs (one splice/round)
+        "https://kg.example/ctx/v2": [
+            "https://kg.example/ctx/v1", {"age": "urn:p:age"},
+        ],
+    }
+    doc = ('{"@context":"https://kg.example/ctx/v1","@id":"urn:e:1",'
+           '"name":"Ada","knows":"urn:e:2"}')
+    ts, errs = jsonld.parse(doc, doc_key="t", context_registry=reg)
+    assert errs == []
+    assert tset(ts) == {
+        ("urn:e:1", "urn:p:name", "Ada", "literal", None, None, None),
+        ("urn:e:1", "urn:p:knows", "urn:e:2", "iri", None, None, None),
+    }
+    ts2, errs2 = jsonld.parse(
+        '{"@context":"https://kg.example/ctx/v2","@id":"urn:e:1","age":7}',
+        doc_key="t", context_registry=reg,
+    )
+    assert errs2 == [] and ts2[0].pred == "urn:p:age"
+
+
+def test_remote_context_unregistered_still_errors():
+    reg = {"https://kg.example/ctx/v1": {"p": "urn:p:p"}}
+    ts, errs = jsonld.parse(
+        '{"@context":"https://other/ctx","@id":"urn:e:1","p":"v"}',
+        doc_key="t", context_registry=reg,
+    )
+    assert ts == [] and any("not supported offline" in e for e in errs)
+
+
+def test_remote_context_cache_never_aliases_registries():
+    url = "https://kg.example/ctx/cachetest"
+    doc = '{"@context":"%s","@id":"urn:e:1","name":"x"}' % url
+    a, _ = jsonld.parse(doc, doc_key="t",
+                        context_registry={url: {"name": "urn:p:a"}})
+    b, _ = jsonld.parse(doc, doc_key="t",
+                        context_registry={url: {"name": "urn:p:b"}})
+    assert a[0].pred == "urn:p:a" and b[0].pred == "urn:p:b"
