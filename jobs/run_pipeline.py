@@ -92,11 +92,23 @@ def main(argv=None) -> int:
                          "updated edge set) land in <output>/query and the "
                          "row count (or ASK boolean) is reported in the "
                          "summary JSON")
+    ap.add_argument("--context-registry", default=None,
+                    help="path to a JSON file mapping remote JSON-LD "
+                         "@context IRIs to their parsed context values; "
+                         "enables schema.org-style corpora to extract "
+                         "offline (executors never fetch — unregistered "
+                         "IRIs remain error rows)")
     args = ap.parse_args(argv)
     if args.resume and not args.run_id:
         # without the original run-id the lineage filter matches nothing
         # and every stage silently re-runs — refuse instead
         ap.error("--resume requires --run-id (the id of the run to resume)")
+    ctx_registry = None
+    if args.context_registry:
+        import json as _json
+
+        with open(args.context_registry, encoding="utf-8") as fh:
+            ctx_registry = _json.load(fh)
 
     from pyspark.sql import SparkSession
 
@@ -112,7 +124,8 @@ def main(argv=None) -> int:
                   content_address=args.content_address,
                   sft_render=args.sft_render,
                   sft_capacity=args.sft_capacity,
-                  sparql=args.sparql)
+                  sparql=args.sparql,
+                  context_registry=ctx_registry)
     print(json.dumps(summary))
     spark.stop()
     return 0
@@ -124,7 +137,8 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
         ontology: str | None = None, owl_axioms: str | None = None,
         fuse_sameas: bool = False, resolve_functional: str | None = None,
         content_address: bool = False, sft_render: bool = False,
-        sft_capacity: int = 2048, sparql: str | None = None) -> dict:
+        sft_capacity: int = 2048, sparql: str | None = None,
+        context_registry: dict | None = None) -> dict:
     """The pipeline body, callable in-process (tests, notebooks) — does
     not stop the session. ``main`` wraps it for spark-submit."""
     from pyspark.sql import functions as F
@@ -169,7 +183,9 @@ def run(spark, *, input_path: str, output: str, run_id: str | None = None,
     # unnamed → a session-unique internal name; a fixed name would
     # collide when run() executes twice in one session (resume/replay)
     obs = Observation()
-    statements = extract_statements(transcripts).observe(
+    statements = extract_statements(
+        transcripts, context_registry=context_registry
+    ).observe(
         obs,
         F.count(F.lit(1)).alias("rows"),
         F.sum((F.col("obj_kind") == "error").cast("long")).alias("error_rows"),

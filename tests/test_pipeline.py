@@ -728,3 +728,36 @@ def test_conv_turn_shingles_shapes(spark):
     for s in out["c1"]:
         h1, h2 = s.split(" ")
         assert len(h1) == 32 and len(h2) == 32
+
+
+def test_pipeline_context_registry_extracts_remote_ctx(spark, tmp_path):
+    """--context-registry end-to-end: a corpus whose JSON-LD documents
+    reference their vocabulary by IRI extracts fully offline when the
+    registry file supplies the context; without it the same rows are
+    error rows only."""
+    import json as _json
+
+    from jobs.run_pipeline import run
+
+    doc = ('{"@context":"https://kg.example/ctx/v1","@id":"urn:e:1",'
+           '"knows":"urn:e:2"}')
+    t = spark.createDataFrame(
+        [("c1", 0, doc, "user", None, None)],
+        "conv_id string, turn_idx int, text string, role string, "
+        "tool string, ts timestamp",
+    ).withColumn("fmt", F.lit("jsonld"))
+    t.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    registry = {"https://kg.example/ctx/v1":
+                {"knows": {"@id": "urn:p:knows", "@type": "@id"}}}
+
+    s1 = run(spark, input_path=str(tmp_path / "in"),
+             output=str(tmp_path / "out_without"), run_id="r_noreg")
+    assert s1["edges"] == 0 and s1["errors"] == 1
+
+    s2 = run(spark, input_path=str(tmp_path / "in"),
+             output=str(tmp_path / "out_with"), run_id="r_reg",
+             context_registry=registry)
+    assert s2["errors"] == 0 and s2["edges"] == 1
+    edges = spark.read.parquet(str(tmp_path / "out_with" / "edges"))
+    row = edges.collect()[0]
+    assert (row.src, row.pred, row.dst) == ("urn:e:1", "urn:p:knows", "urn:e:2")
