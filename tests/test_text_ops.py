@@ -737,3 +737,21 @@ def test_normalize_text_nfc_controls_whitespace(spark):
     assert got[5]["text_norm"] is None and got[5]["changed"] is None
     assert got[6]["text_norm"] == "ﬁ ligature stays"
     assert unicodedata.normalize("NFC", got[6]["text_norm"]) == got[6]["text_norm"]
+
+
+def test_lang_segments_runs_and_blank_lines(spark):
+    from semargl_spark.operators.text import lang_segments
+
+    en = "the cat and the dog went to the house in the morning"
+    de = "der hund und die katze gehen nicht in das haus"
+    # blank padding between same-language lines must NOT split the run
+    doc = "\n".join([en, "", "   ", en, de, de])
+    df = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    rows = [r.asDict() for r in
+            lang_segments(df).orderBy("run_idx").collect()]
+    assert rows == [
+        {"doc_id": 7, "run_idx": 0, "lang": "en",
+         "seg_start": 0, "seg_end": 3, "n_segs": 2},
+        {"doc_id": 7, "run_idx": 1, "lang": "de",
+         "seg_start": 4, "seg_end": 5, "n_segs": 2},
+    ]
