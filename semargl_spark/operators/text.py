@@ -1294,3 +1294,64 @@ def normalize_text(
             )
 
     return src.mapInArrow(run, schema=out_schema)
+
+
+def lang_segments(
+    docs: DataFrame, id_col="doc_id", text_col="text", sep: str = "\n"
+) -> DataFrame:
+    """Per-segment language runs — the multilingual-document splitter:
+    a crawl document interleaving English boilerplate with German body
+    text should contribute only its German runs to a German corpus, so
+    the per-DOCUMENT language verdict (:func:`lang_id_ngram`) is the
+    wrong granularity. Segments (default: lines) are scored with the
+    same trigram heuristic, then consecutive same-language segments
+    collapse into runs via gaps-and-islands run-length encoding.
+
+    → (doc_id, run_idx, lang, seg_start, seg_end, n_segs): one row per
+    maximal same-language run, 0-based segment offsets, ``run_idx``
+    ordinal within the document.
+
+    Scale shape: the split/explode is narrow (rows grow by the segment
+    factor, no shuffle); scoring stays the constant-folded trigram-map
+    lookup of lang_id_ngram; the only exchange is the per-document
+    window every turn-ordering query already pays, and the rollup
+    reuses its partitioning. Blank segments are dropped BEFORE the
+    window (filter-then-lag discipline), so boilerplate blank-line
+    padding never splits a run.
+    """
+    from pyspark.sql.window import Window
+
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("seg_idx", "text"),
+    ).filter(F.trim(F.col("text")) != "")
+    scored = lang_id_ngram(segs, id_col=id_col, keep=("seg_idx",))
+    w = Window.partitionBy(id_col).orderBy("seg_idx")
+    chg = (
+        F.when(
+            F.lag("lang_pred").over(w).isNull()
+            | (F.lag("lang_pred").over(w) != F.col("lang_pred")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_chg")
+    )
+    runs = scored.select(id_col, "seg_idx", "lang_pred", chg).withColumn(
+        "_grp", F.sum("_chg").over(w)
+    )
+    return (
+        runs.groupBy(id_col, "_grp", "lang_pred")
+        .agg(
+            F.min("seg_idx").cast("int").alias("seg_start"),
+            F.max("seg_idx").cast("int").alias("seg_end"),
+            F.count("*").cast("int").alias("n_segs"),
+        )
+        .select(
+            id_col,
+            (F.col("_grp") - 1).cast("int").alias("run_idx"),
+            F.col("lang_pred").alias("lang"),
+            "seg_start",
+            "seg_end",
+            "n_segs",
+        )
+    )

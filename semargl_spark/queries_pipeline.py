@@ -2663,6 +2663,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_flatten": q_jsonld_flatten,
         "jsonld_compact": q_jsonld_compact,
         "jsonld_frame": q_jsonld_frame,
+        "lang_segments": q_lang_segments,
     }
 
 
@@ -9897,3 +9898,77 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(1 AS INT) AS n_nodes, CAST(0 AS INT) AS n_errors
 FROM documents
 """
+
+
+_LS_EN = "the cat and the dog went to the house in the morning"
+_LS_DE = "der hund und die katze gehen nicht in das haus"
+_LS_FR = "le chien et le chat vont dans la maison ce matin"
+
+
+def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual-document segmentation (text.lang_segments): each
+    document carries six lines in language pairs cycling en/de/fr with
+    a per-document phase, so runs of length 2 must survive the RLE and
+    boundaries must land exactly; the oracle replays the trigram
+    scoring AND the gaps-and-islands collapse."""
+    from .operators.text import lang_segments
+
+    line = ", ".join(
+        f"element_at(array('{_LS_EN}', '{_LS_DE}', '{_LS_FR}'), "
+        f"cast((doc_id + {i}) div 2 % 3 + 1 as int))"
+        for i in range(6)
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(f"concat_ws('\\n', {line})").alias("text"),
+    )
+    return lang_segments(docs)
+
+
+def _lang_segments_oracle() -> str:
+    from .operators.text import _TRIGRAM_PROFILES
+
+    langs = list(_TRIGRAM_PROFILES)
+
+    def lst(lang):
+        inner = ", ".join(
+            "'" + g.replace("'", "''") + "'" for g in _TRIGRAM_PROFILES[lang]
+        )
+        return f"[{inner}]"
+
+    score_exprs = ", ".join(
+        f"len(list_filter(tris, x -> list_contains({lst(lang)}, x)))"
+        for lang in langs
+    )
+    lang_list = "[" + ", ".join(f"'{lang}'" for lang in langs) + "]"
+    return rf"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+lines AS (SELECT doc_id, i,
+       CASE ((doc_id + i) // 2) % 3 WHEN 0 THEN '{_LS_EN}'
+            WHEN 1 THEN '{_LS_DE}' ELSE '{_LS_FR}' END AS line
+       FROM ids CROSS JOIN (SELECT unnest(generate_series(0,5)) AS i)),
+g AS (SELECT doc_id, i,
+       ' '||regexp_replace(lower(trim(line)), '\s+', ' ', 'g')||' ' AS pt
+       FROM lines),
+tr AS (SELECT doc_id, i,
+       list_transform(range(1, greatest(length(pt)-2, 1)+1),
+                      x -> substr(pt, CAST(x AS INT), 3)) AS tris FROM g),
+s AS (SELECT doc_id, i, [{score_exprs}] AS scores FROM tr),
+p AS (SELECT doc_id, i AS seg_idx,
+       CASE WHEN list_max(scores) = 0 THEN 'und'
+            ELSE {lang_list}[list_position(scores, list_max(scores))]
+       END AS lang FROM s),
+x AS (SELECT doc_id, seg_idx, lang,
+       CASE WHEN LAG(lang) OVER (PARTITION BY doc_id ORDER BY seg_idx)
+                 IS DISTINCT FROM lang THEN 1 ELSE 0 END AS chg FROM p),
+r AS (SELECT doc_id, seg_idx, lang,
+       SUM(chg) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS grp FROM x)
+SELECT doc_id, CAST(grp - 1 AS INT) AS run_idx, lang,
+       CAST(MIN(seg_idx) AS INT) AS seg_start,
+       CAST(MAX(seg_idx) AS INT) AS seg_end,
+       CAST(COUNT(*) AS INT) AS n_segs
+FROM r GROUP BY doc_id, grp, lang
+"""
+
+
+ORACLES["lang_segments"] = _lang_segments_oracle()
