@@ -71,6 +71,12 @@ def _parse_text(fmt: str, name_keyed: bool = False,
             from ..kernels import rdfa
 
             return lambda text, base, key: rdfa.parse(text, base_uri=base, doc_key=key)
+        if fmt == "microdata":
+            from ..kernels import microdata
+
+            return lambda text, base, key: microdata.parse(
+                text, base_uri=base, doc_key=key
+            )
         if fmt == "rdfxml":
             from ..kernels import rdfxml
 
@@ -95,6 +101,11 @@ def _parse_text(fmt: str, name_keyed: bool = False,
 _SNIFF_JSON = re.compile(r"\s*[{\[]")
 _SNIFF_RDFXML = re.compile(r"\s*(<\?xml[^>]*\?>\s*)?<rdf:RDF")
 _SNIFF_MARKUP = re.compile(r"\s*<[A-Za-z!?]")
+# RDFa-specific attributes (not shared with plain HTML): presence routes
+# a markup document to the RDFa kernel even if it also has itemscope
+_SNIFF_RDFA_ATTR = re.compile(
+    r"\b(?:property|typeof|vocab|prefix|about|resource)\s*="
+)
 _SNIFF_NT = re.compile(r"\s*(#|<[^ >]+>\s+<)")
 _SNIFF_TURTLE = re.compile(r"\s*(@prefix|@base|PREFIX\s|BASE\s)")
 
@@ -112,6 +123,11 @@ def sniff_format(text: str) -> str:
     if _SNIFF_NT.match(text):
         return "ntriples"
     if _SNIFF_MARKUP.match(text):
+        # markup carrying itemscope but no RDFa attributes is microdata;
+        # documents with both route to RDFa (reference parity — the
+        # reference only knows RDFa)
+        if "itemscope" in text and not _SNIFF_RDFA_ATTR.search(text):
+            return "microdata"
         return "rdfa"
     return "text"
 

@@ -487,6 +487,70 @@ FROM p WHERE ptix IS NOT NULL
 )
 
 
+def q_extract_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org microdata extraction (kernels/microdata.py): each
+    document is an itemscope tree with an itemid'd typed item, a text
+    property, an absolute URL property, and a nested untyped item
+    (exercising the md# vocabulary fallback and document-scoped bnode
+    labels); the oracle writes the mapped triples closed-form."""
+    did = F.col("doc_id").cast("int")
+    t = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(F.lit("c"), did.cast("string")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.concat(
+                F.lit('<div itemscope itemtype="https://schema.org/Thing" '
+                      'itemid="urn:e:'),
+                did.cast("string"),
+                F.lit('"><span itemprop="name">Entity '),
+                did.cast("string"),
+                F.lit('</span><a itemprop="url" href="urn:u:'),
+                did.cast("string"),
+                F.lit('">x</a><div itemprop="sub" itemscope>'
+                      '<span itemprop="note">n'),
+                did.cast("string"),
+                F.lit("</span></div></div>"),
+            ).alias("text"),
+        )
+    )
+    return triples(extract_statements(t, default_fmt="microdata")).select(
+        *STMT_COLS
+    )
+
+
+_oracle(
+    "extract_microdata",
+    """
+WITH ids AS (SELECT CAST(doc_id AS INT) AS did FROM documents)
+SELECT 'c'||did AS conv_id, CAST(0 AS INT) AS turn_idx,
+       'urn:e:'||did AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'https://schema.org/Thing' AS obj, 'iri' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
+FROM ids
+UNION ALL
+SELECT 'c'||did, CAST(0 AS INT), 'urn:e:'||did, 'https://schema.org/name',
+       'Entity '||did, 'literal', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ids
+UNION ALL
+SELECT 'c'||did, CAST(0 AS INT), 'urn:e:'||did, 'https://schema.org/url',
+       'urn:u:'||did, 'iri', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ids
+UNION ALL
+SELECT 'c'||did, CAST(0 AS INT), 'urn:e:'||did, 'https://schema.org/sub',
+       '_:bc'||did||'_0_n0', 'bnode', CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM ids
+UNION ALL
+SELECT 'c'||did, CAST(0 AS INT), '_:bc'||did||'_0_n0',
+       'http://www.w3.org/1999/xhtml/microdata#note',
+       'n'||did, 'literal', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ids
+""",
+)
+
+
 def q_extract_remote_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline remote-@context extraction: every document references its
     vocabulary by IRI (the schema.org shape) and the caller-supplied
@@ -575,6 +639,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_files": q_extract_files,
         "extract_errors": q_extract_errors,
         "extract_remote_ctx": q_extract_remote_ctx,
+        "extract_microdata": q_extract_microdata,
         "turn_ordering": q_turn_ordering,
         "turn_transitions": q_turn_transitions,
         "role_stats": q_role_stats,
