@@ -1355,3 +1355,78 @@ def lang_segments(
             "n_segs",
         )
     )
+
+
+_BLOCK_SPLIT = (
+    r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|section|article|"
+    r"header|footer|nav|blockquote)[^>]*>"
+)
+_ANCHOR = r"(?is)<a[^>]*>(.*?)</a>"
+
+
+def _html_norm(col):
+    """Strip tags, unescape the common entities, collapse whitespace —
+    the exact chain the DuckDB oracle replays (amp LAST, standard
+    single-pass unescape order)."""
+    c = F.regexp_replace(col, r"<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_main_blocks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 25,
+    max_link_pm: int = 330,
+) -> DataFrame:
+    """Main-content extraction from raw HTML — the jusText/trafilatura-
+    style boilerplate separator a crawl-curation pipeline runs before
+    any quality scoring: split the document into blocks at block-level
+    tags, measure each block's normalized text length and anchor-text
+    link density, and keep long low-link-density blocks (navigation,
+    footers, and tag clouds are short and link-dense; body prose is
+    long and link-sparse).
+
+    → (doc_id, block_idx, block_text, text_len, link_pm, kept): one row
+    per non-empty block with the integer-permil link density and the
+    keep verdict at (``min_len``, ``max_link_pm``); callers concatenate
+    ``kept`` blocks for the cleaned document.
+
+    Scale shape: one narrow split/posexplode (no shuffle — row count
+    grows by the block factor only), every measurement a JVM regex/
+    string expression; anchors that span a block boundary are simply
+    not counted (the split truncates them identically in the oracle
+    replay, so parity holds; the heuristic tolerates it).
+    """
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _BLOCK_SPLIT)).alias(
+            "block_idx", "_raw"
+        ),
+    )
+    anchors = F.expr(f"regexp_extract_all(_raw, '{_ANCHOR}', 1)")
+    link_len = F.aggregate(
+        F.transform(anchors, lambda x: F.length(_html_norm(x))),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    x = segs.select(
+        id_col,
+        "block_idx",
+        _html_norm(F.col("_raw")).alias("block_text"),
+        link_len.alias("_link_len"),
+    ).filter(F.length("block_text") > 0)
+    return x.selectExpr(
+        id_col,
+        "CAST(block_idx AS INT) AS block_idx",
+        "block_text",
+        "CAST(length(block_text) AS INT) AS text_len",
+        "CAST(1000 * _link_len div greatest(length(block_text), 1) "
+        "AS BIGINT) AS link_pm",
+        f"length(block_text) >= {int(min_len)} AND "
+        f"1000 * _link_len div greatest(length(block_text), 1) "
+        f"<= {int(max_link_pm)} AS kept",
+    )

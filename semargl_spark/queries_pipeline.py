@@ -2664,6 +2664,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_compact": q_jsonld_compact,
         "jsonld_frame": q_jsonld_frame,
         "lang_segments": q_lang_segments,
+        "html_main_content": q_html_main_content,
     }
 
 
@@ -9972,3 +9973,69 @@ FROM r GROUP BY doc_id, grp, lang
 
 
 ORACLES["lang_segments"] = _lang_segments_oracle()
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (text.html_main_blocks): each document
+    is wrapped in a crawl-page shape — link-dense nav header, the
+    document's prose as the body paragraph, link-dense footer — and the
+    oracle replays the full block split / tag strip / entity unescape /
+    anchor-density chain, pinning both the verdicts and the normalized
+    block texts."""
+    from .operators.text import html_main_blocks
+
+    d = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit('<div><a href="/a">Home</a> <a href="/b">About</a> '
+                  '<a href="/c">Contact</a></div><p>'),
+            F.col("text"),
+            F.lit(" tail "),
+            d.cast("string"),
+            F.lit('</p><div>&copy; 2026 <a href="/d">Site</a></div>'),
+        ).alias("text"),
+    )
+    return html_main_blocks(docs)
+
+
+def _html_main_oracle() -> str:
+    norm = (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace({src}, '<[^>]+>', ' ', 'g'),"
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        "'&#39;', chr(39)), '&amp;', '&'),"
+        r"'\s+', ' ', 'g'))"
+    )
+    return rf"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        '<div><a href="/a">Home</a> <a href="/b">About</a> '
+        || '<a href="/c">Contact</a></div><p>' || text || ' tail '
+        || doc_id || '</p><div>&copy; 2026 <a href="/d">Site</a></div>'
+          AS html FROM documents),
+parts AS (SELECT doc_id,
+        string_split_regex(html,
+          '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|section|article|header|footer|nav|blockquote)[^>]*>')
+          AS ps FROM t),
+idx AS (SELECT doc_id, unnest(range(1, len(ps)+1)) AS i, ps FROM parts),
+b AS (SELECT doc_id, CAST(i - 1 AS INT) AS block_idx, ps[CAST(i AS INT)] AS raw
+      FROM idx),
+n AS (SELECT doc_id, block_idx,
+        {norm.format(src='raw')} AS block_text,
+        COALESCE(list_sum(list_transform(
+          regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+          x -> length({norm.format(src='x')}))), 0) AS link_len
+      FROM b)
+SELECT doc_id, block_idx, block_text,
+       CAST(length(block_text) AS INT) AS text_len,
+       CAST(1000 * link_len // greatest(length(block_text), 1) AS BIGINT)
+         AS link_pm,
+       length(block_text) >= 25
+         AND 1000 * link_len // greatest(length(block_text), 1) <= 330
+         AS kept
+FROM n WHERE length(block_text) > 0
+"""
+
+
+ORACLES["html_main_content"] = _html_main_oracle()

@@ -755,3 +755,27 @@ def test_lang_segments_runs_and_blank_lines(spark):
         {"doc_id": 7, "run_idx": 1, "lang": "de",
          "seg_start": 4, "seg_end": 5, "n_segs": 2},
     ]
+
+
+def test_html_main_blocks_separates_boilerplate(spark):
+    from semargl_spark.operators.text import html_main_blocks
+
+    html = ('<div><a href="/a">Home</a> <a href="/b">About</a></div>'
+            '<p>This is a long enough paragraph of real body prose '
+            'for keeping &amp; testing.</p>'
+            '<div>&copy; <a href="/c">Site</a> footer</div>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    rows = {r.block_idx: r for r in html_main_blocks(df).collect()}
+    verdicts = {r.block_text: r.kept for r in rows.values()}
+    # nav: short + 90% link text → dropped; body: long, 0 links → kept;
+    # footer: short → dropped (entity &amp; unescaped, &copy; passes through)
+    assert verdicts == {
+        "Home About": False,
+        "This is a long enough paragraph of real body prose for keeping "
+        "& testing.": True,
+        "&copy; Site footer": False,
+    }
+    body = next(r for r in rows.values() if r.kept)
+    assert body.link_pm == 0 and body.text_len == 73
+    nav = rows[min(rows)]
+    assert nav.link_pm == 900
