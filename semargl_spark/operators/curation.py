@@ -1453,3 +1453,68 @@ def domain_cap(
         .filter(F.col("rank") <= k)
         .select("domain", "doc_id", "quality", "rank")
     )
+
+
+_TRACKING_PARAM = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=|$)"
+
+
+def url_canonicalize(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """URL canonicalization — the crawl-dedup primitive that makes two
+    spellings of one page compare equal BEFORE any content hashing:
+    lowercase scheme+authority, fragment dropped, default port
+    stripped, trailing path slashes collapsed, tracking parameters
+    (utm_*/fbclid/gclid/…) removed, surviving query parameters sorted.
+    Percent-decoding is deliberately NOT performed (it can change
+    semantics); ``www.`` is kept (conservative).
+
+    → (doc_id, url, url_canon, host, is_valid, changed): absolute
+    http(s)-style URLs canonicalize; anything without a scheme://
+    passes through unchanged with ``is_valid`` false.
+
+    Scale shape: pure JVM regex/array expressions, shuffle-free — runs
+    as a projection inside whatever scan feeds it; at 10^12 rows the
+    cost is the scan itself.
+    """
+    u = F.regexp_replace(F.trim(F.col(url_col)), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    pathq = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1
+    )
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.regexp_like(p, F.lit(_TRACKING_PARAM)),
+    )
+    q = F.array_join(F.sort_array(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    is_valid = scheme != ""
+    out_canon = F.when(is_valid, canon).otherwise(F.trim(F.col(url_col)))
+    return docs.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        out_canon.alias("url_canon"),
+        F.when(is_valid, F.regexp_replace(auth, r":[0-9]+$", ""))
+        .otherwise(F.lit(""))
+        .alias("host"),
+        is_valid.alias("is_valid"),
+        (out_canon != F.col(url_col)).alias("changed"),
+    )

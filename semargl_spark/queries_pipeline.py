@@ -2665,6 +2665,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_frame": q_jsonld_frame,
         "lang_segments": q_lang_segments,
         "html_main_content": q_html_main_content,
+        "url_canonicalize": q_url_canonicalize,
     }
 
 
@@ -10039,3 +10040,47 @@ FROM n WHERE length(block_text) > 0
 
 
 ORACLES["html_main_content"] = _html_main_oracle()
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (curation.url_canonicalize): uppercase
+    scheme/host, default port, trailing slash, fragment, tracking
+    params and unsorted query params all collapse to one spelling; a
+    quarter of the rows are scheme-less strings that must pass through
+    unchanged. Closed-form expected values."""
+    from .operators.curation import url_canonicalize
+
+    d = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.when(
+            d % 4 == 0, F.concat(F.lit("doc-"), d.cast("string"))
+        ).otherwise(
+            F.concat(
+                F.lit("HTTPS://Sub"),
+                (d % 5).cast("string"),
+                F.lit(".Example.COM:443/p/"),
+                d.cast("string"),
+                F.lit("/?utm_campaign=c&z="),
+                d.cast("string"),
+                F.lit("&a=1#s"),
+            )
+        ).alias("url"),
+    )
+    return url_canonicalize(docs)
+
+
+ORACLES["url_canonicalize"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+SELECT doc_id, 'doc-'||doc_id AS url, 'doc-'||doc_id AS url_canon,
+       '' AS host, FALSE AS is_valid, FALSE AS changed
+FROM ids WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id,
+       'HTTPS://Sub'||(doc_id%5)||'.Example.COM:443/p/'||doc_id
+         ||'/?utm_campaign=c&z='||doc_id||'&a=1#s',
+       'https://sub'||(doc_id%5)||'.example.com/p/'||doc_id
+         ||'?a=1&z='||doc_id,
+       'sub'||(doc_id%5)||'.example.com', TRUE, TRUE
+FROM ids WHERE doc_id % 4 <> 0
+"""

@@ -1282,3 +1282,27 @@ def test_domain_cap_parses_urls_and_caps(spark):
     # determinism at different parallelism
     again = domain_cap(df.repartition(7), k=5).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_url_canonicalize_rules(spark):
+    from semargl_spark.operators.curation import url_canonicalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Site.COM:443/Path/9/?utm_source=x&b=2&a=1#frag"),
+            (2, "http://h.org:80/a//b///"),
+            (3, "not a url"),
+            (4, "https://h.org"),
+            (5, "https://h.org:8080/x?fbclid=abc"),  # non-default port kept
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r for r in url_canonicalize(df).collect()}
+    assert got[1].url_canon == "https://www.site.com/Path/9?a=1&b=2"
+    assert got[1].host == "www.site.com" and got[1].changed
+    # trailing slashes collapse; interior double slashes are preserved
+    assert got[2].url_canon == "http://h.org/a//b"
+    assert not got[3].is_valid and got[3].url_canon == "not a url"
+    assert got[4].url_canon == "https://h.org/"  # empty path becomes /
+    assert got[5].url_canon == "https://h.org:8080/x"
+    assert got[5].host == "h.org"
