@@ -2666,6 +2666,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_segments": q_lang_segments,
         "html_main_content": q_html_main_content,
         "url_canonicalize": q_url_canonicalize,
+        "pipeline_crawl": q_pipeline_crawl,
     }
 
 
@@ -10083,4 +10084,69 @@ SELECT doc_id,
          ||'?a=1&z='||doc_id,
        'sub'||(doc_id%5)||'.example.com', TRUE, TRUE
 FROM ids WHERE doc_id % 4 <> 0
+"""
+
+
+def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl curation: URL canonicalization → HTML
+    main-content extraction → canonical-URL dedup (keep lowest doc_id).
+    Documents arrive in pairs sharing one page under two URL spellings
+    (tracker params + uppercase host on the odd twin), wrapped in
+    link-dense nav/footer boilerplate; the pipeline must collapse each
+    pair to one clean prose row. Composes url_canonicalize,
+    html_main_blocks and a two-column window dedup — the crawl
+    front-end that feeds every downstream quality/dedup family."""
+    from pyspark.sql.window import Window
+
+    from .operators.curation import url_canonicalize
+    from .operators.text import html_main_blocks
+
+    d = F.col("doc_id").cast("long")
+    grp = (d / 2).cast("long")
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("https://site.example/p/"), grp.cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://Site.Example/p/"),
+                grp.cast("string"),
+                F.lit("?utm_source=twin"),
+            )
+        )
+        .alias("url"),
+        F.concat(
+            F.lit('<div><a href="/a">Home</a> <a href="/b">About</a> '
+                  '<a href="/c">More</a></div><p>'
+                  "Body prose long enough to keep for group "),
+            grp.cast("string"),
+            F.lit('.</p><div>&copy; <a href="/d">Site</a></div>'),
+        ).alias("html"),
+    )
+    canon = url_canonicalize(docs, url_col="url").select("doc_id", "url_canon")
+    clean = (
+        html_main_blocks(docs, text_col="html")
+        .filter(F.col("kept"))
+        .groupBy("doc_id")
+        .agg(F.min("block_text").alias("clean_text"))
+    )
+    joined = canon.join(clean, "doc_id")
+    w = Window.partitionBy("url_canon").orderBy("doc_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "url_canon", "clean_text")
+    )
+
+
+ORACLES["pipeline_crawl"] = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       'https://site.example/p/'||(d.doc_id//2) AS url_canon,
+       'Body prose long enough to keep for group '||(d.doc_id//2)||'.'
+         AS clean_text
+FROM documents d
+WHERE d.doc_id = (SELECT min(x.doc_id) FROM documents x
+                  WHERE x.doc_id // 2 = d.doc_id // 2)
 """
