@@ -2667,6 +2667,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "url_canonicalize": q_url_canonicalize,
         "pipeline_crawl": q_pipeline_crawl,
+        "wet_split": q_wet_split,
     }
 
 
@@ -10149,4 +10150,51 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d
 WHERE d.doc_id = (SELECT min(x.doc_id) FROM documents x
                   WHERE x.doc_id // 2 = d.doc_id // 2)
+"""
+
+
+def q_wet_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET record splitting (sources/wet_records.py): each document
+    becomes a two-record WET concatenation with a preamble to drop, a
+    CRLF-framed second record, and a multi-line payload; the oracle
+    writes the lifted header fields and payloads closed-form."""
+    from .sources.wet_records import split_wet_records
+
+    d = F.col("doc_id").cast("long")
+    nl = F.lit("\n")
+    files = _docs(spark, sf_dir).select(
+        d.alias("file_id"),
+        F.concat(
+            F.lit("warcinfo preamble"), nl,
+            F.lit("WARC/1.0"), nl,
+            F.lit("WARC-Type: conversion"), nl,
+            F.lit("WARC-Target-URI: https://w.example/p/"),
+            d.cast("string"), nl,
+            F.lit("WARC-Date: 2026-01-01T00:00:00Z"), nl,
+            F.lit("Content-Length: 20"), nl, nl,
+            F.lit("alpha "), d.cast("string"), nl, nl,
+            F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
+                  "WARC-Target-URI: https://w.example/q/"),
+            d.cast("string"),
+            F.lit("\r\n\r\nbeta "), d.cast("string"), nl,
+            F.lit("more "), d.cast("string"), nl,
+        ).alias("content"),
+    )
+    return split_wet_records(files)
+
+
+ORACLES["wet_split"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS file_id FROM documents)
+SELECT file_id, CAST(0 AS INT) AS record_idx,
+       'conversion' AS warc_type,
+       'https://w.example/p/'||file_id AS target_uri,
+       '2026-01-01T00:00:00Z' AS warc_date,
+       CAST(20 AS BIGINT) AS content_length,
+       'alpha '||file_id AS text
+FROM ids
+UNION ALL
+SELECT file_id, CAST(1 AS INT), 'conversion',
+       'https://w.example/q/'||file_id, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), 'beta '||file_id||chr(10)||'more '||file_id
+FROM ids
 """
