@@ -1518,3 +1518,159 @@ def url_canonicalize(
         is_valid.alias("is_valid"),
         (out_canon != F.col(url_col)).alias("changed"),
     )
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "content",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt bodies into the rule set applying to ``agent``.
+
+    → (host, path, directive, rule_len): one row per Allow/Disallow
+    rule inside a User-agent section matching ``agent`` (exact token or
+    ``*``). Robots grammar via gaps-and-islands: a section starts at a
+    User-agent line whose previous directive-bearing line is not also a
+    User-agent line (consecutive UA lines share one section, per the
+    original spec); comments and blank lines are ignored; empty
+    Disallow values (``Disallow:``) produce no rule (allow-all).
+
+    Scale shape: one line split/posexplode (narrow), one per-host
+    window for section numbering, one tiny (host, section) rollup —
+    robots corpora are ~50 lines × #hosts, dwarfed by the URL side
+    they later filter.
+    """
+    from pyspark.sql.window import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
+            "line_idx", "_line"
+        ),
+    )
+    line = F.regexp_replace(F.col("_line"), r"#.*$", "")
+    kind = (
+        F.when(F.regexp_like(line, F.lit(r"(?i)^\s*user-agent\s*:")), "ua")
+        .when(F.regexp_like(line, F.lit(r"(?i)^\s*allow\s*:")), "allow")
+        .when(F.regexp_like(line, F.lit(r"(?i)^\s*disallow\s*:")), "disallow")
+        .otherwise("other")
+    )
+    value = F.trim(F.regexp_extract(line, r"(?i)^\s*[a-z-]+\s*:\s*(\S.*?)\s*$", 1))
+    x = (
+        lines.select("host", "line_idx", kind.alias("kind"),
+                     value.alias("value"))
+        .filter(F.col("kind") != "other")
+    )
+    w = Window.partitionBy("host").orderBy("line_idx")
+    new_sec = (
+        (F.col("kind") == "ua")
+        & (F.coalesce(F.lag("kind").over(w), F.lit("x")) != "ua")
+    ).cast("int")
+    x = x.withColumn("section", F.sum(new_sec).over(w))
+    applies = (
+        x.filter(F.col("kind") == "ua")
+        .groupBy("host", "section")
+        .agg(
+            F.max(
+                (F.lower(F.col("value")) == agent.lower())
+                | (F.col("value") == "*")
+            ).alias("applies")
+        )
+        .filter(F.col("applies"))
+        .drop("applies")
+    )
+    return (
+        x.filter(F.col("kind").isin("allow", "disallow") & (F.col("value") != ""))
+        .join(applies, ["host", "section"])
+        .select(
+            "host",
+            F.col("value").alias("path"),
+            F.col("kind").alias("directive"),
+            F.length("value").cast("int").alias("rule_len"),
+        )
+    )
+
+
+def _rule_regex(path_col):
+    """robots rule → anchored regex: regex metachars escaped, ``*`` →
+    ``.*``, a trailing ``$`` anchor honored (Google REP semantics)."""
+    c = path_col
+    for ch in ("\\", ".", "^", "+", "?", "(", ")", "[", "]", "{", "}", "|"):
+        c = F.replace(c, F.lit(ch), F.lit("\\" + ch))
+    c = F.replace(c, F.lit("$"), F.lit("\\$"))
+    c = F.replace(c, F.lit("*"), F.lit(".*"))
+    # un-escape a trailing end anchor ("\$" in the replacement: Java
+    # treats a bare $ there as a group reference)
+    c = F.regexp_replace(c, r"\\\$$", "\\$")
+    return F.concat(F.lit("^"), c)
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    agent: str = "*",
+) -> DataFrame:
+    """Evaluate crawl permission for each URL against robots.txt rules
+    (Google REP precedence: the longest matching rule wins, ties go to
+    Allow; no matching rule ⇒ allowed).
+
+    → (doc_id, url, host, matched_path, directive, allowed).
+
+    Scale shape: rules broadcast (robots corpora are tiny next to the
+    URL frontier), match via regex derived from the rule (``*`` and a
+    trailing ``$`` honored), precedence via one per-URL window over the
+    matched rules only — URLs with no matching rule never enter the
+    window.
+    """
+    from pyspark.sql.window import Window
+
+    rules = robots_rules(robots, agent=agent).withColumn(
+        "_re", _rule_regex(F.col("path"))
+    )
+    u = urls.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1
+            )
+        ).alias("host"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.col(url_col),
+                    r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1,
+                ),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ).alias("_path"),
+    )
+    matched = (
+        u.join(F.broadcast(rules), "host")
+        .filter(F.expr("_path rlike _re"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("rule_len").desc(), F.col("directive").asc()
+    )
+    best = (
+        matched.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("path").alias("matched_path"), "directive")
+    )
+    return (
+        u.join(best, id_col, "left")
+        .select(
+            id_col,
+            "url",
+            "host",
+            "matched_path",
+            "directive",
+            F.coalesce(F.col("directive") == "allow", F.lit(True)).alias(
+                "allowed"
+            ),
+        )
+    )

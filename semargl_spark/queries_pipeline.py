@@ -2668,6 +2668,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "pipeline_crawl": q_pipeline_crawl,
         "wet_split": q_wet_split,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -10197,4 +10198,54 @@ SELECT file_id, CAST(1 AS INT), 'conversion',
        'https://w.example/q/'||file_id, CAST(NULL AS VARCHAR),
        CAST(NULL AS BIGINT), 'beta '||file_id||chr(10)||'more '||file_id
 FROM ids
+"""
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filtering (curation.robots_filter): five
+    hosts share a robots body with a User-agent:* section (Disallow
+    /private/ overridden by the longer Allow /private/ok) plus a
+    stricter bot section that must NOT apply; URLs cycle through
+    no-match / disallowed / allow-override / root paths. Closed-form
+    expected verdicts."""
+    from .operators.curation import robots_filter
+
+    robots = spark.range(5).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+              "\nUser-agent: bot\nDisallow: /\n").alias("content"),
+    )
+    d = F.col("doc_id").cast("long")
+    urls = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("https://h"),
+            (d % 5).cast("string"),
+            F.lit(".example"),
+            F.when(d % 4 == 0, F.concat(F.lit("/pub/"), d.cast("string")))
+            .when(d % 4 == 1, F.concat(F.lit("/private/"), d.cast("string")))
+            .when(d % 4 == 2, F.concat(F.lit("/private/ok"), d.cast("string")))
+            .otherwise(F.lit("/")),
+        ).alias("url"),
+    )
+    return robots_filter(urls, robots)
+
+
+ORACLES["robots_filter"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+u AS (SELECT doc_id, 'h'||(doc_id%5)||'.example' AS host,
+        CASE doc_id % 4
+          WHEN 0 THEN '/pub/'||doc_id
+          WHEN 1 THEN '/private/'||doc_id
+          WHEN 2 THEN '/private/ok'||doc_id
+          ELSE '/' END AS path
+      FROM ids)
+SELECT doc_id, 'https://'||host||path AS url, host,
+       CASE doc_id % 4 WHEN 1 THEN '/private/'
+                       WHEN 2 THEN '/private/ok' END AS matched_path,
+       CASE doc_id % 4 WHEN 1 THEN 'disallow'
+                       WHEN 2 THEN 'allow' END AS directive,
+       (doc_id % 4) <> 1 AS allowed
+FROM u
 """

@@ -1306,3 +1306,38 @@ def test_url_canonicalize_rules(spark):
     assert got[4].url_canon == "https://h.org/"  # empty path becomes /
     assert got[5].url_canon == "https://h.org:8080/x"
     assert got[5].host == "h.org"
+
+
+def test_robots_filter_rep_semantics(spark):
+    from semargl_spark.operators.curation import robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            ("h.example",
+             "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+             "Disallow:\n\nUser-agent: bot\nDisallow: /\n"),
+            ("w.example",
+             "User-agent: bad\nDisallow: /\n\n"
+             "User-agent: *\nDisallow: /*.pdf$\n"),
+        ],
+        "host string, content string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h.example/pub/x"),        # no rule → allowed
+            (2, "https://h.example/private/x"),    # disallowed
+            (3, "https://h.example/private/okfile"),  # longer Allow wins
+            (4, "https://w.example/doc.pdf"),      # wildcard + $ anchor
+            (5, "https://w.example/doc.pdf?x=1"),  # query defeats $ → allowed
+            (6, "https://other.example/anything"),  # no robots → allowed
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r for r in robots_filter(urls, robots).collect()}
+    assert [got[i].allowed for i in range(1, 7)] == [
+        True, False, True, False, True, True]
+    assert got[2].matched_path == "/private/"
+    assert got[3].matched_path == "/private/ok" and got[3].directive == "allow"
+    assert got[4].matched_path == "/*.pdf$"
+    # the bot-specific section must not leak into the * evaluation
+    assert got[1].matched_path is None
