@@ -1674,3 +1674,55 @@ def robots_filter(
             ),
         )
     )
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    delays: DataFrame | None = None,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    default_delay_s: int = 1,
+) -> DataFrame:
+    """Per-host politeness scheduling for a fetch frontier: each host's
+    URLs get consecutive fetch slots spaced by that host's crawl delay
+    (robots ``Crawl-delay`` or the default), so a fetcher can consume
+    the frame ordered by ``fetch_offset_s`` and never hit one host
+    faster than allowed.
+
+    ``delays``: optional ``(host, crawl_delay_s)`` side table
+    (broadcast). → (doc_id, url, host, fetch_seq, crawl_delay_s,
+    fetch_offset_s).
+
+    Scale shape: one per-host window (row_number over the frontier's
+    natural key) — the same partitioning a host-sharded fetcher needs
+    anyway; hot hosts are bounded by their own politeness budget, so
+    window skew IS the schedule, not a bottleneck.
+    """
+    from pyspark.sql.window import Window
+
+    u = urls.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1
+            )
+        ).alias("host"),
+    )
+    if delays is not None:
+        u = u.join(F.broadcast(delays), "host", "left")
+        delay = F.coalesce(
+            F.col("crawl_delay_s"), F.lit(default_delay_s)
+        ).cast("int")
+    else:
+        delay = F.lit(default_delay_s).cast("int")
+    w = Window.partitionBy("host").orderBy(id_col)
+    seq = (F.row_number().over(w) - 1).cast("int")
+    return u.select(
+        id_col,
+        "url",
+        "host",
+        seq.alias("fetch_seq"),
+        delay.alias("crawl_delay_s"),
+        (seq.cast("long") * delay).alias("fetch_offset_s"),
+    )

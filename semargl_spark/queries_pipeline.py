@@ -2669,6 +2669,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_crawl": q_pipeline_crawl,
         "wet_split": q_wet_split,
         "robots_filter": q_robots_filter,
+        "sitemap_frontier": q_sitemap_frontier,
+        "crawl_schedule": q_crawl_schedule,
     }
 
 
@@ -10248,4 +10250,89 @@ SELECT doc_id, 'https://'||host||path AS url, host,
                        WHEN 2 THEN 'allow' END AS directive,
        (doc_id % 4) <> 1 AS allowed
 FROM u
+"""
+
+
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (sources/sitemap.py): each document is a sitemap
+    carrying two url entries (one fully-attributed with an &amp; to
+    unescape, one bare) plus an index entry pointing at the next shard;
+    the oracle writes every flattened row closed-form."""
+    from .sources.sitemap import parse_sitemaps
+
+    d = F.col("doc_id").cast("long")
+    files = _docs(spark, sf_dir).select(
+        d.alias("file_id"),
+        F.concat(
+            F.lit('<urlset><url><loc>https://s.example/p/'),
+            d.cast("string"),
+            F.lit('?a=1&amp;b=2</loc><lastmod>2026-01-01</lastmod>'
+                  '<changefreq>daily</changefreq><priority>0.8</priority>'
+                  '</url><url><loc>https://s.example/q/'),
+            d.cast("string"),
+            F.lit('</loc></url><sitemap><loc>https://s.example/shard'),
+            (d + 1).cast("string"),
+            F.lit(".xml</loc></sitemap></urlset>"),
+        ).alias("content"),
+    )
+    return parse_sitemaps(files)
+
+
+ORACLES["sitemap_frontier"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS file_id FROM documents)
+SELECT file_id, CAST(0 AS INT) AS entry_idx, 'url' AS kind,
+       'https://s.example/p/'||file_id||'?a=1&b=2' AS loc,
+       '2026-01-01' AS lastmod, 'daily' AS changefreq,
+       CAST(800 AS INT) AS priority_pm
+FROM ids
+UNION ALL
+SELECT file_id, CAST(1 AS INT), 'url', 'https://s.example/q/'||file_id,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+FROM ids
+UNION ALL
+SELECT file_id, CAST(2 AS INT), 'sitemap',
+       'https://s.example/shard'||(file_id+1)||'.xml',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+FROM ids
+"""
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (curation.crawl_schedule): URLs shard onto
+    five hosts with per-host crawl delays 1-5 s (one host falls back to
+    the default); the oracle replays the per-host fetch-slot window."""
+    from .operators.curation import crawl_schedule
+
+    delays = spark.range(4).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        (F.col("id") + 2).cast("int").alias("crawl_delay_s"),
+    )
+    d = F.col("doc_id").cast("long")
+    urls = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("https://h"),
+            (d % 5).cast("string"),
+            F.lit(".example/p/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    return crawl_schedule(urls, delays)
+
+
+ORACLES["crawl_schedule"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+u AS (SELECT doc_id, 'h'||(doc_id%5)||'.example' AS host,
+        'https://h'||(doc_id%5)||'.example/p/'||doc_id AS url,
+        CASE WHEN doc_id%5 = 4 THEN 1 ELSE CAST(doc_id%5 + 2 AS INT) END
+          AS delay
+      FROM ids),
+r AS (SELECT doc_id, url, host, delay,
+        CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1
+             AS INT) AS fetch_seq
+      FROM u)
+SELECT doc_id, url, host, fetch_seq, CAST(delay AS INT) AS crawl_delay_s,
+       CAST(fetch_seq AS BIGINT) * delay AS fetch_offset_s
+FROM r
 """

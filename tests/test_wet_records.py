@@ -41,3 +41,43 @@ def test_wet_split_empty_and_headerless(spark):
     assert len(rows) == 1
     assert rows[0].file_id == 2 and rows[0].text == "bare body"
     assert rows[0].target_uri is None
+
+
+def test_parse_sitemaps_entries_and_index(spark):
+    from semargl_spark.sources.sitemap import parse_sitemaps
+
+    sm = ('<?xml version="1.0"?><urlset>'
+          '<url><loc>https://a.example/p?x=1&amp;y=2</loc>'
+          '<lastmod>2026-01-01</lastmod><changefreq>daily</changefreq>'
+          '<priority>0.8</priority></url>'
+          '<url><loc>https://a.example/q</loc></url></urlset>')
+    idx = ('<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>'
+           '</sitemap></sitemapindex>')
+    df = spark.createDataFrame(
+        [(1, sm), (2, idx), (3, "garbage <not xml")],
+        "file_id long, content string",
+    )
+    rows = {(r.file_id, r.entry_idx): r for r in parse_sitemaps(df).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}  # malformed → zero rows
+    full = rows[(1, 0)]
+    assert full.loc == "https://a.example/p?x=1&y=2"  # &amp; unescaped
+    assert full.priority_pm == 800 and full.changefreq == "daily"
+    assert rows[(1, 1)].lastmod is None
+    assert rows[(2, 0)].kind == "sitemap"
+
+
+def test_crawl_schedule_politeness(spark):
+    from semargl_spark.operators.curation import crawl_schedule
+
+    urls = spark.createDataFrame(
+        [(i, f"https://h{i % 2}.example/p/{i}") for i in range(6)],
+        "doc_id long, url string",
+    )
+    delays = spark.createDataFrame(
+        [("h0.example", 5)], "host string, crawl_delay_s int")
+    got = {r.doc_id: r for r in crawl_schedule(urls, delays).collect()}
+    # h0 gets docs 0,2,4 at 5s spacing; h1 falls back to the 1s default
+    assert [(got[i].fetch_seq, got[i].fetch_offset_s) for i in (0, 2, 4)] \
+        == [(0, 0), (1, 5), (2, 10)]
+    assert [(got[i].fetch_seq, got[i].fetch_offset_s) for i in (1, 3, 5)] \
+        == [(0, 0), (1, 1), (2, 2)]
