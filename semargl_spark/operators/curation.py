@@ -1726,3 +1726,86 @@ def crawl_schedule(
         delay.alias("crawl_delay_s"),
         (seq.cast("long") * delay).alias("fetch_offset_s"),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    appendix A1.1) as one row-local Catalyst projection → per-rule
+    flags + the keep decision:
+
+    word count in [min_words, max_words]; mean word length in [3, 10]
+    (integer form: ``3·n ≤ Σlen ≤ 10·n``); symbol-to-word ratio ≤ 0.1
+    (``#`` and ``...``); < 90 % of lines bullet-led; < 30 % of lines
+    ellipsis-ended; ≥ 80 % of words contain an alphabetic character;
+    ≥ 2 distinct Gopher stop words present. Every threshold is integer
+    cross-multiplication — no float can flip a verdict across engines.
+
+    Scale shape: NO shuffle — flags are in-row array/string
+    expressions inside one WholeStageCodegen span over the scan, the
+    same discipline as c4_rule_filter.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(toks).cast("long")
+    sum_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), F.trim), lambda x: x != ""
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.regexp_like(x, F.lit(r"^[-*•]")))
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: F.regexp_like(x, F.lit(r"(\.\.\.|…)$")))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: F.regexp_like(x, F.lit("[A-Za-z]")))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    ).cast("int")
+
+    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_len = (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words)
+    ok_symbol = 10 * (n_hash + n_ellipsis) <= n_words
+    ok_bullets = 10 * n_bullet < 9 * F.greatest(n_lines, F.lit(1).cast("long"))
+    ok_ell_lines = 10 * n_ell_end < 3 * F.greatest(n_lines, F.lit(1).cast("long"))
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_stop = n_stop >= 2
+
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_lines.alias("n_lines"),
+        n_stop.alias("n_stop_kinds"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_bullets.alias("ok_bullets"),
+        ok_ell_lines.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_word_count & ok_mean_len & ok_symbol & ok_bullets
+            & ok_ell_lines & ok_alpha & ok_stop
+        ).alias("keep"),
+    )

@@ -2671,6 +2671,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_schedule": q_crawl_schedule,
+        "gopher_filter": q_gopher_filter,
     }
 
 
@@ -10335,4 +10336,86 @@ r AS (SELECT doc_id, url, host, delay,
 SELECT doc_id, url, host, fetch_seq, CAST(delay AS INT) AS crawl_delay_s,
        CAST(fetch_seq AS BIGINT) * delay AS fetch_offset_s
 FROM r
+"""
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (curation.gopher_filter): a quarter of the
+    corpus each gets a symbol-spam, bullet-list, or ellipsis-line
+    suffix so every rule fires somewhere; the oracle replays all seven
+    rules with the same integer cross-multiplications."""
+    d = F.col("doc_id").cast("long")
+    spiced = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 1,
+                   F.lit("\n### ### ### ### ### ### ### ###"))
+            .when(d % 4 == 2,
+                  F.lit("\n- b1\n- b2\n- b3\n- b4\n- b5\n- b6\n- b7"
+                        "\n- b8\n- b9\n- b10"))
+            .when(d % 4 == 3, F.lit("\nwaiting...\nmore...\nstill..."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    from .operators.curation import gopher_filter
+
+    return gopher_filter(spiced)
+
+
+_GOPHER_SW_SQL = "['the','be','to','of','and','that','have','with']"
+
+ORACLES["gopher_filter"] = rf"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        trim(text || CASE doc_id % 4
+          WHEN 1 THEN chr(10)||'### ### ### ### ### ### ### ###'
+          WHEN 2 THEN chr(10)||'- b1'||chr(10)||'- b2'||chr(10)||'- b3'
+            ||chr(10)||'- b4'||chr(10)||'- b5'||chr(10)||'- b6'
+            ||chr(10)||'- b7'||chr(10)||'- b8'||chr(10)||'- b9'
+            ||chr(10)||'- b10'
+          WHEN 3 THEN chr(10)||'waiting...'||chr(10)||'more...'
+            ||chr(10)||'still...'
+          ELSE '' END) AS txt
+      FROM documents),
+m AS (SELECT doc_id, txt,
+        list_filter(string_split_regex(txt, '\s+'), x -> x <> '') AS toks,
+        list_filter(list_transform(string_split(txt, chr(10)),
+                                   x -> trim(x)), x -> x <> '') AS lines
+      FROM t),
+n AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+             AS BIGINT) AS sum_word_chars,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT)
+          AS n_hash,
+        CAST((length(txt) - length(replace(txt, '...', ''))) // 3
+             AS BIGINT) AS n_ellipsis,
+        CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))
+             AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(lines,
+                             x -> regexp_matches(x, '(\.\.\.|…)$')))
+             AS BIGINT) AS n_ell_end,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha,
+        CAST(len(list_intersect(list_distinct(list_transform(toks,
+             x -> lower(x))), {_GOPHER_SW_SQL})) AS INT) AS n_stop
+      FROM m)
+SELECT doc_id, n_words, sum_word_chars, n_lines, n_stop AS n_stop_kinds,
+       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       3*n_words <= sum_word_chars AND sum_word_chars <= 10*n_words
+         AS ok_mean_len,
+       10*(n_hash + n_ellipsis) <= n_words AS ok_symbol_ratio,
+       10*n_bullet < 9*GREATEST(n_lines, 1) AS ok_bullets,
+       10*n_ell_end < 3*GREATEST(n_lines, 1) AS ok_ellipsis_lines,
+       5*n_alpha >= 4*n_words AS ok_alpha_words,
+       n_stop >= 2 AS ok_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (3*n_words <= sum_word_chars AND sum_word_chars <= 10*n_words)
+         AND (10*(n_hash + n_ellipsis) <= n_words)
+         AND (10*n_bullet < 9*GREATEST(n_lines, 1))
+         AND (10*n_ell_end < 3*GREATEST(n_lines, 1))
+         AND (5*n_alpha >= 4*n_words)
+         AND (n_stop >= 2) AS keep
+FROM n
 """

@@ -1341,3 +1341,28 @@ def test_robots_filter_rep_semantics(spark):
     assert got[4].matched_path == "/*.pdf$"
     # the bot-specific section must not leak into the * evaluation
     assert got[1].matched_path is None
+
+
+def test_gopher_filter_rules(spark):
+    from semargl_spark.operators.curation import gopher_filter
+
+    base = "the words be of and that have with " * 8  # 64 words, all ok
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "### " * 20),          # symbol ratio + alpha hit
+            (3, base + "\n" + "\n".join(f"- b{i}" for i in range(20))),
+            (4, "tiny doc"),                  # word count
+            (5, base.replace("the", "zzz").replace("and", "yyy")
+                 .replace("be", "xxx").replace("of", "www")
+                 .replace("that", "vvv").replace("have", "uuu")
+                 .replace("with", "ttt")),    # no stop words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_filter(df).collect()}
+    assert got[1].keep
+    assert not got[2].ok_symbol_ratio and not got[2].keep
+    assert not got[3].ok_bullets and not got[3].keep
+    assert not got[4].ok_word_count and not got[4].keep
+    assert got[5].n_stop_kinds == 0 and not got[5].ok_stopwords
