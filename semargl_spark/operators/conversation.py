@@ -580,3 +580,57 @@ def turn_edit_sim(
         "CAST(1000 * edit_dist div greatest(max_len, 1) AS BIGINT) AS dist_pm",
         f"1000 * edit_dist div greatest(max_len, 1) <= {int(near_pm)} AS is_near",
     )
+
+
+def tool_arg_validate(
+    transcripts: DataFrame, required: dict[str, list[str]]
+) -> DataFrame:
+    """Tool-call argument QA over agent transcripts: each tool turn's
+    ``text`` is expected to carry a JSON argument object; ``required``
+    maps tool name → required argument keys. Emits one row per tool
+    turn with the missing keys and a validity verdict — the trajectory
+    filter that catches malformed tool calls before SFT export.
+
+    → (conv_id, turn_idx, tool, is_json, missing_keys, ok):
+    ``missing_keys`` is sorted; a non-JSON body reports all required
+    keys missing and ``is_json`` false; tools absent from ``required``
+    validate trivially (empty requirement).
+
+    Scale shape: row-local JSON path probes (``get_json_object`` per
+    required key — JVM-side Jackson, no Python); the requirement dict
+    is a constant folded into the plan (broadcast semantics). No
+    shuffle.
+    """
+    rows = transcripts.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool", "text"
+    )
+    # valid-object probe: the whole body parses as a JSON object
+    is_json = F.get_json_object(F.col("text"), "$").isNotNull() & F.col(
+        "text"
+    ).rlike(r"^\s*\{")
+    missing = F.array().cast("array<string>")
+    for tool, keys in sorted(required.items()):
+        tool_missing = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        F.get_json_object(F.col("text"), f"$.{k}").isNull(),
+                        F.lit(k),
+                    )
+                    for k in sorted(keys)
+                ]
+            )
+        ) if keys else F.array().cast("array<string>")
+        all_keys = F.array(*[F.lit(k) for k in sorted(keys)])
+        missing = F.when(
+            F.col("tool") == tool,
+            F.when(is_json, tool_missing).otherwise(all_keys),
+        ).otherwise(missing)
+    return rows.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        is_json.alias("is_json"),
+        missing.alias("missing_keys"),
+        (F.size(missing) == 0).alias("ok"),
+    )

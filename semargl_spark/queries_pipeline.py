@@ -2672,6 +2672,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_schedule": q_crawl_schedule,
         "gopher_filter": q_gopher_filter,
+        "tool_args_validate": q_tool_args_validate,
     }
 
 
@@ -10418,4 +10419,73 @@ SELECT doc_id, n_words, sum_word_chars, n_lines, n_stop AS n_stop_kinds,
          AND (5*n_alpha >= 4*n_words)
          AND (n_stop >= 2) AS keep
 FROM n
+"""
+
+
+def q_tool_args_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call argument QA (conversation.tool_arg_validate): tool
+    turns cycle through complete / missing-key / malformed JSON bodies
+    for two tools with different requirement sets; the oracle writes
+    the per-turn verdicts closed-form (inputs are deterministic, so no
+    JSON replay is needed on the oracle side)."""
+    from .operators.conversation import tool_arg_validate
+
+    d, x = F.col("did"), F.col("tix")
+    turns = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("int").alias("did"))
+        .select("did", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("tix"))
+        .filter(x % 3 == 2)
+    )
+    v = (d + x) % 3
+    is_search = d % 2 == 0
+    text = (
+        F.when(
+            v == 0,
+            F.when(
+                is_search,
+                F.concat(F.lit('{"q":"x'), d.cast("string"),
+                         F.lit('","k":'), x.cast("string"), F.lit("}")),
+            ).otherwise(
+                F.concat(F.lit('{"cmd":"run'), d.cast("string"), F.lit('"}'))
+            ),
+        )
+        .when(
+            v == 1,
+            F.when(is_search,
+                   F.concat(F.lit('{"k":'), x.cast("string"), F.lit("}")))
+            .otherwise(F.lit('{"x":1}')),
+        )
+        .otherwise(F.lit("oops not json"))
+    )
+    t = turns.select(
+        F.concat(F.lit("c"), d.cast("string")).alias("conv_id"),
+        x.cast("int").alias("turn_idx"),
+        F.when(is_search, "search").otherwise("exec").alias("tool"),
+        text.alias("text"),
+    )
+    out = tool_arg_validate(t, {"search": ["q", "k"], "exec": ["cmd"]})
+    return out.select(
+        "conv_id", "turn_idx", "tool", "is_json",
+        F.array_join("missing_keys", ",").alias("missing_csv"), "ok",
+    )
+
+
+ORACLES["tool_args_validate"] = """
+WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix
+           FROM documents
+           CROSS JOIN (SELECT unnest(generate_series(0,5)) AS tix)
+           WHERE tix % 3 = 2),
+v AS (SELECT did, tix, (did + tix) % 3 AS var, did % 2 = 0 AS is_search
+      FROM t)
+SELECT 'c'||did AS conv_id, tix AS turn_idx,
+       CASE WHEN is_search THEN 'search' ELSE 'exec' END AS tool,
+       var <> 2 AS is_json,
+       CASE
+         WHEN var = 0 THEN ''
+         WHEN var = 1 THEN CASE WHEN is_search THEN 'q' ELSE 'cmd' END
+         ELSE CASE WHEN is_search THEN 'k,q' ELSE 'cmd' END
+       END AS missing_csv,
+       var = 0 AS ok
+FROM v
 """

@@ -379,3 +379,29 @@ def test_turn_edit_sim_regeneration_signal(spark):
     assert retry.dist_pm == 83 and bool(retry.is_near)
     rewrite = rows[("c1", 3)]
     assert rewrite.prev_turn_idx == 2 and not rewrite.is_near
+
+
+def test_tool_arg_validate_verdicts(spark):
+    from semargl_spark.operators.conversation import tool_arg_validate
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "search", '{"q":"x","k":3}'),
+            ("c1", 1, "search", '{"k":3}'),
+            ("c1", 2, "search", "not json"),
+            ("c1", 3, "exec", '{"cmd":"ls"}'),
+            ("c1", 4, "unknown_tool", "whatever"),  # no requirements → ok
+            ("c1", 5, None, "user turn"),           # non-tool → no row
+        ],
+        "conv_id string, turn_idx int, tool string, text string",
+    )
+    got = {r.turn_idx: r for r in
+           tool_arg_validate(t, {"search": ["q", "k"],
+                                 "exec": ["cmd"]}).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0].ok and got[0].missing_keys == []
+    assert got[1].missing_keys == ["q"] and not got[1].ok
+    # malformed body: all required keys reported, is_json false
+    assert not got[2].is_json and got[2].missing_keys == ["k", "q"]
+    assert got[3].ok
+    assert got[4].ok and not got[4].is_json
