@@ -634,3 +634,25 @@ def tool_arg_validate(
         missing.alias("missing_keys"),
         (F.size(missing) == 0).alias("ok"),
     )
+
+
+def dedup_regenerations(
+    transcripts: DataFrame, role: str = "assistant", near_pm: int = 250
+) -> DataFrame:
+    """Drop superseded regeneration attempts: when consecutive
+    same-role turns are near-copies (:func:`turn_edit_sim` permil ≤
+    ``near_pm``), the EARLIER twin is removed and the final attempt
+    survives — chains of retries collapse to their last member, since
+    every earlier link is the ``prev`` of some near pair. All other
+    turns (and all other roles) pass through untouched.
+
+    Scale shape: the similarity frame's window cost (filter-then-lag)
+    plus one left-anti join keyed on the (conv_id, turn_idx) exchange
+    the window already established.
+    """
+    drop = (
+        turn_edit_sim(transcripts, role=role, near_pm=near_pm)
+        .filter(F.col("is_near"))
+        .select("conv_id", F.col("prev_turn_idx").alias("turn_idx"))
+    )
+    return transcripts.join(drop, ["conv_id", "turn_idx"], "left_anti")

@@ -2673,6 +2673,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "gopher_filter": q_gopher_filter,
         "tool_args_validate": q_tool_args_validate,
+        "dedup_regenerations": q_dedup_regenerations,
     }
 
 
@@ -10488,4 +10489,55 @@ SELECT 'c'||did AS conv_id, tix AS turn_idx,
        END AS missing_csv,
        var = 0 AS ok
 FROM v
+"""
+
+
+def q_dedup_regenerations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regeneration cleanup (conversation.dedup_regenerations): the
+    turn_edit_sim gate corpus (near-copy consecutive assistant turns)
+    with the near twins' earlier members dropped; the oracle replays
+    the Levenshtein verdict AND the anti-join."""
+    from .operators.conversation import dedup_regenerations
+    from .sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, sf_dir, turns_per_doc=8)
+    did = F.substring("conv_id", 2, 18).cast("int")
+    t = t.withColumn(
+        "text",
+        F.concat(
+            F.lit("try "),
+            F.col("conv_id"),
+            F.lit(" v"),
+            ((F.col("turn_idx") * 2 + did) % 5).cast("string"),
+            F.repeat(F.lit("!"), ((did + F.col("turn_idx")) % 3).cast("int")),
+        ),
+    )
+    return dedup_regenerations(t, role="assistant", near_pm=250).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+
+
+ORACLES["dedup_regenerations"] = """
+WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix
+           FROM documents
+           CROSS JOIN (SELECT unnest(generate_series(0,7)) AS tix)),
+r AS (SELECT did, tix,
+        CASE WHEN tix%3=0 THEN 'user' WHEN tix%3=1 THEN 'assistant'
+             ELSE 'tool' END AS role,
+        'try c'||did||' v'||((tix*2+did)%5)
+          || repeat('!', (did+tix)%3) AS text
+      FROM t),
+a AS (SELECT did, tix, text FROM r WHERE role = 'assistant'),
+p AS (SELECT did, tix, text,
+        LAG(tix) OVER (PARTITION BY did ORDER BY tix) AS ptix,
+        LAG(text) OVER (PARTITION BY did ORDER BY tix) AS ptext
+      FROM a),
+drop_t AS (SELECT did, ptix AS tix FROM p
+           WHERE ptix IS NOT NULL
+             AND 1000 * levenshtein(text, ptext)
+                 // GREATEST(GREATEST(LENGTH(text), LENGTH(ptext)), 1)
+                 <= 250)
+SELECT 'c'||r.did AS conv_id, r.tix AS turn_idx, r.role, r.text
+FROM r LEFT JOIN drop_t d ON r.did = d.did AND r.tix = d.tix
+WHERE d.tix IS NULL
 """

@@ -405,3 +405,24 @@ def test_tool_arg_validate_verdicts(spark):
     assert not got[2].is_json and got[2].missing_keys == ["k", "q"]
     assert got[3].ok
     assert got[4].ok and not got[4].is_json
+
+
+def test_dedup_regenerations_keeps_final_attempt(spark):
+    from semargl_spark.operators.conversation import dedup_regenerations
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "question"),
+            ("c1", 1, "assistant", "answer is 42"),   # retry chain 1→2→3
+            ("c1", 2, "assistant", "answer is 43"),
+            ("c1", 3, "assistant", "answer is 43!"),
+            ("c1", 4, "assistant", "unrelated reply entirely"),
+            ("c2", 0, "assistant", "solo"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    kept = {(r.conv_id, r.turn_idx)
+            for r in dedup_regenerations(t).collect()}
+    # the whole chain collapses to its final member; far turn + user +
+    # other conversations untouched
+    assert kept == {("c1", 0), ("c1", 3), ("c1", 4), ("c2", 0)}
