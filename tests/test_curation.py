@@ -1366,3 +1366,51 @@ def test_gopher_filter_rules(spark):
     assert not got[3].ok_bullets and not got[3].keep
     assert not got[4].ok_word_count and not got[4].keep
     assert got[5].n_stop_kinds == 0 and not got[5].ok_stopwords
+
+
+def test_url_canonicalize_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a URL zoo including tracking
+    params, ports, weird paths, fragments, and invalid strings."""
+    from semargl_spark.operators.curation import url_canonicalize
+
+    zoo = [
+        "HTTPS://WWW.Site.COM:443/Path/9/?utm_source=x&b=2&a=1#frag",
+        "http://h.org:80/a//b///",
+        "https://h.org",
+        "https://h.org:8080/x?fbclid=abc&z=9&y=1",
+        "ftp://files.example:21/pub/",
+        "not a url",
+        "https://h.org/?utm_a=1&utm_b=2",
+        "https://h.org/p?a=1&a=0",
+        "  https://pad.example/x  ",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(zoo)), "doc_id long, url string")
+    first = url_canonicalize(df)
+    again = url_canonicalize(
+        first.select("doc_id", F.col("url_canon").alias("url")))
+    pairs = first.select("doc_id", "url_canon").join(
+        again.select("doc_id", F.col("url_canon").alias("url_canon2")),
+        "doc_id",
+    )
+    bad = pairs.filter(F.col("url_canon") != F.col("url_canon2")).collect()
+    assert bad == [], bad
+
+
+def test_gopher_and_c4_disagree_only_on_their_own_rules(spark):
+    """A doc that passes C4 but fails Gopher must fail on a rule C4
+    does not have (sanity link between the two filter families)."""
+    from semargl_spark.operators.curation import c4_rule_filter, gopher_filter
+
+    # 60 clean sentence-shaped words with terminal punctuation, but
+    # every line bullet-led → C4 keeps, Gopher rejects on bullets
+    text = "\n".join(
+        "- the quick brown fox jumps over that lazy dog with style be of."
+        for _ in range(5)
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    c4 = c4_rule_filter(df).collect()[0]
+    go = gopher_filter(df).collect()[0]
+    assert c4.keep
+    assert not go.keep and not go.ok_bullets
+    assert go.ok_word_count and go.ok_stopwords and go.ok_alpha_words
