@@ -1,5 +1,7 @@
-"""Pure-Python media codecs: uncompressed WAV (RIFF/PCM), 24-bit BMP,
-and 8-bit PNG (zlib DEFLATE + the full five-filter bank).
+"""Pure-Python media codecs: uncompressed WAV (RIFF/PCM), G.711 µ-law
+WAV, 24-bit BMP, 8-bit PNG (zlib DEFLATE + the full five-filter bank),
+GIF87a/89a (variable-width LZW), and baseline JPEG (JFIF, 4:4:4 and
+4:2:0, Annex-K tables).
 
 These are REAL decoders — byte-level RIFF chunk walking, BMP header /
 scanline parsing, and PNG chunk walking with CRC verification, zlib
@@ -790,3 +792,552 @@ def bmp_features(payload: bytes) -> list[float]:
         float(rows[0][0][0]),
         float(rows[h - 1][w - 1][2]),
     ]
+
+
+# ----------------------------------------------------------------- JPEG
+# Baseline sequential JFIF (ITU-T T.81): the encoder writes 4:4:4 with
+# the Annex-K quantization and Huffman tables; the decoder handles any
+# baseline stream with sampling factors up to 2x2 (4:2:0 / 4:2:2
+# upsampled by replication) and restart markers. Every rounding step
+# uses floor(x + 0.5) so closed-form oracles can replay flat-block
+# paths without banker's-rounding ambiguity.
+
+_JPEG_QL = [  # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [  # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K.3: (BITS counts per code length 1..16, values)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _r5(x: float) -> int:
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def _jpeg_qtables(quality: int) -> tuple[list[int], list[int]]:
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_QL, _JPEG_QC):
+        out.append([max(1, min(255, (q * scale + 50) // 100)) for q in base])
+    return out[0], out[1]
+
+
+def _huff_encode_table(bits, values):
+    code, k, table = 0, 0, {}
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+_COS = None
+
+
+def _cos_table():
+    global _COS
+    if _COS is None:
+        import math
+
+        _COS = [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    return _COS
+
+
+def _fdct(block):  # block: 64 level-shifted ints, row-major
+    C = _cos_table()
+    out = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += block[y * 8 + x] * C[u][x] * C[v][y]
+            out[v * 8 + u] = s / 4.0
+    return out
+
+
+def _idct(coef):
+    C = _cos_table()
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += coef[v * 8 + u] * C[u][x] * C[v][y]
+            out[y * 8 + x] = s / 4.0
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v & ((1 << size) - 1)
+
+
+def encode_jpeg(width: int, height: int, rows, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """Baseline JFIF encoder, Annex-K tables at ``quality``.
+
+    ``subsampling``: ``"444"`` (no chroma subsampling) or ``"420"``
+    (2×2 luma sampling, chroma at quarter resolution via the integer
+    mean ``(a+b+c+d+2)//4``) — the two layouts real encoders emit.
+    """
+    import struct
+
+    if subsampling not in ("444", "420"):
+        raise MediaFormatError(f"unsupported subsampling: {subsampling}")
+    sub = subsampling == "420"
+    ql, qc = _jpeg_qtables(quality)
+    # DQT stores (and the scan consumes) quant values in ZIGZAG order
+    qzl = [ql[_ZIGZAG[i]] for i in range(64)]
+    qzc = [qc[_ZIGZAG[i]] for i in range(64)]
+    dc_l = _huff_encode_table(*_DC_L)
+    dc_c = _huff_encode_table(*_DC_C)
+    ac_l = _huff_encode_table(*_AC_L)
+    ac_c = _huff_encode_table(*_AC_C)
+
+    planes = [[], [], []]  # Y, Cb, Cr per pixel rows
+    for y in range(height):
+        ry, rcb, rcr = [], [], []
+        for x in range(width):
+            r, g, b = rows[y][x]
+            ry.append(_r5(0.299 * r + 0.587 * g + 0.114 * b))
+            rcb.append(_r5(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+            rcr.append(_r5(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+        planes[0].append(ry)
+        planes[1].append(rcb)
+        planes[2].append(rcr)
+
+    if sub:
+        # chroma to quarter resolution: integer mean of each 2x2 cell
+        for ci in (1, 2):
+            p = planes[ci]
+            dw, dh = (width + 1) // 2, (height + 1) // 2
+            ds = []
+            for y2 in range(dh):
+                rrow = []
+                for x2 in range(dw):
+                    y0, y1 = 2 * y2, min(2 * y2 + 1, height - 1)
+                    x0, x1 = 2 * x2, min(2 * x2 + 1, width - 1)
+                    rrow.append(
+                        (p[y0][x0] + p[y0][x1] + p[y1][x0] + p[y1][x1] + 2)
+                        // 4
+                    )
+                ds.append(rrow)
+            planes[ci] = ds
+    cspec = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    hmax = max(ch for ch, _ in cspec)
+    vmax = max(cv for _, cv in cspec)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for ci in range(3):
+                ch, cv = cspec[ci]
+                q = qzl if ci == 0 else qzc
+                dct_tab = dc_l if ci == 0 else dc_c
+                act_tab = ac_l if ci == 0 else ac_c
+                plane = planes[ci]
+                comp_h, comp_w = len(plane), len(plane[0])
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        block = []
+                        for yy in range(8):
+                            sy = min((by * cv + byy) * 8 + yy, comp_h - 1)
+                            for xx in range(8):
+                                sx = min((bx * ch + bxx) * 8 + xx, comp_w - 1)
+                                block.append(plane[sy][sx] - 128)
+                        _emit_block(
+                            w, block, q, dct_tab, act_tab, pred, ci
+                        )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qzl))
+    out += seg(0xDB, bytes([1]) + bytes(qzc))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22 if sub else 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_L), (0, 1, _DC_C), (1, 0, _AC_L), (1, 1, _AC_C)
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_block(w, block, q, dct_tab, act_tab, pred, ci):
+    coef = _fdct(block)
+    zz = [_r5(coef[_ZIGZAG[i]] / q[i]) for i in range(64)]
+    diff = zz[0] - pred[ci]
+    pred[ci] = zz[0]
+    size, bits = _magnitude(diff)
+    code, ln = dct_tab[size]
+    w.put(code, ln)
+    if size:
+        w.put(bits, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act_tab[0xF0]
+            w.put(code, ln)
+            run -= 16
+        size, bits = _magnitude(zz[i])
+        code, ln = act_tab[(run << 4) | size]
+        w.put(code, ln)
+        w.put(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = act_tab[0x00]
+        w.put(code, ln)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise MediaFormatError("JPEG: entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise MediaFormatError("JPEG: marker inside entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_marker(self):
+        """Align to a marker (for RSTn); returns the marker byte."""
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                m = self.data[self.pos + 1]
+                self.pos += 2
+                return m
+            self.pos += 1
+        raise MediaFormatError("JPEG: expected restart marker")
+
+
+def _huff_decode_table(bits, values):
+    """code length → {code: value} maps for fast lookup."""
+    table = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise MediaFormatError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG → (width, height, rows of (r,g,b)).
+
+    Supports baseline sequential (SOF0), 8-bit, 1 or 3 components,
+    sampling factors up to 2×2 (chroma upsampled by replication), and
+    restart intervals. Progressive/arithmetic streams raise
+    :class:`MediaFormatError`.
+    """
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise MediaFormatError("not a JPEG stream")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    width = height = 0
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaFormatError("JPEG: bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                n = 64 * (2 if prec else 1)
+                raw = body[b + 1:b + 1 + n]
+                if len(raw) < n:
+                    raise MediaFormatError("JPEG: short DQT")
+                tbl = list(raw) if not prec else list(
+                    struct.unpack(f">{64}H", raw)
+                )
+                qt[tid] = tbl
+                b += 1 + n
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaFormatError("JPEG: only baseline SOF0 supported")
+        elif marker == 0xC0:
+            _prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                nval = sum(bits)
+                vals = list(body[b + 17:b + 17 + nval])
+                huff[(cls, tid)] = _huff_decode_table(bits, vals)
+                b += 17 + nval
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if comps is None:
+                raise MediaFormatError("JPEG: SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                sel[cs] = (tables >> 4, tables & 0x0F)
+            data_start = pos + 2 + ln
+            return _jpeg_scan(
+                payload, data_start, width, height, comps, sel, qt, huff,
+                restart,
+            )
+        pos += 2 + ln
+    raise MediaFormatError("JPEG: no SOS marker")
+
+
+def _jpeg_scan(payload, start, width, height, comps, sel, qt, huff, restart):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise MediaFormatError("JPEG: sampling factors above 2 unsupported")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    br = _BitReader(payload, start)
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append([[0] * pw for _ in range(ph)])
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                m = br.sync_marker()
+                if not (0xD0 <= m <= 0xD7):
+                    raise MediaFormatError("JPEG: expected RSTn")
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct, act = sel[c["id"]]
+                dc_tab, ac_tab = huff[(0, dct)], huff[(1, act)]
+                q = qt[c["tq"]]
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        size = _huff_read(br, dc_tab)
+                        diff = _extend(br.bits(size), size) if size else 0
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci] * q[0]
+                        i = 1
+                        while i < 64:
+                            rs = _huff_read(br, ac_tab)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                i += 16
+                                continue
+                            run, size = rs >> 4, rs & 0x0F
+                            i += run
+                            if i > 63:
+                                raise MediaFormatError("JPEG: AC overflow")
+                            zz[i] = _extend(br.bits(size), size) * q[i]
+                            i += 1
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[_ZIGZAG[i]] = zz[i]
+                        px = _idct(coef)
+                        plane = planes[ci]
+                        oy = (my * c["v"] + byy) * 8
+                        ox = (mx * c["h"] + bxx) * 8
+                        for yy in range(8):
+                            row = plane[oy + yy]
+                            for xx in range(8):
+                                row[ox + xx] = _r5(px[yy * 8 + xx]) + 128
+            mcu_count += 1
+    rows = []
+    for y in range(height):
+        row = []
+        for x in range(width):
+            vals = []
+            for ci, c in enumerate(comps):
+                sy = y * c["v"] // vmax
+                sx = x * c["h"] // hmax
+                vals.append(planes[ci][sy][sx])
+            if len(comps) == 1:
+                g = max(0, min(255, vals[0]))
+                row.append((g, g, g))
+            else:
+                yv, cb, cr = vals
+                r = _r5(yv + 1.402 * (cr - 128))
+                g = _r5(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+                b = _r5(yv + 1.772 * (cb - 128))
+                row.append((max(0, min(255, r)), max(0, min(255, g)),
+                            max(0, min(255, b))))
+        rows.append(row)
+    return width, height, rows
+
+
+def jpeg_features(payload: bytes) -> list[float]:
+    """Image feature vector, same shape as bmp/png_features."""
+    w, h, rows = decode_jpeg(payload)
+    n = w * h
+    sr = sum(p[0] for r in rows for p in r)
+    sg = sum(p[1] for r in rows for p in r)
+    sb = sum(p[2] for r in rows for p in r)
+    tl = rows[0][0]
+    return [2.0, float(w), float(h), float(sr // n), float(sg // n),
+            float(sb // n), float(tl[0]), float(tl[1] * 256 + tl[2])]

@@ -2674,6 +2674,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "tool_args_validate": q_tool_args_validate,
         "dedup_regenerations": q_dedup_regenerations,
+        "media_jpeg": q_media_jpeg,
     }
 
 
@@ -10540,4 +10541,79 @@ drop_t AS (SELECT did, ptix AS tix FROM p
 SELECT 'c'||r.did AS conv_id, r.tix AS turn_idx, r.role, r.text
 FROM r LEFT JOIN drop_t d ON r.did = d.did AND r.tix = d.tix
 WHERE d.tix IS NULL
+"""
+
+
+def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec (operators/media_codecs.encode_jpeg /
+    decode_jpeg): flat-color images encode at quality 100 in BOTH 4:4:4
+    and 4:2:0 layouts and decode executor-side through the full marker/
+    Huffman/dequant/IDCT path. Flat blocks survive quality-100
+    quantization exactly, so the only loss is the YCbCr round trip —
+    whose floor(x+0.5) arithmetic the oracle replays verbatim. The
+    lossy general path is bounded in tests/test_media_codecs.py."""
+    import pyarrow as pa
+
+    def run(batches):
+        from .operators.media_codecs import decode_jpeg, encode_jpeg
+
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("sub", pa.string()),
+             ("width", pa.int32()), ("height", pa.int32()),
+             ("r", pa.int32()), ("g", pa.int32()), ("b", pa.int32())]
+        )
+        for rb in batches:
+            ids, subs, ws, hs, rs, gs, bs = [], [], [], [], [], [], []
+            for did in rb.column(0).to_pylist():
+                color = ((did * 37) % 256, (did * 59 + 64) % 256,
+                         (did * 83 + 128) % 256)
+                rows = [[color] * 16 for _ in range(16)]
+                for sub in ("444", "420"):
+                    data = encode_jpeg(16, 16, rows, quality=100,
+                                       subsampling=sub)
+                    w, h, out = decode_jpeg(data)
+                    pr, pg, pb = out[0][0]
+                    ids.append(did)
+                    subs.append(sub)
+                    ws.append(w)
+                    hs.append(h)
+                    rs.append(pr)
+                    gs.append(pg)
+                    bs.append(pb)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(subs, pa.string()),
+                 pa.array(ws, pa.int32()), pa.array(hs, pa.int32()),
+                 pa.array(rs, pa.int32()), pa.array(gs, pa.int32()),
+                 pa.array(bs, pa.int32())],
+                schema=schema,
+            )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"))
+    return docs.mapInArrow(
+        run,
+        "doc_id bigint, sub string, width int, height int, "
+        "r int, g int, b int",
+    )
+
+
+ORACLES["media_jpeg"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST((doc_id*37) % 256 AS DOUBLE) AS r0,
+        CAST((doc_id*59 + 64) % 256 AS DOUBLE) AS g0,
+        CAST((doc_id*83 + 128) % 256 AS DOUBLE) AS b0
+      FROM documents),
+yc AS (SELECT doc_id,
+        FLOOR(0.299*r0 + 0.587*g0 + 0.114*b0 + 0.5) AS y,
+        FLOOR(128.0 - 0.168736*r0 - 0.331264*g0 + 0.5*b0 + 0.5) AS cb,
+        FLOOR(128.0 + 0.5*r0 - 0.418688*g0 - 0.081312*b0 + 0.5) AS cr
+      FROM d),
+px AS (SELECT doc_id,
+        GREATEST(0, LEAST(255, FLOOR(y + 1.402*(cr-128) + 0.5))) AS r,
+        GREATEST(0, LEAST(255,
+          FLOOR(y - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5))) AS g,
+        GREATEST(0, LEAST(255, FLOOR(y + 1.772*(cb-128) + 0.5))) AS b
+      FROM yc)
+SELECT doc_id, sub, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(r AS INT) AS r, CAST(g AS INT) AS g, CAST(b AS INT) AS b
+FROM px CROSS JOIN (SELECT unnest(['444','420']) AS sub)
 """

@@ -491,3 +491,65 @@ def test_decoders_raise_mediaformaterror_never_crash():
             dec(bytes(b))
         except MediaFormatError:
             pass
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_flat_roundtrip_exact_both_layouts():
+    from semargl_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    for color in ((200, 100, 50), (0, 0, 0), (255, 255, 255), (13, 250, 7)):
+        rows = [[color] * 16 for _ in range(16)]
+        for sub in ("444", "420"):
+            w, h, out = decode_jpeg(
+                encode_jpeg(16, 16, rows, quality=100, subsampling=sub))
+            assert (w, h) == (16, 16)
+            # quality-100 flat blocks lose nothing beyond the YCbCr
+            # round trip, which is deterministic and color-stable
+            expect = out[0][0]
+            assert all(p == expect for r in out for p in r), (color, sub)
+            assert max(abs(a - b) for a, b in zip(expect, color)) <= 1
+
+
+def test_jpeg_gradient_bounded_error_and_nonmultiple_dims():
+    from semargl_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    rows = [[(min(255, x * 10), min(255, y * 12), 128) for x in range(24)]
+            for y in range(17)]
+    for sub in ("444", "420"):
+        w, h, out = decode_jpeg(
+            encode_jpeg(24, 17, rows, quality=92, subsampling=sub))
+        assert (w, h) == (24, 17)
+        err = max(abs(a - b) for r1, r2 in zip(rows, out)
+                  for p1, p2 in zip(r1, r2) for a, b in zip(p1, p2))
+        assert err <= 20, (sub, err)
+
+
+def test_jpeg_malformed_inputs_raise():
+    import pytest
+
+    from semargl_spark.operators.media_codecs import (
+        MediaFormatError, decode_jpeg, encode_jpeg)
+
+    rows = [[(1, 2, 3)] * 8 for _ in range(8)]
+    good = encode_jpeg(8, 8, rows)
+    for bad in (b"", b"nope", b"\xff\xd8\xff\xc2\x00\x04ab",
+                good[:40], good[:-20] + b"\x00" * 4):
+        with pytest.raises(MediaFormatError):
+            decode_jpeg(bad)
+    with pytest.raises(MediaFormatError):
+        encode_jpeg(8, 8, rows, subsampling="422")
+
+
+def test_jpeg_huffman_exercises_runs_and_magnitudes():
+    """A block with isolated impulses forces ZRL (16-zero runs) and
+    multi-bit magnitudes through both Huffman directions."""
+    from semargl_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    rows = [[(255, 255, 255) if (x, y) in ((0, 0), (15, 15), (7, 3))
+             else (0, 0, 0) for x in range(16)] for y in range(16)]
+    w, h, out = decode_jpeg(encode_jpeg(16, 16, rows, quality=85))
+    # impulses survive as bright neighborhoods; background stays dark
+    assert out[0][0][0] > 140 and out[15][15][0] > 120
+    assert out[8][12][0] < 90
