@@ -1341,3 +1341,17 @@ def jpeg_features(payload: bytes) -> list[float]:
     tl = rows[0][0]
     return [2.0, float(w), float(h), float(sr // n), float(sg // n),
             float(sb // n), float(tl[0]), float(tl[1] * 256 + tl[2])]
+
+
+def resize_jpeg(payload: bytes, new_w: int, new_h: int,
+                quality: int = 100, subsampling: str = "444") -> bytes:
+    """Nearest-neighbor resample (floor mapping, matching
+    :func:`resize_bmp`) re-encoded as baseline JPEG — quality 100 by
+    default so flat regions survive the re-encode exactly."""
+    w, h, rows = decode_jpeg(payload)
+    out = [
+        [rows[y * h // new_h][x * w // new_w] for x in range(new_w)]
+        for y in range(new_h)
+    ]
+    return encode_jpeg(new_w, new_h, out, quality=quality,
+                       subsampling=subsampling)

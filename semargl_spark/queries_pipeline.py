@@ -2675,6 +2675,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_args_validate": q_tool_args_validate,
         "dedup_regenerations": q_dedup_regenerations,
         "media_jpeg": q_media_jpeg,
+        "media_jpeg_resize": q_media_jpeg_resize,
     }
 
 
@@ -10616,4 +10617,85 @@ px AS (SELECT doc_id,
 SELECT doc_id, sub, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
        CAST(r AS INT) AS r, CAST(g AS INT) AS g, CAST(b AS INT) AS b
 FROM px CROSS JOIN (SELECT unnest(['444','420']) AS sub)
+"""
+
+
+def q_media_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG resize (media_codecs.resize_jpeg): flat-color 4:2:0
+    images decode → nearest-neighbor resample to 8×24 → re-encode at
+    quality 100 → decode again; flatness survives every stage exactly,
+    so the oracle pins the new dimensions and the same YCbCr-chain
+    color as media_jpeg."""
+    import pyarrow as pa
+
+    def run(batches):
+        from .operators.media_codecs import (
+            decode_jpeg, encode_jpeg, resize_jpeg)
+
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("width", pa.int32()),
+             ("height", pa.int32()), ("r", pa.int32()),
+             ("g", pa.int32()), ("b", pa.int32())]
+        )
+        for rb in batches:
+            ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for did in rb.column(0).to_pylist():
+                color = ((did * 37) % 256, (did * 59 + 64) % 256,
+                         (did * 83 + 128) % 256)
+                rows = [[color] * 16 for _ in range(16)]
+                data = encode_jpeg(16, 16, rows, quality=100,
+                                   subsampling="420")
+                w, h, out = decode_jpeg(resize_jpeg(data, 8, 24))
+                ids.append(did)
+                ws.append(w)
+                hs.append(h)
+                pr, pg, pb = out[0][0]
+                rs.append(pr)
+                gs.append(pg)
+                bs.append(pb)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(ws, pa.int32()),
+                 pa.array(hs, pa.int32()), pa.array(rs, pa.int32()),
+                 pa.array(gs, pa.int32()), pa.array(bs, pa.int32())],
+                schema=schema,
+            )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"))
+    return docs.mapInArrow(
+        run, "doc_id bigint, width int, height int, r int, g int, b int"
+    )
+
+
+ORACLES["media_jpeg_resize"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST((doc_id*37) % 256 AS DOUBLE) AS r0,
+        CAST((doc_id*59 + 64) % 256 AS DOUBLE) AS g0,
+        CAST((doc_id*83 + 128) % 256 AS DOUBLE) AS b0
+      FROM documents),
+-- two YCbCr round trips (decode after encode, then after re-encode):
+yc1 AS (SELECT doc_id,
+        FLOOR(0.299*r0 + 0.587*g0 + 0.114*b0 + 0.5) AS y,
+        FLOOR(128.0 - 0.168736*r0 - 0.331264*g0 + 0.5*b0 + 0.5) AS cb,
+        FLOOR(128.0 + 0.5*r0 - 0.418688*g0 - 0.081312*b0 + 0.5) AS cr
+      FROM d),
+px1 AS (SELECT doc_id,
+        GREATEST(0, LEAST(255, FLOOR(y + 1.402*(cr-128) + 0.5))) AS r1,
+        GREATEST(0, LEAST(255,
+          FLOOR(y - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5))) AS g1,
+        GREATEST(0, LEAST(255, FLOOR(y + 1.772*(cb-128) + 0.5))) AS b1
+      FROM yc1),
+yc2 AS (SELECT doc_id,
+        FLOOR(0.299*r1 + 0.587*g1 + 0.114*b1 + 0.5) AS y,
+        FLOOR(128.0 - 0.168736*r1 - 0.331264*g1 + 0.5*b1 + 0.5) AS cb,
+        FLOOR(128.0 + 0.5*r1 - 0.418688*g1 - 0.081312*b1 + 0.5) AS cr
+      FROM px1),
+px2 AS (SELECT doc_id,
+        GREATEST(0, LEAST(255, FLOOR(y + 1.402*(cr-128) + 0.5))) AS r,
+        GREATEST(0, LEAST(255,
+          FLOOR(y - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5))) AS g,
+        GREATEST(0, LEAST(255, FLOOR(y + 1.772*(cb-128) + 0.5))) AS b
+      FROM yc2)
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(24 AS INT) AS height,
+       CAST(r AS INT) AS r, CAST(g AS INT) AS g, CAST(b AS INT) AS b
+FROM px2
 """

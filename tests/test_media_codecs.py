@@ -553,3 +553,18 @@ def test_jpeg_huffman_exercises_runs_and_magnitudes():
     # impulses survive as bright neighborhoods; background stays dark
     assert out[0][0][0] > 140 and out[15][15][0] > 120
     assert out[8][12][0] < 90
+
+
+def test_jpeg_resize_flat_exact():
+    from semargl_spark.operators.media_codecs import (
+        decode_jpeg, encode_jpeg, resize_jpeg)
+
+    rows = [[(40, 160, 220)] * 16 for _ in range(16)]
+    data = encode_jpeg(16, 16, rows, quality=100, subsampling="420")
+    w, h, out = decode_jpeg(resize_jpeg(data, 8, 24))
+    assert (w, h) == (8, 24)
+    base = decode_jpeg(data)[2][0][0]
+    # one extra YCbCr round trip, but flat → every pixel identical and
+    # within 1 of the single-pass decode
+    assert all(p == out[0][0] for r in out for p in r)
+    assert max(abs(a - b) for a, b in zip(out[0][0], base)) <= 1
