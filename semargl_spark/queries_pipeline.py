@@ -2676,6 +2676,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_regenerations": q_dedup_regenerations,
         "media_jpeg": q_media_jpeg,
         "media_jpeg_resize": q_media_jpeg_resize,
+        "pipeline_frontier": q_pipeline_frontier,
     }
 
 
@@ -10698,4 +10699,66 @@ px2 AS (SELECT doc_id,
 SELECT doc_id, CAST(8 AS INT) AS width, CAST(24 AS INT) AS height,
        CAST(r AS INT) AS r, CAST(g AS INT) AS g, CAST(b AS INT) AS b
 FROM px2
+"""
+
+
+def q_pipeline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end frontier construction: sitemap parsing → URL
+    canonicalization → robots.txt compliance → per-host politeness
+    scheduling. Each document's sitemap yields two page URLs (one with
+    a tracking param to canonicalize away, one under /private/ that
+    robots must drop); survivors get fetch slots per host. The oracle
+    composes the closed forms of all four stages."""
+    from .operators.curation import crawl_schedule, robots_filter, url_canonicalize
+    from .sources.sitemap import parse_sitemaps
+
+    d = F.col("doc_id").cast("long")
+    files = _docs(spark, sf_dir).select(
+        d.alias("file_id"),
+        F.concat(
+            F.lit('<urlset><url><loc>https://h'),
+            (d % 3).cast("string"),
+            F.lit(".example/p/"),
+            d.cast("string"),
+            F.lit('?utm_source=sm</loc></url><url><loc>https://h'),
+            (d % 3).cast("string"),
+            F.lit(".example/private/"),
+            d.cast("string"),
+            F.lit("</loc></url></urlset>"),
+        ).alias("content"),
+    )
+    urls = (
+        parse_sitemaps(files)
+        .filter(F.col("kind") == "url")
+        .select(
+            (F.col("file_id") * 10 + F.col("entry_idx")).alias("doc_id"),
+            F.col("loc").alias("url"),
+        )
+    )
+    canon = url_canonicalize(urls).select(
+        "doc_id", F.col("url_canon").alias("url")
+    )
+    robots = spark.range(3).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /private/\n").alias("content"),
+    )
+    allowed = robots_filter(canon, robots).filter(F.col("allowed")).select(
+        "doc_id", "url"
+    )
+    return crawl_schedule(allowed)
+
+
+ORACLES["pipeline_frontier"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS fid FROM documents),
+u AS (SELECT fid * 10 AS doc_id, 'h'||(fid%3)||'.example' AS host,
+        'https://h'||(fid%3)||'.example/p/'||fid AS url
+      FROM ids),
+r AS (SELECT doc_id, url, host,
+        CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1
+             AS INT) AS fetch_seq
+      FROM u)
+SELECT doc_id, url, host, fetch_seq, CAST(1 AS INT) AS crawl_delay_s,
+       CAST(fetch_seq AS BIGINT) AS fetch_offset_s
+FROM r
 """
