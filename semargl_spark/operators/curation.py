@@ -1459,7 +1459,8 @@ _TRACKING_PARAM = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=|$)"
 
 
 def url_canonicalize(
-    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url",
+    keep: tuple = (),
 ) -> DataFrame:
     """URL canonicalization — the crawl-dedup primitive that makes two
     spellings of one page compare equal BEFORE any content hashing:
@@ -1517,6 +1518,7 @@ def url_canonicalize(
         .alias("host"),
         is_valid.alias("is_valid"),
         (out_canon != F.col(url_col)).alias("changed"),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -2677,6 +2677,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg": q_media_jpeg,
         "media_jpeg_resize": q_media_jpeg_resize,
         "pipeline_frontier": q_pipeline_frontier,
+        "stream_crawl": q_stream_crawl,
     }
 
 
@@ -10761,4 +10762,53 @@ r AS (SELECT doc_id, url, host,
 SELECT doc_id, url, host, fetch_seq, CAST(1 AS INT) AS crawl_delay_s,
        CAST(fetch_seq AS BIGINT) AS fetch_offset_s
 FROM r
+"""
+
+
+def q_stream_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-frontier ingest (streaming/stream_crawl.py): WET
+    landing files stream in (maxFilesPerTrigger forces multiple
+    micro-batches), records split and URLs canonicalize statelessly,
+    and the cross-batch dropDuplicates keeps one row per canonical URL
+    — pairs of documents carry the same page under two spellings with
+    identical payloads, so the drained frontier equals the batch
+    closed form regardless of arrival order."""
+    import tempfile
+
+    from .streaming.stream_crawl import stream_crawl_frontier
+
+    d = F.col("doc_id").cast("long")
+    grp = (d / 2).cast("long")
+    files = _docs(spark, sf_dir).select(
+        d.alias("file_id"),
+        F.concat(
+            F.lit("WARC/1.0\nWARC-Type: conversion\n"
+                  "WARC-Target-URI: "),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit("https://site.example/p/"),
+                         grp.cast("string")),
+            ).otherwise(
+                F.concat(F.lit("HTTPS://Site.Example/p/"),
+                         grp.cast("string"), F.lit("?utm_source=twin")),
+            ),
+            F.lit("\n\npage body "),
+            grp.cast("string"),
+            F.lit("\n"),
+        ).alias("content"),
+    )
+    base = tempfile.mkdtemp(prefix="semargl_q_scrawl_")
+    files.repartition(8).write.mode("overwrite").parquet(f"{base}/in")
+    q = stream_crawl_frontier(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
+ORACLES["stream_crawl"] = """
+SELECT DISTINCT 'https://site.example/p/'||(doc_id//2) AS url_canon,
+       'site.example' AS host,
+       'page body '||(doc_id//2) AS text
+FROM documents
 """

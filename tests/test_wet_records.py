@@ -81,3 +81,34 @@ def test_crawl_schedule_politeness(spark):
         == [(0, 0), (1, 5), (2, 10)]
     assert [(got[i].fetch_seq, got[i].fetch_offset_s) for i in (1, 3, 5)] \
         == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_stream_crawl_frontier_dedups_across_batches(spark, tmp_path):
+    from semargl_spark.streaming.stream_crawl import stream_crawl_frontier
+
+    def wet(uri, body):
+        return (f"WARC/1.0\nWARC-Type: conversion\n"
+                f"WARC-Target-URI: {uri}\n\n{body}\n")
+
+    rows = [
+        (1, wet("https://a.example/x", "doc x")),
+        # tracker-spelled twin of the same page, identical payload
+        (2, wet("HTTPS://A.Example/x?utm_source=t", "doc x")),
+        (3, wet("https://a.example/y", "doc y")),
+        (4, "no records in this landing file"),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    # many small files force several micro-batches through the dedup state
+    df.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    q = stream_crawl_frontier(spark, str(tmp_path / "in"),
+                              str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = {(r.url_canon, r.text)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {("https://a.example/x", "doc x"),
+                   ("https://a.example/y", "doc y")}
+    # idempotent re-drain: no new rows
+    q2 = stream_crawl_frontier(spark, str(tmp_path / "in"),
+                               str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2
