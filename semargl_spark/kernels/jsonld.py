@@ -644,10 +644,12 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
     id_v = _keyword_get(obj, "@id", ctx)
     if isinstance(id_v, str):
         node_id = _expand_node_ref(id_v, ctx, st)
+    explicit_id = node_id is not None
     if node_id is None:
         node_id = st.bnodes.fresh()
 
     has_props = False
+    graph_values: list = []  # deferred @graph payloads (top-level only)
     for key, value in obj.items():
         pred = _expand_pred(key, ctx, st)
         if pred is None:
@@ -665,14 +667,19 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
             continue
         if pred == "@graph":
             # @graph names a graph after this node unless it is the
-            # top-level wrapper with no other properties
-            # (onObjectStart: contextStack.size() > 1 ||
-            # hasNonGraphContextProps, JsonLdContentHandler.java:53-60)
-            if is_top and not _has_non_graph_props(obj, ctx):
-                inner_graph = graph
+            # top-level wrapper whose other members all vanish under
+            # expansion (null values, unmappable terms, empty @reverse):
+            # the JSON-LD expansion algorithm removes those *before* the
+            # graph-object decision, so a {"@reverse": null, "@graph": x}
+            # document is a default-graph wrapper, matching expand()
+            # (JsonLdContentHandler.java:53-60 keys off raw members; the
+            # spec path is what both this kernel and jsonld_api follow).
+            # At top level the decision needs to know whether any other
+            # member *survives*, so the walk is deferred past them.
+            if is_top:
+                graph_values.append(value)
             else:
-                inner_graph = node_id
-            _walk_graph_value(value, ctx, inner_graph, st)
+                _walk_graph_value(value, ctx, node_id, st)
             continue
         if pred == "@reverse":
             if isinstance(value, dict):
@@ -698,15 +705,17 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
 
         td = ctx.terms.get(key)
         reverse = td.reverse if td is not None else False
-        has_props = True
+        # has_props tracks *emission*, not raw keys: a member whose value
+        # expands to nothing (null, empty) must not make this node a
+        # named-graph wrapper, matching the expansion algorithm
+        n_before = len(st.triples)
 
         if td is not None and td.container == "@language" and isinstance(value, dict):
             for lang_key, lv in value.items():
                 for s in lv if isinstance(lv, list) else [lv]:
                     if isinstance(s, str):
                         st.triples.append(plain_literal(node_id, pred, s, lang_key, graph))
-            continue
-        if td is not None and td.container == "@index" and isinstance(value, dict):
+        elif td is not None and td.container == "@index" and isinstance(value, dict):
             for _idx, iv in value.items():
                 for s in iv if isinstance(iv, list) else [iv]:
                     term = _expand_value(s, ctx, td, st, graph)
@@ -715,8 +724,7 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
                             _attach(node_id, pred, _expand_value(sv, term[2], td, st, graph), graph, st, reverse)
                     else:
                         _attach(node_id, pred, term, graph, st, reverse)
-            continue
-        if td is not None and td.container == "@list" and not (
+        elif td is not None and td.container == "@list" and not (
             isinstance(value, dict)
         ):
             # scalar values under a @list container wrap into a
@@ -724,25 +732,26 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
             items = value if isinstance(value, list) else [value]
             head = _build_list(items, ctx, td, st, graph)
             st.triples.append(non_literal(node_id, pred, head, graph))
-            continue
+        else:
+            values = value if isinstance(value, list) else [value]
+            for v in values:
+                term = _expand_value(v, ctx, td, st, graph)
+                if term is not None and term[0] == "set":
+                    for sv in term[1]:
+                        _attach(node_id, pred, _expand_value(sv, term[2], td, st, graph), graph, st, reverse)
+                else:
+                    _attach(node_id, pred, term, graph, st, reverse)
+        if len(st.triples) > n_before:
+            has_props = True
 
-        values = value if isinstance(value, list) else [value]
-        for v in values:
-            term = _expand_value(v, ctx, td, st, graph)
-            if term is not None and term[0] == "set":
-                for sv in term[1]:
-                    _attach(node_id, pred, _expand_value(sv, term[2], td, st, graph), graph, st, reverse)
-            else:
-                _attach(node_id, pred, term, graph, st, reverse)
+    if graph_values:
+        # top-level graph decision, deferred until member survival is known:
+        # wrapper (default graph) iff no @id resolved and nothing emitted
+        inner_graph = graph if (not explicit_id and not has_props) else node_id
+        for gv in graph_values:
+            _walk_graph_value(gv, ctx, inner_graph, st)
 
     return node_id
-
-
-def _has_non_graph_props(obj: dict, ctx: _Context) -> bool:
-    for k in obj:
-        if not (_aliases_to(k, "@context", ctx) or _aliases_to(k, "@graph", ctx)):
-            return True
-    return False
 
 
 def _walk_graph_value(value: Any, ctx: _Context, graph: str | None, st: _State) -> None:

@@ -137,13 +137,6 @@ def _node_local_ctx(obj: dict, ctx: _Context, st: _State) -> _Context:
     return ctx
 
 
-def _has_only_graph(obj: dict, ctx: _Context) -> bool:
-    for k in obj:
-        if not (_aliases_to(k, "@context", ctx) or _aliases_to(k, "@graph", ctx)):
-            return False
-    return True
-
-
 def _exp_node(obj: dict, ctx: _Context, st: _State, *, pre_ctx: bool = False,
               is_top: bool = False):
     """Expand one node object → dict, or a list when a top-level
@@ -234,7 +227,15 @@ def _exp_node(obj: dict, ctx: _Context, st: _State, *, pre_ctx: bool = False,
         for v in value if isinstance(value, list) else [value]:
             entries.extend(_exp_value(v, ctx, td, st))
 
-    if is_top and has_graph and _has_only_graph(obj, ctx):
+    # reverse properties whose values all vanished are dropped
+    reverse = {p: v for p, v in reverse.items() if v}
+
+    # wrapper decision on *surviving* members, per the expansion algorithm:
+    # null-valued / unmappable / vanished entries are removed before the
+    # graph-object test, so {"@reverse": null, "@graph": x} inlines into the
+    # default graph — kept in lockstep with the kernel walk (jsonld.py)
+    if (is_top and has_graph and "@id" not in node and not types
+            and not any(props.values()) and not reverse):
         return graph_nodes  # default-graph wrapper inlines
 
     if types:
@@ -242,8 +243,6 @@ def _exp_node(obj: dict, ctx: _Context, st: _State, *, pre_ctx: bool = False,
     for pred in props:
         if props[pred]:
             node[pred] = props[pred]
-    # reverse properties whose values all vanished are dropped
-    reverse = {p: v for p, v in reverse.items() if v}
     if reverse:
         node["@reverse"] = reverse
     if has_graph:

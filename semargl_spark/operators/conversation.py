@@ -594,12 +594,15 @@ def tool_arg_validate(
     → (conv_id, turn_idx, tool, is_json, missing_keys, ok):
     ``missing_keys`` is sorted; a non-JSON body reports all required
     keys missing and ``is_json`` false; tools absent from ``required``
-    validate trivially (empty requirement).
+    validate trivially (empty requirement). A required key counts as
+    PRESENT when it is a member of the top-level object even with an
+    explicit JSON ``null`` value — presence is probed with
+    ``json_object_keys`` membership, not ``get_json_object`` null-ness
+    (which cannot tell ``{"path": null}`` from an absent key).
 
-    Scale shape: row-local JSON path probes (``get_json_object`` per
-    required key — JVM-side Jackson, no Python); the requirement dict
-    is a constant folded into the plan (broadcast semantics). No
-    shuffle.
+    Scale shape: row-local JSON probes (``json_object_keys`` once per
+    row — JVM-side Jackson, no Python); the requirement dict is a
+    constant folded into the plan (broadcast semantics). No shuffle.
     """
     rows = transcripts.filter(F.col("tool").isNotNull()).select(
         "conv_id", "turn_idx", "tool", "text"
@@ -608,13 +611,14 @@ def tool_arg_validate(
     is_json = F.get_json_object(F.col("text"), "$").isNotNull() & F.col(
         "text"
     ).rlike(r"^\s*\{")
+    obj_keys = F.json_object_keys(F.col("text"))
     missing = F.array().cast("array<string>")
     for tool, keys in sorted(required.items()):
         tool_missing = F.array_compact(
             F.array(
                 *[
                     F.when(
-                        F.get_json_object(F.col("text"), f"$.{k}").isNull(),
+                        ~F.array_contains(obj_keys, k),
                         F.lit(k),
                     )
                     for k in sorted(keys)

@@ -44,18 +44,22 @@ def pii_redact(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
     Order matters: emails first (an email never contains a phone/IP
     form), phones before IPs so ``+1-555-0001``-style tokens are not
-    half-eaten by the IP pass. Projection-only — pushes down to the
-    scan, no shuffle, safe at any scale.
+    half-eaten by the IP pass. Each count is taken on the progressively
+    cleaned text (phones on the email-scrubbed string, IPs on the
+    phone-scrubbed string), so counts always equal the replacements
+    actually made — a phone-shaped token inside an email local part is
+    consumed by <EMAIL> and must not increment n_phones. Projection-only
+    — pushes down to the scan, no shuffle, safe at any scale.
     """
     t = F.col(text_col)
-    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
-    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    no_phone = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    clean = F.regexp_replace(no_phone, IPV4_RE, "<IP>")
     return docs.select(
         F.col(id_col),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
-        F.regexp_count(t, F.lit(IPV4_RE)).cast("int").alias("n_ips"),
+        F.regexp_count(no_email, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(no_phone, F.lit(IPV4_RE)).cast("int").alias("n_ips"),
         clean.alias("clean_text"),
     )
 

@@ -101,10 +101,14 @@ def _parse_text(fmt: str, name_keyed: bool = False,
 _SNIFF_JSON = re.compile(r"\s*[{\[]")
 _SNIFF_RDFXML = re.compile(r"\s*(<\?xml[^>]*\?>\s*)?<rdf:RDF")
 _SNIFF_MARKUP = re.compile(r"\s*<[A-Za-z!?]")
+# attribute sniffs are anchored to an ATTRIBUTE position (inside a tag,
+# after '<' and before the closing '>') so prose or inline script that
+# merely mentions 'itemscope' / 'property=' cannot cross-route a document
+_SNIFF_MICRODATA_ATTR = re.compile(r"<[^>]*\bitemscope\b")
 # RDFa-specific attributes (not shared with plain HTML): presence routes
 # a markup document to the RDFa kernel even if it also has itemscope
 _SNIFF_RDFA_ATTR = re.compile(
-    r"\b(?:property|typeof|vocab|prefix|about|resource)\s*="
+    r"<[^>]*\b(?:property|typeof|vocab|prefix|about|resource)\s*="
 )
 _SNIFF_NT = re.compile(r"\s*(#|<[^ >]+>\s+<)")
 _SNIFF_TURTLE = re.compile(r"\s*(@prefix|@base|PREFIX\s|BASE\s)")
@@ -126,7 +130,7 @@ def sniff_format(text: str) -> str:
         # markup carrying itemscope but no RDFa attributes is microdata;
         # documents with both route to RDFa (reference parity — the
         # reference only knows RDFa)
-        if "itemscope" in text and not _SNIFF_RDFA_ATTR.search(text):
+        if _SNIFF_MICRODATA_ATTR.search(text) and not _SNIFF_RDFA_ATTR.search(text):
             return "microdata"
         return "rdfa"
     return "text"

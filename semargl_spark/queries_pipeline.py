@@ -1955,17 +1955,19 @@ _PII_AUG_SQL = (
 )
 
 ORACLES["pii_redact"] = rf"""
-WITH t AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+WITH t AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents),
+s AS (SELECT doc_id, text,
+  regexp_replace(text, '{curation.EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM t),
+s2 AS (SELECT doc_id, text, no_email,
+  regexp_replace(no_email, '{curation.PHONE_RE}', '<PHONE>', 'g') AS no_phone
+  FROM s)
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{curation.EMAIL_RE}')) AS INT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '{curation.PHONE_RE}')) AS INT) AS n_phones,
-  CAST(len(regexp_extract_all(text, '{curation.IPV4_RE}')) AS INT) AS n_ips,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(text, '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
-      '{curation.PHONE_RE}', '<PHONE>', 'g'),
-    '{curation.IPV4_RE}', '<IP>', 'g') AS clean_text
-FROM t
+  CAST(len(regexp_extract_all(no_email, '{curation.PHONE_RE}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(no_phone, '{curation.IPV4_RE}')) AS INT) AS n_ips,
+  regexp_replace(no_phone, '{curation.IPV4_RE}', '<IP>', 'g') AS clean_text
+FROM s2
 """
 
 
@@ -10166,8 +10168,11 @@ WHERE d.doc_id = (SELECT min(x.doc_id) FROM documents x
 def q_wet_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET record splitting (sources/wet_records.py): each document
     becomes a two-record WET concatenation with a preamble to drop, a
-    CRLF-framed second record, and a multi-line payload; the oracle
-    writes the lifted header fields and payloads closed-form."""
+    CRLF-framed second record, and a multi-line payload. The FIRST
+    record's payload quotes a bare ``WARC/1.0`` line followed by prose
+    (a page about web archiving) — the boundary regex must not split
+    there, or a bogus NULL-header record appears; the oracle writes the
+    lifted header fields and payloads closed-form."""
     from .sources.wet_records import split_wet_records
 
     d = F.col("doc_id").cast("long")
@@ -10182,7 +10187,9 @@ def q_wet_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.cast("string"), nl,
             F.lit("WARC-Date: 2026-01-01T00:00:00Z"), nl,
             F.lit("Content-Length: 20"), nl, nl,
-            F.lit("alpha "), d.cast("string"), nl, nl,
+            F.lit("alpha "), d.cast("string"), nl,
+            F.lit("WARC/1.0"), nl,
+            F.lit("quoted in prose, not a record"), nl, nl,
             F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
                   "WARC-Target-URI: https://w.example/q/"),
             d.cast("string"),
@@ -10200,7 +10207,8 @@ SELECT file_id, CAST(0 AS INT) AS record_idx,
        'https://w.example/p/'||file_id AS target_uri,
        '2026-01-01T00:00:00Z' AS warc_date,
        CAST(20 AS BIGINT) AS content_length,
-       'alpha '||file_id AS text
+       'alpha '||file_id||chr(10)||'WARC/1.0'||chr(10)
+         ||'quoted in prose, not a record' AS text
 FROM ids
 UNION ALL
 SELECT file_id, CAST(1 AS INT), 'conversion',
@@ -10429,10 +10437,13 @@ FROM n
 
 def q_tool_args_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call argument QA (conversation.tool_arg_validate): tool
-    turns cycle through complete / missing-key / malformed JSON bodies
-    for two tools with different requirement sets; the oracle writes
-    the per-turn verdicts closed-form (inputs are deterministic, so no
-    JSON replay is needed on the oracle side)."""
+    turns cycle through complete / missing-key / malformed JSON /
+    present-but-null bodies for two tools with different requirement
+    sets — the null variant locks in that an explicit ``"q": null``
+    counts as present (json_object_keys membership, not
+    get_json_object null-ness); the oracle writes the per-turn
+    verdicts closed-form (inputs are deterministic, so no JSON replay
+    is needed on the oracle side)."""
     from .operators.conversation import tool_arg_validate
 
     d, x = F.col("did"), F.col("tix")
@@ -10442,7 +10453,7 @@ def q_tool_args_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("did", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("tix"))
         .filter(x % 3 == 2)
     )
-    v = (d + x) % 3
+    v = (d + x) % 4
     is_search = d % 2 == 0
     text = (
         F.when(
@@ -10460,6 +10471,13 @@ def q_tool_args_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_search,
                    F.concat(F.lit('{"k":'), x.cast("string"), F.lit("}")))
             .otherwise(F.lit('{"x":1}')),
+        )
+        .when(
+            v == 3,
+            F.when(is_search,
+                   F.concat(F.lit('{"q":null,"k":'), x.cast("string"),
+                            F.lit("}")))
+            .otherwise(F.lit('{"cmd":null}')),
         )
         .otherwise(F.lit("oops not json"))
     )
@@ -10481,17 +10499,17 @@ WITH t AS (SELECT CAST(doc_id AS INT) AS did, CAST(tix AS INT) AS tix
            FROM documents
            CROSS JOIN (SELECT unnest(generate_series(0,5)) AS tix)
            WHERE tix % 3 = 2),
-v AS (SELECT did, tix, (did + tix) % 3 AS var, did % 2 = 0 AS is_search
+v AS (SELECT did, tix, (did + tix) % 4 AS var, did % 2 = 0 AS is_search
       FROM t)
 SELECT 'c'||did AS conv_id, tix AS turn_idx,
        CASE WHEN is_search THEN 'search' ELSE 'exec' END AS tool,
        var <> 2 AS is_json,
        CASE
-         WHEN var = 0 THEN ''
+         WHEN var = 0 OR var = 3 THEN ''
          WHEN var = 1 THEN CASE WHEN is_search THEN 'q' ELSE 'cmd' END
          ELSE CASE WHEN is_search THEN 'k,q' ELSE 'cmd' END
        END AS missing_csv,
-       var = 0 AS ok
+       var = 0 OR var = 3 AS ok
 FROM v
 """
 

@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_REC_DELIM = r"(?m)^WARC/1\.0\r?\n"
+# record boundary = a WARC/1.0 version line IMMEDIATELY followed by a
+# WARC- header line (or the end-of-headers blank line, tolerating
+# degenerate headerless records) — a payload line that merely quotes
+# "WARC/1.0" before ordinary prose (pages about web archiving) must not
+# split a record mid-payload and fabricate a bogus NULL-header record.
+# Java regex lookahead, JVM-side.
+_REC_DELIM = r"(?m)^WARC/1\.0\r?\n(?=WARC-|\r?\n)"
 
 
 def split_wet_records(

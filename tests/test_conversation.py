@@ -392,19 +392,22 @@ def test_tool_arg_validate_verdicts(spark):
             ("c1", 3, "exec", '{"cmd":"ls"}'),
             ("c1", 4, "unknown_tool", "whatever"),  # no requirements → ok
             ("c1", 5, None, "user turn"),           # non-tool → no row
+            ("c1", 6, "search", '{"q":null,"k":3}'),  # null arg = present
         ],
         "conv_id string, turn_idx int, tool string, text string",
     )
     got = {r.turn_idx: r for r in
            tool_arg_validate(t, {"search": ["q", "k"],
                                  "exec": ["cmd"]}).collect()}
-    assert set(got) == {0, 1, 2, 3, 4}
+    assert set(got) == {0, 1, 2, 3, 4, 6}
     assert got[0].ok and got[0].missing_keys == []
     assert got[1].missing_keys == ["q"] and not got[1].ok
     # malformed body: all required keys reported, is_json false
     assert not got[2].is_json and got[2].missing_keys == ["k", "q"]
     assert got[3].ok
     assert got[4].ok and not got[4].is_json
+    # present-but-null required arg validates (key membership, not value)
+    assert got[6].ok and got[6].missing_keys == []
 
 
 def test_dedup_regenerations_keeps_final_attempt(spark):

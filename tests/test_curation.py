@@ -43,6 +43,23 @@ def test_pii_redact_phone_not_eaten_by_ip_pass(spark):
     assert (row["n_phones"], row["n_ips"]) == (1, 0)
 
 
+def test_pii_redact_counts_match_replacements(spark):
+    # a phone-shaped token inside an email local part is consumed by the
+    # <EMAIL> pass, so it must NOT increment n_phones (r3 advice): counts
+    # are taken on the progressively cleaned text
+    docs = _df(
+        spark,
+        [(1, "mail foo+1-555-0001@x.com now"),
+         (2, "ip-shaped mail 10.0.0.1@odd.example stays 10.0.0.2")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.pii_redact(docs).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> now"
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 0, 0)
+    assert out[2]["clean_text"] == "ip-shaped mail <EMAIL> stays <IP>"
+    assert (out[2]["n_emails"], out[2]["n_ips"]) == (1, 1)
+
+
 def test_split_assign_deterministic_and_partition_invariant(spark):
     docs = spark.range(2000).withColumnRenamed("id", "doc_id")
     a = {r["doc_id"]: r["split"] for r in curation.split_assign(docs).collect()}

@@ -56,6 +56,15 @@ def test_sniffer():
     assert sniff_format('<?xml version="1.0"?><rdf:RDF>') == "rdfxml"
     assert sniff_format('<div about="#x">hi</div>') == "rdfa"
     assert sniff_format("plain prose here") == "text"
+    # attribute sniffs are tag-anchored (r3 advice): prose or script that
+    # merely MENTIONS the attribute names must not cross-route
+    assert sniff_format('<div itemscope itemtype="urn:t">x</div>') == "microdata"
+    assert sniff_format("<p>the itemscope attribute is neat</p>") == "rdfa"
+    assert (
+        sniff_format('<div itemscope><script>var property="x"</script></div>')
+        == "microdata"
+    )
+    assert sniff_format('<div property="urn:p" itemscope>both</div>') == "rdfa"
 
 
 def test_extraction_plan_is_narrow(spark):

@@ -189,7 +189,7 @@ def test_operator_modes(spark):
 
 # ---------------------------------------------------------------- fuzzing
 
-from hypothesis import given, settings  # noqa: E402
+from hypothesis import example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 _ftext = st.text(
@@ -215,12 +215,45 @@ _fdoc = st.dictionaries(
 
 @settings(max_examples=300, deadline=None)
 @given(_fdoc)
+@example('{"@reverse": null, "@graph": {"@type": ""}}')  # r3 falsifier: null
+# member must not make the top node a named-graph wrapper
+@example('{"ex:q": [[{}]]}')
+@example('{"@reverse": {}, "@graph": {"@id": "urn:g:n", "p": "v"}}')
+@example('{"p": null, "@graph": {"@id": "urn:g:n", "p": "v"}}')
+@example('{"@id": "urn:g:g1", "@graph": {"@id": "urn:g:n", "p": "v"}}')
 def test_expand_fuzz_toRdf_invariant(text):
     """On ANY JSON-shaped input: expand never raises, and parsing the
     expanded form yields a graph isomorphic to parsing the original."""
     orig, _ = jsonld.parse(text, base_uri="urn:base:x", doc_key="f")
     expanded, errs = api.expand(text, base_uri="urn:base:x")
     assert all(isinstance(e, str) for e in errs)
+    rt, _ = jsonld.parse(
+        api.canonical_json(expanded), base_uri="urn:base:x", doc_key="f"
+    )
+    assert isomorphic(orig, rt), text
+
+
+def test_null_member_graph_wrapper_regression():
+    """Direct parse and expand() must agree that a top-level node whose only
+    surviving member is @graph inlines into the DEFAULT graph, even when raw
+    members (null @reverse, null props) vanish under expansion (r3 verdict)."""
+    for text in (
+        '{"@reverse": null, "@graph": {"@id": "urn:n", "urn:p": "v"}}',
+        '{"@reverse": {}, "@graph": {"@id": "urn:n", "urn:p": "v"}}',
+        '{"urn:p": null, "@graph": {"@id": "urn:n", "urn:p": "v"}}',
+    ):
+        orig, _ = jsonld.parse(text, base_uri="urn:base:x", doc_key="f")
+        assert all(t[-1] is None for t in orig), (text, orig)  # default graph
+        expanded, _ = api.expand(text, base_uri="urn:base:x")
+        rt, _ = jsonld.parse(
+            api.canonical_json(expanded), base_uri="urn:base:x", doc_key="f"
+        )
+        assert isomorphic(orig, rt), text
+    # and a node with a SURVIVING member still names the graph
+    text = '{"urn:p": "keep", "@graph": {"@id": "urn:n", "urn:p": "v"}}'
+    orig, _ = jsonld.parse(text, base_uri="urn:base:x", doc_key="f")
+    assert any(t[-1] is not None for t in orig), orig
+    expanded, _ = api.expand(text, base_uri="urn:base:x")
     rt, _ = jsonld.parse(
         api.canonical_json(expanded), base_uri="urn:base:x", doc_key="f"
     )
