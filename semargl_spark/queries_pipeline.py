@@ -2670,6 +2670,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "pipeline_crawl": q_pipeline_crawl,
         "wet_split": q_wet_split,
+        "warc_split": q_warc_split,
+        "pipeline_warc": q_pipeline_warc,
         "robots_filter": q_robots_filter,
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_schedule": q_crawl_schedule,
@@ -10215,6 +10217,155 @@ SELECT file_id, CAST(1 AS INT), 'conversion',
        'https://w.example/q/'||file_id, CAST(NULL AS VARCHAR),
        CAST(NULL AS BIGINT), 'beta '||file_id||chr(10)||'more '||file_id
 FROM ids
+"""
+
+
+def q_warc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw WARC/1.x record splitting (sources/warc_records.py): each
+    document becomes a preamble + a response record (HTTP payload whose
+    HTML body quotes a bare ``WARC/1.0`` framing line — Content-Length
+    is authoritative, so the quote must NOT tear the record) + a
+    non-HTTP metadata record; the oracle rebuilds the lifted headers,
+    status, and entity bodies closed-form."""
+    from .sources.warc_records import split_warc_records
+
+    d = F.col("doc_id").cast("long")
+    ds = d.cast("string")
+    body = F.concat(
+        F.lit("<html><body>Prose for "), ds,
+        F.lit(".\nWARC/1.0\nquoted in body, kept whole</body></html>"),
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        body,
+    )
+    meta = F.concat(F.lit("crawl metadata for "), ds)
+    files = _docs(spark, sf_dir).select(
+        d.alias("file_id"),
+        F.concat(
+            F.lit("junk preamble\n"),
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\n"),
+            F.lit("WARC-Record-ID: <urn:uuid:r"), ds, F.lit(">\r\n"),
+            F.lit("WARC-Target-URI: https://wc.example/p/"), ds, F.lit("\r\n"),
+            F.lit("WARC-Date: 2026-01-01T00:00:00Z\r\n"),
+            F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
+            F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+            F.lit("WARC/1.0\r\nWARC-Type: metadata\r\n"),
+            F.lit("WARC-Target-URI: https://wc.example/m/"), ds, F.lit("\r\n"),
+            F.lit("Content-Length: "), F.octet_length(meta).cast("string"),
+            F.lit("\r\n\r\n"), meta, F.lit("\r\n\r\n"),
+        ).alias("content"),
+    )
+    return split_warc_records(files)
+
+
+ORACLES["warc_split"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS file_id FROM documents),
+b AS (SELECT file_id,
+        '<html><body>Prose for '||file_id||'.'||chr(10)||'WARC/1.0'
+          ||chr(10)||'quoted in body, kept whole</body></html>' AS body
+      FROM ids)
+SELECT file_id, CAST(0 AS INT) AS record_idx,
+       'response' AS warc_type,
+       'urn:uuid:r'||file_id AS record_id,
+       'https://wc.example/p/'||file_id AS target_uri,
+       '2026-01-01T00:00:00Z' AS warc_date,
+       CAST(strlen('HTTP/1.1 200 OK'||chr(13)||chr(10)
+         ||'Content-Type: text/html; charset=utf-8'||chr(13)||chr(10)
+         ||chr(13)||chr(10)||body) AS BIGINT) AS content_length,
+       CAST(200 AS INT) AS http_status,
+       'text/html; charset=utf-8' AS http_content_type,
+       body
+FROM b
+UNION ALL
+SELECT file_id, CAST(1 AS INT), 'metadata', CAST(NULL AS VARCHAR),
+       'https://wc.example/m/'||file_id, CAST(NULL AS VARCHAR),
+       CAST(strlen('crawl metadata for '||file_id) AS BIGINT),
+       CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+       'crawl metadata for '||file_id
+FROM ids
+"""
+
+
+def q_pipeline_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl curation from RAW WARC bytes: record framing →
+    HTTP 200 text/html filter → URL canonicalization of the target URI
+    → HTML main-content extraction → canonical-URL dedup (keep lowest
+    id). File pairs serve one page under two URL spellings (tracker
+    params + uppercase host on the odd twin); the composition proves
+    the WARC front door feeds the same chain pipeline_crawl runs from
+    pre-split pages."""
+    from pyspark.sql.window import Window
+
+    from .operators.curation import url_canonicalize
+    from .operators.text import html_main_blocks
+    from .sources.warc_records import split_warc_records
+
+    d = F.col("doc_id").cast("long")
+    grp = (d / 2).cast("long")
+    uri = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("https://site.example/p/"), grp.cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://Site.Example/p/"),
+            grp.cast("string"),
+            F.lit("?utm_source=twin"),
+        )
+    )
+    html = F.concat(
+        F.lit('<div><a href="/a">Home</a> <a href="/b">About</a> '
+              '<a href="/c">More</a></div><p>'
+              "Body prose long enough to keep for group "),
+        grp.cast("string"),
+        F.lit('.</p><div>&copy; <a href="/d">Site</a></div>'),
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+    files = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+            uri,
+            F.lit("\r\nContent-Length: "),
+            F.octet_length(payload).cast("string"),
+            F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+        ).alias("content"),
+    )
+    pages = (
+        split_warc_records(files, id_col="doc_id")
+        .filter(
+            (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select("doc_id", F.col("target_uri").alias("url"),
+                F.col("body").alias("html"))
+    )
+    canon = url_canonicalize(pages, url_col="url").select("doc_id", "url_canon")
+    clean = (
+        html_main_blocks(pages, text_col="html")
+        .filter(F.col("kept"))
+        .groupBy("doc_id")
+        .agg(F.min("block_text").alias("clean_text"))
+    )
+    joined = canon.join(clean, "doc_id")
+    w = Window.partitionBy("url_canon").orderBy("doc_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "url_canon", "clean_text")
+    )
+
+
+ORACLES["pipeline_warc"] = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       'https://site.example/p/'||(d.doc_id//2) AS url_canon,
+       'Body prose long enough to keep for group '||(d.doc_id//2)||'.'
+         AS clean_text
+FROM documents d
+WHERE d.doc_id = (SELECT min(x.doc_id) FROM documents x
+                  WHERE x.doc_id // 2 = d.doc_id // 2)
 """
 
 
