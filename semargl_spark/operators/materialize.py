@@ -170,6 +170,64 @@ def write_partitioned(df: DataFrame, path: str, bucket_col: str = "src") -> None
     )
 
 
+def merge_upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    bucket_col: str | None = None,
+) -> dict:
+    """``MERGE INTO`` stand-in over the bucketed parquet table at
+    ``path``: WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    INSERT * — the upsert Iceberg's MERGE would run, expressed over the
+    dynamic-partition-overwrite layout :func:`write_partitioned` uses,
+    so an Iceberg catalog can swap in without changing callers.
+    Returns ``{"updated": n, "inserted": n}``.
+
+    Requires ``updates`` key-unique (real MERGE engines error on
+    multiple matches; pre-aggregate upstream). Semantics are
+    differential-tested against DuckDB's upsert
+    (INSERT .. ON CONFLICT DO UPDATE) in tests/test_merge_semantics.py.
+
+    Scale shape: only the buckets containing incoming keys are read and
+    rewritten — bucket values of the delta are collected (≤ N_BUCKETS
+    scalars), partition-prune the current table's scan, and the merged
+    content of just those buckets dynamic-overwrites; untouched buckets'
+    files are never opened. The merged frame is eagerly checkpointed
+    before the write because parquet has no snapshot isolation — the
+    read and the overwrite of the same files cannot overlap (this, plus
+    concurrent-writer atomicity, is exactly what the Iceberg swap buys;
+    the row-level outcome is identical).
+    """
+    bucket_col = bucket_col or key_cols[0]
+    bucket = F.pmod(F.hash(bucket_col), F.lit(N_BUCKETS))
+    delta = updates.withColumn("bucket", bucket)
+    try:
+        current = spark.read.parquet(path)
+        table_exists = True
+    except Exception:
+        table_exists = False
+    if not table_exists:
+        delta.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(path)
+        return {"updated": 0, "inserted": delta.count()}
+
+    touched = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+    cur = current.filter(F.col("bucket").isin(touched))
+    keys = key_cols
+    survivors = cur.join(updates.select(*keys), keys, "left_anti")
+    n_updated = cur.join(updates.select(*keys), keys, "left_semi").count()
+    n_inserted = updates.count() - n_updated
+    merged = survivors.unionByName(
+        delta.select(*cur.columns)
+    ).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(path)
+    return {"updated": n_updated, "inserted": n_inserted}
+
+
 def materialize_kg(
     triples: DataFrame,
     components: DataFrame | None,

@@ -606,6 +606,220 @@ def _bpe_loop(
     return vocab, merges
 
 
+def _collect_word_freq(
+    docs: DataFrame, text_col: str, min_count: int, max_words: int | None
+) -> list[tuple[str, int]]:
+    """The one distributed step of the fast trainers: corpus → word
+    frequency table (one shuffle with map-side partials), bounded to
+    the driver by ``min_count`` / ``max_words`` (deterministic
+    (c desc, word asc) truncation so the bound never reorders merges
+    among surviving words)."""
+    wf = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    if max_words is not None:
+        wf = wf.orderBy(F.desc("c"), F.asc("word")).limit(max_words)
+    return [(r["word"], r["c"]) for r in wf.collect()]
+
+
+class _PairStats:
+    """Incrementally maintained adjacent-pair statistics over a
+    segmented word-frequency table: pair → total count (ALL adjacent
+    positions, overlapping included, × word frequency — identical to
+    the distributed per-round aggregate) and pair → ids of words
+    containing it, plus per-symbol totals for WordPiece scoring."""
+
+    def __init__(self, words: list[tuple[str, int]]):
+        self.freq = [c for _, c in words]
+        self.syms: list[list[str]] = [list(w) for w, _ in words]
+        self.pair_n: dict[tuple[str, str], int] = {}
+        self.pair_words: dict[tuple[str, str], set[int]] = {}
+        self.sym_n: dict[str, int] = {}
+        for wid, s in enumerate(self.syms):
+            c = self.freq[wid]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                self.pair_n[p] = self.pair_n.get(p, 0) + c
+                self.pair_words.setdefault(p, set()).add(wid)
+            for sym in s:
+                self.sym_n[sym] = self.sym_n.get(sym, 0) + c
+
+    def merge(self, a: str, b: str) -> set[tuple[str, str]]:
+        """Apply the (a, b) merge to every word containing the pair,
+        updating pair/symbol counts incrementally — the left-to-right
+        non-overlapping greedy scan, exactly the JVM fold's semantics.
+        Returns the set of pairs whose counts changed (the heap
+        refresh set)."""
+        pair = (a, b)
+        merged = a + b
+        touched: set[tuple[str, str]] = set()
+        for wid in list(self.pair_words.get(pair, ())):
+            s = self.syms[wid]
+            c = self.freq[wid]
+            out: list[str] = []
+            i = 0
+            changed = False
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(s[i])
+                    i += 1
+            if not changed:
+                continue
+            for seq, sign in ((s, -1), (out, 1)):
+                for i in range(len(seq) - 1):
+                    p = (seq[i], seq[i + 1])
+                    touched.add(p)
+                    n = self.pair_n.get(p, 0) + sign * c
+                    if n:
+                        self.pair_n[p] = n
+                    else:
+                        self.pair_n.pop(p, None)
+                    # membership pruned lazily: next merge re-checks
+                    self.pair_words.setdefault(p, set()).add(wid)
+                for sym in seq:
+                    n = self.sym_n.get(sym, 0) + sign * c
+                    if n:
+                        self.sym_n[sym] = n
+                    else:
+                        self.sym_n.pop(sym, None)
+            self.syms[wid] = out
+        self.pair_words.pop(pair, None)
+        touched.discard(pair)
+        return touched
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col="text",
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Production-vocabulary BPE training: the driver-local exact
+    trainer over the DISTRIBUTED word-frequency collapse → the same
+    (step, pair, merged, n) merge table as :func:`bpe_train`.
+
+    :func:`bpe_train` schedules one pair-aggregate + one merge-fold
+    Spark job per round — exact and fine at small merge budgets, but a
+    32k–100k production vocabulary means O(vocab) driver-scheduled
+    jobs. BPE training is a function of the word-FREQUENCY table only
+    (vocabulary-sized — ~10^6–10^8 rows at web scale vs the 10^12-row
+    corpus), so this path runs ONE distributed aggregation (the same
+    corpus→vocabulary collapse every round of the loop would reuse),
+    pulls the table to the driver, and trains with an incrementally
+    maintained pair index + lazy max-heap: identical argmax rule
+    (count desc, pair asc) and identical left-to-right greedy merge,
+    so at ``min_count=1`` / ``max_words=None`` the merge table is
+    bit-identical to :func:`bpe_train`'s (shared oracle + property-
+    tested differential). Total Spark jobs: 1, independent of
+    ``n_merges`` — the BENCH/bpe_batched.json row measures the win.
+
+    ``min_count`` / ``max_words`` bound driver memory at true web
+    scale (standard practice — HF trainers expose min_frequency); the
+    truncation is deterministic (c desc, word asc), and both default
+    to exact.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    merges = _fast_bpe_merges(
+        _collect_word_freq(docs, text_col, min_count, max_words), n_merges
+    )
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, n long"
+    )
+
+
+def _fast_bpe_merges(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local BPE merge loop: pair index + lazy max-heap, argmax
+    (count desc, pair asc) — symbols are ASCII [a-z0-9] so the Python
+    string heap order equals Spark's UTF8 binary ordering."""
+    import heapq
+
+    st = _PairStats(words)
+    heap = [(-n, f"{a} {b}") for (a, b), n in st.pair_n.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = None
+        while heap:
+            neg_n, pair_s = heapq.heappop(heap)
+            a, b = pair_s.split(" ")
+            if st.pair_n.get((a, b)) == -neg_n:  # stale entries skipped
+                best = (a, b, -neg_n)
+                break
+        if best is None:
+            break
+        a, b, n = best
+        merges.append((step, f"{a} {b}", a + b, n))
+        for p in st.merge(a, b):
+            pn = st.pair_n.get(p)
+            if pn is not None:
+                heapq.heappush(heap, (-pn, f"{p[0]} {p[1]}"))
+    return merges
+
+
+def wordpiece_train_batched(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col="text",
+    precision: int = 10**12,
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Production-vocabulary WordPiece training: driver-local exact
+    trainer over the distributed word-frequency collapse → the same
+    (step, pair, merged, score_q, n) table as :func:`wordpiece_train`,
+    in ONE Spark job independent of ``n_merges`` (see
+    :func:`bpe_train_batched` for the why and the bounding knobs).
+
+    The likelihood score count(ab)·precision ÷ (count(a)·count(b))
+    depends on SYMBOL totals, which drift on every merge — so instead
+    of a heap (whose entries would stale on symbol-count changes, not
+    just pair-count changes) each round scans the pair table once:
+    vocabulary-sized pure-Python work per round, still zero scheduled
+    jobs. Python int floor-division replays the DECIMAL(38,0) DIV
+    exactly (both are exact integer arithmetic on positives).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if precision < 1:
+        raise ValueError(f"precision must be >= 1, got {precision}")
+    spark = docs.sparkSession
+    st = _PairStats(_collect_word_freq(docs, text_col, min_count, max_words))
+    merges: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, n_merges + 1):
+        if not st.pair_n:
+            break
+        best = min(
+            (
+                (
+                    -((n * precision) // (st.sym_n[a] * st.sym_n[b])),
+                    f"{a} {b}",
+                    n,
+                )
+                for (a, b), n in st.pair_n.items()
+            ),
+        )
+        neg_score, pair_s, n = best
+        a, b = pair_s.split(" ")
+        merges.append((step, pair_s, a + b, -neg_score, n))
+        st.merge(a, b)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, score_q long, n long"
+    )
+
+
 def wordpiece_train(
     docs: DataFrame,
     n_merges: int = 8,

@@ -2520,6 +2520,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": q_context_windows,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "bpe_train_batched": q_bpe_train_batched,
+        "wordpiece_train_batched": q_wordpiece_train_batched,
         "bpe_segment": q_bpe_segment,
         "corpus_quantiles": q_corpus_quantiles,
         "kg_degree_stats": q_kg_degree_stats,
@@ -3658,6 +3660,23 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-vocabulary BPE path (text.bpe_train_batched): ONE
+    distributed word-frequency collapse, then the driver-local exact
+    pair-index trainer — bit-identical merge table to bpe_train
+    (shared oracle proves it), but 1 Spark job total instead of
+    O(n_merges); the path a 32k-100k-merge production vocab takes."""
+    return text.bpe_train_batched(_docs(spark, sf_dir), n_merges=8)
+
+
+def q_wordpiece_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-vocabulary WordPiece path
+    (text.wordpiece_train_batched): same one-collapse shape with the
+    likelihood-score argmax re-scanned per round driver-locally;
+    bit-identical to wordpiece_train (shared oracle)."""
+    return text.wordpiece_train_batched(_docs(spark, sf_dir), n_merges=8)
+
+
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply side of BPE training: the corpus vocabulary segmented
     under 8 trained merges → (word, segmented, n_subwords, c)
@@ -3716,6 +3735,9 @@ FROM v{n_merges}"""
 
 
 ORACLES["bpe_train"] = _bpe_train_oracle()
+# the batched trainer's claim IS bit-identity with the per-round loop,
+# so it shares the loop's unrolled-round oracle verbatim
+ORACLES["bpe_train_batched"] = _bpe_train_oracle()
 ORACLES["bpe_segment"] = _bpe_segment_oracle()
 
 
@@ -7472,6 +7494,7 @@ v{i} AS (SELECT CASE WHEN len(y.sy) < 2 OR b.a IS NULL THEN y.s ELSE
 
 
 ORACLES["wordpiece_train"] = _wordpiece_train_oracle()
+ORACLES["wordpiece_train_batched"] = _wordpiece_train_oracle()
 
 
 def q_kg_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -779,3 +779,92 @@ def test_html_main_blocks_separates_boilerplate(spark):
     assert body.link_pm == 0 and body.text_len == 73
     nav = rows[min(rows)]
     assert nav.link_pm == 900
+
+
+def test_bpe_train_batched_matches_loop(spark):
+    """The driver-local fast trainer must be BIT-identical to the
+    per-round distributed loop on the same corpus."""
+    from semargl_spark.operators.text import bpe_train, bpe_train_batched
+
+    texts = [
+        "aaaaa aaaa aaa ababab",
+        "banana bandana aaaaa",
+        "low lower lowest low low",
+        "abab aa bb ab ba",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    loop = [tuple(r) for r in bpe_train(df, n_merges=6).orderBy("step").collect()]
+    fast = [tuple(r) for r in
+            bpe_train_batched(df, n_merges=6).orderBy("step").collect()]
+    assert fast == loop
+
+
+def test_fast_bpe_merges_fuzz_matches_mirror():
+    """Property: the incremental pair-index + lazy-heap trainer equals
+    the recount-from-scratch mirror on random small-alphabet corpora
+    (stale-heap handling, overlap counting, merged-symbol
+    re-participation, tie-breaks all arise)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from semargl_spark.operators.text import _fast_bpe_merges
+
+    word = st.text(alphabet="ab0", min_size=2, max_size=12)
+    corpus = st.lists(st.tuples(word, st.integers(1, 9)),
+                      min_size=1, max_size=15)
+
+    @given(corpus)
+    @settings(max_examples=300, deadline=None)
+    def check(pairs):
+        wc = {}
+        for w, c in pairs:
+            wc[w] = wc.get(w, 0) + c
+        expected = _bpe_train_mirror(wc, 8)
+        got = _fast_bpe_merges(sorted(wc.items()), 8)
+        assert got == expected
+
+    check()
+
+
+def test_wordpiece_train_batched_matches_loop(spark):
+    from semargl_spark.operators.text import (
+        wordpiece_train,
+        wordpiece_train_batched,
+    )
+
+    texts = [
+        "aaaaa aaaa aaa ababab qz qz qzqz",
+        "banana bandana aaaaa",
+        "low lower lowest low low qz",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    loop = [tuple(r) for r in
+            wordpiece_train(df, n_merges=5).orderBy("step").collect()]
+    fast = [tuple(r) for r in
+            wordpiece_train_batched(df, n_merges=5).orderBy("step").collect()]
+    assert fast == loop
+
+
+def test_bpe_train_batched_bounding_knobs(spark):
+    """min_count / max_words bound driver state deterministically: the
+    truncated table trains as if the dropped words never existed."""
+    from semargl_spark.operators.text import bpe_train, bpe_train_batched
+
+    df = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa bbbb"), (1, "aaaa cccc")],
+        "doc_id int, text string",
+    )
+    # min_count=2 keeps only 'aaaa' (freq 4)
+    out = bpe_train_batched(df, n_merges=2, min_count=2).collect()
+    assert [r["merged"] for r in out] == ["aa", "aaaa"]
+    # max_words=1 keeps the (c desc, word asc) top word only — 'aaaa'
+    out2 = bpe_train_batched(df, n_merges=2, max_words=1).collect()
+    assert [r["merged"] for r in out2] == ["aa", "aaaa"]
+    # and unbounded equals the loop trainer
+    loop = [tuple(r) for r in bpe_train(df, n_merges=3).collect()]
+    fast = [tuple(r) for r in bpe_train_batched(df, n_merges=3).collect()]
+    assert fast == loop
