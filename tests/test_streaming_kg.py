@@ -365,6 +365,103 @@ def test_stream_c14n_replay_and_batch_parity(spark, tmp_path):
     assert again == got
 
 
+def test_stream_c14n_compaction_boundary_replay(spark, tmp_path):
+    """Seen-set compaction (r3 verdict item 5): folding the staging
+    table to min-key keeper rows under a batch_id watermark must leave
+    c14n_first_seen invariant; batches draining AFTER the compaction
+    still merge correctly; and a stale pre-watermark batch that
+    re-lands post-compaction (crashed-writer replay) is ignored by the
+    watermark — the exactly-once guard across the boundary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from semargl_spark.streaming.stream_c14n import (
+        c14n_compact,
+        c14n_first_seen,
+        stream_c14n,
+    )
+
+    ddl = ("conv_id string, turn_idx int, subj string, pred string,"
+           " obj string, obj_kind string, lang string, dtype string,"
+           " graph string")
+
+    def doc(d):
+        conv, r = f"c{d}", d % 3
+        return [
+            (conv, 0, "_:x", "urn:p:label", f"x{r}", "literal",
+             None, None, None),
+            (conv, 0, "_:x", "urn:p:knows", "_:y", "bnode",
+             None, None, None),
+        ]
+
+    in_dir, out, ck = (str(tmp_path / p) for p in ("in", "out", "ckpt"))
+    first = [row for d in range(8) for row in doc(d)]
+    spark.createDataFrame(first, ddl).repartition(
+        4, "conv_id", "turn_idx"
+    ).write.mode("overwrite").parquet(in_dir)
+    stream_c14n(spark, in_dir, out, ck).awaitTermination()
+    before = {
+        r["doc_sha256"]: (r["keep_conv"], r["n_docs"])
+        for r in c14n_first_seen(spark, out).collect()
+    }
+    assert sum(n for _, n in before.values()) == 8
+
+    info = c14n_compact(spark, out)
+    assert info["rows_after"] == 3  # one keeper row per content address
+    after = {
+        r["doc_sha256"]: (r["keep_conv"], r["n_docs"])
+        for r in c14n_first_seen(spark, out).collect()
+    }
+    assert after == before
+    # raw batch partitions are gone; only the snapshot remains
+    parts = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert parts == [f"batch_id={-(info['compacted_through'] + 2)}"]
+
+    # fresh batches drain across the boundary and merge with keepers
+    more = [row for d in range(8, 12) for row in doc(d)]
+    spark.createDataFrame(more, ddl).repartition(
+        2, "conv_id", "turn_idx"
+    ).write.mode("append").parquet(in_dir)
+    stream_c14n(spark, in_dir, out, ck).awaitTermination()
+    merged = {
+        r["doc_sha256"]: (r["keep_conv"], r["n_docs"])
+        for r in c14n_first_seen(spark, out).collect()
+    }
+    assert sum(n for _, n in merged.values()) == 12
+    assert {k: v[0] for k, v in merged.items()} == {
+        k: v[0] for k, v in before.items()
+    }  # keepers unchanged: the pre-compaction minima survive the fold
+
+    # crashed-writer replay: a pre-watermark batch re-lands verbatim —
+    # the watermark filter must ignore it entirely
+    replay = spark.createDataFrame(first[:4], ddl)
+    from semargl_spark.operators.c14n_ops import c14n_doc_hashes
+
+    (
+        c14n_doc_hashes(replay)
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+    ignored = {
+        r["doc_sha256"]: (r["keep_conv"], r["n_docs"])
+        for r in c14n_first_seen(spark, out).collect()
+    }
+    assert ignored == merged
+
+    # second compaction folds keepers + fresh batches; counts invariant
+    info2 = c14n_compact(spark, out)
+    assert info2["compacted_through"] > info["compacted_through"]
+    final = {
+        r["doc_sha256"]: (r["keep_conv"], r["n_docs"])
+        for r in c14n_first_seen(spark, out).collect()
+    }
+    assert final == merged
+
+
 def test_render_conversation_matches_batch_chat_render(spark):
     """The streaming renderer's pure kernel must be byte-identical to
     the batch chat_render template, spans included."""
