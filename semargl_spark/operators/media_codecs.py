@@ -968,28 +968,9 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, v & ((1 << size) - 1)
 
 
-def encode_jpeg(width: int, height: int, rows, quality: int = 90,
-                subsampling: str = "444") -> bytes:
-    """Baseline JFIF encoder, Annex-K tables at ``quality``.
-
-    ``subsampling``: ``"444"`` (no chroma subsampling) or ``"420"``
-    (2×2 luma sampling, chroma at quarter resolution via the integer
-    mean ``(a+b+c+d+2)//4``) — the two layouts real encoders emit.
-    """
-    import struct
-
-    if subsampling not in ("444", "420"):
-        raise MediaFormatError(f"unsupported subsampling: {subsampling}")
-    sub = subsampling == "420"
-    ql, qc = _jpeg_qtables(quality)
-    # DQT stores (and the scan consumes) quant values in ZIGZAG order
-    qzl = [ql[_ZIGZAG[i]] for i in range(64)]
-    qzc = [qc[_ZIGZAG[i]] for i in range(64)]
-    dc_l = _huff_encode_table(*_DC_L)
-    dc_c = _huff_encode_table(*_DC_C)
-    ac_l = _huff_encode_table(*_AC_L)
-    ac_c = _huff_encode_table(*_AC_C)
-
+def _jpeg_planes(width, height, rows, sub):
+    """RGB rows → (Y/Cb/Cr planes, per-comp (h,v) spec, MCU grid dims);
+    4:2:0 chroma at quarter resolution via the integer 2×2 mean."""
     planes = [[], [], []]  # Y, Cb, Cr per pixel rows
     for y in range(height):
         ry, rcb, rcr = [], [], []
@@ -1024,6 +1005,32 @@ def encode_jpeg(width: int, height: int, rows, quality: int = 90,
     vmax = max(cv for _, cv in cspec)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    return planes, cspec, mcux, mcuy
+
+
+def encode_jpeg(width: int, height: int, rows, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """Baseline JFIF encoder, Annex-K tables at ``quality``.
+
+    ``subsampling``: ``"444"`` (no chroma subsampling) or ``"420"``
+    (2×2 luma sampling, chroma at quarter resolution via the integer
+    mean ``(a+b+c+d+2)//4``) — the two layouts real encoders emit.
+    """
+    import struct
+
+    if subsampling not in ("444", "420"):
+        raise MediaFormatError(f"unsupported subsampling: {subsampling}")
+    sub = subsampling == "420"
+    ql, qc = _jpeg_qtables(quality)
+    # DQT stores (and the scan consumes) quant values in ZIGZAG order
+    qzl = [ql[_ZIGZAG[i]] for i in range(64)]
+    qzc = [qc[_ZIGZAG[i]] for i in range(64)]
+    dc_l = _huff_encode_table(*_DC_L)
+    dc_c = _huff_encode_table(*_DC_C)
+    ac_l = _huff_encode_table(*_AC_L)
+    ac_c = _huff_encode_table(*_AC_C)
+
+    planes, cspec, mcux, mcuy = _jpeg_planes(width, height, rows, sub)
     w = _BitWriter()
     pred = [0, 0, 0]
     for by in range(mcuy):
@@ -1065,6 +1072,205 @@ def encode_jpeg(width: int, height: int, rows, quality: int = 90,
         out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(width: int, height: int, rows,
+                            quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """Progressive (SOF2) JFIF encoder: the standard web progression —
+    an interleaved DC-first scan at Al=1, per-component AC-first scans
+    (1–63) at Al=1 with EOB coding, then the DC and AC refinement
+    scans down to Al=0. Quantized coefficients are identical to
+    :func:`encode_jpeg`'s, so a progressive round-trip decodes to the
+    SAME pixels as the baseline encoding of the same image — the
+    differential the tests assert."""
+    import struct
+
+    if subsampling not in ("444", "420"):
+        raise MediaFormatError(f"unsupported subsampling: {subsampling}")
+    sub = subsampling == "420"
+    ql, qc = _jpeg_qtables(quality)
+    qzl = [ql[_ZIGZAG[i]] for i in range(64)]
+    qzc = [qc[_ZIGZAG[i]] for i in range(64)]
+    planes, cspec, mcux, mcuy = _jpeg_planes(width, height, rows, sub)
+
+    coefs = []  # [ci][by][bx] -> 64 quantized zigzag coefficients
+    for ci in range(3):
+        ch, cv = cspec[ci]
+        q = qzl if ci == 0 else qzc
+        plane = planes[ci]
+        comp_h, comp_w = len(plane), len(plane[0])
+        grid = []
+        for by in range(mcuy * cv):
+            grow = []
+            for bx in range(mcux * ch):
+                block = []
+                for yy in range(8):
+                    sy = min(by * 8 + yy, comp_h - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, comp_w - 1)
+                        block.append(plane[sy][sx] - 128)
+                coef = _fdct(block)
+                grow.append(
+                    [_r5(coef[_ZIGZAG[i]] / q[i]) for i in range(64)]
+                )
+            grid.append(grow)
+        coefs.append(grid)
+
+    dc_tabs = [_huff_encode_table(*_DC_L)] + [_huff_encode_table(*_DC_C)] * 2
+    ac_tabs = [_huff_encode_table(*_AC_L)] + [_huff_encode_table(*_AC_C)] * 2
+
+    # non-interleaved AC scans cover ceil(comp_samples/8) blocks, NOT the
+    # MCU-padded grid (T.81 A.2.2) — padded edge blocks stay DC-only
+    hmax = max(ch for ch, _ in cspec)
+    vmax = max(cv for _, cv in cspec)
+    cdims = []
+    for ch, cv in cspec:
+        cw = (width * ch + hmax - 1) // hmax
+        chh = (height * cv + vmax - 1) // vmax
+        cdims.append(((cw + 7) // 8, (chh + 7) // 8))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_specs, ss, se, ah, al):
+        body = bytes([len(comp_specs)])
+        for cs, td, ta in comp_specs:
+            body += bytes([cs, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    AL = 1  # one successive-approximation level
+
+    # scan 1: interleaved DC first, Al=1 (arithmetic >> keeps sign)
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for ci in range(3):
+                ch, cv = cspec[ci]
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        v = coefs[ci][by * cv + byy][bx * ch + bxx][0]
+                        t = v >> AL
+                        size, bits = _magnitude(t - pred[ci])
+                        pred[ci] = t
+                        code, ln = dc_tabs[ci][size]
+                        w.put(code, ln)
+                        if size:
+                            w.put(bits, size)
+    dc_first = sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, AL) + w.flush()
+
+    def ac_first(ci):
+        w = _BitWriter()
+        tab = ac_tabs[ci]
+        cbw, cbh = cdims[ci]
+        for by in range(cbh):
+            for bx in range(cbw):
+                blk = coefs[ci][by][bx]
+                last_nz = 0
+                for k in range(1, 64):
+                    if abs(blk[k]) >> AL:
+                        last_nz = k
+                run = 0
+                for k in range(1, last_nz + 1):
+                    t = abs(blk[k]) >> AL
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = tab[0xF0]
+                        w.put(code, ln)
+                        run -= 16
+                    size, bits = _magnitude(t if blk[k] > 0 else -t)
+                    code, ln = tab[(run << 4) | size]
+                    w.put(code, ln)
+                    w.put(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = tab[0x00]  # EOB, run length 1
+                    w.put(code, ln)
+        ta = 0 if ci == 0 else 1
+        return sos([(ci + 1, 0, ta)], 1, 63, 0, AL) + w.flush()
+
+    # DC refinement scan: one raw bit per block, interleaved
+    w = _BitWriter()
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for ci in range(3):
+                ch, cv = cspec[ci]
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        v = coefs[ci][by * cv + byy][bx * ch + bxx][0]
+                        w.put(v & 1, 1)
+    dc_refine = sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, AL, 0) + w.flush()
+
+    def ac_refine(ci):
+        w = _BitWriter()
+        tab = ac_tabs[ci]
+        cbw, cbh = cdims[ci]
+        for by in range(cbh):
+            for bx in range(cbw):
+                blk = coefs[ci][by][bx]
+                eob_k = 0  # last newly-significant index
+                for k in range(1, 64):
+                    if abs(blk[k]) == 1:
+                        eob_k = k
+                run = 0
+                pending: list[int] = []
+                for k in range(1, 64):
+                    t = abs(blk[k])
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs fire at ANY nonzero coef (correction bits must
+                    # stay aligned with the decoder's 16-zero traversal),
+                    # but never past the last newly-significant coef —
+                    # trailing zeros fold into the EOB (libjpeg
+                    # encode_mcu_AC_refine)
+                    while run > 15 and k <= eob_k:
+                        code, ln = tab[0xF0]
+                        w.put(code, ln)
+                        for b in pending:
+                            w.put(b, 1)
+                        pending = []
+                        run -= 16
+                    if t > 1:
+                        pending.append(t & 1)
+                        continue
+                    code, ln = tab[(run << 4) | 1]
+                    w.put(code, ln)
+                    w.put(1 if blk[k] > 0 else 0, 1)
+                    for b in pending:
+                        w.put(b, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:
+                    code, ln = tab[0x00]
+                    w.put(code, ln)
+                    for b in pending:
+                        w.put(b, 1)
+        ta = 0 if ci == 0 else 1
+        return sos([(ci + 1, 0, ta)], 1, 63, AL, 0) + w.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qzl))
+    out += seg(0xDB, bytes([1]) + bytes(qzc))
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22 if sub else 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_L), (0, 1, _DC_C), (1, 0, _AC_L), (1, 1, _AC_C)
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    out += dc_first
+    out += ac_first(0) + ac_first(1) + ac_first(2)
+    out += dc_refine
+    out += ac_refine(0) + ac_refine(1) + ac_refine(2)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1173,13 +1379,256 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(payload: bytes):
-    """Baseline JPEG → (width, height, rows of (r,g,b)).
+class _ProgState:
+    """Progressive (SOF2) decoding state: per-component DCT coefficient
+    grids accumulated across scans (spectral selection bands ×
+    successive-approximation bit planes), reconstructed once at EOI.
 
-    Supports baseline sequential (SOF0), 8-bit, 1 or 3 components,
-    sampling factors up to 2×2 (chroma upsampled by replication), and
-    restart intervals. Progressive/arithmetic streams raise
-    :class:`MediaFormatError`.
+    Python's arbitrary-precision ints behave exactly like two's
+    complement under &/|, so the T.81 refinement bit tests transliterate
+    directly (the same expressions libjpeg runs on C shorts)."""
+
+    def __init__(self, width, height, comps):
+        if not comps or not width or not height:
+            raise MediaFormatError("JPEG: empty SOF")
+        self.width, self.height, self.comps = width, height, comps
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+            raise MediaFormatError(
+                "JPEG: sampling factors outside 1..2 unsupported"
+            )
+        self.mcux = (width + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (height + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coefs = []
+        self.cdims = []  # per comp: (blocks_w, blocks_h) non-interleaved
+        for c in comps:
+            bw, bh = self.mcux * c["h"], self.mcuy * c["v"]
+            self.coefs.append(
+                [[[0] * 64 for _ in range(bw)] for _ in range(bh)]
+            )
+            cw = (width * c["h"] + self.hmax - 1) // self.hmax
+            ch = (height * c["v"] + self.vmax - 1) // self.vmax
+            self.cdims.append(((cw + 7) // 8, (ch + 7) // 8))
+        self.any_scan = False
+
+    def decode_scan(self, payload, start, body, huff, restart) -> int:
+        """Decode one SOS scan; returns the offset of the next marker."""
+        if not body:
+            raise MediaFormatError("JPEG: short SOS")
+        ns = body[0]
+        if len(body) < 4 + 2 * ns:
+            raise MediaFormatError("JPEG: short SOS")
+        scomps = []
+        for i in range(ns):
+            cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+            ci = next(
+                (j for j, c in enumerate(self.comps) if c["id"] == cs), None
+            )
+            if ci is None:
+                raise MediaFormatError("JPEG: scan names unknown component")
+            scomps.append((ci, tables >> 4, tables & 0x0F))
+        ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+        a = body[3 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        br = _BitReader(payload, start)
+        self.any_scan = True
+        if ss == 0:
+            if se != 0:
+                raise MediaFormatError("JPEG: DC scan with Se != 0")
+            self._dc_scan(br, scomps, ah, al, huff, restart)
+        else:
+            if ns != 1:
+                raise MediaFormatError("JPEG: interleaved AC scan")
+            self._ac_scan(br, scomps[0], ss, se, ah, al, huff, restart)
+        # skip pad bits / stuffing / RSTn up to the next segment marker
+        pos = br.pos
+        while pos + 1 < len(payload):
+            if payload[pos] == 0xFF:
+                nxt = payload[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos += 2
+                    continue
+                return pos
+            pos += 1
+        return len(payload)
+
+    def _dc_scan(self, br, scomps, ah, al, huff, restart):
+        pred = [0] * len(self.comps)
+        mcu_count = 0
+        interleaved = len(scomps) > 1
+
+        def one(ci, dc_id, by, bx):
+            blk = self.coefs[ci][by][bx]
+            if ah == 0:
+                tab = huff.get((0, dc_id))
+                if tab is None:
+                    raise MediaFormatError("JPEG: missing DC table")
+                size = _huff_read(br, tab)
+                diff = _extend(br.bits(size), size) if size else 0
+                pred[ci] += diff
+                blk[0] = pred[ci] << al
+            elif br.bit():
+                blk[0] |= 1 << al
+
+        if interleaved:
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    if restart and mcu_count and mcu_count % restart == 0:
+                        m = br.sync_marker()
+                        if not (0xD0 <= m <= 0xD7):
+                            raise MediaFormatError("JPEG: expected RSTn")
+                        pred[:] = [0] * len(self.comps)
+                    for ci, dc_id, _ac in scomps:
+                        c = self.comps[ci]
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                one(ci, dc_id,
+                                    my * c["v"] + byy, mx * c["h"] + bxx)
+                    mcu_count += 1
+        else:
+            ci, dc_id, _ac = scomps[0]
+            cbw, cbh = self.cdims[ci]
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if restart and mcu_count and mcu_count % restart == 0:
+                        m = br.sync_marker()
+                        if not (0xD0 <= m <= 0xD7):
+                            raise MediaFormatError("JPEG: expected RSTn")
+                        pred[:] = [0] * len(self.comps)
+                    one(ci, dc_id, by, bx)
+                    mcu_count += 1
+
+    def _ac_scan(self, br, scomp, ss, se, ah, al, huff, restart):
+        ci, _dc_id, ac_id = scomp
+        if se > 63 or ss > se:
+            raise MediaFormatError("JPEG: bad spectral band")
+        tab = huff.get((1, ac_id))
+        if tab is None:
+            raise MediaFormatError("JPEG: missing AC table")
+        cbw, cbh = self.cdims[ci]
+        eobrun = 0
+        count = 0
+        for by in range(cbh):
+            for bx in range(cbw):
+                if restart and count and count % restart == 0:
+                    m = br.sync_marker()
+                    if not (0xD0 <= m <= 0xD7):
+                        raise MediaFormatError("JPEG: expected RSTn")
+                    eobrun = 0
+                blk = self.coefs[ci][by][bx]
+                if ah == 0:
+                    eobrun = self._ac_first(br, blk, ss, se, al, tab, eobrun)
+                else:
+                    eobrun = self._ac_refine(br, blk, ss, se, al, tab, eobrun)
+                count += 1
+
+    @staticmethod
+    def _ac_first(br, blk, ss, se, al, tab, eobrun):
+        if eobrun:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _huff_read(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eb = (1 << r) - 1
+                    if r:
+                        eb += br.bits(r)
+                    return eb
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise MediaFormatError("JPEG: AC band overflow")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(br, blk, ss, se, al, tab, eobrun):
+        bit = 1 << al
+
+        def correct(k):
+            if br.bit() and (blk[k] & bit) == 0:
+                blk[k] += bit if blk[k] > 0 else -bit
+
+        if eobrun:
+            for k in range(ss, se + 1):
+                if blk[k]:
+                    correct(k)
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _huff_read(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    while k <= se:  # refine the rest of the band, done
+                        if blk[k]:
+                            correct(k)
+                        k += 1
+                    return eobrun
+                # r == 15: sixteen zero-history coefficients skip
+            elif s == 1:
+                newval = bit if br.bit() else -bit
+            else:
+                raise MediaFormatError("JPEG: bad AC refinement size")
+            while k <= se:
+                if blk[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+        return 0
+
+    def reconstruct(self, qt):
+        planes = []
+        for ci, c in enumerate(self.comps):
+            if c["tq"] not in qt:
+                raise MediaFormatError("JPEG: missing quant table")
+            q = qt[c["tq"]]
+            pw, ph = self.mcux * 8 * c["h"], self.mcuy * 8 * c["v"]
+            plane = [[0] * pw for _ in range(ph)]
+            for by in range(self.mcuy * c["v"]):
+                for bx in range(self.mcux * c["h"]):
+                    zz = self.coefs[ci][by][bx]
+                    coef = [0.0] * 64
+                    for i in range(64):
+                        coef[_ZIGZAG[i]] = zz[i] * q[i]
+                    px = _idct(coef)
+                    oy, ox = by * 8, bx * 8
+                    for yy in range(8):
+                        row = plane[oy + yy]
+                        for xx in range(8):
+                            row[ox + xx] = _r5(px[yy * 8 + xx]) + 128
+            planes.append(plane)
+        return _planes_to_rows(
+            planes, self.comps, self.width, self.height, self.hmax, self.vmax
+        )
+
+
+def decode_jpeg(payload: bytes):
+    """JPEG → (width, height, rows of (r,g,b)).
+
+    Supports baseline sequential (SOF0) AND progressive (SOF2 —
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOB runs), 8-bit, 1 or 3 components, sampling
+    factors up to 2×2 (chroma upsampled by replication), and restart
+    intervals. Other SOFs (extended sequential, lossless, arithmetic)
+    raise :class:`MediaFormatError` — real crawls are ~90 % baseline /
+    ~10 % progressive (r3 verdict item 6), which both decode for real
+    now; the rest stay measurable error rows.
     """
     import struct
 
@@ -1188,6 +1637,8 @@ def decode_jpeg(payload: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     comps = None
+    progressive = False
+    prog = None  # progressive coefficient state, built at SOF2
     width = height = 0
     restart = 0
     pos = 2
@@ -1212,16 +1663,27 @@ def decode_jpeg(payload: bytes):
                 )
                 qt[tid] = tbl
                 b += 1 + n
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise MediaFormatError("JPEG: only baseline SOF0 supported")
-        elif marker == 0xC0:
+            raise MediaFormatError(
+                "JPEG: only baseline SOF0 / progressive SOF2 supported"
+            )
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
+            if len(body) < 6:
+                raise MediaFormatError("JPEG: short SOF")
             _prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + 3 * nc:
+                raise MediaFormatError("JPEG: short SOF")
+            if width * height > 64_000_000:
+                raise MediaFormatError("JPEG: dimensions too large")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
+            if progressive:
+                prog = _ProgState(width, height, comps)
         elif marker == 0xC4:
             b = 0
             while b < len(body):
@@ -1229,6 +1691,8 @@ def decode_jpeg(payload: bytes):
                 bits = list(body[b + 1:b + 17])
                 nval = sum(bits)
                 vals = list(body[b + 17:b + 17 + nval])
+                if len(bits) < 16 or len(vals) < nval:
+                    raise MediaFormatError("JPEG: short DHT")
                 huff[(cls, tid)] = _huff_decode_table(bits, vals)
                 b += 17 + nval
         elif marker == 0xDD:
@@ -1236,25 +1700,34 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDA:
             if comps is None:
                 raise MediaFormatError("JPEG: SOS before SOF")
-            ns = body[0]
-            sel = {}
-            for i in range(ns):
-                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
-                sel[cs] = (tables >> 4, tables & 0x0F)
             data_start = pos + 2 + ln
-            return _jpeg_scan(
-                payload, data_start, width, height, comps, sel, qt, huff,
-                restart,
-            )
+            if not progressive:
+                ns = body[0]
+                sel = {}
+                for i in range(ns):
+                    cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                    sel[cs] = (tables >> 4, tables & 0x0F)
+                return _jpeg_scan(
+                    payload, data_start, width, height, comps, sel, qt,
+                    huff, restart,
+                )
+            pos = prog.decode_scan(payload, data_start, body, huff, restart)
+            continue
         pos += 2 + ln
+    if progressive and prog is not None and prog.any_scan:
+        return prog.reconstruct(qt)
     raise MediaFormatError("JPEG: no SOS marker")
 
 
 def _jpeg_scan(payload, start, width, height, comps, sel, qt, huff, restart):
+    if not comps:
+        raise MediaFormatError("JPEG: empty SOF")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise MediaFormatError("JPEG: sampling factors above 2 unsupported")
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise MediaFormatError(
+            "JPEG: sampling factors outside 1..2 unsupported"
+        )
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(payload, start)
@@ -1272,7 +1745,13 @@ def _jpeg_scan(payload, start, width, height, comps, sel, qt, huff, restart):
                     raise MediaFormatError("JPEG: expected RSTn")
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
+                if c["id"] not in sel:
+                    raise MediaFormatError("JPEG: component not in scan")
                 dct, act = sel[c["id"]]
+                if (0, dct) not in huff or (1, act) not in huff:
+                    raise MediaFormatError("JPEG: missing Huffman table")
+                if c["tq"] not in qt:
+                    raise MediaFormatError("JPEG: missing quant table")
                 dc_tab, ac_tab = huff[(0, dct)], huff[(1, act)]
                 q = qt[c["tq"]]
                 for byy in range(c["v"]):
@@ -1291,6 +1770,8 @@ def _jpeg_scan(payload, start, width, height, comps, sel, qt, huff, restart):
                                 i += 16
                                 continue
                             run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                raise MediaFormatError("JPEG: bad AC symbol")
                             i += run
                             if i > 63:
                                 raise MediaFormatError("JPEG: AC overflow")
@@ -1308,6 +1789,12 @@ def _jpeg_scan(payload, start, width, height, comps, sel, qt, huff, restart):
                             for xx in range(8):
                                 row[ox + xx] = _r5(px[yy * 8 + xx]) + 128
             mcu_count += 1
+    return _planes_to_rows(planes, comps, width, height, hmax, vmax)
+
+
+def _planes_to_rows(planes, comps, width, height, hmax, vmax):
+    """Shared reconstruction tail: chroma upsampling by replication +
+    YCbCr→RGB (or grayscale replication) → row-major (r,g,b) tuples."""
     rows = []
     for y in range(height):
         row = []

@@ -10740,13 +10740,17 @@ WHERE d.tix IS NULL
 
 
 def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG codec (operators/media_codecs.encode_jpeg /
-    decode_jpeg): flat-color images encode at quality 100 in BOTH 4:4:4
-    and 4:2:0 layouts and decode executor-side through the full marker/
-    Huffman/dequant/IDCT path. Flat blocks survive quality-100
-    quantization exactly, so the only loss is the YCbCr round trip —
-    whose floor(x+0.5) arithmetic the oracle replays verbatim. The
-    lossy general path is bounded in tests/test_media_codecs.py."""
+    """REAL JPEG codec (operators/media_codecs.encode_jpeg /
+    encode_jpeg_progressive / decode_jpeg): flat-color images encode at
+    quality 100 in 4:4:4, 4:2:0, AND progressive (SOF2 — planted
+    progressive payloads per r3 verdict item 6) layouts and decode
+    executor-side through the full marker/Huffman/dequant/IDCT path
+    (multi-scan spectral-selection + successive-approximation for the
+    progressive rows). Flat blocks survive quality-100 quantization
+    exactly, so the only loss is the YCbCr round trip — whose
+    floor(x+0.5) arithmetic the oracle replays verbatim. The lossy
+    general path and the progressive==baseline pixel differential are
+    bounded in tests/test_media_codecs.py."""
     import pyarrow as pa
 
     def run(batches):
@@ -10763,9 +10767,20 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 color = ((did * 37) % 256, (did * 59 + 64) % 256,
                          (did * 83 + 128) % 256)
                 rows = [[color] * 16 for _ in range(16)]
-                for sub in ("444", "420"):
-                    data = encode_jpeg(16, 16, rows, quality=100,
-                                       subsampling=sub)
+                for sub in ("444", "420", "prog"):
+                    if sub == "prog":
+                        from .operators.media_codecs import (
+                            encode_jpeg_progressive,
+                        )
+
+                        data = encode_jpeg_progressive(
+                            16, 16, rows, quality=100, subsampling="444"
+                        )
+                        if b"\xff\xc2" not in data:
+                            raise AssertionError("not progressive")
+                    else:
+                        data = encode_jpeg(16, 16, rows, quality=100,
+                                           subsampling=sub)
                     w, h, out = decode_jpeg(data)
                     pr, pg, pb = out[0][0]
                     ids.append(did)
@@ -10810,7 +10825,7 @@ px AS (SELECT doc_id,
       FROM yc)
 SELECT doc_id, sub, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
        CAST(r AS INT) AS r, CAST(g AS INT) AS g, CAST(b AS INT) AS b
-FROM px CROSS JOIN (SELECT unnest(['444','420']) AS sub)
+FROM px CROSS JOIN (SELECT unnest(['420','444','prog']) AS sub)
 """
 
 

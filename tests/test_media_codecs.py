@@ -568,3 +568,80 @@ def test_jpeg_resize_flat_exact():
     # within 1 of the single-pass decode
     assert all(p == out[0][0] for r in out for p in r)
     assert max(abs(a - b) for a, b in zip(out[0][0], base)) <= 1
+
+
+# ------------------------------------------------------ progressive JPEG
+
+
+def test_progressive_jpeg_decodes_to_baseline_pixels():
+    """The SOF2 multi-scan path (DC first/refine, AC spectral bands with
+    EOB runs, AC successive-approximation refinement) reconstructs the
+    SAME coefficients the baseline stream carries, so decoded pixels are
+    bit-identical to the baseline encoding of the same image."""
+    import random
+
+    from semargl_spark.operators.media_codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = random.Random(7)
+    for (w, h) in ((19, 13), (33, 17), (16, 16)):
+        rows = [[(min(255, x * 13 + y), (x * 7 + y * 11) % 256,
+                  rng.randrange(256)) for x in range(w)] for y in range(h)]
+        for subs in ("444", "420"):
+            for q in (90, 40):
+                base = encode_jpeg(w, h, rows, quality=q, subsampling=subs)
+                prog = encode_jpeg_progressive(
+                    w, h, rows, quality=q, subsampling=subs)
+                assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+                assert decode_jpeg(prog) == decode_jpeg(base), (w, h, subs, q)
+
+
+def test_progressive_jpeg_flat_roundtrip_exact():
+    from semargl_spark.operators.media_codecs import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    for color in ((200, 100, 50), (0, 0, 0), (255, 255, 255)):
+        rows = [[color] * 16 for _ in range(16)]
+        w, h, out = decode_jpeg(
+            encode_jpeg_progressive(16, 16, rows, quality=100))
+        assert (w, h) == (16, 16)
+        assert all(p == out[0][0] for r in out for p in r)
+        assert max(abs(a - b) for a, b in zip(out[0][0], color)) <= 1
+
+
+def test_jpeg_mutation_fuzz_never_raises_foreign_errors():
+    """Mutated baseline AND progressive streams either decode or raise
+    MediaFormatError — never KeyError/struct.error/ZeroDivisionError
+    (the extract-path never-raise contract)."""
+    import random
+
+    from semargl_spark.operators.media_codecs import (
+        MediaFormatError, decode_jpeg, encode_jpeg,
+        encode_jpeg_progressive)
+
+    rows = [[((x * 31) % 256, (y * 17) % 256, (x * y) % 256)
+             for x in range(16)] for y in range(16)]
+    seeds = [
+        encode_jpeg(16, 16, rows, quality=85),
+        encode_jpeg(16, 16, rows, quality=85, subsampling="420"),
+        encode_jpeg_progressive(16, 16, rows, quality=85),
+        encode_jpeg_progressive(16, 16, rows, quality=85,
+                                subsampling="420"),
+    ]
+    rng = random.Random(23)
+    for trial in range(400):
+        b = bytearray(seeds[trial % 4])
+        for _ in range(rng.randrange(1, 4)):
+            op = rng.randrange(3)
+            if op == 0 and b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op == 1 and len(b) > 2:
+                del b[rng.randrange(len(b)):]
+            else:
+                b[rng.randrange(len(b) + 1):0] = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(8))
+                )
+        try:
+            decode_jpeg(bytes(b))
+        except MediaFormatError:
+            pass
