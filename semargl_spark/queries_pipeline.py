@@ -2673,6 +2673,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_crawl": q_pipeline_crawl,
         "wet_split": q_wet_split,
         "warc_split": q_warc_split,
+        "warc_gz_split": q_warc_gz_split,
         "pipeline_warc": q_pipeline_warc,
         "robots_filter": q_robots_filter,
         "sitemap_frontier": q_sitemap_frontier,
@@ -10308,6 +10309,68 @@ SELECT file_id, CAST(1 AS INT), 'metadata', CAST(NULL AS VARCHAR),
        'crawl metadata for '||file_id
 FROM ids
 """
+
+
+def q_warc_gz_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped WARC ingestion (.warc.gz member-per-record, the actual
+    Common Crawl layout): the fixture gzips each WARC record as its own
+    member (zlib gzip wrapper — mtime 0, deterministic), and
+    split_warc_records sniffs the magic and inflates in-kernel before
+    framing. Same logical records as warc_split minus the preamble, so
+    the oracle is shared closed-form SQL."""
+    import pyarrow as pa
+
+    def run(batches):
+        import zlib
+
+        def gz(b: bytes) -> bytes:
+            c = zlib.compressobj(9, zlib.DEFLATED, 31)
+            return c.compress(b) + c.flush()
+
+        for rb in batches:
+            ids, blobs = [], []
+            for did in rb.column(0).to_pylist():
+                body = (
+                    f"<html><body>Prose for {did}.\nWARC/1.0\n"
+                    "quoted in body, kept whole</body></html>"
+                )
+                payload = (
+                    "HTTP/1.1 200 OK\r\n"
+                    "Content-Type: text/html; charset=utf-8\r\n\r\n" + body
+                ).encode()
+                rec1 = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:uuid:r{did}>\r\n".encode()
+                    + f"WARC-Target-URI: https://wc.example/p/{did}\r\n".encode()
+                    + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                    + payload + b"\r\n\r\n"
+                )
+                meta = f"crawl metadata for {did}".encode()
+                rec2 = (
+                    b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+                    + f"WARC-Target-URI: https://wc.example/m/{did}\r\n".encode()
+                    + f"Content-Length: {len(meta)}\r\n\r\n".encode()
+                    + meta + b"\r\n\r\n"
+                )
+                ids.append(did)
+                blobs.append(gz(rec1) + gz(rec2))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(blobs, pa.binary())],
+                names=["file_id", "content"],
+            )
+
+    from .sources.warc_records import split_warc_records
+
+    files = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long"))
+        .mapInArrow(run, "file_id bigint, content binary")
+    )
+    return split_warc_records(files)
+
+
+ORACLES["warc_gz_split"] = ORACLES["warc_split"]
 
 
 def q_pipeline_warc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,10 +127,36 @@ def _frame_records(data: bytes):
         yield headers, clen, payload
 
 
+def gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members → concatenated plaintext — the
+    ``.warc.gz`` layout (Common Crawl compresses each record as its own
+    gzip member so readers can seek to records). Best-effort: a
+    corrupted member ends the scan and the prefix decodes, matching the
+    truncated-tail tolerance of the framing itself."""
+    import zlib
+
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        remaining = len(d.unused_data)
+        pos = n - remaining
+    return bytes(out)
+
+
 def split_warc_records(
     files: DataFrame, id_col: str = "file_id", content_col: str = "content"
 ) -> DataFrame:
-    """``(file_id, content)`` → one row per WARC record.
+    """``(file_id, content)`` → one row per WARC record. Gzip input
+    (``.warc.gz`` member-per-record, sniffed by magic) is inflated
+    in-kernel first.
 
     → (file_id, record_idx, warc_type, record_id, target_uri,
     warc_date, content_length, http_status, http_content_type, body):
@@ -166,6 +192,8 @@ def split_warc_records(
                     if isinstance(content, (bytes, bytearray))
                     else str(content).encode("utf-8")
                 )
+                if data[:2] == b"\x1f\x8b":
+                    data = gunzip_members(bytes(data))
                 for idx, (headers, clen, payload) in enumerate(
                     _frame_records(bytes(data))
                 ):

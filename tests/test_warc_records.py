@@ -130,3 +130,31 @@ def test_warc_garbage_and_null_never_raise(spark):
     rows = split_warc_records(df).collect()
     # only file 4 has a (degenerate, empty) record frame
     assert all(r.file_id == 4 for r in rows)
+
+
+def test_warc_gzip_members_split_and_corrupt_prefix(spark):
+    """.warc.gz layout: each record its own gzip member; a corrupted
+    later member yields the intact prefix records, never a raise."""
+    import zlib
+
+    def gz(b):
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return c.compress(b) + c.flush()
+
+    r1 = _warc("https://g.example/1", _HTTP)
+    r2 = _warc("https://g.example/2", _HTTP)
+    good = gz(r1) + gz(r2)
+    corrupt = gz(r1) + b"\x1f\x8b\x08\x00garbage-not-a-member"
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt))],
+        "file_id long, content binary",
+    )
+    rows = sorted(
+        ((r.file_id, r.record_idx, r.target_uri)
+         for r in split_warc_records(df).collect())
+    )
+    assert rows == [
+        (1, 0, "https://g.example/1"),
+        (1, 1, "https://g.example/2"),
+        (2, 0, "https://g.example/1"),
+    ]
