@@ -2674,6 +2674,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_split": q_wet_split,
         "warc_split": q_warc_split,
         "warc_gz_split": q_warc_gz_split,
+        "warc_charset": q_warc_charset,
         "pipeline_warc": q_pipeline_warc,
         "robots_filter": q_robots_filter,
         "sitemap_frontier": q_sitemap_frontier,
@@ -10371,6 +10372,68 @@ def q_warc_gz_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["warc_gz_split"] = ORACLES["warc_split"]
+
+
+def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware WARC body decoding: per document one ISO-8859-1
+    record and one windows-1252 record (é and the cp1252 em-dash, bytes
+    that mojibake or vanish under a blind utf-8 pass); the oracle
+    writes the correctly decoded text closed-form."""
+    import pyarrow as pa
+
+    def run(batches):
+        def rec(uri: str, ct: str, body: bytes) -> bytes:
+            payload = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n"
+            ).encode() + body
+            return (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + f"WARC-Target-URI: {uri}\r\n".encode()
+                + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                + payload + b"\r\n\r\n"
+            )
+
+        for rb in batches:
+            ids, blobs = [], []
+            for did in rb.column(0).to_pylist():
+                lat = f"café page {did}".encode("latin-1")
+                cp = f"dash — quote {did}".encode("cp1252")
+                ids.append(did)
+                blobs.append(
+                    rec(f"https://cs.example/l/{did}",
+                        "text/html; charset=ISO-8859-1", lat)
+                    + rec(f"https://cs.example/w/{did}",
+                          'text/html; charset="windows-1252"', cp)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(blobs, pa.binary())],
+                names=["file_id", "content"],
+            )
+
+    from .sources.warc_records import split_warc_records
+
+    files = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long"))
+        .mapInArrow(run, "file_id bigint, content binary")
+    )
+    return split_warc_records(files).select(
+        "file_id", "record_idx", "target_uri", "body"
+    )
+
+
+ORACLES["warc_charset"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS file_id FROM documents)
+SELECT file_id, CAST(0 AS INT) AS record_idx,
+       'https://cs.example/l/'||file_id AS target_uri,
+       'café page '||file_id AS body
+FROM ids
+UNION ALL
+SELECT file_id, CAST(1 AS INT),
+       'https://cs.example/w/'||file_id,
+       'dash — quote '||file_id
+FROM ids
+"""
 
 
 def q_pipeline_warc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,6 +94,25 @@ def _http_split(payload: bytes) -> tuple[int | None, str | None, bytes]:
     )
 
 
+_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", re.I)
+
+
+def _decode_body(body: bytes, hctype: str | None) -> str:
+    """Charset-aware entity decoding: honor ``charset=`` in the HTTP
+    Content-Type (crawled pages are NOT all UTF-8 — latin-1/cp1252
+    bodies mojibake under a blind utf-8 pass); unknown or absent
+    charsets fall back to UTF-8 with replacement, never a raise."""
+    codec = "utf-8"
+    if hctype:
+        m = _CHARSET_RE.search(hctype)
+        if m:
+            codec = m.group(1)
+    try:
+        return body.decode(codec, errors="replace")
+    except LookupError:
+        return body.decode("utf-8", errors="replace")
+
+
 def _frame_records(data: bytes):
     """Yield (warc_headers, payload_bytes) per record, Content-Length
     authoritative, delimiter recovery on overrun/absence."""
@@ -204,8 +223,10 @@ def split_warc_records(
                     )
                     if is_http:
                         status, hctype, body = _http_split(payload)
+                        text = _decode_body(body, hctype)
                     else:
                         status, hctype, body = None, None, payload
+                        text = body.decode("utf-8", errors="replace")
                     cols[0].append(fid)
                     cols[1].append(idx)
                     cols[2].append(
@@ -226,9 +247,7 @@ def split_warc_records(
                     cols[6].append(clen)
                     cols[7].append(status)
                     cols[8].append(hctype)
-                    cols[9].append(
-                        body.decode("utf-8", errors="replace").strip("\r\n")
-                    )
+                    cols[9].append(text.strip("\r\n"))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[0], type=arrow_id_type)]
                 + [

@@ -81,6 +81,27 @@ def default_parallelism(spark: SparkSession) -> int:
         return 8
 
 
+def delete_path(spark: SparkSession, path: str) -> None:
+    """Connect-safe recursive path delete for table maintenance jobs
+    (stream_c14n compaction reaping stale partitions): classic sessions
+    go through the Hadoop FileSystem of the path (works on HDFS/S3A/
+    local alike); Connect sessions have no JVM channel, so local paths
+    are removed directly and remote URIs are left to the catalog layer
+    (an Iceberg expire-snapshots analogue owns them there)."""
+    if not is_connect(spark):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, True)
+        return
+    import shutil
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        shutil.rmtree(u.path or path, ignore_errors=True)
+
+
 def ensure_py_files(spark: SparkSession) -> None:
     """Ship the package to executors once per application. Classic
     sessions use ``sparkContext.addPyFile``; Connect sessions ship the

@@ -173,14 +173,13 @@ def c14n_compact(
         [(through_batch_id,)], "compacted_through long"
     ).write.mode("append").parquet(f"{out_dir}/{_LEDGER}")
     # reap stale partitions (safe at any point after the commit)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
+    from ..spark_util import delete_path
+
     stale = [b for b in raw_ids if b <= through_batch_id]
     if w_old >= 0:
         stale.append(_snapshot_id(w_old))
     for bid in stale:
-        p = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/batch_id={bid}")
-        p.getFileSystem(conf).delete(p, True)
+        delete_path(spark, f"{out_dir}/batch_id={bid}")
     return {
         "compacted_through": through_batch_id,
         "rows_before": rows_before,

@@ -158,3 +158,30 @@ def test_warc_gzip_members_split_and_corrupt_prefix(spark):
         (1, 1, "https://g.example/2"),
         (2, 0, "https://g.example/1"),
     ]
+
+
+def test_warc_charset_aware_body_decode(spark):
+    """charset= in the HTTP Content-Type governs entity decoding:
+    latin-1 and cp1252 bodies must not mojibake under a blind utf-8
+    pass; unknown charsets fall back to utf-8-replace."""
+    lat = "café olé".encode("latin-1")
+    cp = "café — dash".encode("cp1252")
+    utf = "café utf".encode("utf-8")
+    mk = lambda ct, body: _warc(
+        "https://cs.example/x",
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n\r\n" + body,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mk(b"text/html; charset=ISO-8859-1", lat))),
+            (2, bytearray(mk(b'text/html; charset="windows-1252"', cp))),
+            (3, bytearray(mk(b"text/html; charset=utf-8", utf))),
+            (4, bytearray(mk(b"text/html; charset=bogus-enc", utf))),
+            (5, bytearray(mk(b"text/html", utf))),
+        ],
+        "file_id long, content binary",
+    )
+    got = {r.file_id: r.body for r in split_warc_records(df).collect()}
+    assert got[1] == "café olé"
+    assert got[2] == "café — dash"
+    assert got[3] == got[4] == got[5] == "café utf"
