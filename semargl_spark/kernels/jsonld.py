@@ -649,7 +649,7 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
         node_id = st.bnodes.fresh()
 
     has_props = False
-    graph_values: list = []  # deferred @graph payloads (top-level only)
+    graph_values = None  # deferred @graph payloads (top-level only)
     for key, value in obj.items():
         pred = _expand_pred(key, ctx, st)
         if pred is None:
@@ -677,6 +677,8 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
             # At top level the decision needs to know whether any other
             # member *survives*, so the walk is deferred past them.
             if is_top:
+                if graph_values is None:
+                    graph_values = []
                 graph_values.append(value)
             else:
                 _walk_graph_value(value, ctx, node_id, st)
@@ -707,8 +709,10 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
         reverse = td.reverse if td is not None else False
         # has_props tracks *emission*, not raw keys: a member whose value
         # expands to nothing (null, empty) must not make this node a
-        # named-graph wrapper, matching the expansion algorithm
-        n_before = len(st.triples)
+        # named-graph wrapper, matching the expansion algorithm; tracking
+        # stops once the first emission is seen (hot-path cost control)
+        track = not has_props
+        n_before = len(st.triples) if track else 0
 
         if td is not None and td.container == "@language" and isinstance(value, dict):
             for lang_key, lv in value.items():
@@ -741,7 +745,7 @@ def _walk_node(obj: dict, ctx: _Context, graph: str | None, st: _State,
                         _attach(node_id, pred, _expand_value(sv, term[2], td, st, graph), graph, st, reverse)
                 else:
                     _attach(node_id, pred, term, graph, st, reverse)
-        if len(st.triples) > n_before:
+        if track and len(st.triples) != n_before:
             has_props = True
 
     if graph_values:
