@@ -1682,6 +1682,78 @@ def robots_filter(
     )
 
 
+_META_ROBOTS_NAME_FIRST = (
+    r'(?i)<meta[^>]*\bname\s*=\s*["\x27]?robots\b[^>]*'
+    r'\bcontent\s*=\s*["\x27]([^"\x27>]*)'
+)
+_META_ROBOTS_CONTENT_FIRST = (
+    r'(?i)<meta[^>]*\bcontent\s*=\s*["\x27]([^"\x27>]*)["\x27][^>]*'
+    r'\bname\s*=\s*["\x27]?robots\b'
+)
+
+
+def robots_directives(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    header_col: str | None = None,
+) -> DataFrame:
+    """Page-level robots directives — the crawl-QA filter AFTER the
+    fetch (robots.txt gates the request; ``<meta name=robots>`` and the
+    ``X-Robots-Tag`` response header gate what an indexer may KEEP).
+
+    → (id, directives, noindex, nofollow, noarchive, keep_index):
+    ``directives`` is the sorted distinct token union from the meta tag
+    (both attribute orders) and, when ``header_col`` is given, the
+    header; ``none`` expands to noindex+nofollow per the Robots Meta
+    spec; ``keep_index`` is the training-corpus keep decision (pages a
+    site asked indexers not to keep should not land in a corpus).
+
+    Scale shape: row-local JVM regex extraction + array expressions —
+    no shuffle, whole-stage codegen; RE2-safe patterns so the DuckDB
+    oracle replays them verbatim.
+    """
+    meta = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col(html_col), _META_ROBOTS_NAME_FIRST, 1),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(F.col(html_col), _META_ROBOTS_CONTENT_FIRST, 1),
+            F.lit(""),
+        ),
+        F.lit(""),
+    )
+    hdr = (
+        F.coalesce(F.col(header_col), F.lit(""))
+        if header_col is not None
+        else F.lit("")
+    )
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.split(F.concat_ws(",", meta, hdr), ","),
+                    lambda t: F.lower(F.trim(t)),
+                ),
+                lambda t: t != "",
+            )
+        )
+    )
+    has = F.array_contains
+    noindex = has(toks, "noindex") | has(toks, "none")
+    nofollow = has(toks, "nofollow") | has(toks, "none")
+    noarchive = has(toks, "noarchive")
+    return pages.select(
+        F.col(id_col),
+        toks.alias("directives"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        noarchive.alias("noarchive"),
+        (~noindex).alias("keep_index"),
+    )
+
+
 def crawl_schedule(
     urls: DataFrame,
     delays: DataFrame | None = None,

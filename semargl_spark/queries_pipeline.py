@@ -2677,6 +2677,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_charset": q_warc_charset,
         "pipeline_warc": q_pipeline_warc,
         "robots_filter": q_robots_filter,
+        "robots_directives": q_robots_directives,
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_schedule": q_crawl_schedule,
         "gopher_filter": q_gopher_filter,
@@ -10308,6 +10309,56 @@ SELECT file_id, CAST(1 AS INT), 'metadata', CAST(NULL AS VARCHAR),
        CAST(strlen('crawl metadata for '||file_id) AS BIGINT),
        CAST(NULL AS INT), CAST(NULL AS VARCHAR),
        'crawl metadata for '||file_id
+FROM ids
+"""
+
+
+def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives (curation.robots_directives):
+    documents cycle through no-meta / name-first / content-first /
+    NONE-shorthand meta tags plus an X-Robots-Tag header variant; the
+    oracle writes token unions and keep decisions closed-form."""
+    from .operators.curation import robots_directives
+
+    d = F.col("doc_id").cast("long")
+    v = d % 5
+    html = (
+        F.when(v == 1, F.lit(
+            '<html><head><meta name="robots" content="noindex, follow">'
+            "</head><body>x</body></html>"))
+        .when(v == 2, F.lit(
+            '<html><head><meta content="nofollow,noarchive" '
+            'name="robots"></head><body>x</body></html>'))
+        .when(v == 3, F.lit(
+            "<html><head><META NAME=robots CONTENT=\"NONE\"></head>"
+            "<body>x</body></html>"))
+        .otherwise(F.lit("<html><body>plain page</body></html>"))
+    )
+    hdr = F.when(v == 4, F.lit("noarchive, noindex"))
+    pages = _docs(spark, sf_dir).select(
+        d.alias("doc_id"), html.alias("html"), hdr.alias("xrobots")
+    )
+    out = robots_directives(pages, header_col="xrobots")
+    return out.select(
+        "doc_id",
+        F.array_join("directives", ",").alias("directives_csv"),
+        "noindex", "nofollow", "noarchive", "keep_index",
+    )
+
+
+ORACLES["robots_directives"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 5 AS v
+             FROM documents)
+SELECT doc_id,
+  CASE v WHEN 1 THEN 'follow,noindex'
+         WHEN 2 THEN 'noarchive,nofollow'
+         WHEN 3 THEN 'none'
+         WHEN 4 THEN 'noarchive,noindex'
+         ELSE '' END AS directives_csv,
+  v IN (1, 3, 4) AS noindex,
+  v IN (2, 3) AS nofollow,
+  v IN (2, 4) AS noarchive,
+  v NOT IN (1, 3, 4) AS keep_index
 FROM ids
 """
 

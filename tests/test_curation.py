@@ -1431,3 +1431,25 @@ def test_gopher_and_c4_disagree_only_on_their_own_rules(spark):
     assert c4.keep
     assert not go.keep and not go.ok_bullets
     assert go.ok_word_count and go.ok_stopwords and go.ok_alpha_words
+
+
+def test_robots_directives_union_and_orders(spark):
+    from semargl_spark.operators.curation import robots_directives
+
+    rows = [
+        (1, '<meta name="robots" content="noindex, follow">', None),
+        (2, '<meta content="nofollow , NOARCHIVE" name=robots>', None),
+        (3, "<p>no meta here</p>", "noindex"),
+        (4, '<meta name="robots" content="none">', None),
+        (5, "<p>plain</p>", None),
+        (6, '<meta name="robots" content="noindex">', "noarchive"),
+    ]
+    df = _df(spark, rows, "doc_id long, html string, xrobots string")
+    got = {r.doc_id: r for r in
+           robots_directives(df, header_col="xrobots").collect()}
+    assert got[1].noindex and not got[1].nofollow and not got[1].keep_index
+    assert got[2].nofollow and got[2].noarchive and got[2].keep_index
+    assert got[3].noindex and not got[3].keep_index  # header-only
+    assert got[4].noindex and got[4].nofollow  # none expands
+    assert got[5].directives == [] and got[5].keep_index
+    assert got[6].directives == ["noarchive", "noindex"]  # union of both
