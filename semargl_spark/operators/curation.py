@@ -1754,6 +1754,108 @@ def robots_directives(
     )
 
 
+def html_links(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Outlink extraction — the crawl-frontier DISCOVERY step (fetch →
+    extract links → canonicalize → robots → schedule closes the crawl
+    loop). ``<a href>`` values are lifted JVM-side (tag-anchored
+    regexp_extract_all), fragments stripped, then resolved against the
+    page URL by the SAME RFC-3986 kernel the RDF extractors use
+    (kernels/iri.resolve_iri — reference E1, AbstractIri resolution
+    quirks included), so crawling and extraction share one resolution
+    semantics.
+
+    → (id, link_idx, href, url_abs, is_external): ``href`` is the raw
+    attribute value (fragment stripped); ``url_abs`` the resolved
+    absolute URL, NULL for non-http(s) targets (mailto:, javascript:)
+    and unresolvable refs; ``is_external`` compares lowercased hosts
+    (NULL when url_abs is).
+
+    Scale shape: narrow JVM extraction + posexplode (rows grow by the
+    links-per-page factor), one thin mapInArrow for the resolution
+    kernel over (base, href) pairs, then row-local host comparison. No
+    shuffle anywhere.
+    """
+    import pyarrow as pa
+
+    hrefs = F.expr(
+        f"regexp_extract_all({html_col}, "
+        "'(?i)<a\\\\b[^>]*\\\\bhref\\\\s*=\\\\s*[\"\\']?([^\"\\'\\\\s>]*)', 1)"
+    )
+    exploded = pages.select(
+        F.col(id_col),
+        F.col(url_col).alias("_base"),
+        F.posexplode(hrefs).alias("link_idx", "_raw"),
+    ).select(
+        id_col,
+        "_base",
+        F.col("link_idx").cast("int"),
+        F.substring_index("_raw", "#", 1).alias("href"),
+    )
+    id_field = exploded.schema[id_col]
+
+    def run(batches):
+        from ..kernels.iri import resolve_iri
+
+        id_type = None
+        for rb in batches:
+            names = rb.schema.names
+            id_arr = rb.column(names.index(id_col))
+            id_type = id_arr.type
+            ids = id_arr.to_pylist()
+            bases = rb.column(names.index("_base")).to_pylist()
+            idxs = rb.column(names.index("link_idx")).to_pylist()
+            hrefs_ = rb.column(names.index("href")).to_pylist()
+            out = []
+            for b, h in zip(bases, hrefs_):
+                try:
+                    out.append(resolve_iri(b or "", h))
+                except Exception:  # malformed ref → NULL, never a failure
+                    out.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, id_type),
+                    pa.array(bases, pa.string()),
+                    pa.array(idxs, pa.int32()),
+                    pa.array(hrefs_, pa.string()),
+                    pa.array(out, pa.string()),
+                ],
+                names=[id_col, "_base", "link_idx", "href", "_abs"],
+            )
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("_base", StringType(), True),
+            StructField("link_idx", IntegerType(), True),
+            StructField("href", StringType(), True),
+            StructField("_abs", StringType(), True),
+        ]
+    )
+    resolved = exploded.mapInArrow(run, schema=schema)
+    host = lambda c: F.lower(  # noqa: E731
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    url_abs = F.when(
+        F.col("_abs").rlike(r"^(?i)https?://"), F.col("_abs")
+    )
+    return resolved.select(
+        id_col,
+        "link_idx",
+        "href",
+        url_abs.alias("url_abs"),
+        F.when(
+            url_abs.isNotNull(), host(url_abs) != host(F.col("_base"))
+        ).alias("is_external"),
+    )
+
+
 def crawl_schedule(
     urls: DataFrame,
     delays: DataFrame | None = None,

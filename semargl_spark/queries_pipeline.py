@@ -2678,6 +2678,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_warc": q_pipeline_warc,
         "robots_filter": q_robots_filter,
         "robots_directives": q_robots_directives,
+        "html_links": q_html_links,
+        "pipeline_discovery": q_pipeline_discovery,
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_schedule": q_crawl_schedule,
         "gopher_filter": q_gopher_filter,
@@ -10310,6 +10312,119 @@ SELECT file_id, CAST(1 AS INT), 'metadata', CAST(NULL AS VARCHAR),
        CAST(NULL AS INT), CAST(NULL AS VARCHAR),
        'crawl metadata for '||file_id
 FROM ids
+"""
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (curation.html_links): each page carries a
+    relative link, a parent-relative link, an absolute external link,
+    a mailto (dropped to NULL), and a fragment-stripped root-relative
+    link; resolution runs through the E1 IRI kernel, oracle
+    closed-form."""
+    from .operators.curation import html_links
+
+    d = F.col("doc_id").cast("long")
+    ds = d.cast("string")
+    pages = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("https://s"), (d % 3).cast("string"),
+            F.lit(".example/dir/page"), ds, F.lit(".html"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<a href="p/'), ds, F.lit('.html">a</a>'),
+            F.lit("<A HREF='../up/"), ds, F.lit("'>b</A>"),
+            F.lit('<a class="x" href=https://ext.example/e'), ds,
+            F.lit('>c</a>'),
+            F.lit('<a href="mailto:u'), ds, F.lit('@x.example">d</a>'),
+            F.lit('<a href="/root'), ds, F.lit('#frag">e</a>'),
+        ).alias("html"),
+    )
+    return html_links(pages)
+
+
+ORACLES["html_links"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                    'https://s'||(doc_id%3)||'.example' AS origin
+             FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS link_idx,
+       'p/'||doc_id||'.html' AS href,
+       origin||'/dir/p/'||doc_id||'.html' AS url_abs, FALSE AS is_external
+FROM ids
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), '../up/'||doc_id,
+       origin||'/up/'||doc_id, FALSE FROM ids
+UNION ALL
+SELECT doc_id, CAST(2 AS INT), 'https://ext.example/e'||doc_id,
+       'https://ext.example/e'||doc_id, TRUE FROM ids
+UNION ALL
+SELECT doc_id, CAST(3 AS INT), 'mailto:u'||doc_id||'@x.example',
+       CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN) FROM ids
+UNION ALL
+SELECT doc_id, CAST(4 AS INT), '/root'||doc_id,
+       origin||'/root'||doc_id, FALSE FROM ids
+"""
+
+
+def q_pipeline_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier discovery composition: pages → html_links →
+    internal-only filter → url_canonicalize → dedup against the
+    already-fetched set (left-anti) → new frontier URLs. Page pairs
+    link to one shared target under two spellings (tracker params on
+    the odd twin) plus their own already-fetched self-URL, so the
+    frontier must contain exactly one row per shared target."""
+    from pyspark.sql.window import Window
+
+    from .operators.curation import html_links, url_canonicalize
+
+    d = F.col("doc_id").cast("long")
+    grp = (d / 2).cast("long")
+    page_url = F.concat(
+        F.lit("https://site.example/p/"), d.cast("string")
+    )
+    link = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("/t/"), grp.cast("string")),
+    ).otherwise(
+        F.concat(F.lit("/t/"), grp.cast("string"),
+                 F.lit("?utm_source=twin")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        page_url.alias("url"),
+        F.concat(
+            F.lit('<a href="'), link, F.lit('">t</a>'),
+            F.lit('<a href="'), page_url, F.lit('">self</a>'),
+        ).alias("html"),
+    )
+    fetched = url_canonicalize(
+        pages.select("doc_id", "url"), url_col="url"
+    ).select(F.col("url_canon").alias("seen"))
+    links = (
+        html_links(pages)
+        .filter(F.col("is_external") == False)  # noqa: E712
+        .select("doc_id", F.col("url_abs").alias("url"))
+    )
+    canon = url_canonicalize(links, url_col="url").select(
+        "doc_id", "url_canon"
+    )
+    fresh = canon.join(
+        fetched, canon["url_canon"] == fetched["seen"], "left_anti"
+    )
+    w = Window.partitionBy("url_canon").orderBy("doc_id")
+    return (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("doc_id").alias("found_by"), "url_canon")
+    )
+
+
+ORACLES["pipeline_discovery"] = """
+SELECT CAST(d.doc_id AS BIGINT) AS found_by,
+       'https://site.example/t/'||(d.doc_id//2) AS url_canon
+FROM documents d
+WHERE d.doc_id = (SELECT min(x.doc_id) FROM documents x
+                  WHERE x.doc_id // 2 = d.doc_id // 2)
 """
 
 

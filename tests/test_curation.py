@@ -1453,3 +1453,24 @@ def test_robots_directives_union_and_orders(spark):
     assert got[4].noindex and got[4].nofollow  # none expands
     assert got[5].directives == [] and got[5].keep_index
     assert got[6].directives == ["noarchive", "noindex"]  # union of both
+
+
+def test_html_links_resolution_and_externality(spark):
+    from semargl_spark.operators.curation import html_links
+
+    rows = [(1, "https://site.example/dir/page.html",
+             '<a href="p/1.html">x</a> <A HREF=\'../up/2\'>y</A> '
+             '<a class="z" href=https://ext.example/x>e</a> '
+             '<a href="mailto:a@b.c">m</a> <a href="/abs#frag">r</a> '
+             '<a href="javascript:void(0)">j</a>'),
+            (2, "https://other.example/", "<p>no links</p>")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = [tuple(r) for r in html_links(df).orderBy("doc_id", "link_idx").collect()]
+    assert got == [
+        (1, 0, "p/1.html", "https://site.example/dir/p/1.html", False),
+        (1, 1, "../up/2", "https://site.example/up/2", False),
+        (1, 2, "https://ext.example/x", "https://ext.example/x", True),
+        (1, 3, "mailto:a@b.c", None, None),
+        (1, 4, "/abs", "https://site.example/abs", False),
+        (1, 5, "javascript:void(0)", None, None),
+    ]
