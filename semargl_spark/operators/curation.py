@@ -1856,6 +1856,55 @@ def html_links(
     )
 
 
+def html_page_meta(
+    pages: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Page metadata lift — the provenance/dedup side-channel a crawl
+    keeps per page: ``<title>``, ``<meta name=description>`` (both
+    attribute orders), ``<link rel=canonical href>`` (both orders,
+    the canonical-URL preference that outranks url_canonicalize's
+    syntactic form when present), ``<html lang>``, and ``og:title``.
+
+    → (id, title, description, canonical_url, page_lang, og_title),
+    NULL when absent; values are whitespace-trimmed. Row-local JVM
+    regex projection — no shuffle, whole-stage codegen, RE2-safe
+    patterns.
+    """
+    h = F.col(html_col)
+
+    def ex(pattern):
+        return F.nullif(F.trim(F.regexp_extract(h, pattern, 1)), F.lit(""))
+
+    def meta2(name):
+        return F.coalesce(
+            ex(rf'(?i)<meta[^>]*\bname\s*=\s*["\x27]?{name}\b[^>]*'
+               r'\bcontent\s*=\s*["\x27]([^"\x27>]*)'),
+            ex(rf'(?i)<meta[^>]*\bcontent\s*=\s*["\x27]([^"\x27>]*)'
+               rf'["\x27][^>]*\bname\s*=\s*["\x27]?{name}\b'),
+        )
+
+    canonical = F.coalesce(
+        ex(r'(?i)<link[^>]*\brel\s*=\s*["\x27]?canonical\b[^>]*'
+           r'\bhref\s*=\s*["\x27]?([^"\x27\s>]+)'),
+        ex(r'(?i)<link[^>]*\bhref\s*=\s*["\x27]?([^"\x27\s>]+)["\x27]?'
+           r'[^>]*\brel\s*=\s*["\x27]?canonical\b'),
+    )
+    og_title = ex(
+        r'(?i)<meta[^>]*\bproperty\s*=\s*["\x27]?og:title["\x27]?[^>]*'
+        r'\bcontent\s*=\s*["\x27]([^"\x27>]*)'
+    )
+    return pages.select(
+        F.col(id_col),
+        ex(r"(?i)<title[^>]*>\s*([^<]*)").alias("title"),
+        meta2("description").alias("description"),
+        canonical.alias("canonical_url"),
+        ex(r'(?i)<html[^>]*\blang\s*=\s*["\x27]?([A-Za-z-]+)').alias(
+            "page_lang"
+        ),
+        og_title.alias("og_title"),
+    )
+
+
 def crawl_schedule(
     urls: DataFrame,
     delays: DataFrame | None = None,

@@ -2679,6 +2679,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "robots_directives": q_robots_directives,
         "html_links": q_html_links,
+        "html_page_meta": q_html_page_meta,
         "pipeline_discovery": q_pipeline_discovery,
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_schedule": q_crawl_schedule,
@@ -10425,6 +10426,56 @@ SELECT CAST(d.doc_id AS BIGINT) AS found_by,
 FROM documents d
 WHERE d.doc_id = (SELECT min(x.doc_id) FROM documents x
                   WHERE x.doc_id // 2 = d.doc_id // 2)
+"""
+
+
+def q_html_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page metadata lift (curation.html_page_meta): documents cycle
+    through name-first / content-first description order, present /
+    absent canonical links and og:title; closed-form oracle."""
+    from .operators.curation import html_page_meta
+
+    d = F.col("doc_id").cast("long")
+    ds = d.cast("string")
+    v = d % 3
+    desc = (
+        F.when(v == 1, F.concat(
+            F.lit('<meta content="Desc for '), ds,
+            F.lit('" name=description>')))
+        .when(v == 2, F.concat(
+            F.lit('<meta name="description" content="Desc for '), ds,
+            F.lit('">')))
+        .otherwise(F.lit(""))
+    )
+    canon = F.when(v != 0, F.concat(
+        F.lit('<link rel="canonical" href="https://c.example/p/'),
+        (d / 2).cast("long").cast("string"), F.lit('">')))
+    og = F.when(v == 2, F.concat(
+        F.lit('<meta property="og:title" content="OG '), ds,
+        F.lit('">')))
+    pages = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit('<html lang="en-US"><head><title> Page '), ds,
+            F.lit(" </title>"), desc,
+            F.coalesce(canon, F.lit("")), F.coalesce(og, F.lit("")),
+            F.lit("</head><body>x</body></html>"),
+        ).alias("html"),
+    )
+    return html_page_meta(pages)
+
+
+ORACLES["html_page_meta"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 3 AS v
+             FROM documents)
+SELECT doc_id,
+  'Page '||doc_id AS title,
+  CASE WHEN v IN (1, 2) THEN 'Desc for '||doc_id END AS description,
+  CASE WHEN v <> 0
+       THEN 'https://c.example/p/'||(doc_id//2) END AS canonical_url,
+  'en-US' AS page_lang,
+  CASE WHEN v = 2 THEN 'OG '||doc_id END AS og_title
+FROM ids
 """
 
 

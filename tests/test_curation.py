@@ -1474,3 +1474,32 @@ def test_html_links_resolution_and_externality(spark):
         (1, 4, "/abs", "https://site.example/abs", False),
         (1, 5, "javascript:void(0)", None, None),
     ]
+
+
+def test_html_page_meta_orders_and_absence(spark):
+    from semargl_spark.operators.curation import html_page_meta
+
+    rows = [
+        (1, '<html lang=de><head><title>T1</title>'
+            '<meta name="description" content="D1">'
+            '<link rel="canonical" href="https://c.example/1"></head>'),
+        (2, '<head><title> spaced </title>'
+            '<meta content="D2" name=description>'
+            '<link href="https://c.example/2" rel=canonical>'
+            '<meta property="og:title" content="OG2"></head>'),
+        (3, "<body>bare page, nothing to lift</body>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in html_page_meta(df).collect()}
+    assert got[1].title == "T1" and got[1].description == "D1"
+    assert got[1].canonical_url == "https://c.example/1"
+    assert got[1].page_lang == "de" and got[1].og_title is None
+    # content-first meta order and href-first link order both lift
+    assert got[2].title == "spaced" and got[2].description == "D2"
+    assert got[2].canonical_url == "https://c.example/2"
+    assert got[2].og_title == "OG2"
+    assert all(
+        got[3][c] is None
+        for c in ("title", "description", "canonical_url", "page_lang",
+                  "og_title")
+    )
