@@ -37,6 +37,58 @@ def _tokens(text_col="text"):
 _BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
+# sentence boundary: terminal punctuation, then whitespace, then a
+# capital/digit opener — with bounded lookbehinds guarding the common
+# abbreviation false-splits ("Dr. Smith", "5 p.m. We left"). Java regex
+# (lookbehind alternation is bounded); the gate's oracle is closed-form,
+# not a regex replay.
+_SENT_BOUNDARY = (
+    r"(?:(?<=[.!?])|(?<=[.!?][\"')]))"
+    r"(?<!\b(?:Dr|Mr|Ms|St|No|vs)\.)"
+    r"(?<!\b(?:Mrs|etc)\.)"
+    r"(?<!\bProf\.)"
+    r"(?<!\b[ap]\.m\.)"
+    r"(?<!\b[A-Z]\.)"
+    r"\s+(?=[A-Z0-9\"(])"
+)
+
+
+def sentence_split(
+    docs: DataFrame, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Sentence segmentation → (id, sent_idx, sentence, n_chars,
+    n_words): the unit under sentence-level dedup / quality scoring /
+    contamination checks. Boundaries are terminal-punctuation runs
+    followed by whitespace and a capital/digit/quote opener, with
+    bounded-lookbehind guards for titles ("Dr. Smith"), clock
+    abbreviations ("5 p.m. We left"), and single-initial names
+    ("J. Doe"); blank segments vanish, a trailing fragment without
+    terminal punctuation is kept as the last sentence.
+
+    Scale shape: one JVM regex split + posexplode — row-local, rows
+    grow by the sentences-per-doc factor, no shuffle, whole-stage
+    codegen.
+    """
+    sents = F.split(F.col(text_col), _SENT_BOUNDARY)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(sents).alias("sent_idx", "_raw"),
+        )
+        .select(
+            id_col,
+            F.col("sent_idx").cast("int"),
+            F.trim("_raw").alias("sentence"),
+        )
+        .filter(F.col("sentence") != "")
+        .withColumn("n_chars", F.length("sentence").cast("int"))
+        .withColumn(
+            "n_words",
+            F.size(F.split("sentence", r"\s+")).cast("int"),
+        )
+    )
+
+
 def token_count(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """(doc_id, n_tokens, n_chars, n_bpe_tokens, n_subwords_est):
     whitespace tokens, a BPE-ish pretokenizer regex count, and the

@@ -2680,6 +2680,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_directives": q_robots_directives,
         "html_links": q_html_links,
         "html_page_meta": q_html_page_meta,
+        "sentence_split": q_sentence_split,
         "pipeline_discovery": q_pipeline_discovery,
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_schedule": q_crawl_schedule,
@@ -10426,6 +10427,38 @@ SELECT CAST(d.doc_id AS BIGINT) AS found_by,
 FROM documents d
 WHERE d.doc_id = (SELECT min(x.doc_id) FROM documents x
                   WHERE x.doc_id // 2 = d.doc_id // 2)
+"""
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (text.sentence_split): four-sentence
+    documents exercising the title ("Dr. Who") and clock ("5 p.m.")
+    abbreviation guards plus !/? terminators; closed-form oracle."""
+    from .operators.text import sentence_split
+
+    d = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("First point for "), d.cast("string"),
+            F.lit(". Dr. Who waits! Is it 5 p.m. yet? Sure."),
+        ).alias("text"),
+    )
+    return sentence_split(docs)
+
+
+ORACLES["sentence_split"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+s AS (
+  SELECT doc_id, 0 AS sent_idx,
+         'First point for '||doc_id||'.' AS sentence FROM ids
+  UNION ALL SELECT doc_id, 1, 'Dr. Who waits!' FROM ids
+  UNION ALL SELECT doc_id, 2, 'Is it 5 p.m. yet?' FROM ids
+  UNION ALL SELECT doc_id, 3, 'Sure.' FROM ids)
+SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+       CAST(strlen(sentence) AS INT) AS n_chars,
+       CAST(len(string_split_regex(sentence, '\\s+')) AS INT) AS n_words
+FROM s
 """
 
 

@@ -868,3 +868,33 @@ def test_bpe_train_batched_bounding_knobs(spark):
     loop = [tuple(r) for r in bpe_train(df, n_merges=3).collect()]
     fast = [tuple(r) for r in bpe_train_batched(df, n_merges=3).collect()]
     assert fast == loop
+
+
+def test_sentence_split_guards_and_terminators(spark):
+    from semargl_spark.operators.text import sentence_split
+
+    rows = [
+        (1, "He left. She stayed."),
+        (2, "See Dr. Smith at 5 p.m. We left early."),
+        (3, "Really?! Yes. Trailing fragment without period"),
+        (4, 'He said "Go." "Fine." was the reply.'),
+        (5, "J. Doe wrote it. True story."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in sentence_split(df).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence,
+                                             r.n_words))
+    for k in got:
+        got[k].sort()
+    assert [s for _, s, _ in got[1]] == ["He left.", "She stayed."]
+    # "Dr." and "p.m." are guarded: the abbreviation wins even before a
+    # capital (the documented heuristic tradeoff)
+    assert [s for _, s, _ in got[2]] == [
+        "See Dr. Smith at 5 p.m. We left early."]
+    assert [s for _, s, _ in got[3]] == [
+        "Really?!", "Yes.", "Trailing fragment without period"]
+    assert [s for _, s, _ in got[4]][0] == 'He said "Go."'
+    # single-initial guard: "J. Doe" stays together
+    assert [s for _, s, _ in got[5]] == ["J. Doe wrote it.", "True story."]
+    assert got[1][0][2] == 2  # n_words
