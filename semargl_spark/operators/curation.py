@@ -39,8 +39,10 @@ IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
 
 def pii_redact(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """Scrub emails / phones / IPv4s → (doc_id, n_emails, n_phones,
-    n_ips, clean_text).
+    """Scrub emails / phones / IPv4s → (*id cols*, n_emails, n_phones,
+    n_ips, clean_text). ``id_col`` may be a single column name or a
+    list (e.g. ``["conv_id", "turn_idx"]`` for per-turn transcript
+    scrubbing).
 
     Order matters: emails first (an email never contains a phone/IP
     form), phones before IPs so ``+1-555-0001``-style tokens are not
@@ -55,8 +57,9 @@ def pii_redact(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     no_phone = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
     clean = F.regexp_replace(no_phone, IPV4_RE, "<IP>")
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     return docs.select(
-        F.col(id_col),
+        *[F.col(c) for c in ids],
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
         F.regexp_count(no_email, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
         F.regexp_count(no_phone, F.lit(IPV4_RE)).cast("int").alias("n_ips"),

@@ -1971,6 +1971,72 @@ FROM s2
 """
 
 
+def q_transcripts_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn PII scrub over agent transcripts (the input_hint
+    domain): every third turn carries a deterministic email + phone,
+    every fourth an IPv4; pii_redact keys on the composite
+    (conv_id, turn_idx) and the oracle replays the injection and the
+    regex chain closed-form."""
+    from .operators.curation import pii_redact
+
+    d, x = F.col("did"), F.col("tix")
+    turns = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("did"))
+        .select("did", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("tix"))
+    )
+    text = F.concat(
+        F.lit("turn "), x.cast("string"), F.lit(" says hi"),
+        F.when(
+            (d + x) % 3 == 0,
+            F.concat(F.lit(" mail u"), d.cast("string"),
+                     F.lit("@ex.example or +1-555-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            (d + x) % 4 == 0,
+            F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                     F.lit(".0.9")),
+        ).otherwise(F.lit("")),
+    )
+    t = turns.select(
+        F.concat(F.lit("c"), d.cast("string")).alias("conv_id"),
+        x.cast("int").alias("turn_idx"),
+        text.alias("text"),
+    )
+    return pii_redact(t, id_col=["conv_id", "turn_idx"])
+
+
+ORACLES["transcripts_pii"] = rf"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS did, CAST(tix AS INT) AS tix
+           FROM documents
+           CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS tix)),
+x AS (SELECT did, tix,
+        'turn '||tix||' says hi'
+        || CASE WHEN (did + tix) % 3 = 0
+             THEN ' mail u'||did||'@ex.example or +1-555-'
+                  ||lpad(CAST(did % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END
+        || CASE WHEN (did + tix) % 4 = 0
+             THEN ' from 10.'||(did % 256)||'.0.9' ELSE '' END AS text
+      FROM t),
+s AS (SELECT did, tix, text,
+        regexp_replace(text, '{curation.EMAIL_RE}', '<EMAIL>', 'g')
+          AS no_email FROM x),
+s2 AS (SELECT *, regexp_replace(no_email, '{curation.PHONE_RE}',
+                                '<PHONE>', 'g') AS no_phone FROM s)
+SELECT 'c'||did AS conv_id, tix AS turn_idx,
+  CAST(len(regexp_extract_all(text, '{curation.EMAIL_RE}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(no_email, '{curation.PHONE_RE}')) AS INT)
+    AS n_phones,
+  CAST(len(regexp_extract_all(no_phone, '{curation.IPV4_RE}')) AS INT)
+    AS n_ips,
+  regexp_replace(no_phone, '{curation.IPV4_RE}', '<IP>', 'g') AS clean_text
+FROM s2
+"""
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-bucket train/val/test assignment (90/5/5)."""
     return curation.split_assign(_docs(spark, sf_dir)).select(
@@ -2487,6 +2553,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "pii_redact": q_pii_redact,
+        "transcripts_pii": q_transcripts_pii,
         "c4_filter": q_c4_filter,
         "lm_score": q_lm_score,
         "split_assign": q_split_assign,
