@@ -793,3 +793,72 @@ def conv_near_dups(
         F.col("doc_b").alias("conv_b"),
         "jaccard",
     )
+
+
+def sentence_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style corpus-wide SENTENCE dedup with text reconstruction
+    → (doc_id, n_sents, n_kept, clean_text): documents split at
+    :func:`~semargl_spark.operators.text.sentence_split` boundaries,
+    each sentence deduped corpus-wide on its NORMALIZED key —
+    lowercase, punctuation stripped, digit runs folded to 0, spaces
+    collapsed, the ccnet paper's dedup normalization — keeping only
+    the first corpus occurrence (lowest (doc, sent_idx)); survivors
+    reassemble in order with ORIGINAL spelling. Complements
+    :func:`segment_dedup` (fixed word windows): boilerplate sentences
+    repeated across sites vanish even when their casing/punctuation
+    drifts.
+
+    Shape identical to segment_dedup: narrow sentence explode → one
+    min-struct hash aggregation on the normalized key (map-side
+    partial absorbs a 10^6-fold boilerplate sentence before the
+    shuffle) → keeper equi-join → per-document reassembly.
+    First-occurrence-wins is total and deterministic, so the cleaned
+    corpus is identical at any parallelism and under resume/replay.
+    """
+    from .text import sentence_split
+
+    sents = sentence_split(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "sent_idx", "sentence"
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("sentence")), r"[0-9]+", "0"),
+                r"[\p{Punct}]+",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    exploded = sents.withColumn("__n", norm)
+    keeper = exploded.groupBy("__n").agg(
+        F.min(F.struct(F.col(id_col), F.col("sent_idx"))).alias("__k")
+    )
+    kept = (
+        exploded.join(keeper, "__n")
+        .filter(
+            (F.col("__k")[id_col] == F.col(id_col))
+            & (F.col("__k")["sent_idx"] == F.col("sent_idx"))
+        )
+        .select(id_col, "sent_idx", "sentence")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                lambda x: x["sentence"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = sents.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sents"))
+    return base.join(reassembled, on=id_col, how="left").select(
+        id_col,
+        "n_sents",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -1971,6 +1971,44 @@ FROM s2
 """
 
 
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide sentence dedup (dedup.sentence_dedup):
+    every document shares an opener (case/punctuation drifting by
+    parity — the normalization must still match it) and a closer, plus
+    one per-document unique sentence (letter-encoded id so the digit
+    folding cannot collide them); only the min document keeps the
+    shared sentences. Closed-form oracle."""
+    from .operators.dedup import sentence_dedup
+
+    d = F.col("doc_id").cast("long")
+    lid = F.translate(d.cast("string"), "0123456789", "abcdefghij")
+    text = F.concat(
+        F.when(d % 2 == 0, F.lit("Shared opener. "))
+        .otherwise(F.lit("SHARED OPENER! ")),
+        F.lit("Unique fact "), lid, F.lit(". Shared closer."),
+    )
+    docs = _docs(spark, sf_dir).select(d.alias("doc_id"), text.alias("text"))
+    return sentence_dedup(docs)
+
+
+ORACLES["sentence_dedup"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')
+          AS lid
+      FROM documents),
+m AS (SELECT min(doc_id) AS mn FROM ids)
+SELECT doc_id, CAST(3 AS INT) AS n_sents,
+  CAST(CASE WHEN doc_id = (SELECT mn FROM m) THEN 3 ELSE 1 END AS INT)
+    AS n_kept,
+  CASE WHEN doc_id = (SELECT mn FROM m)
+    THEN CASE WHEN doc_id % 2 = 0
+      THEN 'Shared opener. Unique fact '||lid||'. Shared closer.'
+      ELSE 'SHARED OPENER! Unique fact '||lid||'. Shared closer.' END
+    ELSE 'Unique fact '||lid||'.' END AS clean_text
+FROM ids
+"""
+
+
 def q_transcripts_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn PII scrub over agent transcripts (the input_hint
     domain): every third turn carries a deterministic email + phone,
@@ -2554,6 +2592,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_redact": q_pii_redact,
         "transcripts_pii": q_transcripts_pii,
+        "sentence_dedup": q_sentence_dedup,
         "c4_filter": q_c4_filter,
         "lm_score": q_lm_score,
         "split_assign": q_split_assign,

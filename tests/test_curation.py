@@ -1503,3 +1503,24 @@ def test_html_page_meta_orders_and_absence(spark):
         for c in ("title", "description", "canonical_url", "page_lang",
                   "og_title")
     )
+
+
+def test_sentence_dedup_normalized_first_wins(spark):
+    from semargl_spark.operators.dedup import sentence_dedup
+
+    rows = [
+        (0, "Shared opener. Unique fact aa. Shared closer."),
+        (1, "SHARED OPENER! Unique fact ab. Shared closer."),
+        (2, "Shared, opener. Version 42 notes. Version 43 notes."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in sentence_dedup(df).collect()}
+    assert (got[0].n_sents, got[0].n_kept) == (3, 3)
+    assert got[0].clean_text == rows[0][1]
+    # normalization matches across case/punct drift: only doc 0 keeps
+    # the shared opener/closer
+    assert (got[1].n_sents, got[1].n_kept) == (3, 1)
+    assert got[1].clean_text == "Unique fact ab."
+    # digit folding: 'Version 42/43 notes' collide to one key — first kept
+    assert (got[2].n_sents, got[2].n_kept) == (3, 1)
+    assert got[2].clean_text == "Version 42 notes."
