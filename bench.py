@@ -184,6 +184,14 @@ def main() -> None:
     wall = timings.get("extract_mixed", 1.0)
     tps = round(total_triples / wall, 1) if wall > 0 else 0.0
 
+    # scheduler-noise-free streaming numbers (r4 verdict item 3): the
+    # wall of an availableNow replay carries ~2× micro-batch scheduling
+    # jitter across host windows; the summed per-batch triggerExecution
+    # durations are the comparable work metric, reported side by side.
+    from semargl_spark import queries_pipeline as QP
+
+    stream_work = dict(sorted(QP.STREAM_WORK_SEC.items()))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     steal1, total1 = _cpu_ticks()
     steal_pct = (
@@ -202,6 +210,7 @@ def main() -> None:
                 "cpus": cpus,
                 "turns_per_doc": turns_per_doc,
                 "host_steal_pct": steal_pct,
+                "stream_work_sec": stream_work,
                 "excluded": EXCLUDE,
             }
         )

@@ -1685,13 +1685,20 @@ def robots_filter(
     )
 
 
-_META_ROBOTS_NAME_FIRST = (
+# Four RE2-safe shapes: {name-first, content-first} × {quoted, unquoted}.
+# Unquoted attribute values cannot contain whitespace per the HTML syntax,
+# so the unquoted capture stops at whitespace/quote/'>' — a quoted value
+# never matches the unquoted shape (the quote char is excluded at the
+# first position) and vice versa, so no tag double-counts.
+_META_ROBOTS_PATS = (
     r'(?i)<meta[^>]*\bname\s*=\s*["\x27]?robots\b[^>]*'
-    r'\bcontent\s*=\s*["\x27]([^"\x27>]*)'
-)
-_META_ROBOTS_CONTENT_FIRST = (
+    r'\bcontent\s*=\s*["\x27]([^"\x27>]*)',
+    r'(?i)<meta[^>]*\bname\s*=\s*["\x27]?robots\b[^>]*'
+    r'\bcontent\s*=\s*([^\s"\x27>]+)',
     r'(?i)<meta[^>]*\bcontent\s*=\s*["\x27]([^"\x27>]*)["\x27][^>]*'
-    r'\bname\s*=\s*["\x27]?robots\b'
+    r'\bname\s*=\s*["\x27]?robots\b',
+    r'(?i)<meta[^>]*\bcontent\s*=\s*([^\s"\x27>]+)[^>]*'
+    r'\bname\s*=\s*["\x27]?robots\b',
 )
 
 
@@ -1706,26 +1713,23 @@ def robots_directives(
     ``X-Robots-Tag`` response header gate what an indexer may KEEP).
 
     → (id, directives, noindex, nofollow, noarchive, keep_index):
-    ``directives`` is the sorted distinct token union from the meta tag
-    (both attribute orders) and, when ``header_col`` is given, the
-    header; ``none`` expands to noindex+nofollow per the Robots Meta
+    ``directives`` is the sorted distinct token union over EVERY
+    ``<meta name=robots>`` tag on the page (the Robots Meta spec says
+    directives from multiple tags combine; both attribute orders,
+    quoted or unquoted content values) and, when ``header_col`` is
+    given, the header; ``none`` expands to noindex+nofollow per the
     spec; ``keep_index`` is the training-corpus keep decision (pages a
     site asked indexers not to keep should not land in a corpus).
 
     Scale shape: row-local JVM regex extraction + array expressions —
-    no shuffle, whole-stage codegen; RE2-safe patterns so the DuckDB
-    oracle replays them verbatim.
+    no shuffle, whole-stage codegen; RE2-safe patterns.
     """
-    meta = F.coalesce(
-        F.nullif(
-            F.regexp_extract(F.col(html_col), _META_ROBOTS_NAME_FIRST, 1),
-            F.lit(""),
-        ),
-        F.nullif(
-            F.regexp_extract(F.col(html_col), _META_ROBOTS_CONTENT_FIRST, 1),
-            F.lit(""),
-        ),
-        F.lit(""),
+    meta = F.concat_ws(
+        ",",
+        *[
+            F.regexp_extract_all(F.col(html_col), F.lit(p), F.lit(1))
+            for p in _META_ROBOTS_PATS
+        ],
     )
     hdr = (
         F.coalesce(F.col(header_col), F.lit(""))

@@ -816,16 +816,31 @@ def sentence_dedup(
     shuffle) → keeper equi-join → per-document reassembly.
     First-occurrence-wins is total and deterministic, so the cleaned
     corpus is identical at any parallelism and under resume/replay.
+
+    Total over its input: a document whose text yields zero sentences
+    (empty/whitespace-only) still emits a row with n_sents=0 and empty
+    clean_text — the base aggregate anchors on ``docs``, not on the
+    sentence explode, matching the pii_redact/segment_dedup contract.
     """
     from .text import sentence_split
 
     sents = sentence_split(docs, id_col=id_col, text_col=text_col).select(
         id_col, "sent_idx", "sentence"
     )
-    norm = F.trim(
+    return _first_occurrence_unit_dedup(
+        docs, sents, id_col, "sent_idx", "sentence", " ", "n_sents"
+    )
+
+
+def ccnet_norm(col):
+    """The ccnet paper's dedup normalization as a Column: lowercase,
+    digit runs folded to 0, punctuation stripped, whitespace collapsed,
+    trimmed. Shared by sentence_dedup and paragraph_dedup so both
+    granularities match the same drifted boilerplate."""
+    return F.trim(
         F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("sentence")), r"[0-9]+", "0"),
+                F.regexp_replace(F.lower(col), r"[0-9]+", "0"),
                 r"[\p{Punct}]+",
                 "",
             ),
@@ -833,32 +848,86 @@ def sentence_dedup(
             " ",
         )
     )
-    exploded = sents.withColumn("__n", norm)
+
+
+def _first_occurrence_unit_dedup(
+    docs: DataFrame,
+    units: DataFrame,
+    id_col: str,
+    idx_col: str,
+    unit_col: str,
+    join_sep: str,
+    n_units_name: str,
+) -> DataFrame:
+    """Shared corpus-wide first-occurrence keeper + reassembly over any
+    (id, idx, unit) explode: min-struct hash agg on the ccnet
+    normalization key → keeper equi-join → in-order reassembly with
+    ``join_sep``; total over ``docs`` (zero-unit documents emit
+    ``n_units=0`` with empty clean_text)."""
+    exploded = units.withColumn("__n", ccnet_norm(F.col(unit_col)))
     keeper = exploded.groupBy("__n").agg(
-        F.min(F.struct(F.col(id_col), F.col("sent_idx"))).alias("__k")
+        F.min(F.struct(F.col(id_col), F.col(idx_col))).alias("__k")
     )
     kept = (
         exploded.join(keeper, "__n")
         .filter(
             (F.col("__k")[id_col] == F.col(id_col))
-            & (F.col("__k")["sent_idx"] == F.col("sent_idx"))
+            & (F.col("__k")[idx_col] == F.col(idx_col))
         )
-        .select(id_col, "sent_idx", "sentence")
+        .select(id_col, idx_col, unit_col)
     )
     reassembled = kept.groupBy(id_col).agg(
         F.count("*").cast("int").alias("n_kept"),
         F.concat_ws(
-            " ",
+            join_sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
-                lambda x: x["sentence"],
+                F.array_sort(F.collect_list(F.struct(idx_col, unit_col))),
+                lambda x: x[unit_col],
             ),
         ).alias("clean_text"),
     )
-    base = sents.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sents"))
+    counts = units.groupBy(id_col).agg(
+        F.count("*").cast("int").alias(n_units_name)
+    )
+    base = docs.select(id_col).join(counts, on=id_col, how="left")
     return base.join(reassembled, on=id_col, how="left").select(
         id_col,
-        "n_sents",
+        F.coalesce(F.col(n_units_name), F.lit(0)).alias(n_units_name),
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style corpus-wide PARAGRAPH dedup with reconstruction →
+    (doc_id, n_paras, n_kept, clean_text): text splits at blank lines
+    (one-or-more empty/whitespace-only lines — the ccnet paragraph
+    unit), each paragraph dedupes corpus-wide on the shared
+    :func:`ccnet_norm` key, first occurrence (lowest (doc, para_idx))
+    wins, and survivors reassemble in order joined by a blank line.
+    Same plan shape and totality contract as :func:`sentence_dedup`
+    (same keeper helper); the coarser unit is what CCNet actually
+    dedups by default — whole repeated footers/navboxes vanish in one
+    match instead of sentence-by-sentence.
+
+    Scale shape: narrow split+posexplode (no kernel needed — paragraph
+    boundaries are a pure regex, unlike sentence segmentation) → the
+    shared min-struct agg / keeper join / reassembly, all map-side
+    -partial-friendly hash operations keyed by the normalization key
+    then the doc id."""
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), r"\n[ \t]*\n+")
+            ).alias("para_idx", "paragraph"),
+        )
+        # keep only paragraphs with any non-whitespace (F.trim strips
+        # spaces but not tabs, so a regex class does the blank test)
+        .filter(F.col("paragraph").rlike(r"\S"))
+    )
+    return _first_occurrence_unit_dedup(
+        docs, paras, id_col, "para_idx", "paragraph", "\n\n", "n_paras"
     )

@@ -21,6 +21,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..spark_util import is_missing_path
+
 N_BUCKETS = 64
 
 
@@ -200,12 +202,26 @@ def merge_upsert(
     the row-level outcome is identical).
     """
     bucket_col = bucket_col or key_cols[0]
+    if bucket_col not in key_cols:
+        # Key equality only pins a row's bucket when the bucket column is
+        # part of the key: otherwise a matched current row whose
+        # bucket_col differs from the update's lands in an untouched
+        # bucket — neither replaced nor counted — leaving a duplicate key.
+        raise ValueError(
+            f"bucket_col {bucket_col!r} must be one of key_cols {key_cols!r}"
+        )
     bucket = F.pmod(F.hash(bucket_col), F.lit(N_BUCKETS))
     delta = updates.withColumn("bucket", bucket)
     try:
         current = spark.read.parquet(path)
         table_exists = True
-    except Exception:
+    except Exception as exc:
+        # Only a genuinely missing table means "first write". Any other
+        # read failure (transient FS error, permissions) must propagate:
+        # proceeding would dynamic-overwrite the delta's buckets with
+        # delta-only rows, silently dropping every surviving row there.
+        if not is_missing_path(exc):
+            raise
         table_exists = False
     if not table_exists:
         delta.write.mode("overwrite").option(

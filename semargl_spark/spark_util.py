@@ -81,6 +81,24 @@ def default_parallelism(spark: SparkSession) -> int:
         return 8
 
 
+def is_missing_path(exc: Exception) -> bool:
+    """True iff ``exc`` is Spark's missing-input-path analysis error
+    (``PATH_NOT_FOUND`` / "Path does not exist").
+
+    Readers that treat "table not created yet" as an empty table must
+    use this to distinguish that one benign case from real read
+    failures (transient FS/S3 errors, permissions): swallowing the
+    latter turns an upsert into a destructive overwrite or a
+    compaction fold into silent data loss, so everything that is not
+    a missing path re-raises."""
+    from pyspark.errors import AnalysisException
+
+    if not isinstance(exc, AnalysisException):
+        return False
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def delete_path(spark: SparkSession, path: str) -> None:
     """Connect-safe recursive path delete for table maintenance jobs
     (stream_c14n compaction reaping stale partitions): classic sessions

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.c14n_ops import c14n_doc_hashes
+from ..spark_util import is_missing_path
 
 _STMT_DDL = (
     "conv_id string, turn_idx int, subj string, pred string, obj string,"
@@ -75,7 +76,13 @@ _LEDGER = "_compaction_ledger"  # underscore dir: hidden from the reader
 def _compacted_through(spark: SparkSession, out_dir: str) -> int:
     """Highest committed compaction watermark, -1 when none. The ledger
     is APPEND-only (max wins) so a crash mid-write can never un-commit
-    an earlier watermark."""
+    an earlier watermark.
+
+    Only a missing ledger path reads as "no compaction yet": any other
+    read failure propagates, because treating a transient FS error as
+    -1 during c14n_compact would fold only post-watermark raw batches
+    (older ones already reaped) and then commit a HIGHER watermark
+    whose snapshot permanently omits the prior keeper rows."""
     try:
         row = (
             spark.read.parquet(f"{out_dir}/{_LEDGER}")
@@ -83,7 +90,9 @@ def _compacted_through(spark: SparkSession, out_dir: str) -> int:
             .collect()[0]
         )
         return -1 if row[0] is None else int(row[0])
-    except Exception:
+    except Exception as exc:
+        if not is_missing_path(exc):
+            raise
         return -1
 
 

@@ -1443,6 +1443,10 @@ def test_robots_directives_union_and_orders(spark):
         (4, '<meta name="robots" content="none">', None),
         (5, "<p>plain</p>", None),
         (6, '<meta name="robots" content="noindex">', "noarchive"),
+        (7, '<meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow">', None),
+        (8, "<meta name=robots content=noarchive,nofollow>", None),
+        (9, '<meta content=noindex name="robots">', None),
     ]
     df = _df(spark, rows, "doc_id long, html string, xrobots string")
     got = {r.doc_id: r for r in
@@ -1453,6 +1457,12 @@ def test_robots_directives_union_and_orders(spark):
     assert got[4].noindex and got[4].nofollow  # none expands
     assert got[5].directives == [] and got[5].keep_index
     assert got[6].directives == ["noarchive", "noindex"]  # union of both
+    # multiple meta tags union per the Robots Meta spec
+    assert got[7].directives == ["nofollow", "noindex"]
+    assert got[7].noindex and got[7].nofollow and not got[7].keep_index
+    # unquoted content values, both attribute orders
+    assert got[8].directives == ["noarchive", "nofollow"]
+    assert got[9].directives == ["noindex"] and not got[9].keep_index
 
 
 def test_html_links_resolution_and_externality(spark):
@@ -1512,6 +1522,7 @@ def test_sentence_dedup_normalized_first_wins(spark):
         (0, "Shared opener. Unique fact aa. Shared closer."),
         (1, "SHARED OPENER! Unique fact ab. Shared closer."),
         (2, "Shared, opener. Version 42 notes. Version 43 notes."),
+        (3, "   "),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in sentence_dedup(df).collect()}
@@ -1524,3 +1535,27 @@ def test_sentence_dedup_normalized_first_wins(spark):
     # digit folding: 'Version 42/43 notes' collide to one key — first kept
     assert (got[2].n_sents, got[2].n_kept) == (3, 1)
     assert got[2].clean_text == "Version 42 notes."
+    # total over input: a zero-sentence doc still emits its row
+    assert (got[3].n_sents, got[3].n_kept, got[3].clean_text) == (0, 0, "")
+
+
+def test_paragraph_dedup_first_wins_and_totality(spark):
+    from semargl_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (0, "Alpha body.\n\nCopyright 2026 Site."),
+        (1, "Beta body.\n\n  \t \n\ncopyright 2031 site!!"),
+        (2, "Gamma body."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert (got[0].n_paras, got[0].n_kept) == (2, 2)
+    assert got[0].clean_text == rows[0][1]
+    # footer collapses to doc 0 despite digit/case/punct drift and a
+    # whitespace-only pseudo-paragraph in between
+    assert (got[1].n_paras, got[1].n_kept) == (2, 1)
+    assert got[1].clean_text == "Beta body."
+    assert (got[2].n_paras, got[2].n_kept) == (1, 1)
+    # total over input
+    assert (got[3].n_paras, got[3].n_kept, got[3].clean_text) == (0, 0, "")

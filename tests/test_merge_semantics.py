@@ -151,3 +151,33 @@ def test_merge_upsert_touches_only_delta_buckets(spark, tmp_path):
                 if p not in mtimes or os.stat(p).st_mtime_ns != mtimes[p]:
                     changed_dirs.add(os.path.basename(root))
     assert len(changed_dirs) == 1  # exactly the bucket holding n7
+
+
+def test_merge_upsert_rejects_bucket_col_outside_key(spark, tmp_path):
+    """bucket_col must be part of the key: key equality only pins the
+    bucket when the bucket column is in the key, so anything else would
+    let a matched row survive in an untouched bucket (duplicate key)."""
+    df = spark.createDataFrame(
+        [("n1", "c1", 1)], "node string, canonical string, degree long"
+    )
+    with pytest.raises(ValueError, match="bucket_col"):
+        merge_upsert(
+            spark, str(tmp_path / "t"), df, ["node"], bucket_col="canonical"
+        )
+
+
+def test_merge_upsert_propagates_non_missing_read_errors(spark, tmp_path):
+    """Only a missing path means 'first write'. A table dir that exists
+    but cannot be read as parquet (stand-in for transient FS/permission
+    failures) must raise — NOT be treated as empty, which would
+    overwrite the delta's buckets and silently drop surviving rows."""
+    path = tmp_path / "t"
+    path.mkdir()
+    (path / "part-0000.parquet").write_bytes(b"this is not parquet")
+    df = spark.createDataFrame(
+        [("n1", "c1", 1)], "node string, canonical string, degree long"
+    )
+    with pytest.raises(Exception):
+        merge_upsert(spark, str(path), df, ["node"])
+    # and the garbage dir was not clobbered by a delta-only overwrite
+    assert (path / "part-0000.parquet").read_bytes() == b"this is not parquet"

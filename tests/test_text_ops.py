@@ -898,3 +898,51 @@ def test_sentence_split_guards_and_terminators(spark):
     # single-initial guard: "J. Doe" stays together
     assert [s for _, s, _ in got[5]] == ["J. Doe wrote it.", "True story."]
     assert got[1][0][2] == 2  # n_words
+
+
+def test_linear_text_classifier_train_score_roundtrip(spark):
+    """fastText-style hashed-n-gram linear classifier: training on a
+    separable synthetic corpus must recover the generating class for
+    every document, and the model dict must be JSON-serializable
+    (broadcast/lineage contract)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.textmodel import (
+        score_linear_text_classifier,
+        train_linear_text_classifier,
+    )
+
+    styles = {
+        "prose": "the results clearly improve when methods are compared",
+        "spam": "click here buy now cheap deals subscribe free offer",
+        "noise": "zxq kjx vvz qkv xjz !!! ### @@@ %%% &&&",
+    }
+    labels = sorted(styles)
+    rows = []
+    for i in range(90):
+        lab = labels[i % 3]
+        words = styles[lab].split()
+        k = len(words)
+        rows.append(
+            (i, lab, " ".join(words[(i + j) % k] for j in range(k)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, y string, text string")
+    model = train_linear_text_classifier(
+        df, "y", n_features=512, epochs=150, max_docs_per_class=20
+    )
+    json.dumps(model)  # plain dict of lists
+    assert model["labels"] == labels
+    pred = score_linear_text_classifier(df, model, pred_col="y_pred")
+    wrong = (
+        pred.join(df.select("doc_id", "y"), "doc_id")
+        .filter(F.col("y_pred") != F.col("y"))
+        .count()
+    )
+    assert wrong == 0
+    # deterministic retrain: identical weights
+    model2 = train_linear_text_classifier(
+        df, "y", n_features=512, epochs=150, max_docs_per_class=20
+    )
+    assert model2 == model

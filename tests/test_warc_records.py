@@ -185,3 +185,111 @@ def test_warc_charset_aware_body_decode(spark):
     assert got[1] == "café olé"
     assert got[2] == "café — dash"
     assert got[3] == got[4] == got[5] == "café utf"
+
+
+def _gz(b: bytes) -> bytes:
+    import zlib
+
+    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return c.compress(b) + c.flush()
+
+
+def _archive_records(n: int, tag: str):
+    recs = []
+    for i in range(n):
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+            + f"<html><body>doc {tag}-{i}\nWARC/1.0\nquoted</body></html>".encode()
+        )
+        recs.append(_warc(f"https://x.example/{tag}/{i}", http))
+        meta = f"meta {tag}-{i}".encode()
+        recs.append(
+            b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            + f"WARC-Target-URI: https://x.example/m/{tag}/{i}\r\n".encode()
+            + f"Content-Length: {len(meta)}\r\n\r\n".encode()
+            + meta + b"\r\n\r\n"
+        )
+    return recs
+
+
+def test_index_warc_members_gz_offsets_and_counts(spark, tmp_path):
+    from semargl_spark.sources.warc_records import index_warc_members
+
+    recs = _archive_records(5, "a")
+    # last member holds TWO records (non-conforming writer): n_records=2
+    members = [_gz(r) for r in recs[:-2]] + [_gz(recs[-2] + recs[-1])]
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(b"".join(members))
+    paths = spark.createDataFrame([(str(p),)], "path string")
+    idx = sorted(
+        map(tuple, index_warc_members(paths).collect()), key=lambda r: r[1]
+    )
+    assert len(idx) == len(members)
+    # spans tile the file exactly
+    pos = 0
+    for _p, i, off, ln, nrec in idx:
+        assert off == pos
+        pos += ln
+    assert pos == p.stat().st_size
+    assert [r[4] for r in idx] == [1] * (len(members) - 1) + [2]
+    # every span round-trips: gunzip of the slice is the member payload
+    raw = p.read_bytes()
+    from semargl_spark.sources.warc_records import gunzip_members
+
+    assert gunzip_members(raw[idx[0][2] : idx[0][2] + idx[0][3]]) == recs[0]
+
+
+def test_split_warc_records_indexed_matches_whole_file(spark, tmp_path):
+    """The offset-indexed reader must emit exactly the rows the
+    (file_id, content) reader emits, global record_idx included — for
+    .warc.gz (member-per-record AND a multi-record member) and for
+    uncompressed .warc, across chunk boundaries."""
+    from semargl_spark.sources.warc_records import (
+        split_warc_records,
+        split_warc_records_indexed,
+    )
+
+    recs_a = _archive_records(7, "a")
+    members_a = [_gz(r) for r in recs_a[:3]] + [_gz(b"".join(recs_a[3:6]))] + [
+        _gz(r) for r in recs_a[6:]
+    ]
+    recs_b = _archive_records(4, "b")
+    pa_ = tmp_path / "a.warc.gz"
+    pa_.write_bytes(b"".join(members_a))
+    pb = tmp_path / "b.warc"
+    pb.write_bytes(b"".join(recs_b))
+
+    paths = spark.createDataFrame(
+        [(str(pa_),), (str(pb),)], "path string"
+    )
+    # tiny chunk + batch caps → exercises chunk splits and batch flushes
+    got = sorted(
+        map(
+            tuple,
+            split_warc_records_indexed(
+                paths, target_chunk_bytes=600, max_batch_records=3
+            ).collect(),
+        )
+    )
+    whole = spark.createDataFrame(
+        [(str(pa_), b"".join(members_a)), (str(pb), b"".join(recs_b))],
+        "path string, content binary",
+    )
+    want = sorted(
+        map(tuple, split_warc_records(whole, id_col="path").collect())
+    )
+    assert got == want
+    assert len(got) == len(recs_a) + len(recs_b)
+
+
+def test_split_warc_records_indexed_truncated_tail(spark, tmp_path):
+    from semargl_spark.sources.warc_records import split_warc_records_indexed
+
+    recs = _archive_records(3, "t")
+    blob = b"".join(_gz(r) for r in recs)
+    p = tmp_path / "t.warc.gz"
+    p.write_bytes(blob[: len(blob) - 40])  # tear the final member
+    paths = spark.createDataFrame([(str(p),)], "path string")
+    rows = split_warc_records_indexed(paths).collect()
+    assert len(rows) == len(recs) - 1  # prefix survives, no raise
