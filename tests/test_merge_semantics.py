@@ -77,13 +77,51 @@ def _spark_replay(spark, batches, path):
     return splits, final
 
 
-def test_merge_upsert_matches_duckdb_upsert(spark, tmp_path):
+def _iceberg_ready(spark) -> bool:
+    from semargl_spark.operators.materialize import iceberg_catalog
+
+    return iceberg_catalog(spark) is not None
+
+
+@pytest.fixture(params=["parquet", "iceberg"])
+def backend(request, spark):
+    """Both merge backends share one differential: the parquet stand-in
+    always runs; the real MERGE INTO leg runs when the session has an
+    Iceberg catalog configured (no runtime in this sandbox → skip, the
+    contract still pinned by the shared replay)."""
+    if request.param == "iceberg" and not _iceberg_ready(spark):
+        pytest.skip("no Iceberg catalog configured in this session")
+    return request.param
+
+
+def test_merge_upsert_matches_duckdb_upsert(spark, tmp_path, backend):
     duck_splits, duck_final = _duck_replay(BATCHES)
-    spark_splits, spark_final = _spark_replay(
-        spark, BATCHES, str(tmp_path / "t")
+    if backend == "parquet":
+        target = str(tmp_path / "t")
+    else:
+        from semargl_spark.operators.materialize import iceberg_catalog
+
+        target = f"{iceberg_catalog(spark)}.db.merge_diff"
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+    splits, final = [], None
+    for rows in BATCHES:
+        df = spark.createDataFrame(
+            rows, "node string, canonical string, degree long"
+        )
+        splits.append(
+            merge_upsert(spark, target, df, ["node"], backend=backend)
+        )
+    reader = (
+        spark.read.parquet(target)
+        if backend == "parquet"
+        else spark.table(target)
     )
-    assert spark_splits == duck_splits
-    assert spark_final == duck_final
+    final = sorted(
+        (r["node"], r["canonical"], r["degree"])
+        for r in reader.select("node", "canonical", "degree").collect()
+    )
+    assert splits == duck_splits
+    assert final == duck_final
 
 
 def test_merge_upsert_rerun_is_idempotent(spark, tmp_path):
