@@ -946,3 +946,46 @@ def test_linear_text_classifier_train_score_roundtrip(spark):
         df, "y", n_features=512, epochs=150, max_docs_per_class=20
     )
     assert model2 == model
+
+
+def test_lang_id_model_confusion_vs_trigram_harness(spark):
+    """r4 verdict item 2's measurement clause: run the LEARNED
+    classifier through the same confusion methodology as
+    lang_id_confusion and compare with the trigram heuristic on an
+    identical 20-language planted corpus. The learned model must be
+    diagonal (zero confusion) and at least match the heuristic."""
+    from pyspark.sql import functions as F
+
+    from semargl_spark.operators.text import _TRIGRAM_PROFILES, lang_confusion
+    from semargl_spark.operators.textmodel import (
+        score_linear_text_classifier,
+        train_linear_text_classifier,
+    )
+
+    langs = list(_TRIGRAM_PROFILES)
+    rows = []
+    for i in range(20 * 12):
+        lang = langs[i % len(langs)]
+        tris = [g.strip() or "xx" for g in _TRIGRAM_PROFILES[lang]]
+        k = len(tris)
+        rows.append(
+            (i, lang, " ".join(tris[(i + j) % k] for j in range(24)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    model = train_linear_text_classifier(
+        df, "lang", n_features=4096, epochs=250, max_docs_per_class=12
+    )
+    pred = score_linear_text_classifier(df, model, pred_col="lang_pred")
+    model_conf = (
+        pred.join(df.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .collect()
+    )
+    model_off = sum(r.n_docs for r in model_conf if r.lang_true != r.lang_pred)
+    assert model_off == 0  # fully diagonal on separable input
+
+    ngram_conf = lang_confusion(df).collect()
+    ngram_off = sum(r.n_docs for r in ngram_conf if r.lang_true != r.lang_pred)
+    assert model_off <= ngram_off  # learned >= heuristic on this corpus

@@ -293,3 +293,33 @@ def test_split_warc_records_indexed_truncated_tail(spark, tmp_path):
     paths = spark.createDataFrame([(str(p),)], "path string")
     rows = split_warc_records_indexed(paths).collect()
     assert len(rows) == len(recs) - 1  # prefix survives, no raise
+
+
+def test_gz_member_scan_mutation_never_raises(spark, tmp_path):
+    """E10 never-fail contract for the offset index: random corruption
+    or truncation anywhere in a .warc.gz archive must neither raise nor
+    index past the damage — the intact member prefix still frames."""
+    import random
+
+    from semargl_spark.sources.warc_records import split_warc_records_indexed
+
+    recs = _archive_records(6, "fz")
+    blob = b"".join(_gz(r) for r in recs)
+    rng = random.Random(1234)
+    paths = []
+    for t in range(12):
+        b = bytearray(blob)
+        if t % 3 == 0:
+            b = b[: rng.randrange(1, len(b))]          # truncate
+        elif t % 3 == 1:
+            for _ in range(rng.randrange(1, 8)):       # flip bytes
+                b[rng.randrange(len(b))] ^= 0xFF
+        else:
+            cut = rng.randrange(len(b) - 10)           # splice garbage
+            b[cut : cut + 10] = bytes(10)
+        p = tmp_path / f"fz{t}.warc.gz"
+        p.write_bytes(bytes(b))
+        paths.append((str(p),))
+    df = spark.createDataFrame(paths, "path string")
+    rows = split_warc_records_indexed(df).collect()  # must not raise
+    assert 0 <= len(rows) <= 12 * len(recs)
