@@ -161,22 +161,19 @@ def gunzip_members(data: bytes) -> bytes:
     ``.warc.gz`` layout (Common Crawl compresses each record as its own
     gzip member so readers can seek to records). Best-effort: a
     corrupted member ends the scan and the prefix decodes, matching the
-    truncated-tail tolerance of the framing itself."""
-    import zlib
+    truncated-tail tolerance of the framing itself.
+
+    Implemented over the same bounded-chunk streaming scan the offset
+    index uses (:func:`_gz_member_spans`): handing zlib the whole
+    remaining buffer per member makes EACH member's ``unused_data``
+    a copy of the tail — O(bytes × members), hours instead of seconds
+    on a member-per-record archive of 10^5 records. The chunked feed
+    keeps every intermediate bounded by the 4 MiB read size."""
+    import io
 
     out = bytearray()
-    pos = 0
-    n = len(data)
-    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out += d.decompress(data[pos:])
-        except zlib.error:
-            break
-        if not d.eof:
-            break
-        remaining = len(d.unused_data)
-        pos = n - remaining
+    for _off, _ln, plain in _gz_member_spans(io.BytesIO(data)):
+        out += plain
     return bytes(out)
 
 
@@ -280,34 +277,141 @@ def _gz_member_spans(f, chunk_bytes: int = 1 << 22):
     current member's plaintext is, i.e. one record for the
     member-per-record Common Crawl layout). Best-effort like
     :func:`gunzip_members`: a corrupt or truncated member ends the
-    scan and the prefix indexes."""
+    scan and the prefix indexes.
+
+    Feeding discipline: zlib copies whatever it did not consume into
+    ``unused_data`` on EVERY member end, so handing it the whole
+    remaining buffer is O(bytes × members) memcpy — a 300 MB archive
+    of 10^5 1 KiB members would grind for hours (observed; stdlib
+    ``gzip.decompress`` has the same tail-copy pattern). Instead the
+    member loop feeds bounded slices of a memoryview, starting at
+    4 KiB and doubling per call up to 1 MiB: small members over-feed
+    (and therefore copy) at most ~4 KiB, large members ramp to
+    megabyte feeds in a dozen calls — total copy volume is O(bytes),
+    independent of the member count."""
     import zlib
 
-    abs_off = 0          # file offset of carry[0]
-    carry = f.read(chunk_bytes)
-    while carry:
-        if carry[:2] != b"\x1f\x8b":
+    abs_base = 0          # file offset of buf[0]
+    buf = f.read(chunk_bytes)
+    mv = memoryview(buf)
+    off = 0
+    while True:
+        if len(buf) - off < 2:
+            # refill (splicing a possible straddled magic byte)
+            abs_base += off
+            buf = bytes(mv[off:]) + f.read(chunk_bytes)
+            mv = memoryview(buf)
+            off = 0
+            if len(buf) < 2:
+                return
+        if bytes(mv[off : off + 2]) != b"\x1f\x8b":
             return      # trailing garbage / not a member boundary
         d = zlib.decompressobj(wbits=31)
         out = bytearray()
-        fed = 0
+        member_start = abs_base + off
+        feed_bytes = 1 << 12
         while True:
+            if off == len(buf):
+                abs_base += len(buf)
+                buf = f.read(chunk_bytes)
+                mv = memoryview(buf)
+                off = 0
+                if not buf:
+                    return  # truncated final member
+            feed = mv[off : off + feed_bytes]
             try:
-                out += d.decompress(carry)
+                out += d.decompress(feed)
             except zlib.error:
                 return  # corrupt member: keep the indexed prefix
-            fed += len(carry)
             if d.eof:
-                consumed = fed - len(d.unused_data)
-                yield abs_off, consumed, bytes(out)
-                carry = d.unused_data
-                abs_off += consumed
-                if not carry:
-                    carry = f.read(chunk_bytes)
+                off += len(feed) - len(d.unused_data)
+                yield (
+                    member_start,
+                    abs_base + off - member_start,
+                    bytes(out),
+                )
                 break
-            carry = f.read(chunk_bytes)
-            if not carry:
-                return  # truncated final member
+            off += len(feed)
+            feed_bytes = min(feed_bytes * 2, 1 << 20)
+
+
+def _inflate_one_member(f, feed_start: int = 1 << 12):
+    """Inflate exactly one gzip member from the current file position →
+    (consumed_compressed_bytes, plaintext), or None on corruption or
+    truncation. Same adaptive bounded feeds as :func:`_gz_member_spans`."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    out = bytearray()
+    consumed = 0
+    feed_bytes = feed_start
+    while True:
+        chunk = f.read(feed_bytes)
+        if not chunk:
+            return None
+        try:
+            out += d.decompress(chunk)
+        except zlib.error:
+            return None
+        if d.eof:
+            consumed += len(chunk) - len(d.unused_data)
+            return consumed, bytes(out)
+        consumed += len(chunk)
+        feed_bytes = min(feed_bytes * 2, 1 << 20)
+
+
+def _find_gz_member_start(f, start: int, end: int) -> int | None:
+    """First verifiable gzip-member start offset in [start, end), or
+    None — the RESYNC that makes one archive splittable at arbitrary
+    byte boundaries (the published technique behind splittable-gzip
+    Hadoop readers and Common Crawl's own parallel WARC tooling):
+    scan for the 3-byte gzip deflate magic, then PROVE a candidate by
+    inflating the whole member and checking the plaintext opens with a
+    WARC version line. Compressed payload bytes can contain the magic
+    by chance (~2^-24/position), but a false candidate fails inflation
+    almost immediately, and one that inflates cleanly to a ``WARC/``
+    record is not a practical event."""
+    window = 1 << 22
+    pos = start
+    while pos < end:
+        f.seek(pos)
+        win = f.read(min(window, end - pos) + 2)
+        if not win:
+            return None
+        j = -1
+        while True:
+            j = win.find(b"\x1f\x8b\x08", j + 1)
+            if j < 0 or pos + j >= end:
+                break
+            cand = pos + j
+            f.seek(cand)
+            r = _inflate_one_member(f)
+            if r is not None and r[1][:5] == b"WARC/":
+                return cand
+        pos += max(len(win) - 2, 1)
+    return None
+
+
+def _gz_range_members(f, start: int, end: int):
+    """Yield (offset, length, plaintext) for every gzip member whose
+    START lies in [start, end) — each member indexed by exactly one
+    range, since a member starting before ``end`` is walked here even
+    when its bytes extend past ``end``, and the next range's resync
+    skips it. Corruption inside the range stops this range only; later
+    ranges resync past it (strictly better recovery than the
+    sequential scan, which stops for the whole file)."""
+    pos = _find_gz_member_start(f, start, end)
+    while pos is not None and pos < end:
+        f.seek(pos)
+        r = _inflate_one_member(f)
+        if r is None:
+            return
+        consumed, plain = r
+        yield pos, consumed, plain
+        pos += consumed
+        f.seek(pos)
+        if f.read(2) != b"\x1f\x8b":
+            return  # trailing garbage / end of members
 
 
 _IDX_FIELDS = [
@@ -318,7 +422,22 @@ _IDX_FIELDS = [
 ]
 
 
-def index_warc_members(paths: DataFrame, path_col: str = "path") -> DataFrame:
+def _index_rows_batch(path_col: str, rows: list[tuple]) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [pa.array([r[0] for r in rows], pa.string())]
+        + [
+            pa.array([r[1 + j] for r in rows], t)
+            for j, (_, _, t) in enumerate(_IDX_FIELDS)
+        ],
+        names=[path_col] + [nm for nm, _, _ in _IDX_FIELDS],
+    )
+
+
+def index_warc_members(
+    paths: DataFrame,
+    path_col: str = "path",
+    split_bytes: int | None = None,
+) -> DataFrame:
     """``(path)`` → one row per archive member: (path, member_idx,
     offset, length, n_records) — the offset index that lets a ≥1 GiB
     archive fan out across tasks instead of being one task and one
@@ -326,30 +445,34 @@ def index_warc_members(paths: DataFrame, path_col: str = "path") -> DataFrame:
 
     For ``.warc.gz`` (sniffed by magic) a member is a gzip member —
     Common Crawl compresses each record as its own member precisely so
-    readers can seek to records — found by one streaming decompression
-    pass with a bounded buffer; ``n_records`` counts the WARC records
+    readers can seek to records — found by streaming decompression
+    with a bounded buffer; ``n_records`` counts the WARC records
     inside the member's plaintext (1 for the standard layout, more for
     non-conforming writers), so downstream can assign exact global
     record indexes without re-reading. For uncompressed ``.warc`` the
     members ARE the framed records (Content-Length authoritative,
     same recovery as :func:`split_warc_records`).
 
-    Scale shape: one index task per archive reads the file
-    sequentially ONCE and emits ~bytes/1KB tiny index rows; the
-    expensive work (HTTP split, charset decode, body materialization)
-    is deferred to :func:`split_warc_records_indexed`, which shuffles
-    only the index rows and fans member ranges across the cluster.
-    Files are opened by path on the executor (local/NFS/HDFS-mounted
-    paths here; a cluster against object storage mounts or swaps in
-    its storage client at this seam)."""
-    src = paths.select(path_col).repartition(path_col)
-
+    ``split_bytes=None``: one index task per archive reads the file
+    sequentially once. ``split_bytes=N``: the INDEXING ITSELF
+    parallelizes — each gz archive splits into N-byte ranges, every
+    range task resyncs to its first verifiable member boundary
+    (:func:`_find_gz_member_start`) and indexes the members starting
+    inside its range, so even a single 1 GiB archive indexes on ~16
+    tasks instead of one; ``member_idx`` is then derived with a
+    row_number window over the (tiny) index rows. Uncompressed
+    archives have no verifiable resync token and keep the sequential
+    path. Files are opened by path on the executor (local/NFS/
+    HDFS-mounted paths here; a cluster against object storage mounts
+    or swaps in its storage client at this seam)."""
     out_schema = StructType(
         [StructField(path_col, StringType(), False)]
         + [StructField(nm, t, True) for nm, t, _ in _IDX_FIELDS]
     )
 
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def run_sequential(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             for p in rb.column(0).to_pylist():
                 rows: list[tuple] = []
@@ -373,49 +496,147 @@ def index_warc_members(paths: DataFrame, path_col: str = "path") -> DataFrame:
                                 rows.append((p, i, s, e - s, 1))
                 except OSError:
                     pass  # unreadable file: no members (E10 never-fail)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([r[0] for r in rows], pa.string())]
-                    + [
-                        pa.array([r[1 + j] for r in rows], t)
-                        for j, (_, _, t) in enumerate(_IDX_FIELDS)
-                    ],
-                    names=[path_col] + [nm for nm, _, _ in _IDX_FIELDS],
-                )
+                yield _index_rows_batch(path_col, rows)
 
-    return src.mapInArrow(run, schema=out_schema)
+    if split_bytes is None:
+        src = paths.select(path_col).repartition(path_col)
+        return src.mapInArrow(run_sequential, schema=out_schema)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..spark_util import default_parallelism
+
+    def run_sizes(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        import os
+
+        for rb in batches:
+            ps, sizes, gz = [], [], []
+            for p in rb.column(0).to_pylist():
+                try:
+                    with open(p, "rb") as f:
+                        magic = f.read(2)
+                    ps.append(p)
+                    sizes.append(os.path.getsize(p))
+                    gz.append(magic == b"\x1f\x8b")
+                except OSError:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ps, pa.string()),
+                    pa.array(sizes, pa.int64()),
+                    pa.array(gz, pa.bool_()),
+                ],
+                names=[path_col, "size", "is_gz"],
+            )
+
+    sizes = paths.select(path_col).mapInArrow(
+        run_sizes, schema=f"{path_col} string, size long, is_gz boolean"
+    )
+    ranges = sizes.select(
+        path_col,
+        "is_gz",
+        "size",
+        F.explode(
+            F.when(
+                F.col("is_gz"),
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("size") - 1, F.lit(0)),
+                    F.lit(split_bytes),
+                ),
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("range_start"),
+    ).select(
+        path_col,
+        "is_gz",
+        "range_start",
+        F.when(F.col("is_gz"), F.least(
+            F.col("range_start") + split_bytes, F.col("size")
+        )).otherwise(F.col("size")).alias("range_end"),
+    ).repartition(
+        default_parallelism(paths.sparkSession), path_col, "range_start"
+    )
+
+    def run_range(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            names = rb.schema.names
+            it = zip(
+                rb.column(names.index(path_col)).to_pylist(),
+                rb.column(names.index("is_gz")).to_pylist(),
+                rb.column(names.index("range_start")).to_pylist(),
+                rb.column(names.index("range_end")).to_pylist(),
+            )
+            for p, is_gz, start, end in it:
+                rows: list[tuple] = []
+                try:
+                    with open(p, "rb") as f:
+                        if is_gz:
+                            for off, ln, plain in _gz_range_members(
+                                f, start, end
+                            ):
+                                nrec = sum(
+                                    1 for _ in _frame_record_spans(plain)
+                                )
+                                rows.append((p, -1, off, ln, nrec))
+                        else:
+                            data = f.read()
+                            for i, (_h, _c, _pl, s, e) in enumerate(
+                                _frame_record_spans(data)
+                            ):
+                                rows.append((p, i, s, e - s, 1))
+                except OSError:
+                    pass
+                yield _index_rows_batch(path_col, rows)
+
+    idx = ranges.mapInArrow(run_range, schema=out_schema)
+    w = Window.partitionBy(path_col).orderBy("offset")
+    return idx.withColumn("member_idx", F.row_number().over(w) - 1)
 
 
 def split_warc_records_indexed(
     paths: DataFrame,
     path_col: str = "path",
-    target_chunk_bytes: int = 64 << 20,
+    target_chunk_bytes: int = 16 << 20,
     max_batch_records: int = 1024,
+    index_split_bytes: int | None = 16 << 20,
 ) -> DataFrame:
     """Offset-indexed WARC ingestion for production archive sizes:
     ``(path)`` → the same rows :func:`split_warc_records` emits, with
     ``path`` as the id column and ``record_idx`` the record's global
     0-based position in its archive.
 
-    Two stages. (1) :func:`index_warc_members` scans each archive once
-    into tiny (offset, length, n_records) rows. (2) Members are packed
-    into ~``target_chunk_bytes`` chunks by a running-sum window, the
-    chunks shuffle across the cluster, and each task opens its archive,
-    seeks to its members' offsets, inflates, frames, and emits output
-    RecordBatches capped at ``max_batch_records`` rows — so neither the
-    input archive nor the output batch ever materializes whole, killing
-    both the one-file-one-task skew unit and the 2 GiB Arrow-cell
-    ceiling of the (file_id, content) path. Exact global record
-    numbering comes from the windowed running sum of ``n_records``
-    (record_base), not from assuming one record per member.
+    Two stages. (1) :func:`index_warc_members` indexes every archive
+    into tiny (offset, length, n_records) rows — itself PARALLEL per
+    ``index_split_bytes`` byte range via gzip-magic resync, so even one
+    1 GiB archive indexes on ~16 tasks (``None`` falls back to one
+    sequential pass per archive). (2) Members are packed into
+    ~``target_chunk_bytes`` chunks by a running-sum window, the chunks
+    shuffle across the cluster, and each task opens its archive, reads
+    contiguous member runs in single I/Os, inflates, frames, and emits
+    output RecordBatches capped at ``max_batch_records`` rows — so
+    neither the input archive nor the output batch ever materializes
+    whole, killing both the one-file-one-task skew unit and the 2 GiB
+    Arrow-cell ceiling of the (file_id, content) path. Exact global
+    record numbering comes from the windowed running sum of
+    ``n_records`` (record_base), not from assuming one record per
+    member.
 
     The index shuffle moves ~1 row/record of a few dozen bytes —
     negligible against the archive bytes, which are read exactly twice
-    (once sequentially to index, once range-wise to decode), the same
-    I/O as any splittable-format reader that lacks a stored index."""
+    (once range-parallel to index, once range-wise to decode), the
+    same I/O as any splittable-format reader that lacks a stored
+    index."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    idx = index_warc_members(paths, path_col)
+    from ..spark_util import default_parallelism
+
+    idx = index_warc_members(paths, path_col, split_bytes=index_split_bytes)
     w = Window.partitionBy(path_col).orderBy("member_idx")
     before = w.rowsBetween(Window.unboundedPreceding, -1)
     planned = (
@@ -430,7 +651,14 @@ def split_warc_records_indexed(
                 / F.lit(target_chunk_bytes)
             ),
         )
-        .repartition(path_col, "chunk")
+        # explicit partition count: without it AQE coalesces the tiny
+        # index-row shuffle (~50 B/record) to a couple of partitions
+        # and the DECODE stage — whose work is proportional to archive
+        # bytes, invisible to AQE's post-shuffle size heuristic —
+        # collapses to those few tasks, defeating the fan-out
+        .repartition(
+            default_parallelism(paths.sparkSession), path_col, "chunk"
+        )
     )
 
     out_schema = StructType(
@@ -465,9 +693,27 @@ def split_warc_records_indexed(
                     rb.column(names.index("record_base")).to_pylist(),
                 )
             )
+            # contiguous members coalesce into ONE read each (a chunk's
+            # members tile its byte range by construction, so a typical
+            # task issues a handful of ~64 MiB reads instead of one
+            # seek+read per member — 10^5 member-sized reads cost more
+            # than the decode itself on fast storage)
+            runs: list[tuple] = []  # (path, run_off, run_len, [(off,ln,base)])
+            for p, off, ln, base in members:
+                if (
+                    runs
+                    and runs[-1][0] == p
+                    and runs[-1][1] + runs[-1][2] == off
+                    and runs[-1][2] + ln <= (256 << 20)
+                ):
+                    path_, roff, rlen, mems = runs[-1]
+                    runs[-1] = (path_, roff, rlen + ln, mems)
+                    mems.append((off, ln, base))
+                else:
+                    runs.append((p, off, ln, [(off, ln, base)]))
             handle, hpath = None, None
             try:
-                for p, off, ln, base in members:
+                for p, roff, rlen, mems in runs:
                     if p != hpath:
                         if handle is not None:
                             handle.close()
@@ -478,19 +724,22 @@ def split_warc_records_indexed(
                             continue
                     if handle is None:
                         continue
-                    handle.seek(off)
-                    data = handle.read(ln)
-                    if data[:2] == b"\x1f\x8b":
-                        data = gunzip_members(data)
-                    for i, (headers, clen, payload) in enumerate(
-                        _frame_records(data)
-                    ):
-                        rows.append(
-                            (p, base + i)
-                            + _record_fields(headers, clen, payload)
-                        )
-                        if len(rows) >= max_batch_records:
-                            yield flush()
+                    handle.seek(roff)
+                    blob = handle.read(rlen)
+                    mv = memoryview(blob)
+                    for off, ln, base in mems:
+                        data = bytes(mv[off - roff : off - roff + ln])
+                        if data[:2] == b"\x1f\x8b":
+                            data = gunzip_members(data)
+                        for i, (headers, clen, payload) in enumerate(
+                            _frame_records(data)
+                        ):
+                            rows.append(
+                                (p, base + i)
+                                + _record_fields(headers, clen, payload)
+                            )
+                            if len(rows) >= max_batch_records:
+                                yield flush()
             finally:
                 if handle is not None:
                     handle.close()

@@ -323,3 +323,54 @@ def test_gz_member_scan_mutation_never_raises(spark, tmp_path):
     df = spark.createDataFrame(paths, "path string")
     rows = split_warc_records_indexed(df).collect()  # must not raise
     assert 0 <= len(rows) <= 12 * len(recs)
+
+
+def test_index_split_mode_matches_sequential(spark, tmp_path):
+    """Range-parallel indexing (gzip-magic resync per byte range) must
+    produce exactly the sequential index — offsets, lengths, record
+    counts, and derived member ordinals — at any split size, including
+    splits smaller than a member."""
+    from semargl_spark.sources.warc_records import index_warc_members
+
+    recs = _archive_records(9, "sp")
+    members = [_gz(r) for r in recs[:4]] + [_gz(b"".join(recs[4:6]))] + [
+        _gz(r) for r in recs[6:]
+    ]
+    p = tmp_path / "sp.warc.gz"
+    p.write_bytes(b"".join(members))
+    paths = spark.createDataFrame([(str(p),)], "path string")
+    seq = sorted(map(tuple, index_warc_members(paths).collect()))
+    for sb in (200, 1 << 12, 1 << 26):
+        par = sorted(
+            map(tuple, index_warc_members(paths, split_bytes=sb).collect())
+        )
+        assert par == seq, sb
+
+
+def test_index_split_mode_resyncs_past_corruption(spark, tmp_path):
+    """A corrupt member stops the sequential scan for the whole file;
+    the range-split index only loses that range and RESYNCS at the next
+    verifiable member boundary — strictly better recovery."""
+    from semargl_spark.sources.warc_records import (
+        index_warc_members,
+        split_warc_records_indexed,
+    )
+
+    recs = _archive_records(8, "rc")
+    members = [_gz(r) for r in recs]
+    # corrupt the 3rd member's deflate body
+    bad = bytearray(members[2])
+    bad[len(bad) // 2] ^= 0xFF
+    members[2] = bytes(bad)
+    p = tmp_path / "rc.warc.gz"
+    p.write_bytes(b"".join(members))
+    paths = spark.createDataFrame([(str(p),)], "path string")
+
+    n_seq = index_warc_members(paths).count()
+    assert n_seq == 2  # sequential scan stops at the corrupt member
+    n_par = index_warc_members(paths, split_bytes=300).count()
+    assert n_par > n_seq  # later ranges resync past the damage
+    rows = split_warc_records_indexed(
+        paths, index_split_bytes=300
+    ).collect()
+    assert len(rows) == n_par  # and the decode pass reads them all

@@ -678,7 +678,11 @@ def main():
                    "Python" not in p and "Window" in p
                    and "CartesianProduct" not in p))
 
-    allow = {"media_real_resize": 3}
+    # hand-reviewed inherent chains: media_real_resize is
+    # decode → resample+re-encode → re-decode-features; warc_split_offsets
+    # is stat-sizes → range-resync-index → range-decode (the parallel
+    # offset-index pipeline — each stage narrow, no recomputation)
+    allow = {"media_real_resize": 3, "warc_split_offsets": 3}
     offenders = []
     for qname, qfn in sorted(Q.registry().items()):
         try:
