@@ -3056,6 +3056,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_split_offsets": q_warc_split_offsets,
         "warc_charset": q_warc_charset,
         "pipeline_warc": q_pipeline_warc,
+        "pipeline_warc_offsets": q_pipeline_warc_offsets,
         "robots_filter": q_robots_filter,
         "robots_directives": q_robots_directives,
         "html_links": q_html_links,
@@ -11243,6 +11244,113 @@ FROM documents d
 WHERE d.doc_id = (SELECT min(x.doc_id) FROM documents x
                   WHERE x.doc_id // 2 = d.doc_id // 2)
 """
+
+
+def q_pipeline_warc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl curation from ON-DISK ``.warc.gz`` archives
+    through the offset-indexed reader: the pipeline_warc page-pair
+    corpus is packed into 8 gzip-member archives, ingested via
+    split_warc_records_indexed (range-parallel index → chunked member
+    decode), then runs the identical chain — HTTP 200 text/html filter
+    → URL canonicalization → main-content extraction → canonical-URL
+    dedup. Shares pipeline_warc's closed-form oracle, proving the
+    production-size front door feeds the curation chain byte-for-byte
+    like whole-file framing does (doc identity rides the
+    WARC-Record-ID through the archive round trip)."""
+    import os
+    import tempfile
+    import zlib
+
+    from pyspark.sql.window import Window
+
+    from .operators.curation import url_canonicalize
+    from .operators.text import html_main_blocks
+    from .sources.warc_records import split_warc_records_indexed
+
+    ids = [
+        r[0]
+        for r in _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="semargl_warc_poff_")
+
+    def gz(b: bytes) -> bytes:
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return c.compress(b) + c.flush()
+
+    n_arch = 8
+    handles = [
+        open(os.path.join(base, f"part{k}.warc.gz"), "wb")
+        for k in range(n_arch)
+    ]
+    try:
+        for did in ids:
+            grp = did // 2
+            uri = (
+                f"https://site.example/p/{grp}"
+                if did % 2 == 0
+                else f"HTTPS://Site.Example/p/{grp}?utm_source=twin"
+            )
+            html = (
+                '<div><a href="/a">Home</a> <a href="/b">About</a> '
+                '<a href="/c">More</a></div><p>'
+                f"Body prose long enough to keep for group {grp}."
+                '</p><div>&copy; <a href="/d">Site</a></div>'
+            )
+            payload = (
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+            ).encode()
+            rec = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + f"WARC-Record-ID: <urn:uuid:r{did}>\r\n".encode()
+                + f"WARC-Target-URI: {uri}\r\n".encode()
+                + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                + payload + b"\r\n\r\n"
+            )
+            handles[did % n_arch].write(gz(rec))
+    finally:
+        for h in handles:
+            h.close()
+    paths = spark.createDataFrame(
+        [(os.path.join(base, f"part{k}.warc.gz"),) for k in range(n_arch)],
+        "path string",
+    )
+    pages = (
+        split_warc_records_indexed(paths, target_chunk_bytes=1 << 16)
+        .filter(
+            (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            F.regexp_extract("record_id", r"r(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("body").alias("html"),
+        )
+        # two consumers below (canon + main-content) — checkpoint so the
+        # 3-stage indexed-reader chain computes once, not per consumer
+        .localCheckpoint(eager=True)
+    )
+    canon = url_canonicalize(pages, url_col="url").select("doc_id", "url_canon")
+    clean = (
+        html_main_blocks(pages, text_col="html")
+        .filter(F.col("kept"))
+        .groupBy("doc_id")
+        .agg(F.min("block_text").alias("clean_text"))
+    )
+    joined = canon.join(clean, "doc_id")
+    w = Window.partitionBy("url_canon").orderBy("doc_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "url_canon", "clean_text")
+    )
+
+
+ORACLES["pipeline_warc_offsets"] = ORACLES["pipeline_warc"]
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -374,3 +374,42 @@ def test_index_split_mode_resyncs_past_corruption(spark, tmp_path):
         paths, index_split_bytes=300
     ).collect()
     assert len(rows) == n_par  # and the decode pass reads them all
+
+
+def test_gz_range_scan_equals_sequential_property():
+    """Property (kernel-level, no Spark): for ANY member layout and ANY
+    split size, the union of per-range resync scans equals the
+    sequential member scan — offsets, lengths, and plaintext."""
+    import io
+
+    from hypothesis import given, settings, strategies as st
+
+    from semargl_spark.sources.warc_records import (
+        _gz_member_spans,
+        _gz_range_members,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 3000), min_size=1, max_size=12),
+        split=st.integers(16, 5000),
+    )
+    def prop(sizes, split):
+        recs = []
+        for i, sz in enumerate(sizes):
+            body = (b"%d:" % i) + bytes((i + j) % 251 for j in range(sz))
+            recs.append(
+                b"WARC/1.0\r\nWARC-Type: resource\r\n"
+                + b"Content-Length: %d\r\n\r\n" % len(body)
+                + body + b"\r\n\r\n"
+            )
+        blob = b"".join(_gz(r) for r in recs)
+        seq = list(_gz_member_spans(io.BytesIO(blob)))
+        par = []
+        for start in range(0, max(len(blob), 1), split):
+            end = min(start + split, len(blob))
+            with io.BytesIO(blob) as f:
+                par.extend(_gz_range_members(f, start, end))
+        assert sorted(par) == sorted(seq)
+
+    prop()
